@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet dir (Spark output), runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the raw
+parquet tables in <sfDir>, and compares schema + sorted rows.
+"""
+import sys, json, math, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rel.fetchall():
+        out.append(tuple(norm(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got_cols, got = rows_of(con.sql(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')"))
+            want_cols, want = rows_of(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if got_cols != want_cols:
+            print(f"FAIL {name}: cols {got_cols} != {want_cols}"); n_bad += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: {len(got)} rows != {len(want)}"); n_bad += 1
+        elif got != want:
+            bad = next(i for i in range(len(got)) if got[i] != want[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  spark={got[bad]}\n  duck ={want[bad]}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
