@@ -3,14 +3,23 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.sources.TpchCatalog
+import graft.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *   - `q*`  : hand-built DataFrame programs (bench headliners)
+  *   - `e_*` : the same engine surface the reference exposes — a typed
+  *     QueryDefinition routed through MultiDb (validate → ACL → plan →
+  *     resolve → Catalyst), one per operator family in SURVEY.md §2
   *
   * Numeric determinism convention (required for the DuckDB-oracle hash gate):
   * every aggregated double goes through an exact DECIMAL accumulation
   * (`sum(cast(x as decimal))`) and is cast back to double at the end, so
   * Spark's partition-order-dependent double addition can never drift from
-  * the oracle. Averages are computed as exact-decimal-sum / count in double.
+  * the oracle; the engine does this automatically for columns declared
+  * `decimal` that are physically doubles. Averages are exact-sum / count.
   * Every query ORDER BYs a deterministic unique key prefix.
   */
 object SparkEntry {
@@ -24,12 +33,16 @@ object SparkEntry {
   /** Exact sum of a double column: decimal accumulate, double out. */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D4)).cast("double")
 
+  private def eng(name: String)(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
+    name -> ((s: SparkSession, dir: String) => TpchCatalog.frame(s, dir)(mk))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("e_agg_groupby")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= hand-built DataFrame headliners =================
     // ---- 2.6 aggregation: count/sum/avg/min/max + group by (TPC-H Q1-ish)
     "q1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -45,7 +58,7 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    // ---- 2.5 joins (left + inner, transitive customer→orders→lineitem) + top-k
+    // ---- 2.5 joins (dim broadcast + fact shuffle) + top-k
     "q3_top_revenue" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -66,7 +79,7 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .orderBy("o_orderkey")
     },
-    // ---- 2.3 filters (=, in, between, like) + 2.2 projection + 2.7 sort/limit
+    // ---- 2.3 filters + 2.2 projection + 2.7 sort/limit
     "q5_filter_project" -> { (s, dir) =>
       t(s, dir, "orders")
         .where(col("o_orderstatus") === "F" &&
@@ -91,6 +104,187 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy("c_mktsegment")
     },
+    // ---- 5-table star join: region→nation→customer→orders→lineitem (Q5-ish)
+    "q8_star_join" -> { (s, dir) =>
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    // ---- 2.3 array operators over derived word arrays (documents)
+    "q9_array_ops" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .where(array_contains(col("words"), "spark") &&
+          arrays_overlap(col("words"), array(lit("join"), lit("merge"))))
+        .select(col("doc_id"), col("lang"), size(col("words")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
+    // ================= engine-routed (QueryDefinition → MultiDb) =========
+    // ---- 2.2 projection + 2.7 multi-column sort + limit/offset pagination
+    eng("e_proj_sort_page")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "custkey", "totalprice")),
+      orderBy = Seq(QueryOrderBy("totalprice", "desc"), QueryOrderBy("orderkey")),
+      limit = Some(50), offset = Some(100))),
+    // ---- 2.3 comparison operators =, !=, >, <=
+    eng("e_filter_compare")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderstatus", "totalprice")),
+      filters = Seq(
+        QueryFilter("orderstatus", "!=", Some("O")),
+        QueryFilter("totalprice", ">", Some(350000.0)),
+        QueryFilter("totalprice", "<=", Some(450000.0))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.3 in / notIn
+    eng("e_filter_in_notin")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderpriority")),
+      filters = Seq(
+        QueryFilter("orderpriority", "in", Some(Seq("1-URGENT", "5-LOW"))),
+        QueryFilter("orderstatus", "notIn", Some(Seq("P")))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.3 between on timestamp bound by ISO-8601 Z strings
+    eng("e_filter_between_ts")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderdate")),
+      filters = Seq(QueryFilter("orderdate", "between",
+        Some(("1996-01-01T00:00:00Z", "1996-12-31T23:59:59Z")))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.3 pattern family: like / ilike / contains / startsWith / endsWith
+    eng("e_filter_patterns")(QueryDefinition("part",
+      columns = Some(Seq("partkey", "name", "brand")),
+      filters = Seq(
+        QueryFilter("name", "like", Some("%bolt%")),
+        QueryFilter("name", "istartsWith", Some("S")),
+        QueryFilter("brand", "contains", Some("1")),
+        QueryFilter("name", "iendsWith", Some("BOLT")),
+        QueryFilter("name", "notContains", Some("zzz"))),
+      orderBy = Seq(QueryOrderBy("partkey")))),
+    // ---- 2.3 nested filter groups with or / not
+    eng("e_filter_groups")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderstatus", "totalprice")),
+      filters = Seq(QueryFilterGroup("or", Seq(
+        QueryFilter("totalprice", "<", Some(5000.0)),
+        QueryFilterGroup("and", Seq(
+          QueryFilter("orderstatus", "=", Some("F")),
+          QueryFilter("totalprice", ">", Some(470000.0))), not = true)),
+        not = true)),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.3 column-vs-column filter
+    eng("e_filter_colcmp")(QueryDefinition("lineitem",
+      columns = Some(Seq("orderkey", "linenumber", "discount", "tax")),
+      filters = Seq(QueryColumnFilter("discount", ">", "tax")),
+      orderBy = Seq(QueryOrderBy("orderkey"), QueryOrderBy("linenumber")))),
+    // ---- 2.3 levenshteinLte (built-in levenshtein Expression)
+    eng("e_filter_levenshtein")(QueryDefinition("part",
+      columns = Some(Seq("partkey", "name")),
+      filters = Seq(QueryFilter("name", "levenshteinLte", Some(("cold widget", 2)))),
+      orderBy = Seq(QueryOrderBy("partkey")))),
+    // ---- 2.5 left join (unmatched kept) with selected join columns
+    eng("e_join_left")(QueryDefinition("customer",
+      columns = Some(Seq("custkey", "mktsegment")),
+      joins = Seq(QueryJoin("nation", columns = Some(Seq("name")))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.5 inner join + join-scoped filters (WHERE, not ON)
+    eng("e_join_inner_filtered")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "totalprice")),
+      joins = Seq(QueryJoin("customer", joinType = "inner",
+        columns = Some(Seq("name")),
+        filters = Seq(QueryFilter("mktsegment", "=", Some("BUILDING"))))),
+      filters = Seq(QueryFilter("orderstatus", "=", Some("O"))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.5 transitive join chain lineitem→orders→customer
+    eng("e_join_transitive")(QueryDefinition("lineitem",
+      columns = Some(Seq("orderkey", "linenumber", "extendedprice")),
+      joins = Seq(
+        QueryJoin("orders", joinType = "inner", columns = Some(Nil)),
+        QueryJoin("customer", joinType = "inner", columns = Some(Seq("mktsegment")))),
+      filters = Seq(QueryFilter("quantity", ">", Some(49.0))),
+      orderBy = Seq(QueryOrderBy("orderkey"), QueryOrderBy("linenumber")))),
+    // ---- 2.6 aggregations: all 5 fns + count(*) + groupBy (engine Q1)
+    eng("e_agg_groupby")(QueryDefinition("lineitem",
+      columns = Some(Seq("returnflag", "linestatus")),
+      groupBy = Seq(QueryGroupBy("returnflag"), QueryGroupBy("linestatus")),
+      aggregations = Seq(
+        QueryAggregation("quantity", "sum", "sumQty"),
+        QueryAggregation("extendedprice", "sum", "sumPrice"),
+        QueryAggregation("quantity", "avg", "avgQty"),
+        QueryAggregation("quantity", "min", "minQty"),
+        QueryAggregation("quantity", "max", "maxQty"),
+        QueryAggregation("*", "count", "cnt")),
+      orderBy = Seq(QueryOrderBy("returnflag"), QueryOrderBy("linestatus")))),
+    // ---- 2.6 HAVING over aliases (in + comparison)
+    eng("e_agg_having")(QueryDefinition("orders",
+      columns = Some(Seq("custkey")),
+      groupBy = Seq(QueryGroupBy("custkey")),
+      aggregations = Seq(
+        QueryAggregation("*", "count", "nOrders"),
+        QueryAggregation("totalprice", "sum", "totalSpent")),
+      having = Seq(QueryFilter("nOrders", ">=", Some(8)),
+        QueryFilter("totalSpent", ">", Some(100000.0))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.6 aggregation over a joined table's column
+    eng("e_agg_joined")(QueryDefinition("customer",
+      columns = Some(Seq("custkey", "name")),
+      joins = Seq(QueryJoin("orders", joinType = "inner", columns = Some(Nil))),
+      groupBy = Seq(QueryGroupBy("custkey"), QueryGroupBy("name")),
+      aggregations = Seq(
+        QueryAggregation("totalprice", "sum", "spent", table = Some("orders")),
+        QueryAggregation("*", "count", "n")),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.2 DISTINCT through the engine
+    eng("e_distinct")(QueryDefinition("customer",
+      columns = Some(Seq("mktsegment")), distinct = true,
+      orderBy = Seq(QueryOrderBy("mktsegment")))),
+    // ---- 2.4 EXISTS with sub-filter (left-semi)
+    eng("e_exists")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderstatus")),
+      filters = Seq(QueryExistsFilter("lineitem",
+        filters = Seq(QueryFilter("quantity", ">", Some(45.0))))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+    // ---- 2.4 NOT EXISTS (left-anti)
+    eng("e_not_exists")(QueryDefinition("customer",
+      columns = Some(Seq("custkey", "name")),
+      filters = Seq(QueryExistsFilter("orders", exists = false)),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.4 counted EXISTS >= N (decorrelated semi form)
+    eng("e_exists_count_ge")(QueryDefinition("customer",
+      columns = Some(Seq("custkey")),
+      filters = Seq(QueryExistsFilter("orders",
+        count = Some(CountCond(">=", 12)))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.4 counted EXISTS < N — must keep zero-child parents
+    eng("e_exists_count_lt")(QueryDefinition("customer",
+      columns = Some(Seq("custkey")),
+      filters = Seq(QueryExistsFilter("orders",
+        count = Some(CountCond("<", 8)))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.4 nested EXISTS (inner resolves against outer EXISTS table)
+    eng("e_exists_nested")(QueryDefinition("customer",
+      columns = Some(Seq("custkey")),
+      filters = Seq(QueryExistsFilter("orders",
+        filters = Seq(QueryExistsFilter("lineitem",
+          filters = Seq(QueryFilter("quantity", ">", Some(49.0))))))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.4 EXISTS inside an OR group (count-join form, composable)
+    eng("e_exists_in_or")(QueryDefinition("customer",
+      columns = Some(Seq("custkey", "acctbal")),
+      filters = Seq(QueryFilterGroup("or", Seq(
+        QueryExistsFilter("orders", count = Some(CountCond(">=", 15))),
+        QueryFilter("acctbal", "<", Some(-900.0))))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.14 byIds fast path (+ extra filter)
+    eng("e_byids")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "totalprice")),
+      byIds = Some(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)),
+      filters = Seq(QueryFilter("totalprice", ">", Some(0.0))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +326,135 @@ object SparkEntry {
         |HAVING COUNT(*) >= 5 ORDER BY o_custkey""".stripMargin,
     "q7_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q8_star_join" ->
+      """SELECT r.r_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q9_array_ops" ->
+      """SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_words
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |  AND (list_contains(string_split(text, ' '), 'join')
+        |       OR list_contains(string_split(text, ' '), 'merge'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "e_proj_sort_page" ->
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
+    "e_filter_compare" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus, o_totalprice AS totalprice
+        |FROM orders WHERE o_orderstatus != 'O' AND o_totalprice > 350000.0
+        |  AND o_totalprice <= 450000.0 ORDER BY o_orderkey""".stripMargin,
+    "e_filter_in_notin" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS orderpriority
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')
+        |  AND o_orderstatus NOT IN ('P') ORDER BY o_orderkey""".stripMargin,
+    "e_filter_between_ts" ->
+      """SELECT o_orderkey AS orderkey, o_orderdate AS orderdate
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |ORDER BY o_orderkey""".stripMargin,
+    "e_filter_patterns" ->
+      """SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand
+        |FROM part
+        |WHERE p_name LIKE '%bolt%'
+        |  AND LOWER(p_name) LIKE LOWER('S') || '%'
+        |  AND p_brand LIKE '%' || '1' || '%'
+        |  AND LOWER(p_name) LIKE '%' || LOWER('BOLT')
+        |  AND p_name NOT LIKE '%zzz%'
+        |ORDER BY p_partkey""".stripMargin,
+    "e_filter_groups" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus, o_totalprice AS totalprice
+        |FROM orders
+        |WHERE NOT (o_totalprice < 5000.0
+        |  OR NOT (o_orderstatus = 'F' AND o_totalprice > 470000.0))
+        |ORDER BY o_orderkey""".stripMargin,
+    "e_filter_colcmp" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |  l_discount AS discount, l_tax AS tax
+        |FROM lineitem WHERE l_discount > l_tax
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e_filter_levenshtein" ->
+      """SELECT p_partkey AS partkey, p_name AS name FROM part
+        |WHERE levenshtein(p_name, 'cold widget') <= 2 ORDER BY p_partkey""".stripMargin,
+    "e_join_left" ->
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment, n.n_name AS name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "e_join_inner_filtered" ->
+      """SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice, c.c_name AS name
+        |FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'O' AND c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "e_join_transitive" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |  l.l_extendedprice AS extendedprice, c.c_mktsegment AS mktsegment
+        |FROM lineitem l
+        |INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_quantity > 49.0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "e_agg_groupby" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS "sumQty",
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS "sumPrice",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS "avgQty",
+        |  MIN(l_quantity) AS "minQty", MAX(l_quantity) AS "maxQty",
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_agg_having" ->
+      """SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS "nOrders",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS "totalSpent"
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 8
+        |  AND CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) > 100000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "e_agg_joined" ->
+      """SELECT c.c_custkey AS custkey, c.c_name AS name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spent,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer c INNER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "e_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer ORDER BY 1",
+    "e_exists" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "e_not_exists" ->
+      """SELECT c_custkey AS custkey, c_name AS name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "e_exists_count_ge" ->
+      """SELECT c_custkey AS custkey FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
+        |ORDER BY c_custkey""".stripMargin,
+    "e_exists_count_lt" ->
+      """SELECT c_custkey AS custkey FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) < 8
+        |ORDER BY c_custkey""".stripMargin,
+    "e_exists_nested" ->
+      """SELECT c_custkey AS custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49.0))
+        |ORDER BY c_custkey""".stripMargin,
+    "e_exists_in_or" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
+        |   OR c_acctbal < -900.0
+        |ORDER BY c_custkey""".stripMargin,
+    "e_byids" ->
+      """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
+        |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) AND o_totalprice > 0.0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

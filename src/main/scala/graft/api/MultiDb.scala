@@ -1,0 +1,222 @@
+package graft.api
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException, FutureTask}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.access.{AccessControl, Masking}
+import graft.exec.{Resolver, ResolvedQuery}
+import graft.meta._
+import graft.planner.{Plan, Planner, SourceRegistry}
+import graft.types._
+
+/** Provider interfaces (reference: METADATA.md:153-159). */
+trait MetadataProvider { def load(): MetadataConfig }
+trait RoleProvider { def load(): Seq[RoleMeta] }
+
+/** The engine facade (reference: METADATA.md:174-189):
+  * query / reloadMetadata / reloadRoles / healthCheck / close, with
+  * snapshot isolation — in-flight queries keep the metadata/roles references
+  * captured at entry; reload atomically swaps them (METADATA.md:191-193).
+  */
+final class MultiDb(
+    val spark: SparkSession,
+    metadataProvider: MetadataProvider,
+    roleProvider: RoleProvider,
+    registry: SourceRegistry,
+) extends AutoCloseable {
+
+  @volatile private var state: (MetadataIndex, Map[String, RoleMeta]) = load()
+  private val timeoutPool = Executors.newCachedThreadPool { r =>
+    val t = new Thread(r, "graft-query-timeout"); t.setDaemon(true); t
+  }
+
+  private def load(): (MetadataIndex, Map[String, RoleMeta]) = {
+    val cfg =
+      try metadataProvider.load()
+      catch { case e: Exception if !e.isInstanceOf[MultiDbError] =>
+        throw ProviderError("METADATA_LOAD_FAILED", "metadata", Some(e)) }
+    val roles =
+      try roleProvider.load()
+      catch { case e: Exception if !e.isInstanceOf[MultiDbError] =>
+        throw ProviderError("ROLE_LOAD_FAILED", "role", Some(e)) }
+    (MetadataIndex.build(cfg), roles.map(r => r.id -> r).toMap)
+  }
+
+  def reloadMetadata(): Unit = state = load()
+  def reloadRoles(): Unit = state = load()
+
+  def healthCheck(): Map[String, Boolean] = {
+    val (index, _) = state
+    val dbs = index.config.databases.map { d =>
+      d.id -> (try {
+        // source connectivity: every registered loader must produce a frame
+        registry.loaders.collect { case ((db, _), l) if db == d.id => l }
+          .take(1).foreach(l => l().schema)
+        true
+      } catch { case _: Exception => false })
+    }
+    val caches = registry.cacheProviders.map { case (id, p) =>
+      id -> (try p.ping() catch { case _: Exception => false })
+    }
+    (dbs ++ caches).toMap
+  }
+
+  override def close(): Unit = timeoutPool.shutdownNow()
+
+  /** Build the DataFrame for a query without executing (Spark-native entry
+    * point — lets callers keep the plan lazy, write it out, or chain it; the
+    * 100 TB path never materializes on the driver).
+    */
+  def frame(q: QueryDefinition, context: ExecutionContext = ExecutionContext()): DataFrame =
+    resolveChecked(q, context)._1.frame
+
+  /** Full reference-shaped query lifecycle. */
+  def query(q: QueryDefinition, context: ExecutionContext = ExecutionContext()): QueryResult = {
+    val t0 = System.nanoTime()
+    val debug = Seq.newBuilder[DebugLogEntry]
+    def log(phase: String, msg: String): Unit =
+      if (q.debug) debug += DebugLogEntry(System.currentTimeMillis(), phase, msg)
+
+    val (index, rolesById) = state // snapshot
+    log("validation", s"validating query from '${q.from}'")
+    val (resolved, plan, mappingsMeta) = resolveChecked(q, context, Some(log))
+    val t1 = System.nanoTime()
+
+    def metaOf(executionMs: Option[Long], columns: Seq[ResultColumnMeta]): QueryResultMeta =
+      QueryResultMeta(
+        strategy = plan.strategy,
+        targetDatabase = plan.targetDatabase,
+        dialect = plan.dialect,
+        tablesUsed = Planner.requiredTables(index, q).map { t =>
+          val pt = plan.tables(t.apiName)
+          TableUsed(t.id, pt.source, pt.database, pt.physicalName)
+        },
+        columns = columns,
+        timing = Timing(
+          planningMs = (t1 - t0) / 1000000,
+          generationMs = (t1 - t0) / 1000000,
+          executionMs = executionMs),
+      )
+
+    q.executeMode match {
+      case "sql-only" =>
+        log("sql-generation", "sql-only mode: returning generated SQL")
+        SqlResult(resolved.sql, resolved.params, metaOf(None, mappingsMeta),
+          if (q.debug) Some(debug.result()) else None)
+      case "count" =>
+        val t2 = System.nanoTime()
+        val n = withTimeout(plan, resolved.countFrame.count())
+        log("execution", s"count = $n")
+        CountResult(n, metaOf(Some((System.nanoTime() - t2) / 1000000), Nil),
+          if (q.debug) Some(debug.result()) else None)
+      case _ if plan.cache.isDefined =>
+        // P0 Redis-style fast path: MGET by key pattern; full hit serves from
+        // cache, partial hit merges cache rows with a DB fetch for the
+        // misses, full miss falls back to the DB (README.md:234-242)
+        val (cacheMeta, cachedTable, provider) = plan.cache.get
+        val t2 = System.nanoTime()
+        val ids = q.byIds.get
+        val keyOf = (id: Any) => cachedTable.keyPattern.replace("{id}", String.valueOf(id))
+        val hits = provider.getMany(ids.map(keyOf))
+        log("cache", s"cache '${cacheMeta.id}': ${hits.size}/${ids.size} hit")
+        val missing = ids.filterNot(id => hits.contains(keyOf(id)))
+        val cacheData = ids.flatMap(id => hits.get(keyOf(id))).map { row =>
+          resolved.mappings.map { m =>
+            val api = m.internalName.substring(m.internalName.indexOf("__") + 2)
+            val raw = row.getOrElse(api, null)
+            m.finalKey -> m.maskingFn.map(Masking(_, raw)).getOrElse(raw)
+          }.toMap
+        }
+        val dbData =
+          if (missing.isEmpty) Nil
+          else {
+            log("cache", s"fetching ${missing.size} missed ids from database")
+            val (res2, _, _) = resolveChecked(q.copy(byIds = Some(missing)), context)
+            assemble(withTimeout(plan, res2.frame.collect()), res2)
+          }
+        DataResult(cacheData ++ dbData,
+          metaOf(Some((System.nanoTime() - t2) / 1000000), mappingsMeta),
+          if (q.debug) Some(debug.result()) else None)
+      case _ =>
+        val t2 = System.nanoTime()
+        val rows = withTimeout(plan, resolved.frame.collect())
+        log("execution", s"fetched ${rows.length} rows")
+        val data = assemble(rows, resolved)
+        DataResult(data, metaOf(Some((System.nanoTime() - t2) / 1000000), mappingsMeta),
+          if (q.debug) Some(debug.result()) else None)
+    }
+  }
+
+  private def resolveChecked(
+      q: QueryDefinition,
+      context: ExecutionContext,
+      log: Option[(String, String) => Unit] = None,
+  ): (ResolvedQuery, Plan, Seq[ResultColumnMeta]) = {
+    val (index, rolesById) = state
+    val issues = graft.validation.Validator.validate(index, rolesById, q, context)
+    if (issues.nonEmpty) throw ValidationError(q.from, issues)
+    val access = AccessControl.resolve(index, rolesById, context)
+    log.foreach(_("planning", "selecting strategy"))
+    val plan = Planner.plan(index, registry, q)
+    log.foreach(_("planning", s"strategy=${plan.strategy} target=${plan.targetDatabase}"))
+    val resolved = Resolver.resolve(index, plan, access, q)
+    val columnsMeta = resolved.mappings.map(m => ResultColumnMeta(
+      m.finalKey, m.columnType, m.nullable, m.fromTable, m.masked))
+    (resolved, plan, columnsMeta)
+  }
+
+  /** Per-query timeout at the driver boundary (reference: executor-level
+    * timeoutMs, README.md:523) → ExecutionError QUERY_TIMEOUT.
+    */
+  private def withTimeout[T](plan: Plan, body: => T): T = {
+    val timeoutMs = registry.timeoutFor(plan.targetDatabase)
+    val task = new FutureTask[T](() => body)
+    timeoutPool.execute(task)
+    try task.get(timeoutMs, TimeUnit.MILLISECONDS)
+    catch {
+      case _: TimeoutException =>
+        task.cancel(true)
+        spark.sparkContext.cancelAllJobs()
+        throw ExecutionError("QUERY_TIMEOUT",
+          Map("database" -> plan.targetDatabase, "timeoutMs" -> timeoutMs))
+      case e: java.util.concurrent.ExecutionException =>
+        e.getCause match {
+          case m: MultiDbError => throw m
+          case c => throw ExecutionError("QUERY_FAILED",
+            Map("database" -> plan.targetDatabase), Some(c))
+        }
+    }
+  }
+
+  /** Row → apiName-keyed map with masking applied (post-query, reference-
+    * faithful: METADATA.md:116); null passes through unmasked.
+    */
+  private def assemble(rows: Array[Row], resolved: ResolvedQuery): Seq[Map[String, Any]] = {
+    val ms = resolved.mappings
+    rows.toSeq.map { row =>
+      ms.zipWithIndex.map { case (m, i) =>
+        val raw = row.get(i) match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case v => v
+        }
+        val v = m.maskingFn match {
+          case Some(fn) => Masking(fn, raw)
+          case None     => raw
+        }
+        m.finalKey -> v
+      }.toMap
+    }
+  }
+}
+
+object MultiDb {
+  def apply(
+      spark: SparkSession,
+      config: MetadataConfig,
+      roles: Seq[RoleMeta],
+      registry: SourceRegistry,
+  ): MultiDb = new MultiDb(
+    spark,
+    new MetadataProvider { def load(): MetadataConfig = config },
+    new RoleProvider { def load(): Seq[RoleMeta] = roles },
+    registry)
+}

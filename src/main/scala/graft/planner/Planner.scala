@@ -1,0 +1,181 @@
+package graft.planner
+
+import org.apache.spark.sql.DataFrame
+import graft.meta._
+import graft.types._
+
+/** Per-table physical source selection — the reference's strategy planner
+  * P0-P4 (reference: README.md:230-266, STAGES.md:264-293) mapped onto a
+  * Spark source registry. Pure pre-plan logic: Catalyst never sees
+  * freshness/lag/cache metadata, so this is deliberately NOT a Catalyst rule.
+  *
+  * In Spark terms a "database" is a registered source namespace; each logical
+  * table may have several physical sources (original, materialized replica,
+  * cache). The planner picks one strategy and reports truthful
+  * strategy/targetDatabase/tablesUsed in result meta.
+  */
+trait CacheProvider {
+  /** MGET-style by-key fetch; returns found rows keyed by the cache key. */
+  def getMany(keys: Seq[String]): Map[String, Map[String, Any]]
+  def ping(): Boolean = true
+}
+
+/** Loader for one physical table: called at plan-execution time so reloads
+  * and snapshot isolation behave (a loader is cheap: `spark.read.parquet`
+  * or a JDBC reader config — the scan itself is lazy).
+  */
+final case class SourceRegistry(
+    loaders: Map[(String, String), () => DataFrame], // (databaseId, tableId) → loader
+    replicaLoaders: Map[(String, String), () => DataFrame] = Map.empty, // (targetDb, sourceTableId)
+    cacheProviders: Map[String, CacheProvider] = Map.empty, // cacheId → provider
+    executorTimeoutMs: Map[String, Long] = Map.empty, // databaseId → timeout
+) {
+  def timeoutFor(db: String): Long = executorTimeoutMs.getOrElse(db, 120000L)
+}
+
+final case class PlannedTable(
+    table: TableMeta,
+    source: String, // original | materialized | cache
+    database: String,
+    physicalName: String,
+    load: () => DataFrame,
+)
+
+final case class Plan(
+    strategy: String, // direct | cache | materialized | trino-cross-db
+    targetDatabase: String,
+    dialect: Option[String],
+    tables: Map[String, PlannedTable], // keyed by table apiName
+    cache: Option[(CacheMeta, CachedTableMeta, CacheProvider)] = None,
+)
+
+object Planner {
+
+  /** All tables a query touches: from + joins + EXISTS tables, recursively
+    * (README.md:243-247).
+    */
+  def requiredTables(index: MetadataIndex, q: QueryDefinition): Seq[TableMeta] = {
+    def fromFilters(nodes: Seq[QueryFilterNode]): Seq[String] = nodes.flatMap {
+      case e: QueryExistsFilter => e.table +: fromFilters(e.filters)
+      case g: QueryFilterGroup  => fromFilters(g.conditions)
+      case _                    => Nil
+    }
+    val apis = (q.from +: q.joins.map(_.table)) ++
+      fromFilters(q.filters) ++ q.joins.flatMap(j => fromFilters(j.filters))
+    apis.distinct.flatMap(index.tablesByApi.get)
+  }
+
+  def plan(index: MetadataIndex, registry: SourceRegistry, q: QueryDefinition): Plan = {
+    val required = requiredTables(index, q)
+    val dbs = index.databasesById
+
+    def dialectOf(dbId: String): Option[String] = dbs.get(dbId).map(_.engine match {
+      case "iceberg" => "trino" // Iceberg is always queried via Trino (README.md:246)
+      case e         => e
+    })
+
+    // ---- P0: cache fast path — byIds only, no filters/joins/groupBy/aggs,
+    // single-column PK, cache column superset (README.md:234-242)
+    val p0 = for {
+      ids <- q.byIds
+      if ids.nonEmpty && q.filters.isEmpty && q.joins.isEmpty &&
+        q.groupBy.isEmpty && q.aggregations.isEmpty && q.executeMode != "sql-only"
+      table <- index.tablesByApi.get(q.from)
+      if table.primaryKey.size == 1
+      (cacheMeta, cachedTable) <- index.cachesByTable.getOrElse(table.id, Nil)
+        .find { case (_, ct) =>
+          // cached column set must cover the requested columns
+          ct.columns.forall { cached =>
+            q.columns.getOrElse(table.columns.map(_.apiName))
+              .forall(cached.contains)
+          }
+        }
+      provider <- registry.cacheProviders.get(cacheMeta.id)
+    } yield Plan(
+      strategy = "cache",
+      targetDatabase = cacheMeta.id,
+      dialect = None,
+      tables = Map(q.from -> plannedOriginal(registry, table)
+        .getOrElse(throw ExecutionError("EXECUTOR_MISSING",
+          Map("database" -> table.database)))),
+      cache = Some((cacheMeta, cachedTable, provider)),
+    )
+    if (p0.isDefined) return p0.get
+
+    // ---- P1: single-DB direct — every required table lives in one DB
+    val byDb = required.groupBy(_.database)
+    if (byDb.size == 1) {
+      val dbId = byDb.keys.head
+      return Plan(
+        strategy = "direct",
+        targetDatabase = dbId,
+        dialect = dialectOf(dbId),
+        tables = required.map(t => t.apiName ->
+          plannedOriginal(registry, t).getOrElse(
+            throw ExecutionError("EXECUTOR_MISSING", Map("database" -> t.database)))).toMap,
+      )
+    }
+
+    // ---- P2: materialized replicas make everything available in one DB,
+    // freshness permitting; prefer the DB owning the most originals
+    val candidateDbs = dbs.keys.toSeq.sortBy(db => -required.count(_.database == db))
+    val freshnessReq = q.freshness
+    for (db <- candidateDbs) {
+      val resolved: Option[Map[String, PlannedTable]] =
+        required.foldLeft(Option(Map.empty[String, PlannedTable])) { (accOpt, t) =>
+          accOpt.flatMap { acc =>
+            if (t.database == db) plannedOriginal(registry, t).map(p => acc + (t.apiName -> p))
+            else index.syncsBySource.getOrElse(t.id, Nil)
+              .find(s => s.targetDatabase == db &&
+                freshnessReq.forall(f => Freshness.lagSatisfies(s.estimatedLag, f)))
+              .flatMap { s =>
+                registry.replicaLoaders.get((db, t.id)).map { loader =>
+                  acc + (t.apiName -> PlannedTable(t, "materialized", db,
+                    s.targetPhysicalName, loader))
+                }
+              }
+          }
+        }
+      resolved match {
+        case Some(tables) => return Plan("materialized", db, dialectOf(db), tables)
+        case _            => ()
+      }
+    }
+
+    // ---- P3: cross-DB federation. The reference needs Trino + catalogs; our
+    // Spark build reads every source in one SparkSession, but the metadata
+    // gates are honored so planner semantics (and P4 errors) stay contract-true.
+    if (!index.config.trinoEnabled) {
+      // distinguish FRESHNESS_UNMET: a replica path existed but lag too high
+      val freshnessBlocked = freshnessReq.exists { f =>
+        candidateDbs.exists { db =>
+          required.forall(t =>
+            t.database == db || index.syncsBySource.getOrElse(t.id, Nil)
+              .exists(_.targetDatabase == db))
+        } && !candidateDbs.exists { db =>
+          required.forall(t =>
+            t.database == db || index.syncsBySource.getOrElse(t.id, Nil)
+              .exists(s => s.targetDatabase == db && Freshness.lagSatisfies(s.estimatedLag, f)))
+        }
+      }
+      if (freshnessBlocked)
+        throw PlannerError("FRESHNESS_UNMET", q.from,
+          Map("requiredFreshness" -> freshnessReq.get))
+      throw PlannerError("TRINO_DISABLED", q.from)
+    }
+    val noCatalog = required.map(_.database).distinct
+      .filter(db => dbs.get(db).forall(_.trinoCatalog.isEmpty))
+    if (noCatalog.nonEmpty)
+      throw PlannerError("NO_CATALOG", q.from, Map("databases" -> noCatalog))
+
+    val tables = required.map { t =>
+      t.apiName -> plannedOriginal(registry, t).getOrElse(
+        throw PlannerError("UNREACHABLE_TABLES", q.from, Map("tables" -> Seq(t.apiName))))
+    }.toMap
+    Plan("trino-cross-db", "trino", Some("trino"), tables)
+  }
+
+  private def plannedOriginal(registry: SourceRegistry, t: TableMeta): Option[PlannedTable] =
+    registry.loaders.get((t.database, t.id))
+      .map(loader => PlannedTable(t, "original", t.database, t.physicalName, loader))
+}

@@ -1,0 +1,587 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.types._
+
+/** Behavioral contract tests against the ported fixture — assertions pin the
+  * exact row counts/values the reference contract suite pins
+  * (CONTRACT_TESTS.md sections 3-9; dialect parameterization collapses to one
+  * Spark run).
+  */
+class ContractQuerySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  lazy val db: graft.api.MultiDb = ContractFixture.multiDb(spark)
+
+  private def ids(r: QueryResult, key: String = "id"): Seq[Any] = r match {
+    case DataResult(data, _, _) => data.map(_(key))
+    case other => fail(s"expected DataResult, got $other")
+  }
+  private def data(r: QueryResult): Seq[Map[String, Any]] =
+    r.asInstanceOf[DataResult].data
+
+  private def q(d: QueryDefinition): QueryResult = db.query(d)
+
+  // ---- simple filters (C100 ff) -----------------------------------------
+
+  test("= filter: samples status=active -> ids 1,4") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("status", "=", Some("active"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 4))
+  }
+
+  test("!= filter") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("status", "!=", Some("active"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 3, 5))
+  }
+
+  test("> and <= on decimal") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("amount", ">", Some(100.0)),
+        QueryFilter("amount", "<=", Some(300.0))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 4, 5))
+  }
+
+  test("in / notIn") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("category", "in", Some(Seq("electronics", "food")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 3, 4, 5))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("category", "notIn", Some(Seq("electronics")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(2, 4))
+  }
+
+  test("like / ilike case sensitivity") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "like", Some("A%")))))
+    assert(ids(r) == Seq(1))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "ilike", Some("a%")))))
+    assert(ids(r2) == Seq(1))
+    val r3 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "like", Some("a%")))))
+    assert(ids(r3).isEmpty)
+  }
+
+  test("contains escapes LIKE wildcards; startsWith/endsWith") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("email", "contains", Some("test.com"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2, 3, 4, 5))
+    // '%' in value must match literally, not as a wildcard
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("email", "contains", Some("%")))))
+    assert(ids(r2).isEmpty)
+    val r3 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "istartsWith", Some("eps")))))
+    assert(ids(r3) == Seq(5))
+    val r4 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "iendsWith", Some("TA"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r4) == Seq(2, 4)) // Beta, Delta
+  }
+
+  test("between / notBetween inclusive") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("amount", "between", Some((100.0, 200.0)))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2, 5))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("amount", "notBetween", Some((100.0, 200.0)))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(3, 4))
+  }
+
+  test("timestamp between accepts ISO8601 with Z (C133 lesson)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("createdAt", "between",
+        Some(("2024-02-01T00:00:00Z", "2024-04-30T23:59:59Z")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 3, 4))
+  }
+
+  test("isNull / isNotNull") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("discount", "isNull")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 4))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("note", "isNotNull")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 3, 5))
+  }
+
+  test("levenshteinLte") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("name", "levenshteinLte", Some(("Alpho", 1))))))
+    assert(ids(r) == Seq(1))
+  }
+
+  // ---- array operators (C150 ff) ---------------------------------------
+
+  test("arrayContains") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayContains", Some("fast"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 3, 5))
+  }
+
+  test("arrayContainsAll / arrayContainsAny") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayContainsAll", Some(Seq("fast", "new")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 5))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayContainsAny", Some(Seq("slow", "new")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 2, 5))
+  }
+
+  test("arrayIsEmpty vs NULL array are distinct (C152/C153)") {
+    // scores: sample 3 = null, sample 4 = [] — empty matches only sample 4
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("scores", "arrayIsEmpty"))))
+    assert(ids(r) == Seq(4))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("scores", "arrayIsNotEmpty")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 2, 5))
+    val r3 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("scores", "isNull"))))
+    assert(ids(r3) == Seq(3))
+  }
+
+  // ---- groups / column filters ----------------------------------------
+
+  test("nested or/and group with not") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilterGroup("or", Seq(
+        QueryFilter("status", "=", Some("paid")),
+        QueryFilterGroup("and", Seq(
+          QueryFilter("category", "=", Some("electronics")),
+          QueryFilter("amount", "<", Some(120.0))))))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2, 3))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilterGroup("or", Seq(
+        QueryFilter("status", "=", Some("paid")),
+        QueryFilter("status", "=", Some("active"))), not = true)),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(3, 5))
+  }
+
+  test("column-vs-column filter") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryColumnFilter("amount", ">", "discount")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    // rows with non-null discount where amount > discount: 1,3,5
+    assert(ids(r) == Seq(1, 3, 5))
+  }
+
+  // ---- joins (C200 ff) -------------------------------------------------
+
+  test("left join keeps unmatched; inner join drops (C200/C201)") {
+    val left = q(QueryDefinition("orders", columns = Some(Seq("id", "status")),
+      joins = Seq(QueryJoin("products", columns = Some(Seq("name")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(data(left).size == 5) // order 4 has null productId, kept
+    assert(data(left).find(_("id") == 4).get("name") == null)
+    val inner = q(QueryDefinition("orders", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("products", joinType = "inner", columns = Some(Nil))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(inner) == Seq(1, 2, 3, 5))
+  }
+
+  test("column collision after join qualifies keys as table.column (C206)") {
+    val r = q(QueryDefinition("orders", columns = Some(Seq("id", "status")),
+      joins = Seq(QueryJoin("users", columns = Some(Seq("id", "firstName")))),
+      filters = Seq(QueryFilter("id", "=", Some(1))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    val row = data(r).head
+    assert(row.keySet == Set("orders.id", "status", "users.id", "firstName"))
+    assert(row("orders.id") == 1 && row("users.id") == "uuid-c1")
+  }
+
+  test("transitive join: samples -> sampleItems -> sampleDetails (C207-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      joins = Seq(
+        QueryJoin("sampleItems", joinType = "inner", columns = Some(Seq("label"))),
+        QueryJoin("sampleDetails", joinType = "inner", columns = Some(Seq("info")))),
+      orderBy = Seq(QueryOrderBy("id"),
+        QueryOrderBy("label", table = Some("sampleItems")))))
+    // items with details: 1,2,3,5 → samples 1,1,2,5
+    assert(ids(r) == Seq(1, 1, 2, 5))
+  }
+
+  test("join-scoped filter turns left join into inner semantics (C203)") {
+    val r = q(QueryDefinition("orders", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("products", columns = Some(Nil),
+        filters = Seq(QueryFilter("category", "=", Some("electronics"))))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 3, 5)) // order 2 (clothing) and 4 (null) drop out
+  }
+
+  // ---- aggregations (C300 ff) ------------------------------------------
+
+  test("count/sum/avg/min/max with groupBy and orderBy alias") {
+    val r = q(QueryDefinition("samples",
+      columns = Some(Seq("category")),
+      groupBy = Seq(QueryGroupBy("category")),
+      aggregations = Seq(
+        QueryAggregation("*", "count", "n"),
+        QueryAggregation("amount", "sum", "totalAmount"),
+        QueryAggregation("amount", "avg", "avgAmount"),
+        QueryAggregation("amount", "min", "minAmount"),
+        QueryAggregation("amount", "max", "maxAmount")),
+      orderBy = Seq(QueryOrderBy("category"))))
+    val rows = data(r)
+    assert(rows.map(_("category")) == Seq("clothing", "electronics", "food"))
+    val elec = rows(1)
+    assert(elec("n") == 3L)
+    assert(elec("totalAmount").asInstanceOf[java.math.BigDecimal].doubleValue() == 300.0)
+    assert(elec("avgAmount").asInstanceOf[java.math.BigDecimal].doubleValue() == 100.0)
+    assert(elec("minAmount").asInstanceOf[java.math.BigDecimal].doubleValue() == 50.0)
+    assert(elec("maxAmount").asInstanceOf[java.math.BigDecimal].doubleValue() == 150.0)
+  }
+
+  test("count(col) skips nulls; count(*) does not (C310-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Nil),
+      aggregations = Seq(
+        QueryAggregation("*", "count", "all"),
+        QueryAggregation("discount", "count", "withDiscount"))))
+    val row = data(r).head
+    assert(row("all") == 5L && row("withDiscount") == 3L)
+  }
+
+  test("sum over all-null slice returns NULL (C320-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Nil),
+      filters = Seq(QueryFilter("id", "in", Some(Seq(2, 4)))),
+      aggregations = Seq(QueryAggregation("discount", "sum", "s"))))
+    assert(data(r).head("s") == null)
+  }
+
+  test("having on aggregation alias (C400-ish)") {
+    val r = q(QueryDefinition("samples",
+      columns = Some(Seq("category")),
+      groupBy = Seq(QueryGroupBy("category")),
+      aggregations = Seq(QueryAggregation("*", "count", "n")),
+      having = Seq(QueryFilter("n", ">=", Some(2))),
+      orderBy = Seq(QueryOrderBy("category"))))
+    assert(data(r).map(_("category")) == Seq("electronics"))
+  }
+
+  test("aggregation over joined table column") {
+    val r = q(QueryDefinition("samples",
+      columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("sampleItems", joinType = "inner", columns = Some(Nil))),
+      groupBy = Seq(QueryGroupBy("id")),
+      aggregations = Seq(
+        QueryAggregation("amount", "sum", "itemTotal", table = Some("sampleItems"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    val rows = data(r)
+    assert(rows.map(_("id")) == Seq(1, 2, 3, 5))
+    assert(rows.head("itemTotal").asInstanceOf[java.math.BigDecimal].doubleValue() == 145.0)
+  }
+
+  // ---- distinct / sort / pagination (C600s naming varies) ---------------
+
+  test("distinct") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("category")),
+      distinct = true, orderBy = Seq(QueryOrderBy("category"))))
+    assert(data(r).map(_("category")) == Seq("clothing", "electronics", "food"))
+  }
+
+  test("orderBy desc + limit + offset pagination") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      orderBy = Seq(QueryOrderBy("amount", "desc")), limit = Some(2), offset = Some(1)))
+    assert(ids(r) == Seq(2, 5)) // 300,200,150,100,50 → skip 300 → 200,150
+  }
+
+  test("orderBy on a column that is not selected") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("name")),
+      orderBy = Seq(QueryOrderBy("amount", "desc")), limit = Some(2)))
+    assert(data(r).map(_("name")) == Seq("Delta", "Beta"))
+    assert(data(r).head.keySet == Set("name"))
+  }
+
+  // ---- EXISTS (C600 ff) -------------------------------------------------
+
+  test("EXISTS / NOT EXISTS (C600/C601)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2, 3, 5))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems", exists = false))))
+    assert(ids(r2) == Seq(4))
+  }
+
+  test("EXISTS with sub-filters") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        filters = Seq(QueryFilter("status", "=", Some("paid"))))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 5))
+  }
+
+  test("counted EXISTS >= 2 (C605-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        count = Some(CountCond(">=", 2)))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 5))
+  }
+
+  test("counted EXISTS < 2 includes zero-child parents (C611)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        count = Some(CountCond("<", 2)))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(2, 3, 4)) // 1 item, 1 item, 0 items
+  }
+
+  test("counted EXISTS = 0 and != 0 (C613)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        count = Some(CountCond("=", 0))))))
+    assert(ids(r) == Seq(4))
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        count = Some(CountCond("!=", 0)))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 2, 3, 5))
+  }
+
+  test("nested EXISTS resolves inner relation against outer table (C649-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("sampleItems",
+        filters = Seq(QueryExistsFilter("sampleDetails")))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2, 5))
+  }
+
+  test("self-referencing EXISTS (C653-ish: samples that manage samples)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryExistsFilter("samples")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 2)) // ids 1 and 2 are managers
+  }
+
+  test("EXISTS inside OR group composes") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilterGroup("or", Seq(
+        QueryExistsFilter("sampleItems", count = Some(CountCond(">=", 2))),
+        QueryFilter("status", "=", Some("active"))))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 4, 5))
+  }
+
+  // ---- byIds (C500 ff) --------------------------------------------------
+
+  test("byIds basic + with extra filter") {
+    val r = q(QueryDefinition("orders", columns = Some(Seq("id")),
+      byIds = Some(Seq(1, 3, 4)), orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r) == Seq(1, 3, 4))
+    val r2 = q(QueryDefinition("orders", columns = Some(Seq("id")),
+      byIds = Some(Seq(1, 3, 4)),
+      filters = Seq(QueryFilter("status", "=", Some("active"))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 4))
+  }
+
+  test("byIds + count mode counts existing ids (C507)") {
+    val r = q(QueryDefinition("orders", byIds = Some(Seq(1, 2, 999)),
+      executeMode = "count"))
+    assert(r.asInstanceOf[CountResult].count == 2)
+  }
+
+  // ---- execute modes ----------------------------------------------------
+
+  test("count mode ignores columns/orderBy/limit but keeps filters+joins (C414)") {
+    val r = q(QueryDefinition("orders",
+      columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("products", joinType = "inner", columns = Some(Nil))),
+      filters = Seq(QueryFilter("status", "!=", Some("cancelled"))),
+      limit = Some(1),
+      executeMode = "count"))
+    val cr = r.asInstanceOf[CountResult]
+    assert(cr.count == 3) // orders 1,2,5 join products; 3 cancelled, 4 null product
+    assert(cr.meta.columns.isEmpty)
+  }
+
+  test("sql-only returns SQL + params, no execution (C010-C016)") {
+    val r = q(QueryDefinition("orders", columns = Some(Seq("id", "total")),
+      filters = Seq(QueryFilter("status", "=", Some("active")),
+        QueryFilter("total", ">", Some(50.0))),
+      executeMode = "sql-only"))
+    val sr = r.asInstanceOf[SqlResult]
+    assert(sr.sql.contains("SELECT") && sr.sql.contains("FROM"))
+    assert(sr.sql.contains("?") && !sr.sql.contains("active")) // never interpolated
+    assert(sr.params == Seq("active", 50.0))
+    assert(sr.meta.timing.executionMs.isEmpty)
+  }
+
+  // ---- access control & masking (C700-C816) -----------------------------
+
+  test("role trims default columns; masking applies (C700/C800)") {
+    val r = db.query(QueryDefinition("orders", orderBy = Seq(QueryOrderBy("id"))),
+      ExecutionContext(userRoles = Some(Seq("tenant-user"))))
+    val row = data(r).head
+    assert(row.keySet == Set("id", "total", "status", "createdAt"))
+    assert(row("total") == 0) // number mask
+    assert(r.asInstanceOf[DataResult].meta.columns.find(_.apiName == "total").get.masked)
+  }
+
+  test("masking fns: email/phone/name/uuid/date/full behaviors (C800-C812)") {
+    import graft.access.Masking
+    assert(Masking("email", "john@example.com") == "j***@***.com")
+    assert(Masking("phone", "+1234567890") == "+1***890")
+    assert(Masking("name", "John Smith") == "J********h")
+    assert(Masking("uuid", "a1b2c3d4-e5f6") == "a1b2****")
+    assert(Masking("number", 12345) == 0)
+    assert(Masking("full", "anything") == "***")
+    assert(Masking("date", java.sql.Date.valueOf("2025-03-15")) ==
+      java.sql.Date.valueOf("2025-01-01"))
+  }
+
+  test("null passes through unmasked (C815)") {
+    val r = db.query(QueryDefinition("users", columns = Some(Seq("id", "phone")),
+      orderBy = Seq(QueryOrderBy("id"))),
+      ExecutionContext(userRoles = Some(Seq("analyst"))))
+    val bob = data(r)(1)
+    assert(bob("phone") == null)
+    val alice = data(r).head
+    assert(alice("phone") == "+1***890")
+  }
+
+  test("scope union within user roles unmasks (C710-ish)") {
+    // tenant-user masks orders.total; orders-service grants orders '*' unmasked
+    val r = db.query(QueryDefinition("orders", columns = Some(Seq("id", "total")),
+      orderBy = Seq(QueryOrderBy("id"))),
+      ExecutionContext(userRoles = Some(Seq("tenant-user", "orders-service"))))
+    assert(data(r).head("total").asInstanceOf[java.math.BigDecimal].doubleValue() == 100.0)
+  }
+
+  test("intersection between scopes preserves masking (C720-ish)") {
+    val r = db.query(QueryDefinition("orders", columns = Some(Seq("id", "total")),
+      orderBy = Seq(QueryOrderBy("id"))),
+      ExecutionContext(
+        userRoles = Some(Seq("orders-service")),
+        serviceRoles = Some(Seq("reporting-service"))))
+    assert(data(r).head("total") == 0) // reporting-service masks total
+  }
+
+  test("empty roles array = zero permissions (C691)") {
+    val e = intercept[ValidationError] {
+      db.query(QueryDefinition("orders"), ExecutionContext(userRoles = Some(Nil)))
+    }
+    assert(e.errors.exists(_.code == "ACCESS_DENIED"))
+  }
+
+  test("aggregation aliases are never masked (C816-ish)") {
+    val r = db.query(QueryDefinition("orders", columns = Some(Nil),
+      aggregations = Seq(QueryAggregation("total", "sum", "totalSum"))),
+      ExecutionContext(userRoles = Some(Seq("tenant-user"))))
+    assert(data(r).head("totalSum").asInstanceOf[java.math.BigDecimal].doubleValue() == 800.0)
+  }
+
+  // ---- planner strategies (C1250/C1710 ff) ------------------------------
+
+  test("P1 single-DB direct") {
+    val r = q(QueryDefinition("orders", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("users", columns = Some(Nil)))))
+    assert(r.meta.strategy == "direct" && r.meta.targetDatabase == "pg-main")
+    assert(r.meta.dialect.contains("postgres"))
+  }
+
+  test("P0 cache for byIds-only query on cached table (C1250)") {
+    val r = q(QueryDefinition("users", columns = Some(Seq("id", "email")),
+      byIds = Some(Seq("uuid-c1", "uuid-c2"))))
+    assert(r.meta.strategy == "cache" && r.meta.targetDatabase == "redis-main")
+    assert(data(r).map(_("id")) == Seq("uuid-c1", "uuid-c2"))
+    assert(data(r).head("email") == "alice@example.com")
+  }
+
+  test("P0 cache partial miss merges cache + DB rows") {
+    val r = q(QueryDefinition("users", columns = Some(Seq("id")),
+      byIds = Some(Seq("uuid-c1", "uuid-zzz"))))
+    assert(r.meta.strategy == "cache")
+    assert(data(r).map(_("id")) == Seq("uuid-c1")) // zzz exists nowhere
+  }
+
+  test("byIds with filters skips cache (P0 conditions)") {
+    val r = q(QueryDefinition("users", columns = Some(Seq("id")),
+      byIds = Some(Seq("uuid-c1")),
+      filters = Seq(QueryFilter("role", "=", Some("admin")))))
+    assert(r.meta.strategy == "direct")
+  }
+
+  test("P2 materialized replica: events + orders lands in ch-analytics") {
+    val r = q(QueryDefinition("events", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("orders", columns = Some(Nil)))))
+    assert(r.meta.strategy == "materialized")
+    assert(r.meta.targetDatabase == "ch-analytics")
+    val orderUse = r.meta.tablesUsed.find(_.tableId == "orders").get
+    assert(orderUse.source == "materialized" &&
+      orderUse.physicalName == "default.orders_replica")
+  }
+
+  test("P2 freshness gate: realtime forbids replicas → falls to P3") {
+    val r = q(QueryDefinition("events", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("orders", columns = Some(Nil))),
+      freshness = Some("realtime")))
+    assert(r.meta.strategy == "trino-cross-db")
+  }
+
+  test("P3 trino-cross-db when no replica path exists") {
+    val r = q(QueryDefinition("events", columns = Some(Seq("id")),
+      joins = Seq(QueryJoin("users", columns = Some(Nil)))))
+    assert(r.meta.strategy == "trino-cross-db")
+    assert(r.meta.dialect.contains("trino"))
+  }
+
+  test("P4: TRINO_DISABLED when cross-DB needed and trino off") {
+    val db2 = ContractFixture.multiDb(spark, trinoEnabled = false)
+    val e = intercept[PlannerError] {
+      db2.query(QueryDefinition("events", columns = Some(Seq("id")),
+        joins = Seq(QueryJoin("users", columns = Some(Nil)))))
+    }
+    assert(e.code == "TRINO_DISABLED")
+  }
+
+  test("P4: FRESHNESS_UNMET when only a stale replica path exists, trino off") {
+    val db2 = ContractFixture.multiDb(spark, trinoEnabled = false)
+    val e = intercept[PlannerError] {
+      db2.query(QueryDefinition("events", columns = Some(Seq("id")),
+        joins = Seq(QueryJoin("orders", columns = Some(Nil))),
+        freshness = Some("realtime")))
+    }
+    assert(e.code == "FRESHNESS_UNMET")
+  }
+
+  // ---- cross-engine normalization sanity -------------------------------
+
+  test("chSamples mirror gives identical results (dialect parameterization)") {
+    val a = q(QueryDefinition("samples", columns = Some(Seq("id", "name")),
+      filters = Seq(QueryFilter("amount", ">=", Some(100.0))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    val b = q(QueryDefinition("chSamples", columns = Some(Seq("id", "name")),
+      filters = Seq(QueryFilter("amount", ">=", Some(100.0))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(data(a).map(r => (r("id"), r("name"))) == data(b).map(r => (r("id"), r("name"))))
+  }
+
+  test("boolean surfaces as true/false (C1704-ish)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("id", "isActive")),
+      filters = Seq(QueryFilter("isActive", "=", Some(false)))))
+    assert(ids(r) == Seq(3))
+    assert(data(r).head("isActive") == false)
+  }
+}
