@@ -285,6 +285,74 @@ object SparkEntry {
       byIds = Some(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)),
       filters = Seq(QueryFilter("totalprice", ">", Some(0.0))),
       orderBy = Seq(QueryOrderBy("orderkey")))),
+
+    // ================= LLM-pipeline operators (graft.ops) ================
+    // ---- text analysis: language-ID, quality, token counts, fingerprint
+    "d_text_analysis" -> { (s, dir) =>
+      ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("langGuess"), col("quality"),
+          col("nTokensWs"), col("nTokensBpe"), col("fingerprint"))
+        .orderBy("doc_id")
+    },
+    // ---- exact dedup: keep first doc per (lang, source) group
+    "d_dedup_exact" -> { (s, dir) =>
+      ops.Dedup.exactDedup(t(s, dir, "documents"),
+        struct(col("lang"), col("source")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    // ---- n-gram Jaccard near-dup pairs (exact, inverted index + df prune)
+    "d_dedup_ngram" -> { (s, dir) =>
+      ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.1, maxDf = 100)
+        .orderBy("idA", "idB")
+    },
+    // ---- MinHash+LSH candidate pairs (signature est.; hash fns not in the
+    //      oracle engine → rows-only check)
+    "d_dedup_minhash" -> { (s, dir) =>
+      ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2).orderBy("idA", "idB")
+    },
+    // ---- SimHash near-dup pairs (blocked Hamming; rows-only check)
+    "d_dedup_simhash" -> { (s, dir) =>
+      ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16).orderBy("idA", "idB")
+    },
+    // ---- embedding cosine near-dup via hyperplane LSH (rows-only check)
+    "d_dedup_cosine_lsh" -> { (s, dir) =>
+      ops.Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 4).orderBy("idA", "idB")
+    },
+    // ---- ANN: brute-force cosine top-k baseline (exact)
+    "s_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5).orderBy("qid", "rank")
+    },
+    // ---- ANN: LSH-bucketed scale path (recall<1 → rows-only check)
+    "s_ann_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.lshTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, planes = 4).orderBy("qid", "rank")
+    },
+    // ---- multimodal: binary payload + stubbed decode via mapPartitions
+    "m_media_features" -> { (s, dir) =>
+      ops.Multimodal.decodeFeatures(
+        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("assetId"), col("nBytes"), col("width"), col("height"))
+        .orderBy("assetId")
+    },
+    // ---- multimodal: frame sampling over binary chunks (rows-only check)
+    "m_media_frames" -> { (s, dir) =>
+      ops.Multimodal.sampleFrames(
+        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
+        everyK = 2, frameBytes = 128)
+        .orderBy("assetId", "frameIdx")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -456,5 +524,87 @@ object SparkEntry {
       """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
         |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) AND o_totalprice > 0.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "d_text_analysis" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, ws,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['el','los','las','y','es','un','una','con'], x))) AS es
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        |       WHEN en >= greatest(de, fr, es) THEN 'en'
+        |       WHEN de >= greatest(fr, es) THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS "langGuess",
+        |  round(least(1.0,
+        |    0.3 * (CASE WHEN len(ws) > 0 THEN en / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+        |    + 0.5 * least(len(ws) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - (CASE WHEN length(text) > 0 THEN
+        |        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        |          / CAST(length(text) AS DOUBLE) ELSE 0.0 END))), 4) AS quality,
+        |  CAST(len(ws) AS INT) AS "nTokensWs",
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS "nTokensBpe",
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(ws, x -> CAST(len(x) + 7 * ascii(substring(x, 1, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "d_dedup_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    ELSE [] END) AS sh
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+        |ds AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+        |shared AS (
+        |  SELECT a.doc_id AS "idA", b.doc_id AS "idB", COUNT(*) AS shared
+        |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT shared."idA", shared."idB",
+        |  round(shared / CAST(sa.nsh + sb.nsh - shared AS DOUBLE), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = shared."idA"
+        |JOIN sizes sb ON sb.doc_id = shared."idB"
+        |WHERE round(shared / CAST(sa.nsh + sb.nsh - shared AS DOUBLE), 6) >= 0.1
+        |ORDER BY shared."idA", shared."idB" """.stripMargin,
+    "s_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (a,b) -> a + b)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.v[i] * q.v[i])), (a,b) -> a + b))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> c.v[i] * c.v[i])), (a,b) -> a + b))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "m_media_features" ->
+      """SELECT doc_id AS "assetId",
+        |  CAST(octet_length(encode(text)) AS INT) AS "nBytes",
+        |  CAST(64 + octet_length(encode(text)) % 256 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) // 7) % 256 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

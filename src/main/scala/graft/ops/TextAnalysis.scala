@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID (stopword-hit heuristic), quality scoring, token counting,
+  * and document fingerprinting (rolling hash).
+  *
+  * All operators are pure `org.apache.spark.sql.functions` / higher-order
+  * function expressions — whole-stage-codegen'd, no UDFs, no driver-side
+  * loops — so they scan-scale linearly and keep predicate pushdown intact.
+  * Formulas deliberately avoid transcendentals (exp/log) so results are
+  * bit-reproducible across engines (the DuckDB oracle replicates them).
+  */
+object TextAnalysis {
+
+  /** Normalized word array: lowercase, strip non-alphanumerics, split. */
+  def words(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+      w => length(w) > 0)
+
+  /** Stopword lists per language for the n-gram/stopword-hit classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "con"),
+  )
+
+  /** Number of stopword occurrences from `list` in the word array. */
+  def stopwordHits(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /** Heuristic language guess: argmax of per-language stopword hits with a
+    * deterministic priority cascade (en > de > fr > es); zero hits
+    * everywhere → 'unknown'.
+    */
+  def langGuess(ws: Column): Column = {
+    val en = stopwordHits(ws, stopwords("en"))
+    val de = stopwordHits(ws, stopwords("de"))
+    val fr = stopwordHits(ws, stopwords("fr"))
+    val es = stopwordHits(ws, stopwords("es"))
+    when(greatest(en, de, fr, es) === 0, "unknown")
+      .when(en >= greatest(de, fr, es), "en")
+      .when(de >= greatest(fr, es), "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality score in [0,1]: rewards stopword density and length, penalizes
+    * punctuation. Rational arithmetic only (cross-engine reproducible);
+    * rounded to 4 decimals.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val nChars = length(text).cast("double")
+    val nPunct = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double")
+    val stopRatio = when(nWords > 0,
+      stopwordHits(ws, stopwords("en")).cast("double") / nWords).otherwise(0.0)
+    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
+    val lenScore = least(nWords / lit(100.0), lit(1.0))
+    round(least(lit(1.0),
+      lit(0.3) * stopRatio + lit(0.5) * lenScore + lit(0.2) * (lit(1.0) - punctRatio)), 4)
+  }
+
+  /** Whitespace token count (split on runs of whitespace). */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: alpha runs + digit runs + individual symbols
+    * (the pre-tokenizer shape real BPE vocabularies induce).
+    */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rolling polynomial fingerprint over normalized words:
+    * fold h = (h*31 + (len(w) + 7*ascii(w[0]))) mod (2^31-1).
+    * Order-sensitive (true document fingerprint, not a bag hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(words(text), w => (length(w) + lit(7) * ascii(substring(w, 1, 1))).cast("long")),
+      lit(0L),
+      (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
+
+  /** All analyses on a document DataFrame (expects `text`). */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("langGuess", langGuess(words(c)))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("nTokensWs", wsTokenCount(c))
+      .withColumn("nTokensBpe", tokenEstimate(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Unit tests for the LLM-pipeline operators (dedup family, similarity
+  * search, text analysis, multimodal plumbing) on hand-built frames with
+  * known expected outputs.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "tiny"),                                          // < 3 words
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps smallest id per duplicate group") {
+    val out = Dedup.exactDedup(docs, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 dropped (dup of 1)
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds exact and near dups, skips disjoint docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0) // identical signatures
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, disjoint far") {
+    val sigs = docs.withColumn("ws", TextAnalysis.words(col("text")))
+      .select(col("doc_id"), Dedup.simhashExpr("ws").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("brute-force cosine topK is exact and ordered") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+    ).toDF("id", "vec")
+    val q = emb.where($"id" === 1L).select($"id".as("qid"), $"vec")
+    val c = emb.select($"id".as("cid"), $"vec")
+    val top = Similarity.bruteForceTopK(q, c, k = 2).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((2L, 1), (3L, 2))) // 3 ties 4 at 0.0 → lower cid wins
+  }
+
+  test("LSH topK results are a subset of brute-force candidates with equal sims") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 50).select("qid", "cid", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(q, c, k = 5, planes = 2).select("qid", "cid", "sim")
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(s => assert(s == r.getDouble(2)))
+    }
+  }
+
+  test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
+    val out = TextAnalysis.analyze(docs).where($"doc_id" === 1L).collect().head
+    assert(out.getAs[String]("langGuess") == "en") // 'the' x2, 'over'
+    val q = out.getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+    assert(out.getAs[Int]("nTokensWs") == 9)
+    assert(out.getAs[Int]("nTokensBpe") == 9)
+    val fp1 = out.getAs[Long]("fingerprint")
+    val again = TextAnalysis.analyze(docs).where($"doc_id" === 1L)
+      .collect().head.getAs[Long]("fingerprint")
+    assert(fp1 == again && fp1 > 0)
+    // order sensitivity: doc 2 differs only in last word → different fingerprint
+    val fp2 = TextAnalysis.analyze(docs).where($"doc_id" === 2L)
+      .collect().head.getAs[Long]("fingerprint")
+    assert(fp1 != fp2)
+  }
+
+  test("multimodal: decode plumbing preserves schema, batch shape, determinism") {
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("assetId", "mediaType", "payload", "sourceUri"))
+    val feats = Multimodal.decodeFeatures(assets, batchSize = 2).collect()
+    assert(feats.length == 5)
+    val f1 = feats.find(_.assetId == 1L).get
+    assert(f1.nBytes == "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
+    assert(f1.width == 64 + f1.nBytes % 256)
+    assert(f1.embedding.length == 8)
+    // identical payloads → identical features (deterministic stub)
+    val f4 = feats.find(_.assetId == 4L).get
+    assert(f1.checksum == f4.checksum && f1.width == f4.width)
+    val frames = Multimodal.sampleFrames(assets, everyK = 1, frameBytes = 8)
+    assert(frames.columns.toSeq ==
+      Seq("assetId", "frameIdx", "frameBytes", "frameChecksum"))
+    assert(frames.where($"assetId" === 1L).count() == 6) // 43 bytes / 8 → 6 chunks
+  }
+}
