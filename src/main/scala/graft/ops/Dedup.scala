@@ -34,13 +34,16 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: `numHashes` independent salted-xxhash64 minima over
-    * the shingle set. Column type array<bigint>.
+  /** MinHash signature: `numHashes` independent salted-hash minima over the
+    * shingle set. Each shingle string is hashed ONCE (let-bound long array);
+    * the per-function variants rehash the 8-byte value, not the string.
+    * Column type array<bigint>.
     */
   def minhashSignature(sh: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, j))))
+    graft.functions.Exprs.let(transform(sh, s => xxhash64(s)), hs =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => aggregate(hs, lit(Long.MaxValue),
+          (acc, h) => least(acc, xxhash64(h, j)))))
 
   /** LSH banding: hash each of `bands` contiguous signature slices; docs
     * sharing any band hash become candidate pairs. Estimated Jaccard =
@@ -54,40 +57,53 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
   ): DataFrame = {
-    val rows = bands match { case b => numHashes / b }
+    val rows = numHashes / bands
+    // repartition before the (CPU-heavy) signature scan: a small parquet
+    // input may arrive as one split; signatures parallelize per row
     val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        minhashSignature(shingles(TextAnalysis.words(col(textCol)))).as("sig"))
+        graft.functions.Exprs.let(TextAnalysis.words(col(textCol)),
+          ws => graft.functions.Exprs.let(shingles(ws),
+            sh => minhashSignature(sh, numHashes))).as("sig"))
       .where(size(col("sig")) > 0)
-    val banded = sig.select(col("id"), col("sig"),
+      .persist()
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))), b))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandHash"))
-    val l = banded.select(col("band"), col("bandHash"),
-      col("id").as("idA"), col("sig").as("sigA"))
-    val r = banded.select(col("band"), col("bandHash"),
-      col("id").as("idB"), col("sig").as("sigB"))
-    l.join(r, Seq("band", "bandHash")).where(col("idA") < col("idB"))
+    // distinct candidate pairs FIRST (a pair colliding in several bands is
+    // deduped before the signature compare runs), then score once per pair
+    val pairs = banded.select(col("band"), col("bandHash"), col("id").as("idA"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("idB")),
+        Seq("band", "bandHash"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    pairs
+      .join(sig.select(col("id").as("idA"), col("sig").as("sigA")), "idA")
+      .join(sig.select(col("id").as("idB"), col("sig").as("sigB")), "idB")
       .select(col("idA"), col("idB"),
         (aggregate(zip_with(col("sigA"), col("sigB"),
           (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(numHashes)).as("estJaccard"))
-      .distinct()
       .where(col("estJaccard") >= threshold)
   }
 
   /** 64-bit SimHash over the word bag: per bit, sum ±1 votes from each
     * word's hash bit, then pack the sign vector into one BIGINT. Expressed
-    * as a SQL higher-order expression (bit ops read better in SQL form);
-    * still fully codegen'd, one scan, no UDF.
+    * as one SQL higher-order expression with internal let-bindings
+    * (`transform(array(x), v -> …)[0]`): the word array and the per-word
+    * hashes are computed once per row, then 64 bit-folds run over the
+    * cached hash array.
     */
   def simhashExpr(wordsCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    aggregate($wordsCol, 0L,
-       |      (acc, w) -> acc + if(((xxhash64(w) >> b) & 1L) = 1L, 1L, -1L))),
-       |  0L,
-       |  (packed, vote) -> (packed << 1) | if(vote > 0L, 1L, 0L))""".stripMargin)
+    s"""transform(array(transform($wordsCol, w -> xxhash64(w))), hs ->
+       |  aggregate(
+       |    transform(sequence(0, 63), b ->
+       |      aggregate(hs, 0L,
+       |        (acc, h) -> acc + if((shiftright(h, b) & 1L) = 1L, 1L, -1L))),
+       |    0L,
+       |    (packed, vote) -> shiftleft(packed, 1) | if(vote > 0L, 1L, 0L)))[0]""".stripMargin)
 
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -104,6 +120,7 @@ object Dedup {
       maxHamming: Int = 3,
   ): DataFrame = {
     val withWs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__ws", TextAnalysis.words(col(textCol)))
       .select(col(idCol).as("id"), simhashExpr("__ws").as("sim"))
     // block b holds bits [16b, 16b+16)
@@ -132,8 +149,11 @@ object Dedup {
       maxDf: Int = 50,
   ): DataFrame = {
     val docShingles = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        explode(shingles(TextAnalysis.words(col(textCol)))).as("sh"))
+        explode(graft.functions.Exprs.let(TextAnalysis.words(col(textCol)),
+          ws => shingles(ws))).as("sh"))
+      .persist() // scanned three times: df-prune, index join, per-doc sizes
     val rare = docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val ds = docShingles.join(rare, "sh").select("id", "sh")
@@ -164,8 +184,8 @@ object Dedup {
       planes: Int = 12,
   ): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val withVec = emb.select(col(idCol).as("id"), v.as("v"),
-      Similarity.norm(v).as("nrm"))
+    val withVec = emb.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
     val bucketed = withVec.withColumn("bucket",
       Similarity.hyperplaneBucket(col("v"), planes))
     val l = bucketed.select(col("bucket"), col("id").as("idA"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot_product
 
 /** Similarity search over an embedding column (`array<float>`), two tiers:
   *
@@ -10,54 +11,66 @@ import org.apache.spark.sql.functions._
   *    broadcast when small; at scale the query side fans out per partition,
   *    so the join is embarrassingly parallel (no shuffle of the corpus).
   *  - LSH-bucketed ANN — random-hyperplane signs bucket vectors; only
-  *    same-bucket candidates are scored. Hyperplane coefficients derive
-  *    from deterministic hashes (data-independent, reproducible, no stored
-  *    model). The scale path: shuffle keys are small ints, candidate sets
-  *    shrink ~2^planes-fold.
+  *    same-bucket candidates are scored. Hyperplane coefficients are a
+  *    deterministic constant-folded ±1 literal matrix (data-independent,
+  *    reproducible, no stored model). The scale path: shuffle keys are
+  *    small ints, candidate sets shrink ~2^planes-fold.
   *
-  * Dot/norm are double-precision sequential folds (higher-order functions,
-  * codegen'd) — bit-reproducible against the DuckDB oracle.
+  * The inner product is a custom codegen'd Catalyst expression
+  * (graft.functions.DotProduct) — Spark's HOF fold is CodegenFallback and
+  * interprets every lambda step; the native loop keeps the whole stage in
+  * generated code. Summation is sequential, so results stay bit-identical
+  * to the DuckDB oracle's `list_reduce` fold. Norms are computed once per
+  * row, never per pair.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(dot_product(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane sign for dimension i of plane p:
-    * sign(xxhash64(p || i)). Bucket = packed sign bits of the projections.
+  private val MaxDims = 512
+
+  /** Deterministic ±1 hyperplane matrix (plane p, dim i) as a constant-
+    * folded literal; sign from a fixed LCG so runs are reproducible with no
+    * stored model. Plane vectors are truncated to the data's dimension by
+    * DotProduct's min-length loop.
     */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
-    val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
-      aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1),
-            i => when(xxhash64(p * 10007 + i) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x))
-    aggregate(projections, lit(0L),
-      (acc, proj) => acc * 2 + when(proj > 0, 1L).otherwise(0L))
-  }
+  private def signRow(p: Int): Column = array((0 until MaxDims).map { i =>
+    val x = (p.toLong * 1000003L + i.toLong * 7919L + 12345L) * 2654435761L
+    lit(if (((x >>> 16) & 1L) == 1L) 1.0 else -1.0)
+  }: _*)
+
+  /** Bucket id = packed sign bits of the `planes` projections. */
+  def hyperplaneBucket(v: Column, planes: Int): Column =
+    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(dot_product(v, signRow(p)) > 0, 1L).otherwise(0L))
+    }
+
+  private def prep(df: DataFrame, idName: String): DataFrame =
+    df.select(col(idName),
+      transform(col("vec"), _.cast("double")).as(s"${idName}_v"))
+      .withColumn(s"${idName}_n", norm(col(s"${idName}_v")))
 
   /** Brute-force cosine top-k: every query vector against the whole corpus.
-    * Exact; use as the oracle baseline and for small/broadcastable corpora.
+    * Exact; the oracle baseline. Corpus is broadcast (small side); per-side
+    * norms are precomputed.
     */
   def bruteForceTopK(
       queries: DataFrame, // (qid, vec)
       corpus: DataFrame,  // (cid, vec)
       k: Int = 10,
   ): DataFrame = {
-    val q = queries.select(col("qid"),
-      transform(col("vec"), _.cast("double")).as("qv"))
-    val c = corpus.select(col("cid"),
-      transform(col("vec"), _.cast("double")).as("cv"))
+    val q = prep(queries, "qid")
+    val c = prep(corpus, "cid")
     val scored = q.crossJoin(broadcast(c))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -73,16 +86,15 @@ object Similarity {
       k: Int = 10,
       planes: Int = 8,
   ): DataFrame = {
-    val q = queries.select(col("qid"),
-      transform(col("vec"), _.cast("double")).as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
-    val c = corpus.select(col("cid"),
-      transform(col("vec"), _.cast("double")).as("cv"))
-      .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
+    val q = prep(queries, "qid").withColumn("bucket",
+      hyperplaneBucket(col("qid_v"), planes))
+    val c = prep(corpus, "cid").withColumn("bucket",
+      hyperplaneBucket(col("cid_v"), planes))
     val scored = q.join(c, "bucket")
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

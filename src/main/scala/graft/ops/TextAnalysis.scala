@@ -34,9 +34,10 @@ object TextAnalysis {
 
   /** Heuristic language guess: argmax of per-language stopword hits with a
     * deterministic priority cascade (en > de > fr > es); zero hits
-    * everywhere → 'unknown'.
+    * everywhere → 'unknown'. The word array is let-bound so the
+    * normalization runs once per row, not once per cascade branch.
     */
-  def langGuess(ws: Column): Column = {
+  def langGuess(wsExpr: Column): Column = graft.functions.Exprs.let(wsExpr, { ws =>
     val en = stopwordHits(ws, stopwords("en"))
     val de = stopwordHits(ws, stopwords("de"))
     val fr = stopwordHits(ws, stopwords("fr"))
@@ -46,14 +47,13 @@ object TextAnalysis {
       .when(de >= greatest(fr, es), "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-  }
+  })
 
   /** Quality score in [0,1]: rewards stopword density and length, penalizes
     * punctuation. Rational arithmetic only (cross-engine reproducible);
     * rounded to 4 decimals.
     */
-  def qualityScore(text: Column): Column = {
-    val ws = words(text)
+  def qualityScore(text: Column): Column = graft.functions.Exprs.let(words(text), { ws =>
     val nWords = size(ws).cast("double")
     val nChars = length(text).cast("double")
     val nPunct = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
@@ -64,7 +64,7 @@ object TextAnalysis {
     val lenScore = least(nWords / lit(100.0), lit(1.0))
     round(least(lit(1.0),
       lit(0.3) * stopRatio + lit(0.5) * lenScore + lit(0.2) * (lit(1.0) - punctRatio)), 4)
-  }
+  })
 
   /** Whitespace token count (split on runs of whitespace). */
   def wsTokenCount(text: Column): Column = size(words(text))
