@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{MetadataProvider, MultiDb, RoleProvider}
+import graft.meta._
+import graft.planner.SourceRegistry
+import graft.types._
+
+/** Lifecycle behaviors (reference: METADATA.md:174-193, C1300-C1313):
+  * healthCheck, reload with snapshot isolation, per-query timeout, provider
+  * failure wrapping, error JSON shape.
+  */
+class LifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("healthCheck reports databases and cache providers") {
+    val db = ContractFixture.multiDb(spark)
+    val h = db.healthCheck()
+    assert(h.get("pg-main").contains(true))
+    assert(h.get("ch-analytics").contains(true))
+    assert(h.get("redis-main").contains(true))
+  }
+
+  test("reloadMetadata atomically swaps config (new table visible after)") {
+    var cfg = ContractFixture.config()
+    val provider = new MetadataProvider { def load(): MetadataConfig = cfg }
+    val roles = new RoleProvider { def load(): Seq[RoleMeta] = ContractFixture.roles }
+    val base = ContractFixture.registry(spark)
+    val registry = base.copy(loaders = base.loaders +
+      (("pg-main", "newTable") -> (() => ContractFixture.ordersDf(spark))))
+    val db = new MultiDb(spark, provider, roles, registry)
+    intercept[ValidationError](db.query(QueryDefinition("newTable")))
+    cfg = cfg.copy(tables = cfg.tables :+ TableMeta(
+      "newTable", "newTable", "pg-main", "orders",
+      ContractFixture.ordersTable.columns, primaryKey = Seq("id")))
+    // not yet reloaded → still unknown
+    intercept[ValidationError](db.query(QueryDefinition("newTable")))
+    db.reloadMetadata()
+    val r = db.query(QueryDefinition("newTable", columns = Some(Seq("id"))))
+    assert(r.asInstanceOf[DataResult].data.size == 5)
+  }
+
+  test("broken reload throws ConfigError and keeps serving old snapshot") {
+    var cfg = ContractFixture.config()
+    val provider = new MetadataProvider { def load(): MetadataConfig = cfg }
+    val roles = new RoleProvider { def load(): Seq[RoleMeta] = ContractFixture.roles }
+    val db = new MultiDb(spark, provider, roles, ContractFixture.registry(spark))
+    cfg = cfg.copy(tables = cfg.tables.map(t =>
+      if (t.id == "orders") t.copy(apiName = "BAD NAME") else t))
+    intercept[ConfigError](db.reloadMetadata())
+    // old snapshot still answers
+    assert(db.query(QueryDefinition("orders", columns = Some(Seq("id"))))
+      .asInstanceOf[DataResult].data.size == 5)
+  }
+
+  test("provider failure wraps in ProviderError with cause") {
+    val boom = new MetadataProvider {
+      def load(): MetadataConfig = throw new RuntimeException("db down")
+    }
+    val roles = new RoleProvider { def load(): Seq[RoleMeta] = Nil }
+    val e = intercept[ProviderError] {
+      new MultiDb(spark, boom, roles, SourceRegistry(Map.empty))
+    }
+    assert(e.code == "METADATA_LOAD_FAILED" && e.getCause.getMessage == "db down")
+  }
+
+  test("per-database timeout triggers QUERY_TIMEOUT") {
+    val registry = ContractFixture.registry(spark)
+      .copy(executorTimeoutMs = Map("pg-main" -> 1L)) // 1 ms
+    val db = MultiDb(spark, ContractFixture.config(), ContractFixture.roles, registry)
+    val e = intercept[ExecutionError] {
+      db.query(QueryDefinition("orders",
+        filters = Seq(QueryExistsFilter("invoices"))))
+    }
+    assert(e.code == "QUERY_TIMEOUT")
+    assert(e.toJson("details").asInstanceOf[Map[String, Any]]("timeoutMs") == 1L)
+  }
+
+  test("error toJson carries code/message/errors for transports") {
+    val db = ContractFixture.multiDb(spark)
+    val e = intercept[ValidationError](db.query(QueryDefinition("orders",
+      columns = Some(Seq("ghost1", "ghost2")))))
+    val j = e.toJson
+    assert(j("code") == "VALIDATION_FAILED")
+    assert(j("fromTable") == "orders")
+    assert(j("errors").asInstanceOf[Seq[_]].size == 2)
+  }
+
+  test("timing fields present per mode (C003/C407)") {
+    val db = ContractFixture.multiDb(spark)
+    val d = db.query(QueryDefinition("orders", columns = Some(Seq("id"))))
+    assert(d.meta.timing.planningMs >= 0 && d.meta.timing.executionMs.exists(_ >= 0))
+    val s = db.query(QueryDefinition("orders", columns = Some(Seq("id")),
+      executeMode = "sql-only"))
+    assert(s.meta.timing.executionMs.isEmpty)
+  }
+
+  test("debug log present only when requested") {
+    val db = ContractFixture.multiDb(spark)
+    assert(db.query(QueryDefinition("orders", columns = Some(Seq("id"))))
+      .debugLog.isEmpty)
+    val withLog = db.query(QueryDefinition("orders", columns = Some(Seq("id")),
+      debug = true)).debugLog
+    assert(withLog.exists(_.nonEmpty))
+    assert(withLog.get.exists(_.phase == "planning"))
+  }
+}

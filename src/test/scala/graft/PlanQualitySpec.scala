@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the engine's aliasing/metadata layers must not
+  * break Catalyst's pushdown, pruning, broadcast selection, or whole-stage
+  * codegen — these are the properties that make plans survive a 100 TB
+  * scale-up.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("engine filter query pushes predicates into the parquet scan") {
+    val p = planOf("e_filter_compare")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(o_totalprice)"), p.take(2000))
+    assert(p.contains("GreaterThan(o_"), p.take(2000)) // toString truncates the list
+  }
+
+  test("engine projection prunes the parquet read schema") {
+    val p = planOf("e_proj_sort_page")
+    // only the 3 selected columns are read, not all 6
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      p.take(2000))
+  }
+
+  test("engine join broadcasts the small dimension side") {
+    val p = planOf("e_join_left")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("engine EXISTS semi-join stays a join, not a cartesian") {
+    val p = planOf("e_exists")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hand-built star join broadcasts all three dims") {
+    val p = planOf("q8_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+  }
+
+  test("whole-stage codegen covers the scan+filter+agg pipeline") {
+    val df = SparkEntry.queries("e_agg_groupby")(spark, dir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode stars codegen'd operators; the agg pipeline must be in
+    assert(p.contains("* HashAggregate") && p.contains("* Project"), p.take(3000))
+  }
+
+  test("top-k becomes TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q5_filter_project")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}

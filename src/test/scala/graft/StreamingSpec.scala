@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Streaming extension: the file source drives the testdata events through
+  * the watermarked windowed aggregation and the stateful sessionizer, with
+  * results checked against the equivalent batch computation.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The file source requires a directory; stage the single parquet file. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("windowed counts over the stream match the batch computation") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(EventStream.windowedCounts(stream), "win_counts",
+      OutputMode.Complete())
+    val streamed = spark.table("win_counts")
+      .select(col("window.start"), col("event_type"), col("n"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionizer accumulates per-user state and closes on timeout") {
+    val stream = EventStream.read(spark, streamDir)
+    val sessions = EventStream.sessionize(stream, gapMs = 1)
+    // processing-time timeouts keep microbatches ticking, so
+    // processAllAvailable never settles — poll the sink with a deadline
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("sessions").isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(500)
+    } finally q.stop()
+    val out = spark.table("sessions")
+    assert(!out.isEmpty, "no session closed within deadline")
+    assert(out.columns.toSeq == Seq("userId", "nEvents", "totalValue",
+      "startTs", "endTs", "durationSec"))
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select(countDistinct(col("user_id"))).first().getLong(0)
+    assert(out.select("userId").distinct().count() <= nUsers)
+    assert(out.groupBy().agg(sum("nEvents")).first().getLong(0) <= 1000)
+  }
+}
