@@ -151,8 +151,10 @@ object Dedup {
     val docShingles = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
+        // join/df-prune on the 64-bit shingle hash, not the string: narrower
+        // shuffle keys, cheaper equality (collision odds ~|shingles|²/2^64)
         explode(graft.functions.Exprs.let(TextAnalysis.words(col(textCol)),
-          ws => shingles(ws))).as("sh"))
+          ws => transform(shingles(ws), s => xxhash64(s)))).as("sh"))
       .persist() // scanned three times: df-prune, index join, per-doc sizes
     val rare = docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
