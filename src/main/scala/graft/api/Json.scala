@@ -1,0 +1,216 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+import graft.types._
+
+/** JSON codec for the HTTP surface (reference: HTTP_CLIENT.md). Hand-rolled
+  * over jackson's tree model (already on the Spark classpath) — the wire
+  * shapes are the contract's: `{definition, context}` in,
+  * kind-discriminated results out, ISO-8601 timestamps, booleans as
+  * true/false (CONTRACT_TESTS.md:1175-1177).
+  */
+object Json {
+
+  val mapper = new ObjectMapper()
+
+  // ---------------- request parsing ----------------
+
+  def parseQuery(body: String): (QueryDefinition, ExecutionContext) = {
+    val root = mapper.readTree(body)
+    val defn = Option(root.get("definition"))
+      .getOrElse(throw new IllegalArgumentException("missing 'definition'"))
+    (parseDefinition(defn), parseContext(Option(root.get("context"))))
+  }
+
+  def parseContext(node: Option[JsonNode]): ExecutionContext = node match {
+    case None => ExecutionContext()
+    case Some(n) =>
+      val roles = Option(n.get("roles"))
+      def scope(name: String): Option[Seq[String]] =
+        roles.flatMap(r => Option(r.get(name)))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+      ExecutionContext(userRoles = scope("user"), serviceRoles = scope("service"))
+  }
+
+  def parseDefinition(n: JsonNode): QueryDefinition = {
+    def strSeq(field: String): Option[Seq[String]] =
+      Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+    QueryDefinition(
+      from = Option(n.get("from")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException("missing 'from'")),
+      columns = strSeq("columns"),
+      distinct = Option(n.get("distinct")).exists(_.asBoolean()),
+      filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil),
+      joins = Option(n.get("joins")).map(_.elements().asScala.map(parseJoin).toSeq)
+        .getOrElse(Nil),
+      groupBy = Option(n.get("groupBy")).map(_.elements().asScala.map(g =>
+        QueryGroupBy(g.get("column").asText(), optText(g, "table"))).toSeq).getOrElse(Nil),
+      aggregations = Option(n.get("aggregations")).map(_.elements().asScala.map(a =>
+        QueryAggregation(a.get("column").asText(), text(a, "fn"),
+          text(a, "alias"), optText(a, "table"))).toSeq).getOrElse(Nil),
+      having = Option(n.get("having")).map(parseFilters).getOrElse(Nil),
+      limit = Option(n.get("limit")).map(_.asLong()),
+      offset = Option(n.get("offset")).map(_.asLong()),
+      orderBy = Option(n.get("orderBy")).map(_.elements().asScala.map(o =>
+        QueryOrderBy(o.get("column").asText(),
+          Option(o.get("direction")).map(_.asText()).getOrElse("asc"),
+          optText(o, "table"))).toSeq).getOrElse(Nil),
+      freshness = optText(n, "freshness"),
+      byIds = Option(n.get("byIds"))
+        .map(_.elements().asScala.map(jsonValue).toSeq),
+      executeMode = Option(n.get("executeMode")).map(_.asText()).getOrElse("execute"),
+      debug = Option(n.get("debug")).exists(_.asBoolean()),
+    )
+  }
+
+  private def text(n: JsonNode, f: String): String =
+    Option(n.get(f)).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(s"missing '$f'"))
+  private def optText(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+
+  def parseFilters(arr: JsonNode): Seq[QueryFilterNode] =
+    arr.elements().asScala.map(parseFilterNode).toSeq
+
+  /** Discriminate the 4 filter-node shapes the way the reference does:
+    * conditions → group; refColumn → column filter; operator+column →
+    * scalar filter; bare table → EXISTS.
+    */
+  def parseFilterNode(n: JsonNode): QueryFilterNode =
+    if (n.has("conditions"))
+      QueryFilterGroup(text(n, "logic"), parseFilters(n.get("conditions")),
+        Option(n.get("not")).exists(_.asBoolean()))
+    else if (n.has("refColumn"))
+      QueryColumnFilter(text(n, "column"), text(n, "operator"),
+        text(n, "refColumn"), optText(n, "table"), optText(n, "refTable"))
+    else if (n.has("column")) {
+      val op = text(n, "operator")
+      val value: Option[Any] = Option(n.get("value")).filterNot(_.isNull).map { v =>
+        op match {
+          case "between" | "notBetween" =>
+            (nullableJsonValue(v.get("from")), nullableJsonValue(v.get("to")))
+          case "levenshteinLte" =>
+            (v.get("text").asText(), v.get("maxDistance").asInt())
+          case _ => jsonValue(v)
+        }
+      }
+      QueryFilter(text(n, "column"), op, value, optText(n, "table"))
+    } else
+      QueryExistsFilter(
+        text(n, "table"),
+        exists = Option(n.get("exists")).forall(_.asBoolean()),
+        filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil),
+        count = Option(n.get("count")).map(c =>
+          CountCond(text(c, "operator"), c.get("value").asLong())))
+
+  def parseJoin(n: JsonNode): QueryJoin = QueryJoin(
+    text(n, "table"),
+    joinType = Option(n.get("type")).map(_.asText()).getOrElse("left"),
+    columns = Option(n.get("columns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq),
+    filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil))
+
+  private def nullableJsonValue(n: JsonNode): Any =
+    if (n == null || n.isNull) null else jsonValue(n)
+
+  def jsonValue(n: JsonNode): Any =
+    if (n.isNull) null
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isArray) n.elements().asScala.map(jsonValue).toSeq
+    else n.asText()
+
+  // ---------------- response writing ----------------
+
+  /** Scala/JDBC values → jackson tree; timestamps as ISO-8601 `Z` strings,
+    * dates as `YYYY-MM-DD` (CONTRACT_TESTS.md:1176-1177).
+    */
+  def toNode(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case i: Int => mapper.getNodeFactory.numberNode(i)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case f: Float => mapper.getNodeFactory.numberNode(f.toDouble)
+    case d: java.math.BigDecimal => mapper.getNodeFactory.numberNode(d)
+    case d: BigDecimal => mapper.getNodeFactory.numberNode(d.bigDecimal)
+    case t: java.sql.Timestamp =>
+      mapper.getNodeFactory.textNode(t.toInstant.toString)
+    case t: java.time.Instant => mapper.getNodeFactory.textNode(t.toString)
+    case d: java.sql.Date => mapper.getNodeFactory.textNode(d.toString)
+    case d: java.time.LocalDate => mapper.getNodeFactory.textNode(d.toString)
+    case m: scala.collection.Map[_, _] =>
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, x) => o.set[JsonNode](String.valueOf(k), toNode(x)) }
+      o
+    case s: scala.collection.Seq[_] =>
+      val a = mapper.createArrayNode()
+      s.foreach(x => a.add(toNode(x)))
+      a
+    case other => mapper.getNodeFactory.textNode(String.valueOf(other))
+  }
+
+  private def metaNode(meta: QueryResultMeta): ObjectNode = {
+    val m = mapper.createObjectNode()
+    m.put("strategy", meta.strategy)
+    m.put("targetDatabase", meta.targetDatabase)
+    meta.dialect.foreach(m.put("dialect", _))
+    val tu = mapper.createArrayNode()
+    meta.tablesUsed.foreach { t =>
+      val o = mapper.createObjectNode()
+      o.put("tableId", t.tableId); o.put("source", t.source)
+      o.put("database", t.database); o.put("physicalName", t.physicalName)
+      tu.add(o)
+    }
+    m.set[JsonNode]("tablesUsed", tu)
+    val cols = mapper.createArrayNode()
+    meta.columns.foreach { c =>
+      val o = mapper.createObjectNode()
+      o.put("apiName", c.apiName); o.put("type", c.columnType)
+      o.put("nullable", c.nullable); o.put("fromTable", c.fromTable)
+      o.put("masked", c.masked)
+      cols.add(o)
+    }
+    m.set[JsonNode]("columns", cols)
+    val t = mapper.createObjectNode()
+    t.put("planningMs", meta.timing.planningMs)
+    t.put("generationMs", meta.timing.generationMs)
+    meta.timing.executionMs.foreach(t.put("executionMs", _))
+    m.set[JsonNode]("timing", t)
+    m
+  }
+
+  def writeResult(r: QueryResult): String = {
+    val o = mapper.createObjectNode()
+    r match {
+      case SqlResult(sql, params, meta, _) =>
+        o.put("kind", "sql"); o.put("sql", sql)
+        o.set[JsonNode]("params", toNode(params))
+        o.set[JsonNode]("meta", metaNode(meta))
+      case DataResult(data, meta, _) =>
+        o.put("kind", "data")
+        o.set[JsonNode]("data", toNode(data))
+        o.set[JsonNode]("meta", metaNode(meta))
+      case CountResult(count, meta, _) =>
+        o.put("kind", "count"); o.put("count", count)
+        o.set[JsonNode]("meta", metaNode(meta))
+    }
+    r.debugLog.foreach { log =>
+      val a = mapper.createArrayNode()
+      log.foreach { e =>
+        val le = mapper.createObjectNode()
+        le.put("timestamp", e.timestamp); le.put("phase", e.phase)
+        le.put("message", e.message)
+        a.add(le)
+      }
+      o.set[JsonNode]("debugLog", a)
+    }
+    mapper.writeValueAsString(o)
+  }
+
+  def writeError(e: MultiDbError): String =
+    mapper.writeValueAsString(toNode(e.toJson))
+}

@@ -62,6 +62,15 @@ final class MultiDb(
 
   override def close(): Unit = timeoutPool.shutdownNow()
 
+  /** Zero-I/O validation: run rules 1-14 only (the /validate/query
+    * endpoint); throws ValidationError, never touches a DataFrame.
+    */
+  def validateOnly(q: QueryDefinition, context: ExecutionContext = ExecutionContext()): Unit = {
+    val (index, rolesById) = state
+    val issues = graft.validation.Validator.validate(index, rolesById, q, context)
+    if (issues.nonEmpty) throw ValidationError(q.from, issues)
+  }
+
   /** Build the DataFrame for a query without executing (Spark-native entry
     * point — lets callers keep the plan lazy, write it out, or chain it; the
     * 100 TB path never materializes on the driver).

@@ -1,0 +1,130 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{MultiDbClient, MultiDbHttpServer}
+import graft.types._
+
+/** End-to-end HTTP surface tests (reference: HTTP_CLIENT.md, TESTS.md
+  * #208-218): real JDK HttpServer + real HttpClient over a loopback port.
+  */
+class HttpApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private lazy val server = new MultiDbHttpServer(ContractFixture.multiDb(spark))
+  private lazy val port: Int = server.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  test("POST /query executes and returns kind=data with ISO timestamps") {
+    val r = post("/query",
+      """{"definition": {"from": "orders",
+        |  "columns": ["id", "status", "createdAt", "isPaid"],
+        |  "filters": [{"column": "status", "operator": "=", "value": "active"}],
+        |  "orderBy": [{"column": "id", "direction": "asc"}]}}""".stripMargin)
+    assert(r.statusCode() == 200)
+    val n = graft.api.Json.mapper.readTree(r.body())
+    assert(n.get("kind").asText() == "data")
+    val rows = n.get("data")
+    assert(rows.size() == 2)
+    assert(rows.get(0).get("id").asInt() == 1)
+    assert(rows.get(0).get("createdAt").asText() == "2024-01-15T10:00:00Z")
+    assert(rows.get(0).get("isPaid").isBoolean && rows.get(0).get("isPaid").asBoolean())
+    assert(n.get("meta").get("strategy").asText() == "direct")
+  }
+
+  test("POST /query with filters group / exists / count mode round-trips") {
+    val r = post("/query",
+      """{"definition": {"from": "samples", "executeMode": "count",
+        |  "filters": [
+        |    {"logic": "or", "conditions": [
+        |      {"column": "status", "operator": "=", "value": "active"},
+        |      {"table": "sampleItems", "count": {"operator": ">=", "value": 2}}]}]}}""".stripMargin)
+    assert(r.statusCode() == 200)
+    val n = graft.api.Json.mapper.readTree(r.body())
+    assert(n.get("kind").asText() == "count")
+    assert(n.get("count").asLong() == 3) // ids 1,4 active + 5 (>=2 items); 1 dedup
+  }
+
+  test("POST /query with context roles applies masking over the wire") {
+    val r = post("/query",
+      """{"definition": {"from": "orders", "columns": ["id", "total"],
+        |  "orderBy": [{"column": "id", "direction": "asc"}]},
+        | "context": {"roles": {"user": ["tenant-user"]}}}""".stripMargin)
+    val n = graft.api.Json.mapper.readTree(r.body())
+    assert(n.get("data").get(0).get("total").asInt() == 0) // number-masked
+    val colMeta = n.get("meta").get("columns")
+    assert((0 until colMeta.size()).exists(i =>
+      colMeta.get(i).get("apiName").asText() == "total" &&
+        colMeta.get(i).get("masked").asBoolean()))
+  }
+
+  test("sql-only over the wire returns sql+params, no data") {
+    val r = post("/query",
+      """{"definition": {"from": "orders", "columns": ["id"],
+        |  "filters": [{"column": "total", "operator": ">", "value": 50}],
+        |  "executeMode": "sql-only"}}""".stripMargin)
+    val n = graft.api.Json.mapper.readTree(r.body())
+    assert(n.get("kind").asText() == "sql")
+    assert(n.get("sql").asText().contains("?"))
+    assert(n.get("params").get(0).asLong() == 50)
+    assert(!n.has("data"))
+  }
+
+  test("validation error → 400 with collected errors; client reconstructs type") {
+    val r = post("/query",
+      """{"definition": {"from": "orders", "columns": ["ghost1", "ghost2"]}}""")
+    assert(r.statusCode() == 400)
+    val e = MultiDbClient.reconstructError(r.body())
+    val ve = e.asInstanceOf[ValidationError]
+    assert(ve.fromTable == "orders" && ve.errors.size == 2)
+    assert(ve.errors.forall(_.code == "UNKNOWN_COLUMN"))
+  }
+
+  test("planner error → 422 over the wire") {
+    val srv2 = new MultiDbHttpServer(ContractFixture.multiDb(spark, trinoEnabled = false))
+    val p2 = srv2.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"definition": {"from": "events", "columns": ["id"],
+            |  "joins": [{"table": "users", "columns": []}]}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 422)
+      assert(MultiDbClient.reconstructError(r.body())
+        .isInstanceOf[PlannerError])
+    } finally srv2.stop()
+  }
+
+  test("GET /health reports providers") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    val n = graft.api.Json.mapper.readTree(r.body())
+    assert(n.get("pg-main").asBoolean() && n.get("redis-main").asBoolean())
+  }
+
+  test("POST /validate/query is zero-I/O and returns valid:true / 400") {
+    val ok = post("/validate/query",
+      """{"definition": {"from": "orders", "columns": ["id"]}}""")
+    assert(ok.statusCode() == 200 && ok.body().contains("\"valid\":true"))
+    val bad = post("/validate/query",
+      """{"definition": {"from": "orders", "limit": -5}}""")
+    assert(bad.statusCode() == 400)
+  }
+
+  test("malformed JSON → 400 BAD_REQUEST, not a 500") {
+    val r = post("/query", """{"nope": 1}""")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("BAD_REQUEST"))
+  }
+}
