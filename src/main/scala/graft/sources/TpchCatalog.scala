@@ -102,3 +102,31 @@ object TpchCatalog {
   def frame(spark: SparkSession, sfDir: String)(q: graft.types.QueryDefinition): DataFrame =
     multiDb(spark, sfDir).frame(q)
 }
+
+/** Source-loader constructors for the registry: each logical database maps
+  * to whatever reader fits its engine. Parquet is exercised by the test
+  * fixtures; the JDBC form shows the federated path (this container has no
+  * reachable database, so it is compile-checked only) — partitioned reads
+  * keep a 100 TB table from funneling through one connection.
+  */
+object SourceLoaders {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def parquet(spark: SparkSession, path: String): () => DataFrame =
+    () => spark.read.parquet(path)
+
+  /** Partition-parallel JDBC scan: `partitionColumn` must be indexed and
+    * roughly uniform; Spark issues `numPartitions` range queries. Filters
+    * and column pruning push down through the JDBC source.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: java.util.Properties = new java.util.Properties)
+      : () => DataFrame =
+    () => spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+}

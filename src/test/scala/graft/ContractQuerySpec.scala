@@ -584,4 +584,30 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(ids(r) == Seq(3))
     assert(data(r).head("isActive") == false)
   }
+
+  test("columns omitted + aggregations -> defaults to groupBy columns only (rule 2 nuance)") {
+    val r = q(QueryDefinition("samples",
+      groupBy = Seq(QueryGroupBy("category")),
+      aggregations = Seq(QueryAggregation("*", "count", "n")),
+      orderBy = Seq(QueryOrderBy("category"))))
+    assert(data(r).head.keySet == Set("category", "n"))
+  }
+
+  test("sql-only meta still reports masking intent (C015)") {
+    val r = db.query(QueryDefinition("orders", columns = Some(Seq("id", "total")),
+      executeMode = "sql-only"),
+      ExecutionContext(userRoles = Some(Seq("tenant-user"))))
+    val cols = r.meta.columns
+    assert(cols.find(_.apiName == "total").exists(_.masked))
+    assert(cols.find(_.apiName == "id").exists(!_.masked))
+  }
+
+  test("distinct alongside groupBy is legal and a no-op (C621)") {
+    val r = q(QueryDefinition("samples", columns = Some(Seq("category")),
+      distinct = true,
+      groupBy = Seq(QueryGroupBy("category")),
+      aggregations = Seq(QueryAggregation("*", "count", "n")),
+      orderBy = Seq(QueryOrderBy("category"))))
+    assert(data(r).size == 3)
+  }
 }
