@@ -156,13 +156,19 @@ object Dedup {
         explode(graft.functions.Exprs.let(TextAnalysis.words(col(textCol)),
           ws => transform(shingles(ws), s => xxhash64(s)))).as("sh"))
       .persist() // scanned three times: df-prune, index join, per-doc sizes
-    val rare = docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-    val ds = docShingles.join(rare, "sh").select("id", "sh")
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("nsh"))
-    val shared = ds.as("a").join(ds.as("b"), "sh")
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("idA"), col("b.id").as("idB"))
+    // one aggregation replaces df-count + index self-join: collect the
+    // (sorted) doc list per shingle, drop hub shingles, and emit each
+    // in-bucket pair once — pair structs come from a bounded (≤ maxDf)
+    // in-memory list, so no wide shuffle join materializes
+    val shared = docShingles
+      .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a as idA, b as idB))))"))
+        .as("p"))
+      .groupBy(col("p.idA").as("idA"), col("p.idB").as("idB"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("id").as("idA"), col("nsh").as("nA")), "idA")
