@@ -169,3 +169,46 @@ object Masking {
     case _ => "***"
   }
 }
+
+/** Column-expression forms of the 7 masking functions — applied in-plan by
+  * the resolver (after sort/limit/distinct, so ordering semantics match the
+  * reference's post-query masking) so `MultiDb.frame()` exports masked data
+  * without a driver-side collect. Each expression produces byte-identical
+  * output to the row-level `Masking` functions (asserted in AccessSpec), and
+  * all seven are idempotent, so the driver-side path composes safely.
+  */
+object MaskingColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def mask(fn: String, c: Column): Column = fn match {
+    case "email" =>
+      val at = instr(c, "@")
+      val lastDot = length(c) - instr(reverse(c), ".") + 1
+      val tld = when(instr(reverse(c), ".") > 0 && lastDot > at, 
+        substring_index(c, ".", -1)).otherwise(lit(""))
+      when(c.isNull, c)
+        .when(at <= 1, "***")
+        .otherwise(concat(substring(c, 1, 1), lit("***@***"),
+          when(tld =!= "", concat(lit("."), tld)).otherwise(lit(""))))
+    case "phone" =>
+      when(c.isNull, c)
+        .when(length(c) < 5, "***")
+        .otherwise(concat(
+          when(c.startsWith("+"), substring(c, 1, 2)).otherwise(substring(c, 1, 1)),
+          lit("***"), substring(c, -3, 3)))
+    case "name" =>
+      when(c.isNull, c)
+        .when(length(c) <= 2, "***")
+        .otherwise(concat(substring(c, 1, 1), repeat(lit("*"), length(c) - 2),
+          substring(c, -1, 1)))
+    case "uuid" =>
+      when(c.isNull, c).otherwise(concat(substring(c, 1, 4), lit("****")))
+    case "number" =>
+      when(c.isNull, c.cast("int")).otherwise(lit(0))
+    case "date" =>
+      when(c.isNull, c).otherwise(date_trunc("year", c))
+    case _ =>
+      when(c.isNull, c.cast("string")).otherwise(lit("***"))
+  }
+}

@@ -463,6 +463,19 @@ private final class Resolver(
     if (hiddenSortCols.nonEmpty)
       result = result.drop(hiddenSortCols.map(_._2): _*)
 
+    // --- in-plan masking, LAST (after sort/distinct/limit, mirroring the
+    // reference's post-query masking semantics): frame() consumers get
+    // masked data without a driver-side collect; the row-level path in
+    // MultiDb.assemble is idempotent on these outputs
+    if (mappings.exists(_.maskingFn.isDefined))
+      result = result.select(mappings.map { m =>
+        val c = col(s"`${m.finalKey}`")
+        m.maskingFn match {
+          case Some(fn) => graft.access.MaskingColumns.mask(fn, c).as(m.finalKey)
+          case None     => c
+        }
+      }: _*)
+
     val sqlText = SqlText.generate(index, plan, q, mappings, aliasOf)
     ResolvedQuery(result, countFrame, mappings, sqlText, sqlParams.result())
   }
