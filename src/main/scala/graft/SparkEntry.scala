@@ -286,6 +286,13 @@ object SparkEntry {
       filters = Seq(QueryFilter("totalprice", ">", Some(0.0))),
       orderBy = Seq(QueryOrderBy("orderkey")))),
 
+    // ---- 2.3 array operator through the engine (embeddings decimal[])
+    eng("e_filter_array")(QueryDefinition("embeddings",
+      columns = Some(Seq("vecId", "label")),
+      filters = Seq(QueryFilter("embedding", "arrayIsNotEmpty"),
+        QueryFilter("label", ">=", Some(5))),
+      orderBy = Seq(QueryOrderBy("vecId")), limit = Some(100))),
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -525,6 +532,10 @@ object SparkEntry {
         |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) AND o_totalprice > 0.0
         |ORDER BY o_orderkey""".stripMargin,
 
+    "e_filter_array" ->
+      """SELECT vec_id AS "vecId", label FROM embeddings
+        |WHERE len(embedding) > 0 AND label >= 5
+        |ORDER BY vec_id LIMIT 100""".stripMargin,
     "d_text_analysis" ->
       """WITH w AS (
         |  SELECT doc_id, text,
