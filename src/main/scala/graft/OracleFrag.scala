@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Similarity
+
+/** DuckDB SQL fragment builders that mirror the native hash kernels in
+  * [[graft.functions.TextHashOps]] and [[graft.ops.Similarity]] formula-
+  * for-formula (same mod-arithmetic, same fold order), so the driver's
+  * oracle recomputes LSH candidates and scores exactly — the correctness
+  * gate covers the whole dedup/ANN pipeline, not just row counts.
+  */
+private[graft] object OracleFrag {
+
+  val P57 = "144115188075855859" // (1<<57) - 13
+  val P31 = "2147483647"
+
+  /** Normalized word list of a text expression (mirror of TextAnalysis.words). */
+  def ws(text: String): String =
+    s"""list_filter(string_split(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' '), __w -> len(__w) > 0)"""
+
+  /** Rolling poly-57 hash of a string expression (mirror of TextHashOps.foldBytes). */
+  def poly57(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len($s) + 1), __j -> CAST(ascii(($s)[__j]) AS BIGINT))), (__a, __c) -> (__a * 31 + __c) % $P57)"""
+
+  /** Distinct shingle-hash list from a words-list expression (n = 3). */
+  def shingleHashes(wsCol: String): String = {
+    val sh = s"($wsCol[__i] || ' ' || $wsCol[__i+1] || ' ' || $wsCol[__i+2])"
+    s"""list_distinct(list_transform(range(1, len($wsCol) - 1), __i -> ${poly57(sh)}))"""
+  }
+
+  /** MinHash signature list over a shingle-hash-list expression. */
+  def minhashSig(shsCol: String, k: Int): String =
+    s"""list_transform(range(0, $k), __q -> list_min(list_transform($shsCol, __h -> ((2*__q + 3) * (__h % $P31) + (__q*__q + 7*__q + 41)) % $P31)))"""
+
+  /** Packed 31-bit simhash over a words-list expression (−∞-free: caller
+    * filters len(ws) > 0, mirroring the Spark −1 sentinel filter). */
+  def simhash31(wsCol: String): String = {
+    val wordHashes = s"list_transform($wsCol, __w2 -> ${poly57("__w2")} % $P31)"
+    s"""CAST(list_sum(list_transform(range(0, 31), __b ->
+       |  CASE WHEN list_sum(list_transform($wordHashes, __h2 ->
+       |    CASE WHEN ((__h2 >> __b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (CAST(1 AS BIGINT) << __b) ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
+
+  /** Sequential dot product of two double-list expressions over dims 1..64
+    * (mirror of DotProduct's 0..n-1 fold; bit-identical IEEE order). */
+  def dot64(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($a)[__i] * ($b)[__i])), (__x, __y) -> __x + __y)"""
+
+  /** ±1 sign of hyperplane p at lambda-var dim `iVar` (mirror of
+    * Similarity.planeSign — two Lehmer steps, overflow-safe). */
+  private def planeSignSql(p: Int, iVar: String): String =
+    s"""CASE WHEN ((((${1000003L * (p + 1) + 12345L} + 7919*$iVar) % $P31) * 48271) % $P31 >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END"""
+
+  /** Dot of a double-list expression with hyperplane p over dims 1..64. */
+  def planeDot(v: String, p: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($v)[__i] * ${planeSignSql(p, "__i")})), (__x, __y) -> __x + __y)"""
+
+  /** Packed sign-bit bucket of `planes` hyperplanes starting at firstPlane
+    * (first plane = MSB; mirror of Similarity.hyperplaneBucket). */
+  def bucket(v: String, planes: Int, firstPlane: Int): String =
+    (0 until planes).map { j =>
+      val p = firstPlane + j
+      s"(CASE WHEN ${planeDot(v, p)} > 0 THEN ${1L << (planes - 1 - j)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Sanity pin: the Scala and SQL plane-sign formulas must agree. */
+  require((0 until 4).forall(p => (1 to 8).forall { i =>
+    val sqlConst = 1000003L * (p + 1) + 12345L + 7919L * i
+    val x1 = (sqlConst % 2147483647L) * 48271L % 2147483647L
+    val sqlSign = if (((x1 >> 7) & 1L) == 1L) 1.0 else -1.0
+    sqlSign == Similarity.planeSign(p, i)
+  }))
+}

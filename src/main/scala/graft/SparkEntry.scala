@@ -314,21 +314,25 @@ object SparkEntry {
         threshold = 0.1, maxDf = 100)
         .orderBy("idA", "idB")
     },
-    // ---- MinHash+LSH candidate pairs (signature est.; hash fns not in the
-    //      oracle engine → rows-only check)
+    // ---- MinHash+LSH near-dup pairs; the oracle mirrors the signature and
+    //      banding arithmetic exactly (OracleFrag), so candidates AND
+    //      estimates are hash-gated
     "d_dedup_minhash" -> { (s, dir) =>
       ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.2).orderBy("idA", "idB")
+        numHashes = 32, bands = 8, threshold = 0.3).orderBy("idA", "idB")
     },
-    // ---- SimHash near-dup pairs (blocked Hamming; rows-only check)
+    // ---- SimHash blocked-Hamming pairs; blocks(4) > maxHamming(3) makes
+    //      blocking lossless (pigeonhole), and the oracle brute-forces ALL
+    //      pairs — the gate checks blocking completeness, not just candidates
     "d_dedup_simhash" -> { (s, dir) =>
       ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16).orderBy("idA", "idB")
+        maxHamming = 3, blocks = 4).orderBy("idA", "idB")
     },
-    // ---- embedding cosine near-dup via hyperplane LSH (rows-only check)
+    // ---- embedding cosine near-dup via banded hyperplane LSH (8 bands × 4
+    //      planes, OR-amplified); oracle mirrors planes + buckets + cosine
     "d_dedup_cosine_lsh" -> { (s, dir) =>
       ops.Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, planes = 4).orderBy("idA", "idB")
+        threshold = 0.3, planesPerBand = 4, bands = 8).orderBy("idA", "idB")
     },
     // ---- ANN: brute-force cosine top-k baseline (exact)
     "s_ann_topk" -> { (s, dir) =>
@@ -338,13 +342,14 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5).orderBy("qid", "rank")
     },
-    // ---- ANN: LSH-bucketed scale path (recall<1 → rows-only check)
+    // ---- ANN: banded-LSH scale path (4 bands × 4 planes OR-amplified);
+    //      oracle mirrors the bucketing, so ranks are hash-gated
     "s_ann_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      ops.Similarity.lshTopK(
+      ops.Similarity.lshTopKBanded(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, planes = 4).orderBy("qid", "rank")
+        k = 5, planesPerBand = 4, bands = 4).orderBy("qid", "rank")
     },
     // ---- multimodal: binary payload + stubbed decode via mapPartitions
     "m_media_features" -> { (s, dir) =>
@@ -571,33 +576,102 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Dedup.ngramJaccardPairs formula-for-formula: same poly-57
+    // shingle hashes, df-prune window [2, maxDf], pre-prune sizes.
     "d_dedup_ngram" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 0) AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(
-        |    CASE WHEN len(ws) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |    ELSE [] END) AS sh
-        |  FROM w),
-        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
-        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
-        |ds AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
-        |shared AS (
-        |  SELECT a.doc_id AS "idA", b.doc_id AS "idB", COUNT(*) AS shared
-        |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT shared."idA", shared."idB",
-        |  round(shared / CAST(sa.nsh + sb.nsh - shared AS DOUBLE), 6) AS jaccard
-        |FROM shared
-        |JOIN sizes sa ON sa.doc_id = shared."idA"
-        |JOIN sizes sb ON sb.doc_id = shared."idB"
-        |WHERE round(shared / CAST(sa.nsh + sb.nsh - shared AS DOUBLE), 6) >= 0.1
-        |ORDER BY shared."idA", shared."idB" """.stripMargin,
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS hs FROM w),
+         |d AS (SELECT doc_id, len(hs) AS nsh, unnest(hs) AS sh FROM h WHERE len(hs) > 0),
+         |rare AS (SELECT sh FROM d GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100),
+         |ds AS (SELECT d.doc_id, d.nsh, d.sh FROM d JOIN rare USING (sh)),
+         |shared AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.nsh AS na, b.nsh AS nb, COUNT(*) AS sh
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT ia AS "idA", ib AS "idB",
+         |  round(sh / CAST(na + nb - sh AS DOUBLE), 6) AS jaccard
+         |FROM shared
+         |WHERE round(sh / CAST(na + nb - sh AS DOUBLE), 6) >= 0.1
+         |ORDER BY 1, 2""".stripMargin,
+    // Mirrors Dedup.minhashLshPairs: poly-57 shingle hashes → 32-function
+    // signature → 8 bands × 4 rows (array-slice keys) → distinct pairs →
+    // estJaccard = matching positions / 32 (exact in binary).
+    "d_dedup_minhash" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
+         |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
+         |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+         |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+         |p AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |sc AS (SELECT p.ia, p.ib,
+         |        CAST(list_sum(list_transform(range(1, 33),
+         |          __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+         |       FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
+         |SELECT ia AS "idA", ib AS "idB", ej AS "estJaccard"
+         |FROM sc WHERE ej >= 0.3 ORDER BY 1, 2""".stripMargin,
+    // BRUTE-FORCE oracle (all pairs, exact Hamming ≤ 3): stronger than a
+    // mirror — it also proves the 4-block pigeonhole bucketing loses no pair.
+    "d_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |s AS (SELECT doc_id, ${OracleFrag.simhash31("ws")} AS sim FROM w WHERE len(ws) > 0)
+         |SELECT a.doc_id AS "idA", c.doc_id AS "idB",
+         |  CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS dist
+         |FROM s a JOIN s c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.sim, c.sim)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+    // Mirrors Dedup.cosineNearDupPairs: 8 bands × 4 deterministic
+    // hyperplanes (same Lehmer sign formula), exact sequential-fold cosine.
+    "d_dedup_cosine_lsh" -> {
+      val bandSelects = (0 until 8).map(b =>
+        s"SELECT vec_id, v, nrm, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS (\n  $bandSelects),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |sc AS (SELECT p.ia, p.ib,
+         |        round(${OracleFrag.dot64("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) AS cosine
+         |       FROM p JOIN n na ON na.vec_id = p.ia JOIN n nb ON nb.vec_id = p.ib)
+         |SELECT ia AS "idA", ib AS "idB", cosine
+         |FROM sc WHERE cosine >= 0.3 ORDER BY 1, 2""".stripMargin
+    },
+    // Mirrors Similarity.lshTopKBanded: 4 bands × 4 planes, union of band
+    // matches, exact cosine, rank over (sim DESC, cid).
+    "s_ann_lsh" -> {
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, v, nrm, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS (\n  $bandSelects),
+         |p AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id != c.vec_id
+         |      WHERE a.vec_id < 20),
+         |sc AS (SELECT p.qid, p.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    // Deterministic chunk math: frames = every 2nd 128-byte chunk of the
+    // UTF-8 payload (ASCII text ⇒ byte k = ascii of char k); checksum is
+    // the same (a*131 + byte) mod (2^31-1) fold as Multimodal.checksum.
+    "m_media_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, text, n,
+        |        unnest(range(0, CAST((n + 127) // 128 AS BIGINT), 2)) AS fi
+        |      FROM d)
+        |SELECT doc_id AS "assetId", CAST(fi AS INT) AS "frameIdx",
+        |  CAST(least(128, n - fi*128) AS INT) AS "frameBytes",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(fi*128 + 1, fi*128 + least(128, n - fi*128) + 1),
+        |      __j -> CAST(ascii(text[__j]) AS BIGINT))),
+        |    (__a, __c) -> (__a * 131 + __c) % 2147483647) AS "frameChecksum"
+        |FROM f ORDER BY 1, 2""".stripMargin,
     "s_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd wrappers around the [[TextHashOps]] kernels. Each generates a
+  * single static call inside whole-stage codegen (no CodegenFallback, no
+  * per-element interpretation) — the same pattern as [[DotProduct]].
+  */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHash31Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash31"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.simhash31(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simhash31($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash31Expr =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Distinct 57-bit rolling hashes of n-word shingles of normalized text. */
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(text), n))
+
+  /** k-function MinHash signature (array<long>) over shingle hashes. */
+  def minhash_sig(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(hashes), k))
+
+  /** 31-bit SimHash of normalized text; -1 when the text has no words. */
+  def simhash31(text: Column): Column =
+    GraftBridge.column(SimHash31Expr(GraftBridge.expression(text)))
+}

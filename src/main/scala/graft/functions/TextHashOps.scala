@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-path text hashing kernels for the dedup/fingerprint operators.
+  *
+  * These are plain-JVM static methods invoked from generated code by the
+  * expressions in [[TextHashExpressions]] — one call per row, tight
+  * primitive loops inside, zero Catalyst interpretation. They replace the
+  * round-1 higher-order-function pipelines (`transform`/`aggregate`), which
+  * are CodegenFallback and interpret every lambda step per element
+  * (measured 46-106 s per query at sf0.1; see VERDICT.md round 1).
+  *
+  * Every formula here is *oracle-shared*: the identical arithmetic is
+  * expressible in DuckDB SQL with no 64-bit overflow, so the driver's
+  * correctness gate can recompute signatures/buckets exactly:
+  *
+  *  - word/shingle hash: rolling polynomial `h = (h*31 + c) mod (2^57-13)`
+  *    over the normalized characters. 31*(2^57) < 2^62 — safe in BIGINT on
+  *    both engines; 57 bits makes cross-document collisions negligible
+  *    (~1e-6 at 5e5 distinct shingles).
+  *  - minhash variant j: `(aj*x + bj) mod (2^31-1)` over `x = h mod (2^31-1)`
+  *    with small constants aj=2j+3, bj=j²+7j+41 (products < 2^38).
+  *  - simhash: 31-bit, votes from the bits of the word hash mod (2^31-1).
+  *
+  * Normalization contract (must equal `TextAnalysis.words`):
+  * lowercase, any char outside [a-z0-9] is a separator, empty tokens
+  * dropped. Implemented byte-level over UTF-8: multi-byte sequences become
+  * separators, which tokenizes identically to the regex path for ASCII
+  * text (the testdata contract) — documented ASCII-only fast path.
+  */
+object TextHashOps {
+
+  /** 57-bit Mersenne-ish modulus: (h*31 + c) stays under 2^63. */
+  final val P57: Long = (1L << 57) - 13
+  /** 2^31 - 1: the minhash/simhash variant field. */
+  final val P31: Long = 2147483647L
+
+  @inline private def isKeep(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  @inline private def normByte(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  /** Word boundaries of the normalized text as packed (start, end) pairs
+    * over a normalized copy of the bytes. Returns the normalized bytes and
+    * the boundary array (even=start, odd=end-exclusive).
+    */
+  private def tokenize(text: UTF8String): (Array[Byte], Array[Int]) = {
+    val raw = text.getBytes
+    val bytes = new Array[Byte](raw.length)
+    var i = 0
+    while (i < raw.length) { bytes(i) = normByte(raw(i)); i += 1 }
+    val bounds = new java.util.ArrayList[Integer]()
+    i = 0
+    while (i < bytes.length) {
+      if (isKeep(bytes(i))) {
+        val start = i
+        while (i < bytes.length && isKeep(bytes(i))) i += 1
+        bounds.add(start); bounds.add(i)
+      } else i += 1
+    }
+    val arr = new Array[Int](bounds.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = bounds.get(j); j += 1 }
+    (bytes, arr)
+  }
+
+  @inline private def foldBytes(h0: Long, bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = h0
+    var i = from
+    while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % P57; i += 1 }
+    h
+  }
+
+  /** Distinct rolling-hash values of the n-word shingles (space-joined),
+    * first-occurrence order. Empty when the text has fewer than n words.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val (bytes, bounds) = tokenize(text)
+    val nWords = bounds.length / 2
+    if (nWords < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nWords - n + 1)
+    var m = 0
+    var i = 0
+    while (i <= nWords - n) {
+      var h = 0L
+      var j = i
+      while (j < i + n) {
+        h = foldBytes(h, bytes, bounds(2 * j), bounds(2 * j + 1))
+        if (j < i + n - 1) h = (h * 31 + ' '.toInt) % P57
+        j += 1
+      }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** MinHash signature over shingle hashes: sig(j) = min over shingles of
+    * ((2j+3)*(h mod P31) + j²+7j+41) mod P31. Empty input → empty array.
+    */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i) % P31
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 3) * base + (j.toLong * j + 7L * j + 41)) % P31
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 31-bit SimHash: bit b is set iff the sum over words of
+    * ±1 votes from bit b of (wordHash57 mod P31) is positive.
+    * Word multiplicity counts (bag semantics). Returns -1 when the text
+    * has no words (caller filters; DuckDB mirror filters len(ws)>0).
+    */
+  def simhash31(text: UTF8String): Long = {
+    val (bytes, bounds) = tokenize(text)
+    val nWords = bounds.length / 2
+    if (nWords == 0) return -1L
+    val votes = new Array[Int](31)
+    var w = 0
+    while (w < nWords) {
+      val h = foldBytes(0L, bytes, bounds(2 * w), bounds(2 * w + 1)) % P31
+      var b = 0
+      while (b < 31) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 31) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
+    packed
+  }
+}

@@ -33,19 +33,31 @@ object Similarity {
 
   private val MaxDims = 512
 
-  /** Deterministic ±1 hyperplane matrix (plane p, dim i) as a constant-
-    * folded literal; sign from a fixed LCG so runs are reproducible with no
-    * stored model. Plane vectors are truncated to the data's dimension by
-    * DotProduct's min-length loop.
+  /** ±1 sign of hyperplane `p` (0-based) at dimension `i` (1-based).
+    * Two Lehmer-style mixing steps in overflow-safe BIGINT arithmetic
+    * (all products < 2^62) so the DuckDB oracle can recompute the exact
+    * same matrix in SQL — data-independent, reproducible, no stored model.
     */
-  private def signRow(p: Int): Column = array((0 until MaxDims).map { i =>
-    val x = (p.toLong * 1000003L + i.toLong * 7919L + 12345L) * 2654435761L
-    lit(if (((x >>> 16) & 1L) == 1L) 1.0 else -1.0)
-  }: _*)
+  def planeSign(p: Int, i: Int): Double = {
+    val P31 = 2147483647L
+    val x0 = (1000003L * (p + 1) + 7919L * i + 12345L) % P31
+    val x1 = (x0 * 48271L) % P31
+    if (((x1 >> 7) & 1L) == 1L) 1.0 else -1.0
+  }
 
-  /** Bucket id = packed sign bits of the `planes` projections. */
-  def hyperplaneBucket(v: Column, planes: Int): Column =
-    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+  /** Deterministic ±1 hyperplane row as a constant-folded literal. Plane
+    * vectors are truncated to the data's dimension by DotProduct's
+    * min-length loop.
+    */
+  private def signRow(p: Int): Column =
+    array((1 to MaxDims).map(i => lit(planeSign(p, i))): _*)
+
+  /** Bucket id = packed sign bits of `planes` projections starting at
+    * plane `firstPlane` (first plane = most significant bit). Distinct
+    * `firstPlane` offsets give independent bands for OR-amplified LSH.
+    */
+  def hyperplaneBucket(v: Column, planes: Int, firstPlane: Int = 0): Column =
+    (firstPlane until firstPlane + planes).foldLeft(lit(0L)) { (acc, p) =>
       shiftleft(acc, 1).bitwiseOR(
         when(dot_product(v, signRow(p)) > 0, 1L).otherwise(0L))
     }
@@ -75,6 +87,41 @@ object Similarity {
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** ANN top-k via banded hyperplane LSH (OR-amplification): a candidate
+    * is scored if it shares ANY of `bands` independent
+    * `planesPerBand`-bit buckets with the query. This is the 100 TB recall
+    * knob: recall ≈ 1-(1-(1-θ/π)^planesPerBand)^bands — add bands to
+    * recover recall, add planes-per-band to shrink buckets. Shuffle keys
+    * stay small ints; vectors ride the band shuffle (no corpus re-join).
+    */
+  def lshTopKBanded(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      planesPerBand: Int = 4,
+      bands: Int = 4,
+  ): DataFrame = {
+    // band shuffle carries ids only; vectors re-join after pair dedup (the
+    // per-side frames are small relative to candidate rows — AQE broadcasts)
+    def banded(df: DataFrame, id: String) = {
+      val buckets = array((0 until bands).map(b =>
+        hyperplaneBucket(col(s"${id}_v"), planesPerBand, b * planesPerBand)): _*)
+      prep(df, id).select(col(id), posexplode(buckets))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    }
+    val cand = banded(queries, "qid").join(banded(corpus, "cid"), Seq("band", "bucket"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(prep(queries, "qid"), "qid")
+      .join(prep(corpus, "cid"), "cid")
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With

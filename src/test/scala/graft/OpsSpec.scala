@@ -45,8 +45,8 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs at distance 0, near-dups close, disjoint far") {
-    val sigs = docs.withColumn("ws", TextAnalysis.words(col("text")))
-      .select(col("doc_id"), Dedup.simhashExpr("ws").as("sim"))
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash31(col("text")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(4L)) == 0)
