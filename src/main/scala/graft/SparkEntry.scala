@@ -293,6 +293,43 @@ object SparkEntry {
         QueryFilter("label", ">=", Some(5))),
       orderBy = Seq(QueryOrderBy("vecId")), limit = Some(100))),
 
+    // ---- 2.3 isNull/isNotNull + array-contains family through the engine,
+    //      over the DSv2 fixture namespace (nullable + array columns that
+    //      TPC-H lacks; plan reads the in-memory source, P1 on db "fixture")
+    eng("e_filter_isnull")(QueryDefinition("items",
+      columns = Some(Seq("id", "name")),
+      filters = Seq(QueryFilter("tag", "isNull")),
+      orderBy = Seq(QueryOrderBy("id")))),
+    eng("e_filter_isnotnull")(QueryDefinition("items",
+      columns = Some(Seq("id", "tag")),
+      filters = Seq(QueryFilter("tag", "isNotNull")),
+      orderBy = Seq(QueryOrderBy("id")))),
+    eng("e_filter_arr_contains")(QueryDefinition("items",
+      columns = Some(Seq("id", "name")),
+      filters = Seq(QueryFilter("tags", "arrayContains", Some("t1"))),
+      orderBy = Seq(QueryOrderBy("id")))),
+    eng("e_filter_arr_contains_all")(QueryDefinition("items",
+      columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayContainsAll", Some(Seq("t1", "t3")))),
+      orderBy = Seq(QueryOrderBy("id")))),
+    eng("e_filter_arr_contains_any")(QueryDefinition("items",
+      columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayContainsAny", Some(Seq("t0", "t5")))),
+      orderBy = Seq(QueryOrderBy("id")))),
+    eng("e_filter_arr_empty")(QueryDefinition("items",
+      columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("tags", "arrayIsEmpty")),
+      orderBy = Seq(QueryOrderBy("id")))),
+
+    // ---- mixed-format plan: parquet fact × DSv2 in-memory dim in one join
+    "q10_cross_source" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val items = s.read.format("graft.sources.FixtureItemsSource").load()
+      d.join(items, (d("doc_id") % 200 + 1) === items("id"))
+        .select(d("doc_id"), col("name"), col("tag"))
+        .orderBy("doc_id")
+    },
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -541,6 +578,29 @@ object SparkEntry {
       """SELECT vec_id AS "vecId", label FROM embeddings
         |WHERE len(embedding) > 0 AND label >= 5
         |ORDER BY vec_id LIMIT 100""".stripMargin,
+    "e_filter_isnull" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id, name FROM items WHERE tag IS NULL ORDER BY id""".stripMargin,
+    "e_filter_isnotnull" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id, tag FROM items WHERE tag IS NOT NULL ORDER BY id""".stripMargin,
+    "e_filter_arr_contains" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id, name FROM items WHERE list_contains(tags, 't1') ORDER BY id""".stripMargin,
+    "e_filter_arr_contains_all" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id FROM items WHERE list_has_all(tags, ['t1', 't3']) ORDER BY id""".stripMargin,
+    "e_filter_arr_contains_any" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id FROM items WHERE list_has_any(tags, ['t0', 't5']) ORDER BY id""".stripMargin,
+    "e_filter_arr_empty" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT id FROM items WHERE len(tags) = 0 ORDER BY id""".stripMargin,
+    "q10_cross_source" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT d.doc_id, i.name, i.tag
+         |FROM documents d JOIN items i ON (d.doc_id % 200) + 1 = i.id
+         |ORDER BY d.doc_id""".stripMargin,
     "d_text_analysis" ->
       """WITH w AS (
         |  SELECT doc_id, text,

@@ -78,18 +78,30 @@ object TpchCatalog {
       c("vecId", "vec_id", "int"), c("embedding", "embedding", "decimal[]"),
       c("label", "label", "int")),
       primaryKey = Seq("vecId")),
+    // second physical source kind: a DSv2 in-memory table with the nullable
+    // + array columns the TPC-H data lacks (isNull / array-op oracle rows)
+    TableMeta("items", "items", "fixture", "graft_fixture_items", Seq(
+      c("id", "id", "int"), c("name", "name", "string"),
+      c("tag", "tag", "string", nullable = true),
+      c("tags", "tags", "string[]", nullable = true)),
+      primaryKey = Seq("id")),
   )
 
   def config: MetadataConfig = MetadataConfig(
-    databases = Seq(DatabaseMeta("tpch", "parquet")),
+    databases = Seq(DatabaseMeta("tpch", "parquet"), DatabaseMeta("fixture", "memory")),
     tables = tables)
 
   val roles: Seq[RoleMeta] = Seq(RoleMeta("admin", None))
 
   def registry(spark: SparkSession, sfDir: String): SourceRegistry = SourceRegistry(
-    loaders = tables.map(t =>
-      ("tpch", t.id) -> (() => spark.read.parquet(s"$sfDir/${t.physicalName}.parquet"))
-    ).toMap)
+    loaders = tables.map {
+      case t if t.database == "fixture" =>
+        ("fixture", t.id) ->
+          (() => spark.read.format("graft.sources.FixtureItemsSource").load())
+      case t =>
+        ("tpch", t.id) ->
+          (() => spark.read.parquet(s"$sfDir/${t.physicalName}.parquet"))
+    }.toMap)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), MultiDb]()
 
