@@ -34,25 +34,37 @@ object Json {
       ExecutionContext(userRoles = scope("user"), serviceRoles = scope("service"))
   }
 
+  /** Runtime type guard at the wire boundary: Jackson's asLong()/asInt()
+    * silently TRUNCATE fractional JSON numbers (2.5 → 2), so a raw payload
+    * could smuggle a non-integer past the typed DSL (the reference requires
+    * runtime validation of exactly these fields — CONTRACT_TESTS.md §16.1
+    * preamble; C933/C998/C1012). Reject with the contract's error code.
+    */
+  private def strictIntegral(v: JsonNode, from: String, code: String, field: String): Long =
+    if (v.isIntegralNumber) v.asLong()
+    else throw ValidationError(from, Seq(ValidationIssue(code,
+      s"'$field' must be an integer", Map("actual" -> v.toString))))
+
   def parseDefinition(n: JsonNode): QueryDefinition = {
     def strSeq(field: String): Option[Seq[String]] =
       Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+    val from = Option(n.get("from")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("missing 'from'"))
     QueryDefinition(
-      from = Option(n.get("from")).map(_.asText())
-        .getOrElse(throw new IllegalArgumentException("missing 'from'")),
+      from = from,
       columns = strSeq("columns"),
       distinct = Option(n.get("distinct")).exists(_.asBoolean()),
-      filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil),
-      joins = Option(n.get("joins")).map(_.elements().asScala.map(parseJoin).toSeq)
+      filters = Option(n.get("filters")).map(parseFilters(_, from)).getOrElse(Nil),
+      joins = Option(n.get("joins")).map(_.elements().asScala.map(parseJoin(_, from)).toSeq)
         .getOrElse(Nil),
       groupBy = Option(n.get("groupBy")).map(_.elements().asScala.map(g =>
         QueryGroupBy(g.get("column").asText(), optText(g, "table"))).toSeq).getOrElse(Nil),
       aggregations = Option(n.get("aggregations")).map(_.elements().asScala.map(a =>
         QueryAggregation(a.get("column").asText(), text(a, "fn"),
           text(a, "alias"), optText(a, "table"))).toSeq).getOrElse(Nil),
-      having = Option(n.get("having")).map(parseFilters).getOrElse(Nil),
-      limit = Option(n.get("limit")).map(_.asLong()),
-      offset = Option(n.get("offset")).map(_.asLong()),
+      having = Option(n.get("having")).map(parseFilters(_, from)).getOrElse(Nil),
+      limit = Option(n.get("limit")).map(strictIntegral(_, from, "INVALID_LIMIT", "limit")),
+      offset = Option(n.get("offset")).map(strictIntegral(_, from, "INVALID_LIMIT", "offset")),
       orderBy = Option(n.get("orderBy")).map(_.elements().asScala.map(o =>
         QueryOrderBy(o.get("column").asText(),
           Option(o.get("direction")).map(_.asText()).getOrElse("asc"),
@@ -71,16 +83,16 @@ object Json {
   private def optText(n: JsonNode, f: String): Option[String] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asText())
 
-  def parseFilters(arr: JsonNode): Seq[QueryFilterNode] =
-    arr.elements().asScala.map(parseFilterNode).toSeq
+  def parseFilters(arr: JsonNode, from: String = ""): Seq[QueryFilterNode] =
+    arr.elements().asScala.map(parseFilterNode(_, from)).toSeq
 
   /** Discriminate the 4 filter-node shapes the way the reference does:
     * conditions → group; refColumn → column filter; operator+column →
     * scalar filter; bare table → EXISTS.
     */
-  def parseFilterNode(n: JsonNode): QueryFilterNode =
+  def parseFilterNode(n: JsonNode, from: String = ""): QueryFilterNode =
     if (n.has("conditions"))
-      QueryFilterGroup(text(n, "logic"), parseFilters(n.get("conditions")),
+      QueryFilterGroup(text(n, "logic"), parseFilters(n.get("conditions"), from),
         Option(n.get("not")).exists(_.asBoolean()))
     else if (n.has("refColumn"))
       QueryColumnFilter(text(n, "column"), text(n, "operator"),
@@ -92,7 +104,13 @@ object Json {
           case "between" | "notBetween" =>
             (nullableJsonValue(v.get("from")), nullableJsonValue(v.get("to")))
           case "levenshteinLte" =>
-            (v.get("text").asText(), v.get("maxDistance").asInt())
+            val t = Option(v.get("text")).filterNot(_.isNull).map(_.asText())
+              .getOrElse(throw ValidationError(from, Seq(ValidationIssue(
+                "INVALID_VALUE", "levenshteinLte requires 'text'"))))
+            val d = Option(v.get("maxDistance")).getOrElse(
+              throw ValidationError(from, Seq(ValidationIssue(
+                "INVALID_VALUE", "levenshteinLte requires 'maxDistance'"))))
+            (t, strictIntegral(d, from, "INVALID_VALUE", "maxDistance").toInt)
           case _ => jsonValue(v)
         }
       }
@@ -101,16 +119,17 @@ object Json {
       QueryExistsFilter(
         text(n, "table"),
         exists = Option(n.get("exists")).forall(_.asBoolean()),
-        filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil),
+        filters = Option(n.get("filters")).map(parseFilters(_, from)).getOrElse(Nil),
         count = Option(n.get("count")).map(c =>
-          CountCond(text(c, "operator"), c.get("value").asLong())))
+          CountCond(text(c, "operator"),
+            strictIntegral(c.get("value"), from, "INVALID_EXISTS", "count.value"))))
 
-  def parseJoin(n: JsonNode): QueryJoin = QueryJoin(
+  def parseJoin(n: JsonNode, from: String = ""): QueryJoin = QueryJoin(
     text(n, "table"),
     joinType = Option(n.get("type")).map(_.asText()).getOrElse("left"),
     columns = Option(n.get("columns"))
       .map(_.elements().asScala.map(_.asText()).toSeq),
-    filters = Option(n.get("filters")).map(parseFilters).getOrElse(Nil))
+    filters = Option(n.get("filters")).map(parseFilters(_, from)).getOrElse(Nil))
 
   private def nullableJsonValue(n: JsonNode): Any =
     if (n == null || n.isNull) null else jsonValue(n)

@@ -434,7 +434,9 @@ private final class Resolver(
           Some(in -> s"__ord_$in")
         }
       }.distinct
-    val projCols = mappings.map(m => col(m.internalName).as(m.finalKey)) ++
+    // exactCol: an aggregation mapping's internalName is the user-supplied
+    // alias — must be referenced as an exact name, never parsed
+    val projCols = mappings.map(m => exactCol(m.internalName).as(m.finalKey)) ++
       hiddenSortCols.map { case (in, hid) => col(in).as(hid) }
     val projected = frame.select(projCols: _*)
     var result = if (q.distinct) projected.distinct() else projected
@@ -451,7 +453,7 @@ private final class Resolver(
             else hiddenByInternal(internal(aliasOf(o.table.getOrElse(q.from)), o.column))
           }
         // collision-qualified keys contain '.', so quote with backticks
-        val kc = col(s"`$key`")
+        val kc = exactCol(key)
         if (o.direction == "desc") kc.desc else kc.asc
       }
       result = result.orderBy(sortCols: _*)
@@ -469,7 +471,7 @@ private final class Resolver(
     // MultiDb.assemble is idempotent on these outputs
     if (mappings.exists(_.maskingFn.isDefined))
       result = result.select(mappings.map { m =>
-        val c = col(s"`${m.finalKey}`")
+        val c = exactCol(m.finalKey)
         m.maskingFn match {
           case Some(fn) => graft.access.MaskingColumns.mask(fn, c).as(m.finalKey)
           case None     => c
@@ -512,9 +514,18 @@ private final class Resolver(
     }
   }
 
+  /** Column reference treating `name` as an EXACT attribute name: backticks
+    * inside the name are doubled per Spark's quoted-identifier rule. A raw
+    * `col(name)` parses metacharacters (a user-supplied aggregation alias
+    * like "x`; --" threw INVALID_ATTRIBUTE_NAME_SYNTAX from the plan —
+    * aliases are data, never syntax; CONTRACT_TESTS §16.2).
+    */
+  private def exactCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def havingPredicate(node: QueryFilterNode): Column = node match {
     case f: QueryFilter =>
-      val c = col(f.column)
+      val c = exactCol(f.column)
       def l(v: Any) = { sqlParams += v; lit(v) }
       f.operator match {
         case "="  => c === l(f.value.get)

@@ -395,7 +395,13 @@ object Validator {
         if (!HavingOps.contains(f.operator))
           err("INVALID_HAVING", s"operator '${f.operator}' not allowed in having",
             "operator" -> f.operator, "filterIndex" -> idx)
-      case (g: QueryFilterGroup, _) => walkHaving(g.conditions)
+      case (g: QueryFilterGroup, idx) =>
+        // enum-like `logic` is interpolated into SQL dialects, so it must be
+        // runtime-validated here too (CONTRACT_TESTS C1465)
+        if (!Set("and", "or").contains(g.logic))
+          err("INVALID_HAVING", s"invalid group logic '${g.logic}' in having",
+            "actual" -> g.logic, "filterIndex" -> idx)
+        walkHaving(g.conditions)
       case (_: QueryColumnFilter, idx) =>
         err("INVALID_HAVING", "column filter not allowed in having", "filterIndex" -> idx)
       case (_: QueryExistsFilter, idx) =>
@@ -414,7 +420,9 @@ object Validator {
         val tApi = o.table.getOrElse(q.from)
         if (o.table.isDefined && !ctx.scopeApis.contains(tApi))
           err("INVALID_ORDER_BY", s"table '$tApi' in orderBy is not in the query", "table" -> tApi)
-        else checkColumn(tApi, o.column, "UNKNOWN_COLUMN").foreach { cm =>
+        // unknown orderBy column reports INVALID_ORDER_BY, not UNKNOWN_COLUMN
+        // (reference CONTRACT_TESTS C1467)
+        else checkColumn(tApi, o.column, "INVALID_ORDER_BY").foreach { cm =>
           if (ColumnTypes.isArray(cm.columnType))
             err("INVALID_ORDER_BY", s"array column '${o.column}' not allowed in orderBy",
               "column" -> o.column)
