@@ -31,12 +31,47 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
       db.validateOnly(defn, ctx)
       (200, """{"valid":true}""")
     })
+    server.createContext("/validate/config", (ex: HttpExchange) => handle(ex) {
+      // config validation endpoint (HTTP_CLIENT.md:16-18): metadata + role
+      // references checked with ALL issues collected; no executors touched
+      val root = Json.mapper.readTree(readBody(ex))
+      val cfg = Json.parseMetadataConfig(Option(root.get("metadata"))
+        .getOrElse(throw new IllegalArgumentException("missing 'metadata'")))
+      val roles = Option(root.get("roles")).map(Json.parseRoles).getOrElse(Nil)
+      val issues = graft.meta.MetadataIndex.validate(cfg) ++ validateRoleRefs(cfg, roles)
+      if (issues.nonEmpty) throw ConfigError(issues)
+      (200, """{"valid":true}""")
+    })
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = server.stop(0)
+
+  /** Role-side config checks: every role table/column reference must exist
+    * (the role provider half of "/validate/config validates metadata + role
+    * configuration").
+    */
+  private def validateRoleRefs(cfg: graft.meta.MetadataConfig,
+      roles: Seq[graft.meta.RoleMeta]): Seq[ConfigIssue] = {
+    val byId = cfg.tables.map(t => t.id -> t).toMap
+    roles.flatMap { r =>
+      r.tables.getOrElse(Nil).flatMap { ta =>
+        byId.get(ta.tableId) match {
+          case None => Seq(ConfigIssue("INVALID_REFERENCE",
+            s"role '${r.id}' references unknown table '${ta.tableId}'",
+            Map("role" -> r.id, "table" -> ta.tableId)))
+          case Some(t) =>
+            (ta.allowedColumns.getOrElse(Nil) ++ ta.maskedColumns).distinct
+              .filterNot(c => t.columns.exists(_.apiName == c))
+              .map(c => ConfigIssue("INVALID_REFERENCE",
+                s"role '${r.id}' references unknown column '${ta.tableId}.$c'",
+                Map("role" -> r.id, "table" -> ta.tableId, "field" -> c)))
+        }
+      }
+    }
+  }
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -63,6 +98,68 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
     ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+}
+
+/** HTTP client implementing the same query surface as in-process MultiDb
+  * (HTTP_CLIENT.md: MultiDbClient). Key behaviors ported:
+  *  - typed-error reconstruction from the `code` field (callers
+  *    pattern-match exactly as in-process);
+  *  - request timeout → ConnectionError(REQUEST_TIMEOUT);
+  *  - unreachable server → ConnectionError(NETWORK_ERROR);
+  *  - no retry logic (intentionally simple).
+  * Zero dependencies: java.net.http.HttpClient.
+  */
+final class MultiDbHttpClient(
+    baseUrl: String,
+    timeoutMs: Long = 30000,
+    headers: Map[String, String] = Map.empty,
+) {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.time.Duration
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+
+  private def send(path: String, body: Option[String]): String = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+      .timeout(Duration.ofMillis(timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = body match {
+      case Some(s) => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(s, UTF_8)).build()
+      case None => b.GET().build()
+    }
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
+      catch {
+        case e: java.net.http.HttpTimeoutException =>
+          throw ConnectionError("REQUEST_TIMEOUT",
+            Map("timeoutMs" -> timeoutMs, "path" -> path, "cause" -> String.valueOf(e.getMessage)))
+        case e: java.io.IOException =>
+          throw ConnectionError("NETWORK_ERROR",
+            Map("path" -> path, "cause" -> String.valueOf(e.getMessage)))
+      }
+    if (resp.statusCode() >= 400) throw MultiDbClient.reconstructError(resp.body())
+    resp.body()
+  }
+
+  def query(defn: QueryDefinition, ctx: ExecutionContext = ExecutionContext()): QueryResult =
+    Json.parseResult(send("/query", Some(Json.writeQueryRequest(defn, ctx))))
+
+  def healthCheck(): Map[String, Boolean] = {
+    val n = Json.mapper.readTree(send("/health", None))
+    import scala.jdk.CollectionConverters._
+    n.fields().asScala.map(e => e.getKey -> e.getValue.asBoolean()).toMap
+  }
+
+  def validateQuery(defn: QueryDefinition, ctx: ExecutionContext = ExecutionContext()): Unit = {
+    send("/validate/query", Some(Json.writeQueryRequest(defn, ctx))); ()
+  }
+
+  def validateConfig(metadataJson: String, rolesJson: String): Unit = {
+    send("/validate/config", Some(s"""{"metadata":$metadataJson,"roles":$rolesJson}""")); ()
   }
 }
 

@@ -142,6 +142,211 @@ object Json {
     else if (n.isArray) n.elements().asScala.map(jsonValue).toSeq
     else n.asText()
 
+  // ---------------- config parsing (/validate/config) ----------------
+
+  private def arr(n: JsonNode, f: String): Seq[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  def parseMetadataConfig(n: JsonNode): graft.meta.MetadataConfig = {
+    import graft.meta._
+    MetadataConfig(
+      databases = arr(n, "databases").map(d =>
+        DatabaseMeta(text(d, "id"), text(d, "engine"), optText(d, "trinoCatalog"))),
+      tables = arr(n, "tables").map { t =>
+        TableMeta(
+          text(t, "id"), text(t, "apiName"), text(t, "database"), text(t, "physicalName"),
+          arr(t, "columns").map(c => ColumnMeta(
+            text(c, "apiName"), text(c, "physicalName"), text(c, "columnType"),
+            Option(c.get("nullable")).exists(_.asBoolean()), optText(c, "maskingFn"))),
+          primaryKey = arr(t, "primaryKey").map(_.asText()),
+          relations = arr(t, "relations").map(r => RelationMeta(
+            text(r, "column"), text(r, "refTable"), text(r, "refColumn"),
+            Option(r.get("relationType")).map(_.asText()).getOrElse("many-to-one"))))
+      },
+      syncs = arr(n, "syncs").map(s => ExternalSync(
+        text(s, "sourceTable"), text(s, "targetDatabase"), text(s, "targetPhysicalName"),
+        Option(s.get("method")).map(_.asText()).getOrElse("debezium"),
+        Option(s.get("estimatedLag")).map(_.asText()).getOrElse("seconds"))),
+      caches = arr(n, "caches").map(c => CacheMeta(
+        text(c, "id"), Option(c.get("engine")).map(_.asText()).getOrElse("redis"),
+        arr(c, "tables").map(ct => CachedTableMeta(
+          text(ct, "tableId"), text(ct, "keyPattern"),
+          Option(ct.get("columns")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq))))),
+      trinoEnabled = Option(n.get("trinoEnabled")).exists(_.asBoolean()))
+  }
+
+  def parseRoles(n: JsonNode): Seq[graft.meta.RoleMeta] = {
+    import graft.meta._
+    n.elements().asScala.map { r =>
+      RoleMeta(text(r, "id"),
+        Option(r.get("tables")).filterNot(_.isNull).map(_.elements().asScala.map { t =>
+          TableRoleAccess(text(t, "tableId"),
+            Option(t.get("allowedColumns")).filterNot(_.isNull)
+              .map(_.elements().asScala.map(_.asText()).toSeq),
+            arr(t, "maskedColumns").map(_.asText()))
+        }.toSeq))
+    }.toSeq
+  }
+
+  // ---------------- request writing (client side) ----------------
+
+  /** Serialize a query request to the wire shape parseQuery accepts —
+    * the client's outbound half (mirrors parseDefinition field-for-field).
+    */
+  def writeQueryRequest(q: QueryDefinition, ctx: ExecutionContext): String = {
+    def filterNode(f: QueryFilterNode): JsonNode = f match {
+      case QueryFilter(column, op, value, table) =>
+        val o = mapper.createObjectNode()
+        o.put("column", column); o.put("operator", op)
+        value.foreach { v =>
+          val vn = (op, v) match {
+            case ("between" | "notBetween", (from, to)) =>
+              val b = mapper.createObjectNode()
+              b.set[JsonNode]("from", toNode(from)); b.set[JsonNode]("to", toNode(to)); b
+            case ("levenshteinLte", (text, maxD)) =>
+              val b = mapper.createObjectNode()
+              b.set[JsonNode]("text", toNode(text)); b.set[JsonNode]("maxDistance", toNode(maxD)); b
+            case (_, x) => toNode(x)
+          }
+          o.set[JsonNode]("value", vn)
+        }
+        table.foreach(o.put("table", _)); o
+      case QueryColumnFilter(column, op, refColumn, table, refTable) =>
+        val o = mapper.createObjectNode()
+        o.put("column", column); o.put("operator", op); o.put("refColumn", refColumn)
+        table.foreach(o.put("table", _)); refTable.foreach(o.put("refTable", _)); o
+      case QueryFilterGroup(logic, conditions, not) =>
+        val o = mapper.createObjectNode()
+        o.put("logic", logic)
+        val a = mapper.createArrayNode(); conditions.foreach(c => a.add(filterNode(c)))
+        o.set[JsonNode]("conditions", a); if (not) o.put("not", true); o
+      case QueryExistsFilter(table, exists, filters, count) =>
+        val o = mapper.createObjectNode()
+        o.put("table", table)
+        if (!exists) o.put("exists", false)
+        if (filters.nonEmpty) {
+          val a = mapper.createArrayNode(); filters.foreach(c => a.add(filterNode(c)))
+          o.set[JsonNode]("filters", a)
+        }
+        count.foreach { c =>
+          val cn = mapper.createObjectNode()
+          cn.put("operator", c.operator); cn.put("value", c.value)
+          o.set[JsonNode]("count", cn)
+        }
+        o
+    }
+    val d = mapper.createObjectNode()
+    d.put("from", q.from)
+    q.columns.foreach { cs =>
+      val a = mapper.createArrayNode(); cs.foreach(a.add); d.set[JsonNode]("columns", a)
+    }
+    if (q.distinct) d.put("distinct", true)
+    if (q.filters.nonEmpty) {
+      val a = mapper.createArrayNode(); q.filters.foreach(f => a.add(filterNode(f)))
+      d.set[JsonNode]("filters", a)
+    }
+    if (q.joins.nonEmpty) {
+      val a = mapper.createArrayNode()
+      q.joins.foreach { j =>
+        val o = mapper.createObjectNode()
+        o.put("table", j.table); o.put("type", j.joinType)
+        j.columns.foreach { cs =>
+          val ca = mapper.createArrayNode(); cs.foreach(ca.add); o.set[JsonNode]("columns", ca)
+        }
+        if (j.filters.nonEmpty) {
+          val fa = mapper.createArrayNode(); j.filters.foreach(f => fa.add(filterNode(f)))
+          o.set[JsonNode]("filters", fa)
+        }
+        a.add(o)
+      }
+      d.set[JsonNode]("joins", a)
+    }
+    if (q.groupBy.nonEmpty) {
+      val a = mapper.createArrayNode()
+      q.groupBy.foreach { g =>
+        val o = mapper.createObjectNode()
+        o.put("column", g.column); g.table.foreach(o.put("table", _)); a.add(o)
+      }
+      d.set[JsonNode]("groupBy", a)
+    }
+    if (q.aggregations.nonEmpty) {
+      val a = mapper.createArrayNode()
+      q.aggregations.foreach { ag =>
+        val o = mapper.createObjectNode()
+        o.put("column", ag.column); o.put("fn", ag.fn); o.put("alias", ag.alias)
+        ag.table.foreach(o.put("table", _)); a.add(o)
+      }
+      d.set[JsonNode]("aggregations", a)
+    }
+    if (q.having.nonEmpty) {
+      val a = mapper.createArrayNode(); q.having.foreach(f => a.add(filterNode(f)))
+      d.set[JsonNode]("having", a)
+    }
+    q.limit.foreach(d.put("limit", _))
+    q.offset.foreach(d.put("offset", _))
+    if (q.orderBy.nonEmpty) {
+      val a = mapper.createArrayNode()
+      q.orderBy.foreach { o =>
+        val on = mapper.createObjectNode()
+        on.put("column", o.column); on.put("direction", o.direction)
+        o.table.foreach(on.put("table", _)); a.add(on)
+      }
+      d.set[JsonNode]("orderBy", a)
+    }
+    q.freshness.foreach(d.put("freshness", _))
+    q.byIds.foreach { ids =>
+      val a = mapper.createArrayNode(); ids.foreach(i => a.add(toNode(i)))
+      d.set[JsonNode]("byIds", a)
+    }
+    if (q.executeMode != "execute") d.put("executeMode", q.executeMode)
+    if (q.debug) d.put("debug", true)
+    val root = mapper.createObjectNode()
+    root.set[JsonNode]("definition", d)
+    val cn = mapper.createObjectNode()
+    val rn = mapper.createObjectNode()
+    ctx.userRoles.foreach { rs =>
+      val a = mapper.createArrayNode(); rs.foreach(a.add); rn.set[JsonNode]("user", a)
+    }
+    ctx.serviceRoles.foreach { rs =>
+      val a = mapper.createArrayNode(); rs.foreach(a.add); rn.set[JsonNode]("service", a)
+    }
+    cn.set[JsonNode]("roles", rn)
+    root.set[JsonNode]("context", cn)
+    mapper.writeValueAsString(root)
+  }
+
+  // ---------------- result parsing (client side) ----------------
+
+  /** Reconstruct a QueryResult from a server response body — the client's
+    * half of the wire contract (HTTP_CLIENT.md: "result is QueryResult",
+    * same shape as in-process).
+    */
+  def parseResult(body: String): QueryResult = {
+    val n = mapper.readTree(body)
+    val m = n.get("meta")
+    val meta = QueryResultMeta(
+      text(m, "strategy"), text(m, "targetDatabase"), optText(m, "dialect"),
+      arr(m, "tablesUsed").map(t => TableUsed(text(t, "tableId"),
+        text(t, "source"), text(t, "database"), text(t, "physicalName"))),
+      arr(m, "columns").map(c => ResultColumnMeta(text(c, "apiName"),
+        text(c, "type"), c.get("nullable").asBoolean(),
+        text(c, "fromTable"), c.get("masked").asBoolean())),
+      Timing(m.get("timing").get("planningMs").asLong(),
+        m.get("timing").get("generationMs").asLong(),
+        Option(m.get("timing").get("executionMs")).map(_.asLong())))
+    text(n, "kind") match {
+      case "data" => DataResult(
+        arr(n, "data").map(r =>
+          r.fields().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap), meta)
+      case "sql" => SqlResult(text(n, "sql"),
+        arr(n, "params").map(jsonValue), meta)
+      case "count" => CountResult(n.get("count").asLong(), meta)
+      case other => throw new IllegalArgumentException(s"unknown result kind '$other'")
+    }
+  }
+
   // ---------------- response writing ----------------
 
   /** Scala/JDBC values → jackson tree; timestamps as ISO-8601 `Z` strings,

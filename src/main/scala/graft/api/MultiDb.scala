@@ -48,9 +48,10 @@ final class MultiDb(
     val (index, _) = state
     val dbs = index.config.databases.map { d =>
       d.id -> (try {
-        // source connectivity: every registered loader must produce a frame
+        // source connectivity: EVERY registered loader for the database must
+        // produce a frame (probing only the first hid per-table outages)
         registry.loaders.collect { case ((db, _), l) if db == d.id => l }
-          .take(1).foreach(l => l().schema)
+          .foreach(l => l().schema)
         true
       } catch { case _: Exception => false })
     }
@@ -87,7 +88,7 @@ final class MultiDb(
 
     val (index, rolesById) = state // snapshot
     log("validation", s"validating query from '${q.from}'")
-    val (resolved, plan, mappingsMeta) = resolveChecked(q, context, Some(log))
+    val ((resolved, plan, mappingsMeta), tPlanned) = resolveTimed(q, context, Some(log))
     val t1 = System.nanoTime()
 
     def metaOf(executionMs: Option[Long], columns: Seq[ResultColumnMeta]): QueryResultMeta =
@@ -101,8 +102,8 @@ final class MultiDb(
         },
         columns = columns,
         timing = Timing(
-          planningMs = (t1 - t0) / 1000000,
-          generationMs = (t1 - t0) / 1000000,
+          planningMs = (tPlanned - t0) / 1000000,
+          generationMs = (t1 - tPlanned) / 1000000,
           executionMs = executionMs),
       )
 
@@ -160,6 +161,19 @@ final class MultiDb(
       context: ExecutionContext,
       log: Option[(String, String) => Unit] = None,
   ): (ResolvedQuery, Plan, Seq[ResultColumnMeta]) = {
+    resolveTimed(q, context, log)._1
+  }
+
+  /** Like resolveChecked, also returning the nanoTime boundary between
+    * planning (validate + ACL + strategy selection) and generation
+    * (Catalyst resolution) so `timing.planningMs` and `generationMs` are
+    * distinct real measurements, not one duplicated value.
+    */
+  private def resolveTimed(
+      q: QueryDefinition,
+      context: ExecutionContext,
+      log: Option[(String, String) => Unit] = None,
+  ): ((ResolvedQuery, Plan, Seq[ResultColumnMeta]), Long) = {
     val (index, rolesById) = state
     val issues = graft.validation.Validator.validate(index, rolesById, q, context)
     if (issues.nonEmpty) throw ValidationError(q.from, issues)
@@ -167,10 +181,11 @@ final class MultiDb(
     log.foreach(_("planning", "selecting strategy"))
     val plan = Planner.plan(index, registry, q)
     log.foreach(_("planning", s"strategy=${plan.strategy} target=${plan.targetDatabase}"))
+    val tPlanned = System.nanoTime()
     val resolved = Resolver.resolve(index, plan, access, q)
     val columnsMeta = resolved.mappings.map(m => ResultColumnMeta(
       m.finalKey, m.columnType, m.nullable, m.fromTable, m.masked))
-    (resolved, plan, columnsMeta)
+    ((resolved, plan, columnsMeta), tPlanned)
   }
 
   /** Per-query timeout at the driver boundary (reference: executor-level

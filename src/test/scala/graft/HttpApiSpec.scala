@@ -127,4 +127,70 @@ class HttpApiSpec extends AnyFunSuite {
     assert(r.statusCode() == 400)
     assert(r.body().contains("BAD_REQUEST"))
   }
+
+  test("POST /validate/config: valid config → valid:true; bad refs → 400 ConfigError") {
+    val ok = post("/validate/config",
+      """{"metadata": {
+        |  "databases": [{"id": "db1", "engine": "postgres"}],
+        |  "tables": [{"id": "t1", "apiName": "things", "database": "db1",
+        |    "physicalName": "things",
+        |    "columns": [{"apiName": "id", "physicalName": "id", "columnType": "int"}],
+        |    "primaryKey": ["id"]}]},
+        | "roles": [{"id": "admin"}]}""".stripMargin)
+    assert(ok.statusCode() == 200 && ok.body().contains("\"valid\":true"))
+
+    // three independent issues: bad apiName, unknown database, bad role column
+    val bad = post("/validate/config",
+      """{"metadata": {
+        |  "databases": [{"id": "db1", "engine": "postgres"}],
+        |  "tables": [{"id": "t1", "apiName": "Bad_Name", "database": "nope",
+        |    "physicalName": "things",
+        |    "columns": [{"apiName": "id", "physicalName": "id", "columnType": "int"}]}]},
+        | "roles": [{"id": "r1", "tables": [{"tableId": "t1",
+        |    "allowedColumns": ["ghost"]}]}]}""".stripMargin)
+    assert(bad.statusCode() == 400)
+    val e = MultiDbClient.reconstructError(bad.body()).asInstanceOf[ConfigError]
+    assert(e.errors.size >= 3, s"expected collected issues, got ${e.errors}")
+  }
+
+  test("MultiDbHttpClient: typed query round-trip matches in-process result") {
+    val c = new graft.api.MultiDbHttpClient(s"http://127.0.0.1:$port")
+    val res = c.query(QueryDefinition("orders", columns = Some(Seq("id", "status")),
+      orderBy = Seq(QueryOrderBy("id"))))
+    val data = res.asInstanceOf[DataResult]
+    assert(data.meta.strategy == "direct")
+    val local = ContractFixture.multiDb(spark)
+      .query(QueryDefinition("orders", columns = Some(Seq("id", "status")),
+        orderBy = Seq(QueryOrderBy("id")))).asInstanceOf[DataResult]
+    assert(data.data.map(r => (r("id"), r("status"))) ==
+      local.data.map(r => (r("id"), r("status"))))
+    c.validateQuery(QueryDefinition("orders", columns = Some(Seq("id")))) // no throw
+    val ve = intercept[ValidationError] {
+      c.validateQuery(QueryDefinition("orders", columns = Some(Seq("ghost"))))
+    }
+    assert(ve.errors.head.code == "UNKNOWN_COLUMN")
+    assert(c.healthCheck().getOrElse("pg-main", false))
+  }
+
+  test("client timeout → ConnectionError(REQUEST_TIMEOUT); unreachable → NETWORK_ERROR") {
+    // slow server: sleeps past the client deadline (C1205)
+    val slow = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    slow.createContext("/query", (ex: com.sun.net.httpserver.HttpExchange) => {
+      Thread.sleep(2000)
+      val b = "{}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    slow.start()
+    try {
+      val c = new graft.api.MultiDbHttpClient(
+        s"http://127.0.0.1:${slow.getAddress.getPort}", timeoutMs = 200)
+      val e = intercept[ConnectionError] { c.query(QueryDefinition("orders")) }
+      assert(e.code == "REQUEST_TIMEOUT")
+    } finally slow.stop(0)
+    // unreachable server (C1204)
+    val dead = new graft.api.MultiDbHttpClient("http://127.0.0.1:1", timeoutMs = 500)
+    val ne = intercept[ConnectionError] { dead.query(QueryDefinition("orders")) }
+    assert(ne.code == "NETWORK_ERROR")
+  }
 }
