@@ -91,10 +91,21 @@ object Similarity {
 
   /** ANN top-k via banded hyperplane LSH (OR-amplification): a candidate
     * is scored if it shares ANY of `bands` independent
-    * `planesPerBand`-bit buckets with the query. This is the 100 TB recall
-    * knob: recall ≈ 1-(1-(1-θ/π)^planesPerBand)^bands — add bands to
-    * recover recall, add planes-per-band to shrink buckets. Shuffle keys
-    * stay small ints; vectors ride the band shuffle (no corpus re-join).
+    * `planesPerBand`-bit buckets with the query.
+    *
+    * The two knobs trade recall against bucket size — recall ≈
+    * 1-(1-(1-θ/π)^planesPerBand)^bands (measured on the sf0.01 fixture:
+    * recall@5 0.43/0.73/0.76 at 2/4/8 bands with 4 planes — OpsSpec pins
+    * the monotonicity and the ≥0.7 default). The 100 TB playbook:
+    *  - recall too low → add bands (linear candidate cost, exponential
+    *    miss-probability decay); multi-probe (flipping the weakest sign
+    *    bit) is the next step beyond bands;
+    *  - buckets too big (hot-bucket skew: dense embedding regions hash
+    *    together) → add planes per band: each plane halves the expected
+    *    bucket; AQE's skew-join split handles residual stragglers since
+    *    the in-bucket join is a plain shuffle join on (band, bucket);
+    *  - candidate shuffle stays id-only either way — vectors re-join
+    *    AFTER pair dedup, so widening bands never ships vectors per band.
     */
   def lshTopKBanded(
       queries: DataFrame, // (qid, vec)
