@@ -61,7 +61,15 @@ final class MultiDb(
     (dbs ++ caches).toMap
   }
 
-  override def close(): Unit = timeoutPool.shutdownNow()
+  @volatile private var closed = false
+
+  /** After close, queries fail with a typed EXECUTOR_MISSING (reference
+    * C1313), not an untyped rejected-execution error.
+    */
+  override def close(): Unit = { closed = true; timeoutPool.shutdownNow() }
+
+  private def ensureOpen(): Unit =
+    if (closed) throw ExecutionError("EXECUTOR_MISSING", Map("reason" -> "closed"))
 
   /** Zero-I/O validation: run rules 1-14 only (the /validate/query
     * endpoint); throws ValidationError, never touches a DataFrame.
@@ -81,6 +89,7 @@ final class MultiDb(
 
   /** Full reference-shaped query lifecycle. */
   def query(q: QueryDefinition, context: ExecutionContext = ExecutionContext()): QueryResult = {
+    ensureOpen()
     val t0 = System.nanoTime()
     val debug = Seq.newBuilder[DebugLogEntry]
     def log(phase: String, msg: String): Unit =

@@ -87,7 +87,7 @@ object Dedup {
   /** Bit range [lo, hi) of block `i` when 31 bits are split into `blocks`
     * near-equal parts.
     */
-  private[ops] def blockBounds(blocks: Int, i: Int): (Int, Int) =
+  private[graft] def blockBounds(blocks: Int, i: Int): (Int, Int) =
     ((31 * i) / blocks, (31 * (i + 1)) / blocks)
 
   /** SimHash near-dup pairs over the 31-bit simhash. The hash is split into

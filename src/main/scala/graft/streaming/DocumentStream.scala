@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Streaming ingest for the `documents` table — the training-data-pipeline
+  * operators re-expressed over Structured Streaming, so a 100 TB/day corpus
+  * can be cleaned incrementally instead of re-batched:
+  *
+  *  - enrichment (language-ID / quality / token counts / fingerprint) is
+  *    stateless column math → runs unchanged per micro-batch;
+  *  - exact dedup uses `dropDuplicatesWithinWatermark` on the content
+  *    fingerprint: state holds only fingerprints younger than the
+  *    watermark — bounded, unlike a naive dropDuplicates whose state grows
+  *    with the corpus;
+  *  - near-dup detection joins each arriving micro-batch against a STATIC
+  *    simhash block index of the existing corpus (stream-static join,
+  *    stateless on the stream side; the index is small — two longs per
+  *    corpus doc×blocks — and broadcastable). New-vs-new dups within a
+  *    batch surface on the next index refresh, the standard lambda split.
+  */
+object DocumentStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of documents parquet files, with
+    * an event-time column (file streams have no embedded time; ingest time
+    * anchors the dedup watermark).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .withColumn("ingestTs", current_timestamp())
+
+  /** Stateless enrichment — identical semantics to the batch operator. */
+  def enriched(docs: DataFrame): DataFrame = TextAnalysis.analyze(docs)
+
+  /** Exact dedup on normalized content within a watermark window: the
+    * fingerprint is the 57-bit shingle-set hash of the full text (order-
+    * sensitive variant from TextAnalysis.fingerprint also works; the
+    * xxhash64 of raw text is the cheapest exact key). State = one row per
+    * distinct key seen within `delay` — bounded by arrival rate × delay.
+    */
+  def dedupExactWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("contentKey", xxhash64(col("text")))
+      .withWatermark("ingestTs", delay)
+      .dropDuplicatesWithinWatermark("contentKey")
+
+  /** Static simhash block index of an existing corpus: (block, blockKey,
+    * id, sim) — the join side for streaming near-dup lookups. `blocks`
+    * must exceed the lookup's maxHamming (pigeonhole, as in batch).
+    */
+  def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      blocks: Int = 4): DataFrame = {
+    val sims = corpus.select(col(idCol).as("corpusId"),
+      TextFunctions.simhash31(col(textCol)).as("corpusSim"))
+      .where(col("corpusSim") >= 0)
+    val blockKeys = array((0 until blocks).map { i =>
+      val (lo, hi) = Dedup.blockBounds(blocks, i)
+      shiftright(col("corpusSim"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }: _*)
+    sims.select(col("corpusId"), col("corpusSim"), posexplode(blockKeys))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+  }
+
+  /** Streaming near-dup detection: each arriving doc is simhashed, its
+    * blocks joined against the static index (broadcast — the index is tiny
+    * relative to the stream), and exact Hamming verifies candidates.
+    * Emits (doc_id, corpusId, dist) for dist ≤ maxHamming. A pair that
+    * collides in several blocks is deduped with
+    * `dropDuplicatesWithinWatermark` — state bounded by the watermark,
+    * never the corpus size.
+    */
+  def nearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, blocks: Int = 4,
+      dedupDelay: String = "10 minutes"): DataFrame = {
+    require(blocks > maxHamming, "pigeonhole: blocks must exceed maxHamming")
+    val withSim = stream
+      .withColumn("sim", TextFunctions.simhash31(col("text")))
+      .where(col("sim") >= 0)
+    val blockKeys = array((0 until blocks).map { i =>
+      val (lo, hi) = Dedup.blockBounds(blocks, i)
+      shiftright(col("sim"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }: _*)
+    withSim
+      .select(col("doc_id"), col("ingestTs"), col("sim"), posexplode(blockKeys))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+      .join(broadcast(index), Seq("block", "blockKey"))
+      .where(col("doc_id") =!= col("corpusId"))
+      .select(col("doc_id"), col("ingestTs"), col("corpusId"),
+        Dedup.hamming(col("sim"), col("corpusSim")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
+      .drop("ingestTs")
+  }
+}

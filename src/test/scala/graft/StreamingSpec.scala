@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventStream
+import graft.streaming.{DocumentStream, EventStream}
 
 /** Streaming extension: the file source drives the testdata events through
   * the watermarked windowed aggregation and the stateful sessionizer, with
@@ -59,5 +59,43 @@ class StreamingSpec extends AnyFunSuite {
       .select(countDistinct(col("user_id"))).first().getLong(0)
     assert(out.select("userId").distinct().count() <= nUsers)
     assert(out.groupBy().agg(sum("nEvents")).first().getLong(0) <= 1000)
+  }
+
+  private lazy val docStreamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("streaming exact dedup within watermark matches batch distinct-on-content") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.dedupExactWithinWatermark(stream), "doc_dedup")
+    val streamed = spark.table("doc_dedup")
+    val batchDistinct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(countDistinct(xxhash64(col("text")))).first().getLong(0)
+    assert(streamed.count() == batchDistinct,
+      s"streaming dedup kept ${streamed.count()} rows, batch distinct = $batchDistinct")
+  }
+
+  test("streaming near-dup lookup vs static simhash index matches batch pairs") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val index = DocumentStream.simhashIndex(corpus, "doc_id", "text")
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.nearDupsAgainstCorpus(stream, index, maxHamming = 3), "doc_neardup")
+    val streamed = spark.table("doc_neardup")
+      .select("doc_id", "corpusId").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: every unordered near-dup pair, seen from both sides
+    val batchPairs = graft.ops.Dedup
+      .simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("idA", "idB").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    assert(streamed == batchPairs,
+      s"stream found ${streamed.size} directed pairs, batch ${batchPairs.size}")
   }
 }
