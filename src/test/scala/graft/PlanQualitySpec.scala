@@ -63,4 +63,41 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("dedup pipelines never degenerate to cartesian/nested-loop joins") {
+    for (name <- Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
+      "d_dedup_cosine_lsh", "s_ann_lsh")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join:\n${p.take(2000)}")
+    }
+  }
+
+  test("dedup scans read only the id+text columns (pruned schema)") {
+    val p = planOf("d_dedup_ngram")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(3000))
+  }
+
+  test("native hash kernels stay inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("d_dedup_simhash")(spark, dir)
+    df.collect() // materialize so AQE finalizes and codegen stars render
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the simhash31 projection must be codegen'd (starred), proving the
+    // kernel call participates in whole-stage codegen rather than forcing
+    // an interpreted projection
+    assert(p.contains("* Project"), p.take(3000))
+    assert(p.contains("simhash31"), p.take(3000))
+  }
+
+  test("cosine near-dup re-joins vectors via broadcast after pair dedup") {
+    val p = planOf("d_dedup_cosine_lsh")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("DSv2 fixture scan appears as BatchScan with the source partitioning") {
+    val p = planOf("e_filter_isnull")
+    assert(p.contains("BatchScan"), p.take(2000))
+  }
 }
