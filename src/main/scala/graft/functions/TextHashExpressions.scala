@@ -53,6 +53,26 @@ case class SimHash31Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("langGuess", StringType, nullable = false),
+    StructField("quality", DoubleType, nullable = false),
+    StructField("nTokensWs", IntegerType, nullable = false),
+    StructField("nTokensBpe", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsOps.analyze(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsOps.analyze($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct 57-bit rolling hashes of n-word shingles of normalized text. */
   def shingle_hashes(text: Column, n: Int = 3): Column =
@@ -65,4 +85,9 @@ object TextFunctions {
   /** 31-bit SimHash of normalized text; -1 when the text has no words. */
   def simhash31(text: Column): Column =
     GraftBridge.column(SimHash31Expr(GraftBridge.expression(text)))
+
+  /** One-pass text stats struct: langGuess/quality/nTokensWs/nTokensBpe/
+    * fingerprint. */
+  def text_stats(text: Column): Column =
+    GraftBridge.column(TextStatsExpr(GraftBridge.expression(text)))
 }

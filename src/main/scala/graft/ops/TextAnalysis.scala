@@ -85,8 +85,25 @@ object TextAnalysis {
       lit(0L),
       (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
 
-  /** All analyses on a document DataFrame (expects `text`). */
+  /** All analyses on a document DataFrame (expects `text`). The hot path is
+    * the one-pass native kernel ([[graft.functions.TextStatsOps]]) — the
+    * HOF column expressions above are kept as the executable reference
+    * semantics (TextStatsSpec pins kernel ≡ HOF on testdata + edge cases;
+    * the DuckDB oracle for `d_text_analysis` mirrors the same formulas).
+    */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val s = graft.functions.TextFunctions.text_stats(col(textCol))
+    df.withColumn("langGuess", s.getField("langGuess"))
+      .withColumn("quality", s.getField("quality"))
+      .withColumn("nTokensWs", s.getField("nTokensWs"))
+      .withColumn("nTokensBpe", s.getField("nTokensBpe"))
+      .withColumn("fingerprint", s.getField("fingerprint"))
+  }
+
+  /** HOF-expression variant of analyze — the reference implementation the
+    * kernel is pinned against.
+    */
+  def analyzeHof(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
     df.withColumn("langGuess", langGuess(words(c)))
       .withColumn("quality", qualityScore(c))
