@@ -22,8 +22,7 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
     })
     server.createContext("/health", (ex: HttpExchange) => handle(ex) {
       val h = db.healthCheck()
-      val status = if (h.values.forall(identity)) 200 else 503
-      (status, Json.mapper.writeValueAsString(Json.toNode(h)))
+      (if (h.healthy) 200 else 503, Json.writeHealth(h))
     })
     server.createContext("/validate/query", (ex: HttpExchange) => handle(ex) {
       // zero-I/O validation endpoint: runs the validator only
@@ -122,7 +121,8 @@ final class MultiDbHttpClient(
   private val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  private def send(path: String, body: Option[String]): String = {
+  private def send(path: String, body: Option[String],
+      throwOnError: Boolean = true): String = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
       .timeout(Duration.ofMillis(timeoutMs))
     headers.foreach { case (k, v) => b.header(k, v) }
@@ -141,18 +141,19 @@ final class MultiDbHttpClient(
           throw ConnectionError("NETWORK_ERROR",
             Map("path" -> path, "cause" -> String.valueOf(e.getMessage)))
       }
-    if (resp.statusCode() >= 400) throw MultiDbClient.reconstructError(resp.body())
+    if (throwOnError && resp.statusCode() >= 400)
+      throw MultiDbClient.reconstructError(resp.body())
     resp.body()
   }
 
   def query(defn: QueryDefinition, ctx: ExecutionContext = ExecutionContext()): QueryResult =
     Json.parseResult(send("/query", Some(Json.writeQueryRequest(defn, ctx))))
 
-  def healthCheck(): Map[String, Boolean] = {
-    val n = Json.mapper.readTree(send("/health", None))
-    import scala.jdk.CollectionConverters._
-    n.fields().asScala.map(e => e.getKey -> e.getValue.asBoolean()).toMap
-  }
+  /** An unhealthy server answers 503 with the SAME HealthCheckResult body
+    * (C1303) — the client parses it rather than raising.
+    */
+  def healthCheck(): HealthCheckResult =
+    Json.parseHealth(send("/health", None, throwOnError = false))
 
   def validateQuery(defn: QueryDefinition, ctx: ExecutionContext = ExecutionContext()): Unit = {
     send("/validate/query", Some(Json.writeQueryRequest(defn, ctx))); ()

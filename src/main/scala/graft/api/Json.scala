@@ -377,6 +377,38 @@ object Json {
     case other => mapper.getNodeFactory.textNode(String.valueOf(other))
   }
 
+  /** Contract health shape (C1300-C1304): `{healthy, executors: {id:
+    * {healthy, latencyMs, error?}}, cacheProviders: {...}}`. */
+  def writeHealth(h: HealthCheckResult): String = {
+    def comp(c: ComponentHealth): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("healthy", c.healthy); o.put("latencyMs", c.latencyMs)
+      c.error.foreach(o.put("error", _)); o
+    }
+    def section(m: Map[String, ComponentHealth]): ObjectNode = {
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, v) => o.set[JsonNode](k, comp(v)) }; o
+    }
+    val root = mapper.createObjectNode()
+    root.put("healthy", h.healthy)
+    root.set[JsonNode]("executors", section(h.executors))
+    root.set[JsonNode]("cacheProviders", section(h.cacheProviders))
+    mapper.writeValueAsString(root)
+  }
+
+  def parseHealth(body: String): HealthCheckResult = {
+    val n = mapper.readTree(body)
+    def section(f: String): Map[String, ComponentHealth] =
+      Option(n.get(f)).map(_.fields().asScala.map { e =>
+        e.getKey -> ComponentHealth(
+          e.getValue.get("healthy").asBoolean(),
+          e.getValue.get("latencyMs").asLong(),
+          Option(e.getValue.get("error")).map(_.asText()))
+      }.toMap).getOrElse(Map.empty)
+    HealthCheckResult(n.get("healthy").asBoolean(), section("executors"),
+      section("cacheProviders"))
+  }
+
   private def metaNode(meta: QueryResultMeta): ObjectNode = {
     val m = mapper.createObjectNode()
     m.put("strategy", meta.strategy)

@@ -44,21 +44,33 @@ final class MultiDb(
   def reloadMetadata(): Unit = state = load()
   def reloadRoles(): Unit = state = load()
 
-  def healthCheck(): Map[String, Boolean] = {
+  /** Contract-shaped health report (reference C1300-C1304): overall
+    * `healthy` plus per-executor and per-cache-provider status with
+    * measured latency and the failure message when unhealthy.
+    */
+  def healthCheck(): HealthCheckResult = {
     val (index, _) = state
-    val dbs = index.config.databases.map { d =>
-      d.id -> (try {
-        // source connectivity: EVERY registered loader for the database must
-        // produce a frame (probing only the first hid per-table outages)
-        registry.loaders.collect { case ((db, _), l) if db == d.id => l }
-          .foreach(l => l().schema)
-        true
-      } catch { case _: Exception => false })
+    def probe(body: => Unit): ComponentHealth = {
+      val t0 = System.nanoTime()
+      try { body; ComponentHealth(healthy = true, (System.nanoTime() - t0) / 1000000) }
+      catch { case e: Exception =>
+        ComponentHealth(healthy = false, (System.nanoTime() - t0) / 1000000,
+          Some(String.valueOf(e.getMessage)))
+      }
     }
+    val executors = index.config.databases.map { d =>
+      // source connectivity: EVERY registered loader for the database must
+      // produce a frame (probing only the first hid per-table outages)
+      d.id -> probe(registry.loaders
+        .collect { case ((db, _), l) if db == d.id => l }
+        .foreach(l => l().schema))
+    }.toMap
     val caches = registry.cacheProviders.map { case (id, p) =>
-      id -> (try p.ping() catch { case _: Exception => false })
-    }
-    (dbs ++ caches).toMap
+      id -> probe(if (!p.ping()) throw new IllegalStateException("ping returned false"))
+    }.toMap
+    HealthCheckResult(
+      healthy = (executors.values ++ caches.values).forall(_.healthy),
+      executors = executors, cacheProviders = caches)
   }
 
   @volatile private var closed = false

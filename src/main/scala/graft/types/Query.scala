@@ -156,3 +156,19 @@ final case class CountResult(
     meta: QueryResultMeta,
     debugLog: Option[Seq[DebugLogEntry]] = None,
 ) extends QueryResult
+
+/** Per-component health probe result (reference C1302: healthy + latency,
+  * plus the failure message when unhealthy).
+  */
+final case class ComponentHealth(
+    healthy: Boolean,
+    latencyMs: Long,
+    error: Option[String] = None,
+)
+
+/** Contract-shaped health report (reference C1300-C1304). */
+final case class HealthCheckResult(
+    healthy: Boolean,
+    executors: Map[String, ComponentHealth],
+    cacheProviders: Map[String, ComponentHealth],
+)

@@ -106,11 +106,15 @@ class HttpApiSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
-  test("GET /health reports providers") {
+  test("GET /health returns the contract shape (C1300/C1301/C1302/C1304)") {
     val r = get("/health")
     assert(r.statusCode() == 200)
     val n = graft.api.Json.mapper.readTree(r.body())
-    assert(n.get("pg-main").asBoolean() && n.get("redis-main").asBoolean())
+    assert(n.get("healthy").asBoolean())
+    assert(n.get("executors").has("pg-main") && n.get("executors").has("ch-analytics"))
+    assert(n.get("executors").get("pg-main").get("healthy").asBoolean())
+    assert(n.get("executors").get("pg-main").get("latencyMs").isNumber)
+    assert(n.get("cacheProviders").get("redis-main").get("healthy").asBoolean())
   }
 
   test("POST /validate/query is zero-I/O and returns valid:true / 400") {
@@ -169,7 +173,8 @@ class HttpApiSpec extends AnyFunSuite {
       c.validateQuery(QueryDefinition("orders", columns = Some(Seq("ghost"))))
     }
     assert(ve.errors.head.code == "UNKNOWN_COLUMN")
-    assert(c.healthCheck().getOrElse("pg-main", false))
+    assert(c.healthCheck().healthy &&
+      c.healthCheck().executors("pg-main").healthy)
   }
 
   test("client timeout → ConnectionError(REQUEST_TIMEOUT); unreachable → NETWORK_ERROR") {

@@ -15,12 +15,31 @@ class LifecycleSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
 
-  test("healthCheck reports databases and cache providers") {
+  test("healthCheck reports databases and cache providers (C1300-C1304 shape)") {
     val db = ContractFixture.multiDb(spark)
     val h = db.healthCheck()
-    assert(h.get("pg-main").contains(true))
-    assert(h.get("ch-analytics").contains(true))
-    assert(h.get("redis-main").contains(true))
+    assert(h.healthy)
+    // C1301: executor keys match configured database ids
+    assert(h.executors.keySet == Set("pg-main", "ch-analytics"))
+    // C1302: each component reports healthy + measured latency
+    (h.executors.values ++ h.cacheProviders.values).foreach { c =>
+      assert(c.healthy && c.latencyMs >= 0 && c.error.isEmpty)
+    }
+    // C1304: cache provider present
+    assert(h.cacheProviders.get("redis-main").exists(_.healthy))
+    // C1303: a failing loader flips both component and top-level health
+    val broken = ContractFixture.registry(spark)
+    val reg2 = broken.copy(loaders = broken.loaders.map {
+      case (("pg-main", t), _) =>
+        (("pg-main", t), () => throw new RuntimeException("db stopped"))
+      case other => other
+    })
+    val db2 = graft.api.MultiDb(spark, ContractFixture.config(), ContractFixture.roles, reg2)
+    val h2 = db2.healthCheck()
+    assert(!h2.healthy)
+    assert(!h2.executors("pg-main").healthy)
+    assert(h2.executors("pg-main").error.exists(_.contains("db stopped")))
+    assert(h2.executors("ch-analytics").healthy)
   }
 
   test("reloadMetadata atomically swaps config (new table visible after)") {
