@@ -62,6 +62,35 @@ object Similarity {
         when(dot_product(v, signRow(p)) > 0, 1L).otherwise(0L))
     }
 
+  /** Multi-probe bucket list: the exact bucket plus `probes` variants with
+    * the WEAKEST sign bits flipped (smallest |projection| = the planes the
+    * vector sits closest to, i.e. the likeliest misclassifications —
+    * standard multi-probe LSH). Query-side only: recall rises without
+    * touching the corpus index or adding bands. Returns array<long> of
+    * 1 + probes buckets.
+    */
+  def hyperplaneProbes(v: Column, planes: Int, firstPlane: Int, probes: Int): Column = {
+    require(probes >= 0 && probes <= planes, "probes must be in [0, planes]")
+    val dots = array((0 until planes).map(j =>
+      dot_product(v, signRow(firstPlane + j))): _*)
+    graft.functions.Exprs.let(dots, ds => {
+      val bucket = (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
+        shiftleft(acc, 1).bitwiseOR(
+          when(element_at(ds, j + 1) > 0, 1L).otherwise(0L))
+      }
+      graft.functions.Exprs.let(bucket, b => {
+        // rank plane positions by |dot| ascending; flip the weakest bits
+        val ranked = sort_array(transform(sequence(lit(0), lit(planes - 1)),
+          j => struct(abs(element_at(ds, j + 1)).as("a"), j.as("j"))))
+        val flips = transform(slice(ranked, 1, probes), s =>
+          b.bitwiseXOR(
+            pow(lit(2.0), (lit(planes - 1) - s.getField("j")).cast("double"))
+              .cast("long")))
+        concat(array(b), flips)
+      })
+    })
+  }
+
   private def prep(df: DataFrame, idName: String): DataFrame =
     df.select(col(idName),
       transform(col("vec"), _.cast("double")).as(s"${idName}_v"))
@@ -113,6 +142,7 @@ object Similarity {
       k: Int = 10,
       planesPerBand: Int = 4,
       bands: Int = 4,
+      probes: Int = 0, // query-side multi-probe bit flips per band
   ): DataFrame = {
     // band shuffle carries ids only; vectors re-join after pair dedup (the
     // per-side frames are small relative to candidate rows — AQE broadcasts)
@@ -122,7 +152,17 @@ object Similarity {
       prep(df, id).select(col(id), posexplode(buckets))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     }
-    val cand = banded(queries, "qid").join(banded(corpus, "cid"), Seq("band", "bucket"))
+    // the query side probes (1+probes) buckets per band; the corpus index
+    // is untouched — multi-probe trades a little query fan-out for recall
+    def bandedProbed(df: DataFrame, id: String) = {
+      val probeLists = array((0 until bands).map(b =>
+        hyperplaneProbes(col(s"${id}_v"), planesPerBand, b * planesPerBand, probes)): _*)
+      prep(df, id).select(col(id), posexplode(probeLists))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "buckets"))
+        .select(col(id), col("band"), explode(col("buckets")).as("bucket"))
+    }
+    val qSide = if (probes == 0) banded(queries, "qid") else bandedProbed(queries, "qid")
+    val cand = qSide.join(banded(corpus, "cid"), Seq("band", "bucket"))
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
     val scored = cand

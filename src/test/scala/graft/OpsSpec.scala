@@ -106,6 +106,16 @@ class OpsSpec extends AnyFunSuite {
     assert(r4 >= 0.7, s"default 4×4 config recall@5 = $r4 < 0.7")
     // more planes per band = smaller buckets = lower recall at equal bands
     assert(recall(8, 4) < r4)
+    // multi-probe: flipping the weakest sign bits recovers recall without
+    // touching the corpus index or adding bands
+    def recallProbed(probes: Int): Double = {
+      val lsh = Similarity.lshTopKBanded(q, c, k = 5, planesPerBand = 4,
+        bands = 4, probes = probes)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & lsh).size.toDouble / bf.size
+    }
+    val rp = recallProbed(2)
+    assert(rp > r4, s"2-probe recall $rp should beat probeless $r4")
   }
 
   test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
