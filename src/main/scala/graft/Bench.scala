@@ -30,6 +30,7 @@ object Bench {
     "d_dedup_cosine_lsh", // banded hyperplane LSH + exact cosine
     "s_ann_topk",         // brute-force cosine top-k
     "s_ann_lsh",          // banded-LSH ANN
+    "s_ann_ivf",          // IVF cell-probe ANN
     "m_media_frames",     // mapPartitions frame sampling
   )
 

@@ -388,6 +388,15 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, planesPerBand = 4, bands = 4).orderBy("qid", "rank")
     },
+    // ---- ANN: IVF scale path (seeded coarse quantizer, 4-of-16 cell
+    //      probe); oracle mirrors assignment + probing + ranking
+    "s_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4).orderBy("qid", "rank")
+    },
     // ---- multimodal: binary payload + stubbed decode via mapPartitions
     "m_media_features" -> { (s, dir) =>
       ops.Multimodal.decodeFeatures(
@@ -717,6 +726,30 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // Mirrors Similarity.ivfTopK: seeded centroids (vec_id < 16), cosine
+    // argmin assignment, 4-cell probe, exact top-k inside probed cells.
+    "s_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id AS cid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |qc AS (SELECT vec_id AS qid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |p AS (SELECT DISTINCT qc.qid, asg.cid
+         |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+         |sc AS (SELECT p.qid, p.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Deterministic chunk math: frames = every 2nd 128-byte chunk of the
     // UTF-8 payload (ASCII text ⇒ byte k = ascii of char k); checksum is
     // the same (a*131 + byte) mod (2^31-1) fold as Multimodal.checksum.

@@ -175,6 +175,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells`
+    * cells — each vector assigned to its nearest centroid by cosine — then
+    * probe only the `nProbe` nearest cells per query and run exact top-k
+    * inside them. The classic candidate-cut shape: corpus scan cost is one
+    * broadcast-centroid pass, the probe join touches ~nProbe/nCells of the
+    * corpus, and cells are hash-partitionable on centId at any scale.
+    *
+    * The quantizer is SEEDED (centroids = the corpus vectors with the
+    * `nCells` smallest ids): deterministic, so the DuckDB oracle mirrors
+    * assignment + probing exactly. Swapping in k-means centroids changes
+    * only the `cent` frame — assignment/probe/scoring plumbing is
+    * identical (a trained quantizer is not oracle-expressible, which is
+    * why the seeded one is the gated variant).
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+  ): DataFrame = {
+    val c = prep(corpus, "cid")
+    val cent = c.where(col("cid") < nCells)
+      .select(col("cid").as("centId"), col("cid_v").as("cent_v"), col("cid_n").as("cent_n"))
+    def nearestCells(df: DataFrame, id: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
+      df.crossJoin(broadcast(cent))
+        .select(col(id), col("centId"),
+          (dot_product(col(s"${id}_v"), col("cent_v")) /
+            (col(s"${id}_n") * col("cent_n"))).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+        .select(col(id), col("centId"))
+    }
+    val assigned = nearestCells(c, "cid", keep = 1)
+    val probed = nearestCells(prep(queries, "qid"), "qid", keep = nProbe)
+    val cand = probed.join(assigned, "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(prep(queries, "qid"), "qid")
+      .join(prep(corpus, "cid"), "cid")
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With
     * multi-probe = 0 this trades recall for a ~2^planes candidate cut.
     */

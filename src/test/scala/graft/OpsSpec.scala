@@ -118,6 +118,31 @@ class OpsSpec extends AnyFunSuite {
     assert(rp > r4, s"2-probe recall $rp should beat probeless $r4")
   }
 
+  test("IVF ANN: results are true cosines; probing more cells raises recall") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "cid", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(nProbe: Int) = Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = nProbe)
+      .select("qid", "cid", "sim").collect()
+    val p4 = run(4)
+    // soundness: every IVF sim equals the exact cosine brute force computed
+    p4.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(2)))
+    }
+    def recall(rows: Array[org.apache.spark.sql.Row]) = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf.keySet & got).size.toDouble / bf.size
+    }
+    val r4 = recall(p4); val r8 = recall(run(8)); val r16 = recall(run(16))
+    assert(r4 <= r8 && r8 <= r16, s"IVF recall not monotone in nProbe: $r4/$r8/$r16")
+    assert(r16 == 1.0, s"probing ALL cells must equal brute force, got $r16")
+  }
+
   test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
     val out = TextAnalysis.analyze(docs).where($"doc_id" === 1L).collect().head
     assert(out.getAs[String]("langGuess") == "en") // 'the' x2, 'over'
