@@ -320,6 +320,19 @@ object SparkEntry {
       columns = Some(Seq("id")),
       filters = Seq(QueryFilter("tags", "arrayIsEmpty")),
       orderBy = Seq(QueryOrderBy("id")))),
+    // ---- 2.4 self-referencing EXISTS (items whose parent exists, via the
+    //      items.parentId → items.id self-relation; fresh alias per level)
+    eng("e_exists_self")(QueryDefinition("items",
+      columns = Some(Seq("id", "name")),
+      filters = Seq(QueryExistsFilter("items",
+        filters = Seq(QueryFilter("tag", "isNotNull")))),
+      orderBy = Seq(QueryOrderBy("id")))),
+    // ---- 2.4 counted EXISTS with `=` (exact-count correlated subquery)
+    eng("e_exists_count_eq")(QueryDefinition("customer",
+      columns = Some(Seq("custkey")),
+      filters = Seq(QueryExistsFilter("orders",
+        count = Some(CountCond("=", 10)))),
+      orderBy = Seq(QueryOrderBy("custkey")))),
 
     // ---- mixed-format plan: parquet fact × DSv2 in-memory dim in one join
     "q10_cross_source" -> { (s, dir) =>
@@ -605,6 +618,19 @@ object SparkEntry {
     "e_filter_arr_empty" ->
       s"""WITH ${sources.FixtureItems.oracleCte}
          |SELECT id FROM items WHERE len(tags) = 0 ORDER BY id""".stripMargin,
+    // self-EXISTS correlation: child.parentId = parent.id (the fresh child
+    // alias references the outer row through the items.parentId → items.id
+    // self-relation) — "items that have a tagged child"
+    "e_exists_self" ->
+      s"""WITH ${sources.FixtureItems.oracleCte}
+         |SELECT i.id, i.name FROM items i
+         |WHERE EXISTS (SELECT 1 FROM items c
+         |  WHERE c."parentId" = i.id AND c.tag IS NOT NULL)
+         |ORDER BY i.id""".stripMargin,
+    "e_exists_count_eq" ->
+      """SELECT c_custkey AS custkey FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) = 10
+        |ORDER BY c_custkey""".stripMargin,
     "q10_cross_source" ->
       s"""WITH ${sources.FixtureItems.oracleCte}
          |SELECT d.doc_id, i.name, i.tag

@@ -40,10 +40,13 @@ object FixtureItems {
     StructField("id", LongType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("tag", StringType, nullable = true),
-    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("parentId", LongType, nullable = true)))
 
   /** Deterministic row i (1-based) — mirrored by the oracle SQL:
-    * tag NULL every 5th row; tags NULL every 11th, empty every 7th.
+    * tag NULL every 5th row; tags NULL every 11th, empty every 7th;
+    * parentId = i/2 (a self-relation for self-EXISTS), NULL for the root
+    * and every 9th row.
     */
   def row(i: Long): InternalRow = {
     val tag = if (i % 5 == 0) null else UTF8String.fromString("tag" + (i % 3))
@@ -52,7 +55,8 @@ object FixtureItems {
       else if (i % 7 == 0) new GenericArrayData(Array.empty[Any])
       else new GenericArrayData(Array[Any](
         UTF8String.fromString("t" + (i % 4)), UTF8String.fromString("t" + (i % 6))))
-    new GenericInternalRow(Array[Any](i, UTF8String.fromString("item_" + i), tag, tags))
+    val parent: Any = if (i == 1 || i % 9 == 0) null else java.lang.Long.valueOf(i / 2)
+    new GenericInternalRow(Array[Any](i, UTF8String.fromString("item_" + i), tag, tags, parent))
   }
 
   /** The oracle-side CTE regenerating this table in DuckDB. */
@@ -62,7 +66,8 @@ object FixtureItems {
       |    CASE WHEN i % 5 = 0 THEN NULL ELSE 'tag' || (i % 3) END AS tag,
       |    CASE WHEN i % 11 = 0 THEN NULL
       |         WHEN i % 7 = 0 THEN []::VARCHAR[]
-      |         ELSE ['t' || (i % 4), 't' || (i % 6)] END AS tags
+      |         ELSE ['t' || (i % 4), 't' || (i % 6)] END AS tags,
+      |    CASE WHEN i = 1 OR i % 9 = 0 THEN NULL ELSE i // 2 END AS "parentId"
       |  FROM generate_series(1, 200) t(i))""".stripMargin
 }
 

@@ -83,8 +83,10 @@ object TpchCatalog {
     TableMeta("items", "items", "fixture", "graft_fixture_items", Seq(
       c("id", "id", "int"), c("name", "name", "string"),
       c("tag", "tag", "string", nullable = true),
-      c("tags", "tags", "string[]", nullable = true)),
-      primaryKey = Seq("id")),
+      c("tags", "tags", "string[]", nullable = true),
+      c("parentId", "parentId", "int", nullable = true)),
+      primaryKey = Seq("id"),
+      relations = Seq(RelationMeta("parentId", "items", "id"))),
   )
 
   def config: MetadataConfig = MetadataConfig(

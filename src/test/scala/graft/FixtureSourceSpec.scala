@@ -17,7 +17,8 @@ class FixtureSourceSpec extends AnyFunSuite {
 
   test("schema, row count, and 4-slice partitioning") {
     assert(items.schema.map(f => (f.name, f.nullable)) ==
-      Seq(("id", false), ("name", false), ("tag", true), ("tags", true)))
+      Seq(("id", false), ("name", false), ("tag", true), ("tags", true),
+        ("parentId", true)))
     assert(items.count() == 200)
     assert(items.rdd.getNumPartitions == 4)
   }
@@ -33,6 +34,8 @@ class FixtureSourceSpec extends AnyFunSuite {
       if (i % 11 == 0) assert(r.isNullAt(3))
       else if (i % 7 == 0) assert(r.getSeq[String](3).isEmpty)
       else assert(r.getSeq[String](3) == Seq(s"t${i % 4}", s"t${i % 6}"))
+      if (i == 1 || i % 9 == 0) assert(r.isNullAt(4))
+      else assert(r.getLong(4) == i / 2)
     }
   }
 
