@@ -166,6 +166,25 @@ object SparkEntry {
         QueryFilter("name", "iendsWith", Some("BOLT")),
         QueryFilter("name", "notContains", Some("zzz"))),
       orderBy = Seq(QueryOrderBy("partkey")))),
+    // ---- 2.3 remaining pattern family: notLike / ilike / notIlike /
+    //      icontains / notIcontains / startsWith / endsWith (completes
+    //      per-operator oracle coverage of ops 9-22)
+    eng("e_filter_patterns2")(QueryDefinition("part",
+      columns = Some(Seq("partkey", "name")),
+      filters = Seq(
+        QueryFilter("name", "notLike", Some("%steel%")),
+        QueryFilter("name", "ilike", Some("%BOLT%")),
+        QueryFilter("name", "notIlike", Some("%ZINC%")),
+        QueryFilter("name", "icontains", Some("O")),
+        QueryFilter("name", "notIcontains", Some("XYL")),
+        QueryFilter("name", "startsWith", Some("s")),
+        QueryFilter("name", "endsWith", Some("t"))),
+      orderBy = Seq(QueryOrderBy("partkey")))),
+    // ---- 2.3 notBetween (numeric)
+    eng("e_filter_notbetween")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "totalprice")),
+      filters = Seq(QueryFilter("totalprice", "notBetween", Some((1000.0, 400000.0)))),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
     // ---- 2.3 nested filter groups with or / not
     eng("e_filter_groups")(QueryDefinition("orders",
       columns = Some(Seq("orderkey", "orderstatus", "totalprice")),
@@ -509,6 +528,21 @@ object SparkEntry {
         |  AND LOWER(p_name) LIKE '%' || LOWER('BOLT')
         |  AND p_name NOT LIKE '%zzz%'
         |ORDER BY p_partkey""".stripMargin,
+    "e_filter_patterns2" ->
+      """SELECT p_partkey AS partkey, p_name AS name
+        |FROM part
+        |WHERE p_name NOT LIKE '%steel%'
+        |  AND LOWER(p_name) LIKE LOWER('%BOLT%')
+        |  AND NOT (LOWER(p_name) LIKE LOWER('%ZINC%'))
+        |  AND LOWER(p_name) LIKE '%' || LOWER('O') || '%'
+        |  AND NOT (LOWER(p_name) LIKE '%' || LOWER('XYL') || '%')
+        |  AND p_name LIKE 's' || '%'
+        |  AND p_name LIKE '%' || 't'
+        |ORDER BY p_partkey""".stripMargin,
+    "e_filter_notbetween" ->
+      """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        |FROM orders WHERE o_totalprice NOT BETWEEN 1000.0 AND 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "e_filter_groups" ->
       """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus, o_totalprice AS totalprice
         |FROM orders
