@@ -479,7 +479,11 @@ private final class Resolver(
       }: _*)
 
     val sqlText = SqlText.generate(index, plan, q, mappings, aliasOf)
-    ResolvedQuery(result, countFrame, mappings, sqlText, sqlParams.result())
+    // count mode counts matching rows pre-limit — but DISTINCT projects
+    // first: `distinct: true` + count = number of distinct projected rows
+    // (reference C1713), not the pre-projection row count
+    val countF = if (q.distinct) projected.distinct() else countFrame
+    ResolvedQuery(result, countF, mappings, sqlText, sqlParams.result())
   }
 
   /** Aggregate expression with deterministic numeric accumulation: columns

@@ -75,6 +75,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       s"total is ${v.getClass}")
   }
 
+  test("C1713: DISTINCT + count mode counts distinct values") {
+    val res = db.query(QueryDefinition("orders", columns = Some(Seq("status")),
+      distinct = true, executeMode = "count"), admin)
+    assert(res.asInstanceOf[CountResult].count == 4) // active/paid/cancelled/shipped
+  }
+
+  test("C1714: GROUP BY over zero matching rows returns empty data with meta") {
+    val res = db.query(QueryDefinition("orders", columns = Some(Seq("status")),
+      filters = Seq(QueryFilter("status", "=", Some("nonexistent"))),
+      groupBy = Seq(QueryGroupBy("status")),
+      aggregations = Seq(QueryAggregation("total", "sum", "t")),
+      ), admin).asInstanceOf[DataResult]
+    assert(res.data.isEmpty && res.meta.columns.nonEmpty)
+  }
+
   test("C1709: multiple top-level filters combine with implicit AND") {
     // active orders: id 1 (total 100) and id 4 (total 300) — the second
     // filter must intersect, not OR
