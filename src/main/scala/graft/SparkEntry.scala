@@ -353,6 +353,26 @@ object SparkEntry {
         count = Some(CountCond("=", 10)))),
       orderBy = Seq(QueryOrderBy("custkey")))),
 
+    // ---- window analytics over event sequences (per-user ordering,
+    //      gaps, running sums — the feature-engineering shapes a training
+    //      pipeline derives from event logs; ts is raw nanos int64)
+    "q11_window_features" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // second-granularity timestamps: DuckDB reads parquet nanos as
+      // rounded microseconds, so sub-second gap math can't cross-check;
+      // whole seconds are boundary-safe on this data (verified: no ts
+      // within 2µs of a second boundary at sf0.01/sf0.1)
+      e.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("tsSec", expr("ts div 1000000000"))
+        .withColumn("seqNum", row_number().over(w))
+        .withColumn("gapSec", col("tsSec") - lag(col("tsSec"), 1).over(w))
+        .withColumn("runValue", sum(col("value").cast(D6)).over(w).cast("double"))
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("seqNum"), col("gapSec"), col("runValue"))
+        .orderBy("userId", "seqNum")
+    },
     // ---- mixed-format plan: parquet fact × DSv2 in-memory dim in one join
     "q10_cross_source" -> { (s, dir) =>
       val d = t(s, dir, "documents")
@@ -670,6 +690,16 @@ object SparkEntry {
          |SELECT d.doc_id, i.name, i.tag
          |FROM documents d JOIN items i ON (d.doc_id % 200) + 1 = i.id
          |ORDER BY d.doc_id""".stripMargin,
+    // ts is nanosecond int64 in the parquet (Spark reads it as long via
+    // nanosAsLong; DuckDB as TIMESTAMP_NS → epoch_ns recovers the int64)
+    "q11_window_features" ->
+      """SELECT user_id AS "userId", event_id AS "eventId",
+        |  CAST(row_number() OVER w AS INT) AS "seqNum",
+        |  epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000, 1) OVER w AS "gapSec",
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS "runValue"
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY 1, 3""".stripMargin,
     "d_text_analysis" ->
       """WITH w AS (
         |  SELECT doc_id, text,
