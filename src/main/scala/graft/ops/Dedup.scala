@@ -27,6 +27,18 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Widen a small input to the cluster's parallelism for the CPU-heavy
+    * signature scans — but NEVER narrow a large one: at scale the parquet
+    * splits already fan out, and an unconditional
+    * `repartition(defaultParallelism)` would funnel 100k input splits into
+    * one default-sized shuffle (a 100 TB anti-pattern; this guard exists
+    * because tiny local test files arrive as a single split).
+    */
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup on a (possibly normalized) key: keeps the row with the
     * smallest `idCol` per duplicate group. One shuffle on the group key.
     */
@@ -57,8 +69,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sig = ensureParallelism(docs)
       .select(col(idCol).as("id"),
         TextFunctions.minhash_sig(
           TextFunctions.shingle_hashes(col(textCol)), numHashes).as("sig"))
@@ -104,8 +115,7 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4,
   ): DataFrame = {
-    val sims = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sims = ensureParallelism(docs)
       .select(col(idCol).as("id"), TextFunctions.simhash31(col(textCol)).as("sim"))
       .where(col("sim") >= 0) // -1 marks no-word docs
     pairsFromSimhash(sims, maxHamming, blocks)
@@ -149,8 +159,7 @@ object Dedup {
       threshold: Double = 0.4,
       maxDf: Int = 50,
   ): DataFrame = {
-    val ds = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val ds = ensureParallelism(docs)
       .select(col(idCol).as("id"),
         TextFunctions.shingle_hashes(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
@@ -191,8 +200,7 @@ object Dedup {
       bands: Int = 8,
   ): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val withVec = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val withVec = ensureParallelism(emb)
       .select(col(idCol).as("id"), v.as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val bucketCols = array((0 until bands).map { b =>
