@@ -382,6 +382,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- third physical format: ORC dim (materialized once from the
+    //      region parquet) joined with a parquet fact in one plan — the
+    //      oracle reads the identical source data via the parquet view
+    "q12_orc_source" -> { (s, dir) =>
+      val orcDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "/region")
+      if (!orcDir.exists())
+        t(s, dir, "region").write.mode("overwrite").orc(orcDir.toString)
+      val r = s.read.orc(orcDir.toString)
+      val n = t(s, dir, "nation")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -690,6 +705,10 @@ object SparkEntry {
          |SELECT d.doc_id, i.name, i.tag
          |FROM documents d JOIN items i ON (d.doc_id % 200) + 1 = i.id
          |ORDER BY d.doc_id""".stripMargin,
+    "q12_orc_source" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
     // ts is nanosecond int64 in the parquet (Spark reads it as long via
     // nanosAsLong; DuckDB as TIMESTAMP_NS → epoch_ns recovers the int64)
     "q11_window_features" ->
