@@ -36,6 +36,11 @@ object SparkEntry {
   private def eng(name: String)(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
     name -> ((s: SparkSession, dir: String) => TpchCatalog.frame(s, dir)(mk))
 
+  /** Per-JVM ORC materializations of the region dim, keyed by sfDir —
+    * process-private temp dirs, written once under computeIfAbsent's lock.
+    */
+  private val orcRegionDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e_agg_groupby")(spark, "/root/testdata/sf0.001")
@@ -382,15 +387,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // ---- third physical format: ORC dim (materialized once from the
-    //      region parquet) joined with a parquet fact in one plan — the
-    //      oracle reads the identical source data via the parquet view
+    // ---- third physical format: ORC dim (materialized once per JVM from
+    //      the region parquet, under a fresh process-private temp dir — no
+    //      cross-process races, no stale copies) joined with a parquet
+    //      fact in one plan; the oracle reads the identical source data
+    //      via the parquet view
     "q12_orc_source" -> { (s, dir) =>
-      val orcDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "/region")
-      if (!orcDir.exists())
-        t(s, dir, "region").write.mode("overwrite").orc(orcDir.toString)
-      val r = s.read.orc(orcDir.toString)
+      val orcDir = orcRegionDir.computeIfAbsent(dir, { d =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_orc").resolve("region").toString
+        t(s, d, "region").write.orc(path)
+        path
+      })
+      val r = s.read.orc(orcDir)
       val n = t(s, dir, "nation")
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))

@@ -134,6 +134,12 @@ final class MultiDbHttpClient(
     val resp =
       try client.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
       catch {
+        // connect-phase timeouts are UNREACHABILITY, not a slow response:
+        // HttpConnectTimeoutException extends HttpTimeoutException, so it
+        // must be matched first or it would misreport as REQUEST_TIMEOUT
+        case e: java.net.http.HttpConnectTimeoutException =>
+          throw ConnectionError("NETWORK_ERROR",
+            Map("path" -> path, "cause" -> String.valueOf(e.getMessage)))
         case e: java.net.http.HttpTimeoutException =>
           throw ConnectionError("REQUEST_TIMEOUT",
             Map("timeoutMs" -> timeoutMs, "path" -> path, "cause" -> String.valueOf(e.getMessage)))

@@ -138,6 +138,7 @@ object Json {
     if (n.isNull) null
     else if (n.isBoolean) n.asBoolean()
     else if (n.isIntegralNumber) n.asLong()
+    else if (n.isBigDecimal) n.decimalValue() // exactMapper parse path
     else if (n.isFloatingPointNumber) n.asDouble()
     else if (n.isArray) n.elements().asScala.map(jsonValue).toSeq
     else n.asText()
@@ -319,12 +320,24 @@ object Json {
 
   // ---------------- result parsing (client side) ----------------
 
+  /** Float-exact tree parser for result bodies: JSON decimals parse as
+    * BigDecimal so a decimal(38,x) column survives the wire without the
+    * double round-trip (>53-bit values would silently lose precision).
+    */
+  private val exactMapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    m
+  }
+
   /** Reconstruct a QueryResult from a server response body — the client's
     * half of the wire contract (HTTP_CLIENT.md: "result is QueryResult",
-    * same shape as in-process).
+    * same shape as in-process): columns typed `decimal` in the meta come
+    * back as BigDecimal (C1708 parity), other numerics as Long/Double.
     */
   def parseResult(body: String): QueryResult = {
-    val n = mapper.readTree(body)
+    val n = exactMapper.readTree(body)
     val m = n.get("meta")
     val meta = QueryResultMeta(
       text(m, "strategy"), text(m, "targetDatabase"), optText(m, "dialect"),
@@ -336,10 +349,17 @@ object Json {
       Timing(m.get("timing").get("planningMs").asLong(),
         m.get("timing").get("generationMs").asLong(),
         Option(m.get("timing").get("executionMs")).map(_.asLong())))
+    val decimalCols = meta.columns.filter(_.columnType == "decimal").map(_.apiName).toSet
     text(n, "kind") match {
       case "data" => DataResult(
         arr(n, "data").map(r =>
-          r.fields().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap), meta)
+          r.fields().asScala.map { e =>
+            e.getKey -> (jsonValue(e.getValue) match {
+              case bd: java.math.BigDecimal if !decimalCols.contains(e.getKey) =>
+                bd.doubleValue() // non-decimal floats stay doubles
+              case x => x
+            })
+          }.toMap), meta)
       case "sql" => SqlResult(text(n, "sql"),
         arr(n, "params").map(jsonValue), meta)
       case "count" => CountResult(n.get("count").asLong(), meta)

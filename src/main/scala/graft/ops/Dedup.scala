@@ -101,6 +101,16 @@ object Dedup {
   private[graft] def blockBounds(blocks: Int, i: Int): (Int, Int) =
     ((31 * i) / blocks, (31 * (i + 1)) / blocks)
 
+  /** The per-block key columns of a packed simhash column — the ONE
+    * definition of the blocking scheme (also used by the streaming index;
+    * change here + the oracle SQL in lockstep).
+    */
+  private[graft] def blockKeyCols(sim: Column, blocks: Int): Column =
+    array((0 until blocks).map { i =>
+      val (lo, hi) = blockBounds(blocks, i)
+      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }: _*)
+
   /** SimHash near-dup pairs over the 31-bit simhash. The hash is split into
     * `blocks` near-equal bit ranges; by pigeonhole, any pair within Hamming
     * distance < blocks shares at least one identical block, so bucketing by
@@ -129,11 +139,8 @@ object Dedup {
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
         "pigeonhole guarantees a shared block only for distance < blocks")
-    val blockKeys = array((0 until blocks).map { i =>
-      val (lo, hi) = blockBounds(blocks, i)
-      shiftright(col("sim"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
-    }: _*)
-    val blocked = sims.select(col("id"), col("sim"), posexplode(blockKeys))
+    val blocked = sims.select(col("id"), col("sim"),
+      posexplode(blockKeyCols(col("sim"), blocks)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
     val l = blocked.select(col("block"), col("blockKey"),
       col("id").as("idA"), col("sim").as("simA"))

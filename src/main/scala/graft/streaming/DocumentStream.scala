@@ -42,11 +42,11 @@ object DocumentStream {
   /** Stateless enrichment — identical semantics to the batch operator. */
   def enriched(docs: DataFrame): DataFrame = TextAnalysis.analyze(docs)
 
-  /** Exact dedup on normalized content within a watermark window: the
-    * fingerprint is the 57-bit shingle-set hash of the full text (order-
-    * sensitive variant from TextAnalysis.fingerprint also works; the
-    * xxhash64 of raw text is the cheapest exact key). State = one row per
-    * distinct key seen within `delay` — bounded by arrival rate × delay.
+  /** Exact dedup within a watermark window, keyed on xxhash64 of the RAW
+    * text (byte-exact duplicate detection, the cheapest exact key; swap in
+    * TextFunctions.shingle_hashes-based keys for normalized-content
+    * dedup). State = one row per distinct key seen within `delay` —
+    * bounded by arrival rate × delay.
     */
   def dedupExactWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
     docs
@@ -63,11 +63,8 @@ object DocumentStream {
     val sims = corpus.select(col(idCol).as("corpusId"),
       TextFunctions.simhash31(col(textCol)).as("corpusSim"))
       .where(col("corpusSim") >= 0)
-    val blockKeys = array((0 until blocks).map { i =>
-      val (lo, hi) = Dedup.blockBounds(blocks, i)
-      shiftright(col("corpusSim"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
-    }: _*)
-    sims.select(col("corpusId"), col("corpusSim"), posexplode(blockKeys))
+    sims.select(col("corpusId"), col("corpusSim"),
+      posexplode(Dedup.blockKeyCols(col("corpusSim"), blocks)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
   }
 
@@ -86,12 +83,9 @@ object DocumentStream {
     val withSim = stream
       .withColumn("sim", TextFunctions.simhash31(col("text")))
       .where(col("sim") >= 0)
-    val blockKeys = array((0 until blocks).map { i =>
-      val (lo, hi) = Dedup.blockBounds(blocks, i)
-      shiftright(col("sim"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
-    }: _*)
     withSim
-      .select(col("doc_id"), col("ingestTs"), col("sim"), posexplode(blockKeys))
+      .select(col("doc_id"), col("ingestTs"), col("sim"),
+        posexplode(Dedup.blockKeyCols(col("sim"), blocks)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
       .join(broadcast(index), Seq("block", "blockKey"))
       .where(col("doc_id") =!= col("corpusId"))

@@ -140,4 +140,10 @@ class ValidationEndpointsSpec extends AnyFunSuite {
     assert(codes.size >= 2 && codes.contains("INVALID_API_NAME") &&
       codes.contains("INVALID_REFERENCE"))
   }
+
+  test("structurally malformed config (missing required fields) → 400, not 500") {
+    val r = post("/validate/config", """{"metadata":{"tables":[{}]},"roles":[]}""")
+    assert(r.statusCode() == 400, s"got ${r.statusCode()}: ${r.body()}")
+    assert(r.body().contains("BAD_REQUEST"))
+  }
 }
