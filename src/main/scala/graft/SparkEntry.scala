@@ -480,12 +480,19 @@ object SparkEntry {
         .select(col("assetId"), col("nBytes"), col("width"), col("height"))
         .orderBy("assetId")
     },
-    // ---- multimodal: frame sampling over binary chunks (rows-only check)
+    // ---- multimodal: frame sampling over binary chunks
     "m_media_frames" -> { (s, dir) =>
       ops.Multimodal.sampleFrames(
         ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
         everyK = 2, frameBytes = 128)
         .orderBy("assetId", "frameIdx")
+    },
+    // ---- multimodal: batched resize (stubbed codec, deterministic stats)
+    "m_media_resize" -> { (s, dir) =>
+      ops.Multimodal.resize(
+        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
+        width = 224, height = 224)
+        .toDF().orderBy("assetId")
     },
   )
 
@@ -896,6 +903,17 @@ object SparkEntry {
         |SELECT qid, cid, sim,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // payloadChecksum = fold (a*131 + byte) mod p over UTF-8 bytes (ASCII
+    // text ⇒ ascii codes); resize checksum mixes in the target dims
+    "m_media_resize" ->
+      """SELECT doc_id AS "assetId", CAST(224 AS INT) AS width,
+        |  CAST(224 AS INT) AS height, CAST(224*224*3 AS INT) AS "nBytes",
+        |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(range(1, length(text) + 1),
+        |       __j -> CAST(ascii(text[__j]) AS BIGINT))),
+        |     (__a, __c) -> (__a * 131 + __c) % 2147483647)
+        |   * 31 + 224 * 131 + 224) % 2147483647 AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m_media_features" ->
       """SELECT doc_id AS "assetId",
         |  CAST(octet_length(encode(text)) AS INT) AS "nBytes",

@@ -71,6 +71,38 @@ object Multimodal {
       }
     }
 
+  /** A "resized" asset: target dimensions plus the transformed payload's
+    * stats (the real op would re-encode; the stub derives them
+    * deterministically so the plumbing is testable end-to-end).
+    */
+  final case class ResizedAsset(
+      assetId: Long,
+      width: Int,
+      height: Int,
+      nBytes: Int,     // 3 bytes/pixel stand-in for the re-encoded size
+      checksum: Long,  // payload fold mixed with the target dims
+  )
+
+  implicit val resizedEnc: Encoder[ResizedAsset] = Encoders.product[ResizedAsset]
+
+  /** Batched resize: partition-local like decodeFeatures (a real codec
+    * would scale pixels per batch here). The stub keeps the Spark-side
+    * contract real — schema, batch shape, determinism — and derives the
+    * output stats from the payload + target dims:
+    * checksum = (payloadChecksum * 31 + w * 131 + h) mod (2^31-1).
+    */
+  def resize(assets: Dataset[MediaAsset], width: Int, height: Int,
+      batchSize: Int = 64): Dataset[ResizedAsset] =
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real resizer would init scaler state once per batch here
+        batch.iterator.map { a =>
+          val ck = (checksum(a.payload) * 31 + width * 131L + height) % 2147483647L
+          ResizedAsset(a.assetId, width, height, width * height * 3, ck)
+        }
+      }
+    }
+
   /** Frame-sampling stub for video payloads: every k-th chunk of the binary
     * stands in for a frame; real impl would demux containers.
     */

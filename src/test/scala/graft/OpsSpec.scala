@@ -177,5 +177,11 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.columns.toSeq ==
       Seq("assetId", "frameIdx", "frameBytes", "frameChecksum"))
     assert(frames.where($"assetId" === 1L).count() == 6) // 43 bytes / 8 → 6 chunks
+    // resize: schema, dim stamping, determinism (identical payloads 1 & 4)
+    val resized = Multimodal.resize(assets, 64, 32, batchSize = 2).collect()
+    assert(resized.forall(r => r.width == 64 && r.height == 32 && r.nBytes == 64 * 32 * 3))
+    val r1 = resized.find(_.assetId == 1L).get
+    val r4 = resized.find(_.assetId == 4L).get
+    assert(r1.checksum == r4.checksum && r1.checksum > 0)
   }
 }
