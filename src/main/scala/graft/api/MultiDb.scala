@@ -199,11 +199,14 @@ final class MultiDb(
     val issues = graft.validation.Validator.validate(index, rolesById, q, context)
     if (issues.nonEmpty) throw ValidationError(q.from, issues)
     val access = AccessControl.resolve(index, rolesById, context)
+    log.foreach(_("access-control", "role scopes resolved (union within, intersection across)"))
     log.foreach(_("planning", "selecting strategy"))
     val plan = Planner.plan(index, registry, q)
     log.foreach(_("planning", s"strategy=${plan.strategy} target=${plan.targetDatabase}"))
     val tPlanned = System.nanoTime()
+    log.foreach(_("name-resolution", s"compiling '${q.from}' to a DataFrame plan"))
     val resolved = Resolver.resolve(index, plan, access, q)
+    log.foreach(_("sql-generation", "parameterized SQL text generated"))
     val columnsMeta = resolved.mappings.map(m => ResultColumnMeta(
       m.finalKey, m.columnType, m.nullable, m.fromTable, m.masked))
     ((resolved, plan, columnsMeta), tPlanned)

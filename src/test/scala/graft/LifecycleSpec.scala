@@ -116,13 +116,25 @@ class LifecycleSpec extends AnyFunSuite {
     assert(s.meta.timing.executionMs.isEmpty)
   }
 
-  test("debug log present only when requested") {
+  test("debug log present only when requested; phases + fields per C030-C034") {
     val db = ContractFixture.multiDb(spark)
     assert(db.query(QueryDefinition("orders", columns = Some(Seq("id"))))
       .debugLog.isEmpty)
     val withLog = db.query(QueryDefinition("orders", columns = Some(Seq("id")),
       debug = true)).debugLog
-    assert(withLog.exists(_.nonEmpty))
-    assert(withLog.get.exists(_.phase == "planning"))
+    assert(withLog.exists(_.nonEmpty)) // C030
+    withLog.get.foreach { e =>        // C031
+      assert(e.timestamp > 0 && e.phase.nonEmpty && e.message.nonEmpty)
+    }
+    val phases = withLog.get.map(_.phase).toSet // C032
+    assert(Set("validation", "access-control", "planning", "name-resolution",
+      "sql-generation", "execution").subsetOf(phases), s"phases = $phases")
+    // C033/C034: debug rides along in sql-only and count modes
+    val sqlLog = db.query(QueryDefinition("orders", executeMode = "sql-only",
+      debug = true))
+    assert(sqlLog.isInstanceOf[SqlResult] && sqlLog.debugLog.exists(_.nonEmpty))
+    val cntLog = db.query(QueryDefinition("orders", executeMode = "count",
+      debug = true))
+    assert(cntLog.isInstanceOf[CountResult] && cntLog.debugLog.exists(_.nonEmpty))
   }
 }
