@@ -41,6 +41,13 @@ object SparkEntry {
     */
   private val orcRegionDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Engine-routed query under a specific (non-admin) role — the
+    * ACL + in-plan masking path under the oracle gate. */
+  private def engAs(name: String, roles: Seq[String])(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
+    name -> ((s: SparkSession, dir: String) =>
+      TpchCatalog.multiDb(s, dir)
+        .frame(mk, ExecutionContext(userRoles = Some(roles))))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e_agg_groupby")(spark, "/root/testdata/sf0.001")
@@ -303,6 +310,13 @@ object SparkEntry {
         QueryExistsFilter("orders", count = Some(CountCond(">=", 15))),
         QueryFilter("acctbal", "<", Some(-900.0))))),
       orderBy = Seq(QueryOrderBy("custkey")))),
+    // ---- 2.13 in-plan column masking under a restricted role: number
+    //      mask on the fact measure, name mask on the joined dim (both
+    //      masks are deterministic → the oracle recomputes them in SQL)
+    engAs("e_masked_join", Seq("analyst"))(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "totalprice")),
+      joins = Seq(QueryJoin("customer", columns = Some(Seq("name")))),
+      orderBy = Seq(QueryOrderBy("orderkey")), limit = Some(200))),
     // ---- 2.14 byIds fast path (+ extra filter)
     eng("e_byids")(QueryDefinition("orders",
       columns = Some(Seq("orderkey", "totalprice")),
@@ -676,6 +690,14 @@ object SparkEntry {
         |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
         |   OR c_acctbal < -900.0
         |ORDER BY c_custkey""".stripMargin,
+    // number mask → 0; name mask → first + '*'×(len−2) + last
+    "e_masked_join" ->
+      """SELECT o.o_orderkey AS orderkey, CAST(0 AS INT) AS totalprice,
+        |  substring(c.c_name, 1, 1)
+        |    || repeat('*', length(c.c_name) - 2)
+        |    || substring(c.c_name, length(c.c_name), 1) AS name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
     "e_byids" ->
       """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
         |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) AND o_totalprice > 0.0

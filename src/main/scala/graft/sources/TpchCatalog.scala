@@ -27,7 +27,8 @@ object TpchCatalog {
       primaryKey = Seq("nationkey"),
       relations = Seq(RelationMeta("regionkey", "region", "regionkey"))),
     TableMeta("customer", "customer", "tpch", "customer", Seq(
-      c("custkey", "c_custkey", "int"), c("name", "c_name", "string"),
+      c("custkey", "c_custkey", "int"),
+      ColumnMeta("name", "c_name", "string", maskingFn = Some("name")),
       c("nationkey", "c_nationkey", "int"), c("acctbal", "c_acctbal", "decimal"),
       c("mktsegment", "c_mktsegment", "string")),
       primaryKey = Seq("custkey"),
@@ -45,7 +46,7 @@ object TpchCatalog {
     TableMeta("orders", "orders", "tpch", "orders", Seq(
       c("orderkey", "o_orderkey", "int"), c("custkey", "o_custkey", "int"),
       c("orderstatus", "o_orderstatus", "string"),
-      c("totalprice", "o_totalprice", "decimal"),
+      ColumnMeta("totalprice", "o_totalprice", "decimal", maskingFn = Some("number")),
       c("orderdate", "o_orderdate", "timestamp"),
       c("orderpriority", "o_orderpriority", "string")),
       primaryKey = Seq("orderkey"),
@@ -93,7 +94,13 @@ object TpchCatalog {
     databases = Seq(DatabaseMeta("tpch", "parquet"), DatabaseMeta("fixture", "memory")),
     tables = tables)
 
-  val roles: Seq[RoleMeta] = Seq(RoleMeta("admin", None))
+  val roles: Seq[RoleMeta] = Seq(
+    RoleMeta("admin", None),
+    // restricted role for the masked-path oracle query: sees orders +
+    // customer only, with totalprice number-masked and name name-masked
+    RoleMeta("analyst", Some(Seq(
+      TableRoleAccess("orders", None, maskedColumns = Seq("totalprice")),
+      TableRoleAccess("customer", None, maskedColumns = Seq("name"))))))
 
   def registry(spark: SparkSession, sfDir: String): SourceRegistry = SourceRegistry(
     loaders = tables.map {
