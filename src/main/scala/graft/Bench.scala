@@ -23,6 +23,7 @@ object Bench {
     "e_agg_groupby",      // engine-routed Q1
     "e_exists_count_ge",  // decorrelated counted EXISTS
     "e_join_transitive",  // engine 3-table join
+    "q11_window_features", // per-user sequence windows over events
     "d_text_analysis",    // HOF text pipeline
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH

@@ -317,6 +317,13 @@ object SparkEntry {
       columns = Some(Seq("orderkey", "totalprice")),
       joins = Seq(QueryJoin("customer", columns = Some(Seq("name")))),
       orderBy = Seq(QueryOrderBy("orderkey")), limit = Some(200))),
+    // ---- 2.13 multi-role UNION within the user scope: analyst+admin
+    //      together see the unmasked data (admin's full grant wins) — the
+    //      exact same query as e_masked_join, different oracle
+    engAs("e_multirole_union", Seq("analyst", "admin"))(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "totalprice")),
+      joins = Seq(QueryJoin("customer", columns = Some(Seq("name")))),
+      orderBy = Seq(QueryOrderBy("orderkey")), limit = Some(200))),
     // ---- 2.14 byIds fast path (+ extra filter)
     eng("e_byids")(QueryDefinition("orders",
       columns = Some(Seq("orderkey", "totalprice")),
@@ -690,6 +697,10 @@ object SparkEntry {
         |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
         |   OR c_acctbal < -900.0
         |ORDER BY c_custkey""".stripMargin,
+    "e_multirole_union" ->
+      """SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice, c.c_name AS name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
     // number mask → 0; name mask → first + '*'×(len−2) + last
     "e_masked_join" ->
       """SELECT o.o_orderkey AS orderkey, CAST(0 AS INT) AS totalprice,
