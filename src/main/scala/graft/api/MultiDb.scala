@@ -205,7 +205,16 @@ final class MultiDb(
     log.foreach(_("planning", s"strategy=${plan.strategy} target=${plan.targetDatabase}"))
     val tPlanned = System.nanoTime()
     log.foreach(_("name-resolution", s"compiling '${q.from}' to a DataFrame plan"))
-    val resolved = Resolver.resolve(index, plan, access, q)
+    // a source loader that fails here (missing files, dead connection) is a
+    // runtime database failure → typed QUERY_FAILED (reference C1262), not
+    // a raw AnalysisException escaping to the caller
+    val resolved =
+      try Resolver.resolve(index, plan, access, q)
+      catch {
+        case m: MultiDbError => throw m
+        case e: Exception => throw ExecutionError("QUERY_FAILED",
+          Map("database" -> plan.targetDatabase), Some(e))
+      }
     log.foreach(_("sql-generation", "parameterized SQL text generated"))
     val columnsMeta = resolved.mappings.map(m => ResultColumnMeta(
       m.finalKey, m.columnType, m.nullable, m.fromTable, m.masked))

@@ -76,7 +76,7 @@ object Planner {
 
     // ---- P0: cache fast path — byIds only, no filters/joins/groupBy/aggs,
     // single-column PK, cache column superset (README.md:234-242)
-    val p0 = for {
+    val p0Match = for {
       ids <- q.byIds
       if ids.nonEmpty && q.filters.isEmpty && q.joins.isEmpty &&
         q.groupBy.isEmpty && q.aggregations.isEmpty && q.executeMode != "sql-only"
@@ -90,17 +90,22 @@ object Planner {
               .forall(cached.contains)
           }
         }
-      provider <- registry.cacheProviders.get(cacheMeta.id)
-    } yield Plan(
-      strategy = "cache",
-      targetDatabase = cacheMeta.id,
-      dialect = None,
-      tables = Map(q.from -> plannedOriginal(registry, table)
-        .getOrElse(throw ExecutionError("EXECUTOR_MISSING",
-          Map("database" -> table.database)))),
-      cache = Some((cacheMeta, cachedTable, provider)),
-    )
-    if (p0.isDefined) return p0.get
+    } yield (table, cacheMeta, cachedTable)
+    p0Match.foreach { case (table, cacheMeta, cachedTable) =>
+      // a qualifying cache with no registered provider is a typed error
+      // (reference C1261), NOT a silent fall-through to P1
+      val provider = registry.cacheProviders.getOrElse(cacheMeta.id,
+        throw ExecutionError("CACHE_PROVIDER_MISSING", Map("cacheId" -> cacheMeta.id)))
+      return Plan(
+        strategy = "cache",
+        targetDatabase = cacheMeta.id,
+        dialect = None,
+        tables = Map(q.from -> plannedOriginal(registry, table)
+          .getOrElse(throw ExecutionError("EXECUTOR_MISSING",
+            Map("database" -> table.database)))),
+        cache = Some((cacheMeta, cachedTable, provider)),
+      )
+    }
 
     // ---- P1: single-DB direct — every required table lives in one DB
     val byDb = required.groupBy(_.database)
