@@ -96,6 +96,36 @@ class TextHashSpec extends AnyFunSuite {
     assert(got(2L) == -1L) // punctuation only
   }
 
+  test("property: kernels equal the Scala reference on 500 generated strings") {
+    // deterministic generator over the ASCII alphabet plus a few safe
+    // non-ASCII separators (the documented fast-path contract: multi-byte
+    // chars tokenize as separators, same as the regex path)
+    val rnd = new scala.util.Random(42)
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', ' ', ' ', '.', ',', '!', '-', '\t', '\n', 'é', '—', 'ʼ')
+    def genString(): String = {
+      val n = rnd.nextInt(120)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val cases = Seq.fill(500)(genString())
+    cases.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val gotSh = {
+        val a = graft.functions.TextHashOps.shingleHashes(u, 3)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      assert(gotSh == refShingleHashes(t), s"shingles diverge on '$t'")
+      assert(graft.functions.TextHashOps.simhash31(u) == refSimhash(t),
+        s"simhash diverges on '$t'")
+      if (gotSh.nonEmpty) {
+        val sig = graft.functions.TextHashOps.minhashSig(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(gotSh.toArray), 16)
+        assert((0 until 16).map(sig.getLong) == refMinhash(gotSh, 16),
+          s"minhash diverges on '$t'")
+      }
+    }
+  }
+
   test("simhash blocked pairing equals brute force for d <= maxHamming < blocks") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(40)(rnd.nextLong() & 0x7fffffffL)
