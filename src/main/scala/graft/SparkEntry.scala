@@ -936,8 +936,10 @@ object SparkEntry {
         |SELECT qid, cid, sim,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
-    // payloadChecksum = fold (a*131 + byte) mod p over UTF-8 bytes (ASCII
-    // text ⇒ ascii codes); resize checksum mixes in the target dims
+    // payloadChecksum = fold (a*131 + byte) mod p over UTF-8 bytes; the
+    // oracle folds ascii(char) per CHARACTER, equal only because the
+    // testdata text is pure ASCII (verified at all scales) — the same
+    // documented contract as m_media_frames' chunk math
     "m_media_resize" ->
       """SELECT doc_id AS "assetId", CAST(224 AS INT) AS width,
         |  CAST(224 AS INT) AS height, CAST(224*224*3 AS INT) AS "nBytes",

@@ -91,20 +91,22 @@ object Planner {
           }
         }
     } yield (table, cacheMeta, cachedTable)
-    p0Match.foreach { case (table, cacheMeta, cachedTable) =>
-      // a qualifying cache with no registered provider is a typed error
-      // (reference C1261), NOT a silent fall-through to P1
-      val provider = registry.cacheProviders.getOrElse(cacheMeta.id,
-        throw ExecutionError("CACHE_PROVIDER_MISSING", Map("cacheId" -> cacheMeta.id)))
-      return Plan(
-        strategy = "cache",
-        targetDatabase = cacheMeta.id,
-        dialect = None,
-        tables = Map(q.from -> plannedOriginal(registry, table)
-          .getOrElse(throw ExecutionError("EXECUTOR_MISSING",
-            Map("database" -> table.database)))),
-        cache = Some((cacheMeta, cachedTable, provider)),
-      )
+    p0Match match {
+      case Some((table, cacheMeta, cachedTable)) =>
+        // a qualifying cache with no registered provider is a typed error
+        // (reference C1261), NOT a silent fall-through to P1
+        val provider = registry.cacheProviders.getOrElse(cacheMeta.id,
+          throw ExecutionError("CACHE_PROVIDER_MISSING", Map("cacheId" -> cacheMeta.id)))
+        return Plan(
+          strategy = "cache",
+          targetDatabase = cacheMeta.id,
+          dialect = None,
+          tables = Map(q.from -> plannedOriginal(registry, table)
+            .getOrElse(throw ExecutionError("EXECUTOR_MISSING",
+              Map("database" -> table.database)))),
+          cache = Some((cacheMeta, cachedTable, provider)),
+        )
+      case None => ()
     }
 
     // ---- P1: single-DB direct — every required table lives in one DB
