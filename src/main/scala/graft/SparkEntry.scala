@@ -36,6 +36,17 @@ object SparkEntry {
   private def eng(name: String)(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
     name -> ((s: SparkSession, dir: String) => TpchCatalog.frame(s, dir)(mk))
 
+  /** Masked-view oracle shared by the analyst-role and the cross-scope-
+    * intersection queries (both must produce exactly this).
+    */
+  private val MaskedJoinOracle: String =
+    """SELECT o.o_orderkey AS orderkey, CAST(0 AS INT) AS totalprice,
+      |  substring(c.c_name, 1, 1)
+      |    || repeat('*', length(c.c_name) - 2)
+      |    || substring(c.c_name, length(c.c_name), 1) AS name
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey LIMIT 200""".stripMargin
+
   /** Per-JVM ORC materializations of the region dim, keyed by sfDir —
     * process-private temp dirs, written once under computeIfAbsent's lock.
     */
@@ -43,10 +54,11 @@ object SparkEntry {
 
   /** Engine-routed query under a specific (non-admin) role — the
     * ACL + in-plan masking path under the oracle gate. */
-  private def engAs(name: String, roles: Seq[String])(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
+  private def engAs(name: String, roles: Seq[String],
+      serviceRoles: Option[Seq[String]] = None)(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
     name -> ((s: SparkSession, dir: String) =>
       TpchCatalog.multiDb(s, dir)
-        .frame(mk, ExecutionContext(userRoles = Some(roles))))
+        .frame(mk, ExecutionContext(userRoles = Some(roles), serviceRoles = serviceRoles)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -324,6 +336,15 @@ object SparkEntry {
       columns = Some(Seq("orderkey", "totalprice")),
       joins = Seq(QueryJoin("customer", columns = Some(Seq("name")))),
       orderBy = Seq(QueryOrderBy("orderkey")), limit = Some(200))),
+    // ---- 2.13 INTERSECTION across scopes: the user scope grants full
+    //      admin access, but the service scope only grants analyst —
+    //      intersection masks exactly like analyst alone (same oracle
+    //      shape as e_masked_join)
+    engAs("e_scope_intersect", Seq("admin"), serviceRoles = Some(Seq("analyst")))(
+      QueryDefinition("orders",
+        columns = Some(Seq("orderkey", "totalprice")),
+        joins = Seq(QueryJoin("customer", columns = Some(Seq("name")))),
+        orderBy = Seq(QueryOrderBy("orderkey")), limit = Some(200))),
     // ---- 2.14 byIds fast path (+ extra filter)
     eng("e_byids")(QueryDefinition("orders",
       columns = Some(Seq("orderkey", "totalprice")),
@@ -702,13 +723,10 @@ object SparkEntry {
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
     // number mask → 0; name mask → first + '*'×(len−2) + last
-    "e_masked_join" ->
-      """SELECT o.o_orderkey AS orderkey, CAST(0 AS INT) AS totalprice,
-        |  substring(c.c_name, 1, 1)
-        |    || repeat('*', length(c.c_name) - 2)
-        |    || substring(c.c_name, length(c.c_name), 1) AS name
-        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
+    "e_masked_join" -> MaskedJoinOracle,
+    // cross-scope intersection (admin user ∩ analyst service) yields the
+    // analyst view — identical masked output
+    "e_scope_intersect" -> MaskedJoinOracle,
     "e_byids" ->
       """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
         |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) AND o_totalprice > 0.0
