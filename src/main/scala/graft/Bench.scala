@@ -51,20 +51,45 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/executor warm-up
 
     val queries = SparkEntry.queries
-    val results = headline.filter(queries.contains).map { name =>
+    val names = headline.filter(queries.contains)
+
+    // One timed execution; Left(message) on failure. noop sink runs the
+    // FULL plan (round 1's .count() let Catalyst prune aggregate
+    // expressions and eliminate sorts — VERDICT.md §wrong-2).
+    def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      // noop sink: runs the FULL plan (round 1's .count() let Catalyst
-      // prune aggregate expressions and eliminate sorts — VERDICT.md §wrong-2)
-      try queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Left(String.valueOf(e.getMessage))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Host-scheduling noise on this VM migrates between queries from run to
+    // run (BENCH_NOTES.md: identical code ranged 25-56 s total with the slow
+    // spot moving); per-query MINIMA across interleaved passes are stable,
+    // so run the whole set N times and keep each query's best. A query that
+    // fails in every pass is reported as -1 (sentinel, excluded from total)
+    // and listed under "failed" — never as a normal-looking timing.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
+    val best: Seq[(String, Option[Double])] = names.map { n =>
+      val oks = samples.flatMap(_.collect { case (`n`, Right(s)) => s })
+      n -> (if (oks.isEmpty) None else Some(oks.min))
+    }
+    val failed = best.collect { case (n, None) => n }
+    val qs = best.map {
+      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, None)    => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val total = best.flatMap(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,"agg":"min","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

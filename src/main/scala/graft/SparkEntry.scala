@@ -41,9 +41,11 @@ object SparkEntry {
     */
   private val MaskedJoinOracle: String =
     """SELECT o.o_orderkey AS orderkey, CAST(0 AS INT) AS totalprice,
-      |  substring(c.c_name, 1, 1)
-      |    || repeat('*', length(c.c_name) - 2)
-      |    || substring(c.c_name, length(c.c_name), 1) AS name
+      |  CASE WHEN length(c.c_name) <= 2 THEN '***'
+      |       ELSE substring(c.c_name, 1, 1)
+      |         || repeat('*', length(c.c_name) - 2)
+      |         || substring(c.c_name, length(c.c_name), 1)
+      |  END AS name
       |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_orderkey LIMIT 200""".stripMargin
 

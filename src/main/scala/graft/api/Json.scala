@@ -42,6 +42,10 @@ object Json {
     */
   private def strictIntegral(v: JsonNode, from: String, code: String, field: String): Long =
     if (v.isIntegralNumber) v.asLong()
+    // 2.0 is an integer to JS (`Number.isInteger(2.0)===true`) — the reference
+    // cannot even distinguish it from 2, so accept mathematically-integral
+    // floats and reject only true fractions like 2.5.
+    else if (v.isNumber && v.canConvertToExactIntegral) v.asLong()
     else throw ValidationError(from, Seq(ValidationIssue(code,
       s"'$field' must be an integer", Map("actual" -> v.toString))))
 
@@ -349,16 +353,23 @@ object Json {
       Timing(m.get("timing").get("planningMs").asLong(),
         m.get("timing").get("generationMs").asLong(),
         Option(m.get("timing").get("executionMs")).map(_.asLong())))
-    val decimalCols = meta.columns.filter(_.columnType == "decimal").map(_.apiName).toSet
+    val decimalCols = meta.columns
+      .filter(c => c.columnType == "decimal" || c.columnType == "decimal[]")
+      .map(_.apiName).toSet
+    // exactMapper parses every JSON float as BigDecimal; columns not declared
+    // decimal must come back as Double — including elements inside arrays
+    // (e.g. a double[] embedding column) so wire and in-process rows match.
+    def demote(v: Any): Any = v match {
+      case bd: java.math.BigDecimal => bd.doubleValue()
+      case s: Seq[_] => s.map(demote)
+      case x => x
+    }
     text(n, "kind") match {
       case "data" => DataResult(
         arr(n, "data").map(r =>
           r.fields().asScala.map { e =>
-            e.getKey -> (jsonValue(e.getValue) match {
-              case bd: java.math.BigDecimal if !decimalCols.contains(e.getKey) =>
-                bd.doubleValue() // non-decimal floats stay doubles
-              case x => x
-            })
+            val v = jsonValue(e.getValue)
+            e.getKey -> (if (decimalCols.contains(e.getKey)) v else demote(v))
           }.toMap), meta)
       case "sql" => SqlResult(text(n, "sql"),
         arr(n, "params").map(jsonValue), meta)

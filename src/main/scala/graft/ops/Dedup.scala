@@ -36,7 +36,16 @@ object Dedup {
     */
   private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Size the decision off the optimizer's logical stats (file sizes for
+    // scans, row estimates for local relations). Round 2 read
+    // df.rdd.getNumPartitions, which forced full physical planning — and
+    // under AQE can materialize upstream shuffle stages — just to fetch a
+    // count, then planned the same frame again for the real pipeline.
+    // A small input (< ~4 MB per target slot) is widened; anything larger
+    // already fans out via its scan splits and must never be narrowed.
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val smallCutoff = BigInt(target) * (4L << 20)
+    if (estBytes < smallCutoff) df.repartition(target) else df
   }
 
   /** Exact dedup on a (possibly normalized) key: keeps the row with the

@@ -193,6 +193,12 @@ class ContractNegativeSpec extends AnyFunSuite {
       graft.api.Json.parseQuery("""{"definition":{"from":"orders","limit":2.5}}""")
     }
     assert(e.errors.exists(_.code == "INVALID_LIMIT"))
+    // …but an integral-valued float like 2.0 must be ACCEPTED: the JS
+    // reference cannot distinguish 2.0 from 2 (Number.isInteger(2.0) is
+    // true), so rejecting it would be a wire-compat divergence.
+    val (q20, _) = graft.api.Json.parseQuery(
+      """{"definition":{"from":"orders","limit":2.0,"offset":1e1}}""")
+    assert(q20.limit.contains(2L) && q20.offset.contains(10L))
   }
 
   // ---- 12.11 aggregation validity ------------------------------------

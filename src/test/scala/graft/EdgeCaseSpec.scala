@@ -67,6 +67,27 @@ class EdgeCaseSpec extends AnyFunSuite {
       r("labels").isInstanceOf[Seq[_]]))
   }
 
+  test("wire fidelity: numeric array elements match in-process types after parseResult") {
+    // A decimal[] column must keep BigDecimal elements over the wire (same
+    // as in-process); any other float-bearing column — scalar OR array —
+    // must come back as Double, not the exactMapper's BigDecimal.
+    val meta = QueryResultMeta("single_database", "db", None, Nil,
+      Seq(ResultColumnMeta("exact", "decimal[]", false, "t", false),
+        ResultColumnMeta("embedding", "decimalish", false, "t", false),
+        ResultColumnMeta("score", "decimalish", false, "t", false)),
+      Timing(0, 0, Some(0)))
+    val out = DataResult(Seq(Map(
+      "exact" -> Seq(new java.math.BigDecimal("1.100000000000000000001")),
+      "embedding" -> Seq(0.25d, 0.5d),
+      "score" -> 0.75d)), meta)
+    val back = graft.api.Json.parseResult(graft.api.Json.writeResult(out))
+      .asInstanceOf[DataResult].data.head
+    assert(back("exact").asInstanceOf[Seq[_]].head ==
+      new java.math.BigDecimal("1.100000000000000000001"))
+    assert(back("embedding") == Seq(0.25d, 0.5d))
+    assert(back("score") == 0.75d)
+  }
+
   test("C1708: decimal precision preserved") {
     val rows = data(QueryDefinition("orders", columns = Some(Seq("id", "total")),
       byIds = Some(Seq(1))))
