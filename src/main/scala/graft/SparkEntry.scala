@@ -450,6 +450,25 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    // ---- LIVE JDBC source, engine-routed: the planner resolves nationDim
+    //      to the warehouse (embedded Derby) namespace — partition-parallel
+    //      range scan, filter pushed down as a WHERE on the database side;
+    //      the oracle reads the identical source data via the parquet view
+    eng("e_jdbc_source")(QueryDefinition("nationDim",
+      filters = Seq(QueryFilter("regionkey", "in", Some(Seq(0, 2)))),
+      orderBy = Seq(QueryOrderBy("nationkey")))),
+
+    // ---- mixed-format plan: parquet fact × live-JDBC dim in one join
+    "q13_jdbc_join" -> { (s, dir) =>
+      val n = sources.DerbyFixture.nation(s, dir)
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(count(lit(1)).as("customers"))
+        .select(col("n_name").as("nation"), col("customers"))
+        .orderBy("nation")
+    },
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -778,6 +797,16 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY n.n_nationkey""".stripMargin,
+    // the Spark side reads nation through embedded-Derby JDBC; content is
+    // identical to the parquet the oracle sees
+    "e_jdbc_source" ->
+      """SELECT n_nationkey AS nationkey, n_name AS name, n_regionkey AS regionkey
+        |FROM nation WHERE n_regionkey IN (0, 2)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q13_jdbc_join" ->
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin,
     // ts is nanosecond int64 in the parquet (Spark reads it as long via
     // nanosAsLong; DuckDB as TIMESTAMP_NS → epoch_ns recovers the int64)
     "q11_window_features" ->

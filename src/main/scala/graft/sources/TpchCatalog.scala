@@ -79,6 +79,13 @@ object TpchCatalog {
       c("vecId", "vec_id", "int"), c("embedding", "embedding", "decimal[]"),
       c("label", "label", "int")),
       primaryKey = Seq("vecId")),
+    // third physical source kind: a LIVE JDBC table (embedded Derby,
+    // materialized from the nation parquet once per JVM) — the federated
+    // path a Postgres/ClickHouse namespace would take, partition-parallel
+    TableMeta("nationDim", "nationDim", "warehouse", "nation", Seq(
+      c("nationkey", "n_nationkey", "int"), c("name", "n_name", "string"),
+      c("regionkey", "n_regionkey", "int")),
+      primaryKey = Seq("nationkey")),
     // second physical source kind: a DSv2 in-memory table with the nullable
     // + array columns the TPC-H data lacks (isNull / array-op oracle rows)
     TableMeta("items", "items", "fixture", "graft_fixture_items", Seq(
@@ -91,7 +98,8 @@ object TpchCatalog {
   )
 
   def config: MetadataConfig = MetadataConfig(
-    databases = Seq(DatabaseMeta("tpch", "parquet"), DatabaseMeta("fixture", "memory")),
+    databases = Seq(DatabaseMeta("tpch", "parquet"), DatabaseMeta("fixture", "memory"),
+      DatabaseMeta("warehouse", "derby")),
     tables = tables)
 
   val roles: Seq[RoleMeta] = Seq(
@@ -107,6 +115,8 @@ object TpchCatalog {
       case t if t.database == "fixture" =>
         ("fixture", t.id) ->
           (() => spark.read.format("graft.sources.FixtureItemsSource").load())
+      case t if t.database == "warehouse" =>
+        ("warehouse", t.id) -> (() => DerbyFixture.nation(spark, sfDir))
       case t =>
         ("tpch", t.id) ->
           (() => spark.read.parquet(s"$sfDir/${t.physicalName}.parquet"))

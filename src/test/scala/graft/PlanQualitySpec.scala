@@ -100,4 +100,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = planOf("e_filter_isnull")
     assert(p.contains("BatchScan"), p.take(2000))
   }
+
+  test("engine JDBC source scans partition-parallel with the filter pushed to the DB") {
+    val p = planOf("e_jdbc_source")
+    assert(p.contains("JDBCRelation(nation)"), p.take(2000))
+    // 4 range queries on the PK — the pattern that keeps a 100 TB JDBC
+    // table from funneling through one connection
+    assert(p.contains("numPartitions=4"), p.take(2000))
+    // the IN filter becomes a WHERE on the Derby side, not a Spark Filter
+    assert(p.contains("PushedFilters:") && p.contains("In(n_regionkey"), p.take(2000))
+  }
+
+  test("mixed JDBC×parquet join broadcasts the JDBC dim") {
+    val p = planOf("q13_jdbc_join")
+    assert(p.contains("JDBCRelation(nation)") && p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
 }
