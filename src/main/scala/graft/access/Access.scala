@@ -102,7 +102,7 @@ object AccessControl {
             case (Some(x), Some(y)) => Some(x.intersect(y))
           }
           TableAccess(allowed, a.masked ++ b.masked) // masks accumulate across scopes
-        })
+        }).filter(_.allowed.forall(_.nonEmpty)) // disjoint grants intersect to ∅ → denied (C724)
       api -> merged
     }.toMap
     EffectiveAccess(perTable)

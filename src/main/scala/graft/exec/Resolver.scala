@@ -128,7 +128,10 @@ private final class Resolver(
     def l(v: Any) = toLiteral(v, t)
     f.operator match {
       case "="  => c === l(f.value.get)
-      case "!=" => c =!= l(f.value.get)
+      // NULL-inclusive inequality: the contract pins `isActive != true`
+      // keeping the NULL row (CONTRACT_TESTS.md C107 — "false and null"),
+      // i.e. IS DISTINCT FROM semantics, not SQL's NULL-excluding <>
+      case "!=" => !(c <=> l(f.value.get))
       case ">"  => c > l(f.value.get)
       case "<"  => c < l(f.value.get)
       case ">=" => c >= l(f.value.get)
@@ -425,7 +428,21 @@ private final class Resolver(
     // projection under hidden names and drop them after sort+limit.
     val selectedKeys = mappings.map(_.finalKey).toSet
     val hiddenSortCols: Seq[(String, String)] = // internalName -> hiddenKey
-      if (q.distinct || aggPresent) Nil
+      if (q.distinct) Nil
+      else if (aggPresent)
+        // grouped query: an unselected GROUP BY key still exists on the
+        // grouped frame under its internal name (contract C204 orders by a
+        // joined groupBy column the join's columns:[] excluded from SELECT)
+        q.orderBy.flatMap { o =>
+          val tApi = o.table.getOrElse(q.from)
+          if (selectedKeys.contains(finalKey(tApi, o.column)) ||
+            (o.table.isEmpty && q.aggregations.exists(_.alias == o.column))) None
+          else if (q.groupBy.exists(g =>
+            g.table.getOrElse(q.from) == tApi && g.column == o.column)) {
+            val in = internal(aliasOf(tApi), o.column)
+            Some(in -> s"__ord_$in")
+          } else None
+        }.distinct
       else q.orderBy.flatMap { o =>
         val key = finalKey(o.table.getOrElse(q.from), o.column)
         if (selectedKeys.contains(key)) None

@@ -109,6 +109,44 @@ object Planner {
       case None => ()
     }
 
+    // Shared P2-style resolution: can `db` serve every required table, as an
+    // original it owns or a fresh-enough replica it hosts? When
+    // `requireReplica` the resolution only counts if at least one table
+    // actually rides a replica (an all-original resolution is just P1).
+    val candidateDbs = dbs.keys.toSeq.sortBy(db => -required.count(_.database == db))
+    val freshnessReq = q.freshness
+    def resolveVia(db: String, requireReplica: Boolean): Option[Map[String, PlannedTable]] =
+      required.foldLeft(Option(Map.empty[String, PlannedTable])) { (accOpt, t) =>
+        accOpt.flatMap { acc =>
+          if (t.database == db) plannedOriginal(registry, t).map(p => acc + (t.apiName -> p))
+          else index.syncsBySource.getOrElse(t.id, Nil)
+            .find(s => s.targetDatabase == db &&
+              freshnessReq.forall(f => Freshness.lagSatisfies(s.estimatedLag, f)))
+            .flatMap { s =>
+              registry.replicaLoaders.get((db, t.id)).map { loader =>
+                acc + (t.apiName -> PlannedTable(t, "materialized", db,
+                  s.targetPhysicalName, loader))
+              }
+            }
+        }
+      }.filter(tables => !requireReplica ||
+        tables.values.exists(_.source == "materialized"))
+
+    // ---- Analytical offload: an EXPLICIT non-realtime freshness tolerance
+    // declares replica lag acceptable, so the planner routes to a
+    // replica-hosting database even when the originals are reachable
+    // directly (contract C1711/C1716; C1715 pins that 'realtime' never
+    // offloads). At 100 TB this is the lever that moves OLAP scans off the
+    // OLTP source. Absent freshness keeps strict P1-before-P2 priority.
+    if (freshnessReq.exists(_ != "realtime")) {
+      for (db <- candidateDbs) {
+        resolveVia(db, requireReplica = true) match {
+          case Some(tables) => return Plan("materialized", db, dialectOf(db), tables)
+          case _            => ()
+        }
+      }
+    }
+
     // ---- P1: single-DB direct — every required table lives in one DB
     val byDb = required.groupBy(_.database)
     if (byDb.size == 1) {
@@ -125,25 +163,8 @@ object Planner {
 
     // ---- P2: materialized replicas make everything available in one DB,
     // freshness permitting; prefer the DB owning the most originals
-    val candidateDbs = dbs.keys.toSeq.sortBy(db => -required.count(_.database == db))
-    val freshnessReq = q.freshness
     for (db <- candidateDbs) {
-      val resolved: Option[Map[String, PlannedTable]] =
-        required.foldLeft(Option(Map.empty[String, PlannedTable])) { (accOpt, t) =>
-          accOpt.flatMap { acc =>
-            if (t.database == db) plannedOriginal(registry, t).map(p => acc + (t.apiName -> p))
-            else index.syncsBySource.getOrElse(t.id, Nil)
-              .find(s => s.targetDatabase == db &&
-                freshnessReq.forall(f => Freshness.lagSatisfies(s.estimatedLag, f)))
-              .flatMap { s =>
-                registry.replicaLoaders.get((db, t.id)).map { loader =>
-                  acc + (t.apiName -> PlannedTable(t, "materialized", db,
-                    s.targetPhysicalName, loader))
-                }
-              }
-          }
-        }
-      resolved match {
+      resolveVia(db, requireReplica = false) match {
         case Some(tables) => return Plan("materialized", db, dialectOf(db), tables)
         case _            => ()
       }

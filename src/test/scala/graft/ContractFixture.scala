@@ -184,6 +184,11 @@ object ContractFixture {
     RoleMeta("reporting-service", Some(Seq(
       TableRoleAccess("orders", Some(Seq("id", "total", "status", "createdAt")), Seq("total")),
       TableRoleAccess("products", None)))),
+    // disjoint users column grants — cross-scope intersection is empty (C724)
+    RoleMeta("scope-a", Some(Seq(
+      TableRoleAccess("users", Some(Seq("firstName")))))),
+    RoleMeta("scope-b", Some(Seq(
+      TableRoleAccess("users", Some(Seq("email", "age")))))),
   )
 
   // ---- seed data (physical column names) -------------------------------
