@@ -469,6 +469,33 @@ object SparkEntry {
         .orderBy("nation")
     },
 
+    // ---- analytical offload: explicit relaxed freshness routes the scan to
+    //      the warehouse replica of orders (planner strategy 'materialized');
+    //      replica content mirrors the primary, so rows match the oracle
+    eng("e_replica_offload")(QueryDefinition("orders",
+      columns = Some(Seq("orderkey", "orderstatus", "totalprice")),
+      filters = Seq(QueryFilter("totalprice", ">", Some(400000.0))),
+      freshness = Some("minutes"),
+      orderBy = Seq(QueryOrderBy("orderkey")))),
+
+    // ---- bucketed co-located join: both facts pre-bucketed on the join key
+    //      (shuffle paid once at write), so the join itself plans with NO
+    //      Exchange on either side (pinned by PlanQualitySpec)
+    "q14_bucketed_join" -> { (s, dir) =>
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val lt = s.table(ops.Bucketing.ensureBucketed(s,
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        s"lineitem_$tag", "l_orderkey", 16))
+      val ot = s.table(ops.Bucketing.ensureBucketed(s,
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        s"orders_$tag", "o_orderkey", 16))
+      lt.join(ot, lt("l_orderkey") === ot("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_count"), dsum(col("l_extendedprice")).as("revenue"))
+        .select(col("o_orderpriority").as("priority"), col("line_count"), col("revenue"))
+        .orderBy("priority")
+    },
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -807,6 +834,19 @@ object SparkEntry {
       """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY nation""".stripMargin,
+    // Spark reads the warehouse replica; content mirrors the primary parquet
+    "e_replica_offload" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus,
+        |  o_totalprice AS totalprice
+        |FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // Spark reads bucketed managed tables; content mirrors the parquet
+    "q14_bucketed_join" ->
+      """SELECT o.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS line_count,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY priority""".stripMargin,
     // ts is nanosecond int64 in the parquet (Spark reads it as long via
     // nanosAsLong; DuckDB as TIMESTAMP_NS → epoch_ns recovers the int64)
     "q11_window_features" ->

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed co-located joins — the 100 TB lever for repeated equi-joins and
+  * aggregations on a stable key: pay the partition-by-key shuffle ONCE at
+  * write time (`bucketBy` + `sortBy`), then every subsequent join or
+  * aggregation on that key reads both sides already hash-partitioned and
+  * sorted, so Catalyst plans a SortMergeJoin with NO Exchange on either
+  * side (pinned by PlanQualitySpec). On a 1000-executor cluster this turns
+  * the nightly fact×fact join from a full network shuffle of the big table
+  * into a purely local merge.
+  *
+  * Tables are written as managed parquet tables in a process-private
+  * `graft_buckets` database (Spark's built-in catalog supports bucketed
+  * parquet without Hive). Both join sides MUST use the same bucket count,
+  * or Spark re-shuffles the smaller side.
+  */
+object Bucketing {
+
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val location =
+    java.nio.file.Files.createTempDirectory("graft_buckets").toString
+
+  /** Materialize `df` as a bucketed+sorted managed table, once per JVM per
+    * `table` name (computeIfAbsent blocks concurrent callers until the
+    * write completes). Returns the fully-qualified table name.
+    */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+      key: String, buckets: Int): String =
+    tables.computeIfAbsent(table, { _ =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$location'")
+      val fq = s"graft_buckets.`$table`"
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(fq)
+      fq
+    })
+}

@@ -100,7 +100,12 @@ object TpchCatalog {
   def config: MetadataConfig = MetadataConfig(
     databases = Seq(DatabaseMeta("tpch", "parquet"), DatabaseMeta("fixture", "memory"),
       DatabaseMeta("warehouse", "derby")),
-    tables = tables)
+    tables = tables,
+    // CDC-style replica of the orders fact in the warehouse namespace: the
+    // planner's analytical-offload path (explicit relaxed freshness) routes
+    // OLAP scans here instead of the primary (C1711/C1716 semantics)
+    syncs = Seq(ExternalSync("orders", "warehouse", "orders_replica",
+      estimatedLag = "seconds")))
 
   val roles: Seq[RoleMeta] = Seq(
     RoleMeta("admin", None),
@@ -120,7 +125,11 @@ object TpchCatalog {
       case t =>
         ("tpch", t.id) ->
           (() => spark.read.parquet(s"$sfDir/${t.physicalName}.parquet"))
-    }.toMap)
+    }.toMap,
+    // replica content mirrors the primary byte-for-byte (zero simulated
+    // lag), so offloaded queries return identical rows — oracle-checkable
+    replicaLoaders = Map(("warehouse", "orders") ->
+      (() => spark.read.parquet(s"$sfDir/orders.parquet"))))
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), MultiDb]()
 

@@ -116,4 +116,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("JDBCRelation(nation)") && p.contains("BroadcastHashJoin"),
       p.take(3000))
   }
+
+  test("bucketed co-located join plans with no Exchange on either side") {
+    // forbid broadcast so the co-location (not table size) is what removes
+    // the shuffle — the situation a fact×fact join faces at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      import graft.ops.Bucketing
+      val lt = spark.table(Bucketing.ensureBucketed(spark,
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        s"lineitem_$tag", "l_orderkey", 16))
+      val ot = spark.table(Bucketing.ensureBucketed(spark,
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority"),
+        s"orders_$tag", "o_orderkey", 16))
+      val joined = lt.join(ot, lt("l_orderkey") === ot("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), p.take(3000))
+      // the engine query built on these tables returns rows
+      assert(SparkEntry.queries("q14_bucketed_join")(spark, dir).count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("replica offload reads the warehouse replica, not the primary") {
+    val df = SparkEntry.queries("e_replica_offload")(spark, dir)
+    assert(df.count() > 0)
+    val meta = graft.sources.TpchCatalog.multiDb(spark, dir)
+      .query(graft.types.QueryDefinition("orders",
+        columns = Some(Seq("orderkey")), freshness = Some("minutes"),
+        limit = Some(1))).meta
+    assert(meta.strategy == "materialized" &&
+      meta.tablesUsed.head.physicalName == "orders_replica")
+  }
 }
