@@ -96,4 +96,40 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("doc_id", "corpusId")
       .drop("ingestTs")
   }
+
+  /** Stream-stream self-dedup: near-dup pairs BETWEEN documents arriving in
+    * the same stream, found online — closes the lambda gap that
+    * [[nearDupsAgainstCorpus]] leaves for new-vs-new duplicates. Both sides
+    * are the simhash-blocked stream joined to itself on (block, blockKey)
+    * with a time-range condition, so state is bounded by the watermark
+    * delay × arrival rate (Spark drops buffered rows once the watermark
+    * passes `window`), never by corpus size. `idA < idB` keeps each
+    * unordered pair once; multi-block collisions are collapsed per batch
+    * with a watermark-bounded distinct.
+    */
+  def nearDupsWithinStream(stream: DataFrame, maxHamming: Int = 3,
+      blocks: Int = 4, window: String = "10 minutes"): DataFrame = {
+    require(blocks > maxHamming, "pigeonhole: blocks must exceed maxHamming")
+    def blocked(df: DataFrame) = df
+      .withColumn("sim", TextFunctions.simhash31(col("text")))
+      .where(col("sim") >= 0)
+      .select(col("doc_id"), col("ingestTs"), col("sim"),
+        posexplode(Dedup.blockKeyCols(col("sim"), blocks)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+    val left = blocked(stream).withWatermark("ingestTs", window)
+    val right = blocked(stream)
+      .withColumnsRenamed(Map("doc_id" -> "idB", "ingestTs" -> "tsB", "sim" -> "simB"))
+      .withWatermark("tsB", window)
+    left.join(right,
+        left("block") === right("block") && left("blockKey") === right("blockKey") &&
+          col("doc_id") < col("idB") &&
+          col("tsB") >= col("ingestTs") - expr(s"interval $window") &&
+          col("tsB") <= col("ingestTs") + expr(s"interval $window"))
+      .select(col("doc_id").as("idA"), col("idB"), col("ingestTs"),
+        Dedup.hamming(col("sim"), col("simB")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      // ingestTs carries left's watermark through the join — do not redefine
+      .dropDuplicatesWithinWatermark("idA", "idB")
+      .drop("ingestTs")
+  }
 }

@@ -98,4 +98,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchPairs,
       s"stream found ${streamed.size} directed pairs, batch ${batchPairs.size}")
   }
+
+  test("stream-stream self-dedup matches batch simhash pairs") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.nearDupsWithinStream(stream, maxHamming = 3), "doc_ss_neardup")
+    val streamed = spark.table("doc_ss_neardup")
+      .select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = graft.ops.Dedup
+      .simhashPairs(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)
+      .select("idA", "idB").collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    assert(streamed == batchPairs,
+      s"stream found ${streamed.size} pairs, batch ${batchPairs.size}")
+  }
 }
