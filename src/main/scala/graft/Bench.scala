@@ -24,7 +24,10 @@ object Bench {
     "e_exists_count_ge",  // decorrelated counted EXISTS
     "e_join_transitive",  // engine 3-table join
     "q11_window_features", // per-user sequence windows over events
+    "q13_jdbc_join",      // parquet fact × live-JDBC dim
+    "q14_bucketed_join",  // co-located bucketed fact×fact join (no Exchange)
     "d_text_analysis",    // HOF text pipeline
+    "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

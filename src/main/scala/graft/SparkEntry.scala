@@ -584,6 +584,41 @@ object SparkEntry {
         width = 224, height = 224)
         .toDF().orderBy("assetId")
     },
+
+    // ---- skew-safe aggregation: the two-phase salted plan must produce
+    //      byte-identical results to a plain GROUP BY (the oracle IS the
+    //      plain GROUP BY) — proves hot keys can be spread over 32
+    //      reducers without changing any aggregate
+    "d_skew_salted_agg" -> { (s, dir) =>
+      ops.Skew.saltedAggregate(t(s, dir, "events"),
+        Seq(col("event_type")), saltBuckets = 32,
+        partial = Seq(count(lit(1)).as("pn"), sum(col("value").cast(D4)).as("ps"),
+          min(col("value")).as("pmin"), max(col("value")).as("pmax")),
+        merge = Seq(sum(col("pn")).as("n_events"),
+          sum(col("ps")).cast("double").as("sum_value"),
+          min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value")))
+        .orderBy("event_type")
+    },
+
+    // ---- end-to-end training-data prep: quality gate → language gate →
+    //      fingerprint dedup → per-source token-budget cut. The running
+    //      token total is windowed PER SOURCE (parallel across sources —
+    //      a global running sum would serialize at 100 TB)
+    "d_pipeline_prep" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = ops.Dedup.exactDedup(
+        ops.TextAnalysis.analyze(t(s, dir, "documents"))
+          .where(col("langGuess") === "en" && col("quality") >= 0.5),
+        col("fingerprint"), "doc_id")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum_tokens", sum(col("nTokensWs").cast("long")).over(w))
+        .where(col("cum_tokens") <= 5000)
+        .select(col("doc_id"), col("source"),
+          col("nTokensWs").cast("int").as("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -892,6 +927,57 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // the salted two-phase plan must equal this plain GROUP BY exactly
+    "d_skew_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // mirrors the composed pipeline stage-for-stage (fragments shared with
+    // d_text_analysis): quality/lang gates, fingerprint dedup, per-source
+    // running token budget
+    "d_pipeline_prep" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, ws,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['el','los','las','y','es','un','una','con'], x))) AS es
+        |  FROM w),
+        |a AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        |         WHEN en >= greatest(de, fr, es) THEN 'en'
+        |         WHEN de >= greatest(fr, es) THEN 'de'
+        |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_guess,
+        |    round(least(1.0,
+        |      0.3 * (CASE WHEN len(ws) > 0 THEN en / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+        |      + 0.5 * least(len(ws) / 100.0, 1.0)
+        |      + 0.2 * (1.0 - (CASE WHEN length(text) > 0 THEN
+        |          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        |            / CAST(length(text) AS DOUBLE) ELSE 0.0 END))), 4) AS quality,
+        |    CAST(len(ws) AS INT) AS n_tokens,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(ws, x -> CAST(len(x) + 7 * ascii(substring(x, 1, 1)) AS BIGINT))),
+        |      (p, q) -> (p * 31 + q) % 2147483647) AS fingerprint
+        |  FROM s),
+        |d AS (
+        |  SELECT * FROM a WHERE lang_guess = 'en' AND quality >= 0.5
+        |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.ngramJaccardPairs formula-for-formula: same poly-57
     // shingle hashes, df-prune window [2, maxDf], pre-prune sizes.
     "d_dedup_ngram" ->
