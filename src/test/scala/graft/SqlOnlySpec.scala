@@ -50,4 +50,47 @@ class SqlOnlySpec extends AnyFunSuite {
       executeMode = "count")).asInstanceOf[CountResult]
     assert(s.count == 2 && r.isInstanceOf[CountResult])
   }
+
+  test("sql-only params bind per operator family in traversal order (#66-207)") {
+    def p(d: QueryDefinition): Seq[Any] =
+      db.query(d.copy(executeMode = "sql-only")).asInstanceOf[SqlResult].params
+    def sf(fs: QueryFilterNode*) =
+      QueryDefinition("samples", columns = Some(Seq("id")), filters = fs)
+    // pattern fragment is the raw value — wildcards are added in the SQL
+    // text, never in the param (SECURITY.md: values bound, not interpolated)
+    assert(p(sf(QueryFilter("email", "contains", Some("al%ha")))) == Seq("al%ha"))
+    assert(p(sf(QueryFilter("amount", "between", Some((100, 200))))) == Seq(100, 200))
+    assert(p(sf(QueryFilter("name", "levenshteinLte", Some(("Alphb", 2))))) ==
+      Seq("Alphb", 2))
+    assert(p(sf(QueryFilter("tags", "arrayContainsAll", Some(Seq("fast", "new"))))) ==
+      Seq(Seq("fast", "new")))
+    assert(p(sf(QueryFilter("id", "in", Some(Seq(1, 2, 3))))) == Seq(Seq(1, 2, 3)))
+    // nested group params surface depth-first in declaration order
+    assert(p(sf(
+      QueryFilterGroup("or", Seq(
+        QueryFilter("status", "=", Some("active")),
+        QueryFilter("amount", ">", Some(100)))),
+      QueryFilter("isActive", "=", Some(true)))) == Seq("active", 100, true))
+    // byIds binds the PK values ahead of filters (C507)
+    assert(p(QueryDefinition("samples", columns = Some(Seq("id")),
+      byIds = Some(Seq(1, 2)),
+      filters = Seq(QueryFilter("status", "=", Some("active"))))) ==
+      Seq(Seq(1, 2), "active"))
+    // HAVING params come after WHERE params
+    assert(p(QueryDefinition("samples", columns = Some(Seq("status")),
+      groupBy = Seq(QueryGroupBy("status")),
+      aggregations = Seq(QueryAggregation("amount", "sum", "totalAmt")),
+      filters = Seq(QueryFilter("amount", ">", Some(10))),
+      having = Seq(QueryFilter("totalAmt", "between", Some((100, 300)))))) ==
+      Seq(10, 100, 300))
+  }
+
+  test("sql-only never interpolates a hostile value into the text") {
+    val hostile = "x'; DROP TABLE samples; --"
+    val r = db.query(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("status", "=", Some(hostile))),
+      executeMode = "sql-only")).asInstanceOf[SqlResult]
+    assert(!r.sql.contains("DROP"))
+    assert(r.params == Seq(hostile))
+  }
 }
