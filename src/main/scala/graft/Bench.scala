@@ -35,6 +35,7 @@ object Bench {
     "s_ann_topk",         // brute-force cosine top-k
     "s_ann_lsh",          // banded-LSH ANN
     "s_ann_ivf",          // IVF cell-probe ANN
+    "s_ann_pq",           // product-quantization/ADC ANN
     "m_media_frames",     // mapPartitions frame sampling
   )
 

@@ -46,6 +46,11 @@ private[graft] object OracleFrag {
   def dot64(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($a)[__i] * ($b)[__i])), (__x, __y) -> __x + __y)"""
 
+  /** Sequential dot over subspace `sVar` (0-based column expr) of width
+    * `subDim` — mirrors the Spark `slice` + DotProduct fold order. */
+  def subDot(a: String, b: String, sVar: String, subDim: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${subDim + 1}), __i -> ($a)[$sVar*$subDim + __i] * ($b)[$sVar*$subDim + __i])), (__x, __y) -> __x + __y)"""
+
   /** ±1 sign of hyperplane p at lambda-var dim `iVar` (mirror of
     * Similarity.planeSign — two Lehmer steps, overflow-safe). */
   private def planeSignSql(p: Int, iVar: String): String =

@@ -563,6 +563,16 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, nCells = 16, nProbe = 4).orderBy("qid", "rank")
     },
+    // ---- ANN, product-quantization/ADC variant (32x vector compression;
+    //      codes-only candidate scan; decimal-exact ADC so the refine
+    //      cutoff is oracle-reproducible)
+    "s_ann_pq" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.pqTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
+    },
     // ---- multimodal: binary payload + stubbed decode via mapPartitions
     "m_media_features" -> { (s, dir) =>
       ops.Multimodal.decodeFeatures(
@@ -1080,6 +1090,40 @@ object SparkEntry {
          |sc AS (SELECT p.qid, p.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Mirrors Similarity.pqTopK stage-for-stage: seeded codebook, per-
+    // subspace L2 encode (d2 = c·c − 2c·b + b·b, same fold order), ADC
+    // table with round(·,9) decimal sums, refine-30 cut, exact rescore.
+    "s_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |sub AS (SELECT unnest(range(0, 8)) AS s),
+         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e WHERE vec_id < 16),
+         |enc AS (SELECT cid, s, codeid FROM (
+         |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
+         |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
+         |      (${OracleFrag.subDot("c.v", "c.v", "sub.s", 8)}
+         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}
+         |       + ${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
+         |  FROM e c CROSS JOIN sub CROSS JOIN cb) WHERE rn = 1),
+         |qtab AS (
+         |  SELECT q.vec_id AS qid, sub.s, cb.codeid,
+         |    CAST(round(${OracleFrag.subDot("q.v", "cb.bv", "sub.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
+         |  FROM e q CROSS JOIN sub CROSS JOIN cb WHERE q.vec_id < 20),
+         |ax AS (
+         |  SELECT qtab.qid, enc.cid, SUM(pdot) AS adot
+         |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.codeid = enc.codeid
+         |  WHERE qtab.qid != enc.cid GROUP BY qtab.qid, enc.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,

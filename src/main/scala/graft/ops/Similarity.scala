@@ -224,6 +224,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Product-quantization (PQ/ADC) ANN: compress each corpus vector to `m`
+    * one-byte codes — per subspace, the id of its nearest codebook
+    * centroid — then rank candidates by the asymmetric-distance sum of
+    * per-subspace query·centroid dots and exact-rescore only the top
+    * `refine`. THE memory lever at 100 TB: a 64-dim float vector (256 B)
+    * becomes `m` bytes (32× smaller), so the candidate scan touches codes,
+    * not vectors, and the shuffle carries (id, subspace, code) ints only.
+    *
+    * Like [[ivfTopK]], the codebook is SEEDED (centroids = sub-vectors of
+    * the `kCode` smallest-id corpus vectors): deterministic, so the DuckDB
+    * oracle recomputes encode + ADC + refine exactly. A k-means-trained
+    * codebook swaps in by replacing the `cbSub` frame only.
+    *
+    * ADC sums are decimal-accumulated over per-subspace dots rounded to 9
+    * decimals — bit-reproducible across engines, so the refine cutoff can
+    * never drift from the oracle.
+    */
+  def pqTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      m: Int = 8,         // subspaces
+      subDim: Int = 8,    // dims per subspace
+      kCode: Int = 16,    // centroids per subspace codebook
+      refine: Int = 30,   // exact-rescore budget per query
+  ): DataFrame = {
+    val DecExact = org.apache.spark.sql.types.DecimalType(38, 12)
+    val c = prep(corpus, "cid")
+    val q = prep(queries, "qid")
+    def subSlices(v: Column) =
+      array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
+    // (codeId, s, cb_sub): seeded per-subspace codebook, broadcast
+    val cbSub = c.where(col("cid") < kCode)
+      .select(col("cid").cast("int").as("codeId"), posexplode(subSlices(col("cid_v"))))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub"))
+    // encode: per (cid, s) keep the L2-nearest centroid (ties → smallest id)
+    val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"))))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
+    val encW = Window.partitionBy("cid", "s").orderBy(col("d2").asc, col("codeId"))
+    val codes = cSub.join(broadcast(cbSub), "s")
+      .select(col("cid"), col("s"), col("codeId"),
+        (dot_product(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
+          + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
+      .withColumn("rn", row_number().over(encW))
+      .where(col("rn") === 1).select("cid", "s", "codeId")
+    // ADC table: per (qid, s, codeId) the query-subvector · centroid dot
+    val qTab = q.select(col("qid"), posexplode(subSlices(col("qid_v"))))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "q_sub"))
+      .join(broadcast(cbSub), "s")
+      .select(col("qid"), col("s"), col("codeId"),
+        round(dot_product(col("q_sub"), col("cb_sub")), 9).cast(DecExact).as("pdot"))
+    // approximate dot = sum of the m looked-up table cells (exact decimal)
+    val approx = qTab.join(codes, Seq("s", "codeId"))
+      .where(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid").agg(sum(col("pdot")).as("adot"))
+    val cand = approx
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+      .where(col("arn") <= refine).select("qid", "cid")
+    // exact rescore of the refined candidates only
+    val scored = cand
+      .join(q, "qid").join(c, "cid")
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With
     * multi-probe = 0 this trades recall for a ~2^planes candidate cut.
     */

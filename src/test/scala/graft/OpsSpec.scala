@@ -143,6 +143,36 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 == 1.0, s"probing ALL cells must equal brute force, got $r16")
   }
 
+  test("PQ ANN: sims are true cosines; full refine equals brute force") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "cid", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val nCorpus = c.count().toInt
+    def run(refine: Int) = Similarity.pqTopK(q, c, k = 5, refine = refine)
+      .select("qid", "cid", "sim").collect()
+    val p30 = run(30)
+    // soundness: every emitted sim is the exact cosine (rescore is exact)
+    p30.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(2)))
+    }
+    def recall(rows: Array[org.apache.spark.sql.Row]) = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf.keySet & got).size.toDouble / bf.size
+    }
+    // recall rises with the refine budget (measured 0.49 → 0.77 → 1.0 at
+    // 30/80/all on this 500-vector fixture; deterministic seeded codebook)
+    val r30 = recall(p30)
+    val r80 = recall(run(80))
+    val rAll = recall(run(nCorpus))
+    assert(r30 <= r80 && r80 <= rAll, s"recall not monotone in refine: $r30/$r80/$rAll")
+    assert(rAll == 1.0, s"refining ALL candidates must equal brute force, got $rAll")
+    assert(r80 >= 0.75, s"8x8 codebook ADC recall@5 with refine=80 is $r80 < 0.75")
+  }
+
   test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
     val out = TextAnalysis.analyze(docs).where($"doc_id" === 1L).collect().head
     assert(out.getAs[String]("langGuess") == "en") // 'the' x2, 'over'
