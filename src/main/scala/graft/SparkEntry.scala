@@ -54,6 +54,23 @@ object SparkEntry {
     */
   private val orcRegionDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM hive-layout partitioned copy of orders (dirs keyed by order
+    * year) — the physical layout that makes partition pruning and dynamic
+    * partition pruning possible. Written once per sfDir.
+    */
+  private[graft] val partOrdersDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
+    val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part").resolve("orders").toString
+      t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(path)
+      path
+    })
+    s.read.parquet(pdir)
+  }
+
   /** Engine-routed query under a specific (non-admin) role — the
     * ACL + in-plan masking path under the oracle gate. */
   private def engAs(name: String, roles: Seq[String],
@@ -496,6 +513,18 @@ object SparkEntry {
         .orderBy("priority")
     },
 
+    // ---- partition pruning: the year filter prunes whole partition dirs
+    //      before any file is opened (PlanQualitySpec pins PartitionFilters
+    //      + dynamic partition pruning through a dim join) — the #1 scan
+    //      reducer on a date-partitioned 100 TB fact
+    "q15_partitioned_scan" -> { (s, dir) =>
+      partitionedOrders(s, dir)
+        .where(col("o_year").between(1995, 1996))
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_year", "o_orderstatus")
+    },
+
     // ================= LLM-pipeline operators (graft.ops) ================
     // ---- text analysis: language-ID, quality, token counts, fingerprint
     "d_text_analysis" -> { (s, dir) =>
@@ -885,6 +914,13 @@ object SparkEntry {
         |  o_totalprice AS totalprice
         |FROM orders WHERE o_totalprice > 400000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // Spark reads the year-partitioned copy; content mirrors the parquet
+    "q15_partitioned_scan" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Spark reads bucketed managed tables; content mirrors the parquet
     "q14_bucketed_join" ->
       """SELECT o.o_orderpriority AS priority,

@@ -142,6 +142,28 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned scan prunes whole partition directories") {
+    val p = planOf("q15_partitioned_scan")
+    assert(p.contains("PartitionFilters:") && p.contains("o_year"), p.take(2000))
+    // 2 of the 7 year partitions survive pruning
+    val scan = SparkEntry.partitionedOrders(spark, dir)
+      .where(org.apache.spark.sql.functions.col("o_year").between(1995, 1996))
+    val pruned = scan.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!pruned.contains("o_year=1997"), pruned.take(1500))
+  }
+
+  test("dim-filtered join triggers dynamic partition pruning on the fact") {
+    import org.apache.spark.sql.functions._
+    val fact = SparkEntry.partitionedOrders(spark, dir)
+    val dim = spark.range(1995, 2002)
+      .select(col("id").cast("int").as("y"),
+        (col("id") < 1997).as("recent"))
+    val joined = fact.join(dim, fact("o_year") === dim("y"))
+      .where(col("recent")).groupBy("o_year").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("replica offload reads the warehouse replica, not the primary") {
     val df = SparkEntry.queries("e_replica_offload")(spark, dir)
     assert(df.count() > 0)
