@@ -26,6 +26,7 @@ object Bench {
     "q11_window_features", // per-user sequence windows over events
     "q13_jdbc_join",      // parquet fact × live-JDBC dim
     "q14_bucketed_join",  // co-located bucketed fact×fact join (no Exchange)
+    "q15_partitioned_scan", // partition-dir pruning on the year-partitioned fact
     "d_text_analysis",    // HOF text pipeline
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_dedup_ngram",      // inverted-index jaccard
