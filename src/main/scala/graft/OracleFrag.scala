@@ -17,6 +17,47 @@ private[graft] object OracleFrag {
   def ws(text: String): String =
     s"""list_filter(string_split(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' '), __w -> len(__w) > 0)"""
 
+  /** Shared document-analysis CTE prefix: `w` (tokenized) + `s` (per-
+    * language stopword hit counts) over the documents table. `extraCols`
+    * are passthrough columns (e.g. ", source"). Single source of truth for
+    * every oracle that mirrors TextAnalysis — a formula change here moves
+    * all of them in lockstep.
+    */
+  def docAnalysisCtes(extraCols: String = ""): String =
+    s"""w AS (
+       |  SELECT doc_id$extraCols, text, ${ws("text")} AS ws
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id$extraCols, text, ws,
+       |    len(list_filter(ws, __x -> list_contains(['the','a','of','and','to','in','is','it'], __x))) AS en,
+       |    len(list_filter(ws, __x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], __x))) AS de,
+       |    len(list_filter(ws, __x -> list_contains(['le','la','les','et','est','un','une','des'], __x))) AS fr,
+       |    len(list_filter(ws, __x -> list_contains(['el','los','las','y','es','un','una','con'], __x))) AS es
+       |  FROM w)""".stripMargin
+
+  /** Language guess over the `s` CTE's counts (mirror of TextAnalysis.langGuess). */
+  val langGuessExpr: String =
+    """CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+      |       WHEN en >= greatest(de, fr, es) THEN 'en'
+      |       WHEN de >= greatest(fr, es) THEN 'de'
+      |       WHEN fr >= es THEN 'fr' ELSE 'es' END""".stripMargin
+
+  /** Quality score over `s` (mirror of TextAnalysis.qualityScore, round 4). */
+  val qualityExpr: String =
+    """round(least(1.0,
+      |    0.3 * (CASE WHEN len(ws) > 0 THEN en / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+      |    + 0.5 * least(len(ws) / 100.0, 1.0)
+      |    + 0.2 * (1.0 - (CASE WHEN length(text) > 0 THEN
+      |        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      |          / CAST(length(text) AS DOUBLE) ELSE 0.0 END))), 4)""".stripMargin
+
+  /** Rolling word fingerprint over `ws` (mirror of TextAnalysis.fingerprint). */
+  val fingerprintExpr: String =
+    """list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(ws, __x -> CAST(len(__x) + 7 * ascii(substring(__x, 1, 1)) AS BIGINT))),
+      |    (__p, __q) -> (__p * 31 + __q) % 2147483647)""".stripMargin
+
   /** Rolling poly-57 hash of a string expression (mirror of TextHashOps.foldBytes). */
   def poly57(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len($s) + 1), __j -> CAST(ascii(($s)[__j]) AS BIGINT))), (__a, __c) -> (__a * 31 + __c) % $P57)"""

@@ -499,7 +499,7 @@ object SparkEntry {
     //      (shuffle paid once at write), so the join itself plans with NO
     //      Exchange on either side (pinned by PlanQualitySpec)
     "q14_bucketed_join" -> { (s, dir) =>
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = ops.Bucketing.dirTag(dir)
       val lt = s.table(ops.Bucketing.ensureBucketed(s,
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
         s"lineitem_$tag", "l_orderkey", 16))
@@ -939,36 +939,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY 1, 3""".stripMargin,
     "d_text_analysis" ->
-      """WITH w AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 0) AS ws
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, text, ws,
-        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en,
-        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de,
-        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS fr,
-        |    len(list_filter(ws, x -> list_contains(['el','los','las','y','es','un','una','con'], x))) AS es
-        |  FROM w)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
-        |       WHEN en >= greatest(de, fr, es) THEN 'en'
-        |       WHEN de >= greatest(fr, es) THEN 'de'
-        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS "langGuess",
-        |  round(least(1.0,
-        |    0.3 * (CASE WHEN len(ws) > 0 THEN en / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
-        |    + 0.5 * least(len(ws) / 100.0, 1.0)
-        |    + 0.2 * (1.0 - (CASE WHEN length(text) > 0 THEN
-        |        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-        |          / CAST(length(text) AS DOUBLE) ELSE 0.0 END))), 4) AS quality,
-        |  CAST(len(ws) AS INT) AS "nTokensWs",
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS "nTokensBpe",
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(ws, x -> CAST(len(x) + 7 * ascii(substring(x, 1, 1)) AS BIGINT))),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH ${OracleFrag.docAnalysisCtes()}
+         |SELECT doc_id,
+         |  ${OracleFrag.langGuessExpr} AS "langGuess",
+         |  ${OracleFrag.qualityExpr} AS quality,
+         |  CAST(len(ws) AS INT) AS "nTokensWs",
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS "nTokensBpe",
+         |  ${OracleFrag.fingerprintExpr} AS fingerprint
+         |FROM s ORDER BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
@@ -983,47 +961,25 @@ object SparkEntry {
     // d_text_analysis): quality/lang gates, fingerprint dedup, per-source
     // running token budget
     "d_pipeline_prep" ->
-      """WITH w AS (
-        |  SELECT doc_id, source, text,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 0) AS ws
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, source, text, ws,
-        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en,
-        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de,
-        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS fr,
-        |    len(list_filter(ws, x -> list_contains(['el','los','las','y','es','un','una','con'], x))) AS es
-        |  FROM w),
-        |a AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
-        |         WHEN en >= greatest(de, fr, es) THEN 'en'
-        |         WHEN de >= greatest(fr, es) THEN 'de'
-        |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_guess,
-        |    round(least(1.0,
-        |      0.3 * (CASE WHEN len(ws) > 0 THEN en / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
-        |      + 0.5 * least(len(ws) / 100.0, 1.0)
-        |      + 0.2 * (1.0 - (CASE WHEN length(text) > 0 THEN
-        |          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-        |            / CAST(length(text) AS DOUBLE) ELSE 0.0 END))), 4) AS quality,
-        |    CAST(len(ws) AS INT) AS n_tokens,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(ws, x -> CAST(len(x) + 7 * ascii(substring(x, 1, 1)) AS BIGINT))),
-        |      (p, q) -> (p * 31 + q) % 2147483647) AS fingerprint
-        |  FROM s),
-        |d AS (
-        |  SELECT * FROM a WHERE lang_guess = 'en' AND quality >= 0.5
-        |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
-        |c AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    SUM(CAST(n_tokens AS BIGINT)) OVER (
-        |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-        |  FROM d)
-        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
-        |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
+      s"""WITH ${OracleFrag.docAnalysisCtes(", source")},
+         |a AS (
+         |  SELECT doc_id, source,
+         |    ${OracleFrag.langGuessExpr} AS lang_guess,
+         |    ${OracleFrag.qualityExpr} AS quality,
+         |    CAST(len(ws) AS INT) AS n_tokens,
+         |    ${OracleFrag.fingerprintExpr} AS fingerprint
+         |  FROM s),
+         |d AS (
+         |  SELECT * FROM a WHERE lang_guess = 'en' AND quality >= 0.5
+         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(CAST(n_tokens AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.ngramJaccardPairs formula-for-formula: same poly-57
     // shingle hashes, df-prune window [2, maxDf], pre-prune sizes.
     "d_dedup_ngram" ->

@@ -188,7 +188,7 @@ private final class Resolver(
     val b = col(internal(resolveAlias(rApi), cf.refColumn))
     cf.operator match {
       case "="  => a === b
-      case "!=" => a =!= b
+      case "!=" => !(a <=> b) // same NULL-inclusive != as scalar filters (C107)
       case ">"  => a > b
       case "<"  => a < b
       case ">=" => a >= b
@@ -550,7 +550,7 @@ private final class Resolver(
       def l(v: Any) = { sqlParams += v; lit(v) }
       f.operator match {
         case "="  => c === l(f.value.get)
-        case "!=" => c =!= l(f.value.get)
+        case "!=" => !(c <=> l(f.value.get)) // NULL-inclusive != (C107), e.g. a NULL SUM group
         case ">"  => c > l(f.value.get)
         case "<"  => c < l(f.value.get)
         case ">=" => c >= l(f.value.get)

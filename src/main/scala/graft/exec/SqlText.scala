@@ -38,7 +38,9 @@ object SqlText {
           val a = aliasFor(f.table.getOrElse(defaultTable))
           val c = s"$a.${ident(phys(f.table.getOrElse(defaultTable), f.column))}"
           f.operator match {
-            case "=" => s"$c = ?"         case "!=" => s"$c != ?"
+            // != is NULL-inclusive engine-wide (C107) — the text must carry
+            // the same semantics the engine executes
+            case "=" => s"$c = ?"         case "!=" => s"$c IS DISTINCT FROM ?"
             case ">" => s"$c > ?"         case "<" => s"$c < ?"
             case ">=" => s"$c >= ?"       case "<=" => s"$c <= ?"
             case "in" => s"$c IN (?)"     case "notIn" => s"$c NOT IN (?)"
@@ -68,7 +70,8 @@ object SqlText {
         case cf: QueryColumnFilter =>
           val la = aliasFor(cf.table.getOrElse(defaultTable))
           val ra = aliasFor(cf.refTable.getOrElse(defaultTable))
-          s"$la.${ident(phys(cf.table.getOrElse(defaultTable), cf.column))} ${cf.operator} " +
+          val op = if (cf.operator == "!=") "IS DISTINCT FROM" else cf.operator
+          s"$la.${ident(phys(cf.table.getOrElse(defaultTable), cf.column))} $op " +
             s"$ra.${ident(phys(cf.refTable.getOrElse(defaultTable), cf.refColumn))}"
         case g: QueryFilterGroup =>
           val inner = g.conditions
@@ -155,6 +158,7 @@ object SqlText {
               case "between" => s"$c BETWEEN ? AND ?"
               case "notBetween" => s"$c NOT BETWEEN ? AND ?"
               case "isNull" => s"$c IS NULL" case "isNotNull" => s"$c IS NOT NULL"
+              case "!=" => s"$c IS DISTINCT FROM ?"
               case op => s"$c $op ?"
             }
           case g: QueryFilterGroup =>

@@ -23,15 +23,23 @@ object Bucketing {
   private lazy val location =
     java.nio.file.Files.createTempDirectory("graft_buckets").toString
 
+  /** Injective table-name tag for a source directory (hashCode can
+    * collide — a silent collision would serve one SF's data to another).
+    */
+  def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Materialize `df` as a bucketed+sorted managed table, once per JVM per
-    * `table` name (computeIfAbsent blocks concurrent callers until the
-    * write completes). Returns the fully-qualified table name.
+    * (table, key, buckets) — computeIfAbsent blocks concurrent callers
+    * until the write completes; a re-call with the same name but different
+    * bucketing spec writes a distinct physical table rather than silently
+    * serving the stale one. The caller owns keeping `df`'s content stable
+    * for a given `table` name. Returns the fully-qualified table name.
     */
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
       key: String, buckets: Int): String =
-    tables.computeIfAbsent(table, { _ =>
+    tables.computeIfAbsent(s"$table|$key|$buckets", { _ =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$location'")
-      val fq = s"graft_buckets.`$table`"
+      val fq = s"graft_buckets.`${table}_${key}_$buckets`"
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(fq)

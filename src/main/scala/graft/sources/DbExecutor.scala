@@ -34,13 +34,23 @@ trait DbExecutor {
 final class JdbcExecutor(url: String, timeoutMs: Long = 30000L,
     pingSql: String = "VALUES 1") extends DbExecutor {
 
-  private lazy val conn: Connection =
-    try DriverManager.getConnection(url)
-    catch { case e: SQLException =>
-      throw ConnectionError("CONNECTION_FAILED", Map("message" -> e.getMessage))
-    }
-
   @volatile private var closed = false
+  private var opened: Option[Connection] = None
+
+  /** Open-on-first-use; close() must never trigger a connection attempt. */
+  private def conn: Connection = synchronized {
+    if (closed)
+      throw ConnectionError("CONNECTION_FAILED", Map("message" -> "executor closed"))
+    opened.getOrElse {
+      val c =
+        try DriverManager.getConnection(url)
+        catch { case e: SQLException =>
+          throw ConnectionError("CONNECTION_FAILED", Map("message" -> e.getMessage))
+        }
+      opened = Some(c)
+      c
+    }
+  }
 
   override def execute(sql: String, params: Seq[Any]): Seq[Map[String, Any]] = {
     if (closed) throw ConnectionError("CONNECTION_FAILED", Map("message" -> "executor closed"))
@@ -58,6 +68,9 @@ final class JdbcExecutor(url: String, timeoutMs: Long = 30000L,
         rows.toSeq
       } finally ps.close()
     } catch {
+      case e: java.sql.SQLTimeoutException =>
+        throw ExecutionError("QUERY_TIMEOUT",
+          Map("message" -> String.valueOf(e.getMessage)), Some(e))
       case e: SQLException =>
         throw ExecutionError("QUERY_FAILED",
           Map("message" -> String.valueOf(e.getMessage)), Some(e))
@@ -66,8 +79,9 @@ final class JdbcExecutor(url: String, timeoutMs: Long = 30000L,
 
   override def ping(): Unit = { execute(pingSql, Nil); () }
 
-  override def close(): Unit = {
+  override def close(): Unit = synchronized {
     closed = true
-    try conn.close() catch { case _: SQLException => () }
+    opened.foreach(c => try c.close() catch { case _: SQLException => () })
+    opened = None
   }
 }

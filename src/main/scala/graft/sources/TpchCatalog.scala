@@ -116,13 +116,15 @@ object TpchCatalog {
       TableRoleAccess("customer", None, maskedColumns = Seq("name"))))))
 
   def registry(spark: SparkSession, sfDir: String): SourceRegistry = SourceRegistry(
-    loaders = tables.map {
+    loaders = tables.collect {
       case t if t.database == "fixture" =>
         ("fixture", t.id) ->
           (() => spark.read.format("graft.sources.FixtureItemsSource").load())
-      case t if t.database == "warehouse" =>
+      // dispatch per table id: a future warehouse table without its own
+      // loader must surface EXECUTOR_MISSING, never silently read nation
+      case t if t.database == "warehouse" && t.id == "nationDim" =>
         ("warehouse", t.id) -> (() => DerbyFixture.nation(spark, sfDir))
-      case t =>
+      case t if t.database == "tpch" =>
         ("tpch", t.id) ->
           (() => spark.read.parquet(s"$sfDir/${t.physicalName}.parquet"))
     }.toMap,

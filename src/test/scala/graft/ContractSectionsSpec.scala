@@ -228,6 +228,22 @@ class ContractSectionsSpec extends AnyFunSuite {
     assert(data(having("notBetween")).map(_("status")) == Seq("active", "cancelled"))
   }
 
+  test("HAVING != is NULL-inclusive like the WHERE operator (C107 consistency)") {
+    // SUM(discount) is NULL for 'paid' — IS DISTINCT FROM 0 keeps it
+    val r = q(QueryDefinition("samples", columns = Some(Seq("status")),
+      groupBy = Seq(QueryGroupBy("status")),
+      aggregations = Seq(QueryAggregation("discount", "sum", "discountSum")),
+      having = Seq(QueryFilter("discountSum", "!=", Some(0))),
+      orderBy = Seq(QueryOrderBy("status"))))
+    assert(data(r).map(_("status")) == Seq("active", "cancelled", "paid"))
+  }
+
+  test("column-vs-column != is NULL-inclusive (C107 consistency)") {
+    // discount IS NULL for ids 2, 4 — IS DISTINCT FROM keeps them
+    val r = q(idQuery(QueryColumnFilter("discount", "!=", "amount")))
+    assert(ids(r) == Seq(1, 2, 3, 4, 5))
+  }
+
   test("C326: HAVING isNull catches the all-NULL SUM group") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("status")),
       groupBy = Seq(QueryGroupBy("status")),

@@ -58,6 +58,11 @@ class ExecutorContractSpec extends AnyFunSuite {
     ex.close() // second close must not throw
   }
 
+  test("C1803b: closing a never-used executor never opens a connection") {
+    // an unreachable URL must not matter — close() may not trigger connect
+    new JdbcExecutor("jdbc:derby:/nonexistent/path/db").close()
+  }
+
   test("C1804: ping after close raises ConnectionError or ExecutionError") {
     val ex = new JdbcExecutor(url)
     ex.close()

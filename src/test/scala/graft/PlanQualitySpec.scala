@@ -123,8 +123,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
       import graft.ops.Bucketing
+      val tag = Bucketing.dirTag(dir)
       val lt = spark.table(Bucketing.ensureBucketed(spark,
         spark.read.parquet(s"$dir/lineitem.parquet")
           .select("l_orderkey", "l_quantity", "l_extendedprice"),

@@ -85,6 +85,14 @@ class SqlOnlySpec extends AnyFunSuite {
       Seq(10, 100, 300))
   }
 
+  test("sql-only != renders the engine's NULL-inclusive semantics") {
+    val r = db.query(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("isActive", "!=", Some(true))),
+      executeMode = "sql-only")).asInstanceOf[SqlResult]
+    assert(r.sql.contains("IS DISTINCT FROM ?"), r.sql)
+    assert(r.params == Seq(true))
+  }
+
   test("sql-only never interpolates a hostile value into the text") {
     val hostile = "x'; DROP TABLE samples; --"
     val r = db.query(QueryDefinition("samples", columns = Some(Seq("id")),
