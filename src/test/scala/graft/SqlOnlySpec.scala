@@ -93,6 +93,54 @@ class SqlOnlySpec extends AnyFunSuite {
     assert(r.params == Seq(true))
   }
 
+  test("sql-only WHERE fragment per operator — all 31 operators render") {
+    def sqlOf(f: QueryFilterNode): String =
+      db.query(QueryDefinition("samples", columns = Some(Seq("id")),
+        filters = Seq(f), executeMode = "sql-only")).asInstanceOf[SqlResult].sql
+    val cases: Seq[(QueryFilter, String)] = Seq(
+      QueryFilter("status", "=", Some("active"))        -> """"status" = ?""",
+      QueryFilter("isActive", "!=", Some(true))         -> """"is_active" IS DISTINCT FROM ?""",
+      QueryFilter("amount", ">", Some(10))              -> """"amount" > ?""",
+      QueryFilter("amount", "<", Some(10))              -> """"amount" < ?""",
+      QueryFilter("amount", ">=", Some(10))             -> """"amount" >= ?""",
+      QueryFilter("amount", "<=", Some(10))             -> """"amount" <= ?""",
+      QueryFilter("id", "in", Some(Seq(1)))             -> """"id" IN (?)""",
+      QueryFilter("id", "notIn", Some(Seq(1)))          -> """"id" NOT IN (?)""",
+      QueryFilter("email", "like", Some("%a%"))         -> """"email" LIKE ?""",
+      QueryFilter("email", "notLike", Some("%a%"))      -> """"email" NOT LIKE ?""",
+      QueryFilter("email", "ilike", Some("%A%"))        -> """LOWER(t0."email") LIKE LOWER(?)""",
+      QueryFilter("email", "notIlike", Some("%A%"))     -> """LOWER(t0."email") NOT LIKE LOWER(?)""",
+      QueryFilter("email", "contains", Some("a"))       -> """"email" LIKE '%' || ? || '%'""",
+      QueryFilter("email", "notContains", Some("a"))    -> """"email" NOT LIKE '%' || ? || '%'""",
+      QueryFilter("email", "icontains", Some("A"))      -> """LOWER(t0."email") LIKE '%' || LOWER(?) || '%'""",
+      QueryFilter("email", "notIcontains", Some("A"))   -> """LOWER(t0."email") NOT LIKE '%' || LOWER(?) || '%'""",
+      QueryFilter("name", "startsWith", Some("A"))      -> """"name" LIKE ? || '%'""",
+      QueryFilter("name", "istartsWith", Some("a"))     -> """LOWER(t0."name") LIKE LOWER(?) || '%'""",
+      QueryFilter("email", "endsWith", Some("m"))       -> """"email" LIKE '%' || ?""",
+      QueryFilter("email", "iendsWith", Some("M"))      -> """LOWER(t0."email") LIKE '%' || LOWER(?)""",
+      QueryFilter("discount", "isNull", None)           -> """"discount" IS NULL""",
+      QueryFilter("discount", "isNotNull", None)        -> """"discount" IS NOT NULL""",
+      QueryFilter("amount", "between", Some((1, 2)))    -> """"amount" BETWEEN ? AND ?""",
+      QueryFilter("amount", "notBetween", Some((1, 2))) -> """"amount" NOT BETWEEN ? AND ?""",
+      QueryFilter("name", "levenshteinLte", Some(("Al", 1))) -> """LEVENSHTEIN(t0."name", ?) <= ?""",
+      QueryFilter("scores", "arrayContains", Some(1))   -> """ARRAY_CONTAINS(t0."scores", ?)""",
+      QueryFilter("tags", "arrayContainsAll", Some(Seq("a"))) -> """ARRAY_CONTAINS_ALL(t0."tags", ?)""",
+      QueryFilter("tags", "arrayContainsAny", Some(Seq("a"))) -> """ARRAYS_OVERLAP(t0."tags", ?)""",
+      QueryFilter("scores", "arrayIsEmpty", None)       -> """CARDINALITY(t0."scores") = 0""",
+      QueryFilter("scores", "arrayIsNotEmpty", None)    -> """CARDINALITY(t0."scores") > 0""",
+    )
+    cases.foreach { case (f, frag) =>
+      val sql = sqlOf(f)
+      assert(sql.contains(frag), s"operator ${f.operator}:\n$sql\nexpected fragment: $frag")
+    }
+    // 31st operator: column-vs-column renders physical names on both sides
+    val colcmp = db.query(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryColumnFilter("amount", ">", "discount")),
+      executeMode = "sql-only")).asInstanceOf[SqlResult]
+    assert(colcmp.sql.contains("""t0."amount" > t0."discount""""), colcmp.sql)
+    assert(colcmp.params.isEmpty)
+  }
+
   test("sql-only never interpolates a hostile value into the text") {
     val hostile = "x'; DROP TABLE samples; --"
     val r = db.query(QueryDefinition("samples", columns = Some(Seq("id")),

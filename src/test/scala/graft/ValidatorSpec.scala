@@ -207,4 +207,35 @@ class ValidatorSpec extends AnyFunSuite {
     assert(!ApiName.isValid("a" * 65))
     assert(ApiName.isValid("customerId"))
   }
+
+  test("operator/type matrix: exhaustive double-entry vs README.md:290-318") {
+    val scalar = Seq("string", "int", "decimal", "boolean", "uuid", "date", "timestamp")
+    val types = scalar ++ scalar.map(_ + "[]")
+    val ordered = Set("string", "int", "decimal", "date", "timestamp")
+    val patternOps = Seq("like", "notLike", "ilike", "notIlike",
+      "contains", "icontains", "notContains", "notIcontains",
+      "startsWith", "istartsWith", "endsWith", "iendsWith")
+    val arrayOps = Seq("arrayContains", "arrayContainsAll", "arrayContainsAny",
+      "arrayIsEmpty", "arrayIsNotEmpty")
+    val ops = Seq("=", "!=", ">", "<", ">=", "<=", "in", "notIn") ++ patternOps ++
+      Seq("between", "notBetween", "isNull", "isNotNull", "levenshteinLte") ++ arrayOps
+    assert(ops.size == 30) // op 31 is column-vs-column, checked by rule-5 tests
+    // independent re-encoding of the reference table (double-entry check)
+    def want(op: String, t: String, nullable: Boolean): Boolean = {
+      val arr = t.endsWith("[]")
+      op match {
+        case "isNull" | "isNotNull"                      => nullable
+        case o if arrayOps.contains(o)                   => arr
+        case _ if arr                                    => false
+        case "=" | "!="                                  => true
+        case ">" | "<" | ">=" | "<=" |
+             "between" | "notBetween"                    => ordered(t)
+        case "in" | "notIn"                              => Set("string", "int", "decimal", "uuid")(t)
+        case _                                           => t == "string" // patterns + levenshteinLte
+      }
+    }
+    for (op <- ops; t <- types; n <- Seq(true, false))
+      assert(Validator.operatorValidForType(op, t, n) == want(op, t, n),
+        s"matrix mismatch at ($op, $t, nullable=$n)")
+  }
 }
