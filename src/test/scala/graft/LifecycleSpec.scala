@@ -61,6 +61,38 @@ class LifecycleSpec extends AnyFunSuite {
     assert(r.asInstanceOf[DataResult].data.size == 5)
   }
 
+  test("in-flight work uses the pre-reload snapshot (#171)") {
+    var cfg = ContractFixture.config()
+    val provider = new MetadataProvider { def load(): MetadataConfig = cfg }
+    val roles = new RoleProvider { def load(): Seq[RoleMeta] = ContractFixture.roles }
+    val db = new MultiDb(spark, provider, roles, ContractFixture.registry(spark))
+    // a lazy frame resolved against the current snapshot stands in for an
+    // in-flight query: it must keep executing after the config is swapped
+    val inFlight = db.frame(QueryDefinition("orders", columns = Some(Seq("id", "status"))))
+    cfg = cfg.copy(tables = cfg.tables.map(t =>
+      if (t.id == "orders") // rename a column out from under the old plan
+        t.copy(columns = t.columns.map(c =>
+          if (c.apiName == "status") c.copy(apiName = "orderState") else c))
+      else t))
+    db.reloadMetadata()
+    assert(inFlight.count() == 5) // old snapshot plan still runs
+    // the new snapshot governs new queries
+    intercept[ValidationError](
+      db.query(QueryDefinition("orders", columns = Some(Seq("status")))))
+    assert(db.query(QueryDefinition("orders", columns = Some(Seq("orderState"))))
+      .asInstanceOf[DataResult].data.size == 5)
+  }
+
+  test("a table whose database has no registered loader → EXECUTOR_MISSING (#44)") {
+    val base = ContractFixture.registry(spark)
+    val registry = base.copy(loaders =
+      base.loaders.removed(("ch-analytics", "events")))
+    val db = MultiDb(spark, ContractFixture.config(), ContractFixture.roles, registry)
+    val e = intercept[ExecutionError](
+      db.query(QueryDefinition("events", columns = Some(Seq("id")))))
+    assert(e.code == "EXECUTOR_MISSING")
+  }
+
   test("broken reload throws ConfigError and keeps serving old snapshot") {
     var cfg = ContractFixture.config()
     val provider = new MetadataProvider { def load(): MetadataConfig = cfg }
