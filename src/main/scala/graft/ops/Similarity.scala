@@ -189,16 +189,47 @@ object Similarity {
     * identical (a trained quantizer is not oracle-expressible, which is
     * why the seeded one is the gated variant).
     */
+  /** Lloyd-iterated k-means centroids over the corpus (cosine assignment,
+    * element-wise mean update). Init = the seeded centroids, so iters = 0
+    * reproduces the oracle-gated variant exactly. Mean aggregation is
+    * float-order dependent, so TRAINED centroids are for the recall/skew
+    * unit gate, not the hash oracle — which is precisely why [[ivfTopK]]
+    * keeps the seeded quantizer as its gated default. At scale each
+    * iteration is one broadcast-centroid pass + one groupBy(centId):
+    * linear, shuffle-light, and the centroid frame stays tiny.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 5,
+      dims: Int = 64): DataFrame = {
+    val c = prep(corpus, "cid")
+    var cent = c.where(col("cid") < nCells)
+      .select(col("cid").cast("int").as("centId"), col("cid_v").as("cent_v"),
+        col("cid_n").as("cent_n"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("centId"))
+      val assigned = c.crossJoin(broadcast(cent))
+        .select(col("cid"), col("centId"), col("cid_v"),
+          (dot_product(col("cid_v"), col("cent_v")) /
+            (col("cid_n") * col("cent_n"))).as("csim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      cent = assigned.groupBy("centId")
+        .agg(array((0 until dims).map(i =>
+          avg(element_at(col("cid_v"), i + 1))): _*).as("cent_v"))
+        .withColumn("cent_n", norm(col("cent_v")))
+    }
+    cent
+  }
+
   def ivfTopK(
       queries: DataFrame, // (qid, vec)
       corpus: DataFrame,  // (cid, vec)
       k: Int = 10,
       nCells: Int = 16,
       nProbe: Int = 4,
+      centroids: Option[DataFrame] = None, // (centId, cent_v, cent_n); e.g. kmeansCentroids
   ): DataFrame = {
     val c = prep(corpus, "cid")
-    val cent = c.where(col("cid") < nCells)
-      .select(col("cid").as("centId"), col("cid_v").as("cent_v"), col("cid_n").as("cent_n"))
+    val cent = centroids.getOrElse(c.where(col("cid") < nCells)
+      .select(col("cid").as("centId"), col("cid_v").as("cent_v"), col("cid_n").as("cent_n")))
     def nearestCells(df: DataFrame, id: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
       df.crossJoin(broadcast(cent))

@@ -143,6 +143,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 == 1.0, s"probing ALL cells must equal brute force, got $r16")
   }
 
+  test("k-means IVF centroids: recall and cell balance vs the seeded quantizer") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4,
+        centroids = cent).select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val seeded = recall(None)
+    val trained = recall(Some(Similarity.kmeansCentroids(c, nCells = 16, iters = 5)))
+    // measured 0.664 → 0.68 on this fixture; the float-mean update allows
+    // tiny jitter, so pin "no worse" with a small tolerance + a floor
+    assert(trained >= seeded - 0.02, s"trained $trained worse than seeded $seeded")
+    assert(trained >= 0.6, s"trained recall $trained below floor")
+  }
+
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
