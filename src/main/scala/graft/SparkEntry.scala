@@ -60,6 +60,9 @@ object SparkEntry {
     */
   private[graft] val partOrdersDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM JSON-lines + CSV materializations of the supplier dim. */
+  private val textSupplierDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
       val path = java.nio.file.Files
@@ -465,6 +468,30 @@ object SparkEntry {
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
         .orderBy("n_nationkey")
+    },
+
+    // ---- JSON-lines + CSV landing formats: supplier materialized once in
+    //      each text format (explicit schemas — no inference at scale),
+    //      then both variants join in one plan and must agree row-for-row
+    //      with the parquet-only oracle
+    "q16_text_formats" -> { (s, dir) =>
+      val base = textSupplierDir.computeIfAbsent(dir, { d =>
+        val root = java.nio.file.Files.createTempDirectory("graft_text").toString
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        sup.write.json(s"$root/json")
+        sup.write.option("header", "true").csv(s"$root/csv")
+        root
+      })
+      val schema = "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT"
+      val j = s.read.schema(schema).json(s"$base/json")
+      val cs = s.read.schema(schema).option("header", "true").csv(s"$base/csv")
+        .select(col("s_suppkey").as("c_suppkey"), col("s_nationkey").as("c_natkey"))
+      j.join(cs, j("s_suppkey") === cs("c_suppkey"))
+        .where(col("s_nationkey") === col("c_natkey")) // formats must agree
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("suppliers"))
+        .select(col("nationkey"), col("suppliers"))
+        .orderBy("nationkey")
     },
 
     // ---- LIVE JDBC source, engine-routed: the planner resolves nationDim
@@ -908,6 +935,10 @@ object SparkEntry {
       """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY nation""".stripMargin,
+    // Spark reads supplier through JSON-lines and CSV copies of the parquet
+    "q16_text_formats" ->
+      """SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS suppliers
+        |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     // Spark reads the warehouse replica; content mirrors the primary parquet
     "e_replica_offload" ->
       """SELECT o_orderkey AS orderkey, o_orderstatus AS orderstatus,
