@@ -96,6 +96,23 @@ object Similarity {
       transform(col("vec"), _.cast("double")).as(s"${idName}_v"))
       .withColumn(s"${idName}_n", norm(col(s"${idName}_v")))
 
+  /** Shared exact-rescore tail of every candidate-cut ANN variant: re-join
+    * the (qid, cid) candidate pairs to their vectors, score the exact
+    * cosine, and keep the per-query top-k (ties broken by cid). Candidates
+    * shuffled before this point carry ids only — vectors join in here.
+    */
+  private def rescoreTopK(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val scored = cand
+      .join(prep(queries, "qid"), "qid")
+      .join(prep(corpus, "cid"), "cid")
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * Exact; the oracle baseline. Corpus is broadcast (small side); per-side
     * norms are precomputed.
@@ -165,14 +182,7 @@ object Similarity {
     val cand = qSide.join(banded(corpus, "cid"), Seq("band", "bucket"))
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val scored = cand
-      .join(prep(queries, "qid"), "qid")
-      .join(prep(corpus, "cid"), "cid")
-      .select(col("qid"), col("cid"),
-        round(dot_product(col("qid_v"), col("cid_v")) /
-          (col("qid_n") * col("cid_n")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rescoreTopK(cand, queries, corpus, k)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells`
@@ -245,14 +255,7 @@ object Similarity {
     val cand = probed.join(assigned, "centId")
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val scored = cand
-      .join(prep(queries, "qid"), "qid")
-      .join(prep(corpus, "cid"), "cid")
-      .select(col("qid"), col("cid"),
-        round(dot_product(col("qid_v"), col("cid_v")) /
-          (col("qid_n") * col("cid_n")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rescoreTopK(cand, queries, corpus, k)
   }
 
   /** Product-quantization (PQ/ADC) ANN: compress each corpus vector to `m`
@@ -315,14 +318,7 @@ object Similarity {
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
       .where(col("arn") <= refine).select("qid", "cid")
-    // exact rescore of the refined candidates only
-    val scored = cand
-      .join(q, "qid").join(c, "cid")
-      .select(col("qid"), col("cid"),
-        round(dot_product(col("qid_v"), col("cid_v")) /
-          (col("qid_n") * col("cid_n")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rescoreTopK(cand, queries, corpus, k) // exact rescore of refined candidates only
   }
 
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With

@@ -131,6 +131,11 @@ object Planner {
         }
       }.filter(tables => !requireReplica ||
         tables.values.exists(_.source == "materialized"))
+    def firstMaterialized(requireReplica: Boolean): Option[Plan] =
+      candidateDbs.iterator
+        .flatMap(db => resolveVia(db, requireReplica)
+          .map(ts => Plan("materialized", db, dialectOf(db), ts)))
+        .nextOption()
 
     // ---- Analytical offload: an EXPLICIT non-realtime freshness tolerance
     // declares replica lag acceptable, so the planner routes to a
@@ -138,14 +143,11 @@ object Planner {
     // directly (contract C1711/C1716; C1715 pins that 'realtime' never
     // offloads). At 100 TB this is the lever that moves OLAP scans off the
     // OLTP source. Absent freshness keeps strict P1-before-P2 priority.
-    if (freshnessReq.exists(_ != "realtime")) {
-      for (db <- candidateDbs) {
-        resolveVia(db, requireReplica = true) match {
-          case Some(tables) => return Plan("materialized", db, dialectOf(db), tables)
-          case _            => ()
-        }
+    if (freshnessReq.exists(_ != "realtime"))
+      firstMaterialized(requireReplica = true) match {
+        case Some(p) => return p
+        case None    => ()
       }
-    }
 
     // ---- P1: single-DB direct — every required table lives in one DB
     val byDb = required.groupBy(_.database)
@@ -163,11 +165,9 @@ object Planner {
 
     // ---- P2: materialized replicas make everything available in one DB,
     // freshness permitting; prefer the DB owning the most originals
-    for (db <- candidateDbs) {
-      resolveVia(db, requireReplica = false) match {
-        case Some(tables) => return Plan("materialized", db, dialectOf(db), tables)
-        case _            => ()
-      }
+    firstMaterialized(requireReplica = false) match {
+      case Some(p) => return p
+      case None    => ()
     }
 
     // ---- P3: cross-DB federation. The reference needs Trino + catalogs; our
