@@ -23,26 +23,37 @@ object Bucketing {
   private lazy val location =
     java.nio.file.Files.createTempDirectory("graft_buckets").toString
 
-  /** Injective table-name tag for a source directory (hashCode can
-    * collide — a silent collision would serve one SF's data to another).
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Collision-safe table-name tag for a source directory: a readable
+    * sanitized prefix plus a 64-bit content hash (plain sanitization maps
+    * e.g. `sf0.1` and `sf0_1` to the same tag; a silent collision would
+    * serve one SF's data to another).
     */
-  def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  def dirTag(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + sha16(dir)
 
   /** Materialize `df` as a bucketed+sorted managed table, once per JVM per
     * (table, key, buckets) — computeIfAbsent blocks concurrent callers
-    * until the write completes; a re-call with the same name but different
-    * bucketing spec writes a distinct physical table rather than silently
-    * serving the stale one. The caller owns keeping `df`'s content stable
-    * for a given `table` name. Returns the fully-qualified table name.
+    * until the write completes; a re-call with the same name but a
+    * different bucketing spec writes a distinct physical table rather than
+    * silently serving the stale one. The physical name hashes the SAME
+    * delimited spec as the cache key, so two cache entries can never
+    * overwrite each other's files. The caller owns keeping `df`'s content
+    * stable for a given `table` name. Returns the fully-qualified name.
     */
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
-      key: String, buckets: Int): String =
-    tables.computeIfAbsent(s"$table|$key|$buckets", { _ =>
+      key: String, buckets: Int): String = {
+    val spec = s"$table|$key|$buckets"
+    tables.computeIfAbsent(spec, { _ =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$location'")
-      val fq = s"graft_buckets.`${table}_${key}_$buckets`"
+      val fq = s"graft_buckets.`${table.replaceAll("[^a-zA-Z0-9]", "_")}_${sha16(spec)}`"
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(fq)
       fq
     })
+  }
 }

@@ -209,8 +209,12 @@ object Similarity {
     * linear, shuffle-light, and the centroid frame stays tiny.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 5,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 0): DataFrame = {
     val c = prep(corpus, "cid")
+    // derive the dimension from the data unless given — a hardcoded width
+    // over shorter vectors would mean-aggregate nulls into the centroids
+    val d = if (dims > 0) dims
+      else corpus.select(size(col("vec"))).head.getInt(0)
     var cent = c.where(col("cid") < nCells)
       .select(col("cid").cast("int").as("centId"), col("cid_v").as("cent_v"),
         col("cid_n").as("cent_n"))
@@ -221,12 +225,37 @@ object Similarity {
           (dot_product(col("cid_v"), col("cent_v")) /
             (col("cid_n") * col("cent_n"))).as("csim"))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      cent = assigned.groupBy("centId")
-        .agg(array((0 until dims).map(i =>
-          avg(element_at(col("cid_v"), i + 1))): _*).as("cent_v"))
+      val updated = assigned.groupBy("centId")
+        .agg(array((0 until d).map(i =>
+          avg(element_at(col("cid_v"), i + 1))): _*).as("new_v"))
+      // Lloyd edge cases: an empty cluster (no winning assignment) or a
+      // zero-mean cluster (norm 0 → NaN similarity) keeps its previous
+      // centroid instead of vanishing / poisoning the ranking
+      cent = cent.select(col("centId"), col("cent_v").as("old_v"))
+        .join(updated, Seq("centId"), "left")
+        .select(col("centId"),
+          when(col("new_v").isNull || norm(col("new_v")) === 0, col("old_v"))
+            .otherwise(col("new_v")).as("cent_v"))
         .withColumn("cent_n", norm(col("cent_v")))
+        // the frame is ≤ nCells rows but its plan nests every prior
+        // iteration — truncate lineage so each action runs training once
+        .localCheckpoint(true)
     }
     cent
+  }
+
+  /** Nearest-centroid assignment of every corpus vector — (cid, centId).
+    * The balance of these cells is what decides IVF probe cost and skew.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = prep(corpus, "cid")
+    val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("centId"))
+    c.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("centId"),
+        (dot_product(col("cid_v"), col("cent_v")) /
+          (col("cid_n") * col("cent_n"))).as("csim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("cid", "centId")
   }
 
   def ivfTopK(

@@ -158,11 +158,21 @@ class OpsSpec extends AnyFunSuite {
       (bf & got).size.toDouble / bf.size
     }
     val seeded = recall(None)
-    val trained = recall(Some(Similarity.kmeansCentroids(c, nCells = 16, iters = 5)))
+    val km = Similarity.kmeansCentroids(c, nCells = 16, iters = 5)
+    val trained = recall(Some(km))
     // measured 0.664 → 0.68 on this fixture; the float-mean update allows
     // tiny jitter, so pin "no worse" with a small tolerance + a floor
     assert(trained >= seeded - 0.02, s"trained $trained worse than seeded $seeded")
     assert(trained >= 0.6, s"trained recall $trained below floor")
+    // cell balance: all 16 centroids survive training (empty clusters keep
+    // their previous centroid) and no cell degenerates into a hot bucket
+    // (measured max 38 of 500 trained vs 42 seeded; ideal 31)
+    val cells = Similarity.assignCells(c, km).groupBy("centId").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.size == 16, s"expected 16 live cells, got ${cells.size}")
+    val corpusSize = c.count()
+    assert(cells.values.max <= corpusSize * 0.15,
+      s"hot cell: max ${cells.values.max} of $corpusSize")
   }
 
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
