@@ -304,6 +304,43 @@ object Similarity {
     * decimals — bit-reproducible across engines, so the refine cutoff can
     * never drift from the oracle.
     */
+  /** Per-subspace k-means codebooks for [[pqTopK]] — one joint job trains
+    * all `m` codebooks (group key = (s, codeId)), seeded from the
+    * deterministic codebook so iters = 0 reproduces the oracle-gated
+    * variant. Same Lloyd edge-case handling as [[kmeansCentroids]]; same
+    * caveat: float means are order-dependent, so trained codebooks are for
+    * the recall unit gate, not the hash oracle.
+    */
+  def pqTrainedCodebook(corpus: DataFrame, m: Int = 8, subDim: Int = 8,
+      kCode: Int = 16, iters: Int = 5): DataFrame = {
+    val c = prep(corpus, "cid")
+    def subSlices(v: Column) =
+      array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
+    val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"))))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
+    var cb = c.where(col("cid") < kCode)
+      .select(col("cid").cast("int").as("codeId"), posexplode(subSlices(col("cid_v"))))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("cid", "s").orderBy(col("d2").asc, col("codeId"))
+      val assigned = cSub.join(broadcast(cb), "s")
+        .select(col("cid"), col("s"), col("codeId"), col("c_sub"),
+          (dot_product(col("c_sub"), col("c_sub"))
+            - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
+            + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val updated = assigned.groupBy("s", "codeId")
+        .agg(array((0 until subDim).map(i =>
+          avg(element_at(col("c_sub"), i + 1))): _*).as("new_sub"))
+      cb = cb.withColumnRenamed("cb_sub", "old_sub")
+        .join(updated, Seq("s", "codeId"), "left")
+        .select(col("s"), col("codeId"),
+          coalesce(col("new_sub"), col("old_sub")).as("cb_sub"))
+        .localCheckpoint(true) // m×kCode rows; truncate per-iteration lineage
+    }
+    cb
+  }
+
   def pqTopK(
       queries: DataFrame, // (qid, vec)
       corpus: DataFrame,  // (cid, vec)
@@ -312,16 +349,18 @@ object Similarity {
       subDim: Int = 8,    // dims per subspace
       kCode: Int = 16,    // centroids per subspace codebook
       refine: Int = 30,   // exact-rescore budget per query
+      codebook: Option[DataFrame] = None, // (s, codeId, cb_sub); e.g. pqTrainedCodebook
   ): DataFrame = {
     val DecExact = org.apache.spark.sql.types.DecimalType(38, 12)
     val c = prep(corpus, "cid")
     val q = prep(queries, "qid")
     def subSlices(v: Column) =
       array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
-    // (codeId, s, cb_sub): seeded per-subspace codebook, broadcast
-    val cbSub = c.where(col("cid") < kCode)
+    // (codeId, s, cb_sub): seeded per-subspace codebook (oracle-gated
+    // default) unless a trained one is supplied, broadcast either way
+    val cbSub = codebook.getOrElse(c.where(col("cid") < kCode)
       .select(col("cid").cast("int").as("codeId"), posexplode(subSlices(col("cid_v"))))
-      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub"))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub")))
     // encode: per (cid, s) keep the L2-nearest centroid (ties → smallest id)
     val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"))))
       .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))

@@ -203,6 +203,12 @@ class OpsSpec extends AnyFunSuite {
     assert(r30 <= r80 && r80 <= rAll, s"recall not monotone in refine: $r30/$r80/$rAll")
     assert(rAll == 1.0, s"refining ALL candidates must equal brute force, got $rAll")
     assert(r80 >= 0.75, s"8x8 codebook ADC recall@5 with refine=80 is $r80 < 0.75")
+    // trained per-subspace codebooks tighten the ADC ranking at the same
+    // refine budget (measured 0.488 seeded → 0.616 trained at refine=30)
+    val trained = recall(Similarity.pqTopK(q, c, k = 5, refine = 30,
+      codebook = Some(Similarity.pqTrainedCodebook(c)))
+      .select("qid", "cid", "sim").collect())
+    assert(trained >= r30 + 0.05, s"trained $trained not better than seeded $r30")
   }
 
   test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
