@@ -18,12 +18,18 @@ def norm(v):
     return v
 
 def rows_of(rel):
+    # Type-strict like the driver's hash gate: HUGEINT vs BIGINT (or any
+    # numeric widening DuckDB applies on fetch) must FAIL here, not coerce —
+    # Python would otherwise accept 5 == 5.0 and hide the drift (r3 lesson:
+    # d_pipeline_prep passed locally, failed the driver hash).
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    typed_cols = [(cols[i], types[i]) for i in order]
     out = []
     for r in rel.fetchall():
         out.append(tuple(norm(r[i]) for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return typed_cols, sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]

@@ -937,7 +937,8 @@ object SparkEntry {
         |GROUP BY n.n_name ORDER BY nation""".stripMargin,
     // Spark reads supplier through JSON-lines and CSV copies of the parquet
     "q16_text_formats" ->
-      """SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS suppliers
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS suppliers
         |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
     // Spark reads the warehouse replica; content mirrors the primary parquet
     "e_replica_offload" ->
@@ -1005,9 +1006,9 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
          |c AS (
          |  SELECT doc_id, source, n_tokens,
-         |    SUM(CAST(n_tokens AS BIGINT)) OVER (
+         |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
          |      PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
