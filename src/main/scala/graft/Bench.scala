@@ -36,7 +36,8 @@ object Bench {
     "s_ann_topk",         // brute-force cosine top-k
     "s_ann_lsh",          // banded-LSH ANN
     "s_ann_ivf",          // IVF cell-probe ANN
-    "s_ann_pq",           // product-quantization/ADC ANN
+    "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
+    "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "m_media_frames",     // mapPartitions frame sampling
   )
 

@@ -629,6 +629,17 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
     },
+    // ---- ANN, IVF-PQ composition: coarse cells route (4-of-16 probe), PQ
+    //      codes compress, ADC ranks ONLY inside probed cells, exact
+    //      rescore finishes — the scan-pruning form of s_ann_pq
+    "s_ann_ivfpq" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfPqTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
+        refine = 30).orderBy("qid", "rank")
+    },
     // ---- multimodal: binary payload + stubbed decode via mapPartitions
     "m_media_features" -> { (s, dir) =>
       ops.Multimodal.decodeFeatures(
@@ -1140,6 +1151,54 @@ object SparkEntry {
          |  SELECT qtab.qid, enc.cid, SUM(pdot) AS adot
          |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.codeid = enc.codeid
          |  WHERE qtab.qid != enc.cid GROUP BY qtab.qid, enc.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Mirrors Similarity.ivfPqTopK: the s_ann_ivf routing CTEs (seeded
+    // cells, argmin assignment, 4-cell probe) feed the s_ann_pq ADC CTEs —
+    // ax aggregates ONLY routed (qid, cid) pairs, then refine-30 + rescore.
+    "s_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id AS cid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |qc AS (SELECT vec_id AS qid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |rt AS (SELECT qc.qid, asg.cid
+         |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+         |sub AS (SELECT unnest(range(0, 8)) AS s),
+         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e WHERE vec_id < 16),
+         |enc AS (SELECT cid, s, codeid FROM (
+         |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
+         |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
+         |      (${OracleFrag.subDot("c.v", "c.v", "sub.s", 8)}
+         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}
+         |       + ${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
+         |  FROM e c CROSS JOIN sub CROSS JOIN cb) WHERE rn = 1),
+         |qtab AS (
+         |  SELECT q.vec_id AS qid, sub.s, cb.codeid,
+         |    CAST(round(${OracleFrag.subDot("q.v", "cb.bv", "sub.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
+         |  FROM e q CROSS JOIN sub CROSS JOIN cb WHERE q.vec_id < 20),
+         |ax AS (
+         |  SELECT rt.qid, rt.cid, SUM(qtab.pdot) AS adot
+         |  FROM rt JOIN enc ON enc.cid = rt.cid
+         |          JOIN qtab ON qtab.qid = rt.qid AND qtab.s = enc.s AND qtab.codeid = enc.codeid
+         |  GROUP BY rt.qid, rt.cid),
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn

@@ -247,15 +247,30 @@ object Similarity {
   /** Nearest-centroid assignment of every corpus vector — (cid, centId).
     * The balance of these cells is what decides IVF probe cost and skew.
     */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = prep(corpus, "cid")
-    val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("centId"))
-    c.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("centId"),
-        (dot_product(col("cid_v"), col("cent_v")) /
-          (col("cid_n") * col("cent_n"))).as("csim"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select("cid", "centId")
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCells(prep(corpus, "cid"), "cid", centroids, keep = 1)
+
+  /** Seeded coarse quantizer: centroids = the `nCells` smallest-id corpus
+    * vectors (prepped frame in). Deterministic → oracle-expressible.
+    */
+  private def seededCentroids(c: DataFrame, nCells: Int): DataFrame =
+    c.where(col("cid") < nCells)
+      .select(col("cid").as("centId"), col("cid_v").as("cent_v"), col("cid_n").as("cent_n"))
+
+  /** Per-row `keep` nearest centroids by cosine (ties → smallest centId).
+    * keep=1 is corpus cell assignment; keep=nProbe is the query probe list.
+    * One broadcast-centroid pass — no corpus shuffle.
+    */
+  private def nearestCells(df: DataFrame, id: String, cent: DataFrame,
+      keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
+    df.crossJoin(broadcast(cent))
+      .select(col(id), col("centId"),
+        (dot_product(col(s"${id}_v"), col("cent_v")) /
+          (col(s"${id}_n") * col("cent_n"))).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= keep)
+      .select(col(id), col("centId"))
   }
 
   def ivfTopK(
@@ -267,20 +282,9 @@ object Similarity {
       centroids: Option[DataFrame] = None, // (centId, cent_v, cent_n); e.g. kmeansCentroids
   ): DataFrame = {
     val c = prep(corpus, "cid")
-    val cent = centroids.getOrElse(c.where(col("cid") < nCells)
-      .select(col("cid").as("centId"), col("cid_v").as("cent_v"), col("cid_n").as("cent_n")))
-    def nearestCells(df: DataFrame, id: String, keep: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
-      df.crossJoin(broadcast(cent))
-        .select(col(id), col("centId"),
-          (dot_product(col(s"${id}_v"), col("cent_v")) /
-            (col(s"${id}_n") * col("cent_n"))).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= keep)
-        .select(col(id), col("centId"))
-    }
-    val assigned = nearestCells(c, "cid", keep = 1)
-    val probed = nearestCells(prep(queries, "qid"), "qid", keep = nProbe)
+    val cent = centroids.getOrElse(seededCentroids(c, nCells))
+    val assigned = nearestCells(c, "cid", cent, keep = 1)
+    val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = nProbe)
     val cand = probed.join(assigned, "centId")
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
@@ -341,6 +345,68 @@ object Similarity {
     cb
   }
 
+  private val DecExact = org.apache.spark.sql.types.DecimalType(38, 12)
+
+  private def subSlices(v: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
+
+  /** Seeded per-subspace codebook: sub-vectors of the `kCode` smallest-id
+    * corpus vectors (prepped frame in) — (s, codeId, cb_sub). Deterministic
+    * → oracle-expressible; [[pqTrainedCodebook]] swaps in frame-for-frame.
+    */
+  private def seededCodebook(c: DataFrame, m: Int, subDim: Int, kCode: Int): DataFrame =
+    c.where(col("cid") < kCode)
+      .select(col("cid").cast("int").as("codeId"), posexplode(subSlices(col("cid_v"), m, subDim)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub"))
+
+  /** PQ encode: per (cid, s) the L2-nearest codebook centroid (ties →
+    * smallest id) — the m-byte compressed corpus, (cid, s, codeId).
+    */
+  private def pqEncode(c: DataFrame, cbSub: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"), m, subDim)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
+    val encW = Window.partitionBy("cid", "s").orderBy(col("d2").asc, col("codeId"))
+    cSub.join(broadcast(cbSub), "s")
+      .select(col("cid"), col("s"), col("codeId"),
+        (dot_product(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
+          + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
+      .withColumn("rn", row_number().over(encW))
+      .where(col("rn") === 1).select("cid", "s", "codeId")
+  }
+
+  /** ADC lookup table: per (qid, s, codeId) the query-subvector · centroid
+    * dot, rounded to 9 decimals and decimal-typed so ADC sums are
+    * bit-reproducible across engines (the refine cutoff can never drift
+    * from the oracle).
+    */
+  private def pqQueryTable(q: DataFrame, cbSub: DataFrame, m: Int, subDim: Int): DataFrame =
+    q.select(col("qid"), posexplode(subSlices(col("qid_v"), m, subDim)))
+      .withColumnsRenamed(Map("pos" -> "s", "col" -> "q_sub"))
+      .join(broadcast(cbSub), "s")
+      .select(col("qid"), col("s"), col("codeId"),
+        round(dot_product(col("q_sub"), col("cb_sub")), 9).cast(DecExact).as("pdot"))
+
+  /** ADC-rank candidate pairs and exact-rescore the per-query top `refine`.
+    * `pairs` bounds which (qid, cid) combinations are scored: pqTopK passes
+    * None (exhaustive — every query × every code), ivfPqTopK passes the
+    * IVF-routed subset so the scan never touches unprobed cells.
+    */
+  private def adcRefineRescore(pairs: Option[DataFrame], qTab: DataFrame,
+      codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, refine: Int): DataFrame = {
+    val approx = (pairs match {
+      case Some(p) => p.join(codes, "cid").join(qTab, Seq("qid", "s", "codeId"))
+      case None => qTab.join(codes, Seq("s", "codeId"))
+        .where(col("qid") =!= col("cid"))
+    }).groupBy("qid", "cid").agg(sum(col("pdot")).as("adot"))
+    val cand = approx
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+      .where(col("arn") <= refine).select("qid", "cid")
+    rescoreTopK(cand, queries, corpus, k) // exact rescore of refined candidates only
+  }
+
   def pqTopK(
       queries: DataFrame, // (qid, vec)
       corpus: DataFrame,  // (cid, vec)
@@ -351,42 +417,64 @@ object Similarity {
       refine: Int = 30,   // exact-rescore budget per query
       codebook: Option[DataFrame] = None, // (s, codeId, cb_sub); e.g. pqTrainedCodebook
   ): DataFrame = {
-    val DecExact = org.apache.spark.sql.types.DecimalType(38, 12)
     val c = prep(corpus, "cid")
     val q = prep(queries, "qid")
-    def subSlices(v: Column) =
-      array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
-    // (codeId, s, cb_sub): seeded per-subspace codebook (oracle-gated
-    // default) unless a trained one is supplied, broadcast either way
-    val cbSub = codebook.getOrElse(c.where(col("cid") < kCode)
-      .select(col("cid").cast("int").as("codeId"), posexplode(subSlices(col("cid_v"))))
-      .withColumnsRenamed(Map("pos" -> "s", "col" -> "cb_sub")))
-    // encode: per (cid, s) keep the L2-nearest centroid (ties → smallest id)
-    val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"))))
-      .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
-    val encW = Window.partitionBy("cid", "s").orderBy(col("d2").asc, col("codeId"))
-    val codes = cSub.join(broadcast(cbSub), "s")
-      .select(col("cid"), col("s"), col("codeId"),
-        (dot_product(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
-          + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
-      .withColumn("rn", row_number().over(encW))
-      .where(col("rn") === 1).select("cid", "s", "codeId")
-    // ADC table: per (qid, s, codeId) the query-subvector · centroid dot
-    val qTab = q.select(col("qid"), posexplode(subSlices(col("qid_v"))))
-      .withColumnsRenamed(Map("pos" -> "s", "col" -> "q_sub"))
-      .join(broadcast(cbSub), "s")
-      .select(col("qid"), col("s"), col("codeId"),
-        round(dot_product(col("q_sub"), col("cb_sub")), 9).cast(DecExact).as("pdot"))
-    // approximate dot = sum of the m looked-up table cells (exact decimal)
-    val approx = qTab.join(codes, Seq("s", "codeId"))
+    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCode))
+    val codes = pqEncode(c, cbSub, m, subDim)
+    val qTab = pqQueryTable(q, cbSub, m, subDim)
+    // COMPRESSION-ONLY variant: the ADC join touches every (query, corpus)
+    // pair — memory shrinks 32×, scan work does not. The scan-pruning form
+    // is [[ivfPqTopK]]; keep this one for corpora small enough to ADC-scan.
+    adcRefineRescore(None, qTab, codes, queries, corpus, k, refine)
+  }
+
+  /** IVF-PQ: the coarse quantizer routes, PQ compresses, ADC ranks, exact
+    * rescore finishes — the standard composition that makes PQ a real
+    * 100 TB operator. Per query only the `nProbe` nearest of `nCells` cells
+    * are ADC-scanned, so (unlike [[pqTopK]]) the ADC join's corpus side is
+    * the probed subset (~nProbe/nCells of the codes), the per-query ranking
+    * window is bounded by the probed-cell population, and every shuffle
+    * still carries (id, subspace, code) ints only.
+    *
+    * Both quantizers are SEEDED by default (coarse cells = `nCells`
+    * smallest-id vectors, codebook = sub-vectors of the `kCode` smallest) —
+    * deterministic, so the DuckDB oracle mirrors routing + encode + ADC +
+    * refine exactly; trained frames ([[kmeansCentroids]],
+    * [[pqTrainedCodebook]]) swap in without touching the plumbing.
+    *
+    * Non-residual form (codes quantize raw vectors, not vector − centroid):
+    * one codebook serves all cells, so routing changes WHICH codes are
+    * scanned, never the codes themselves — ADC values match [[pqTopK]]'s
+    * for the pairs both scan.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      nCells: Int = 16,   // coarse cells
+      nProbe: Int = 4,    // cells ADC-scanned per query
+      m: Int = 8,         // subspaces
+      subDim: Int = 8,    // dims per subspace
+      kCode: Int = 16,    // centroids per subspace codebook
+      refine: Int = 30,   // exact-rescore budget per query
+      centroids: Option[DataFrame] = None, // (centId, cent_v, cent_n)
+      codebook: Option[DataFrame] = None,  // (s, codeId, cb_sub)
+  ): DataFrame = {
+    val c = prep(corpus, "cid")
+    val q = prep(queries, "qid")
+    val cent = centroids.getOrElse(seededCentroids(c, nCells))
+    // routing: (qid, cid) pairs inside probed cells only. keep=1 assignment
+    // means a cid lives in exactly one cell and a qid probes nProbe distinct
+    // cells, so pairs are already unique — no distinct() shuffle needed.
+    val assigned = nearestCells(c, "cid", cent, keep = 1)
+    val probed = nearestCells(q, "qid", cent, keep = nProbe)
+    val routed = probed.join(assigned, "centId")
       .where(col("qid") =!= col("cid"))
-      .groupBy("qid", "cid").agg(sum(col("pdot")).as("adot"))
-    val cand = approx
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
-      .where(col("arn") <= refine).select("qid", "cid")
-    rescoreTopK(cand, queries, corpus, k) // exact rescore of refined candidates only
+      .select("qid", "cid")
+    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCode))
+    val codes = pqEncode(c, cbSub, m, subDim)
+    val qTab = pqQueryTable(q, cbSub, m, subDim)
+    adcRefineRescore(Some(routed), qTab, codes, queries, corpus, k, refine)
   }
 
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With

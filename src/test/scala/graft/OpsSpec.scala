@@ -211,6 +211,42 @@ class OpsSpec extends AnyFunSuite {
     assert(trained >= r30 + 0.05, s"trained $trained not better than seeded $r30")
   }
 
+  test("IVF-PQ ANN: sims exact; routing equals IVF; recall floor at refine=30") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val nCorpus = c.count().toInt
+    val bf = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "cid", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def keyset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p30 = Similarity.ivfPqTopK(q, c, k = 5, nProbe = 4, refine = 30)
+      .select("qid", "cid", "sim").collect()
+    // soundness: the rescore tail is exact — every emitted sim is the true cosine
+    p30.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(2)))
+    }
+    // routing equivalence: with an unbounded refine budget the ADC ranking
+    // is rescored away entirely, so IVF-PQ must return EXACTLY ivfTopK's
+    // result for the same cells/probes — proves the candidate set is the
+    // probed-cell population, nothing more, nothing less
+    val ivfpqAll = keyset(Similarity.ivfPqTopK(q, c, k = 5, nProbe = 4, refine = nCorpus)
+      .select("qid", "cid").collect())
+    val ivfAll = keyset(Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4)
+      .select("qid", "cid").collect())
+    assert(ivfpqAll == ivfAll, "IVF-PQ at full refine must equal plain IVF")
+    // probing every cell + full refine degenerates to brute force
+    val full = keyset(Similarity.ivfPqTopK(q, c, k = 5, nProbe = 16, refine = nCorpus)
+      .select("qid", "cid").collect())
+    assert(full == bf.keySet, "all-cells + full-refine IVF-PQ must equal brute force")
+    // ADC refine inside probed cells keeps most of IVF's recall at 3% of
+    // the rescore budget (recall bounded above by IVF's own ~0.66 here)
+    val r30 = (bf.keySet & keyset(p30)).size.toDouble / bf.size
+    assert(r30 >= 0.5, s"IVF-PQ recall@5 at refine=30 is $r30 < 0.5")
+  }
+
   test("text analysis: langGuess/quality/tokens/fingerprint determinism") {
     val out = TextAnalysis.analyze(docs).where($"doc_id" === 1L).collect().head
     assert(out.getAs[String]("langGuess") == "en") // 'the' x2, 'over'

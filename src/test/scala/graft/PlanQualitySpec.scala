@@ -96,6 +96,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("IVF-PQ's ADC aggregate scans the probed subset, not the full corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def adcAgg(name: String): Aggregate = {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val aggs = plan.collect { case a: Aggregate
+        if a.aggregateExpressions.exists(_.name == "adot") => a }
+      assert(aggs.nonEmpty, s"$name: no ADC aggregate in the optimized plan")
+      aggs.head
+    }
+    def hasRoutingJoin(a: Aggregate): Boolean = a.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "centId")) => j
+    }.nonEmpty
+    // the sum(pdot) aggregate must sit ABOVE the centId routing join — i.e.
+    // ADC only ever sees (qid, cid) pairs inside probed IVF cells
+    assert(hasRoutingJoin(adcAgg("s_ann_ivfpq")),
+      "s_ann_ivfpq: ADC aggregate is not fed by the centId routing join")
+    // the documented contrast: plain PQ is compression-only — its ADC
+    // aggregate has no routing join and touches every (query, corpus) pair
+    assert(!hasRoutingJoin(adcAgg("s_ann_pq")),
+      "s_ann_pq grew a routing join; update the compression-only docs")
+  }
+
   test("DSv2 fixture scan appears as BatchScan with the source partitioning") {
     val p = planOf("e_filter_isnull")
     assert(p.contains("BatchScan"), p.take(2000))
