@@ -364,16 +364,23 @@ object Json {
       case s: Seq[_] => s.map(demote)
       case x => x
     }
+    // debug entries survive the wire (TESTS.md #236): same timestamp/
+    // phase/message triple the server serializes
+    val dbg: Option[Seq[DebugLogEntry]] = Option(n.get("debugLog")).map(a =>
+      (0 until a.size()).map { i =>
+        val e = a.get(i)
+        DebugLogEntry(e.get("timestamp").asLong(), text(e, "phase"), text(e, "message"))
+      })
     text(n, "kind") match {
       case "data" => DataResult(
         arr(n, "data").map(r =>
           r.fields().asScala.map { e =>
             val v = jsonValue(e.getValue)
             e.getKey -> (if (decimalCols.contains(e.getKey)) v else demote(v))
-          }.toMap), meta)
+          }.toMap), meta, dbg)
       case "sql" => SqlResult(text(n, "sql"),
-        arr(n, "params").map(jsonValue), meta)
-      case "count" => CountResult(n.get("count").asLong(), meta)
+        arr(n, "params").map(jsonValue), meta, dbg)
+      case "count" => CountResult(n.get("count").asLong(), meta, dbg)
       case other => throw new IllegalArgumentException(s"unknown result kind '$other'")
     }
   }
