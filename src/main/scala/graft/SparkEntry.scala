@@ -676,6 +676,20 @@ object SparkEntry {
           min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value")))
         .orderBy("event_type")
     },
+    // ---- skew-safe salted JOIN (oracle = the plain join + GROUP BY) —
+    //      the replicated-dim salt spreads each hot key over 32 reducers
+    //      without changing any joined row; SkewSpec pins the plan shape
+    "d_skew_salted_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("event_type").as("dim_type"))
+        .agg(length(col("event_type")).cast("int").as("type_len"))
+      ops.Skew.saltedJoin(ev, col("event_type"), col("event_id"),
+        dim, col("dim_type"), saltBuckets = 32)
+        .groupBy(col("event_type"), col("type_len"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D4)).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
 
     // ---- end-to-end training-data prep: quality gate → language gate →
     //      fingerprint dedup → per-source token-budget cut. The running
