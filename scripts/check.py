@@ -38,7 +38,14 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Gate on the UNION of oracle keys and Spark output dirs: a query that
+    # ships without an oracle entry must FAIL here (mirrors the driver's
+    # no_oracle reporting — d_skew_salted_join slipped through in r4).
+    spark_outs = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                  if os.path.isdir(d)}
     n_ok = n_bad = 0
+    for name in sorted(spark_outs - set(oracle)):
+        print(f"FAIL {name}: spark output has no oracle entry"); n_bad += 1
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):

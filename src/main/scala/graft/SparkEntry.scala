@@ -1014,6 +1014,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the salted replicated-dim join must equal this plain join + GROUP BY
+    "d_skew_salted_join" ->
+      """SELECT e.event_type, CAST(length(e.event_type) AS INT) AS type_len,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (SELECT event_type AS dim_type,
+        |        CAST(length(event_type) AS INT) AS type_len
+        |      FROM events GROUP BY event_type) d
+        |  ON e.event_type = d.dim_type
+        |GROUP BY e.event_type, d.type_len
+        |ORDER BY e.event_type""".stripMargin,
     // mirrors the composed pipeline stage-for-stage (fragments shared with
     // d_text_analysis): quality/lang gates, fingerprint dedup, per-source
     // running token budget

@@ -366,11 +366,14 @@ object Json {
     }
     // debug entries survive the wire (TESTS.md #236): same timestamp/
     // phase/message triple the server serializes
-    val dbg: Option[Seq[DebugLogEntry]] = Option(n.get("debugLog")).map(a =>
-      (0 until a.size()).map { i =>
-        val e = a.get(i)
-        DebugLogEntry(e.get("timestamp").asLong(), text(e, "phase"), text(e, "message"))
-      })
+    // an explicit JSON null (NullNode) or a non-array value must parse as
+    // absent, not as Some(empty log) — NullNode is non-null and size()==0
+    val dbg: Option[Seq[DebugLogEntry]] =
+      Option(n.get("debugLog")).filter(_.isArray).map(a =>
+        (0 until a.size()).map { i =>
+          val e = a.get(i)
+          DebugLogEntry(e.get("timestamp").asLong(), text(e, "phase"), text(e, "message"))
+        })
     text(n, "kind") match {
       case "data" => DataResult(
         arr(n, "data").map(r =>

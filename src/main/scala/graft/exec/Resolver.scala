@@ -228,6 +228,14 @@ private final class Resolver(
         // top-level plain EXISTS under implicit AND → semi/anti join fast path
         if (topLevelAnd && e.count.isEmpty) {
           frame = existsSemiJoin(frame, e, parentApi, parentAlias)
+        } else if (topLevelAnd && countSemiEligible(e)) {
+          // counted EXISTS `>= n` (n≥1) / `> n` (n≥0) under implicit AND:
+          // zero-child parents can never qualify, so filter the aggregated
+          // child (HAVING count >= n) and LEFT SEMI join — no NULLable cnt
+          // column rides through the main frame (the rewrite the reference
+          // names as its one perf optimization, SQL_DIALECTS.md:30,
+          // CROSS_DB_NORMALIZATION.md:30-40)
+          frame = existsCountSemiJoin(frame, e, parentApi, parentAlias)
         } else {
           val (fr2, pred) = existsCountPredicate(frame, e, parentApi, parentAlias)
           frame = fr2
@@ -281,6 +289,32 @@ private final class Resolver(
     val (child, alias, fkChild, pkParent) = existsChild(e, parentApi)
     val cond = col(internal(parentAlias, pkParent)) === child(internal(alias, fkChild))
     frame.join(child, cond, if (e.exists) "left_semi" else "left_anti")
+  }
+
+  /** `count >= n` (n≥1) and `count > n` (n≥0) can never keep a zero-child
+    * parent, so the left-join+coalesce form is overkill — a semi join
+    * against the HAVING-filtered aggregate suffices. `>= 0` is excluded
+    * (always true, must keep zero-child parents).
+    */
+  private def countSemiEligible(e: QueryExistsFilter): Boolean = e.count match {
+    case Some(CountCond(">=", v)) => v >= 1
+    case Some(CountCond(">", v))  => v >= 0
+    case _ => false
+  }
+
+  private def existsCountSemiJoin(frame: DataFrame, e: QueryExistsFilter,
+      parentApi: String, parentAlias: String): DataFrame = {
+    val (child, alias, fkChild, pkParent) = existsChild(e, parentApi)
+    val CountCond(op, v) = e.count.get
+    sqlParams += v // same placeholder order as the generated sql-only text
+    val keyCol = s"__${alias}_key"
+    val cntCol = s"__${alias}_cnt"
+    val qualifying = child
+      .groupBy(col(internal(alias, fkChild)).as(keyCol))
+      .agg(count(lit(1)).as(cntCol))
+      .where(if (op == ">=") col(cntCol) >= v else col(cntCol) > v)
+    frame.join(qualifying,
+      col(internal(parentAlias, pkParent)) === col(keyCol), "left_semi")
   }
 
   private def existsCountPredicate(frame: DataFrame, e: QueryExistsFilter,

@@ -88,6 +88,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(back("score") == 0.75d)
   }
 
+  test("wire fidelity: explicit debugLog:null parses as absent, not empty log") {
+    // another impl may serialize an absent log as an explicit JSON null;
+    // NullNode is non-null with size()==0, so an isArray guard is required
+    // for it to come back None instead of Some(Seq())
+    val meta = QueryResultMeta("single_database", "db", None, Nil,
+      Seq(ResultColumnMeta("id", "integer", false, "t", false)),
+      Timing(0, 0, Some(0)))
+    val out = DataResult(Seq(Map("id" -> 1L)), meta)
+    val tree = graft.api.Json.mapper.readTree(graft.api.Json.writeResult(out))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tree.putNull("debugLog")
+    assert(graft.api.Json.parseResult(tree.toString)
+      .asInstanceOf[DataResult].debugLog.isEmpty)
+    tree.put("debugLog", "not-an-array")
+    assert(graft.api.Json.parseResult(tree.toString)
+      .asInstanceOf[DataResult].debugLog.isEmpty)
+  }
+
   test("C1708: decimal precision preserved") {
     val rows = data(QueryDefinition("orders", columns = Some(Seq("id", "total")),
       byIds = Some(Seq(1))))

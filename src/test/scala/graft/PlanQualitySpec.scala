@@ -44,6 +44,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("counted EXISTS >= n compiles to a semi join, not left-join+coalesce") {
+    // zero-child parents can never satisfy count >= 12, so the aggregated
+    // child is HAVING-filtered and semi-joined — no NULLable cnt column
+    // rides through the main frame (the reference's named perf rewrite)
+    val p = planOf("e_exists_count_ge")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("coalesce"), p.take(3000))
+  }
+
+  test("counted EXISTS < n keeps the left-join+coalesce form (zero-child parents kept)") {
+    val p = planOf("e_exists_count_lt")
+    assert(!p.contains("LeftSemi"), p.take(3000))
+    assert(p.toLowerCase.contains("coalesce"), p.take(3000))
+  }
+
   test("hand-built star join broadcasts all three dims") {
     val p = planOf("q8_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
