@@ -35,7 +35,9 @@ object Bench {
     "d_dedup_cosine_lsh", // banded hyperplane LSH + exact cosine
     "s_ann_topk",         // brute-force cosine top-k
     "s_ann_lsh",          // banded-LSH ANN
+    "s_ann_lsh_probed",   // + query-side multi-probe (2 weakest-bit flips)
     "s_ann_ivf",          // IVF cell-probe ANN
+    "s_ann_ivf_trained",  // IVF with k-means-trained centroids (bench-only)
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "m_media_frames",     // mapPartitions frame sampling
@@ -56,7 +58,23 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/executor warm-up
 
-    val queries = SparkEntry.queries
+    // Bench-only rows: operators whose output is not DuckDB-oracle-
+    // expressible (float-order-dependent k-means means) but whose cost the
+    // driver should still see. Correctness for these is the OpsSpec recall
+    // gate (trained ≥ seeded − ε, cell balance), not the hash oracle —
+    // keeping SparkEntry.queries strictly the oracle-gated surface.
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "s_ann_ivf_trained" -> { (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        val e = SparkEntry.t(s, dir, "embeddings")
+        val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("vec"))
+        ops.Similarity.ivfTopK(
+          e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          corpus, k = 5, nCells = 16, nProbe = 4,
+          centroids = Some(ops.Similarity.kmeansCentroids(corpus, nCells = 16, iters = 5)))
+          .orderBy("qid", "rank")
+      })
+    val queries = SparkEntry.queries ++ extras
     val names = headline.filter(queries.contains)
 
     // One timed execution; Left(message) on failure. noop sink runs the

@@ -109,6 +109,21 @@ private[graft] object OracleFrag {
       s"(CASE WHEN ${planeDot(v, p)} > 0 THEN ${1L << (planes - 1 - j)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Query-side multi-probe bucket list (mirror of
+    * Similarity.hyperplaneProbes): the exact bucket plus `probes` variants
+    * with the weakest sign bits flipped — planes ranked by (|dot| asc, j
+    * asc), exactly Spark's sort_array over struct(a, j). Returns a
+    * DuckDB list of 1 + probes BIGINT buckets.
+    */
+  def probeBuckets(v: String, planes: Int, firstPlane: Int, probes: Int): String = {
+    val ranked = (0 until planes)
+      .map(j => s"{'a': abs(${planeDot(v, firstPlane + j)}), 'j': $j}")
+      .mkString("[", ",\n      ", "]")
+    val b = s"CAST(${bucket(v, planes, firstPlane)} AS BIGINT)"
+    s"""list_prepend($b, list_transform(list_slice(list_sort($ranked), 1, $probes),
+       |  __s -> xor($b, CAST(1 AS BIGINT) << (${planes - 1} - __s.j))))""".stripMargin
+  }
+
   /** Sanity pin: the Scala and SQL plane-sign formulas must agree. */
   require((0 until 4).forall(p => (1 to 8).forall { i =>
     val sqlConst = 1000003L * (p + 1) + 12345L + 7919L * i

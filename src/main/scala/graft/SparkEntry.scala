@@ -610,6 +610,17 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, planesPerBand = 4, bands = 4).orderBy("qid", "rank")
     },
+    // ---- ANN: banded LSH with query-side multi-probe (2 weakest-bit
+    //      flips per band → 3 buckets probed per band); the corpus index
+    //      is identical to s_ann_lsh — recall rises from extra query
+    //      fan-out only. Oracle mirrors the |dot|-ranked bit flips.
+    "s_ann_lsh_probed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.lshTopKBanded(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, planesPerBand = 4, bands = 4, probes = 2).orderBy("qid", "rank")
+    },
     // ---- ANN: IVF scale path (seeded coarse quantizer, 4-of-16 cell
     //      probe); oracle mirrors assignment + probing + ranking
     "s_ann_ivf" -> { (s, dir) =>
@@ -1123,6 +1134,30 @@ object SparkEntry {
          |p AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
          |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id != c.vec_id
          |      WHERE a.vec_id < 20),
+         |sc AS (SELECT p.qid, p.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    // Mirrors Similarity.lshTopKBanded with probes=2: the query side
+    // probes the exact bucket plus the 2 weakest-bit flips per band
+    // (OracleFrag.probeBuckets = the same |dot|-ranked flip arithmetic);
+    // the corpus index is the plain per-band bucket.
+    "s_ann_lsh_probed" -> {
+      val corpusSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, CAST(${OracleFrag.bucket("v", 4, b * 4)} AS BIGINT) AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      val querySelects = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, unnest(${OracleFrag.probeBuckets("v", 4, b * 4, 2)}) AS bucket FROM n WHERE vec_id < 20")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bdc AS (\n  $corpusSelects),
+         |bdq AS (\n  $querySelects),
+         |p AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |      FROM bdq q JOIN bdc c ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id),
          |sc AS (SELECT p.qid, p.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)

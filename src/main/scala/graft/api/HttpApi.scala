@@ -24,6 +24,13 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
       val h = db.healthCheck()
       (if (h.healthy) 200 else 503, Json.writeHealth(h))
     })
+    server.createContext("/reload", (ex: HttpExchange) => handle(ex) {
+      // wire surface for the reference's reloadMetadata()/reloadRoles()
+      // lifecycle (METADATA.md:180-181); a failing provider surfaces as a
+      // 503 ProviderError and the previous config stays active (C1311)
+      db.reloadMetadata(); db.reloadRoles()
+      (200, """{"reloaded":true}""")
+    })
     server.createContext("/validate/query", (ex: HttpExchange) => handle(ex) {
       // zero-I/O validation endpoint: runs the validator only
       val (defn, ctx) = Json.parseQuery(readBody(ex))

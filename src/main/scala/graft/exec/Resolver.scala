@@ -429,7 +429,10 @@ private final class Resolver(
       }
       val aggExprs = q.aggregations.map(a => aggExpr(a, frame).as(a.alias))
       frame =
-        if (groupCols.isEmpty) frame.agg(aggExprs.head, aggExprs.tail: _*)
+        // GROUP BY with no aggregations (contract C320) = distinct over the
+        // group keys — Spark's grouped API requires >= 1 aggregate
+        if (aggExprs.isEmpty) frame.select(groupCols: _*).distinct()
+        else if (groupCols.isEmpty) frame.agg(aggExprs.head, aggExprs.tail: _*)
         else frame.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
       val aggMappings = q.aggregations.map { a =>
         val (srcType, srcNullable, srcTable) =

@@ -115,13 +115,14 @@ object Planner {
     // actually rides a replica (an all-original resolution is just P1).
     val candidateDbs = dbs.keys.toSeq.sortBy(db => -required.count(_.database == db))
     val freshnessReq = q.freshness
-    def resolveVia(db: String, requireReplica: Boolean): Option[Map[String, PlannedTable]] =
+    def resolveVia(db: String, requireReplica: Boolean,
+        ignoreFreshness: Boolean = false): Option[Map[String, PlannedTable]] =
       required.foldLeft(Option(Map.empty[String, PlannedTable])) { (accOpt, t) =>
         accOpt.flatMap { acc =>
           if (t.database == db) plannedOriginal(registry, t).map(p => acc + (t.apiName -> p))
           else index.syncsBySource.getOrElse(t.id, Nil)
-            .find(s => s.targetDatabase == db &&
-              freshnessReq.forall(f => Freshness.lagSatisfies(s.estimatedLag, f)))
+            .find(s => s.targetDatabase == db && (ignoreFreshness ||
+              freshnessReq.forall(f => Freshness.lagSatisfies(s.estimatedLag, f))))
             .flatMap { s =>
               registry.replicaLoaders.get((db, t.id)).map { loader =>
                 acc + (t.apiName -> PlannedTable(t, "materialized", db,
@@ -153,14 +154,29 @@ object Planner {
     val byDb = required.groupBy(_.database)
     if (byDb.size == 1) {
       val dbId = byDb.keys.head
-      return Plan(
-        strategy = "direct",
-        targetDatabase = dbId,
-        dialect = dialectOf(dbId),
-        tables = required.map(t => t.apiName ->
-          plannedOriginal(registry, t).getOrElse(
-            throw ExecutionError("EXECUTOR_MISSING", Map("database" -> t.database)))).toMap,
-      )
+      val direct = required.foldLeft(Option(Map.empty[String, PlannedTable])) {
+        (accOpt, t) => accOpt.flatMap(acc =>
+          plannedOriginal(registry, t).map(p => acc + (t.apiName -> p)))
+      }
+      direct match {
+        case Some(tables) =>
+          return Plan("direct", dbId, dialectOf(dbId), tables)
+        case None =>
+          // primary executor down: serve from a replica-hosting DB instead
+          // of failing (contract C1253; at scale: primary outage → offload).
+          // A replica path that exists but is too stale for the requested
+          // freshness is a planner conflict, not a missing executor.
+          firstMaterialized(requireReplica = false) match {
+            case Some(p) => return p
+            case None =>
+              if (candidateDbs.exists(db =>
+                resolveVia(db, requireReplica = false, ignoreFreshness = true).isDefined))
+                throw PlannerError("FRESHNESS_UNMET", q.from,
+                  Map("requiredFreshness" -> freshnessReq.getOrElse("realtime"),
+                    "reason" -> "original source unavailable; replicas too stale"))
+              throw ExecutionError("EXECUTOR_MISSING", Map("database" -> dbId))
+          }
+      }
     }
 
     // ---- P2: materialized replicas make everything available in one DB,
@@ -189,6 +205,12 @@ object Planner {
       if (freshnessBlocked)
         throw PlannerError("FRESHNESS_UNMET", q.from,
           Map("requiredFreshness" -> freshnessReq.get))
+      // no sync machinery at all (contract C1252): cross-DB tables are
+      // fundamentally unreachable — blaming trino would mislead; with syncs
+      // configured the actionable fix is enabling trino (C1250)
+      if (index.syncsBySource.isEmpty)
+        throw PlannerError("UNREACHABLE_TABLES", q.from,
+          Map("tables" -> required.map(_.apiName)))
       throw PlannerError("TRINO_DISABLED", q.from)
     }
     val noCatalog = required.map(_.database).distinct

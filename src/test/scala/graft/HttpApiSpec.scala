@@ -80,7 +80,7 @@ class HttpApiSpec extends AnyFunSuite {
     assert(!n.has("data"))
   }
 
-  test("validation error → 400 with collected errors; client reconstructs type") {
+  test("validation error → 400 with collected errors; client reconstructs type (C1200/C1201)") {
     val r = post("/query",
       """{"definition": {"from": "orders", "columns": ["ghost1", "ghost2"]}}""")
     assert(r.statusCode() == 400)
@@ -90,7 +90,7 @@ class HttpApiSpec extends AnyFunSuite {
     assert(ve.errors.forall(_.code == "UNKNOWN_COLUMN"))
   }
 
-  test("planner error → 422 over the wire") {
+  test("planner error → 422 over the wire (C1202)") {
     val srv2 = new MultiDbHttpServer(ContractFixture.multiDb(spark, trinoEnabled = false))
     val p2 = srv2.start()
     try {
@@ -104,6 +104,61 @@ class HttpApiSpec extends AnyFunSuite {
       assert(MultiDbClient.reconstructError(r.body())
         .isInstanceOf[PlannerError])
     } finally srv2.stop()
+  }
+
+  test("execution error → 500 over the wire with typed code (C1203)") {
+    val base = ContractFixture.registry(spark)
+    val broken = base.copy(loaders = base.loaders.map {
+      case (("pg-main", "orders"), _) =>
+        (("pg-main", "orders"),
+          () => spark.read.parquet("/nonexistent/path/orders.parquet"))
+      case other => other
+    })
+    val srv = new MultiDbHttpServer(graft.api.MultiDb(
+      spark, ContractFixture.config(), ContractFixture.roles, broken))
+    val p = srv.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"definition": {"from": "orders", "columns": ["id"]}}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 500)
+      val e = MultiDbClient.reconstructError(r.body())
+      assert(e.asInstanceOf[ExecutionError].code == "QUERY_FAILED")
+    } finally srv.stop()
+  }
+
+  test("provider error → 503 over the wire; old config keeps serving (C1206/C1311)") {
+    // provider succeeds at construction, then breaks — POST /reload must
+    // surface 503 ProviderError and leave the old snapshot answering
+    var broken = false
+    val meta = new graft.api.MetadataProvider {
+      def load(): graft.meta.MetadataConfig =
+        if (broken) throw new RuntimeException("config store down")
+        else ContractFixture.config()
+    }
+    val roles = new graft.api.RoleProvider {
+      def load(): Seq[graft.meta.RoleMeta] = ContractFixture.roles
+    }
+    val db2 = new graft.api.MultiDb(spark, meta, roles, ContractFixture.registry(spark))
+    val srv = new MultiDbHttpServer(db2)
+    val p = srv.start()
+    try {
+      def send(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(send("/reload", "{}").statusCode() == 200)
+      broken = true
+      val r = send("/reload", "{}")
+      assert(r.statusCode() == 503)
+      val e = MultiDbClient.reconstructError(r.body())
+      assert(e.asInstanceOf[ProviderError].code == "METADATA_LOAD_FAILED")
+      // C1311: the pre-failure snapshot still answers queries
+      val q = send("/query", """{"definition": {"from": "orders", "columns": ["id"]}}""")
+      assert(q.statusCode() == 200)
+    } finally srv.stop()
   }
 
   test("GET /health returns the contract shape (C1300/C1301/C1302/C1304)") {

@@ -83,7 +83,7 @@ class LifecycleSpec extends AnyFunSuite {
       .asInstanceOf[DataResult].data.size == 5)
   }
 
-  test("a table whose database has no registered loader → EXECUTOR_MISSING (#44)") {
+  test("a table whose database has no registered loader → EXECUTOR_MISSING (C1260, #44)") {
     val base = ContractFixture.registry(spark)
     val registry = base.copy(loaders =
       base.loaders.removed(("ch-analytics", "events")))
@@ -106,7 +106,7 @@ class LifecycleSpec extends AnyFunSuite {
       .asInstanceOf[DataResult].data.size == 5)
   }
 
-  test("provider failure wraps in ProviderError with cause") {
+  test("provider failure wraps in ProviderError with cause (C1270/C1271)") {
     val boom = new MetadataProvider {
       def load(): MetadataConfig = throw new RuntimeException("db down")
     }
@@ -115,9 +115,18 @@ class LifecycleSpec extends AnyFunSuite {
       new MultiDb(spark, boom, roles, SourceRegistry(Map.empty))
     }
     assert(e.code == "METADATA_LOAD_FAILED" && e.getCause.getMessage == "db down")
+    // C1271: a failing ROLE provider gets its own code
+    val okMeta = new MetadataProvider { def load(): MetadataConfig = ContractFixture.config() }
+    val boomRoles = new RoleProvider {
+      def load(): Seq[RoleMeta] = throw new RuntimeException("roles down")
+    }
+    val e2 = intercept[ProviderError] {
+      new MultiDb(spark, okMeta, boomRoles, SourceRegistry(Map.empty))
+    }
+    assert(e2.code == "ROLE_LOAD_FAILED" && e2.getCause.getMessage == "roles down")
   }
 
-  test("per-database timeout triggers QUERY_TIMEOUT") {
+  test("per-database timeout triggers QUERY_TIMEOUT (C1263)") {
     val registry = ContractFixture.registry(spark)
       .copy(executorTimeoutMs = Map("pg-main" -> 1L)) // 1 ms
     val db = MultiDb(spark, ContractFixture.config(), ContractFixture.roles, registry)
