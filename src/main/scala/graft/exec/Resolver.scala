@@ -228,14 +228,11 @@ private final class Resolver(
         // top-level plain EXISTS under implicit AND → semi/anti join fast path
         if (topLevelAnd && e.count.isEmpty) {
           frame = existsSemiJoin(frame, e, parentApi, parentAlias)
-        } else if (topLevelAnd && countSemiEligible(e)) {
-          // counted EXISTS `>= n` (n≥1) / `> n` (n≥0) under implicit AND:
-          // zero-child parents can never qualify, so filter the aggregated
-          // child (HAVING count >= n) and LEFT SEMI join — no NULLable cnt
-          // column rides through the main frame (the rewrite the reference
-          // names as its one perf optimization, SQL_DIALECTS.md:30,
-          // CROSS_DB_NORMALIZATION.md:30-40)
-          frame = existsCountSemiJoin(frame, e, parentApi, parentAlias)
+        } else if (topLevelAnd) {
+          // counted EXISTS under implicit AND: semi/anti join against the
+          // HAVING-filtered child aggregate — no NULLable cnt column rides
+          // through the main frame (see existsCountJoin scaladoc)
+          frame = existsCountJoin(frame, e, parentApi, parentAlias)
         } else {
           val (fr2, pred) = existsCountPredicate(frame, e, parentApi, parentAlias)
           frame = fr2
@@ -291,30 +288,43 @@ private final class Resolver(
     frame.join(child, cond, if (e.exists) "left_semi" else "left_anti")
   }
 
-  /** `count >= n` (n≥1) and `count > n` (n≥0) can never keep a zero-child
-    * parent, so the left-join+coalesce form is overkill — a semi join
-    * against the HAVING-filtered aggregate suffices. `>= 0` is excluded
-    * (always true, must keep zero-child parents).
+  /** Top-level counted EXISTS never needs the left-join+coalesce form: a
+    * parent qualifies (or not) purely by membership in the HAVING-filtered
+    * child aggregate, so every operator compiles to a LEFT SEMI or LEFT
+    * ANTI join — the rewrite the reference names as its one performance
+    * optimization (SQL_DIALECTS.md:30, CROSS_DB_NORMALIZATION.md:30-40),
+    * generalized. Zero-child parents are handled for free: they have no
+    * row in the aggregate, so semi drops them and anti keeps them — which
+    * is exactly the required semantics (cnt = 0) for every operator:
+    *   >= n (n≥1) / > n / = n (n≥1)  → SEMI on cnt ⋈ n
+    *   < n (n≥1) / <= n / != n (n≥1) → ANTI on the complement
+    *   = 0 → ANTI on any-child;  != 0 → SEMI on any-child
+    *   >= 0 → no-op (always true);  < 0 → empty (cnt can't be negative)
     */
-  private def countSemiEligible(e: QueryExistsFilter): Boolean = e.count match {
-    case Some(CountCond(">=", v)) => v >= 1
-    case Some(CountCond(">", v))  => v >= 0
-    case _ => false
-  }
-
-  private def existsCountSemiJoin(frame: DataFrame, e: QueryExistsFilter,
+  private def existsCountJoin(frame: DataFrame, e: QueryExistsFilter,
       parentApi: String, parentAlias: String): DataFrame = {
-    val (child, alias, fkChild, pkParent) = existsChild(e, parentApi)
     val CountCond(op, v) = e.count.get
     sqlParams += v // same placeholder order as the generated sql-only text
+    if (op == ">=" && v == 0) return frame          // cnt >= 0: tautology
+    if (op == "<" && v == 0) return frame.where(lit(false)) // cnt < 0: never
+    val (child, alias, fkChild, pkParent) = existsChild(e, parentApi)
     val keyCol = s"__${alias}_key"
     val cntCol = s"__${alias}_cnt"
-    val qualifying = child
+    val counts = child
       .groupBy(col(internal(alias, fkChild)).as(keyCol))
       .agg(count(lit(1)).as(cntCol))
-      .where(if (op == ">=") col(cntCol) >= v else col(cntCol) > v)
-    frame.join(qualifying,
-      col(internal(parentAlias, pkParent)) === col(keyCol), "left_semi")
+    val (cond, joinType) = op match {
+      case ">="           => (col(cntCol) >= v, "left_semi")
+      case ">"            => (col(cntCol) > v, "left_semi")
+      case "=" if v == 0L => (lit(true), "left_anti")
+      case "="            => (col(cntCol) === v, "left_semi")
+      case "!=" if v == 0L => (lit(true), "left_semi")
+      case "!="           => (col(cntCol) === v, "left_anti")
+      case "<"            => (col(cntCol) >= v, "left_anti")
+      case "<="           => (col(cntCol) > v, "left_anti")
+    }
+    frame.join(counts.where(cond),
+      col(internal(parentAlias, pkParent)) === col(keyCol), joinType)
   }
 
   private def existsCountPredicate(frame: DataFrame, e: QueryExistsFilter,

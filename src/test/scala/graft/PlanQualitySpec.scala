@@ -53,10 +53,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("coalesce"), p.take(3000))
   }
 
-  test("counted EXISTS < n keeps the left-join+coalesce form (zero-child parents kept)") {
+  test("counted EXISTS < n compiles to an ANTI join (zero-child parents kept for free)") {
+    // parents with cnt >= n are excluded via LeftAnti; zero-child parents
+    // never appear in the aggregate, so the anti join keeps them — no
+    // NULLable cnt column, no coalesce
     val p = planOf("e_exists_count_lt")
-    assert(!p.contains("LeftSemi"), p.take(3000))
-    assert(p.toLowerCase.contains("coalesce"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.toLowerCase.contains("coalesce"), p.take(3000))
   }
 
   test("hand-built star join broadcasts all three dims") {
