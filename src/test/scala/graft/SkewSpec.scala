@@ -40,4 +40,49 @@ class SkewSpec extends AnyFunSuite {
     // salt on a non-unique column still correct (any deterministic spread)
     assert(salted == plain)
   }
+
+  test("AQE skew-join split engages on residual hot keys (the 100 TB safety net)") {
+    // Salting handles KNOWN hot keys; the documented fallback for residual
+    // skew (Similarity scaladoc, BENCH_NOTES) is AQE's skew-join split.
+    // Prove it actually fires: a shuffle join with one dominant key under
+    // test-sized thresholds must show skew-handled SMJ partitions in the
+    // final adaptive plan.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+      // fact: one dominant key (~99% of 400k rows, wide payload so the hot
+      // shuffle partition crosses the 64KB threshold); dim: every key once
+      val hot = spark.range(400000)
+        .select(when($"id" % 100 < 99, lit("hot")).otherwise(concat(lit("k"), $"id" % 37))
+          .as("k"), concat(lit("payload-"), $"id").as("payload"))
+      val dim = spark.range(38)
+        .select(when($"id" === 0, lit("hot")).otherwise(concat(lit("k"), $"id" - 1))
+          .as("k2"), $"id".as("p2"))
+      // a GLOBAL aggregate on top: unlike groupBy(k), it imposes no hash
+      // distribution above the join, so AQE is free to split the skewed
+      // partition (splitting under a same-key groupBy would add a shuffle,
+      // which OptimizeSkewedJoin declines)
+      val joined = hot.join(dim, $"k" === $"k2")
+        .select(sum(length($"payload")).as("bytes"))
+      assert(joined.collect().head.getLong(0) > 0) // materialize; AQE finalizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      // AQE marks the skew-handled join and the split shuffle reads
+      assert(p.contains("skew=true") || p.contains("skewed"), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
