@@ -38,14 +38,20 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # Gate on the UNION of oracle keys and Spark output dirs: a query that
-    # ships without an oracle entry must FAIL here (mirrors the driver's
-    # no_oracle reporting — d_skew_salted_join slipped through in r4).
+    # Gate on the UNION of oracle keys, Spark output dirs, and the full
+    # query-name manifest: a query that ships without an oracle entry must
+    # FAIL here (mirrors the driver's no_oracle reporting —
+    # d_skew_salted_join slipped through in r4), including the case where
+    # its Spark write ALSO failed (present in neither set without names.json).
     spark_outs = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
                   if os.path.isdir(d)}
+    manifest_path = f"{out_dir}/names.json"
+    manifest = set(json.load(open(manifest_path))) if os.path.exists(manifest_path) else set()
     n_ok = n_bad = 0
-    for name in sorted(spark_outs - set(oracle)):
-        print(f"FAIL {name}: spark output has no oracle entry"); n_bad += 1
+    # (manifest names WITH an oracle but no output are caught below by the
+    # per-oracle "no spark output" branch)
+    for name in sorted((spark_outs | manifest) - set(oracle)):
+        print(f"FAIL {name}: no oracle entry"); n_bad += 1
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):

@@ -61,7 +61,9 @@ def cited_ids():
         for m in re.finditer(r"C(\d{3,4})-C(\d{3,4})", text):
             for n in range(int(m.group(1)), int(m.group(2)) + 1):
                 cites.setdefault(n, set()).add(base)
-        for m in re.finditer(r"C(\d{3,4})(?!-)", text):
+        # (?![\d-]) prevents backtracking a 4-digit range start like
+        # 'C1400-...' into a spurious 3-digit citation 'C140'
+        for m in re.finditer(r"C(\d{3,4})(?![\d-])", text):
             cites.setdefault(int(m.group(1)), set()).add(base)
     return cites
 

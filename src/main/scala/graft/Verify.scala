@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full query-name manifest: lets the local gate fail a query that BOTH
+    // failed to write output and has no oracle entry (it would otherwise
+    // appear in neither set and pass silently)
+    Files.writeString(Paths.get(s"$outDir/names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

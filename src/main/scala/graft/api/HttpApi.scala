@@ -26,9 +26,10 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
     })
     server.createContext("/reload", (ex: HttpExchange) => handle(ex) {
       // wire surface for the reference's reloadMetadata()/reloadRoles()
-      // lifecycle (METADATA.md:180-181); a failing provider surfaces as a
-      // 503 ProviderError and the previous config stays active (C1311)
-      db.reloadMetadata(); db.reloadRoles()
+      // lifecycle (METADATA.md:180-181); one call refreshes both providers
+      // atomically. A failing provider surfaces as a 503 ProviderError and
+      // the previous config stays active (C1311).
+      db.reloadMetadata()
       (200, """{"reloaded":true}""")
     })
     server.createContext("/validate/query", (ex: HttpExchange) => handle(ex) {

@@ -304,24 +304,34 @@ private final class Resolver(
   private def existsCountJoin(frame: DataFrame, e: QueryExistsFilter,
       parentApi: String, parentAlias: String): DataFrame = {
     val CountCond(op, v) = e.count.get
-    sqlParams += v // same placeholder order as the generated sql-only text
-    if (op == ">=" && v == 0) return frame          // cnt >= 0: tautology
-    if (op == "<" && v == 0) return frame.where(lit(false)) // cnt < 0: never
+    // the child compiles FIRST: its filter params precede the count
+    // placeholder in the generated sql-only text (TESTS.md #225 pins that
+    // params match the placeholders), and the tautological cases below
+    // still owe the child's params to that ordering
     val (child, alias, fkChild, pkParent) = existsChild(e, parentApi)
+    sqlParams += v
+    val corr = col(internal(parentAlias, pkParent)) === child(internal(alias, fkChild))
+    (op, v) match {
+      case (">=", 0L) => return frame                    // cnt >= 0: tautology
+      case ("<", 0L)  => return frame.where(lit(false))  // cnt < 0: never
+      // cnt = 0 ⟺ NOT EXISTS, cnt != 0 ⟺ EXISTS: plain anti/semi on the
+      // raw child — no aggregate node needed
+      case ("=", 0L)  => return frame.join(child, corr, "left_anti")
+      case ("!=", 0L) => return frame.join(child, corr, "left_semi")
+      case _          => ()
+    }
     val keyCol = s"__${alias}_key"
     val cntCol = s"__${alias}_cnt"
     val counts = child
       .groupBy(col(internal(alias, fkChild)).as(keyCol))
       .agg(count(lit(1)).as(cntCol))
     val (cond, joinType) = op match {
-      case ">="           => (col(cntCol) >= v, "left_semi")
-      case ">"            => (col(cntCol) > v, "left_semi")
-      case "=" if v == 0L => (lit(true), "left_anti")
-      case "="            => (col(cntCol) === v, "left_semi")
-      case "!=" if v == 0L => (lit(true), "left_semi")
-      case "!="           => (col(cntCol) === v, "left_anti")
-      case "<"            => (col(cntCol) >= v, "left_anti")
-      case "<="           => (col(cntCol) > v, "left_anti")
+      case ">=" => (col(cntCol) >= v, "left_semi")
+      case ">"  => (col(cntCol) > v, "left_semi")
+      case "="  => (col(cntCol) === v, "left_semi")
+      case "!=" => (col(cntCol) === v, "left_anti")
+      case "<"  => (col(cntCol) >= v, "left_anti")
+      case "<=" => (col(cntCol) > v, "left_anti")
     }
     frame.join(counts.where(cond),
       col(internal(parentAlias, pkParent)) === col(keyCol), joinType)

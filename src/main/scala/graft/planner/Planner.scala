@@ -154,11 +154,9 @@ object Planner {
     val byDb = required.groupBy(_.database)
     if (byDb.size == 1) {
       val dbId = byDb.keys.head
-      val direct = required.foldLeft(Option(Map.empty[String, PlannedTable])) {
-        (accOpt, t) => accOpt.flatMap(acc =>
-          plannedOriginal(registry, t).map(p => acc + (t.apiName -> p)))
-      }
-      direct match {
+      // every required table lives in dbId, so resolveVia takes the
+      // plannedOriginal branch for each — an all-original resolution
+      resolveVia(dbId, requireReplica = false) match {
         case Some(tables) =>
           return Plan("direct", dbId, dialectOf(dbId), tables)
         case None =>

@@ -32,7 +32,7 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(ids(r) == Seq(1, 4))
   }
 
-  test("!= filter") {
+  test("!= filter (C101)") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryFilter("status", "!=", Some("active"))),
       orderBy = Seq(QueryOrderBy("id"))))
@@ -50,7 +50,7 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(amounts("<=", 100.0) == Seq(1, 3))    // C105
   }
 
-  test("in / notIn") {
+  test("in / notIn (C140/C141)") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryFilter("category", "in", Some(Seq("electronics", "food")))),
       orderBy = Seq(QueryOrderBy("id"))))
@@ -127,7 +127,7 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(ids(r3) == Seq(1, 3, 5))
   }
 
-  test("levenshteinLte") {
+  test("levenshteinLte (C160)") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryFilter("name", "levenshteinLte", Some(("Alpho", 1))))))
     assert(ids(r) == Seq(1))
@@ -135,11 +135,16 @@ class ContractQuerySpec extends AnyFunSuite {
 
   // ---- array operators (C150 ff) ---------------------------------------
 
-  test("arrayContains") {
+  test("arrayContains on string[] and int[] (C170)") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryFilter("tags", "arrayContains", Some("fast"))),
       orderBy = Seq(QueryOrderBy("id"))))
     assert(ids(r) == Seq(1, 3, 5))
+    // C170 exact spec case: int[] scores arrayContains 1 → ids 1, 5
+    val r2 = q(QueryDefinition("samples", columns = Some(Seq("id")),
+      filters = Seq(QueryFilter("scores", "arrayContains", Some(1))),
+      orderBy = Seq(QueryOrderBy("id"))))
+    assert(ids(r2) == Seq(1, 5))
   }
 
   test("arrayContainsAll / arrayContainsAny (C171/C172)") {
@@ -212,7 +217,7 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(ids(r2) == Seq(3, 5))
   }
 
-  test("column-vs-column filter") {
+  test("column-vs-column filter (C180)") {
     val r = q(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryColumnFilter("amount", ">", "discount")),
       orderBy = Seq(QueryOrderBy("id"))))
@@ -422,6 +427,10 @@ class ContractQuerySpec extends AnyFunSuite {
     assert(counted(">", 1) == Seq(1, 5))       // C610
     assert(counted("!=", 0) == Seq(1, 2, 3, 5)) // C612
     assert(counted("<=", 1) == Seq(2, 3, 4))   // C613
+    // boundary forms: cnt >= 0 is a tautology (all parents, incl. the
+    // zero-child one); cnt < 0 can never hold
+    assert(counted(">=", 0) == Seq(1, 2, 3, 4, 5))
+    assert(counted("<", 0) == Seq())
   }
 
   test("nested EXISTS resolves inner relation against outer table (C604)") {

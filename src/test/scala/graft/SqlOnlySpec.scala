@@ -85,6 +85,29 @@ class SqlOnlySpec extends AnyFunSuite {
       Seq(10, 100, 300))
   }
 
+  test("sql-only counted EXISTS: child-filter params precede the count value (#225)") {
+    def p(d: QueryDefinition): Seq[Any] =
+      db.query(d.copy(executeMode = "sql-only")).asInstanceOf[SqlResult].params
+    // the generated text is '(SELECT COUNT(*) FROM ... WHERE corr AND
+    // status = ?) >= ?' — the child's param must bind FIRST, the count
+    // value last, for every operator including the tautological ones
+    // (where the execute path skips the join but the SQL still renders it)
+    for (op <- Seq(">=", ">", "=", "!=", "<", "<=")) {
+      val d = QueryDefinition("samples", columns = Some(Seq("id")),
+        filters = Seq(QueryExistsFilter("sampleItems",
+          filters = Seq(QueryFilter("status", "=", Some("paid"))),
+          count = Some(CountCond(op, 2)))))
+      assert(p(d) == Seq("paid", 2L), s"op $op")
+    }
+    for (op <- Seq(">=", "<", "=", "!=")) { // v = 0 boundary forms
+      val d = QueryDefinition("samples", columns = Some(Seq("id")),
+        filters = Seq(QueryExistsFilter("sampleItems",
+          filters = Seq(QueryFilter("status", "=", Some("paid"))),
+          count = Some(CountCond(op, 0)))))
+      assert(p(d) == Seq("paid", 0L), s"op $op v=0")
+    }
+  }
+
   test("sql-only != renders the engine's NULL-inclusive semantics") {
     val r = db.query(QueryDefinition("samples", columns = Some(Seq("id")),
       filters = Seq(QueryFilter("isActive", "!=", Some(true))),
