@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
 import graft.ops.{Dedup, TextAnalysis}
@@ -131,5 +132,43 @@ object DocumentStream {
       // ingestTs carries left's watermark through the join — do not redefine
       .dropDuplicatesWithinWatermark("idA", "idB")
       .drop("ingestTs")
+  }
+
+  final case class BudgetDoc(doc_id: Long, source: String, nTokens: Int)
+  final case class BudgetAdmit(doc_id: Long, source: String, nTokens: Int, cumTokens: Long)
+
+  /** Streaming per-source token-budget cut — the incremental form of the
+    * batch pipeline's windowed running sum (SparkEntry `d_pipeline_prep`):
+    * admit documents while the per-source running total (counting EVERY
+    * seen document's tokens, admitted or not, exactly like the batch
+    * window-then-filter semantics) stays within `budget`.
+    *
+    * State = ONE Long per source — bounded by source count, not corpus
+    * size; per-invocation work = this micro-batch's slice of one source
+    * (sorted by doc_id in memory: bounded by batch size, never corpus
+    * size). Sources progress independently and in parallel, the same
+    * reason the batch version windows per source instead of keeping a
+    * global running sum.
+    */
+  def tokenBudgetPerSource(docs: DataFrame, budget: Long): Dataset[BudgetAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        col("nTokens").cast("int")).as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, rows, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // deterministic intra-batch order; the micro-batch slice of one
+          // source fits memory by construction (batch-size bounded)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            cum += d.nTokens
+            if (cum <= budget) Some(BudgetAdmit(d.doc_id, source, d.nTokens, cum))
+            else None
+          }
+          state.update(cum)
+          out.iterator
+      }
   }
 }

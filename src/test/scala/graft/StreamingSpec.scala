@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
       s"stream found ${streamed.size} directed pairs, batch ${batchPairs.size}")
   }
 
+  test("streaming per-source token budget matches the batch windowed running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .withColumn("nTokens", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+    EventStream.runToMemory(
+      DocumentStream.tokenBudgetPerSource(stream, budget = 5000).toDF(), "doc_budget")
+    val streamed = spark.table("doc_budget")
+      .select("doc_id", "source", "cumTokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // batch truth: the d_pipeline_prep-style window-then-filter semantics
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("nTokens", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+      .withColumn("cumTokens", sum(col("nTokens").cast("long")).over(w))
+      .where(col("cumTokens") <= 5000)
+      .select("doc_id", "source", "cumTokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream admitted ${streamed.size}, batch ${batch.size}")
+  }
+
   test("stream-stream self-dedup matches batch simhash pairs") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
