@@ -37,6 +37,7 @@ object Bench {
     "s_ann_lsh",          // banded-LSH ANN
     "s_ann_lsh_probed",   // + query-side multi-probe (2 weakest-bit flips)
     "s_ann_ivf",          // IVF cell-probe ANN
+    "s_ann_ivf_indexed",  // same probe against the persisted partitioned index
     "s_ann_ivf_trained",  // IVF with k-means-trained centroids (bench-only)
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only

@@ -63,6 +63,22 @@ object SparkEntry {
   /** Per-JVM JSON-lines + CSV materializations of the supplier dim. */
   private val textSupplierDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM persisted IVF index (cells partitioned by centId + centroid
+    * table) — written once per sfDir, seeded quantizer so the s_ann_ivf
+    * oracle applies unchanged.
+    */
+  private val ivfIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndex(s: SparkSession, dir: String): String =
+    ivfIndexDir.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf").resolve("index").toString
+      ops.Similarity.writeIvfIndex(
+        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        path, nCells = 16)
+      path
+    })
+
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
       val path = java.nio.file.Files
@@ -630,6 +646,16 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, nCells = 16, nProbe = 4).orderBy("qid", "rank")
     },
+    // ---- ANN: the same IVF probe against a PERSISTED index — corpus
+    //      written partitioned by centId (build-offline/serve-online);
+    //      probing 4/16 cells reads 4/16 partition directories. Identical
+    //      results to s_ann_ivf → same oracle.
+    "s_ann_ivf_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopKIndexed(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        ivfIndex(s, dir), k = 5, nProbe = 4).orderBy("qid", "rank")
+    },
     // ---- ANN, product-quantization/ADC variant (32x vector compression;
     //      codes-only candidate scan; decimal-exact ADC so the refine
     //      cutoff is oracle-reproducible)
@@ -722,6 +748,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
   )
+
+  /** Shared IVF oracle: seeded centroids (vec_id < 16), cosine argmin
+    * assignment, 4-cell probe, exact top-k inside probed cells — gates
+    * both the in-memory `s_ann_ivf` and the persisted-index
+    * `s_ann_ivf_indexed` (deterministic assignment ⇒ identical results).
+    */
+  private lazy val ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |asg AS (SELECT vec_id AS cid, centid FROM (
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n CROSS JOIN cent) WHERE rn = 1),
+       |qc AS (SELECT vec_id AS qid, centid FROM (
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+       |p AS (SELECT DISTINCT qc.qid, asg.cid
+       |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+       |sc AS (SELECT p.qid, p.cid,
+       |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+       |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+       |SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1167,28 +1221,10 @@ object SparkEntry {
     },
     // Mirrors Similarity.ivfTopK: seeded centroids (vec_id < 16), cosine
     // argmin assignment, 4-cell probe, exact top-k inside probed cells.
-    "s_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
-         |asg AS (SELECT vec_id AS cid, centid FROM (
-         |  SELECT n.vec_id, cent.centid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent) WHERE rn = 1),
-         |qc AS (SELECT vec_id AS qid, centid FROM (
-         |  SELECT n.vec_id, cent.centid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
-         |p AS (SELECT DISTINCT qc.qid, asg.cid
-         |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
-         |sc AS (SELECT p.qid, p.cid,
-         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
-         |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
-         |SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s_ann_ivf" -> ivfOracleSql,
+    // identical semantics served from the persisted partitioned index —
+    // the SAME oracle gates both forms
+    "s_ann_ivf_indexed" -> ivfOracleSql,
     // Mirrors Similarity.pqTopK stage-for-stage: seeded codebook, per-
     // subspace L2 encode (d2 = c·c − 2c·b + b·b, same fold order), ADC
     // table with round(·,9) decimal sums, refine-30 cut, exact rescore.

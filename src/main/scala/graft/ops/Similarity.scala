@@ -291,6 +291,46 @@ object Similarity {
     rescoreTopK(cand, queries, corpus, k)
   }
 
+  /** Persist an IVF index: the corpus written PARTITIONED BY coarse cell
+    * (hive layout, one directory per centId) plus the centroid table.
+    * This is the build-offline / serve-online split of real ANN serving:
+    * assignment cost is paid once at write, and a probe of nProbe/nCells
+    * cells prunes to nProbe/nCells partition DIRECTORIES — files in
+    * unprobed cells are never opened, unlike the in-memory form where
+    * pruning happens after the scan. Results are identical to [[ivfTopK]]
+    * with the same quantizer (assignment is deterministic), so the same
+    * DuckDB oracle gates both.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
+    val c = prep(corpus, "cid")
+    val cent = centroids.getOrElse(seededCentroids(c, nCells))
+    val assigned = nearestCells(c, "cid", cent, keep = 1)
+    corpus.join(assigned, "cid")
+      .write.partitionBy("centId").parquet(s"$path/cells")
+    cent.write.parquet(s"$path/centroids")
+  }
+
+  /** Query a [[writeIvfIndex]] layout: probe the nProbe nearest cells per
+    * query; both the candidate scan and the exact-rescore vector join read
+    * ONLY the probed cell directories (partition pruning on centId).
+    */
+  def ivfTopKIndexed(queries: DataFrame, path: String,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = nProbe)
+    val cells = spark.read.parquet(s"$path/cells")
+    // restrict once to the union of probed cells (per-query restriction
+    // happens in the candidate join); reused for the rescore vector join
+    // so neither pass touches an unprobed directory
+    val probedCells = cells.join(broadcast(probed.select("centId").distinct()), "centId")
+    val cand = probedCells.join(probed, "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    rescoreTopK(cand, queries, probedCells.select(col("cid"), col("vec")), k)
+  }
+
   /** Product-quantization (PQ/ADC) ANN: compress each corpus vector to `m`
     * one-byte codes — per subspace, the id of its nearest codebook
     * centroid — then rank candidates by the asymmetric-distance sum of

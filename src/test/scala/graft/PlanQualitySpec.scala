@@ -62,6 +62,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("coalesce"), p.take(3000))
   }
 
+  test("persisted IVF index: the cells scan is pruned to probed partitions") {
+    val df = SparkEntry.queries("s_ann_ivf_indexed")(spark, dir)
+    df.collect() // materialize so AQE + runtime filters finalize
+    val p = df.queryExecution.executedPlan.toString
+    // the cells read must carry a DYNAMIC pruning expression on centId —
+    // the probe restricts directories, not just rows
+    assert(p.contains("PartitionFilters: [isnotnull(centId"), p.take(4000))
+    assert(p.contains("dynamicpruning"), p.take(4000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hand-built star join broadcasts all three dims") {
     val p = planOf("q8_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
