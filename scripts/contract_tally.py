@@ -44,6 +44,9 @@ SECTIONS = [
 
 def spec_ids():
     """IDs that actually appear as `| Cnnnn |` table rows in the reference."""
+    if not os.path.exists(REF):
+        sys.exit(f"FATAL: reference checklist not found at {REF} — "
+                 "a 0/0 tally would be meaningless; fix REF before running")
     out = set()
     for line in open(REF, encoding="utf-8", errors="replace"):
         m = re.match(r"\|\s*C(\d{3,4})\s", line)
@@ -62,8 +65,10 @@ def cited_ids():
             for n in range(int(m.group(1)), int(m.group(2)) + 1):
                 cites.setdefault(n, set()).add(base)
         # (?![\d-]) prevents backtracking a 4-digit range start like
-        # 'C1400-...' into a spurious 3-digit citation 'C140'
-        for m in re.finditer(r"C(\d{3,4})(?![\d-])", text):
+        # 'C1400-...' into a spurious 3-digit citation 'C140';
+        # (?<![\w-]) keeps an id embedded in a longer token (e.g. a hex
+        # literal 0xC123 or an identifier fooC123) from counting as a cite
+        for m in re.finditer(r"(?<![\w-])C(\d{3,4})(?![\d-])", text):
             cites.setdefault(int(m.group(1)), set()).add(base)
     return cites
 

@@ -71,8 +71,7 @@ object SparkEntry {
 
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfIndexDir.computeIfAbsent(dir, { d =>
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf").resolve("index").toString
+      val path = TempDirs.create("graft_ivf").resolve("index").toString
       ops.Similarity.writeIvfIndex(
         t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
         path, nCells = 16)
@@ -81,8 +80,7 @@ object SparkEntry {
 
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_part").resolve("orders").toString
+      val path = TempDirs.create("graft_part").resolve("orders").toString
       t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").parquet(path)
       path
@@ -474,8 +472,7 @@ object SparkEntry {
     //      via the parquet view
     "q12_orc_source" -> { (s, dir) =>
       val orcDir = orcRegionDir.computeIfAbsent(dir, { d =>
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_orc").resolve("region").toString
+        val path = TempDirs.create("graft_orc").resolve("region").toString
         t(s, d, "region").write.orc(path)
         path
       })
@@ -492,7 +489,7 @@ object SparkEntry {
     //      with the parquet-only oracle
     "q16_text_formats" -> { (s, dir) =>
       val base = textSupplierDir.computeIfAbsent(dir, { d =>
-        val root = java.nio.file.Files.createTempDirectory("graft_text").toString
+        val root = TempDirs.create("graft_text").toString
         val sup = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
         sup.write.json(s"$root/json")
         sup.write.option("header", "true").csv(s"$root/csv")

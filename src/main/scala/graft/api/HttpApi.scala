@@ -28,9 +28,14 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
       // wire surface for the reference's reloadMetadata()/reloadRoles()
       // lifecycle (METADATA.md:180-181); one call refreshes both providers
       // atomically. A failing provider surfaces as a 503 ProviderError and
-      // the previous config stays active (C1311).
-      db.reloadMetadata()
-      (200, """{"reloaded":true}""")
+      // the previous config stays active (C1311). Mutating endpoint →
+      // POST-only; a GET must not trigger a config reload.
+      if (ex.getRequestMethod != "POST")
+        (405, """{"code":"METHOD_NOT_ALLOWED","message":"POST required"}""")
+      else {
+        db.reloadMetadata()
+        (200, """{"reloaded":true}""")
+      }
     })
     server.createContext("/validate/query", (ex: HttpExchange) => handle(ex) {
       // zero-I/O validation endpoint: runs the validator only
@@ -176,6 +181,11 @@ final class MultiDbHttpClient(
   def validateConfig(metadataJson: String, rolesJson: String): Unit = {
     send("/validate/config", Some(s"""{"metadata":$metadataJson,"roles":$rolesJson}""")); ()
   }
+
+  /** POST /reload — server-side reloadMetadata(); provider failures come
+    * back as the typed 503 ProviderError (C1311 semantics over the wire).
+    */
+  def reload(): Unit = { send("/reload", Some("{}")); () }
 }
 
 /** Client-side error reconstruction (HTTP_CLIENT.md:78-83): rebuild typed

@@ -21,7 +21,7 @@ object Bucketing {
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private lazy val location =
-    java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    graft.TempDirs.create("graft_buckets").toString
 
   private def sha16(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

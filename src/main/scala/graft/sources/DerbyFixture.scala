@@ -24,7 +24,7 @@ object DerbyFixture {
     */
   def nationUrl(spark: SparkSession, sfDir: String): String =
     urls.computeIfAbsent(sfDir, { d =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+      val dir = graft.TempDirs.create("graft_derby")
       // keep derby.log out of the process cwd
       System.setProperty("derby.stream.error.file", s"$dir/derby.log")
       val url = s"jdbc:derby:$dir/graftdb;create=true"

@@ -143,6 +143,17 @@ object DocumentStream {
     * seen document's tokens, admitted or not, exactly like the batch
     * window-then-filter semantics) stays within `budget`.
     *
+    * '''Ordering assumption''': batch equivalence holds when each source's
+    * doc_ids arrive nondecreasing ACROSS micro-batches (within a batch the
+    * explicit sort handles any order). A late out-of-order document is
+    * charged against a running total that already includes higher-id docs,
+    * so its admit/reject decision can diverge from the batch cut. That is
+    * the correct trade for an unbounded stream — the alternative (buffering
+    * by event time behind a watermark before admitting) delays every
+    * admission by the lateness bound; callers with out-of-order sources
+    * should pre-sort per micro-batch upstream or accept at-the-margin
+    * divergence for docs arriving after the budget boundary was crossed.
+    *
     * State = ONE Long per source — bounded by source count, not corpus
     * size; per-invocation work = this micro-batch's slice of one source
     * (sorted by doc_id in memory: bounded by batch size, never corpus

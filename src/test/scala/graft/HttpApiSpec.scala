@@ -161,6 +161,31 @@ class HttpApiSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/reload is POST-only: GET → 405 and no reload; typed client reload() works") {
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val meta = new graft.api.MetadataProvider {
+      def load(): graft.meta.MetadataConfig = {
+        loads.incrementAndGet(); ContractFixture.config()
+      }
+    }
+    val roles = new graft.api.RoleProvider {
+      def load(): Seq[graft.meta.RoleMeta] = ContractFixture.roles
+    }
+    val db2 = new graft.api.MultiDb(spark, meta, roles, ContractFixture.registry(spark))
+    val srv = new MultiDbHttpServer(db2)
+    val p = srv.start()
+    try {
+      val before = loads.get()
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/reload")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 405, s"GET /reload must be rejected, got ${r.statusCode()}")
+      assert(loads.get() == before, "a rejected GET must not trigger a reload")
+      new graft.api.MultiDbHttpClient(s"http://127.0.0.1:$p").reload()
+      assert(loads.get() == before + 1)
+    } finally srv.stop()
+  }
+
   test("GET /health returns the contract shape (C1300/C1301/C1302/C1304)") {
     val r = get("/health")
     assert(r.statusCode() == 200)
