@@ -68,6 +68,11 @@ private[graft] object OracleFrag {
     s"""list_distinct(list_transform(range(1, len($wsCol) - 1), __i -> ${poly57(sh)}))"""
   }
 
+  /** Deterministic two-step Lehmer unit hash of a row id (mirror of
+    * Sampling.unitHash — same mod arithmetic, integer-only). */
+  def unitHash(id: String): String =
+    s"(((($id % $P31 + 1) * 48271) % $P31) * 48271) % $P31"
+
   /** MinHash signature list over a shingle-hash-list expression. */
   def minhashSig(shsCol: String, k: Int): String =
     s"""list_transform(range(0, $k), __q -> list_min(list_transform($shsCol, __h -> ((2*__q + 3) * (__h % $P31) + (__q*__q + 7*__q + 41)) % $P31)))"""

@@ -744,6 +744,44 @@ object SparkEntry {
           col("nTokensWs").cast("int").as("n_tokens"), col("cum_tokens"))
         .orderBy("doc_id")
     },
+
+    // ---- benchmark decontamination: corpus docs (doc_id >= 25) sharing
+    //      >= 2 distinct 3-word shingle hashes with the "benchmark" slice
+    //      (doc_id < 25). The exploded bench shingles are BROADCAST — the
+    //      corpus streams through a map-side join, no corpus-wide shuffle
+    "d_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ops.Decontaminate.overlap(
+        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+        "doc_id", "text", minShared = 2).orderBy("doc_id")
+    },
+    // ---- repetition signals (Gopher-style quality gates): word-level
+    //      dup fraction (row-local) + top-bigram fraction (explode → count
+    //      → max per doc; linear in doc length, never O(len²) per row)
+    "d_text_repetition" -> { (s, dir) =>
+      ops.TextAnalysis.repetitionSignals(t(s, dir, "documents")).orderBy("doc_id")
+    },
+    // ---- deterministic Bernoulli sample: pure integer hash membership,
+    //      stable across runs/partitionings — a stateless scan-stage filter
+    "d_sample_hash" -> { (s, dir) =>
+      ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
+    },
+    // ---- exactly-8-per-source stratified sample: hash-ordered rank inside
+    //      each stratum, one shuffle on the stratum key, strata in parallel
+    "d_sample_stratified" -> { (s, dir) =>
+      ops.Sampling.stratifiedFixed(t(s, dir, "documents"), "source", "doc_id", 8)
+        .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
+    },
+    // ---- GLOBAL admission budget via parallel prefix sum (bucket sums +
+    //      tiny offsets window + per-bucket running sums) — the scalable
+    //      form of the one-task no-PARTITION-BY running-sum window, which
+    //      is exactly what the oracle runs
+    "d_budget_global" -> { (s, dir) =>
+      ops.Budget.globalRunningBudget(t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 60000L, bucketWidth = 64)
+        .select(col("doc_id"), col("n_chars"), col("cum")).orderBy("doc_id")
+    },
   )
 
   /** Shared IVF oracle: seeded centroids (vec_id < 16), cosine argmin
@@ -1111,6 +1149,52 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
+    // Mirrors Decontaminate.overlap: same distinct poly-57 shingle hashes,
+    // same bench/corpus split, COUNT(DISTINCT …) aggregates.
+    "d_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS hs FROM w),
+         |c AS (SELECT doc_id, unnest(hs) AS sh FROM h WHERE doc_id >= 25),
+         |b AS (SELECT doc_id AS bid, unnest(hs) AS sh FROM h WHERE doc_id < 25),
+         |j AS (SELECT c.doc_id, c.sh, b.bid FROM c JOIN b USING (sh))
+         |SELECT doc_id, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shared,
+         |  CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
+         |FROM j GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
+         |ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.repetitionSignals: same normalized words, same
+    // bigram construction, mode via per-(doc, bigram) counts.
+    "d_text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |b AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), __i ->
+         |         ws[__i] || ' ' || ws[__i+1])) AS g FROM b WHERE len(ws) >= 2),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |m AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS nbg FROM bgc GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_words,
+         |  round(1.0 - len(list_distinct(b.ws)) / CAST(len(b.ws) AS DOUBLE), 6) AS dup_word_frac,
+         |  round(COALESCE(m.maxc / CAST(m.nbg AS DOUBLE), 0.0), 6) AS top_bigram_frac
+         |FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Membership recomputed from the same two-step Lehmer hash.
+    "d_sample_hash" ->
+      s"""SELECT doc_id, source, ${OracleFrag.unitHash("doc_id")} AS u
+         |FROM documents
+         |WHERE ${OracleFrag.unitHash("doc_id")} < ${(0.25 * 2147483647L).toLong}
+         |ORDER BY doc_id""".stripMargin,
+    "d_sample_stratified" ->
+      s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 8 ORDER BY doc_id""".stripMargin,
+    // The oracle IS the naive one-task global running-sum window the
+    // bucketed two-stage plan replaces — equality proves the parallel
+    // prefix sum is exact.
+    "d_budget_global" ->
+      """SELECT doc_id, n_chars, cum FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents)
+        |WHERE cum <= 60000 ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.ngramJaccardPairs formula-for-formula: same poly-57
     // shingle hashes, df-prune window [2, maxDf], pre-prune sizes.
     "d_dedup_ngram" ->

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination for training corpora: find corpus documents
+  * that share verbatim n-gram content with an evaluation/benchmark set, so
+  * they can be dropped before training (the standard guard against eval
+  * leakage).
+  *
+  * Overlap unit = the same distinct 3-word shingle hashes the dedup
+  * operators use ([[graft.functions.TextHashOps]] native kernels), so one
+  * scan-side signature serves dedup and decontamination alike.
+  *
+  * Scale shape: benchmark sets are tiny relative to a 100 TB corpus, so
+  * the exploded benchmark shingle table is BROADCAST — corpus shingles
+  * stream through a map-side hash join with no corpus-wide shuffle; only
+  * the matching (doc, shingle, bench) triples (rare by construction)
+  * reach the per-document aggregate. The corpus is never self-joined and
+  * never collected.
+  */
+object Decontaminate {
+
+  /** Per-corpus-document overlap against the benchmark set: `n_shared` =
+    * distinct shingle hashes the document shares with ANY benchmark doc,
+    * `n_bench` = distinct benchmark docs it collides with. Documents with
+    * `n_shared >= minShared` are returned (these are the ones a pipeline
+    * would quarantine). Both frames need (`idCol`, `textCol`).
+    */
+  def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    def shingled(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      explode(TextFunctions.shingle_hashes(col(textCol))).as("sh"))
+    shingled(corpus, "cid")
+      .join(broadcast(shingled(bench, "bid")), "sh")
+      .groupBy("cid")
+      .agg(countDistinct("sh").as("n_shared"), countDistinct("bid").as("n_bench"))
+      .where(col("n_shared") >= minShared)
+      .select(col("cid").as(idCol), col("n_shared"), col("n_bench"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines. Real
+  * pipelines can't use `df.sample()` for data selection: its output
+  * depends on partitioning and retries, so a re-run (or a backfill of one
+  * partition) picks a different subset. Everything here derives from a
+  * pure integer hash of the row id — the same row is always in or out, on
+  * any cluster layout, and the DuckDB oracle recomputes membership exactly.
+  *
+  * Scale shape: [[hashSample]] is a stateless filter (fully pushed into
+  * the scan stage, no shuffle); [[stratifiedFixed]] shuffles once on the
+  * stratum key and top-n's within each stratum in parallel — the same
+  * per-stratum-window pattern as the pipeline token budget (a global
+  * sample order would serialize).
+  */
+object Sampling {
+
+  private val P31 = 2147483647L // Mersenne prime 2^31 - 1
+
+  /** Deterministic unit hash of a row id into [0, 2^31-1): two Lehmer
+    * steps, `u = (((id mod p + 1) * 48271 mod p) * 48271) mod p`. One step
+    * is NOT enough — small dense ids map to `(id+1)*48271`, which stays far
+    * below p and would admit everything under any fractional threshold;
+    * the second multiply wraps the range and mixes. Integer-only, so the
+    * oracle mirrors it bit-for-bit.
+    */
+  def unitHash(id: Column): Column = {
+    val s1 = pmod((pmod(id.cast("long"), lit(P31)) + 1) * 48271, lit(P31))
+    pmod(s1 * 48271, lit(P31))
+  }
+
+  /** Keep rows whose unit hash falls below `fraction` of the hash range —
+    * a deterministic Bernoulli sample. Emits the hash as `u` so downstream
+    * stages (and the oracle) can audit membership.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
+    val cut = (fraction * P31).toLong
+    df.withColumn("u", unitHash(col(idCol))).where(col("u") < cut)
+  }
+
+  /** Exactly-n-per-stratum deterministic sample: rows ranked inside each
+    * stratum by (unit hash, id) — a uniform shuffle order that is stable
+    * across runs — and the first `n` kept, with the rank emitted as `rk`.
+    * One shuffle on the stratum key; strata are processed in parallel.
+    * Oversampling guard: a stratum with fewer than `n` rows keeps all.
+    */
+  def stratifiedFixed(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val w = Window.partitionBy(col(strataCol)).orderBy(unitHash(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+
+  /** Per-stratum fractional sample: like [[hashSample]] but the threshold
+    * varies by stratum (e.g. downsample web crawl to 10%, keep curated
+    * sources whole). Strata missing from `fractions` use `default`.
+    * Still a stateless filter — the when-cascade compiles into the scan.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double): DataFrame = {
+    (fractions.values.toSeq :+ default).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f"))
+    val cut = fractions.foldLeft(lit((default * P31).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * P31).toLong)).otherwise(acc)
+    }
+    df.withColumn("u", unitHash(col(idCol))).where(col("u") < cut)
+  }
+}

@@ -85,6 +85,40 @@ object TextAnalysis {
       lit(0L),
       (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
 
+  /** Repetition signals (the Gopher-style quality gates for generated or
+    * boilerplate text): per document,
+    *  - `dup_word_frac`  = 1 − distinct words / total words (word-level
+    *    repetition; row-local, no shuffle);
+    *  - `top_bigram_frac` = occurrences of the most frequent word bigram /
+    *    total bigrams (phrase-level looping).
+    *
+    * The bigram mode is computed by explode → count per (doc, bigram) →
+    * max per doc — linear in document length and distributed by doc id.
+    * A row-local higher-order-function count would be O(len²) per row,
+    * which dies on book-length documents; the two narrow doc-id-keyed
+    * shuffles here scale. Only the max COUNT is emitted (not the arg-max
+    * bigram), so ties cannot make the result nondeterministic.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = df
+      .select(col(idCol).as("__id"), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val stats = base.select(col("__id"), size(col("ws")).as("n_words"),
+      size(array_distinct(col("ws"))).as("n_distinct"))
+    val bigrams = base.where(size(col("ws")) >= 2)
+      .select(col("__id"), explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => concat(col("ws")(i), lit(" "), col("ws")(i + 1)))).as("g"))
+    val modes = bigrams.groupBy("__id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(max("c").as("maxc"), sum("c").as("nbg"))
+    stats.join(modes, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words").cast("int").as("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("maxc").cast("double") / col("nbg").cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** All analyses on a document DataFrame (expects `text`). The hot path is
     * the one-pass native kernel ([[graft.functions.TextStatsOps]]) — the
     * HOF column expressions above are kept as the executable reference
