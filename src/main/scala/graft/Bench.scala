@@ -28,7 +28,12 @@ object Bench {
     "q14_bucketed_join",  // co-located bucketed fact×fact join (no Exchange)
     "q15_partitioned_scan", // partition-dir pruning on the year-partitioned fact
     "d_text_analysis",    // HOF text pipeline
+    "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
+    "d_decontaminate",    // broadcast bench-shingle overlap vs the corpus
+    "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
+    "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
+    "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

@@ -773,6 +773,15 @@ object SparkEntry {
       ops.Sampling.stratifiedFixed(t(s, dir, "documents"), "source", "doc_id", 8)
         .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
     },
+    // ---- per-stratum FRACTIONAL sample (keep src0 whole, downsample src1
+    //      to 10%, drop src2, everything else 40%) — still a stateless
+    //      scan-stage filter; the when-cascade covers both boundaries
+    //      (fraction 1.0 keeps all, 0.0 admits nothing)
+    "d_sample_stratified_frac" -> { (s, dir) =>
+      ops.Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
+        .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
+    },
     // ---- GLOBAL admission budget via parallel prefix sum (bucket sums +
     //      tiny offsets window + per-bucket running sums) — the scalable
     //      form of the one-task no-PARTITION-BY running-sum window, which
@@ -1185,6 +1194,17 @@ object SparkEntry {
          |  SELECT doc_id, source, row_number() OVER (
          |    PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 8 ORDER BY doc_id""".stripMargin,
+    // Per-stratum cutoffs recomputed with the same (fraction * (2^31-1))
+    // long truncation the operator applies.
+    "d_sample_stratified_frac" ->
+      s"""SELECT doc_id, source, ${OracleFrag.unitHash("doc_id")} AS u
+         |FROM documents
+         |WHERE ${OracleFrag.unitHash("doc_id")} < CASE source
+         |  WHEN 'src0' THEN ${(1.0 * 2147483647L).toLong}
+         |  WHEN 'src1' THEN ${(0.1 * 2147483647L).toLong}
+         |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
+         |  ELSE ${(0.4 * 2147483647L).toLong} END
+         |ORDER BY doc_id""".stripMargin,
     // The oracle IS the naive one-task global running-sum window the
     // bucketed two-stage plan replaces — equality proves the parallel
     // prefix sum is exact.

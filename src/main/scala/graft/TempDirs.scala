@@ -17,11 +17,20 @@ object TempDirs {
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // Derby's own shutdown hook rewrites derby.log and can recreate a dir
+      // after we delete it; shut the engine down first so deletion is final.
+      // The property is set iff DerbyFixture booted a database this JVM —
+      // checking it avoids loading the driver in JVMs that never used Derby.
+      if (System.getProperty("derby.stream.error.file") != null)
+        try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+        catch { case _: Exception => () } // XJ015 == successful engine shutdown
       created.forEach { root =>
-        try {
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = try Files.walk(root) catch { case _: Exception => null }
+        if (walk != null)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-        } catch { case _: Exception => () }
+          catch { case _: Exception => () }
+          finally walk.close()
       }
     }, "graft-tempdir-cleanup"))
   }

@@ -30,9 +30,11 @@ final class MultiDbHttpServer(db: MultiDb, port: Int = 0) {
       // atomically. A failing provider surfaces as a 503 ProviderError and
       // the previous config stays active (C1311). Mutating endpoint →
       // POST-only; a GET must not trigger a config reload.
-      if (ex.getRequestMethod != "POST")
+      if (ex.getRequestMethod != "POST") {
+        // RFC 9110 §15.5.6: a 405 MUST carry the allowed methods
+        ex.getResponseHeaders.set("Allow", "POST")
         (405, """{"code":"METHOD_NOT_ALLOWED","message":"POST required"}""")
-      else {
+      } else {
         db.reloadMetadata()
         (200, """{"reloaded":true}""")
       }

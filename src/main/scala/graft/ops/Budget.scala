@@ -31,13 +31,27 @@ object Budget {
   /** Admit rows in `idCol` order while the running `weightCol` total stays
     * within `budget`; emits the running total as `cum`. Ids must be unique
     * and non-negative (dense helps bucket balance but isn't required).
+    * Weights must be non-negative — a negative weight would make the
+    * running total non-monotonic, so `where(cum <= budget)` would admit a
+    * non-prefix set; the first negative weight fails the job (a cheap
+    * codegen'd branch on the scan, not a separate validation pass).
     */
   def globalRunningBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val withB = df.withColumn("__b", floor(col(idCol) / bucketWidth).cast("long"))
+    val w0 = col(weightCol).cast("long")
+    val w = when(w0 < 0, raise_error(concat(
+        lit(s"globalRunningBudget: negative $weightCol at $idCol="),
+        col(idCol).cast("string")))).otherwise(w0)
+    // integer `div`, not floor(double /): above 2^53 a double quotient
+    // loses precision and bucket boundaries drift from the documented width
+    val withB = df
+      .withColumn("__idl", col(idCol).cast("long"))
+      .withColumn("__b", expr(s"__idl div ${bucketWidth}L"))
+      .drop("__idl")
+      .withColumn("__w", w)
     val bucketSums = withB.groupBy("__b")
-      .agg(sum(col(weightCol).cast("long")).as("__bsum"))
+      .agg(sum(col("__w")).as("__bsum"))
     // the one sequential step: a running sum over #buckets rows
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketSums
@@ -46,8 +60,8 @@ object Budget {
     val wIn = Window.partitionBy("__b").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), "__b")
-      .withColumn("cum", col("__off") + sum(col(weightCol).cast("long")).over(wIn))
+      .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
       .where(col("cum") <= budget)
-      .drop("__b", "__off")
+      .drop("__b", "__off", "__w")
   }
 }
