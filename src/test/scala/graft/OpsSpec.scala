@@ -288,4 +288,86 @@ class OpsSpec extends AnyFunSuite {
     val r4 = resized.find(_.assetId == 4L).get
     assert(r1.checksum == r4.checksum && r1.checksum > 0)
   }
+
+  // ---- sampling edge cases -------------------------------------------------
+
+  private lazy val strata: DataFrame = Seq(
+    (1L, "big"), (2L, "big"), (3L, "big"), (4L, "big"), (5L, "big"),
+    (6L, "tiny"), (7L, "tiny")
+  ).toDF("doc_id", "source")
+
+  test("stratifiedFixed: a stratum smaller than n keeps all its rows") {
+    val out = Sampling.stratifiedFixed(strata, "source", "doc_id", n = 3)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("big" -> 3L, "tiny" -> 2L)) // tiny has 2 < n=3
+    // ranks are contiguous from 1 within each stratum
+    val ranks = out.where($"source" === "tiny").select("rk").as[Int].collect().sorted
+    assert(ranks.toSeq == Seq(1, 2))
+  }
+
+  test("hashSample boundaries: fraction 0 admits nothing, fraction 1 everything") {
+    assert(Sampling.hashSample(strata, "doc_id", 0.0).count() == 0)
+    // unitHash lands in [0, 2^31-1) strictly below the fraction-1.0 cutoff
+    assert(Sampling.hashSample(strata, "doc_id", 1.0).count() == strata.count())
+    assertThrows[IllegalArgumentException](Sampling.hashSample(strata, "doc_id", 1.5))
+  }
+
+  test("stratifiedSample: per-stratum fractions 0/1 and the default both apply") {
+    val out = Sampling.stratifiedSample(strata, "source", "doc_id",
+      Map("big" -> 0.0, "tiny" -> 1.0), default = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(6L, 7L)) // big dropped entirely, tiny kept whole
+  }
+
+  // ---- global budget edge cases --------------------------------------------
+
+  private lazy val weighted: DataFrame = Seq(
+    (10L, 40L), (20L, 30L), (30L, 50L), (40L, 10L)
+  ).toDF("doc_id", "w")
+
+  test("globalRunningBudget: budget below the first weight admits nothing") {
+    assert(Budget.globalRunningBudget(weighted, "doc_id", "w",
+      budget = 39L, bucketWidth = 16).count() == 0)
+  }
+
+  test("globalRunningBudget: bucketWidth wider than the id span (one bucket) still exact") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = weighted.withColumn("cum", sum($"w").over(w))
+      .where($"cum" <= 100).select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Budget.globalRunningBudget(weighted, "doc_id", "w",
+      budget = 100L, bucketWidth = 1L << 20).select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && naive == Set((10L, 40L), (20L, 70L)))
+  }
+
+  test("globalRunningBudget fails fast on a negative weight") {
+    val bad = Seq((1L, 10L), (2L, -5L)).toDF("doc_id", "w")
+    val e = intercept[Exception](
+      Budget.globalRunningBudget(bad, "doc_id", "w", budget = 100L).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
+  }
+
+  // ---- repetition-signal edge cases ----------------------------------------
+
+  test("repetitionSignals: single-word and empty docs are safe") {
+    val df = Seq(
+      (1L, "hello"),                 // one word: no bigrams
+      (2L, ""),                      // no words at all: filtered out
+      (3L, "go go go go"),           // fully repetitive
+      (4L, "all words differ here")  // no repetition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!out.contains(2L)) // zero-word doc emits no row
+    assert(out(1L) == ((1, 0.0, 0.0))) // n_words=1 → bigram frac 0, dup frac 0
+    assert(out(3L) == ((4, 0.75, 1.0))) // "go go" is every bigram
+    assert(out(4L) == ((4, 0.0, 0.333333))) // 3 distinct bigrams → max 1/3
+  }
 }

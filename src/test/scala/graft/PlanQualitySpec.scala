@@ -215,6 +215,79 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("decontamination broadcasts the bench shingles (never a corpus-wide shuffle join)") {
+    // the corpus side must stream map-side through a broadcast hash join;
+    // if Catalyst ever picked SMJ here the "no corpus shuffle" property of
+    // ops/Decontaminate.scala dies silently — this pin is the tripwire
+    val p = planOf("d_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // broadcast() wraps the bench side, which sits right of the join
+    assert(p.contains("BuildRight"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hash + fractional stratified sampling stay scan-stage filters: zero exchanges") {
+    import graft.ops.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((label, df) <- Seq(
+      "hashSample" -> Sampling.hashSample(docs, "doc_id", 0.25),
+      "stratifiedSample" -> Sampling.stratifiedSample(docs, "source", "doc_id",
+        Map("src0" -> 1.0, "src2" -> 0.0), default = 0.4))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$label shuffles:\n${p.take(2000)}")
+      assert(p.contains("Filter"), s"$label lost its filter:\n${p.take(2000)}")
+    }
+  }
+
+  /** Build `df` with AQE off and return its executedPlan as a traversable
+    * tree (AdaptiveSparkPlanExec is a leaf — collect() can't see through it,
+    * and sparkPlan predates EnsureRequirements, so it has no exchanges).
+    */
+  private def nonAdaptivePlan(mk: => org.apache.spark.sql.DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      mk.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("exactly-n stratified sample shuffles once, on the stratum key only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(
+      graft.ops.Sampling.stratifiedFixed(docs, "source", "doc_id", 8))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, plan.toString.take(2000))
+    assert(shuffles.head.outputPartitioning.toString.contains("source"),
+      shuffles.head.outputPartitioning.toString)
+  }
+
+  test("global budget: the only single-partition stage consumes bucket SUMS, not rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.Budget.globalRunningBudget(
+      docs, "doc_id", "n_chars", budget = 60000L, bucketWidth = 64))
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    // exactly one — the offsets window over #buckets rows; the naive form
+    // this operator replaces would put the FULL corpus there
+    assert(singles.size == 1, plan.toString.take(3000))
+    assert(singles.head.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+      s"single-partition exchange not fed by the bucket-sum aggregate:\n" +
+        singles.head.toString.take(2000))
+    // per-bucket offsets come back via broadcast, not another shuffle
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+  }
+
+  test("repetition signals never degenerate to cartesian/nested-loop joins") {
+    val p = planOf("d_text_repetition")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("replica offload reads the warehouse replica, not the primary") {
     val df = SparkEntry.queries("e_replica_offload")(spark, dir)
     assert(df.count() > 0)
