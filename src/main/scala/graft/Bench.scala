@@ -30,6 +30,7 @@ object Bench {
     "d_text_analysis",    // HOF text pipeline
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
+    "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_decontaminate",    // broadcast bench-shingle overlap vs the corpus
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample

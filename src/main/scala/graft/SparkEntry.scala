@@ -745,6 +745,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- FULL training-data pipeline, one plan: quality/language gate →
+    //      benchmark decontamination (anti-join vs the broadcast bench
+    //      overlap) → fingerprint dedup → per-source fractional sample →
+    //      GLOBAL token budget via the parallel prefix sum. Each stage is
+    //      the scale-shaped operator gated individually above; this row
+    //      proves they compose without plan blow-ups (pin: PlanQualitySpec)
+    "d_pipeline_full" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 25)
+      val gated = ops.TextAnalysis.analyze(docs.where(col("doc_id") >= 25))
+        .where(col("langGuess") === "en" && col("quality") >= 0.5)
+      val dirty = ops.Decontaminate.overlap(gated, bench, "doc_id", "text",
+        minShared = 2).select("doc_id")
+      val clean = gated.join(dirty, Seq("doc_id"), "left_anti")
+      val deduped = ops.Dedup.exactDedup(clean, col("fingerprint"), "doc_id")
+      val sampled = ops.Sampling.stratifiedSample(deduped, "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.2), default = 0.6)
+      ops.Budget.globalRunningBudget(sampled, "doc_id", "nTokensWs",
+        budget = 30000L, bucketWidth = 64)
+        .select(col("doc_id"), col("source"),
+          col("nTokensWs").cast("int").as("n_tokens"), col("cum"))
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination: corpus docs (doc_id >= 25) sharing
     //      >= 2 distinct 3-word shingle hashes with the "benchmark" slice
     //      (doc_id < 25). The exploded bench shingles are BROADCAST — the
@@ -1158,6 +1182,38 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
+    // Mirrors d_pipeline_full stage-for-stage: analysis gates and
+    // fingerprint dedup share d_pipeline_prep's fragments, decontamination
+    // d_decontaminate's, sampling the Lehmer unit hash, and the budget IS
+    // the naive global running window the bucketed plan replaces.
+    "d_pipeline_full" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes(", source")},
+         |a AS (
+         |  SELECT doc_id, source, ws,
+         |    ${OracleFrag.langGuessExpr} AS lang_guess,
+         |    ${OracleFrag.qualityExpr} AS quality,
+         |    CAST(len(ws) AS INT) AS n_tokens,
+         |    ${OracleFrag.fingerprintExpr} AS fingerprint
+         |  FROM s WHERE doc_id >= 25),
+         |g AS (SELECT * FROM a WHERE lang_guess = 'en' AND quality >= 0.5),
+         |bh AS (SELECT doc_id AS bid, unnest(${OracleFrag.shingleHashes("ws")}) AS sh
+         |       FROM w WHERE doc_id < 25),
+         |ch AS (SELECT doc_id, unnest(${OracleFrag.shingleHashes("ws")}) AS sh FROM g),
+         |dirty AS (SELECT ch.doc_id FROM ch JOIN bh USING (sh)
+         |          GROUP BY ch.doc_id HAVING COUNT(DISTINCT sh) >= 2),
+         |clean AS (SELECT * FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |d AS (SELECT * FROM clean
+         |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |smp AS (SELECT * FROM d WHERE ${OracleFrag.unitHash("doc_id")} < CASE source
+         |  WHEN 'src0' THEN ${(1.0 * 2147483647L).toLong}
+         |  WHEN 'src1' THEN ${(0.2 * 2147483647L).toLong}
+         |  ELSE ${(0.6 * 2147483647L).toLong} END),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM smp)
+         |SELECT doc_id, source, n_tokens, cum FROM c
+         |WHERE cum <= 30000 ORDER BY doc_id""".stripMargin,
     // Mirrors Decontaminate.overlap: same distinct poly-57 shingle hashes,
     // same bench/corpus split, COUNT(DISTINCT …) aggregates.
     "d_decontaminate" ->

@@ -282,6 +282,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
   }
 
+  test("composed full pipeline keeps every stage's plan shape in one query") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val plan = nonAdaptivePlan(SparkEntry.queries("d_pipeline_full")(spark, dir))
+    val p = plan.toString
+    // decontamination still broadcasts the bench shingles inside the
+    // composition, and nothing degenerated to a cartesian
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the global budget's offsets window stays the only single-partition
+    // exchange (the final presentation orderBy is rangepartitioning)
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    assert(singles.size == 1, p.take(3000))
+  }
+
   test("repetition signals never degenerate to cartesian/nested-loop joins") {
     val p = planOf("d_text_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
