@@ -45,6 +45,7 @@ object Bench {
     "s_ann_ivf",          // IVF cell-probe ANN
     "s_ann_ivf_indexed",  // same probe against the persisted partitioned index
     "s_ann_ivf_trained",  // IVF with k-means-trained centroids (bench-only)
+    "s_ann_ivf_trained_indexed", // trained + persisted: training amortized at build
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "m_media_frames",     // mapPartitions frame sampling
@@ -79,6 +80,18 @@ object Bench {
           e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
           corpus, k = 5, nCells = 16, nProbe = 4,
           centroids = Some(ops.Similarity.kmeansCentroids(corpus, nCells = 16, iters = 5)))
+          .orderBy("qid", "rank")
+      },
+      // trained + PERSISTED: the index (training + cell assignment) is built
+      // once per JVM outside this lambda's second pass, so the min-of-passes
+      // number is the pure serve-path cost — the amortized-index story
+      // s_ann_ivf_trained's 3.4s/query training cost motivates
+      "s_ann_ivf_trained_indexed" -> { (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        val e = SparkEntry.t(s, dir, "embeddings")
+        ops.Similarity.ivfTopKIndexed(
+          e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          SparkEntry.trainedIvfIndex(s, dir), k = 5, nProbe = 4)
           .orderBy("qid", "rank")
       })
     val queries = SparkEntry.queries ++ extras

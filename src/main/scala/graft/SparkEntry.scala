@@ -78,6 +78,26 @@ object SparkEntry {
       path
     })
 
+  /** Per-JVM persisted IVF index built from k-means-TRAINED centroids —
+    * the full build-offline/serve-online composition: Lloyd training AND
+    * cell assignment are paid once at index-build time, and the query path
+    * is byte-identical to the seeded [[ivfIndex]] probe (partition-pruned
+    * to probed cells). Trained means are float-order dependent, so this
+    * variant is gated by the OpsSpec identity/recall tests + a bench row,
+    * not the DuckDB hash oracle (which pins the seeded quantizer).
+    */
+  private val trainedIvfIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def trainedIvfIndex(s: SparkSession, dir: String): String =
+    trainedIvfIndexDir.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_ivf_trained").resolve("index").toString
+      val corpus = t(s, d, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("vec"))
+      ops.Similarity.writeIvfIndex(corpus, path, nCells = 16,
+        centroids = Some(ops.Similarity.kmeansCentroids(corpus, nCells = 16, iters = 5)))
+      path
+    })
+
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_part").resolve("orders").toString

@@ -175,6 +175,26 @@ class OpsSpec extends AnyFunSuite {
       s"hot cell: max ${cells.values.max} of $corpusSize")
   }
 
+  test("trained + persisted IVF index serves exactly the in-memory trained results") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    // kmeansCentroids localCheckpoints each iteration, so this frame is
+    // materialized once and both consumers below see identical float means
+    val km = Similarity.kmeansCentroids(c, nCells = 16, iters = 5)
+    val path = graft.TempDirs.create("graft-test-ivf").resolve("index").toString
+    Similarity.writeIvfIndex(c, path, nCells = 16, centroids = Some(km))
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = rows(Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4,
+      centroids = Some(km)))
+    val idx = rows(Similarity.ivfTopKIndexed(q, path, k = 5, nProbe = 4))
+    assert(mem.nonEmpty && idx == mem,
+      s"indexed served ${idx.size} rows, in-memory ${mem.size}")
+  }
+
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
