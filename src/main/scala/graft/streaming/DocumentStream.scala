@@ -182,4 +182,64 @@ object DocumentStream {
           out.iterator
       }
   }
+
+  final case class BudgetEvt(doc_id: Long, source: String, nTokens: Int,
+      eventTs: java.sql.Timestamp)
+  final case class BudgetHold(cum: Long, buffer: List[BudgetEvt])
+
+  /** Event-time variant of [[tokenBudgetPerSource]] that tolerates
+    * out-of-ORDER ARRIVAL up to the watermark `delay`: documents are
+    * buffered until the watermark passes their event time, then charged in
+    * doc_id order — so a document arriving a few micro-batches late (but
+    * within `delay`) gets exactly the admit/reject decision the batch
+    * window would give it, instead of being charged against a running
+    * total that already includes later ids. The residual assumptions,
+    * both explicit:
+    *
+    *  - a document later than the watermark is DROPPED by Spark before it
+    *    reaches the state function (never admitted, never charged) — the
+    *    standard watermark contract, versus [[tokenBudgetPerSource]]'s
+    *    silent at-the-margin divergence;
+    *  - batch equivalence needs doc_id order to agree with event-time
+    *    order across finalization triggers (ids finalized under an earlier
+    *    watermark are charged first); within one trigger any interleaving
+    *    is handled by the explicit sort.
+    *
+    * The admission delay this buys costs exactly `delay` of latency —
+    * the trade [[tokenBudgetPerSource]]'s scaladoc names. State = one
+    * running total + the documents inside the lateness horizon (bounded by
+    * arrival rate × delay, never corpus size); the event-time timeout
+    * flushes buffered docs when the watermark advances past them even if
+    * their source receives no further data.
+    */
+  def tokenBudgetPerSourceEventTime(docs: DataFrame, budget: Long,
+      delay: String = "10 minutes"): Dataset[BudgetAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("eventTs", delay)
+      .select(col("doc_id").cast("long"), col("source"),
+        col("nTokens").cast("int"), col("eventTs")).as[BudgetEvt]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetHold, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (source, rows, state: GroupState[BudgetHold]) =>
+          val prev = state.getOption.getOrElse(BudgetHold(0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          // finalize everything at-or-before the watermark; Spark already
+          // dropped rows older than it, so `hold` only shrinks as wm moves
+          val (ready, hold) = (prev.buffer ++ rows)
+            .partition(_.eventTs.getTime <= wm)
+          var cum = prev.cum
+          val out = ready.sortBy(_.doc_id).flatMap { d =>
+            cum += d.nTokens
+            if (cum <= budget) Some(BudgetAdmit(d.doc_id, source, d.nTokens, cum))
+            else None
+          }
+          state.update(BudgetHold(cum, hold))
+          // wake this source when the watermark reaches its oldest held doc,
+          // even if no further data arrives for it
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.eventTs.getTime).min)
+          out.iterator
+      }
+  }
 }

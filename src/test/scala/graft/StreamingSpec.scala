@@ -121,6 +121,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${streamed.size}, batch ${batch.size}")
   }
 
+  test("event-time token budget: late-but-in-watermark docs decided like batch, too-late dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "source", "nTokens", "eventTs")
+    val q = graft.streaming.DocumentStream
+      .tokenBudgetPerSourceEventTime(docs, budget = 100, delay = "10 seconds")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("et_budget").start()
+    try {
+      // doc 2 (event t25) ARRIVES two micro-batches after doc 3 (event t30).
+      // The arrival-order operator would charge 1,3 first (cum 40,80 — both
+      // admitted) and reject 2 at cum 120; the batch window admits {1,2} and
+      // rejects 3. The event-time operator must match the batch cut.
+      input.addData((1L, "a", 40, ts(10)), (3L, "a", 40, ts(30)))
+      q.processAllAvailable() // wm 0: both held
+      input.addData((2L, "a", 40, ts(25)))
+      q.processAllAvailable() // wm 20: doc 1 finalized (cum 40, admitted)
+      input.addData((4L, "a", 10, ts(50)))
+      q.processAllAvailable() // wm 20 (max was 30): no change
+      input.addData((5L, "a", 10, ts(200)))
+      q.processAllAvailable() // wm 40: docs 2,3 finalized in id order
+      // doc 6 arrives with event time far below the watermark (190): Spark
+      // drops it before the state function — never admitted, never charged
+      input.addData((6L, "a", 40, ts(20)))
+      q.processAllAvailable() // wm 190: doc 4 finalized (cum 130, rejected)
+      val got = spark.table("et_budget")
+        .select("doc_id", "cumTokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch truth over the in-watermark docs {1..5} in doc_id order:
+      // cum 40, 80, 120, 130, 140 with budget 100 → admits 1 and 2 only
+      assert(got == Set((1L, 40L), (2L, 80L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream self-dedup matches batch simhash pairs") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
