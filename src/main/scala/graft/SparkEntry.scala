@@ -799,6 +799,27 @@ object SparkEntry {
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
         "doc_id", "text", minShared = 2).orderBy("doc_id")
     },
+    // ---- containment-ratio decontamination: quarantine when >= 15% of a
+    //      doc's distinct shingles appear anywhere in the bench slice —
+    //      the right gate for short eval items (absolute counts miss them)
+    "d_decontaminate_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ops.Decontaminate.containment(
+        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+        "doc_id", "text", minRatio = 0.15).orderBy("doc_id")
+    },
+    // ---- dedup clusters: minhash LSH pairs (same params as
+    //      d_dedup_minhash) closed into connected components by iterative
+    //      min-label propagation — the oracle recomputes the transitive
+    //      closure recursively, so the distributed fixpoint is proven
+    //      equal to true reachability, not just plausible
+    "d_dedup_clusters" -> { (s, dir) =>
+      val pairs = ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      ops.Dedup.connectedComponents(pairs, "idA", "idB")
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
     // ---- repetition signals (Gopher-style quality gates): word-level
     //      dup fraction (row-local) + top-bigram fraction (explode → count
     //      → max per doc; linear in doc length, never O(len²) per row)
@@ -1246,6 +1267,46 @@ object SparkEntry {
          |  CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
          |FROM j GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors Decontaminate.containment: shared distinct shingles over the
+    // doc's own distinct-shingle count, same 0.15 ratio gate.
+    "d_decontaminate_containment" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS hs FROM w),
+         |c AS (SELECT doc_id, len(hs) AS nsh, unnest(hs) AS sh
+         |      FROM h WHERE doc_id >= 25 AND len(hs) > 0),
+         |b AS (SELECT DISTINCT unnest(hs) AS sh FROM h WHERE doc_id < 25),
+         |j AS (SELECT c.doc_id, c.nsh, COUNT(*) AS n_shared
+         |      FROM c JOIN b USING (sh) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(nsh AS INT) AS n_shingles,
+         |  round(n_shared / CAST(nsh AS DOUBLE), 6) AS containment
+         |FROM j WHERE round(n_shared / CAST(nsh AS DOUBLE), 6) >= 0.15
+         |ORDER BY doc_id""".stripMargin,
+    // The pair CTEs are d_dedup_minhash's verbatim; the closure is a
+    // RECURSIVE reachability fixpoint — true transitive components, which
+    // the distributed label propagation must reproduce exactly.
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
+         |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
+         |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+         |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+         |p AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |pr AS (SELECT ia, ib FROM (
+         |        SELECT p.ia, p.ib,
+         |          CAST(list_sum(list_transform(range(1, 33),
+         |            __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+         |        FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
+         |       WHERE ej >= 0.3),
+         |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+         |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // Mirrors TextAnalysis.repetitionSignals: same normalized words, same
     // bigram construction, mode via per-(doc, bigram) counts.
     "d_text_repetition" ->

@@ -41,4 +41,36 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
       .select(col("cid").as(idCol), col("n_shared"), col("n_bench"))
   }
+
+  /** Containment-RATIO variant of [[overlap]]: flags a corpus document when
+    * the FRACTION of its distinct shingles found anywhere in the benchmark
+    * set reaches `minRatio` — the right gate for short eval items, where a
+    * fixed absolute shingle count either misses short questions (threshold
+    * too high) or quarantines long documents for incidental phrase overlap
+    * (too low). Same scale shape as [[overlap]]: the distinct benchmark
+    * shingle set is broadcast, the corpus streams map-side, and only
+    * matching shingles reach the per-document aggregate (per-document
+    * shingle totals ride the scan rows — no second corpus pass).
+    */
+  def containment(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minRatio: Double = 0.5): DataFrame = {
+    require(minRatio > 0 && minRatio <= 1, s"minRatio out of (0,1]: $minRatio")
+    val corpusSh = corpus.select(
+        col(idCol).as("cid"),
+        TextFunctions.shingle_hashes(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("cid"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("sh"))
+    val benchSh = bench
+      .select(explode(TextFunctions.shingle_hashes(col(textCol))).as("sh"))
+      .distinct()
+    corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy("cid", "n_shingles")
+      .agg(count(lit(1)).as("n_shared")) // distinct by construction: shs is a set
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+      .where(col("containment") >= minRatio)
+      .select(col("cid").as(idCol), col("n_shared"),
+        col("n_shingles").cast("int").as("n_shingles"), col("containment"))
+  }
 }

@@ -240,4 +240,57 @@ object Dedup {
           (col("nA") * col("nB")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Connected components over a near-dup PAIR list — the step that turns
+    * pairwise collisions into dedup GROUPS: near-duplication is transitive
+    * in practice (A~B, B~C ⇒ same content family), so a pipeline keeps ONE
+    * representative per component, not one per pair. Returns
+    * `(node, comp)` for every id in the pair list, `comp` = the smallest
+    * id reachable from it; representatives are `node == comp` rows, and
+    * ids with no pair simply don't appear (they are their own singleton).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min label over its closed neighborhood — one edge-keyed
+    * shuffle (labels joined to the static edge list + a min-aggregate),
+    * no driver-side graph. The min label spreads one hop per round, so
+    * rounds = eccentricity of each component's min node ≤ graph diameter;
+    * near-dup components are cliques/short chains (diameter a few hops),
+    * so convergence is fast and checked per round (a round that lowers no
+    * label ends the loop). Lineage is truncated each round
+    * (localCheckpoint) — without it the plan nests every prior iteration.
+    * For adversarially long-diameter graphs the same join/agg primitive
+    * extends to large-star/small-star (O(log n) rounds); dedup clustering
+    * doesn't need it, and `maxIters` makes non-convergence an ERROR
+    * rather than a silently half-merged clustering.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true) // static — reused every round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0) {
+      it += 1
+      if (it > maxIters) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters or switch " +
+          "to a large-star/small-star variant for this graph")
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy("src").agg(min("ncomp").as("nmin"))
+        .withColumnRenamed("src", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.where(col("__chg")).count()
+      labels = next.drop("__chg")
+    }
+    labels
+  }
 }

@@ -309,6 +309,47 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.checksum == r4.checksum && r1.checksum > 0)
   }
 
+  test("connectedComponents: chains, triangles, and isolated pairs label by min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),  // 3-hop chain: tests multi-round propagation
+      (10L, 11L),                    // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle (cycle)
+      (31L, 30L)                     // reversed order in the pair
+    ).toDF("idA", "idB")
+    val comp = Dedup.connectedComponents(pairs, "idA", "idB")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // representatives are exactly the node == comp rows
+    assert(comp.count { case (n, c) => n == c } == 4)
+    // an empty pair list yields an empty (not failing) result
+    assert(Dedup.connectedComponents(pairs.limit(0), "idA", "idB").count() == 0)
+    // non-convergence within maxIters is an error, not a partial answer
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(pairs, "idA", "idB", maxIters = 1).count())
+  }
+
+  test("containment decontamination: ratio gate catches short eval items") {
+    val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full bench question inside a longer doc: high absolute
+      // overlap but LOW ratio (many own shingles)
+      (1L, "some long document that asks what is the capital of france and " +
+        "then continues with much more unrelated content about other topics " +
+        "for quite a while longer"),
+      (2L, "what is the capital of france"), // verbatim: ratio 1.0
+      (3L, "completely unrelated text about spark physical plans")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.containment(corpus, bench, "doc_id", "text", minRatio = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set(2L) && out(2L) == 1.0)
+    // the overlap (absolute) gate sees doc 1 too — the two gates differ
+    val abs = Decontaminate.overlap(corpus, bench, "doc_id", "text", minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(abs == Set(1L, 2L))
+  }
+
   // ---- sampling edge cases -------------------------------------------------
 
   private lazy val strata: DataFrame = Seq(
