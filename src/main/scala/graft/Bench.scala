@@ -32,6 +32,7 @@ object Bench {
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_decontaminate",    // broadcast bench-shingle overlap vs the corpus
+    "d_decontaminate_containment", // ratio-gated variant, same broadcast shape
     "d_dedup_clusters",   // minhash pairs → connected components (label prop)
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
