@@ -180,6 +180,9 @@ class HttpApiSpec extends AnyFunSuite {
         URI.create(s"http://127.0.0.1:$p/reload")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(r.statusCode() == 405, s"GET /reload must be rejected, got ${r.statusCode()}")
+      // RFC 9110 §15.5.6: the 405 must name the allowed methods
+      assert(r.headers().firstValue("Allow").orElse("") == "POST",
+        s"405 without Allow header: ${r.headers().map()}")
       assert(loads.get() == before, "a rejected GET must not trigger a reload")
       new graft.api.MultiDbHttpClient(s"http://127.0.0.1:$p").reload()
       assert(loads.get() == before + 1)
