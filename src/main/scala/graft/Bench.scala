@@ -37,6 +37,7 @@ object Bench {
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
     "d_budget_global",    // parallel-prefix-sum global admission budget
+    "d_epoch_shards",     // deterministic per-epoch shuffle+shard
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

@@ -847,6 +847,15 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
         .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
     },
+    // ---- deterministic epoch shuffle + shard (epoch 3, 16 shards): the
+    //      per-epoch corpus permutation a data loader consumes — pure
+    //      integer functions of (id, epoch), one shard-key shuffle,
+    //      per-shard windows in parallel
+    "d_epoch_shards" -> { (s, dir) =>
+      ops.Sampling.epochShards(t(s, dir, "documents"), "doc_id",
+        nShards = 16, epoch = 3)
+        .select(col("doc_id"), col("shard"), col("pos")).orderBy("doc_id")
+    },
     // ---- GLOBAL admission budget via parallel prefix sum (bucket sums +
     //      tiny offsets window + per-bucket running sums) — the scalable
     //      form of the one-task no-PARTITION-BY running-sum window, which
@@ -1342,6 +1351,14 @@ object SparkEntry {
          |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
          |  ELSE ${(0.4 * 2147483647L).toLong} END
          |ORDER BY doc_id""".stripMargin,
+    // Same epoch salt + Lehmer hash + shard mod + per-shard rank.
+    "d_epoch_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ${OracleFrag.unitHash(s"(doc_id + ${3L * 2654435761L})")} AS u
+         |  FROM documents)
+         |SELECT doc_id, CAST(u % 16 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY u % 16 ORDER BY u, doc_id) AS INT) AS pos
+         |FROM t ORDER BY doc_id""".stripMargin,
     // The oracle IS the naive one-task global running-sum window the
     // bucketed two-stage plan replaces — equality proves the parallel
     // prefix sum is exact.

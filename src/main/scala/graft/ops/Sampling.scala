@@ -55,6 +55,32 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
   }
 
+  /** Deterministic epoch shuffle + shard: the "reshuffle the corpus each
+    * training epoch" step. Every row gets a shard in `[0, nShards)` and a
+    * stable position inside its shard, both pure integer functions of
+    * `(id, epoch)` — so the ordering is identical on any cluster layout,
+    * after any retry, and reproducible from the epoch number alone; a new
+    * epoch permutes everything. Scale shape: ONE shuffle on the shard key
+    * and per-shard windows running in parallel (the same
+    * per-stratum-window pattern as [[stratifiedFixed]]); a naive global
+    * `ORDER BY rand()` would both serialize and be unreproducible. At
+    * write time the shards map 1:1 to output files
+    * (`partitionBy("shard")`), which is what a data loader consumes.
+    */
+  def epochShards(df: DataFrame, idCol: String, nShards: Int, epoch: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    // salt the id with a large odd multiplier per epoch BEFORE hashing, so
+    // epochs are unrelated permutations; kept in integer arithmetic the
+    // oracle mirrors exactly
+    val u = unitHash(col(idCol).cast("long") + lit(epoch.toLong * 2654435761L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("u"), col(idCol))
+    df.withColumn("u", u)
+      .withColumn("shard", pmod(col("u"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("u")
+  }
+
   /** Per-stratum fractional sample: like [[hashSample]] but the threshold
     * varies by stratum (e.g. downsample web crawl to 10%, keep curated
     * sources whole). Strata missing from `fractions` use `default`.

@@ -381,6 +381,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(6L, 7L)) // big dropped entirely, tiny kept whole
   }
 
+  test("epochShards: a stable permutation per epoch; epochs differ; shards partition") {
+    val ids = spark.range(0, 200).toDF("doc_id")
+    def run(epoch: Int) = Sampling.epochShards(ids, "doc_id", nShards = 8, epoch = epoch)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val e0 = run(0)
+    assert(run(0) == e0) // deterministic: same epoch, same assignment
+    assert(e0.size == 200) // every row exactly once
+    // positions are contiguous 1..n within each shard
+    val byShard = e0.values.groupBy(_._1)
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1 to rows.size), s"shard $s ranks") }
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    // hash balance: no shard grabs more than 3x its fair share
+    assert(byShard.values.map(_.size).max <= 75, byShard.view.mapValues(_.size).toMap)
+    // a different epoch is a different permutation
+    assert(run(1) != e0)
+  }
+
   // ---- global budget edge cases --------------------------------------------
 
   private lazy val weighted: DataFrame = Seq(

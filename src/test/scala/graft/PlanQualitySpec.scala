@@ -263,6 +263,19 @@ class PlanQualitySpec extends AnyFunSuite {
       shuffles.head.outputPartitioning.toString)
   }
 
+  test("epoch shuffle shards with one shard-key exchange, never a global sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(
+      graft.ops.Sampling.epochShards(docs, "doc_id", nShards = 16, epoch = 3))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, plan.toString.take(2000))
+    assert(shuffles.head.outputPartitioning.toString.contains("shard"),
+      shuffles.head.outputPartitioning.toString)
+    assert(!shuffles.exists(_.outputPartitioning == SinglePartition))
+  }
+
   test("global budget: the only single-partition stage consumes bucket SUMS, not rows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
