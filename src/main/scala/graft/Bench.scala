@@ -38,6 +38,7 @@ object Bench {
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
     "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard
+    "d_pack_sequences",   // concatenate-and-chunk packing offsets
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

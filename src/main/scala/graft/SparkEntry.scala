@@ -856,6 +856,15 @@ object SparkEntry {
         nShards = 16, epoch = 3)
         .select(col("doc_id"), col("shard"), col("pos")).orderBy("doc_id")
     },
+    // ---- concatenate-and-chunk sequence packing: global stream offsets
+    //      via the same parallel prefix sum as the budget; each doc gets
+    //      the 2048-token chunk its first token lands in
+    "d_pack_sequences" -> { (s, dir) =>
+      ops.Budget.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
+        seqLen = 2048, bucketWidth = 64)
+        .select(col("doc_id"), col("n_chars"), col("offset"),
+          col("chunk"), col("chunk_pos")).orderBy("doc_id")
+    },
     // ---- GLOBAL admission budget via parallel prefix sum (bucket sums +
     //      tiny offsets window + per-bucket running sums) — the scalable
     //      form of the one-task no-PARTITION-BY running-sum window, which
@@ -1359,6 +1368,19 @@ object SparkEntry {
          |SELECT doc_id, CAST(u % 16 AS INT) AS shard,
          |  CAST(row_number() OVER (PARTITION BY u % 16 ORDER BY u, doc_id) AS INT) AS pos
          |FROM t ORDER BY doc_id""".stripMargin,
+    // Naive-window oracle again: exclusive prefix offsets + integer
+    // chunk division.
+    "d_pack_sequences" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(cum - n_chars AS BIGINT) AS "offset",
+        |  CAST((cum - n_chars) // 2048 AS BIGINT) AS chunk,
+        |  CAST((cum - n_chars) % 2048 AS BIGINT) AS chunk_pos
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // The oracle IS the naive one-task global running-sum window the
     // bucketed two-stage plan replaces — equality proves the parallel
     // prefix sum is exact.

@@ -4,15 +4,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Global admission budgets over a totally-ordered corpus — "take documents
-  * in id order until the token budget is spent", across ALL sources.
+/** Global prefix sums over a totally-ordered corpus — admission budgets
+  * ("take documents in id order until the token budget is spent") and
+  * sequence packing ("concatenate everything and cut fixed-length
+  * training examples"), across ALL sources.
   *
-  * The naive form is a single running-sum window with no PARTITION BY,
-  * which Spark executes on ONE task — a serialization wall at 100 TB (the
-  * reason `d_pipeline_prep` windows per source). This operator computes the
-  * identical global prefix sum in two parallel stages instead:
+  * The naive form of either is a single running-sum window with no
+  * PARTITION BY, which Spark executes on ONE task — a serialization wall
+  * at 100 TB (the reason `d_pipeline_prep` windows per source). This
+  * operator computes the identical global prefix sum in two parallel
+  * stages instead:
   *
-  *  1. rows bucket by `floor(id / bucketWidth)`; a map-side-combined
+  *  1. rows bucket by `id div bucketWidth`; a map-side-combined
   *     aggregate produces one weight sum per bucket (tiny);
   *  2. bucket offsets = running sum over the bucket sums — a window over
   *     `#buckets` rows, the only sequential step, O(corpus / bucketWidth);
@@ -24,24 +27,24 @@ import org.apache.spark.sql.functions._
   * groupBy — versus the naive plan's shuffle-everything-to-one-task.
   * `bucketWidth` tunes bucket count ≈ corpus span / width; pick it so
   * buckets are a few million rows at target scale. Results are identical
-  * to the naive window (the DuckDB oracle IS the naive global window).
+  * to the naive window (the DuckDB oracles ARE the naive global windows).
   */
 object Budget {
 
-  /** Admit rows in `idCol` order while the running `weightCol` total stays
-    * within `budget`; emits the running total as `cum`. Ids must be unique
-    * and non-negative (dense helps bucket balance but isn't required).
-    * Weights must be non-negative — a negative weight would make the
-    * running total non-monotonic, so `where(cum <= budget)` would admit a
-    * non-prefix set; the first negative weight fails the job (a cheap
-    * codegen'd branch on the scan, not a separate validation pass).
+  /** The shared parallel prefix sum: every row annotated with `cum` = the
+    * inclusive running `weightCol` total in `idCol` order. Ids must be
+    * unique and non-negative (dense helps bucket balance but isn't
+    * required). Weights must be non-negative — a negative weight makes
+    * the running total non-monotonic (nonsense for budgets and packing
+    * alike); the first one fails the job via a cheap codegen'd branch on
+    * the scan, not a separate validation pass.
     */
-  def globalRunningBudget(df: DataFrame, idCol: String, weightCol: String,
-      budget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+  def runningTotals(df: DataFrame, idCol: String, weightCol: String,
+      bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val w0 = col(weightCol).cast("long")
     val w = when(w0 < 0, raise_error(concat(
-        lit(s"globalRunningBudget: negative $weightCol at $idCol="),
+        lit(s"runningTotals: negative $weightCol at $idCol="),
         col(idCol).cast("string")))).otherwise(w0)
     // integer `div`, not floor(double /): above 2^53 a double quotient
     // loses precision and bucket boundaries drift from the documented width
@@ -61,7 +64,35 @@ object Budget {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), "__b")
       .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
-      .where(col("cum") <= budget)
       .drop("__b", "__off", "__w")
+  }
+
+  /** Admit rows in `idCol` order while the running `weightCol` total stays
+    * within `budget`; emits the running total as `cum`.
+    */
+  def globalRunningBudget(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, bucketWidth: Long = 1L << 20): DataFrame =
+    runningTotals(df, idCol, weightCol, bucketWidth)
+      .where(col("cum") <= budget)
+
+  /** Concatenate-and-chunk sequence packing: documents laid end-to-end in
+    * `idCol` order form one global token stream, cut into fixed
+    * `seqLen`-token training examples. Each document gets its stream
+    * `offset` (tokens before it), the `chunk` its first token lands in
+    * (`offset div seqLen`), and `chunk_pos` (offset within that chunk) —
+    * exactly what a loader needs to materialize examples; a document
+    * whose tokens straddle a boundary continues into the next chunk, the
+    * standard pretraining packing. Same parallel-prefix-sum plan as the
+    * budget (the naive form is the same one-task window), so packing a
+    * 100 TB corpus stays one bucket shuffle.
+    */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    runningTotals(df, idCol, weightCol, bucketWidth)
+      .withColumn("offset", col("cum") - col(weightCol).cast("long"))
+      .withColumn("chunk", expr(s"offset div ${seqLen}L"))
+      .withColumn("chunk_pos", col("offset") - col("chunk") * seqLen)
+      .drop("cum")
   }
 }

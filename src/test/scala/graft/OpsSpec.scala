@@ -432,6 +432,19 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
   }
 
+  test("packSequences: offsets tile the stream; straddling docs land where expected") {
+    val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L))
+      .toDF("doc_id", "n_tok")
+    val out = Budget.packSequences(docs, "doc_id", "n_tok", seqLen = 1024)
+      .select("doc_id", "offset", "chunk", "chunk_pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // stream: doc1 [0,100), doc2 [100,1050) straddles chunk 0→1,
+    // doc3 [1050,1080), doc4 [1080,3080) spans chunks 1-3
+    assert(out == Map(
+      1L -> (0L, 0L, 0L), 2L -> (100L, 0L, 100L),
+      3L -> (1050L, 1L, 26L), 4L -> (1080L, 1L, 56L)))
+  }
+
   // ---- repetition-signal edge cases ----------------------------------------
 
   test("repetitionSignals: single-word and empty docs are safe") {
