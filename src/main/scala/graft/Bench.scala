@@ -39,6 +39,7 @@ object Bench {
     "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard
     "d_pack_sequences",   // concatenate-and-chunk packing offsets
+    "d_quality_topq",     // exact top-quantile gate via value histogram
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

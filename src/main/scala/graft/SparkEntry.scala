@@ -847,6 +847,15 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
         .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
     },
+    // ---- exact top-quantile quality gate: keep the top 25% of documents
+    //      by (quantized) quality score — histogram + tiny cutoff window +
+    //      broadcast filter, never a corpus sort; ties at the cutoff kept
+    "d_quality_topq" -> { (s, dir) =>
+      val scored = ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      ops.Quantile.selectTopFraction(scored, "quality", frac = 0.25)
+        .orderBy("doc_id")
+    },
     // ---- deterministic epoch shuffle + shard (epoch 3, 16 shards): the
     //      per-epoch corpus permutation a data loader consumes — pure
     //      integer functions of (id, epoch), one shard-key shuffle,
@@ -1359,6 +1368,18 @@ object SparkEntry {
          |  WHEN 'src1' THEN ${(0.1 * 2147483647L).toLong}
          |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
          |  ELSE ${(0.4 * 2147483647L).toLong} END
+         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Quantile.selectTopFraction: same histogram → running count →
+    // k-th-best cutoff (k = ceil(frac·n)) → >= filter with ties kept.
+    "d_quality_topq" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes()},
+         |a AS (SELECT doc_id, ${OracleFrag.qualityExpr} AS quality FROM s),
+         |hh AS (SELECT quality AS v, COUNT(*) AS c FROM a GROUP BY 1),
+         |t AS (SELECT SUM(c) AS n FROM hh),
+         |cc AS (SELECT v, SUM(c) OVER (ORDER BY v DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hh),
+         |cut AS (SELECT MAX(v) AS cutv FROM cc, t WHERE cum >= CEIL(0.25 * n))
+         |SELECT doc_id, quality FROM a, cut WHERE quality >= cutv
          |ORDER BY doc_id""".stripMargin,
     // Same epoch salt + Lehmer hash + shard mod + per-shard rank.
     "d_epoch_shards" ->

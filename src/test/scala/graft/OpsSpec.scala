@@ -432,6 +432,22 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
   }
 
+  test("selectTopFraction: exact cutoff, ties kept, frac=1 keeps all") {
+    val scored = Seq(
+      (1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.5), (5L, 0.5),
+      (6L, 0.3), (7L, 0.2), (8L, 0.1)
+    ).toDF("doc_id", "score")
+    def keep(frac: Double) = Quantile.selectTopFraction(scored, "score", frac)
+      .select("doc_id").as[Long].collect().toSet
+    // k = ceil(0.25*8) = 2 → cutoff is the 2nd best score (0.8); BOTH 0.8
+    // ties are kept — fraction overshoots, membership is deterministic
+    assert(keep(0.25) == Set(1L, 2L, 3L))
+    // k = ceil(0.5*8) = 4 → cutoff 0.5, tie at rank 5 also kept
+    assert(keep(0.5) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(keep(1.0) == (1L to 8L).toSet)
+    assertThrows[IllegalArgumentException](keep(0.0))
+  }
+
   test("packSequences: offsets tile the stream; straddling docs land where expected") {
     val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L))
       .toDF("doc_id", "n_tok")
