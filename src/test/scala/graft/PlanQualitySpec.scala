@@ -311,6 +311,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(singles.size == 1, p.take(3000))
   }
 
+  test("quantile gate: single-partition stage sees only the value histogram") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") % 100).as("score"))
+    val plan = nonAdaptivePlan(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25))
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    // the cutoff window's input must be the histogram aggregate, never rows
+    assert(singles.nonEmpty, plan.toString.take(3000))
+    singles.foreach(e => assert(
+      e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+      s"single-partition stage not fed by an aggregate:\n${e.toString.take(2000)}"))
+    // the corpus-side filter gets the cutoff via broadcast
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("repetition signals never degenerate to cartesian/nested-loop joins") {
     val p = planOf("d_text_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
