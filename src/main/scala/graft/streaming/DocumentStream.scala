@@ -134,6 +134,34 @@ object DocumentStream {
       .drop("ingestTs")
   }
 
+  /** Static benchmark shingle index: the distinct shingle hashes of the
+    * evaluation set — the broadcast side for streaming decontamination.
+    * Tiny by construction (benchmarks are small), exactly like the batch
+    * operator's broadcast side (graft.ops.Decontaminate).
+    */
+  def benchShingleIndex(bench: DataFrame, textCol: String = "text"): DataFrame =
+    bench.select(explode(TextFunctions.shingle_hashes(col(textCol))).as("sh"))
+      .distinct()
+
+  /** Streaming decontamination: every arriving document's shingles are
+    * checked against the static benchmark index (stream-static broadcast
+    * join — stateless on the stream side), emitting distinct
+    * `(doc_id, sh)` collisions. A downstream quarantine drops any doc_id
+    * that appears at all (the batch operator's `minShared = 1`
+    * semantics); multi-shingle collisions are collapsed by a
+    * watermark-bounded distinct, so state is arrival-rate × delay, never
+    * corpus size.
+    */
+  def contaminationAgainstBench(stream: DataFrame, benchIndex: DataFrame,
+      dedupDelay: String = "10 minutes"): DataFrame =
+    stream
+      .select(col("doc_id"), col("ingestTs"),
+        explode(TextFunctions.shingle_hashes(col("text"))).as("sh"))
+      .join(broadcast(benchIndex), Seq("sh"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "sh")
+      .select("doc_id", "sh")
+
   final case class BudgetDoc(doc_id: Long, source: String, nTokens: Int)
   final case class BudgetAdmit(doc_id: Long, source: String, nTokens: Int, cumTokens: Long)
 

@@ -121,6 +121,24 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming decontamination flags exactly the batch overlap set") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") < 25)
+    val index = DocumentStream.benchShingleIndex(bench)
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .where(col("doc_id") >= 25)
+    EventStream.runToMemory(
+      DocumentStream.contaminationAgainstBench(stream, index), "doc_contam")
+    val flagged = spark.table("doc_contam")
+      .select("doc_id").distinct().as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val batch = graft.ops.Decontaminate.overlap(
+        docs.where(col("doc_id") >= 25), bench, "doc_id", "text", minShared = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && flagged == batch,
+      s"stream flagged ${flagged.size}, batch ${batch.size}")
+  }
+
   test("event-time token budget: late-but-in-watermark docs decided like batch, too-late dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
