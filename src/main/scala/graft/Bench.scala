@@ -31,6 +31,7 @@ object Bench {
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
+    "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan
     "d_decontaminate",    // broadcast bench-shingle overlap vs the corpus
     "d_decontaminate_containment", // ratio-gated variant, same broadcast shape
     "d_dedup_clusters",   // minhash pairs → connected components (label prop)

@@ -789,6 +789,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- producer-side pipeline tail, one plan: quality/language gate →
+    //      fingerprint dedup → exact top-50% quality-quantile gate →
+    //      global admission budget → sequence packing. The output is what
+    //      a loader consumes: per-document stream offset + chunk under a
+    //      token budget, with every stage's oracle fragment composed
+    "d_pipeline_pack" -> { (s, dir) =>
+      val gated = ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .where(col("langGuess") === "en" && col("quality") >= 0.5)
+      val deduped = ops.Dedup.exactDedup(gated, col("fingerprint"), "doc_id")
+        .select(col("doc_id"), col("quality"), col("nTokensWs"))
+      val top = ops.Quantile.selectTopFraction(deduped, "quality", frac = 0.5)
+      val admitted = ops.Budget.globalRunningBudget(top, "doc_id", "nTokensWs",
+        budget = 20000L, bucketWidth = 64).drop("cum")
+      ops.Budget.packSequences(admitted, "doc_id", "nTokensWs",
+        seqLen = 512, bucketWidth = 64)
+        .select(col("doc_id"), col("nTokensWs").cast("int").as("n_tokens"),
+          col("offset"), col("chunk")).orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination: corpus docs (doc_id >= 25) sharing
     //      >= 2 distinct 3-word shingle hashes with the "benchmark" slice
     //      (doc_id < 25). The exploded bench shingles are BROADCAST — the
@@ -1294,6 +1313,40 @@ object SparkEntry {
          |  CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
          |FROM j GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors d_pipeline_pack stage-for-stage: analysis gates + dedup from
+    // d_pipeline_prep's fragments, the quantile histogram/cutoff from
+    // d_quality_topq's, then naive-window budget and packing.
+    "d_pipeline_pack" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes()},
+         |a AS (
+         |  SELECT doc_id,
+         |    ${OracleFrag.langGuessExpr} AS lang_guess,
+         |    ${OracleFrag.qualityExpr} AS quality,
+         |    CAST(len(ws) AS INT) AS n_tokens,
+         |    ${OracleFrag.fingerprintExpr} AS fingerprint
+         |  FROM s),
+         |g AS (SELECT * FROM a WHERE lang_guess = 'en' AND quality >= 0.5),
+         |d AS (SELECT * FROM g
+         |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |hh AS (SELECT quality AS v, COUNT(*) AS c FROM d GROUP BY 1),
+         |t AS (SELECT SUM(c) AS n FROM hh),
+         |cc AS (SELECT v, SUM(c) OVER (ORDER BY v DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hh),
+         |cut AS (SELECT MAX(v) AS cutv FROM cc, t WHERE cum >= CEIL(0.5 * n)),
+         |q AS (SELECT d.* FROM d, cut WHERE d.quality >= cutv),
+         |c1 AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM q),
+         |b AS (SELECT doc_id, n_tokens FROM c1 WHERE cum <= 20000),
+         |p AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         |  FROM b)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cum2 - n_tokens AS BIGINT) AS "offset",
+         |  CAST((cum2 - n_tokens) // 512 AS BIGINT) AS chunk
+         |FROM p ORDER BY doc_id""".stripMargin,
     // Mirrors Decontaminate.containment: shared distinct shingles over the
     // doc's own distinct-shingle count, same 0.15 ratio gate.
     "d_decontaminate_containment" ->
