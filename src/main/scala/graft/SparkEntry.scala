@@ -866,6 +866,14 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
         .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
     },
+    // ---- weighted mixture: rescale sources to 3 : 1 : 0.5-per-other
+    //      target ratios under availability; quotas broadcast, one
+    //      stratum-key shuffle for the rank window
+    "d_mixture_sample" -> { (s, dir) =>
+      ops.Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 1.0), default = 0.5)
+        .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
+    },
     // ---- exact top-quantile quality gate: keep the top 25% of documents
     //      by (quantized) quality score — histogram + tiny cutoff window +
     //      broadcast filter, never a corpus sort; ties at the cutoff kept
@@ -1421,6 +1429,22 @@ object SparkEntry {
          |  WHEN 'src1' THEN ${(0.1 * 2147483647L).toLong}
          |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
          |  ELSE ${(0.4 * 2147483647L).toLong} END
+         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Sampling.mixtureSample: same availability counts, IEEE
+    // double feasibility min, floored quotas, hash-ranked keep.
+    "d_mixture_sample" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS avail FROM documents GROUP BY 1),
+         |w AS (SELECT source, avail, CASE source
+         |        WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 ELSE 0.5 END AS wt
+         |      FROM cnt),
+         |t AS (SELECT MIN(avail / wt) AS tmax FROM w WHERE wt > 0),
+         |q AS (SELECT source, CAST(FLOOR(tmax * wt) AS BIGINT) AS quota
+         |      FROM w, t WHERE wt > 0),
+         |r AS (SELECT doc_id, source, row_number() OVER (
+         |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
     // Mirrors Quantile.selectTopFraction: same histogram → running count →
     // k-th-best cutoff (k = ceil(frac·n)) → >= filter with ties kept.

@@ -55,6 +55,41 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
   }
 
+  /** Weighted corpus MIXTURE: scale every source to target proportions
+    * (Pile-style "web : books : code = 3 : 1 : 0.5") under what's actually
+    * available. The largest feasible total is `T = min_i avail_i / w_i`;
+    * each source keeps its first `floor(T · w_i)` documents in the
+    * deterministic hash order — so the output mixture matches the target
+    * ratios exactly (up to flooring), is limited by the scarcest source,
+    * and is reproducible on any layout. Sources with weight 0 (or not in
+    * `weights`, with `default = 0`) are excluded.
+    *
+    * Scale shape: per-source counts and the feasibility min are tiny
+    * aggregates; quotas broadcast back; the only corpus-sized work is the
+    * per-stratum rank window — one shuffle on the stratum key, strata in
+    * parallel (the [[stratifiedFixed]] pattern with a computed n).
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && default >= 0,
+      "mixture weights must be non-negative")
+    require((weights.values.toSeq :+ default).exists(_ > 0),
+      "at least one mixture weight must be positive")
+    val wt = weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc) }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__avail"))
+      .withColumn("__wt", wt)
+      .where(col("__wt") > 0)
+    val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(tmax))
+      .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
+    val wRank = Window.partitionBy(col(strataCol)).orderBy(unitHash(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(wRank))
+      .join(broadcast(quotas), Seq(strataCol))
+      .where(col("rk") <= col("__quota"))
+      .drop("__quota")
+  }
+
   /** Deterministic epoch shuffle + shard: the "reshuffle the corpus each
     * training epoch" step. Every row gets a shard in `[0, nShards)` and a
     * stable position inside its shard, both pure integer functions of

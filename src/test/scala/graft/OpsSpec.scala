@@ -432,6 +432,26 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
   }
 
+  test("mixtureSample: target ratios under availability; scarcest source binds; 0-weight drops") {
+    // avail: a=10, b=4, c=6; weights a=2, b=1, c=0 → T = min(10/2, 4/1) = 4
+    // → quotas a=8, b=4; c excluded
+    val rows = (1L to 10L).map(i => (i, "a")) ++
+      (11L to 14L).map(i => (i, "b")) ++ (15L to 20L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.0), default = 0.0)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("a" -> 8L, "b" -> 4L))
+    // deterministic: same membership on a re-run
+    assert(Sampling.mixtureSample(df, "source", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.0), default = 0.0)
+      .select("doc_id").as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureSample(df, "source", "doc_id", Map("a" -> 0.0), default = 0.0))
+  }
+
   test("selectTopFraction: exact cutoff, ties kept, frac=1 keeps all") {
     val scored = Seq(
       (1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.5), (5L, 0.5),
