@@ -333,6 +333,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("pipeline_pack + mixture: every single-partition stage consumes aggregates") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    for (name <- Seq("d_pipeline_pack", "d_mixture_sample")) {
+      val plan = nonAdaptivePlan(SparkEntry.queries(name)(spark, dir))
+      val singles = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+      // pipeline_pack: quantile histogram total + cutoff window + two
+      // prefix-sum offset windows; mixture: the feasibility min — all of
+      // them tiny post-aggregate data (the agg-fed check below is the
+      // load-bearing invariant; the count just bounds drift)
+      assert(singles.size <= 4, s"$name: ${plan.toString.take(3000)}")
+      singles.foreach(e => assert(
+        e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"$name single-partition stage not aggregate-fed:\n${e.toString.take(2000)}"))
+      assert(!plan.toString.contains("CartesianProduct"), name)
+    }
+  }
+
   test("repetition signals never degenerate to cartesian/nested-loop joins") {
     val p = planOf("d_text_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
