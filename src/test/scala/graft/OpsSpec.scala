@@ -432,6 +432,21 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
   }
 
+  test("edge cases: empty bench set, self-pair components, single-shard epoch") {
+    // decontamination against an EMPTY benchmark flags nothing (and does
+    // not error on the empty broadcast side)
+    assert(Decontaminate.overlap(docs, docs.limit(0), "doc_id", "text").count() == 0)
+    assert(Decontaminate.containment(docs, docs.limit(0), "doc_id", "text").count() == 0)
+    // a degenerate self-pair is its own component, not a crash
+    val self = Seq((7L, 7L)).toDF("idA", "idB")
+    assert(Dedup.connectedComponents(self, "idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 7L)))
+    // one shard degrades epochShards to a plain deterministic permutation
+    val one = Sampling.epochShards(spark.range(0, 50).toDF("doc_id"), "doc_id", nShards = 1)
+    assert(one.where($"shard" =!= 0).count() == 0)
+    assert(one.select("pos").as[Int].collect().sorted.toSeq == (1 to 50))
+  }
+
   test("mixtureSample: target ratios under availability; scarcest source binds; 0-weight drops") {
     // avail: a=10, b=4, c=6; weights a=2, b=1, c=0 → T = min(10/2, 4/1) = 4
     // → quotas a=8, b=4; c excluded
