@@ -827,6 +827,13 @@ object SparkEntry {
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
         "doc_id", "text", minRatio = 0.15).orderBy("doc_id")
     },
+    // ---- verbatim repeated-passage pairs: 60-char windows at stride 20,
+    //      df-pruned hub windows, distinct-counted shared passages
+    "d_dedup_passages" -> { (s, dir) =>
+      ops.Dedup.repeatedPassagePairs(t(s, dir, "documents"), "doc_id", "text",
+        window = 60, stride = 20, maxDf = 50, minShared = 2)
+        .orderBy("idA", "idB")
+    },
     // ---- dedup clusters: minhash LSH pairs (same params as
     //      d_dedup_minhash) closed into connected components by iterative
     //      min-label propagation — the oracle recomputes the transitive
@@ -1370,6 +1377,22 @@ object SparkEntry {
          |  round(n_shared / CAST(nsh AS DOUBLE), 6) AS containment
          |FROM j WHERE round(n_shared / CAST(nsh AS DOUBLE), 6) >= 0.15
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors Dedup.repeatedPassagePairs: poly-57 over the same raw
+    // 60-char windows at stride 20 (ascii() == byte for the ASCII
+    // testdata), df-prune [2, 50], distinct shared-window counts.
+    "d_dedup_passages" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
+         |  WHERE length(text) >= 60),
+         |rare AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |hh AS (SELECT h.doc_id, h.h FROM h JOIN rare USING (h)),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(DISTINCT a.h) AS ns
+         |      FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT ia AS "idA", ib AS "idB", CAST(ns AS BIGINT) AS n_shared
+         |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
     // The pair CTEs are d_dedup_minhash's verbatim; the closure is a
     // RECURSIVE reachability fixpoint — true transitive components, which
     // the distributed label propagation must reproduce exactly.

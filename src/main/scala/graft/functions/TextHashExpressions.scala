@@ -25,6 +25,22 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class PassageHashesExpr(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "passage_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.passageHashes(input.asInstanceOf[UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.passageHashes($c, $window, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): PassageHashesExpr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -81,6 +97,10 @@ object TextFunctions {
   /** k-function MinHash signature (array<long>) over shingle hashes. */
   def minhash_sig(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(hashes), k))
+
+  /** Aligned character-window passage hashes of the RAW text. */
+  def passage_hashes(text: Column, window: Int, stride: Int): Column =
+    GraftBridge.column(PassageHashesExpr(GraftBridge.expression(text), window, stride))
 
   /** 31-bit SimHash of normalized text; -1 when the text has no words. */
   def simhash31(text: Column): Column =

@@ -74,6 +74,28 @@ object TextHashOps {
     h
   }
 
+  /** Aligned character-window passage hashes: the poly-57 hash of the RAW
+    * bytes `[i*stride, i*stride + window)` for every full window — the key
+    * for VERBATIM repeated-passage detection (no normalization: verbatim
+    * means byte-identical; ASCII contract as above so the oracle's
+    * per-character ascii() fold matches byte-for-byte). A shared passage
+    * is detected when it starts at the same offset mod `stride` in both
+    * documents — the standard stride/recall trade; stride = 1 is
+    * exhaustive at `window×` the hashing cost.
+    */
+  def passageHashes(text: UTF8String, window: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes
+    if (bytes.length < window) return new GenericArrayData(Array.emptyLongArray)
+    val n = (bytes.length - window) / stride + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = foldBytes(0L, bytes, i * stride, i * stride + window)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct rolling-hash values of the n-word shingles (space-joined),
     * first-occurrence order. Empty when the text has fewer than n words.
     */

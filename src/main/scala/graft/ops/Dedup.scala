@@ -241,6 +241,40 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** VERBATIM repeated-passage pairs: documents sharing ≥ `minShared`
+    * aligned `window`-character passages — the character-level exact-dedup
+    * primitive (boilerplate, licenses, templated spam) that word-shingle
+    * Jaccard dilutes away on long documents. Keys are poly-57 hashes of
+    * raw `window`-byte slices at `stride` alignment
+    * ([[graft.functions.TextHashOps.passageHashes]] — codegen kernel, no
+    * HOFs); a shared passage is caught when it starts at the same offset
+    * mod `stride` in both docs (stride=1 is exhaustive at window× cost).
+    *
+    * Scale shape: same as [[ngramJaccardPairs]] — hub windows (df >
+    * `maxDf`, e.g. a license header in half the corpus) are pruned BEFORE
+    * pair expansion, the join shuffles (hash, id) ints only, and the pair
+    * aggregate is distinct-counted so an intra-doc repeated window can't
+    * inflate the score.
+    */
+  def repeatedPassagePairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 60, stride: Int = 20, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val exploded = ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.passage_hashes(col(textCol), window, stride)).as("h"))
+    val rare = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf)).select("h")
+    val pruned = exploded.join(rare, Seq("h"))
+    pruned.select(col("h"), col("id").as("idA"))
+      .join(pruned.select(col("h"), col("id").as("idB")), Seq("h"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(countDistinct("h").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup PAIR list — the step that turns
     * pairwise collisions into dedup GROUPS: near-duplication is transitive
     * in practice (A~B, B~C ⇒ same content family), so a pipeline keeps ONE

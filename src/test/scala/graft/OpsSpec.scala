@@ -309,6 +309,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.checksum == r4.checksum && r1.checksum > 0)
   }
 
+  test("repeatedPassagePairs: verbatim passages caught, short/unique docs not") {
+    val passage = "x" * 10 + "this exact boilerplate sentence repeats verbatim across documents!"
+    val frame = Seq(
+      (1L, passage + " trailing content unique to one"),
+      (2L, passage + " other trailing content here too"), // shares aligned prefix windows with 1
+      (3L, "totally different text that happens to be long enough to window but shares nothing " + "y" * 40),
+      (4L, "short")                                        // below one window
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.repeatedPassagePairs(frame, "doc_id", "text",
+      window = 20, stride = 10, maxDf = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 5) // the ~76-char shared prefix spans >= 5 aligned windows
+    // kernel edge: below-window text yields an empty hash array, not a crash
+    import graft.functions.TextFunctions
+    assert(frame.where($"doc_id" === 4L)
+      .select(size(TextFunctions.passage_hashes($"text", 20, 10)))
+      .head.getInt(0) == 0)
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs label by min id") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),  // 3-hop chain: tests multi-round propagation
