@@ -873,6 +873,20 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
         .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
     },
+    // ---- per-source corpus profile: the report every pipeline run emits
+    //      (doc counts, token volume, quality distribution, language mix);
+    //      one map-side-combined aggregate, decimal-exact means
+    "d_corpus_stats" -> { (s, dir) =>
+      ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nTokensWs").cast("long")).as("n_tokens"),
+          sum(col("n_chars").cast("long")).as("n_chars"),
+          (sum(col("quality").cast(D4)).cast("double") / count(lit(1))).as("avg_quality"),
+          min(col("quality")).as("min_quality"), max(col("quality")).as("max_quality"),
+          sum(when(col("langGuess") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")
+    },
     // ---- weighted mixture: rescale sources to 3 : 1 : 0.5-per-other
     //      target ratios under availability; quotas broadcast, one
     //      stratum-key shuffle for the rank window
@@ -1453,6 +1467,24 @@ object SparkEntry {
          |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
          |  ELSE ${(0.4 * 2147483647L).toLong} END
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
+    // quality mean, language-mix count.
+    "d_corpus_stats" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes(", source, n_chars")},
+         |a AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${OracleFrag.langGuessExpr} AS lang_guess,
+         |    ${OracleFrag.qualityExpr} AS quality,
+         |    CAST(len(ws) AS INT) AS n_tokens
+         |  FROM s)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CAST(quality AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+         |  CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |FROM a GROUP BY source ORDER BY source""".stripMargin,
     // Mirrors Sampling.mixtureSample: same availability counts, IEEE
     // double feasibility min, floored quotas, hash-ranked keep.
     "d_mixture_sample" ->

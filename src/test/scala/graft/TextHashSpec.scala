@@ -123,6 +123,21 @@ class TextHashSpec extends AnyFunSuite {
         assert((0 until 16).map(sig.getLong) == refMinhash(gotSh, 16),
           s"minhash diverges on '$t'")
       }
+      val gotP = {
+        val a = graft.functions.TextHashOps.passageHashes(u, 20, 7)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      val refP = { // byte-level fold, matching the kernel's raw-bytes contract
+        val bytes = t.getBytes("UTF-8")
+        if (bytes.length < 20) Seq.empty[Long]
+        else (0 to (bytes.length - 20) / 7).map { i =>
+          var h = 0L
+          (i * 7 until i * 7 + 20).foreach { j =>
+            h = (h * 31 + (bytes(j) & 0xff)) % graft.functions.TextHashOps.P57 }
+          h
+        }
+      }
+      assert(gotP == refP, s"passage hashes diverge on '$t'")
     }
   }
 
