@@ -25,6 +25,25 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_bigram", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 case class PassageHashesExpr(child: Expression, window: Int, stride: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -101,6 +120,11 @@ object TextFunctions {
   /** Aligned character-window passage hashes of the RAW text. */
   def passage_hashes(text: Column, window: Int, stride: Int): Column =
     GraftBridge.column(PassageHashesExpr(GraftBridge.expression(text), window, stride))
+
+  /** One-pass repetition stats struct: n_words/n_distinct/max_bigram/
+    * n_bigrams. */
+  def repetition_stats(text: Column): Column =
+    GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(text)))
 
   /** 31-bit SimHash of normalized text; -1 when the text has no words. */
   def simhash31(text: Column): Column =

