@@ -846,6 +846,15 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
+    // ---- same clustering by the O(log n)-round large-star/small-star
+    //      algorithm — one shared recursive-closure oracle gates both
+    "d_dedup_clusters_star" -> { (s, dir) =>
+      val pairs = ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
     // ---- repetition signals (Gopher-style quality gates): word-level
     //      dup fraction (row-local) + top-bigram fraction (explode → count
     //      → max per doc; linear in doc length, never O(len²) per row)
@@ -960,6 +969,34 @@ object SparkEntry {
        |SELECT qid, cid, sim,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Shared clusters oracle: the minhash pair CTEs closed by a RECURSIVE
+    * reachability fixpoint — gates both `d_dedup_clusters` (label
+    * propagation) and `d_dedup_clusters_star` (large-star/small-star),
+    * which must agree with true transitive reachability AND each other.
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+       |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+       |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
+       |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
+       |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+       |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+       |p AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+       |      FROM bd a JOIN bd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+       |pr AS (SELECT ia, ib FROM (
+       |        SELECT p.ia, p.ib,
+       |          CAST(list_sum(list_transform(range(1, 33),
+       |            __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+       |        FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
+       |       WHERE ej >= 0.3),
+       |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+       |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1409,29 +1446,10 @@ object SparkEntry {
          |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
     // The pair CTEs are d_dedup_minhash's verbatim; the closure is a
     // RECURSIVE reachability fixpoint — true transitive components, which
-    // the distributed label propagation must reproduce exactly.
-    "d_dedup_clusters" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
-         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
-         |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
-         |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
-         |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
-         |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
-         |p AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
-         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-         |pr AS (SELECT ia, ib FROM (
-         |        SELECT p.ia, p.ib,
-         |          CAST(list_sum(list_transform(range(1, 33),
-         |            __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
-         |        FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
-         |       WHERE ej >= 0.3),
-         |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
-         |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // BOTH distributed algorithms (label propagation and the
+    // large-star/small-star form) must reproduce exactly.
+    "d_dedup_clusters" -> clustersOracleSql,
+    "d_dedup_clusters_star" -> clustersOracleSql,
     // Mirrors TextAnalysis.repetitionSignals: same normalized words, same
     // bigram construction, mode via per-(doc, bigram) counts.
     "d_text_repetition" ->

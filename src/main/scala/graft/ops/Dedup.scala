@@ -327,4 +327,77 @@ object Dedup {
     }
     labels
   }
+
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", public) for graphs where
+    * [[connectedComponents]]' O(diameter) label propagation would crawl:
+    * long chains of pairwise near-dups (serial plagiarism, shingled crawl
+    * snapshots). Same contract: `(node, comp)` with `comp` = min reachable
+    * id; ids appearing only in self-pairs label themselves.
+    *
+    *  - large-star: every node points its LARGER neighbors at the min of
+    *    its closed neighborhood — doubles star depth collapse per round;
+    *  - small-star: smaller neighbors (and the node) re-point at the min
+    *    smaller neighbor;
+    *  - both are one groupBy + join over the edge list (edge-keyed
+    *    shuffles, no driver-side graph), both provably keep connectivity
+    *    and never increase the (edge count, endpoint sum) potential — so
+    *    the cheap potential fingerprint detects candidate fixpoints and
+    *    one exact `exceptAll` check per candidate confirms them.
+    *
+    * At the fixpoint the edge list IS the component star (every non-root
+    * points directly at its root). Convergence past `maxIters` throws,
+    * like the label-propagation form.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val allNodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+    var edges = raw.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true) // canonical u > v
+    def potential(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // (v, m) for v > u: emitted edge is already canonical (v > u >= m)
+      bi.join(m, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m")) // min smaller neighbor (< u)
+      val j = e.join(m, Seq("u"))
+      j.where(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+        .union(j.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var fp = potential(edges)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      it += 1
+      if (it > maxIters) throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = potential(next)
+      // potential is non-increasing; equality is a candidate fixpoint,
+      // confirmed exactly (exceptAll is one extra job, paid only then)
+      converged = nfp == fp && next.exceptAll(edges).isEmpty
+      fp = nfp
+      edges = next
+    }
+    val star = edges.select(col("u").as("node"), col("v").as("comp"))
+      .union(edges.select(col("v").as("node"), col("v").as("comp")))
+      .groupBy("node").agg(min("comp").as("comp"))
+    allNodes.join(star, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
 }

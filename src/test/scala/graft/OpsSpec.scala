@@ -350,6 +350,24 @@ class OpsSpec extends AnyFunSuite {
       Dedup.connectedComponents(pairs, "idA", "idB", maxIters = 1).count())
   }
 
+  test("star components: agrees with label prop; logarithmic on a long path") {
+    // a 200-node path has diameter 199: label propagation needs ~200
+    // rounds (maxIters=15 must throw), large-star/small-star collapses it
+    // in O(log n) rounds well inside the same budget
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("idA", "idB")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(path, "idA", "idB", maxIters = 15).count())
+    val star = Dedup.connectedComponentsStar(path, "idA", "idB", maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 0L))
+    // and on a general shape both algorithms agree exactly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L), (7L, 7L)).toDF("idA", "idB")
+    def m(df: DataFrame) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.connectedComponentsStar(pairs, "idA", "idB")) ==
+      m(Dedup.connectedComponents(pairs, "idA", "idB")))
+  }
+
   test("containment decontamination: ratio gate catches short eval items") {
     val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
     val corpus = Seq(
