@@ -461,6 +461,24 @@ class OpsSpec extends AnyFunSuite {
     assert(bucketed == naive && naive == Set((10L, 40L), (20L, 70L)))
   }
 
+  test("property: prefix-sum ops equal the naive global window on random frames") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled, non-dense ids; mixed weights incl. zeros
+    val rows = rnd.shuffle((0 until 300).map(_ => rnd.nextInt(1 << 20)).distinct.toList)
+      .map(id => (id.toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "w")
+    val win = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum", sum($"w").over(win))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (bw <- Seq(1L, 7L, 64L, 1L << 20)) {
+      val got = Budget.runningTotals(df, "id", "w", bucketWidth = bw)
+        .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == naive, s"bucketWidth=$bw diverges from the naive window")
+    }
+  }
+
   test("globalRunningBudget fails fast on a negative weight") {
     val bad = Seq((1L, 10L), (2L, -5L)).toDF("doc_id", "w")
     val e = intercept[Exception](
