@@ -437,6 +437,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) != e0)
   }
 
+  test("epochShards round-trips the loader-facing partitionBy(shard) layout") {
+    val path = graft.TempDirs.create("graft-test-shards").resolve("epoch0").toString
+    val sharded = Sampling.epochShards(spark.range(0, 120).toDF("doc_id"), "doc_id", nShards = 4)
+    sharded.write.partitionBy("shard").parquet(path)
+    // one directory per shard — the unit a data loader consumes
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("shard=")) && dirs.length == 4, dirs.toSeq)
+    // the round-trip preserves every (doc, shard, pos) assignment exactly
+    val back = spark.read.parquet(path)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val direct = sharded.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(back == direct && back.size == 120)
+  }
+
   // ---- global budget edge cases --------------------------------------------
 
   private lazy val weighted: DataFrame = Seq(
