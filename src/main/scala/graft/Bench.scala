@@ -45,6 +45,7 @@ object Bench {
     "d_quality_topq",     // exact top-quantile gate via value histogram
     "d_mixture_sample",   // weighted source mixture under availability
     "d_corpus_stats",     // per-source corpus profile report
+    "d_text_surprisal",   // unigram self-surprisal quality signal
     "d_dedup_ngram",      // inverted-index jaccard
     "d_dedup_minhash",    // minhash LSH
     "d_dedup_simhash",    // simhash blocked Hamming

@@ -882,6 +882,12 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.0), default = 0.4)
         .select(col("doc_id"), col("source"), col("u")).orderBy("doc_id")
     },
+    // ---- unigram self-surprisal (CCNet-style perplexity filtering
+    //      without a model): mean -ln p(word) under the corpus's own
+    //      unigram distribution
+    "d_text_surprisal" -> { (s, dir) =>
+      ops.TextAnalysis.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    },
     // ---- per-source corpus profile: the report every pipeline run emits
     //      (doc counts, token volume, quality distribution, language mix);
     //      one map-side-combined aggregate, decimal-exact means
@@ -1485,6 +1491,19 @@ object SparkEntry {
          |  WHEN 'src2' THEN ${(0.0 * 2147483647L).toLong}
          |  ELSE ${(0.4 * 2147483647L).toLong} END
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.unigramSurprisal: same tokenization, same
+    // corpus-wide unigram distribution, mean -ln p(w) rounded at 6.
+    "d_text_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+         |t AS (SELECT SUM(c) AS n FROM cnt)
+         |SELECT tok.doc_id,
+         |  CAST(COUNT(*) AS INT) AS n_words,
+         |  round(-(CAST(SUM(CAST(ln(cnt.c / CAST(t.n AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+         |    / COUNT(*)), 6) AS surprisal
+         |FROM tok JOIN cnt USING (w), t
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
     // quality mean, language-mix count.
     "d_corpus_stats" ->

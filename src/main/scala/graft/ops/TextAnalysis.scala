@@ -117,6 +117,38 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
   }
 
+  /** Unigram self-surprisal — the in-corpus analog of LM-perplexity
+    * quality filtering (CCNet-style): score each document by the mean
+    * negative log probability of its words under the corpus's OWN unigram
+    * distribution, `p(w) = count(w) / total_words`. High surprisal =
+    * rare-token gibberish (OCR noise, codes, spam); unusually low =
+    * boilerplate built from the most common words. No model download, no
+    * OOV (every scored word is in the distribution by construction), and
+    * exactly reproducible.
+    *
+    * Scale shape: the word-count table is one map-side-combined aggregate
+    * (vocabulary-sized, NOT broadcast — at web scale vocabulary is
+    * millions of rows, so the per-word probabilities JOIN back on the
+    * word key); the per-doc mean is one doc-id aggregate. Two narrow
+    * shuffles total, both on short keys.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tokens = df
+      .select(col(idCol).as("__id"), explode(words(col(textCol))).as("w"))
+    val counts = tokens.groupBy("w").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__n"))
+    // per-word ln values accumulate in DECIMAL(38,18): a plain double
+    // sum/avg is partition-order dependent and would fail the hash oracle
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    tokens.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        round(-(sum(log(col("__c").cast("double") / col("__n").cast("double")).cast(d18))
+          .cast("double") / count(lit(1))), 6).as("surprisal"))
+  }
+
   /** Explode-form reference for [[repetitionSignals]]: bigram mode via
     * explode → count → max (two doc-id-keyed shuffles). Kept as the
     * distributed fallback for adversarially long documents (the kernel's

@@ -570,6 +570,21 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- repetition-signal edge cases ----------------------------------------
 
+  test("unigramSurprisal: rare-word gibberish scores above common-word text") {
+    val frame = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat again"),
+      (3L, "zqxv jkwp flrg bnty zqxv mvcd plqz xkcj wvbn qpzm")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(frame)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 3)
+    // doc 3's words appear once or twice in the corpus → far more
+    // surprising than docs built from corpus-common words
+    assert(out(3L) > out(1L) && out(3L) > out(2L), out)
+    assert(out.values.forall(s => s > 0 && s.isFinite))
+  }
+
   test("repetitionSignals kernel equals the explode-form reference on real data") {
     val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: DataFrame) = df.collect()
