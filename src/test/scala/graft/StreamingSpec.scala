@@ -121,6 +121,41 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${streamed.size}, batch ${batch.size}")
   }
 
+  test("online ANN serving over the persisted IVF index matches the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val path = graft.TempDirs.create("graft-test-annserve").resolve("index").toString
+    graft.ops.Similarity.writeIvfIndex(corpus, path, nCells = 8)
+    val qvecs = emb.where($"vec_id" < 12)
+      .select($"vec_id".as("qid"), $"embedding".as("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val q = graft.streaming.AnnStream.topKPerBatch(
+      input.toDF().toDF("qid", "vec"), path, k = 3, nProbe = 3) { (df, _) =>
+      served.synchronized {
+        served ++= df.select("qid", "cid", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+    }
+    try {
+      input.addData(qvecs.take(6).toSeq) // two micro-batches of queries
+      q.processAllAvailable()
+      input.addData(qvecs.drop(6).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.Similarity.ivfTopKIndexed(
+        emb.where($"vec_id" < 12).select($"vec_id".as("qid"), $"embedding".as("vec")),
+        path, k = 3, nProbe = 3)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served.nonEmpty && served.toSet == batch,
+      s"served ${served.size} rows, batch ${batch.size}")
+  }
+
   test("streaming decontamination flags exactly the batch overlap set") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.where(col("doc_id") < 25)
