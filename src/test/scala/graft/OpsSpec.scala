@@ -555,6 +555,20 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](keep(0.0))
   }
 
+  test("property: selectTopFraction matches a sort-based reference on random scores") {
+    val rnd = new scala.util.Random(13)
+    val scores = (1L to 200L).map(i => (i, (rnd.nextInt(40) / 40.0)))
+    val df = scores.toDF("doc_id", "score")
+    for (frac <- Seq(0.1, 0.33, 0.5, 0.9, 1.0)) {
+      val k = math.ceil(frac * scores.size).toInt
+      val cut = scores.map(_._2).sorted(Ordering[Double].reverse)(k - 1)
+      val expect = scores.filter(_._2 >= cut).map(_._1).toSet
+      val got = Quantile.selectTopFraction(df, "score", frac)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"frac=$frac cut=$cut: got ${got.size}, expect ${expect.size}")
+    }
+  }
+
   test("packSequences: offsets tile the stream; straddling docs land where expected") {
     val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L))
       .toDF("doc_id", "n_tok")

@@ -211,6 +211,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time budget tracks interleaved sources independently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+    val q = graft.streaming.DocumentStream
+      .tokenBudgetPerSourceEventTime(
+        input.toDF().toDF("doc_id", "source", "nTokens", "eventTs"),
+        budget = 100, delay = "10 seconds")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("et_budget_multi").start()
+    try {
+      // sources interleave and arrive out of order; each budget is its own
+      input.addData((1L, "a", 40, ts(10)), (4L, "b", 30, ts(20)))
+      q.processAllAvailable()
+      // t15 stays above the watermark (10) at arrival — t10 here would be
+      // boundary-late and dropped, which the single-source test covers
+      input.addData((2L, "a", 40, ts(20)), (3L, "b", 80, ts(15)))
+      q.processAllAvailable()
+      input.addData((5L, "a", 1, ts(300)), (6L, "b", 1, ts(300))) // advance wm
+      q.processAllAvailable()
+      val got = spark.table("et_budget_multi")
+        .select("doc_id", "source", "cumTokens").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // a: 40, 80 both admitted; b: 80 admitted, then 110 rejected —
+      // b's rejection must not affect a, and vice versa
+      assert(got == Set((1L, "a", 40L), (2L, "a", 80L), (3L, "b", 80L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream self-dedup matches batch simhash pairs") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
