@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   *     carries the histogram, not the corpus;
   *  2. cutoff: a running count over the score-sorted histogram (tiny,
   *     single partition by design — same shape as Budget's offsets
-  *     window) picks the k-th-best score, k = ceil(frac · n);
+  *     window) picks the k-th-best score, k = ceil(frac · n). k is
+  *     computed in DECIMAL, not IEEE double: `0.1 * 200` in double is
+  *     20.000000000000004 and `ceil` of it 21, one past the mathematical
+  *     ceiling — the decimal product is exact, and the DuckDB oracle's
+  *     native-decimal `CEIL(0.25 * n)` mirrors it;
   *  3. the 1-row cutoff broadcasts back and the corpus filters on it.
+  *
+  * The quantized-score precondition is ENFORCED, not assumed: the cutoff
+  * frame counts the histogram as it aggregates it and raise_errors past
+  * `maxDistinct` — called on a raw continuous score the job fails with a
+  * pointer at [[selectTopFractionApprox]] instead of silently turning the
+  * "histogram" corpus-sized and the single-partition window into the
+  * serialization wall Budget exists to avoid.
   *
   * Ties AT the cutoff are all kept (the filter is `score >= cutoff`), so
   * the selected fraction can exceed `frac` by the tie mass — determinism
@@ -26,21 +37,63 @@ import org.apache.spark.sql.functions._
   */
 object Quantile {
 
-  /** 1-row frame `(__cut)`: the k-th best `scoreCol` value, k = ceil(frac·n). */
-  def topFractionCutoff(df: DataFrame, scoreCol: String, frac: Double): DataFrame = {
+  /** Default ceiling on histogram cardinality: an order above the 4-decimal
+    * quantization contract (10001 distinct), far below corpus-sized.
+    */
+  val DefaultMaxDistinct = 100000L
+
+  /** 1-row frame `(__cut)`: the k-th best `scoreCol` value, k = ceil(frac·n)
+    * in exact decimal arithmetic. Fails the job if the score column has
+    * more than `maxDistinct` distinct values (precondition guard).
+    */
+  def topFractionCutoff(df: DataFrame, scoreCol: String, frac: Double,
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
+    require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
     val hist = df.groupBy(col(scoreCol).as("__v")).agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // BigDecimal.valueOf(frac) is the shortest decimal that parses back to
+    // the same double — the same text a caller wrote, made exact
+    val k = ceil(lit(BigDecimal.valueOf(frac)) * col("__n"))
+    val kGuarded = when(col("__nd") > maxDistinct, raise_error(concat(
+        lit(s"topFractionCutoff: $scoreCol has "), col("__nd").cast("string"),
+        lit(s" distinct values (> $maxDistinct); the exact histogram gate " +
+          "requires quantized scores — use selectTopFractionApprox for " +
+          "continuous scores")))
+      ).otherwise(k)
     hist.withColumn("__cum", sum("__c").over(wCum))
-      .crossJoin(broadcast(hist.agg(sum("__c").as("__n"))))
-      .where(col("__cum") >= ceil(lit(frac) * col("__n")))
+      .crossJoin(broadcast(
+        hist.agg(sum("__c").as("__n"), count(lit(1)).as("__nd"))))
+      .where(col("__cum") >= kGuarded)
       .agg(max("__v").as("__cut"))
   }
 
   /** Keep rows whose `scoreCol` reaches the top-`frac` cutoff. */
-  def selectTopFraction(df: DataFrame, scoreCol: String, frac: Double): DataFrame =
-    df.join(broadcast(topFractionCutoff(df, scoreCol, frac)),
+  def selectTopFraction(df: DataFrame, scoreCol: String, frac: Double,
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame =
+    df.join(broadcast(topFractionCutoff(df, scoreCol, frac, maxDistinct)),
         col(scoreCol) >= col("__cut"))
       .drop("__cut")
+
+  /** Approximate top-`frac` gate for CONTINUOUS scores — the fallback the
+    * exact gate's guard points at. Cutoff = `approx_percentile(score,
+    * 1 − frac, accuracy)` (Greenwald–Khanna sketch: one map-side-combined
+    * aggregate, no histogram shuffle, no cardinality bound), filter is the
+    * same ties-kept `score >= cutoff`. The sketch's documented bound is on
+    * RANK, not value: the cutoff sits within `n / accuracy` rows of the
+    * true quantile, so the selected fraction is `frac ± 1/accuracy` (plus
+    * tie mass) — membership of rows near the boundary can differ from the
+    * exact gate, which is why the exact histogram form stays the gated
+    * default for quantized scores.
+    */
+  def selectTopFractionApprox(df: DataFrame, scoreCol: String, frac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    // frac = 1 must keep everything: percentile 0 of the sketch is the min
+    val cut = df.agg(approx_percentile(col(scoreCol),
+      lit(1.0 - frac), lit(accuracy)).as("__cut"))
+    df.join(broadcast(cut), col(scoreCol) >= col("__cut")).drop("__cut")
+  }
 }

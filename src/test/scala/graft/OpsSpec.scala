@@ -560,13 +560,60 @@ class OpsSpec extends AnyFunSuite {
     val scores = (1L to 200L).map(i => (i, (rnd.nextInt(40) / 40.0)))
     val df = scores.toDF("doc_id", "score")
     for (frac <- Seq(0.1, 0.33, 0.5, 0.9, 1.0)) {
-      val k = math.ceil(frac * scores.size).toInt
+      // exact-decimal ceiling, same as the operator — math.ceil(frac * n)
+      // in double overshoots by one at e.g. frac=0.1, n=200
+      val k = (BigDecimal.valueOf(frac) * scores.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
       val cut = scores.map(_._2).sorted(Ordering[Double].reverse)(k - 1)
       val expect = scores.filter(_._2 >= cut).map(_._1).toSet
       val got = Quantile.selectTopFraction(df, "score", frac)
         .select("doc_id").as[Long].collect().toSet
       assert(got == expect, s"frac=$frac cut=$cut: got ${got.size}, expect ${expect.size}")
     }
+  }
+
+  test("selectTopFraction: k = ceil(frac*n) is the exact decimal ceiling, not the double one") {
+    // 200 DISTINCT scores: frac=0.1 must keep exactly 20 — IEEE double says
+    // ceil(0.1*200) = ceil(20.000000000000004) = 21 (the ADVICE r7 finding)
+    val df = (1L to 200L).map(i => (i, i / 1000.0)).toDF("doc_id", "score")
+    val kept = Quantile.selectTopFraction(df, "score", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (181L to 200L).toSet, s"kept ${kept.size}")
+  }
+
+  test("selectTopFraction: cardinality guard fails fast on continuous scores") {
+    // a raw double score column — every value distinct, histogram = corpus
+    val df = (1L to 500L).map(i => (i, math.sin(i.toDouble))).toDF("doc_id", "score")
+    val e = intercept[Exception] {
+      Quantile.selectTopFraction(df, "score", 0.25, maxDistinct = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("distinct values") && m.contains("selectTopFractionApprox")), e.getMessage)
+    // the same data passes when the bound admits it
+    assert(Quantile.selectTopFraction(df, "score", 0.25, maxDistinct = 1000)
+      .count() == 125)
+  }
+
+  test("selectTopFractionApprox: continuous scores, selected fraction within sketch bound") {
+    val n = 2000
+    val df = (1L to n.toLong).map(i => (i, math.sin(i.toDouble))).toDF("doc_id", "score")
+    for (frac <- Seq(0.1, 0.25, 0.5)) {
+      val kept = Quantile.selectTopFractionApprox(df, "score", frac, accuracy = 10000)
+        .count().toDouble / n
+      // rank error ≤ n/accuracy = 0.2 rows here — distinct scores, so the
+      // selected fraction must sit within one sketch step of frac
+      assert(math.abs(kept - frac) <= 1.0 / 10000 + 1.0 / n,
+        s"frac=$frac kept=$kept")
+    }
+    // frac = 1 keeps everything (cutoff = percentile 0 = the minimum)
+    assert(Quantile.selectTopFractionApprox(df, "score", 1.0).count() == n)
+    // NOT asserted: equality with the exact gate — percentile-rank
+    // semantics and k-th-best-with-ties semantics legitimately differ at
+    // tie boundaries (a 0.75-quantile of 8 tied values can land one value
+    // below the 50th-best cutoff), which is exactly why the exact
+    // histogram form stays the gated default for quantized scores
   }
 
   test("packSequences: offsets tile the stream; straddling docs land where expected") {
