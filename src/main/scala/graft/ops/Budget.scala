@@ -33,17 +33,25 @@ object Budget {
 
   /** The shared parallel prefix sum: every row annotated with `cum` = the
     * inclusive running `weightCol` total in `idCol` order. Ids must be
-    * unique and non-negative (dense helps bucket balance but isn't
-    * required). Weights must be non-negative — a negative weight makes
-    * the running total non-monotonic (nonsense for budgets and packing
-    * alike); the first one fails the job via a cheap codegen'd branch on
-    * the scan, not a separate validation pass.
+    * unique, NON-NULL and non-negative (dense helps bucket balance but
+    * isn't required). Weights must be NON-NULL and non-negative — a
+    * negative weight makes the running total non-monotonic (nonsense for
+    * budgets and packing alike), a null id would silently miss the
+    * bucket-offset equi-join (row dropped) and a null weight would null
+    * the row's `cum` while vanishing from the bucket sums — so ALL three
+    * precondition violations fail the job loudly via the same cheap
+    * codegen'd branch on the scan, not a separate validation pass.
     */
   def runningTotals(df: DataFrame, idCol: String, weightCol: String,
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val w0 = col(weightCol).cast("long")
-    val w = when(w0 < 0, raise_error(concat(
+    val w = when(col(idCol).isNull,
+        raise_error(lit(s"runningTotals: null $idCol")))
+      .when(w0.isNull, raise_error(concat(
+        lit(s"runningTotals: null $weightCol at $idCol="),
+        col(idCol).cast("string"))))
+      .when(w0 < 0, raise_error(concat(
         lit(s"runningTotals: negative $weightCol at $idCol="),
         col(idCol).cast("string")))).otherwise(w0)
     // integer `div`, not floor(double /): above 2^53 a double quotient

@@ -97,7 +97,7 @@ object TextAnalysis {
     * map counts bigrams in O(words) time and memory with ZERO shuffles —
     * a Catalyst HOF could only do this in O(len²) per row, which is why
     * earlier rounds used the explode form, but a JVM kernel has no such
-    * limit (measured ~7× on this row at sf0.1). The explode → count →
+    * limit (measured ~6× on this row at sf0.1 — BENCH_NOTES). The explode → count →
     * max form survives as [[repetitionSignalsExplode]] (distributed
     * fallback for gigaword single rows + the parity gate). Only the max
     * COUNT is emitted (not the arg-max bigram), so ties cannot make the

@@ -264,9 +264,21 @@ object DocumentStream {
             else None
           }
           state.update(BudgetHold(cum, hold))
-          // wake this source when the watermark reaches its oldest held doc,
-          // even if no further data arrives for it
-          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.eventTs.getTime).min)
+          // wake this source when the watermark REACHES its oldest held doc,
+          // even if no further data arrives for it. Spark fires an event-time
+          // timeout only when the watermark advances strictly BEYOND the set
+          // timestamp, so arming at minHeldTs would never flush a doc whose
+          // eventTs lands exactly on the final watermark — arm at
+          // minHeldTs − 1 (clamped to wm + 1, the smallest legal value) so
+          // wm == minHeldTs already fires and the `<= wm` partition above
+          // flushes the doc. Residual corner, documented: when minHeldTs is
+          // exactly wm + 1 the clamp makes the two equal and that one doc
+          // still needs the watermark to move one more ms; any further data
+          // on ANY source does that.
+          if (hold.nonEmpty) {
+            val minHeldTs = hold.map(_.eventTs.getTime).min
+            state.setTimeoutTimestamp(math.max(minHeldTs - 1, wm + 1))
+          }
           out.iterator
       }
   }

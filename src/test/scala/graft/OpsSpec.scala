@@ -504,6 +504,24 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("negative w at doc_id=2")), e.getMessage)
   }
 
+  test("runningTotals fails fast on null ids and null weights, not silent loss") {
+    // a null id would miss the bucket-offset equi-join (row silently
+    // dropped); a null weight would null cum while vanishing from the
+    // bucket sums — both must fail like negative weights do
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val nullId = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (null, 5L))
+      .toDF("doc_id", "w")
+    val e1 = intercept[Exception](
+      Budget.runningTotals(nullId, "doc_id", "w").collect())
+    assert(messages(e1).exists(_.contains("null doc_id")), e1.getMessage)
+    val nullW = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null))
+      .toDF("doc_id", "w")
+    val e2 = intercept[Exception](
+      Budget.runningTotals(nullW, "doc_id", "w").collect())
+    assert(messages(e2).exists(_.contains("null w at doc_id=2")), e2.getMessage)
+  }
+
   test("edge cases: empty bench set, self-pair components, single-shard epoch") {
     // decontamination against an EMPTY benchmark flags nothing (and does
     // not error on the empty broadcast side)

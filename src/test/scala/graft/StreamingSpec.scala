@@ -211,6 +211,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("too-late doc is never charged: a later doc's admit decision proves it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+    val q = graft.streaming.DocumentStream
+      .tokenBudgetPerSourceEventTime(
+        input.toDF().toDF("doc_id", "source", "nTokens", "eventTs"),
+        budget = 100, delay = "10 seconds")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("et_budget_late").start()
+    try {
+      // budget 100. In-watermark docs: 1 (40 tokens) and 9 (30 tokens).
+      // Doc 7 (50 tokens, id BETWEEN them) arrives too late: if it were
+      // charged, doc 9 would finalize at cum 40+50+30 = 120 and be
+      // REJECTED — so doc 9's admission at cum 70 is load-bearing proof
+      // the too-late doc was dropped before the state function, not
+      // merely unobservable (the r7 ADVICE gap: doc 6's charge there
+      // couldn't flip any decision).
+      input.addData((1L, "a", 40, ts(10)), (9L, "a", 30, ts(100)))
+      q.processAllAvailable() // fn sees wm 0: both held; wm after = 90
+      input.addData((7L, "a", 50, ts(20))) // t20 < wm 90 → dropped
+      q.processAllAvailable() // fn wm 90: doc 1 finalized, cum 40, admitted
+      input.addData((8L, "a", 1, ts(300)))
+      q.processAllAvailable() // fn wm 90: nothing ready; wm after = 290
+      input.addData((10L, "a", 1, ts(301)))
+      q.processAllAvailable() // fn wm 290: doc 9 finalized — cum 70, ADMITTED
+      val got = spark.table("et_budget_late")
+        .select("doc_id", "cumTokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 40L), (9L, 70L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("event-time budget tracks interleaved sources independently") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
