@@ -694,26 +694,31 @@ object SparkEntry {
         k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
         refine = 30).orderBy("qid", "rank")
     },
-    // ---- multimodal: binary payload + stubbed decode via mapPartitions
+    // ---- multimodal: REAL PNG decode (javax.imageio) via mapPartitions —
+    //      fixture PNGs are deterministic pixel functions of (x, y, id),
+    //      so the oracle recomputes the decoded raster's checksum
+    //      analytically; a wrong decode fails the hash gate
     "m_media_features" -> { (s, dir) =>
       ops.Multimodal.decodeFeatures(
-        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("assetId"), col("nBytes"), col("width"), col("height"))
+        ops.Multimodal.imageAssets(t(s, dir, "documents")))
+        .select(col("assetId"), col("width"), col("height"), col("checksum"))
         .orderBy("assetId")
     },
-    // ---- multimodal: frame sampling over binary chunks
+    // ---- multimodal: frame sampling over binary chunks (video-ish stub)
     "m_media_frames" -> { (s, dir) =>
       ops.Multimodal.sampleFrames(
         ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
         everyK = 2, frameBytes = 128)
         .orderBy("assetId", "frameIdx")
     },
-    // ---- multimodal: batched resize (stubbed codec, deterministic stats)
+    // ---- multimodal: batched nearest-neighbor resize over REAL decoded
+    //      pixels (explicit integer resample — oracle-reproducible)
     "m_media_resize" -> { (s, dir) =>
       ops.Multimodal.resize(
-        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
-        width = 224, height = 224)
-        .toDF().orderBy("assetId")
+        ops.Multimodal.imageAssets(t(s, dir, "documents")),
+        width = 24, height = 24)
+        .toDF().select("assetId", "width", "height", "nBytes", "checksum")
+        .orderBy("assetId")
     },
 
     // ---- skew-safe aggregation: the two-phase salted plan must produce
@@ -1802,24 +1807,38 @@ object SparkEntry {
         |SELECT qid, cid, sim,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
-    // payloadChecksum = fold (a*131 + byte) mod p over UTF-8 bytes; the
-    // oracle folds ascii(char) per CHARACTER, equal only because the
-    // testdata text is pure ASCII (verified at all scales) — the same
-    // documented contract as m_media_frames' chunk math
+    // The decoded raster recomputed ANALYTICALLY: the fixture PNG's pixel
+    // (x,y) is r=(7x+13y+id), g=(11x+3y+5id), b=(5x+17y+11id) each mod
+    // 256; the checksum is the row-major (a*31 + rgb) mod (2^31-1) fold
+    // over out(X,Y) = in(⌊X·w/24⌋, ⌊Y·h/24⌋) — equality proves
+    // ImageIO.read returned the original raster AND the nearest-neighbor
+    // resample picked the exact source pixels (PNG is lossless)
     "m_media_resize" ->
-      """SELECT doc_id AS "assetId", CAST(224 AS INT) AS width,
-        |  CAST(224 AS INT) AS height, CAST(224*224*3 AS INT) AS "nBytes",
-        |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |     list_transform(range(1, length(text) + 1),
-        |       __j -> CAST(ascii(text[__j]) AS BIGINT))),
-        |     (__a, __c) -> (__a * 131 + __c) % 2147483647)
-        |   * 31 + 224 * 131 + 224) % 2147483647 AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8 + n_chars % 24 AS w, 8 + doc_id % 24 AS h
+        |           FROM documents)
+        |SELECT doc_id AS "assetId", CAST(24 AS INT) AS width,
+        |  CAST(24 AS INT) AS height, CAST(24*24*3 AS INT) AS "nBytes",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 576), p ->
+        |      ((((p % 24) * w) // 24) * 7 + (((p // 24) * h) // 24) * 13 + doc_id) % 256 * 65536
+        |    + ((((p % 24) * w) // 24) * 11 + (((p // 24) * h) // 24) * 3 + doc_id * 5) % 256 * 256
+        |    + ((((p % 24) * w) // 24) * 5 + (((p // 24) * h) // 24) * 17 + doc_id * 11) % 256)),
+        |    (__a, __c) -> (__a * 31 + __c) % 2147483647) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Same analytic raster, un-resampled: width/height are the REAL decoded
+    // dimensions (must equal the fixture sizing from doc stats) and the
+    // checksum folds every pixel row-major — the real-decode gate
     "m_media_features" ->
-      """SELECT doc_id AS "assetId",
-        |  CAST(octet_length(encode(text)) AS INT) AS "nBytes",
-        |  CAST(64 + octet_length(encode(text)) % 256 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) // 7) % 256 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8 + n_chars % 24 AS w, 8 + doc_id % 24 AS h
+        |           FROM documents)
+        |SELECT doc_id AS "assetId", CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, w * h), p ->
+        |      ((p % w) * 7 + (p // w) * 13 + doc_id) % 256 * 65536
+        |    + ((p % w) * 11 + (p // w) * 3 + doc_id * 5) % 256 * 256
+        |    + ((p % w) * 5 + (p // w) * 17 + doc_id * 11) % 256)),
+        |    (__a, __c) -> (__a * 31 + __c) % 2147483647) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,18 +1,30 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata; decode / feature-extract / resize /
-  * frame-sample run as partition-local batch transforms.
+  * frame-sample run as partition-local batch transforms
+  * (`mapPartitions` — the Scala analogue of `mapInPandas` batch shape).
   *
-  * The actual codec calls are STUBBED (`decodeImageStub` — the image/audio
-  * libraries are not in this container) behind a deterministic fake, but the
-  * Spark-side plumbing is real and tested: schema contract, mapPartitions
-  * batching (the Scala analogue of `mapInPandas` batch shape), partition
-  * sizing, and the columnar metadata path. Swapping the stub for a real
-  * decoder changes one function.
+  * The IMAGE path is REAL: `javax.imageio` ships in the JDK
+  * (`java.desktop` module) and decodes PNG/JPEG/GIF/BMP headless with no
+  * external dependency, so `decodeFeatures`/`resize` on
+  * `mediaType = "image"` run `ImageIO.read` over the actual payload bytes
+  * and work on the decoded raster. The test fixtures are deterministic
+  * PNGs ([[encodePng]]: pixel = an integer function of (x, y, assetId)),
+  * which makes decoded dimensions and pixel checksums DuckDB-oracle-
+  * expressible — the oracle recomputes the expected raster analytically,
+  * so a wrong decode fails the hash gate.
+  *
+  * AUDIO/VIDEO codecs (ffmpeg, javax.sound beyond WAV) genuinely are not
+  * in this container; those media types fall back to a clearly-marked
+  * deterministic stub so the batching/schema plumbing stays exercised
+  * end-to-end. Swapping the stub for a real demuxer changes one function.
   */
 object Multimodal {
 
@@ -24,26 +36,107 @@ object Multimodal {
       sourceUri: String,
   )
 
-  /** Decoded features produced by the (stubbed) decoder. */
+  /** Decoded features. For images, `width`/`height`/`checksum`/`embedding`
+    * come from the REAL decoded raster; `nBytes` is the encoded payload
+    * size (PNG container bytes — not analytically reproducible in SQL,
+    * which is why the oracle projects the raster-derived columns).
+    */
   final case class MediaFeatures(
       assetId: Long,
       mediaType: String,
       nBytes: Int,
-      width: Int,        // fake-decoded dimensions
+      width: Int,
       height: Int,
-      checksum: Long,    // deterministic payload fold
-      embedding: Array[Float], // fake feature vector (8 dims)
+      checksum: Long,          // row-major fold over decoded pixels (images)
+      embedding: Array[Float], // 8-dim pixel-derived feature vector
   )
 
   implicit val assetEnc: Encoder[MediaAsset] = Encoders.product[MediaAsset]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** STUB for the real image decode (would call a codec library here).
-    * Deterministic fake: dimensions and features derive from the payload
-    * bytes, so tests are stable and the full pipeline is exercised.
+  private val P31 = 2147483647L
+
+  /** Deterministic fixture pixel at (x, y) of asset `id`, packed RGB.
+    * Pure integer arithmetic so the DuckDB oracle recomputes the raster:
+    * r = (7x+13y+id) mod 256, g = (11x+3y+5id) mod 256,
+    * b = (5x+17y+11id) mod 256.
     */
-  def decodeImageStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    // real implementation: ImageIO/ffmpeg/... — not available in this env
+  def fixturePixel(id: Long, x: Int, y: Int): Long = {
+    val r = (x * 7L + y * 13L + id) % 256
+    val g = (x * 11L + y * 3L + id * 5L) % 256
+    val b = (x * 5L + y * 17L + id * 11L) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode the deterministic fixture image for `id` as a real PNG. */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, fixturePixel(id, x, y).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Row-major pixel checksum of a decoded image:
+    * fold a = (a*31 + rgb(x,y)) mod (2^31-1), y outer, x inner.
+    */
+  private def rasterChecksum(img: java.awt.image.BufferedImage): Long = {
+    var a = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        a = (a * 31 + (img.getRGB(x, y) & 0xffffff)) % P31
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
+  /** 8-dim embedding from the decoded raster: dim i = mean packed-RGB of
+    * pixels at row-major positions ≡ i (mod 8), normalized to [0,1].
+    */
+  private def rasterEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var p = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sums(p % 8) += (img.getRGB(x, y) & 0xffffff).toDouble
+        counts(p % 8) += 1
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 0xffffff).toFloat)
+  }
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** STUB for audio/video decode — ffmpeg-class demuxers are genuinely not
+    * in this container (images do NOT take this path; `javax.imageio` is
+    * JDK-builtin and [[decodeFeatures]] decodes them for real).
+    * Deterministic fake: dimensions and features derive from the payload
+    * bytes, so tests are stable and the batching plumbing is exercised.
+    */
+  def decodeMediaStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val w = 64 + (n % 256)
     val h = 64 + ((n / 7) % 256)
@@ -53,58 +146,88 @@ object Multimodal {
   }
 
   private def checksum(payload: Array[Byte]): Long =
-    payload.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L)
+    payload.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % P31)
 
   /** Batch decode: partition-local, batched like mapInPandas — each batch is
-    * decoded together so a real codec could amortize model/handle setup.
-    * No shuffle; scales linearly with input splits.
+    * decoded together so codec/handle setup could amortize. No shuffle;
+    * scales linearly with input splits. Images decode for REAL via
+    * `ImageIO.read` (width/height/checksum/embedding from the raster);
+    * audio/video fall back to [[decodeMediaStub]].
     */
   def decodeFeatures(assets: Dataset[MediaAsset], batchSize: Int = 64): Dataset[MediaFeatures] =
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would init once per batch here
+        // a real audio/video decoder would init once per batch here;
+        // ImageIO readers are stateless
         batch.iterator.map { a =>
-          val (w, h, feats) = decodeImageStub(a.payload)
-          MediaFeatures(a.assetId, a.mediaType, a.payload.length, w, h,
-            checksum(a.payload), feats)
+          if (a.mediaType == "image") {
+            val img = readImage(a.payload)
+            MediaFeatures(a.assetId, a.mediaType, a.payload.length,
+              img.getWidth, img.getHeight, rasterChecksum(img),
+              rasterEmbedding(img))
+          } else {
+            val (w, h, feats) = decodeMediaStub(a.payload)
+            MediaFeatures(a.assetId, a.mediaType, a.payload.length, w, h,
+              checksum(a.payload), feats)
+          }
         }
       }
     }
 
-  /** A "resized" asset: target dimensions plus the transformed payload's
-    * stats (the real op would re-encode; the stub derives them
-    * deterministically so the plumbing is testable end-to-end).
+  /** A resized asset: target dimensions plus the resampled raster's
+    * checksum (images — real pixels) or the deterministic stub stats
+    * (audio/video thumbnails would need a demuxer).
     */
   final case class ResizedAsset(
       assetId: Long,
       width: Int,
       height: Int,
-      nBytes: Int,     // 3 bytes/pixel stand-in for the re-encoded size
-      checksum: Long,  // payload fold mixed with the target dims
+      nBytes: Int,     // 3 bytes/pixel of the resampled raster
+      checksum: Long,
   )
 
   implicit val resizedEnc: Encoder[ResizedAsset] = Encoders.product[ResizedAsset]
 
-  /** Batched resize: partition-local like decodeFeatures (a real codec
-    * would scale pixels per batch here). The stub keeps the Spark-side
-    * contract real — schema, batch shape, determinism — and derives the
-    * output stats from the payload + target dims:
-    * checksum = (payloadChecksum * 31 + w * 131 + h) mod (2^31-1).
+  /** Batched resize. Images are decoded (`ImageIO.read`) and resampled
+    * NEAREST-NEIGHBOR over the real raster — out(X, Y) = in(⌊X·w/W⌋,
+    * ⌊Y·h/H⌋), the explicit integer mapping rather than Java2D's
+    * interpolating `drawImage`, so the result is deterministic and the
+    * DuckDB oracle can recompute the resampled checksum analytically.
+    * Checksum = the same row-major fold as [[decodeFeatures]], over the
+    * W×H output. Non-image media keeps the deterministic stub:
+    * checksum = (payloadChecksum*31 + W*131 + H) mod (2^31-1).
     */
   def resize(assets: Dataset[MediaAsset], width: Int, height: Int,
       batchSize: Int = 64): Dataset[ResizedAsset] =
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // real resizer would init scaler state once per batch here
         batch.iterator.map { a =>
-          val ck = (checksum(a.payload) * 31 + width * 131L + height) % 2147483647L
-          ResizedAsset(a.assetId, width, height, width * height * 3, ck)
+          if (a.mediaType == "image") {
+            val img = readImage(a.payload)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var ck = 0L
+            var yy = 0
+            while (yy < height) {
+              var xx = 0
+              while (xx < width) {
+                val px = img.getRGB(xx * w / width, yy * h / height) & 0xffffff
+                ck = (ck * 31 + px) % P31
+                xx += 1
+              }
+              yy += 1
+            }
+            ResizedAsset(a.assetId, width, height, width * height * 3, ck)
+          } else {
+            val ck = (checksum(a.payload) * 31 + width * 131L + height) % P31
+            ResizedAsset(a.assetId, width, height, width * height * 3, ck)
+          }
         }
       }
     }
 
   /** Frame-sampling stub for video payloads: every k-th chunk of the binary
-    * stands in for a frame; real impl would demux containers.
+    * stands in for a frame; a real impl would demux containers (ffmpeg-class
+    * tooling, not in this container).
     */
   def sampleFrames(assets: Dataset[MediaAsset], everyK: Int = 10,
       frameBytes: Int = 1024): DataFrame = {
@@ -117,15 +240,34 @@ object Multimodal {
     }.toDF("assetId", "frameIdx", "frameBytes", "frameChecksum")
   }
 
+  /** Real-PNG image assets derived from a documents frame: per doc a
+    * deterministic fixture PNG sized from its stats —
+    * w = 8 + n_chars mod 24, h = 8 + doc_id mod 24 (8..31 px, cheap at any
+    * SF) — encoded with the JDK PNG writer. Partition-local generation,
+    * no shuffle; the decode side never sees anything but real PNG bytes.
+    */
+  def imageAssets(df: DataFrame, idCol: String = "doc_id",
+      charsCol: String = "n_chars"): Dataset[MediaAsset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        (lit(8) + pmod(col(charsCol), lit(24))).cast("int"),
+        (lit(8) + pmod(col(idCol), lit(24))).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        MediaAsset(id, "image", encodePng(id, w, h), s"synthetic://png/$id")
+      })
+  }
+
   /** Build a media-asset frame from any table with a text column — the
-    * harness path used in tests/bench (payload = UTF-8 bytes standing in
-    * for encoded media).
+    * video-ish harness path used by frame sampling and the stub decode
+    * (payload = UTF-8 bytes standing in for an encoded container).
     */
   def assetsFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaAsset] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("assetId"),
-      lit("image").as("mediaType"),
+      lit("video").as("mediaType"),
       encode(col(textCol), "UTF-8").as("payload"),
       concat(lit("synthetic://"), col(idCol)).as("sourceUri"))
       .as[MediaAsset]

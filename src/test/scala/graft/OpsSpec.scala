@@ -284,6 +284,47 @@ class OpsSpec extends AnyFunSuite {
     assert(fp1 != fp2)
   }
 
+  test("multimodal: real PNG decode returns the original raster, resize picks exact pixels") {
+    import spark.implicits._
+    // independent reference: recompute the expected checksum from the
+    // fixture formula directly — never through ImageIO
+    def refChecksum(id: Long, w: Int, h: Int): Long = {
+      var a = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        a = (a * 31 + Multimodal.fixturePixel(id, x, y)) % 2147483647L
+      a
+    }
+    val assets = spark.createDataset(Seq(
+      Multimodal.MediaAsset(7L, "image", Multimodal.encodePng(7L, 13, 9), "t"),
+      Multimodal.MediaAsset(8L, "image", Multimodal.encodePng(8L, 31, 8), "t")))(
+      Multimodal.assetEnc)
+    val feats = Multimodal.decodeFeatures(assets, batchSize = 1).collect()
+      .map(f => f.assetId -> f).toMap
+    // dimensions and every pixel survive the PNG round-trip
+    assert(feats(7L).width == 13 && feats(7L).height == 9)
+    assert(feats(8L).width == 31 && feats(8L).height == 8)
+    assert(feats(7L).checksum == refChecksum(7L, 13, 9))
+    assert(feats(8L).checksum == refChecksum(8L, 31, 8))
+    assert(feats(7L).embedding.length == 8 &&
+      feats(7L).embedding.forall(v => v >= 0f && v <= 1f))
+    // identity resize reproduces the decode checksum (every source pixel
+    // maps to itself); a real downsample matches the explicit NN reference
+    val same = Multimodal.resize(assets, 13, 9).collect()
+      .find(_.assetId == 7L).get
+    assert(same.checksum == feats(7L).checksum)
+    val down = Multimodal.resize(assets, 5, 4).collect()
+      .find(_.assetId == 7L).get
+    var ref = 0L
+    for (yy <- 0 until 4; xx <- 0 until 5)
+      ref = (ref * 31 + Multimodal.fixturePixel(7L, xx * 13 / 5, yy * 9 / 4)) % 2147483647L
+    assert(down.checksum == ref && down.nBytes == 5 * 4 * 3)
+    // a non-image payload must not reach the image decoder
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaAsset(9L, "image", Array[Byte](1, 2, 3), "t")))(
+      Multimodal.assetEnc)
+    intercept[Exception](Multimodal.decodeFeatures(bad).collect())
+  }
+
   test("multimodal: decode plumbing preserves schema, batch shape, determinism") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
