@@ -78,13 +78,17 @@ object SparkEntry {
       path
     })
 
-  /** Per-JVM persisted IVF index built from k-means-TRAINED centroids —
-    * the full build-offline/serve-online composition: Lloyd training AND
-    * cell assignment are paid once at index-build time, and the query path
-    * is byte-identical to the seeded [[ivfIndex]] probe (partition-pruned
-    * to probed cells). Trained means are float-order dependent, so this
-    * variant is gated by the OpsSpec identity/recall tests + a bench row,
-    * not the DuckDB hash oracle (which pins the seeded quantizer).
+  /** Per-JVM persisted IVF index built from the TRAINED-centroid FIXTURE —
+    * the full build-offline/serve-online composition: cell assignment is
+    * paid once at index-build time, and the query path is byte-identical
+    * to the seeded [[ivfIndex]] probe (partition-pruned to probed cells).
+    * The quantizer is the committed k-means snapshot
+    * ([[tools.TrainIvfFixture]]): live Lloyd means are float-order
+    * dependent and can't be hash-oracled, but serving a FIXED trained
+    * artifact is deterministic — so this path carries the same DuckDB
+    * oracle as the seeded variants, parameterized on the fixture values.
+    * The training job itself stays pinned by OpsSpec (recall floors,
+    * trained ≡ persisted parity).
     */
   private val trainedIvfIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -94,9 +98,36 @@ object SparkEntry {
       val corpus = t(s, d, "embeddings")
         .select(col("vec_id").as("cid"), col("embedding").as("vec"))
       ops.Similarity.writeIvfIndex(corpus, path, nCells = 16,
-        centroids = Some(ops.Similarity.kmeansCentroids(corpus, nCells = 16, iters = 5)))
+        centroids = Some(fixtureCentroids(s)))
       path
     })
+
+  /** The committed k-means centroid fixture, parsed once per JVM. Lines
+    * are `centId v1 .. v64` with `Double.toString` values — the shortest
+    * decimal that round-trips to the same IEEE double, so Spark and the
+    * DuckDB oracle (which embeds the SAME text as literals) operate on
+    * bit-identical centroids.
+    */
+  private[graft] lazy val fixtureCentroidRows: Seq[(Int, Seq[Double])] = {
+    val in = getClass.getResourceAsStream("/graft/ivf_trained_centroids.txt")
+    require(in != null, "ivf_trained_centroids.txt fixture missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val parts = line.split(' ')
+      parts.head.toInt -> parts.tail.map(_.toDouble).toSeq
+    }.toList
+    finally src.close()
+  }
+
+  /** Fixture centroids as the (centId, cent_v, cent_n) frame [[ops.Similarity.ivfTopK]]
+    * expects; cent_n recomputed with the same norm fold `kmeansCentroids`
+    * uses, so serving math is identical to a live-trained frame.
+    */
+  private[graft] def fixtureCentroids(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtureCentroidRows.toDF("centId", "cent_v")
+      .withColumn("cent_n", ops.Similarity.norm(col("cent_v")))
+  }
 
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
@@ -673,6 +704,28 @@ object SparkEntry {
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         ivfIndex(s, dir), k = 5, nProbe = 4).orderBy("qid", "rank")
     },
+    // ---- ANN: the SERVE path of a TRAINED quantizer — centroids are the
+    //      committed k-means snapshot (tools.TrainIvfFixture); assignment,
+    //      probe and rescore are deterministic given them, so the oracle
+    //      recomputes routing from the same literal values
+    "s_ann_ivf_trained" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4,
+        centroids = Some(fixtureCentroids(s))).orderBy("qid", "rank")
+    },
+    // ---- ANN: trained quantizer + PERSISTED index — training and cell
+    //      assignment paid once at build; the probe reads 4/16 partition
+    //      directories. Identical results to s_ann_ivf_trained → same
+    //      fixture-parameterized oracle.
+    "s_ann_ivf_trained_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopKIndexed(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        trainedIvfIndex(s, dir), k = 5, nProbe = 4).orderBy("qid", "rank")
+    },
     // ---- ANN, product-quantization/ADC variant (32x vector compression;
     //      codes-only candidate scan; decimal-exact ADC so the refine
     //      cutoff is oracle-reproducible)
@@ -951,17 +1004,28 @@ object SparkEntry {
         budget = 60000L, bucketWidth = 64)
         .select(col("doc_id"), col("n_chars"), col("cum")).orderBy("doc_id")
     },
+    // ---- materialized packed examples: the chunk-side view of packing —
+    //      one row per (chunk, doc) span via a partition-local explode
+    //      over each doc's chunk range; group by chunk = training example
+    "d_pack_examples" -> { (s, dir) =>
+      ops.Budget.packExamples(t(s, dir, "documents"), "doc_id", "n_chars",
+        seqLen = 2048, bucketWidth = 64)
+        .orderBy("doc_id", "chunk")
+    },
   )
 
-  /** Shared IVF oracle: seeded centroids (vec_id < 16), cosine argmin
-    * assignment, 4-cell probe, exact top-k inside probed cells — gates
-    * both the in-memory `s_ann_ivf` and the persisted-index
-    * `s_ann_ivf_indexed` (deterministic assignment ⇒ identical results).
+  /** Shared IVF oracle: cosine argmin assignment to `centSelect`'s
+    * centroids, 4-cell probe, exact top-k inside probed cells — gates the
+    * in-memory and persisted-index variants of BOTH quantizers
+    * (deterministic assignment ⇒ identical results): seeded (centroids =
+    * smallest-id corpus vectors) and trained (centroids = the committed
+    * k-means fixture, embedded as literal VALUES from the same text Spark
+    * parses).
     */
-  private lazy val ivfOracleSql: String =
+  private def ivfOracleSqlWith(centSelect: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-       |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |cent AS ($centSelect),
        |asg AS (SELECT vec_id AS cid, centid FROM (
        |  SELECT n.vec_id, cent.centid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -980,6 +1044,23 @@ object SparkEntry {
        |SELECT qid, cid, sim,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private lazy val ivfOracleSql: String = ivfOracleSqlWith(
+    "SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16")
+
+  /** Trained-quantizer oracle: the fixture centroids as literal VALUES —
+    * the same `Double.toString` text [[fixtureCentroids]] parses, so both
+    * engines compute on bit-identical centroid doubles; cn mirrors the
+    * sequential norm fold.
+    */
+  private lazy val trainedIvfOracleSql: String = {
+    val values = fixtureCentroidRows.map { case (id, v) =>
+      s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    ivfOracleSqlWith(
+      s"SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn " +
+        s"FROM (VALUES $values) AS __cent(centid, cv)")
+  }
 
   /** Shared clusters oracle: the minhash pair CTEs closed by a RECURSIVE
     * reachability fixpoint — gates both `d_dedup_clusters` (label
@@ -1576,6 +1657,26 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Chunk-span recompute from the naive window: per doc, generate_series
+    // over its inclusive chunk range and clip the span to each chunk —
+    // equality proves the explode materialization re-derives exactly the
+    // spans the offsets imply.
+    "d_pack_examples" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS off
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n_chars, off,
+        |    unnest(generate_series(off // 2048, (off + n_chars - 1) // 2048)) AS chunk
+        |  FROM p WHERE n_chars > 0)
+        |SELECT CAST(chunk AS BIGINT) AS chunk, doc_id,
+        |  CAST(greatest(off, chunk * 2048) - off AS BIGINT) AS doc_offset,
+        |  CAST(least(off + n_chars, (chunk + 1) * 2048)
+        |       - greatest(off, chunk * 2048) AS BIGINT) AS len,
+        |  CAST(greatest(off, chunk * 2048) - chunk * 2048 AS BIGINT) AS chunk_pos
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     // The oracle IS the naive one-task global running-sum window the
     // bucketed two-stage plan replaces — equality proves the parallel
     // prefix sum is exact.
@@ -1697,6 +1798,10 @@ object SparkEntry {
     // identical semantics served from the persisted partitioned index —
     // the SAME oracle gates both forms
     "s_ann_ivf_indexed" -> ivfOracleSql,
+    // trained serve paths: the SAME routing/rescore oracle, parameterized
+    // on the committed k-means fixture (identical in-memory vs persisted)
+    "s_ann_ivf_trained" -> trainedIvfOracleSql,
+    "s_ann_ivf_trained_indexed" -> trainedIvfOracleSql,
     // Mirrors Similarity.pqTopK stage-for-stage: seeded codebook, per-
     // subspace L2 encode (d2 = c·c − 2c·b + b·b, same fold order), ADC
     // table with round(·,9) decimal sums, refine-30 cut, exact rescore.

@@ -103,4 +103,39 @@ object Budget {
       .withColumn("chunk_pos", col("offset") - col("chunk") * seqLen)
       .drop("cum")
   }
+
+  /** The CHUNK-side view of [[packSequences]] — the materialized packed
+    * examples a data loader consumes: one row per (chunk, document) pair
+    * with the span of the document inside that chunk, so grouping by
+    * `chunk` yields complete training examples without re-deriving any
+    * offset. A document straddling chunk boundaries appears once per
+    * chunk it occupies:
+    *
+    *  - `chunk`      — the training-example index (`seqLen` tokens each);
+    *  - `doc_offset` — where this span starts INSIDE the document;
+    *  - `len`        — span length (per-chunk `len` sums to `seqLen` on
+    *    every chunk except the stream's last);
+    *  - `chunk_pos`  — where the span starts inside the chunk.
+    *
+    * Shape: the same parallel-prefix-sum plan as [[packSequences]] plus a
+    * partition-local `sequence()`/`explode` over each document's chunk
+    * range — NO additional exchange (pinned), and the fan-out per row is
+    * ⌈weight/seqLen⌉+1, never corpus-sized. Zero-weight documents occupy
+    * no chunk and are dropped.
+    */
+  def packExamples(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    val packed = packSequences(df, idCol, weightCol, seqLen, bucketWidth)
+      .withColumn("__w", col(weightCol).cast("long"))
+      .where(col("__w") > 0)
+      .withColumn("__last", expr(s"(offset + __w - 1) div ${seqLen}L"))
+    packed
+      .withColumn("chunk", explode(sequence(col("chunk"), col("__last"))))
+      .withColumn("__start", greatest(col("offset"), col("chunk") * seqLen))
+      .select(col("chunk"), col(idCol),
+        (col("__start") - col("offset")).as("doc_offset"),
+        (least(col("offset") + col("__w"), (col("chunk") + 1) * seqLen)
+          - col("__start")).as("len"),
+        (col("__start") - col("chunk") * seqLen).as("chunk_pos"))
+  }
 }

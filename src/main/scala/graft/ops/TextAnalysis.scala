@@ -130,10 +130,17 @@ object TextAnalysis {
     * (vocabulary-sized, NOT broadcast — at web scale vocabulary is
     * millions of rows, so the per-word probabilities JOIN back on the
     * word key); the per-doc mean is one doc-id aggregate. Two narrow
-    * shuffles total, both on short keys.
+    * shuffles total, both on short keys. The join-back is SALTED
+    * ([[Skew.saltedJoin]]): word frequencies are Zipf — the top word
+    * alone is ~5-7% of all tokens, so a plain w-keyed shuffle join pins
+    * one reducer with the hub word's full token stream. Salting by doc id
+    * spreads every word over `saltBuckets` reducers and replicates only
+    * the vocabulary side (tiny next to the token stream); the result is
+    * row-identical to the unsalted join (OpsSpec pins it on a Zipf
+    * fixture, PlanQualitySpec pins the (w, salt) partitioning).
     */
   def unigramSurprisal(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", saltBuckets: Int = 32): DataFrame = {
     val tokens = df
       .select(col(idCol).as("__id"), explode(words(col(textCol))).as("w"))
     val counts = tokens.groupBy("w").agg(count(lit(1)).as("__c"))
@@ -141,7 +148,9 @@ object TextAnalysis {
     // per-word ln values accumulate in DECIMAL(38,18): a plain double
     // sum/avg is partition-order dependent and would fail the hash oracle
     val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
-    tokens.join(counts, Seq("w"))
+    Skew.saltedJoin(tokens, col("w"), col("__id"),
+        counts.withColumnRenamed("w", "__w"), col("__w"), saltBuckets)
+      .drop("__w")
       .crossJoin(broadcast(total))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("int").as("n_words"),

@@ -688,6 +688,30 @@ class OpsSpec extends AnyFunSuite {
       3L -> (1050L, 1L, 26L), 4L -> (1080L, 1L, 56L)))
   }
 
+  test("packExamples: spans tile every chunk; straddling docs appear once per chunk") {
+    val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L), (5L, 0L))
+      .toDF("doc_id", "n_tok")
+    val out = Budget.packExamples(docs, "doc_id", "n_tok", seqLen = 1024)
+      .select("chunk", "doc_id", "doc_offset", "len", "chunk_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // stream: 1 [0,100), 2 [100,1050) straddles 0→1, 3 [1050,1080),
+    // 4 [1080,3080) spans chunks 1-3; doc 5 has no tokens → no span
+    assert(out == Map(
+      (0L, 1L) -> (0L, 100L, 0L), (0L, 2L) -> (0L, 924L, 100L),
+      (1L, 2L) -> (924L, 26L, 0L), (1L, 3L) -> (0L, 30L, 26L),
+      (1L, 4L) -> (0L, 968L, 56L), (2L, 4L) -> (968L, 1024L, 0L),
+      (3L, 4L) -> (1992L, 8L, 0L)))
+    // loader invariant: every chunk except the stream's last is exactly
+    // full, and within a doc the spans cover it without gap or overlap
+    val byChunk = out.groupBy(_._1._1).view.mapValues(_.values.map(_._2).sum)
+    assert(byChunk(0L) == 1024L && byChunk(1L) == 1024L && byChunk(2L) == 1024L
+      && byChunk(3L) == 8L)
+    val doc4 = out.collect { case ((c, 4L), (o, l, _)) => (c, o, l) }.toSeq.sortBy(_._1)
+    assert(doc4.map(_._2) == doc4.scanLeft(0L)(_ + _._3).dropRight(1))
+    assert(doc4.map(_._3).sum == 2000L)
+  }
+
   // ---- repetition-signal edge cases ----------------------------------------
 
   test("unigramSurprisal: rare-word gibberish scores above common-word text") {
@@ -703,6 +727,20 @@ class OpsSpec extends AnyFunSuite {
     // surprising than docs built from corpus-common words
     assert(out(3L) > out(1L) && out(3L) > out(2L), out)
     assert(out.values.forall(s => s > 0 && s.isFinite))
+  }
+
+  test("unigramSurprisal: salted word join is row-identical to unsalted on a Zipf corpus") {
+    // one word ("the") is ~30% of all tokens — the hub-key shape the salt
+    // defends against; saltBuckets = 1 degenerates to the plain join
+    val docs = (1L to 200L).map { i =>
+      val rest = (1 to 14).map(j => s"w${(i * 31 + j) % 97}")
+      (i, (Seq.fill(6)("the") ++ rest).mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(saltBuckets: Int) =
+      TextAnalysis.unigramSurprisal(docs, saltBuckets = saltBuckets)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val salted = rows(32)
+    assert(salted.size == 200 && salted == rows(1))
   }
 
   test("repetitionSignals kernel equals the explode-form reference on real data") {

@@ -311,6 +311,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(singles.size == 1, p.take(3000))
   }
 
+  test("packExamples: the chunk-span explode is partition-local (no new exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      nonAdaptivePlan(df).collect { case e: ShuffleExchangeExec => e }.size
+    assert(exchanges(graft.ops.Budget.packExamples(
+        docs, "doc_id", "n_chars", seqLen = 2048, bucketWidth = 64)) ==
+      exchanges(graft.ops.Budget.packSequences(
+        docs, "doc_id", "n_chars", seqLen = 2048, bucketWidth = 64)))
+  }
+
   test("quantile gate: single-partition stage sees only the value histogram") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -351,6 +362,27 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name single-partition stage not aggregate-fed:\n${e.toString.take(2000)}"))
       assert(!plan.toString.contains("CartesianProduct"), name)
     }
+  }
+
+  test("surprisal word join partitions on (word, salt): no reducer owns a hub word") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    // at web scale the vocabulary side is too big to broadcast — force the
+    // shuffle join the operator defends so the salt is visible in the plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      nonAdaptivePlan(graft.ops.TextAnalysis.unigramSurprisal(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // both join inputs hash on (word, __salt) — the hub word's token
+    // stream spreads over saltBuckets reducers instead of pinning one
+    val saltedSides = shuffles.filter(
+      _.outputPartitioning.toString.contains("__salt"))
+    assert(saltedSides.size >= 2, plan.toString.take(3000))
+    assert(!plan.toString.contains("CartesianProduct"))
   }
 
   test("repetition signals never degenerate to cartesian/nested-loop joins") {
