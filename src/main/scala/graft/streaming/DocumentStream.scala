@@ -43,6 +43,20 @@ object DocumentStream {
   /** Stateless enrichment — identical semantics to the batch operator. */
   def enriched(docs: DataFrame): DataFrame = TextAnalysis.analyze(docs)
 
+  /** Deterministic streaming sample — [[graft.ops.Sampling.hashSample]]'s
+    * integer-hash membership applied per micro-batch. Membership is a pure
+    * function of the id, so this is STATELESS (no watermark, no state
+    * store, nothing grows) and a document keeps the same in/out decision
+    * whether it arrives by stream or by batch backfill — the lambda-split
+    * property the rest of this module gets from watermarked state, here
+    * for free. The per-stratum [[graft.ops.Sampling.stratifiedSample]]
+    * composes the same way (also a pure filter); rank-based samplers
+    * (stratifiedFixed / mixtureSample) do NOT — their quotas depend on
+    * corpus-wide counts and belong to the batch/index side of the split.
+    */
+  def hashSample(docs: DataFrame, idCol: String, fraction: Double): DataFrame =
+    graft.ops.Sampling.hashSample(docs, idCol, fraction)
+
   /** Exact dedup within a watermark window, keyed on xxhash64 of the RAW
     * text (byte-exact duplicate detection, the cheapest exact key; swap in
     * TextFunctions.shingle_hashes-based keys for normalized-content

@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("streaming hash sample: membership identical to batch, fully stateless") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    val sampled = DocumentStream.hashSample(stream, "doc_id", fraction = 0.25)
+    // stateless: the plan has no stateful operator — nothing to grow or
+    // time out; this is the invariant that makes stream == backfill
+    val q = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("doc_hash_sample").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    val streamed = spark.table("doc_hash_sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.Sampling.hashSample(batchDocs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed.size < batchDocs.count(),
+      s"sampled ${streamed.size}")
+    assert(streamed == batch,
+      s"stream sampled ${streamed.size}, batch ${batch.size}")
+  }
+
   test("streaming exact dedup within watermark matches batch distinct-on-content") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
