@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-flight ×10 stress point for the heaviest dedup/cluster paths
+  * (VERDICT r7 stretch #8): the driver caps testdata at sf0.1, so this
+  * tool synthesizes a 10× corpus IN FLIGHT and times the three heaviest
+  * candidate-generating operators on 1× vs 10× — one more scale point
+  * for the sublinearity claims in BENCH_NOTES.
+  *
+  * The replication is shape-preserving, not a copy: replica `r` of a
+  * document Caesar-rotates its letters by `r` (same lengths, same word
+  * structure, DISJOINT shingle sets across replicas) and replica `r` of
+  * an embedding multiplies each dimension by a deterministic ±1 mask —
+  * the SAME mask on both sides of a pair leaves every same-replica
+  * cosine exactly unchanged (s² = 1 per dim), while cross-replica dots
+  * cancel to ~0 under the product of independent masks. (A dimension
+  * ROTATION does not work: it preserves each vector's autocorrelation,
+  * so the 10 rotations of one vector are near-dups of each other — a
+  * first attempt measured 101× pairs at 10× data that way.) A naive
+  * duplicate-copy ×10 would square every duplicate cluster (×100 pairs)
+  * and measure the data's pathology, not the operator's scaling; with
+  * the masks, pair counts scale ~linearly with data, which is the
+  * workload shape the claims are about. Ids are salted into disjoint
+  * ranges per replica.
+  *
+  * Usage: `sbt "runMain graft.tools.StressX10 /root/testdata/sf0.1"`;
+  * results go to stdout as a markdown table for BENCH_NOTES.
+  */
+object StressX10 {
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
+
+    def replicate(df: DataFrame, idCol: String, mutate: (Column, Column) => Column,
+        payloadCol: String): DataFrame =
+      df.select(col(idCol), col(payloadCol),
+          explode(sequence(lit(0), lit(9))).as("rep"))
+        .select((col(idCol) + col("rep").cast("long") * 10000000L).as(idCol),
+          mutate(col(payloadCol), col("rep")).as(payloadCol))
+        .localCheckpoint() // materialize: time the operator, not generation
+
+    val caesar: (Column, Column) => Column = (text, rep) =>
+      (1 to 9).foldLeft(lower(text)) { (acc, r) =>
+        when(rep === r, translate(lower(text), Alpha, Alpha.drop(r) + Alpha.take(r)))
+          .otherwise(acc)
+      }
+    // per-replica ±1 mask from the repo's Lehmer plane-sign generator
+    // (replica 0 = identity so the 1x corpus embeds unchanged)
+    val signMask: (Column, Column) => Column = (v, rep) =>
+      (1 to 9).foldLeft(v) { (acc, r) =>
+        val mask = array((1 to 64).map(i =>
+          lit(graft.ops.Similarity.planeSign(1000 + r, i).toFloat)): _*)
+        when(rep === r, zip_with(v, mask, (x, s) => x * s)).otherwise(acc)
+      }
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val docs10 = replicate(docs1, "doc_id", caesar, "text")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val emb10 = replicate(emb1, "vec_id", signMask, "embedding")
+    println(s"docs ${docs1.count()} -> ${docs10.count()}; " +
+      s"emb ${emb1.count()} -> ${emb10.count()}")
+
+    val scenarios: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
+      ("d_dedup_ngram", docs1, docs10,
+        (d: DataFrame) => graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          threshold = 0.1, maxDf = 100)),
+      ("d_dedup_clusters_star", docs1, docs10,
+        (d: DataFrame) => graft.ops.Dedup.connectedComponentsStar(
+          graft.ops.Dedup.minhashLshPairs(d, "doc_id", "text",
+            numHashes = 32, bands = 8, threshold = 0.3), "idA", "idB")),
+      // the GATED parameterization: threshold 0.3 admits ~0.6% of ALL
+      // pairs on this synthetic distribution (measured: p90 raw cosine
+      // 0.16, max 0.38 on a sample), so OUTPUT is Θ(n²) by data, not by
+      // algorithm — expect ~100× pairs at 10× data; the claim to check is
+      // that runtime tracks pairs (the true work), not corpus²
+      ("d_dedup_cosine_lsh (gated, thr 0.3)", emb1, emb10,
+        (d: DataFrame) => graft.ops.Dedup.cosineNearDupPairs(d, "vec_id", "embedding",
+          threshold = 0.3, planesPerBand = 4, bands = 8)),
+      // the realistic NEAR-DUP operating point: sparse output (threshold
+      // 0.9) and the matching candidate cut (8 planes/band = 256 buckets —
+      // the "buckets too big → add planes" playbook from the Similarity
+      // scaladoc); here runtime should scale ~linearly with data
+      ("d_dedup_cosine_lsh (near-dup, thr 0.9, 8 planes)", emb1, emb10,
+        (d: DataFrame) => graft.ops.Dedup.cosineNearDupPairs(d, "vec_id", "embedding",
+          threshold = 0.9, planesPerBand = 8, bands = 8)),
+    )
+
+    def time(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // min of 2 interleaved passes (the repo's standard minima protocol)
+    val results = (1 to 2).map { _ =>
+      scenarios.map { case (name, one, ten, op) =>
+        val (t1, n1) = time(op(one))
+        val (t10, n10) = time(op(ten))
+        (name, t1, n1, t10, n10)
+      }
+    }
+    println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
+    println("|---|---|---|---|---|---|")
+    scenarios.indices.foreach { i =>
+      val name = scenarios(i)._1
+      val t1 = results.map(_(i)._2).min
+      val t10 = results.map(_(i)._4).min
+      val (n1, n10) = (results.head(i)._3, results.head(i)._5)
+      println(f"| $name | $t1%.2f | $n1 | $t10%.2f | $n10 | ${t10 / t1}%.1f× |")
+    }
+    spark.stop()
+  }
+}
