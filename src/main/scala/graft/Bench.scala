@@ -36,6 +36,7 @@ object Bench {
     "d_decontaminate_containment", // ratio-gated variant, same broadcast shape
     "d_dedup_clusters",   // minhash pairs → connected components (label prop)
     "d_dedup_clusters_star", // same via O(log n)-round large/small-star
+    "d_dedup_removal",    // end-to-end removal: pairs → components → anti-join cut
     "d_dedup_passages",   // verbatim repeated-passage pairs (char windows)
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample

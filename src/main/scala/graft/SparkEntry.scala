@@ -913,6 +913,14 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
+    // ---- end-to-end near-dup REMOVAL: pairs → components → one survivor
+    //      per transitive dup group (min id); the cut is an id-keyed anti
+    //      join, never a per-pair delete (which over-deletes on chains)
+    "d_dedup_removal" -> { (s, dir) =>
+      ops.Dedup.removeNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+        .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
+    },
     // ---- repetition signals (Gopher-style quality gates): word-level
     //      dup fraction (row-local) + top-bigram fraction (explode → count
     //      → max per doc; linear in doc length, never O(len²) per row)
@@ -1062,12 +1070,10 @@ object SparkEntry {
         s"FROM (VALUES $values) AS __cent(centid, cv)")
   }
 
-  /** Shared clusters oracle: the minhash pair CTEs closed by a RECURSIVE
-    * reachability fixpoint — gates both `d_dedup_clusters` (label
-    * propagation) and `d_dedup_clusters_star` (large-star/small-star),
-    * which must agree with true transitive reachability AND each other.
+  /** Shared clusters CTE prefix: the minhash pair CTEs closed by a
+    * RECURSIVE reachability fixpoint, ending in `reach(node, r)`.
     */
-  private lazy val clustersOracleSql: String =
+  private lazy val clustersCtes: String =
     s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
        |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
        |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
@@ -1086,9 +1092,27 @@ object SparkEntry {
        |reach(node, r) AS (
        |  SELECT DISTINCT a, a FROM e
        |  UNION
-       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)""".stripMargin
+
+  /** Shared clusters oracle — gates both `d_dedup_clusters` (label
+    * propagation) and `d_dedup_clusters_star` (large-star/small-star),
+    * which must agree with true transitive reachability AND each other.
+    */
+  private lazy val clustersOracleSql: String =
+    s"""$clustersCtes
        |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Removal oracle: the same closure, then keep only docs that are their
+    * own component representative (or in no component at all).
+    */
+  private lazy val removalOracleSql: String =
+    s"""$clustersCtes,
+       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+       |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1542,6 +1566,7 @@ object SparkEntry {
     // large-star/small-star form) must reproduce exactly.
     "d_dedup_clusters" -> clustersOracleSql,
     "d_dedup_clusters_star" -> clustersOracleSql,
+    "d_dedup_removal" -> removalOracleSql,
     // Mirrors TextAnalysis.repetitionSignals: same normalized words, same
     // bigram construction, mode via per-(doc, bigram) counts.
     "d_text_repetition" ->

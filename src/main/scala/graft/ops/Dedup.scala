@@ -400,4 +400,27 @@ object Dedup {
     allNodes.join(star, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
+
+  /** End-to-end near-duplicate REMOVAL — the composition a pipeline
+    * actually runs: LSH near-dup pairs → connected components → keep each
+    * component's min-id representative (documents in no component keep
+    * themselves). Removing only pairwise losers would over-delete on
+    * chains (a–b, b–c: who survives?); closing components first makes
+    * exactly one survivor per transitive dup group, deterministically.
+    *
+    * Scale shape: pairs and clustering as documented on
+    * [[minhashLshPairs]] / [[connectedComponentsStar]]; the final cut is
+    * one id-keyed LEFT ANTI join of the corpus against the
+    * non-representative id list (dup-count-sized, ≪ corpus; left to the
+    * planner — broadcastable when small, a plain id shuffle when a crawl
+    * is 50% duplicates).
+    */
+  def removeNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.3,
+      maxIters: Int = 30): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands, threshold)
+    val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
+    val losers = comps.where(col("node") =!= col("comp")).select("node")
+    docs.join(losers, docs(idCol) === losers("node"), "left_anti")
+  }
 }

@@ -688,6 +688,25 @@ class OpsSpec extends AnyFunSuite {
       3L -> (1050L, 1L, 26L), 4L -> (1080L, 1L, 56L)))
   }
 
+  test("removeNearDuplicates: one survivor per dup group, uniques untouched") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content about spark catalyst optimizer internals here"
+    val docs = Seq(
+      (1L, base), (2L, base), (9L, base),   // one dup group — min id 1 survives
+      (3L, other), (4L, other),             // second group — 3 survives
+      (5L, "a unique little document about nothing in particular at all ok")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.removeNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+    // deterministic: identical result on a re-run (fresh plan)
+    assert(Dedup.removeNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == kept)
+    // no pairs at all → everything survives
+    val uniq = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    assert(Dedup.removeNearDuplicates(uniq, "doc_id", "text").count() == 2)
+  }
+
   test("packExamples: spans tile every chunk; straddling docs appear once per chunk") {
     val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L), (5L, 0L))
       .toDF("doc_id", "n_tok")

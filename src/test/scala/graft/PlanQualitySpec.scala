@@ -385,6 +385,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("near-dup removal cuts via an anti join, never a cartesian") {
+    val p = planOf("d_dedup_removal")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("repetition signals never degenerate to cartesian/nested-loop joins") {
     val p = planOf("d_text_repetition")
     assert(!p.contains("CartesianProduct"), p.take(2000))
