@@ -44,6 +44,7 @@ object Bench {
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard
     "d_pack_sequences",   // concatenate-and-chunk packing offsets
     "d_pack_examples",    // chunk-side packed spans (partition-local explode)
+    "d_epoch_pack",       // epoch shuffle + per-shard packing (zero single-partition stages)
     "d_quality_topq",     // exact top-quantile gate via value histogram
     "d_mixture_sample",   // weighted source mixture under availability
     "d_corpus_stats",     // per-source corpus profile report

@@ -1012,6 +1012,21 @@ object SparkEntry {
         budget = 60000L, bucketWidth = 64)
         .select(col("doc_id"), col("n_chars"), col("cum")).orderBy("doc_id")
     },
+    // ---- epoch-shuffled SHARDED packing: the per-epoch permutation
+    //      (epochShards) composed with per-shard concatenate-and-chunk —
+    //      chunk indexes are per-shard, windows run per-shard in
+    //      parallel, and the plan has ZERO single-partition stages (the
+    //      truly parallel packing shape when global order isn't needed)
+    "d_epoch_pack" -> { (s, dir) =>
+      ops.Budget.packSequencesSharded(
+        ops.Sampling.epochShards(t(s, dir, "documents"), "doc_id",
+          nShards = 16, epoch = 3),
+        shardCol = "shard", orderCol = "pos", weightCol = "n_chars",
+        seqLen = 2048)
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("offset"), col("chunk"), col("chunk_pos"))
+        .orderBy("doc_id")
+    },
     // ---- materialized packed examples: the chunk-side view of packing —
     //      one row per (chunk, doc) span via a partition-local explode
     //      over each doc's chunk range; group by chunk = training example
@@ -1682,6 +1697,24 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Same epoch salt/hash/shard/pos as d_epoch_shards, then the naive
+    // per-shard running-sum window and per-shard chunk math.
+    "d_epoch_pack" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  ${OracleFrag.unitHash(s"(doc_id + ${3L * 2654435761L})")} AS u
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_chars, CAST(u % 16 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY u % 16 ORDER BY u, doc_id) AS INT) AS pos
+         |  FROM t),
+         |p AS (SELECT doc_id, shard, pos,
+         |  CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT)
+         |    AS "offset"
+         |  FROM s)
+         |SELECT doc_id, shard, pos, "offset",
+         |  CAST("offset" // 2048 AS BIGINT) AS chunk,
+         |  CAST("offset" % 2048 AS BIGINT) AS chunk_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
     // Chunk-span recompute from the naive window: per doc, generate_series
     // over its inclusive chunk range and clip the span to each chunk —
     // equality proves the explode materialization re-derives exactly the

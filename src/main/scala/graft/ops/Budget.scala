@@ -104,6 +104,36 @@ object Budget {
       .drop("cum")
   }
 
+  /** Per-SHARD concatenate-and-chunk packing: documents already assigned
+    * to shards (e.g. [[Sampling.epochShards]]) are laid end-to-end in
+    * `orderCol` order WITHIN each shard and cut into `seqLen`-token
+    * chunks — `chunk` indexes are per-shard. This is the fully parallel
+    * packing shape for when global stream order isn't required (an epoch
+    * shard maps 1:1 to a loader file anyway): per-shard windows run
+    * concurrently with ZERO single-partition stages anywhere in the plan
+    * (pinned) — not even the tiny aggregate-fed offsets window
+    * [[packSequences]] needs for its global order. Same null/negative
+    * weight guards as [[runningTotals]].
+    */
+  def packSequencesSharded(df: DataFrame, shardCol: String, orderCol: String,
+      weightCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w0 = col(weightCol).cast("long")
+    val w = when(col(shardCol).isNull || col(orderCol).isNull,
+        raise_error(lit(s"packSequencesSharded: null $shardCol/$orderCol")))
+      .when(w0.isNull || w0 < 0, raise_error(concat(
+        lit(s"packSequencesSharded: null or negative $weightCol at $orderCol="),
+        col(orderCol).cast("string"))))
+      .otherwise(w0)
+    val win = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__w", w)
+      .withColumn("offset", sum(col("__w")).over(win) - col("__w"))
+      .withColumn("chunk", expr(s"offset div ${seqLen}L"))
+      .withColumn("chunk_pos", col("offset") - col("chunk") * seqLen)
+      .drop("__w")
+  }
+
   /** The CHUNK-side view of [[packSequences]] — the materialized packed
     * examples a data loader consumes: one row per (chunk, document) pair
     * with the span of the document inside that chunk, so grouping by

@@ -57,6 +57,14 @@ object DocumentStream {
   def hashSample(docs: DataFrame, idCol: String, fraction: Double): DataFrame =
     graft.ops.Sampling.hashSample(docs, idCol, fraction)
 
+  /** Per-stratum streaming sample — same stateless property as
+    * [[hashSample]], with per-source fractions (downsample the crawl,
+    * keep curated sources whole) compiled into the scan's when-cascade.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double): DataFrame =
+    graft.ops.Sampling.stratifiedSample(docs, strataCol, idCol, fractions, default)
+
   /** Exact dedup within a watermark window, keyed on xxhash64 of the RAW
     * text (byte-exact duplicate detection, the cheapest exact key; swap in
     * TextFunctions.shingle_hashes-based keys for normalized-content

@@ -731,6 +731,27 @@ class OpsSpec extends AnyFunSuite {
     assert(doc4.map(_._3).sum == 2000L)
   }
 
+  test("packSequencesSharded: independent per-shard streams, guards fire") {
+    val docs = Seq(
+      (1L, 0, 1, 100L), (2L, 0, 2, 2000L), (3L, 0, 3, 50L),  // shard 0 stream
+      (4L, 1, 1, 10L), (5L, 1, 2, 10L)                        // shard 1 stream
+    ).toDF("doc_id", "shard", "pos", "n_tok")
+    val out = Budget.packSequencesSharded(docs, "shard", "pos", "n_tok", seqLen = 1024)
+      .select("doc_id", "offset", "chunk", "chunk_pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // shard 0: [0,100) [100,2100) [2100,2150); shard 1 restarts at 0
+    assert(out == Map(
+      1L -> (0L, 0L, 0L), 2L -> (100L, 0L, 100L), 3L -> (2100L, 2L, 52L),
+      4L -> (0L, 0L, 0L), 5L -> (10L, 0L, 10L)))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val bad = Seq[(java.lang.Long, java.lang.Integer, java.lang.Integer, java.lang.Long)](
+      (1L, 0, 1, 10L), (2L, 0, 2, null)).toDF("doc_id", "shard", "pos", "n_tok")
+    val e = intercept[Exception](
+      Budget.packSequencesSharded(bad, "shard", "pos", "n_tok", 1024).collect())
+    assert(messages(e).exists(_.contains("null or negative n_tok")), e.getMessage)
+  }
+
   // ---- repetition-signal edge cases ----------------------------------------
 
   test("unigramSurprisal: rare-word gibberish scores above common-word text") {

@@ -311,6 +311,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(singles.size == 1, p.take(3000))
   }
 
+  test("epoch-shuffled sharded packing has ZERO single-partition stages") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // unlike the global-order packSequences (whose one single-partition
+    // stage is the tiny aggregate-fed offsets window), per-shard packing
+    // must be fully parallel end to end
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.Budget.packSequencesSharded(
+      graft.ops.Sampling.epochShards(docs, "doc_id", nShards = 16, epoch = 3),
+      "shard", "pos", "n_chars", seqLen = 2048))
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    assert(singles.isEmpty, plan.toString.take(3000))
+  }
+
   test("packExamples: the chunk-span explode is partition-local (no new exchange)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -92,6 +92,21 @@ class StreamingSpec extends AnyFunSuite {
       s"stream sampled ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming stratified sample: per-source fractions match batch membership") {
+    val fr = Map("web" -> 0.2, "books" -> 1.0)
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.stratifiedSample(stream, "source", "doc_id", fr, default = 0.5),
+      "doc_strat_sample")
+    val streamed = spark.table("doc_strat_sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Sampling.stratifiedSample(
+        spark.read.parquet(s"$dir/documents.parquet"), "source", "doc_id", fr, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+  }
+
   test("streaming exact dedup within watermark matches batch distinct-on-content") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
