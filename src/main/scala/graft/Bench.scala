@@ -63,6 +63,8 @@ object Bench {
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "m_media_frames",     // mapPartitions frame sampling
+    "m_media_features",   // REAL PNG decode (ImageIO) + raster checksum
+    "m_media_resize",     // real decode + nearest-neighbor resample
   )
 
   def main(args: Array[String]): Unit = {

@@ -129,6 +129,24 @@ object SparkEntry {
       .withColumn("cent_n", ops.Similarity.norm(col("cent_v")))
   }
 
+  /** Per-JVM materialized PNG asset table (binary payload + metadata) —
+    * a real pipeline stores encoded media and DECODES on read; writing
+    * the fixture once per sfDir keeps the m_media_* rows measuring the
+    * decode path, not fixture generation, and exercises binary columns
+    * through parquet like production would.
+    */
+  private val imageAssetsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def imageAssetTable(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
+    val pdir = imageAssetsDirs.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_media").resolve("assets").toString
+      ops.Multimodal.imageAssets(t(s, d, "documents")).write.parquet(path)
+      path
+    })
+    s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
+  }
+
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_part").resolve("orders").toString
@@ -752,8 +770,7 @@ object SparkEntry {
     //      so the oracle recomputes the decoded raster's checksum
     //      analytically; a wrong decode fails the hash gate
     "m_media_features" -> { (s, dir) =>
-      ops.Multimodal.decodeFeatures(
-        ops.Multimodal.imageAssets(t(s, dir, "documents")))
+      ops.Multimodal.decodeFeatures(imageAssetTable(s, dir))
         .select(col("assetId"), col("width"), col("height"), col("checksum"))
         .orderBy("assetId")
     },
@@ -767,9 +784,7 @@ object SparkEntry {
     // ---- multimodal: batched nearest-neighbor resize over REAL decoded
     //      pixels (explicit integer resample — oracle-reproducible)
     "m_media_resize" -> { (s, dir) =>
-      ops.Multimodal.resize(
-        ops.Multimodal.imageAssets(t(s, dir, "documents")),
-        width = 24, height = 24)
+      ops.Multimodal.resize(imageAssetTable(s, dir), width = 24, height = 24)
         .toDF().select("assetId", "width", "height", "nBytes", "checksum")
         .orderBy("assetId")
     },
