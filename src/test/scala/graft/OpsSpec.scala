@@ -752,6 +752,26 @@ class OpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("null or negative n_tok")), e.getMessage)
   }
 
+  test("property: packExamples re-derives exactly the spans packSequences implies") {
+    val rnd = new scala.util.Random(7)
+    // weights 0..399 — zero-weight docs exercise the no-chunk drop
+    val docs = (1L to 300L).map(i => (i, rnd.nextInt(400).toLong)).toDF("doc_id", "w")
+    val L = 128L
+    val packed = Budget.packSequences(docs, "doc_id", "w", L).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("w"), r.getAs[Long]("offset")))
+    val expect = packed.filter(_._2 > 0).flatMap { case (id, w, off) =>
+      (off / L to (off + w - 1) / L).map { c =>
+        val start = math.max(off, c * L)
+        val end = math.min(off + w, (c + 1) * L)
+        ((c, id), (start - off, end - start, start - c * L))
+      }
+    }.toMap
+    val got = Budget.packExamples(docs, "doc_id", "w", L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty && got == expect)
+  }
+
   // ---- repetition-signal edge cases ----------------------------------------
 
   test("unigramSurprisal: rare-word gibberish scores above common-word text") {
