@@ -46,8 +46,14 @@ object Budget {
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val w0 = col(weightCol).cast("long")
-    val w = when(col(idCol).isNull,
-        raise_error(lit(s"runningTotals: null $idCol")))
+    // guard the CASTED id, not the raw column: a non-numeric string id (or
+    // an overflowing decimal) casts to null, which would land in a null
+    // bucket, silently miss the offsets equi-join AND corrupt every other
+    // bucket's offset (nulls sort first in the offsets window)
+    val idl = col(idCol).cast("long")
+    val w = when(idl.isNull,
+        raise_error(concat(lit(s"runningTotals: null or non-numeric $idCol: "),
+          coalesce(col(idCol).cast("string"), lit("null")))))
       .when(w0.isNull, raise_error(concat(
         lit(s"runningTotals: null $weightCol at $idCol="),
         col(idCol).cast("string"))))
@@ -57,7 +63,7 @@ object Budget {
     // integer `div`, not floor(double /): above 2^53 a double quotient
     // loses precision and bucket boundaries drift from the documented width
     val withB = df
-      .withColumn("__idl", col(idCol).cast("long"))
+      .withColumn("__idl", idl)
       .withColumn("__b", expr(s"__idl div ${bucketWidth}L"))
       .drop("__idl")
       .withColumn("__w", w)
@@ -113,7 +119,11 @@ object Budget {
     * concurrently with ZERO single-partition stages anywhere in the plan
     * (pinned) — not even the tiny aggregate-fed offsets window
     * [[packSequences]] needs for its global order. Same null/negative
-    * weight guards as [[runningTotals]].
+    * weight guards as [[runningTotals]]; `orderCol` must additionally be
+    * UNIQUE within each shard ([[Sampling.epochShards]]' `pos` is, by
+    * construction) — a tie would make the tied rows' offsets depend on
+    * partition delivery order, so it raises instead (a `lag` over the
+    * same window sort — no extra exchange).
     */
   def packSequencesSharded(df: DataFrame, shardCol: String, orderCol: String,
       weightCol: String, seqLen: Long): DataFrame = {
@@ -125,10 +135,15 @@ object Budget {
         lit(s"packSequencesSharded: null or negative $weightCol at $orderCol="),
         col(orderCol).cast("string"))))
       .otherwise(w0)
-    val win = Window.partitionBy(shardCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(shardCol).orderBy(orderCol)
+    val win = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dupe = lag(col(orderCol), 1).over(ord) === col(orderCol)
     df.withColumn("__w", w)
-      .withColumn("offset", sum(col("__w")).over(win) - col("__w"))
+      .withColumn("offset",
+        when(dupe, raise_error(concat(
+          lit(s"packSequencesSharded: duplicate $orderCol within $shardCol at "),
+          col(orderCol).cast("string"))))
+        .otherwise(sum(col("__w")).over(win) - col("__w")))
       .withColumn("chunk", expr(s"offset div ${seqLen}L"))
       .withColumn("chunk_pos", col("offset") - col("chunk") * seqLen)
       .drop("__w")

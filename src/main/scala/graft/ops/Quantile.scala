@@ -44,28 +44,44 @@ object Quantile {
 
   /** 1-row frame `(__cut)`: the k-th best `scoreCol` value, k = ceil(frac·n)
     * in exact decimal arithmetic. Fails the job if the score column has
-    * more than `maxDistinct` distinct values (precondition guard).
+    * more than `maxDistinct` distinct values, or any NULL — both
+    * precondition guards fire BEFORE the serialization wall they exist to
+    * prevent: the null check is a scan-stage branch, and the cardinality
+    * check lives on the BROADCAST side of the cutoff join, which Spark
+    * materializes before the single-partition window stage may run — a
+    * corpus-sized histogram kills the job in the (parallel) count
+    * aggregate with a pointed message, never inside the one-task sort.
+    * (Nulls can't just be ignored: they'd inflate n — shrinking the
+    * selected fraction — and a null majority would make the cutoff
+    * itself null, silently selecting nothing.)
     */
   def topFractionCutoff(df: DataFrame, scoreCol: String, frac: Double,
       maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
     require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
-    val hist = df.groupBy(col(scoreCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val v = when(col(scoreCol).isNull,
+        raise_error(lit(s"topFractionCutoff: null $scoreCol — the exact " +
+          "histogram gate requires non-null quantized scores")))
+      .otherwise(col(scoreCol))
+    val hist = df.groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // guard on the broadcast side: evaluated when the 1-row total frame
+    // materializes, i.e. before the window's single-task stage executes
+    val tot = hist.agg(sum("__c").as("__n"), count(lit(1)).as("__nd"))
+      .select(col("__n"),
+        when(col("__nd") > maxDistinct, raise_error(concat(
+          lit(s"topFractionCutoff: $scoreCol has "), col("__nd").cast("string"),
+          lit(s" distinct values (> $maxDistinct); the exact histogram gate " +
+            "requires quantized scores — use selectTopFractionApprox for " +
+            "continuous scores")))
+        ).otherwise(col("__nd")).as("__nd"))
     // BigDecimal.valueOf(frac) is the shortest decimal that parses back to
     // the same double — the same text a caller wrote, made exact
     val k = ceil(lit(BigDecimal.valueOf(frac)) * col("__n"))
-    val kGuarded = when(col("__nd") > maxDistinct, raise_error(concat(
-        lit(s"topFractionCutoff: $scoreCol has "), col("__nd").cast("string"),
-        lit(s" distinct values (> $maxDistinct); the exact histogram gate " +
-          "requires quantized scores — use selectTopFractionApprox for " +
-          "continuous scores")))
-      ).otherwise(k)
     hist.withColumn("__cum", sum("__c").over(wCum))
-      .crossJoin(broadcast(
-        hist.agg(sum("__c").as("__n"), count(lit(1)).as("__nd"))))
-      .where(col("__cum") >= kGuarded)
+      .crossJoin(broadcast(tot))
+      .where(col("__cum") >= k && col("__nd") > 0)
       .agg(max("__v").as("__cut"))
   }
 

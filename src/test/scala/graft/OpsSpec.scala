@@ -555,12 +555,22 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "w")
     val e1 = intercept[Exception](
       Budget.runningTotals(nullId, "doc_id", "w").collect())
-    assert(messages(e1).exists(_.contains("null doc_id")), e1.getMessage)
+    assert(messages(e1).exists(_.contains("null or non-numeric doc_id: null")),
+      e1.getMessage)
     val nullW = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null))
       .toDF("doc_id", "w")
     val e2 = intercept[Exception](
       Budget.runningTotals(nullW, "doc_id", "w").collect())
     assert(messages(e2).exists(_.contains("null w at doc_id=2")), e2.getMessage)
+    // a non-numeric id must fail loudly, never land in a silent null
+    // bucket: under ANSI (Spark 4 default) the cast itself throws
+    // CAST_INVALID_INPUT; with ANSI off the cast yields null and the
+    // operator's own casted-id guard raises instead
+    val castNull = Seq(("1", 10L), ("doc-2", 5L)).toDF("doc_id", "w")
+    val e3 = intercept[Exception](
+      Budget.runningTotals(castNull, "doc_id", "w").collect())
+    assert(messages(e3).exists(m => m.contains("null or non-numeric doc_id")
+      || m.contains("CAST_INVALID_INPUT")), e3.getMessage)
   }
 
   test("edge cases: empty bench set, self-pair components, single-shard epoch") {
@@ -653,6 +663,19 @@ class OpsSpec extends AnyFunSuite {
     // the same data passes when the bound admits it
     assert(Quantile.selectTopFraction(df, "score", 0.25, maxDistinct = 1000)
       .count() == 125)
+  }
+
+  test("selectTopFraction: null scores fail fast instead of silently shrinking the cut") {
+    // nulls would inflate n (shrinking the selected fraction) and a null
+    // majority would null the cutoff itself — selecting NOTHING silently
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 0.9), (2L, 0.8), (3L, null), (4L, null), (5L, null)
+    ).toDF("doc_id", "score")
+    val e = intercept[Exception](
+      Quantile.selectTopFraction(df, "score", 0.5).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("null score")), e.getMessage)
   }
 
   test("selectTopFractionApprox: continuous scores, selected fraction within sketch bound") {
@@ -750,6 +773,13 @@ class OpsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       Budget.packSequencesSharded(bad, "shard", "pos", "n_tok", 1024).collect())
     assert(messages(e).exists(_.contains("null or negative n_tok")), e.getMessage)
+    // tied orderCol within a shard would make the tied offsets depend on
+    // partition delivery order — must raise, not silently pick one
+    val tied = Seq((1L, 0, 7, 10L), (2L, 0, 7, 20L), (3L, 1, 7, 5L))
+      .toDF("doc_id", "shard", "pos", "n_tok")
+    val e2 = intercept[Exception](
+      Budget.packSequencesSharded(tied, "shard", "pos", "n_tok", 1024).collect())
+    assert(messages(e2).exists(_.contains("duplicate pos within shard")), e2.getMessage)
   }
 
   test("property: packExamples re-derives exactly the spans packSequences implies") {
