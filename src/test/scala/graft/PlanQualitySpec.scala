@@ -359,6 +359,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("quantile cardinality guard rides the broadcast side, not the window stage") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.functions.col
+    // the guard must be able to fail the job BEFORE the single-partition
+    // window sorts a corpus-sized histogram: broadcast exchanges
+    // materialize (in their own job) before any main-stage task runs, so
+    // the raise_error belongs in a broadcast subtree and must NOT appear
+    // inside the single-partition exchange's subtree
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") % 100).as("score"))
+    val plan = nonAdaptivePlan(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25))
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.exists(_.toString.contains("distinct values")),
+      plan.toString.take(3000))
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    assert(singles.nonEmpty)
+    singles.foreach(e => assert(!e.toString.contains("distinct values"),
+      e.toString.take(2000)))
+  }
+
   test("pipeline_pack + mixture: every single-partition stage consumes aggregates") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
