@@ -143,6 +143,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 == 1.0, s"probing ALL cells must equal brute force, got $r16")
   }
 
+  test("committed centroid fixture: shape intact, serve recall over floor") {
+    // guards the fixture FILE (a corrupted/truncated resource would
+    // silently degrade the trained serve paths the oracle gates)
+    val rows = SparkEntry.fixtureCentroidRows
+    assert(rows.size == 16 && rows.map(_._1).sorted == (0 until 16))
+    assert(rows.forall(_._2.size == 64))
+    assert(rows.forall(_._2.forall(v => v.isFinite)))
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4,
+        centroids = Some(SparkEntry.fixtureCentroids(TestSpark.session)))
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.6, s"fixture-served recall $recall below floor")
+  }
+
   test("k-means IVF centroids: recall and cell balance vs the seeded quantizer") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
