@@ -420,7 +420,10 @@ object Dedup {
       maxIters: Int = 30): DataFrame = {
     val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands, threshold)
     val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
-    val losers = comps.where(col("node") =!= col("comp")).select("node")
-    docs.join(losers, docs(idCol) === losers("node"), "left_anti")
+    // reserved __-prefixed name so the anti-join can't capture a caller
+    // column that happens to be called `node`
+    val losers = comps.where(col("node") =!= col("comp"))
+      .select(col("node").as("__dup_id"))
+    docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
   }
 }

@@ -59,12 +59,14 @@ object Multimodal {
   /** Deterministic fixture pixel at (x, y) of asset `id`, packed RGB.
     * Pure integer arithmetic so the DuckDB oracle recomputes the raster:
     * r = (7x+13y+id) mod 256, g = (11x+3y+5id) mod 256,
-    * b = (5x+17y+11id) mod 256.
+    * b = (5x+17y+11id) mod 256 — floorMod, so a negative id still yields
+    * channels in [0,256) (Scala `%` would go negative and bleed shifted
+    * bits across channels), matching the oracle's non-negative `%`/pmod.
     */
   def fixturePixel(id: Long, x: Int, y: Int): Long = {
-    val r = (x * 7L + y * 13L + id) % 256
-    val g = (x * 11L + y * 3L + id * 5L) % 256
-    val b = (x * 5L + y * 17L + id * 11L) % 256
+    val r = Math.floorMod(x * 7L + y * 13L + id, 256)
+    val g = Math.floorMod(x * 11L + y * 3L + id * 5L, 256)
+    val b = Math.floorMod(x * 5L + y * 17L + id * 11L, 256)
     (r << 16) | (g << 8) | b
   }
 

@@ -102,14 +102,23 @@ object Quantile {
     * tie mass) — membership of rows near the boundary can differ from the
     * exact gate, which is why the exact histogram form stays the gated
     * default for quantized scores.
+    *
+    * NULL scores raise, same as the exact gate and for the same reason:
+    * `approx_percentile` would silently drop them from the sketch while
+    * they also vanish from `score >= cutoff`, so a null-heavy corpus would
+    * quietly gate a much smaller population than the caller asked about.
+    * Filter nulls explicitly first if exclusion is the intent.
     */
   def selectTopFractionApprox(df: DataFrame, scoreCol: String, frac: Double,
       accuracy: Int = 10000): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
     require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val v = when(col(scoreCol).isNull,
+        raise_error(lit(s"selectTopFractionApprox: null $scoreCol — gate " +
+          "semantics require non-null scores; filter nulls explicitly first")))
+      .otherwise(col(scoreCol))
     // frac = 1 must keep everything: percentile 0 of the sketch is the min
-    val cut = df.agg(approx_percentile(col(scoreCol),
-      lit(1.0 - frac), lit(accuracy)).as("__cut"))
-    df.join(broadcast(cut), col(scoreCol) >= col("__cut")).drop("__cut")
+    val cut = df.agg(approx_percentile(v, lit(1.0 - frac), lit(accuracy)).as("__cut"))
+    df.join(broadcast(cut), v >= col("__cut")).drop("__cut")
   }
 }

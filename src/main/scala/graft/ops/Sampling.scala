@@ -12,14 +12,54 @@ import org.apache.spark.sql.functions._
   * any cluster layout, and the DuckDB oracle recomputes membership exactly.
   *
   * Scale shape: [[hashSample]] is a stateless filter (fully pushed into
-  * the scan stage, no shuffle); [[stratifiedFixed]] shuffles once on the
-  * stratum key and top-n's within each stratum in parallel — the same
-  * per-stratum-window pattern as the pipeline token budget (a global
-  * sample order would serialize).
+  * the scan stage, no shuffle); [[stratifiedFixed]] / [[mixtureSample]]
+  * pick "the n smallest hashes per stratum" in two phases — a bucketed
+  * hash histogram chooses an exact per-stratum cutoff bucket, and only
+  * the ~n rows below it ever reach a rank window. A naive
+  * `row_number over (partition by stratum)` would bound parallelism by
+  * the NUMBER of strata, which for a source-mixture job is single
+  * digits with one source at ~90% of rows — that source would serialize
+  * through one task (the same wall Budget's bucketed prefix sum exists
+  * to avoid).
   */
 object Sampling {
 
   private val P31 = 2147483647L // Mersenne prime 2^31 - 1
+
+  /** Buckets for the two-phase exact-n selection: the hash range splits
+    * into `SelectionBuckets` equal slices, so phase 1's histogram carries
+    * ≤ strata × buckets rows and phase 2's rank window sees ≈ n +
+    * avail/buckets rows per stratum.
+    */
+  val SelectionBuckets = 4096
+
+  /** Rows bucketed by hash slice, plus the per-(stratum, bucket) histogram
+    * and the exact per-stratum cutoff bucket `__bmax`: the smallest bucket
+    * prefix guaranteed to hold at least `quota` rows (all buckets whose
+    * PRECEDING cumulative count is < quota). Rows in buckets ≤ `__bmax`
+    * are a superset of the quota smallest hashes — membership of the final
+    * sample is exact by construction, no slack factor, no undershoot.
+    * `quotaOf` maps the per-stratum histogram aggregate to that stratum's
+    * quota column (a literal for [[stratifiedFixed]]; derived from
+    * availability for [[mixtureSample]]).
+    */
+  private def bucketedCutoff(df: DataFrame, strataCol: String, idCol: String,
+      quotaOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val bw = P31 / SelectionBuckets + 1
+    val withU = df.withColumn("__u", unitHash(col(idCol)))
+      .withColumn("__b", floor(col("__u") / lit(bw)).cast("long"))
+    val hist = withU.groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tiny by construction: ≤ strata × SelectionBuckets rows feed this
+    // window, the aggregate-fed shape this repo pins everywhere
+    val cuts = quotaOf(hist)
+      .withColumn("__cum", sum("__c").over(wCum))
+      .where(col("__cum") - col("__c") < col("__quota"))
+      .groupBy(col(strataCol))
+      .agg(max(col("__b")).as("__bmax"), max(col("__quota")).as("__quota"))
+    (withU, cuts)
+  }
 
   /** Deterministic unit hash of a row id into [0, 2^31-1): two Lehmer
     * steps, `u = (((id mod p + 1) * 48271 mod p) * 48271) mod p`. One step
@@ -43,16 +83,33 @@ object Sampling {
     df.withColumn("u", unitHash(col(idCol))).where(col("u") < cut)
   }
 
-  /** Exactly-n-per-stratum deterministic sample: rows ranked inside each
-    * stratum by (unit hash, id) — a uniform shuffle order that is stable
-    * across runs — and the first `n` kept, with the rank emitted as `rk`.
-    * One shuffle on the stratum key; strata are processed in parallel.
+  /** Exactly-n-per-stratum deterministic sample: the `n` rows with the
+    * smallest (unit hash, id) inside each stratum — a uniform shuffle
+    * order that is stable across runs — with the rank emitted as `rk`.
     * Oversampling guard: a stratum with fewer than `n` rows keeps all.
+    *
+    * Scale shape (two-phase, exact): phase 1 histograms the corpus by
+    * (stratum, hash bucket) — a map-side-combined aggregate whose shuffle
+    * carries ≤ strata × [[SelectionBuckets]] rows — and a tiny prefix-sum
+    * window picks each stratum's exact cutoff bucket; phase 2 re-scans,
+    * keeps only rows at-or-below the broadcast cutoff (a scan-stage
+    * filter), and rank-orders the ≈ n + avail/buckets survivors. The rank
+    * window never sees the corpus, so a 90%-of-rows dominant stratum costs
+    * one small task, not one corpus-sized one. Ranks equal the
+    * full-stratum ranks because every excluded row hashes above every
+    * survivor; membership is identical to the one-phase form by
+    * construction (no slack, no failure mode to guard).
     */
   def stratifiedFixed(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
-    val w = Window.partitionBy(col(strataCol)).orderBy(unitHash(col(idCol)), col(idCol))
-    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
+      hist => hist.withColumn("__quota", lit(n.toLong)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    withU.join(broadcast(cuts), Seq(strataCol))
+      .where(col("__b") <= col("__bmax"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__quota"))
+      .drop("__u", "__b", "__bmax", "__quota")
   }
 
   /** Weighted corpus MIXTURE: scale every source to target proportions
@@ -64,10 +121,13 @@ object Sampling {
     * and is reproducible on any layout. Sources with weight 0 (or not in
     * `weights`, with `default = 0`) are excluded.
     *
-    * Scale shape: per-source counts and the feasibility min are tiny
-    * aggregates; quotas broadcast back; the only corpus-sized work is the
-    * per-stratum rank window — one shuffle on the stratum key, strata in
-    * parallel (the [[stratifiedFixed]] pattern with a computed n).
+    * Scale shape: per-source availability, the feasibility min, and the
+    * quotas all derive from phase 1's (stratum, hash bucket) histogram —
+    * tiny aggregates — and the exact cutoff-bucket machinery of
+    * [[stratifiedFixed]] (with the computed quota as n) keeps the rank
+    * window's input at ≈ quota + avail/buckets rows per stratum instead of
+    * the corpus: the dominant source of a real mixture never serializes
+    * through one task.
     */
   def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
       weights: Map[String, Double], default: Double = 0.0): DataFrame = {
@@ -77,17 +137,21 @@ object Sampling {
       "at least one mixture weight must be positive")
     val wt = weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(w)).otherwise(acc) }
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__avail"))
-      .withColumn("__wt", wt)
-      .where(col("__wt") > 0)
-    val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
-    val quotas = counts.crossJoin(broadcast(tmax))
-      .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
-    val wRank = Window.partitionBy(col(strataCol)).orderBy(unitHash(col(idCol)), col(idCol))
-    df.withColumn("rk", row_number().over(wRank))
-      .join(broadcast(quotas), Seq(strataCol))
+    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol, { hist =>
+      val counts = hist.groupBy(col(strataCol)).agg(sum("__c").as("__avail"))
+        .withColumn("__wt", wt)
+        .where(col("__wt") > 0)
+      val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
+      val quotas = counts.crossJoin(broadcast(tmax))
+        .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
+      hist.join(quotas, Seq(strataCol))
+    })
+    val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    withU.join(broadcast(cuts), Seq(strataCol))
+      .where(col("__b") <= col("__bmax"))
+      .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("__quota"))
-      .drop("__quota")
+      .drop("__u", "__b", "__bmax", "__quota")
   }
 
   /** Deterministic epoch shuffle + shard: the "reshuffle the corpus each
@@ -96,9 +160,11 @@ object Sampling {
     * `(id, epoch)` — so the ordering is identical on any cluster layout,
     * after any retry, and reproducible from the epoch number alone; a new
     * epoch permutes everything. Scale shape: ONE shuffle on the shard key
-    * and per-shard windows running in parallel (the same
-    * per-stratum-window pattern as [[stratifiedFixed]]); a naive global
-    * `ORDER BY rand()` would both serialize and be unreproducible. At
+    * and per-shard windows running in parallel — here the window partition
+    * count is user-sized (thousands of shards), so per-partition windows
+    * genuinely scale, unlike a per-SOURCE window (see [[stratifiedFixed]]);
+    * a naive global `ORDER BY rand()` would both serialize and be
+    * unreproducible. At
     * write time the shards map 1:1 to output files
     * (`partitionBy("shard")`), which is what a data loader consumes.
     */

@@ -630,6 +630,46 @@ class OpsSpec extends AnyFunSuite {
       Sampling.mixtureSample(df, "source", "doc_id", Map("a" -> 0.0), default = 0.0))
   }
 
+  test("two-phase exact-n selection ≡ naive full-stratum rank, skewed strata") {
+    // differential property: the bucketed-cutoff form must reproduce the
+    // naive `row_number over (partition by stratum order by u, id)` —
+    // membership AND ranks — on a 95%-dominant stratum with non-contiguous
+    // ids (so hash order ≠ id order and buckets populate unevenly)
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 950L).map(i => (i * 37L % 2029L + i, "web")) ++
+      (2000L to 2030L).map(i => (i, "books")) ++
+      (3000L to 3014L).map(i => (i, "code"))
+    val df = rows.toDF("doc_id", "source").distinct()
+    def naive(n: Int) = {
+      val w = Window.partitionBy($"source")
+        .orderBy(Sampling.unitHash($"doc_id"), $"doc_id")
+      df.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .where($"rk" <= n)
+    }
+    for (n <- Seq(1, 8, 40)) {
+      val fast = Sampling.stratifiedFixed(df, "source", "doc_id", n)
+        .select("doc_id", "source", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val slow = naive(n).select("doc_id", "source", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(fast == slow, s"n=$n: ${fast.size} vs ${slow.size}")
+    }
+    // mixture: same property with availability-derived quotas
+    val wts = Map("web" -> 3.0, "books" -> 1.0)
+    val got = Sampling.mixtureSample(df, "source", "doc_id", wts, default = 0.5)
+      .select("doc_id", "source", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val avail = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wtOf = (s: String) => wts.getOrElse(s, 0.5)
+    val t = avail.map { case (s, a) => a.toDouble / wtOf(s) }.min
+    val quota = avail.keys.map(s => s -> math.floor(t * wtOf(s)).toLong).toMap
+    val expect = naive(Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("rk")))
+      .filter { case (_, s, rk) => rk <= quota(s) }.toSet
+    assert(got == expect, s"mixture: ${got.size} vs ${expect.size}")
+  }
+
   test("selectTopFraction: exact cutoff, ties kept, frac=1 keeps all") {
     val scored = Seq(
       (1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.5), (5L, 0.5),
@@ -720,6 +760,20 @@ class OpsSpec extends AnyFunSuite {
     // histogram form stays the gated default for quantized scores
   }
 
+  test("selectTopFractionApprox: null scores fail fast, same contract as the exact gate") {
+    // before the guard, approx_percentile dropped nulls from the sketch AND
+    // `score >= cut` dropped the rows — the gate silently shrank its
+    // population; now it raises like topFractionCutoff (ADVICE r8)
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 0.9), (2L, 0.8), (3L, null)
+    ).toDF("doc_id", "score")
+    val e = intercept[Exception](
+      Quantile.selectTopFractionApprox(df, "score", 0.5).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("null score")), e.getMessage)
+  }
+
   test("packSequences: offsets tile the stream; straddling docs land where expected") {
     val docs = Seq((1L, 100L), (2L, 950L), (3L, 30L), (4L, 2000L))
       .toDF("doc_id", "n_tok")
@@ -750,6 +804,31 @@ class OpsSpec extends AnyFunSuite {
     // no pairs at all → everything survives
     val uniq = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     assert(Dedup.removeNearDuplicates(uniq, "doc_id", "text").count() == 2)
+    // a caller column literally named `node` must not be captured by the
+    // anti-join condition (ADVICE r8: losers now aliased to __dup_id)
+    val withNode = Seq((1L, base, "n1"), (2L, base, "n2"), (3L, other, "n3"))
+      .toDF("doc_id", "text", "node")
+    assert(Dedup.removeNearDuplicates(withNode, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("fixturePixel: negative asset ids still pack channels in [0,256)") {
+    // Scala `%` goes negative for negative ids; floorMod keeps every
+    // channel in range so the packed RGB never bleeds across fields
+    for (id <- Seq(-1L, -255L, -1000000007L); x <- 0 to 3; y <- 0 to 3) {
+      val px = Multimodal.fixturePixel(id, x, y)
+      val (r, g, b) = (px >> 16, (px >> 8) & 0xff, px & 0xff)
+      assert(px >= 0 && r < 256 && g < 256 && b < 256, s"id=$id px=$px")
+    }
+    // non-negative ids (the testdata contract) are byte-identical to the
+    // plain-% formula the DuckDB oracle mirrors
+    for (id <- Seq(0L, 7L, 12345L); x <- 0 to 3; y <- 0 to 3) {
+      val px = Multimodal.fixturePixel(id, x, y)
+      val exp = (((x * 7L + y * 13L + id) % 256) << 16) |
+        (((x * 11L + y * 3L + id * 5L) % 256) << 8) |
+        ((x * 5L + y * 17L + id * 11L) % 256)
+      assert(px == exp, s"id=$id ($x,$y)")
+    }
   }
 
   test("packExamples: spans tile every chunk; straddling docs appear once per chunk") {

@@ -252,15 +252,40 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("exactly-n stratified sample shuffles once, on the stratum key only") {
+  test("exact-n stratified/mixture rank window reads presample survivors, not the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val plan = nonAdaptivePlan(
-      graft.ops.Sampling.stratifiedFixed(docs, "source", "doc_id", 8))
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1, plan.toString.take(2000))
-    assert(shuffles.head.outputPartitioning.toString.contains("source"),
-      shuffles.head.outputPartitioning.toString)
+    for ((label, df) <- Seq(
+      "stratifiedFixed" -> graft.ops.Sampling.stratifiedFixed(
+        docs, "source", "doc_id", 8),
+      "mixtureSample" -> graft.ops.Sampling.mixtureSample(
+        docs, "source", "doc_id", Map("src0" -> 3.0, "src1" -> 1.0), 0.5))) {
+      val plan = nonAdaptivePlan(df)
+      // the row_number rank window partitions by source — single-digit
+      // parallelism — so its input MUST be the bucket-filtered survivors
+      // (≈ n per stratum), never the corpus: below the rank window sit the
+      // broadcast cutoff join and the __b <= __bmax scan-stage filter
+      val rankWs = plan.collect {
+        case w: WindowExec
+          if w.windowExpression.exists(_.toString.contains("row_number")) => w }
+      assert(rankWs.size == 1, s"$label: ${plan.toString.take(3000)}")
+      val sub = rankWs.head
+      assert(sub.collectFirst {
+        case f: FilterExec if f.condition.toString.contains("__bmax") => f
+      }.nonEmpty, s"$label rank window input not presample-filtered:\n" +
+        sub.toString.take(3000))
+      assert(sub.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$label cutoffs not broadcast:\n${sub.toString.take(3000)}")
+      // phase 1's corpus-sized shuffle is the (source, bucket) histogram —
+      // parallelism strata × buckets, not strata
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.exists { e =>
+        val p = e.outputPartitioning.toString
+        p.contains("source") && p.contains("__b")
+      }, s"$label histogram not bucket-partitioned:\n${plan.toString.take(3000)}")
+    }
   }
 
   test("epoch shuffle shards with one shard-key exchange, never a global sort") {
