@@ -65,6 +65,8 @@ object Bench {
     "m_media_frames",     // mapPartitions frame sampling
     "m_media_features",   // REAL PNG decode (ImageIO) + raster checksum
     "m_media_resize",     // real decode + nearest-neighbor resample
+    "m_media_audio",      // REAL WAV decode (javax.sound) + energy/checksum
+    "m_media_audio_frames", // windowed checksums over decoded samples
   )
 
   def main(args: Array[String]): Unit = {

@@ -147,6 +147,22 @@ object SparkEntry {
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
   }
 
+  /** Per-JVM materialized WAV asset table — same rationale as
+    * [[imageAssetTable]]: the m_media_audio* rows must measure the REAL
+    * `AudioSystem` container parse, not fixture generation.
+    */
+  private val audioAssetsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def audioAssetTable(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
+    val pdir = audioAssetsDirs.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_media_wav").resolve("assets").toString
+      ops.Multimodal.audioAssets(t(s, d, "documents")).write.parquet(path)
+      path
+    })
+    s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
+  }
+
   private[graft] def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val pdir = partOrdersDir.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_part").resolve("orders").toString
@@ -780,6 +796,25 @@ object SparkEntry {
         ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
         everyK = 2, frameBytes = 128)
         .orderBy("assetId", "frameIdx")
+    },
+    // ---- multimodal: REAL WAV decode (javax.sound.sampled) — fixture
+    //      waveforms are deterministic sample functions of (t, id), so the
+    //      oracle recomputes duration/energy/checksum analytically; a
+    //      wrong container parse fails the hash gate. rms is derived from
+    //      sumSq/nSamples (both oracled exactly), so the float column is
+    //      transitively verified and kept out of the hash compare.
+    "m_media_audio" -> { (s, dir) =>
+      ops.Multimodal.decodeAudioFeatures(audioAssetTable(s, dir))
+        .select(col("assetId"), col("sampleRate"), col("nSamples"),
+          col("durationMs"), col("sumSq"), col("checksum"))
+        .orderBy("assetId")
+    },
+    // ---- multimodal: window sampling over the DECODED audio stream —
+    //      genuine WAV containers in, per-window amplitude checksums out
+    "m_media_audio_frames" -> { (s, dir) =>
+      ops.Multimodal.sampleAudioWindows(audioAssetTable(s, dir),
+        windowSamples = 256, everyK = 2)
+        .orderBy("assetId", "windowIdx")
     },
     // ---- multimodal: batched nearest-neighbor resize over REAL decoded
     //      pixels (explicit integer resample — oracle-reproducible)
@@ -1985,6 +2020,40 @@ object SparkEntry {
         |SELECT qid, cid, sim,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The decoded waveform recomputed ANALYTICALLY: the fixture WAV's
+    // sample is s(t) = (2029t + 48271·id + 12345) mod 65536 − 32768 over
+    // n = 512 + n_chars mod 512 samples at 8 kHz; sumSq folds s², the
+    // checksum folds the biased amplitude s+32768 (= the mod value) with
+    // the (a·31 + v) mod (2^31−1) fold — equality proves the RIFF/PCM
+    // container parse returned the original samples bit-exactly
+    "m_media_audio" ->
+      """WITH d AS (SELECT doc_id, 512 + n_chars % 512 AS n FROM documents)
+        |SELECT doc_id AS "assetId", CAST(8000 AS INT) AS "sampleRate",
+        |  CAST(n AS INT) AS "nSamples",
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS "durationMs",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, n),
+        |      t -> CAST((t*2029 + doc_id*48271 + 12345) % 65536 - 32768 AS BIGINT))),
+        |    (__a, __s) -> __a + __s * __s) AS "sumSq",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, n),
+        |      t -> CAST((t*2029 + doc_id*48271 + 12345) % 65536 AS BIGINT))),
+        |    (__a, __s) -> (__a * 31 + __s) % 2147483647) AS "checksum"
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Same analytic waveform, windowed: every 2nd 256-sample window of the
+    // DECODED stream, with the biased-amplitude fold per window
+    "m_media_audio_frames" ->
+      """WITH d AS (SELECT doc_id, 512 + n_chars % 512 AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + 255) // 256 AS BIGINT), 2)) AS wi
+        |      FROM d)
+        |SELECT doc_id AS "assetId", CAST(wi AS INT) AS "windowIdx",
+        |  CAST(least(256, n - wi*256) AS INT) AS "nSamples",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(wi*256, wi*256 + least(256, n - wi*256)),
+        |      t -> CAST((t*2029 + doc_id*48271 + 12345) % 65536 AS BIGINT))),
+        |    (__a, __s) -> (__a * 31 + __s) % 2147483647) AS "windowChecksum"
+        |FROM f ORDER BY 1, 2""".stripMargin,
     // The decoded raster recomputed ANALYTICALLY: the fixture PNG's pixel
     // (x,y) is r=(7x+13y+id), g=(11x+3y+5id), b=(5x+17y+11id) each mod
     // 256; the checksum is the row-major (a*31 + rgb) mod (2^31-1) fold

@@ -2,6 +2,7 @@ package graft.ops
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
@@ -21,10 +22,19 @@ import org.apache.spark.sql.functions._
   * expressible — the oracle recomputes the expected raster analytically,
   * so a wrong decode fails the hash gate.
   *
-  * AUDIO/VIDEO codecs (ffmpeg, javax.sound beyond WAV) genuinely are not
-  * in this container; those media types fall back to a clearly-marked
-  * deterministic stub so the batching/schema plumbing stays exercised
-  * end-to-end. Swapping the stub for a real demuxer changes one function.
+  * The AUDIO path is REAL too: `javax.sound.sampled` (same `java.desktop`
+  * module) parses WAV/PCM containers headless, so `decodeFeatures` /
+  * [[decodeAudioFeatures]] / [[sampleAudioWindows]] on
+  * `mediaType = "audio"` run `AudioSystem.getAudioInputStream` over the
+  * actual payload bytes and work on the decoded 16-bit samples. The test
+  * fixtures are deterministic WAVs ([[encodeWav]]: sample(t) = an integer
+  * function of (t, assetId)), so duration / energy / windowed checksums
+  * are DuckDB-oracle-expressible — a wrong decode fails the hash gate.
+  *
+  * Only ffmpeg-class VIDEO demuxing is genuinely not in this container;
+  * that media type falls back to a clearly-marked deterministic stub so
+  * the batching/schema plumbing stays exercised end-to-end. Swapping the
+  * stub for a real demuxer changes one function.
   */
 object Multimodal {
 
@@ -132,11 +142,183 @@ object Multimodal {
     img
   }
 
-  /** STUB for audio/video decode — ffmpeg-class demuxers are genuinely not
-    * in this container (images do NOT take this path; `javax.imageio` is
-    * JDK-builtin and [[decodeFeatures]] decodes them for real).
-    * Deterministic fake: dimensions and features derive from the payload
-    * bytes, so tests are stable and the batching plumbing is exercised.
+  // ======================= audio (REAL decode) =======================
+
+  /** Deterministic fixture sample at time `t` of asset `id`: a full-range
+    * signed 16-bit value, pure integer arithmetic so the DuckDB oracle
+    * recomputes the waveform — s(t) = ((2029·t + 48271·id + 12345) mod
+    * 65536) − 32768. floorMod for the same negative-id safety as
+    * [[fixturePixel]]; identical to plain `%` for the non-negative
+    * testdata ids the oracle mirrors.
+    */
+  def fixtureSample(id: Long, t: Int): Int =
+    (Math.floorMod(t * 2029L + id * 48271L + 12345L, 65536L) - 32768L).toInt
+
+  /** Encode the deterministic fixture waveform for `id` as a real WAV
+    * container (RIFF header + 16-bit mono little-endian PCM), via the JDK
+    * WAV writer — the decode side then has to parse a genuine container.
+    */
+  def encodeWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples > 0, s"nSamples must be positive: $nSamples")
+    val data = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = fixtureSample(id, t)
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV decode via the JDK (`javax.sound.sampled`, `java.desktop`
+    * module — headless, zero external dependencies): parse the container,
+    * require 16-bit mono little-endian PCM, return (sampleRate, samples).
+    */
+  private def readWav(payload: Array[Byte]): (Int, Array[Short]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit mono little-endian signed PCM, got: $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((bytes(2 * i) & 0xff)) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, samples)
+    } finally ais.close()
+  }
+
+  /** Amplitude checksum over decoded samples [from, until): the row-major
+    * fold style of [[rasterChecksum]] with the sample biased to [0, 65536)
+    * — a = (a·31 + (s+32768)) mod (2^31−1).
+    */
+  private def sampleChecksum(samples: Array[Short], from: Int, until: Int): Long = {
+    var a = 0L
+    var i = from
+    while (i < until) {
+      a = (a * 31 + (samples(i) + 32768L)) % P31
+      i += 1
+    }
+    a
+  }
+
+  /** 8-dim audio embedding: dim i = mean biased amplitude of samples at
+    * positions ≡ i (mod 8), normalized to [0,1] — the audio analogue of
+    * [[rasterEmbedding]].
+    */
+  private def sampleEmbedding(samples: Array[Short]): Array[Float] = {
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < samples.length) {
+      sums(i % 8) += samples(i) + 32768.0
+      counts(i % 8) += 1
+      i += 1
+    }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 65535.0).toFloat)
+  }
+
+  /** Decoded audio features — every column derives from the REAL decoded
+    * sample stream: `durationMs = ⌊nSamples·1000/sampleRate⌋`, `sumSq` the
+    * exact integer energy Σ s(t)² (fits a Long: 2³⁰ per sample), `rms` its
+    * root mean square, `checksum` the ordered amplitude fold.
+    */
+  final case class AudioFeatures(
+      assetId: Long,
+      nBytes: Int,      // encoded container size (header + PCM)
+      sampleRate: Int,
+      nSamples: Int,
+      durationMs: Long,
+      sumSq: Long,
+      rms: Double,
+      checksum: Long,
+  )
+
+  implicit val audioEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** Batch audio decode: partition-local like [[decodeFeatures]], no
+    * shuffle, REAL `AudioSystem` WAV parse per asset. Scales linearly with
+    * input splits; a non-audio or undecodable payload raises rather than
+    * silently stubbing.
+    */
+  def decodeAudioFeatures(assets: Dataset[MediaAsset], batchSize: Int = 64): Dataset[AudioFeatures] =
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          require(a.mediaType == "audio", s"not audio: ${a.mediaType}")
+          val (rate, samples) = readWav(a.payload)
+          var sq = 0L
+          var i = 0
+          while (i < samples.length) {
+            sq += samples(i).toLong * samples(i); i += 1
+          }
+          AudioFeatures(a.assetId, a.payload.length, rate, samples.length,
+            samples.length * 1000L / rate, sq,
+            if (samples.isEmpty) 0.0 else math.sqrt(sq.toDouble / samples.length),
+            sampleChecksum(samples, 0, samples.length))
+        }
+      }
+    }
+
+  /** Window sampling over the DECODED audio stream — the media-domain
+    * analogue of [[sampleFrames]], except the payload is a genuine WAV
+    * container and the windows are real decoded samples, not raw payload
+    * chunks: every `everyK`-th window of `windowSamples` samples, with the
+    * window's ordered amplitude checksum. Partition-local flatMap, no
+    * shuffle; fan-out ⌈n/windowSamples/everyK⌉ rows per asset.
+    */
+  def sampleAudioWindows(assets: Dataset[MediaAsset], windowSamples: Int = 256,
+      everyK: Int = 1): DataFrame = {
+    require(windowSamples > 0 && everyK > 0, s"bad window/$everyK args")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      require(a.mediaType == "audio", s"not audio: ${a.mediaType}")
+      val (_, samples) = readWav(a.payload)
+      val nWin = (samples.length + windowSamples - 1) / windowSamples
+      (0 until nWin).iterator.filter(_ % everyK == 0).map { wi =>
+        val from = wi * windowSamples
+        val until = math.min(from + windowSamples, samples.length)
+        (a.assetId, wi, until - from, sampleChecksum(samples, from, until))
+      }
+    }.toDF("assetId", "windowIdx", "nSamples", "windowChecksum")
+  }
+
+  /** Real-WAV audio assets derived from a documents frame: per doc a
+    * deterministic fixture waveform sized from its stats —
+    * nSamples = 512 + n_chars mod 512 (512..1023 at 8 kHz, cheap at any
+    * SF) — encoded with the JDK WAV writer. Partition-local generation,
+    * no shuffle; the decode side never sees anything but real WAV bytes.
+    */
+  def audioAssets(df: DataFrame, idCol: String = "doc_id",
+      charsCol: String = "n_chars"): Dataset[MediaAsset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        (lit(512) + pmod(col(charsCol), lit(512))).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaAsset(id, "audio", encodeWav(id, n), s"synthetic://wav/$id")
+      })
+  }
+
+  /** STUB for video decode — ffmpeg-class demuxers are genuinely not in
+    * this container (images and audio do NOT take this path:
+    * `javax.imageio` and `javax.sound.sampled` are JDK-builtin, and
+    * [[decodeFeatures]] decodes both for real). Deterministic fake:
+    * dimensions and features derive from the payload bytes, so tests are
+    * stable and the batching plumbing is exercised.
     */
   def decodeMediaStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
@@ -154,19 +336,27 @@ object Multimodal {
     * decoded together so codec/handle setup could amortize. No shuffle;
     * scales linearly with input splits. Images decode for REAL via
     * `ImageIO.read` (width/height/checksum/embedding from the raster);
-    * audio/video fall back to [[decodeMediaStub]].
+    * audio decodes for REAL via `AudioSystem` (in this fixed-shape
+    * surface `width` carries the sample rate and `height` the sample
+    * count — [[decodeAudioFeatures]] is the typed audio surface); only
+    * video falls back to [[decodeMediaStub]].
     */
   def decodeFeatures(assets: Dataset[MediaAsset], batchSize: Int = 64): Dataset[MediaFeatures] =
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real audio/video decoder would init once per batch here;
-        // ImageIO readers are stateless
+        // a real video decoder would init once per batch here;
+        // ImageIO readers / WAV parses are stateless
         batch.iterator.map { a =>
           if (a.mediaType == "image") {
             val img = readImage(a.payload)
             MediaFeatures(a.assetId, a.mediaType, a.payload.length,
               img.getWidth, img.getHeight, rasterChecksum(img),
               rasterEmbedding(img))
+          } else if (a.mediaType == "audio") {
+            val (rate, samples) = readWav(a.payload)
+            MediaFeatures(a.assetId, a.mediaType, a.payload.length,
+              rate, samples.length, sampleChecksum(samples, 0, samples.length),
+              sampleEmbedding(samples))
           } else {
             val (w, h, feats) = decodeMediaStub(a.payload)
             MediaFeatures(a.assetId, a.mediaType, a.payload.length, w, h,
