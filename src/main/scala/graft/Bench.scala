@@ -29,6 +29,7 @@ object Bench {
     "q15_partitioned_scan", // partition-dir pruning on the year-partitioned fact
     "d_text_analysis",    // HOF text pipeline
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
+    "d_pii_scrub",        // regex redaction chain, one scan-stage projection
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

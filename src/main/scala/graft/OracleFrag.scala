@@ -23,10 +23,10 @@ private[graft] object OracleFrag {
     * every oracle that mirrors TextAnalysis — a formula change here moves
     * all of them in lockstep.
     */
-  def docAnalysisCtes(extraCols: String = ""): String =
+  def docAnalysisCtes(extraCols: String = "", from: String = "documents"): String =
     s"""w AS (
        |  SELECT doc_id$extraCols, text, ${ws("text")} AS ws
-       |  FROM documents),
+       |  FROM $from),
        |s AS (
        |  SELECT doc_id$extraCols, text, ws,
        |    len(list_filter(ws, __x -> list_contains(['the','a','of','and','to','in','is','it'], __x))) AS en,
@@ -34,6 +34,22 @@ private[graft] object OracleFrag {
        |    len(list_filter(ws, __x -> list_contains(['le','la','les','et','est','un','une','des'], __x))) AS fr,
        |    len(list_filter(ws, __x -> list_contains(['el','los','las','y','es','un','una','con'], __x))) AS es
        |  FROM w)""".stripMargin
+
+  /** Staged PII-scrub CTEs mirroring [[graft.ops.Pii.scrubExprs]] — one
+    * CTE per category, each counting on the PREVIOUS stage's text and then
+    * replacing (RE2's `regexp_extract_all`/`regexp_replace('g')` agree
+    * with Java's engine on the lookaround-free pattern subset Pii uses).
+    * Input: a CTE `<prefix>0` exposing passthrough columns plus `__t`;
+    * output: `<prefix>N` with `__t` scrubbed and one `n_pii_<cat>` INT per
+    * category. Driven off `Pii.categories` so a pattern change moves both
+    * engines in lockstep.
+    */
+  def piiStages(prefix: String = "p"): String =
+    graft.ops.Pii.categories.zipWithIndex.map { case ((cat, pat, repl), i) =>
+      s"""$prefix${i + 1} AS (SELECT * EXCLUDE (__t),
+         |  CAST(len(regexp_extract_all(__t, '$pat')) AS INT) AS n_pii_$cat,
+         |  regexp_replace(__t, '$pat', '$repl', 'g') AS __t FROM $prefix$i)""".stripMargin
+    }.mkString(",\n")
 
   /** Language guess over the `s` CTE's counts (mirror of TextAnalysis.langGuess). */
   val langGuessExpr: String =

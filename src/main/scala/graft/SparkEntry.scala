@@ -857,10 +857,43 @@ object SparkEntry {
     //      fingerprint dedup → per-source token-budget cut. The running
     //      token total is windowed PER SOURCE (parallel across sources —
     //      a global running sum would serialize at 100 TB)
+    // ---- PII scrubbing: the corpus word salad carries no PII, so the
+    //      row plants a deterministic specimen of every category per doc
+    //      (built from doc_id with IDENTICAL integer arithmetic in the
+    //      oracle) — the gate then verifies the scrubbed text
+    //      byte-for-byte AND the per-category counts, i.e. that each
+    //      regex matched exactly what it should and nothing else
+    "d_pii_scrub" -> { (s, dir) =>
+      val c = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val injected = t(s, dir, "documents").withColumn("text_pii", concat(
+        col("text"), lit(" contact user"), c(col("doc_id")),
+        lit("@example.com call +1-"),
+        c(lit(100) + pmod(col("doc_id"), lit(900))), lit("-"),
+        c(lit(100) + pmod(col("doc_id") * 3, lit(900))), lit("-"),
+        c(lit(1000) + pmod(col("doc_id"), lit(9000))),
+        lit(" from 10."), c(pmod(col("doc_id"), lit(256))), lit(".0."),
+        c(lit(1) + pmod(col("doc_id"), lit(254))),
+        lit(" ssn "), c(lit(100) + pmod(col("doc_id"), lit(900))), lit("-"),
+        c(lit(10) + pmod(col("doc_id"), lit(90))), lit("-"),
+        c(lit(1000) + pmod(col("doc_id"), lit(9000))),
+        lit(" card 4111"), c(lit(100000000000L) + col("doc_id")), lit(" end")))
+      ops.Pii.scrub(injected, "text_pii")
+        .select(col("doc_id"), col("text_clean"), col("n_pii_email"),
+          col("n_pii_ipv4"), col("n_pii_phone"), col("n_pii_ssn"),
+          col("n_pii_idnum"))
+        .orderBy("doc_id")
+    },
+
     "d_pipeline_prep" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // PII scrub composes in front of the analysis gates — one more
+      // scan-stage projection on the same single plan (the corpus is
+      // synthetic word salad, so the scrub is a verified no-op here; the
+      // injected-PII d_pii_scrub row is where redaction itself is gated)
+      val scrubbed = t(s, dir, "documents")
+        .withColumn("text", ops.Pii.scrubExprs(col("text"))._1)
       val kept = ops.Dedup.exactDedup(
-        ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        ops.TextAnalysis.analyze(scrubbed)
           .where(col("langGuess") === "en" && col("quality") >= 0.5),
         col("fingerprint"), "doc_id")
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -1496,8 +1529,28 @@ object SparkEntry {
     // mirrors the composed pipeline stage-for-stage (fragments shared with
     // d_text_analysis): quality/lang gates, fingerprint dedup, per-source
     // running token budget
+    // The PII chain mirrored stage-for-stage (OracleFrag.piiStages drives
+    // off the same Pii.categories), over text with one planted specimen
+    // of every category built from doc_id with the same integer math
+    "d_pii_scrub" ->
+      s"""WITH p0 AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com call +1-' ||
+         |  (100 + doc_id % 900) || '-' || (100 + (doc_id*3) % 900) || '-' ||
+         |  (1000 + doc_id % 9000) || ' from 10.' || (doc_id % 256) || '.0.' ||
+         |  (1 + doc_id % 254) || ' ssn ' || (100 + doc_id % 900) || '-' ||
+         |  (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) ||
+         |  ' card 4111' || (100000000000 + doc_id) || ' end' AS __t
+         |  FROM documents),
+         |${OracleFrag.piiStages()}
+         |SELECT doc_id, __t AS text_clean, n_pii_email, n_pii_ipv4,
+         |  n_pii_phone, n_pii_ssn, n_pii_idnum
+         |FROM p${ops.Pii.categories.size} ORDER BY doc_id""".stripMargin,
     "d_pipeline_prep" ->
-      s"""WITH ${OracleFrag.docAnalysisCtes(", source")},
+      s"""WITH pp0 AS (SELECT doc_id, source, text AS __t FROM documents),
+         |${OracleFrag.piiStages("pp")},
+         |pclean AS (SELECT doc_id, source, __t AS text
+         |           FROM pp${ops.Pii.categories.size}),
+         |${OracleFrag.docAnalysisCtes(", source", from = "pclean")},
          |a AS (
          |  SELECT doc_id, source,
          |    ${OracleFrag.langGuessExpr} AS lang_guess,

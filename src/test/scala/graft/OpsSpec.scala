@@ -347,6 +347,46 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception](Multimodal.decodeFeatures(bad).collect())
   }
 
+  test("pii scrub: every category redacted, counted once, edge cases hold") {
+    import spark.implicits._
+    val rows = Seq(
+      // one specimen of every category → each count 1, exact redaction
+      (1L, "mail a.b-c_1%d@sub.example.io ip 10.0.255.1 tel +1-222-333-4444 ssn 123-45-6789 card 4111111111111111 ok"),
+      // digits inside an email are consumed by the email stage — never
+      // re-counted as ID; placeholder text is never re-matched
+      (2L, "user1234567890123456@example.com"),
+      // word-glued digit runs are NOT ids (\\b); bare 12 digits too short
+      (3L, "x4111111111111111 123456789012"),
+      // two emails, counts accumulate; boundaries at string edges
+      (4L, "a@b.io c@d.org"),
+      (5L, "999-99-9999"),
+      // no PII at all → zero counts, text unchanged
+      (6L, "plain words only"),
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(rows, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def counts(id: Long) = Seq("email", "ipv4", "phone", "ssn", "idnum")
+      .map(c => out(id).getAs[Int](s"n_pii_$c"))
+    assert(out(1L).getAs[String]("text_clean") ==
+      "mail [EMAIL] ip [IP] tel [PHONE] ssn [SSN] card [ID] ok")
+    assert(counts(1L) == Seq(1, 1, 1, 1, 1))
+    assert(out(2L).getAs[String]("text_clean") == "[EMAIL]" &&
+      counts(2L) == Seq(1, 0, 0, 0, 0))
+    assert(out(3L).getAs[String]("text_clean") ==
+      "x4111111111111111 123456789012" && counts(3L).sum == 0)
+    assert(out(4L).getAs[String]("text_clean") == "[EMAIL] [EMAIL]" &&
+      counts(4L) == Seq(2, 0, 0, 0, 0))
+    assert(out(5L).getAs[String]("text_clean") == "[SSN]" &&
+      counts(5L) == Seq(0, 0, 0, 1, 0))
+    assert(out(6L).getAs[String]("text_clean") == "plain words only" &&
+      counts(6L).sum == 0)
+    // NULL text propagates as NULL clean text and NULL counts
+    val withNull = Seq((7L, null: String)).toDF("doc_id", "text")
+    val n = Pii.scrub(withNull, "text").collect().head
+    assert(n.isNullAt(n.fieldIndex("text_clean")) &&
+      n.isNullAt(n.fieldIndex("n_pii_email")))
+  }
+
   test("multimodal: WAV decode is REAL — container round-trip matches analytic waveform") {
     import spark.implicits._
     // independent reference: recompute expected values from the fixture

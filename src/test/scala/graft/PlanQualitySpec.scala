@@ -252,6 +252,29 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("pii scrub is one scan-stage projection: no shuffle, codegen'd, prune-friendly") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.Pii.scrub(docs, "text"))
+    // the 5-category count+replace chain is a single projection over the
+    // scan — zero exchanges, inside whole-stage codegen (regexp_count /
+    // regexp_replace are native codegen'd expressions, not UDFs)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      plan.toString.take(2000))
+    // a downstream filter on a passthrough column still reaches the scan
+    // (the scrub projection must not block pushdown)
+    val filtered = nonAdaptivePlan(
+      graft.ops.Pii.scrub(docs, "text")
+        .where(org.apache.spark.sql.functions.col("source") === "src0"))
+    val scans = filtered.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.head.metadata("PushedFilters").contains("src0"),
+      scans.map(_.metadata("PushedFilters")).mkString("; "))
+  }
+
   test("exact-n stratified/mixture rank window reads presample survivors, not the corpus") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.FilterExec
