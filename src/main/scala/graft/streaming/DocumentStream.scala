@@ -43,6 +43,16 @@ object DocumentStream {
   /** Stateless enrichment — identical semantics to the batch operator. */
   def enriched(docs: DataFrame): DataFrame = TextAnalysis.analyze(docs)
 
+  /** Stateless PII scrubbing — [[graft.ops.Pii.scrub]]'s projection
+    * applied per micro-batch. Like [[hashSample]], the redaction is a pure
+    * row-local function: no watermark, no state store, and a document gets
+    * byte-identical clean text and counts whether it arrives by stream or
+    * batch backfill — every stateless batch gate has a streaming twin.
+    */
+  def scrubbed(docs: DataFrame, textCol: String = "text",
+      outCol: String = "text_clean"): DataFrame =
+    graft.ops.Pii.scrub(docs, textCol, outCol)
+
   /** Deterministic streaming sample — [[graft.ops.Sampling.hashSample]]'s
     * integer-hash membership applied per micro-batch. Membership is a pure
     * function of the id, so this is STATELESS (no watermark, no state

@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream sampled ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming pii scrub + enrichment: row-for-row parity with batch, stateless") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    val scrubbed = DocumentStream.scrubbed(DocumentStream.enriched(stream))
+      .select("doc_id", "text_clean", "n_pii_email", "n_pii_ipv4",
+        "n_pii_phone", "n_pii_ssn", "n_pii_idnum", "langGuess", "quality")
+    // stateless: the scrub+analyze projection must add no state operator —
+    // the invariant that makes stream == backfill with zero reprocessing
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("doc_pii_scrub").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_pii_scrub").collect().map(key).sorted
+    val batch = graft.ops.Pii.scrub(
+        graft.ops.TextAnalysis.analyze(spark.read.parquet(s"$dir/documents.parquet")),
+        "text")
+      .select("doc_id", "text_clean", "n_pii_email", "n_pii_ipv4",
+        "n_pii_phone", "n_pii_ssn", "n_pii_idnum", "langGuess", "quality")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+  }
+
   test("streaming stratified sample: per-source fractions match batch membership") {
     val fr = Map("web" -> 0.2, "books" -> 1.0)
     val stream = DocumentStream.read(spark, docStreamDir)
