@@ -1059,6 +1059,14 @@ object SparkEntry {
         Map("src0" -> 3.0, "src1" -> 1.0), default = 0.5)
         .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
     },
+    // ---- temperature-scaled mixture (weights = avail^τ, the multilingual
+    //      sampling standard): same exact-quota machinery, weights derived
+    //      from the corpus's own counts
+    "d_mixture_temp" -> { (s, dir) =>
+      ops.Sampling.mixtureSampleTemperature(t(s, dir, "documents"),
+        "source", "doc_id", tau = 0.7)
+        .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
+    },
     // ---- exact top-quantile quality gate: keep the top 25% of documents
     //      by (quantized) quality score — histogram + tiny cutoff window +
     //      broadcast filter, never a corpus sort; ties at the cutoff kept
@@ -1761,6 +1769,22 @@ object SparkEntry {
          |t AS (SELECT MIN(avail / wt) AS tmax FROM w WHERE wt > 0),
          |q AS (SELECT source, CAST(FLOOR(tmax * wt) AS BIGINT) AS quota
          |      FROM w, t WHERE wt > 0),
+         |r AS (SELECT doc_id, source, row_number() OVER (
+         |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin,
+    // Same quota machinery with wt = avail^0.7 — the tmax expression
+    // mirrors Spark's exact formula shape (avail/wt, not avail^0.3) and
+    // the +1e-9 epsilon before FLOOR matches Sampling's guard against a
+    // last-ulp pow() difference flipping the floor at exact integers
+    "d_mixture_temp" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS avail FROM documents GROUP BY 1),
+         |w AS (SELECT source, avail, pow(CAST(avail AS DOUBLE), 0.7) AS wt FROM cnt),
+         |t AS (SELECT MIN(CAST(avail AS DOUBLE) / wt) AS tmax FROM w),
+         |q AS (SELECT source, CAST(FLOOR(tmax * wt + 1e-9) AS BIGINT) AS quota
+         |      FROM w, t),
          |r AS (SELECT doc_id, source, row_number() OVER (
          |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
          |      FROM documents)

@@ -73,6 +73,14 @@ object Sampling {
     pmod(s1 * 48271, lit(P31))
   }
 
+  /** JVM-side twin of [[unitHash]] (same two Lehmer steps) — for tests and
+    * callers that need the membership decision off-plan.
+    */
+  def unitHashLong(id: Long): Long = {
+    val s1 = Math.floorMod((Math.floorMod(id, P31) + 1) * 48271, P31)
+    Math.floorMod(s1 * 48271, P31)
+  }
+
   /** Keep rows whose unit hash falls below `fraction` of the hash range —
     * a deterministic Bernoulli sample. Emits the hash as `u` so downstream
     * stages (and the oracle) can audit membership.
@@ -144,6 +152,44 @@ object Sampling {
       val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
       val quotas = counts.crossJoin(broadcast(tmax))
         .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
+      hist.join(quotas, Seq(strataCol))
+    })
+    val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    withU.join(broadcast(cuts), Seq(strataCol))
+      .where(col("__b") <= col("__bmax"))
+      .withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= col("__quota"))
+      .drop("__u", "__b", "__bmax", "__quota")
+  }
+
+  /** TEMPERATURE-scaled mixture — the multilingual-sampling standard
+    * (sampling probability ∝ availᵢ^τ): source weights are the corpus's
+    * own availability counts raised to `tau`, then pushed through the
+    * same largest-feasible-total quota machinery as [[mixtureSample]] —
+    * `T = min_i availᵢ/wᵢ`, `quotaᵢ = ⌊T·wᵢ⌋`. Weight normalization
+    * cancels inside `T·wᵢ`, so wᵢ = availᵢ^τ is used unnormalized.
+    * τ = 1 keeps every source whole (proportional = the corpus itself);
+    * τ → 0 flattens toward uniform, so high-resource sources are cut
+    * hardest and the scarcest source always keeps everything.
+    *
+    * The quota adds a 1e-9 epsilon before the floor: `pow` on doubles is
+    * the one place this file leaves integer arithmetic, and the epsilon
+    * keeps a last-ulp difference between engines from flipping the floor
+    * when `T·wᵢ` lands on an exact integer (it does for the scarcest
+    * source, where `T·wᵢ = availᵢ`). Same two-phase scale shape as
+    * [[stratifiedFixed]]: the rank window only ever sees presample
+    * survivors.
+    */
+  def mixtureSampleTemperature(df: DataFrame, strataCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau out of (0,1]: $tau")
+    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol, { hist =>
+      val counts = hist.groupBy(col(strataCol)).agg(sum("__c").as("__avail"))
+        .withColumn("__wt", pow(col("__avail").cast("double"), lit(tau)))
+      val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
+      val quotas = counts.crossJoin(broadcast(tmax))
+        .select(col(strataCol),
+          floor(col("__t") * col("__wt") + lit(1e-9)).cast("long").as("__quota"))
       hist.join(quotas, Seq(strataCol))
     })
     val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))

@@ -768,6 +768,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect, s"mixture: ${got.size} vs ${expect.size}")
   }
 
+  test("mixtureSampleTemperature: avail^tau quotas, scarcest kept whole, tau=1 = identity") {
+    val rows = (1L to 400L).map(i => (i, "web")) ++
+      (1000L to 1099L).map(i => (i, "books")) ++
+      (2000L to 2024L).map(i => (i, "code"))
+    val df = rows.toDF("doc_id", "source")
+    val avail = Map("web" -> 400L, "books" -> 100L, "code" -> 25L)
+    // tau = 1: proportional = the corpus itself, every source whole
+    assert(Sampling.mixtureSampleTemperature(df, "source", "doc_id", 1.0)
+      .count() == 525L)
+    // tau = 0.7: quotas follow floor(min(a/a^t) * a^t + eps); the scarcest
+    // source keeps everything, bigger sources are cut progressively harder
+    val got = Sampling.mixtureSampleTemperature(df, "source", "doc_id", 0.7)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tmax = avail.values.map(a => a.toDouble / math.pow(a.toDouble, 0.7)).min
+    val expect = avail.map { case (s, a) =>
+      s -> math.floor(tmax * math.pow(a.toDouble, 0.7) + 1e-9).toLong }
+    assert(got == expect, s"$got vs $expect")
+    assert(got("code") == 25L) // scarcest whole
+    val keepRatio = avail.keys.map(s => s -> got(s).toDouble / avail(s)).toMap
+    assert(keepRatio("web") < keepRatio("books") && keepRatio("books") < keepRatio("code"))
+    // membership is still "the quota smallest hashes per stratum"
+    val webIds = Sampling.mixtureSampleTemperature(df, "source", "doc_id", 0.7)
+      .where($"source" === "web").select("doc_id").as[Long].collect().toSet
+    val webExpect = (1L to 400L).sortBy(i =>
+      (Sampling.unitHashLong(i), i)).take(expect("web").toInt).toSet
+    assert(webIds == webExpect)
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSampleTemperature(df, "source", "doc_id", 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSampleTemperature(df, "source", "doc_id", 1.5))
+  }
+
   test("selectTopFraction: exact cutoff, ties kept, frac=1 keeps all") {
     val scored = Seq(
       (1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.5), (5L, 0.5),

@@ -285,7 +285,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "stratifiedFixed" -> graft.ops.Sampling.stratifiedFixed(
         docs, "source", "doc_id", 8),
       "mixtureSample" -> graft.ops.Sampling.mixtureSample(
-        docs, "source", "doc_id", Map("src0" -> 3.0, "src1" -> 1.0), 0.5))) {
+        docs, "source", "doc_id", Map("src0" -> 3.0, "src1" -> 1.0), 0.5),
+      "mixtureSampleTemperature" -> graft.ops.Sampling.mixtureSampleTemperature(
+        docs, "source", "doc_id", 0.7))) {
       val plan = nonAdaptivePlan(df)
       // the row_number rank window partitions by source — single-digit
       // parallelism — so its input MUST be the bucket-filtered survivors
