@@ -30,6 +30,8 @@ object Bench {
     "d_text_analysis",    // HOF text pipeline
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
     "d_pii_scrub",        // regex redaction chain, one scan-stage projection
+    "d_bpe_train",        // 8 merge rounds over the distinct-word table
+    "d_bpe_tokens",       // trained-tokenizer counts vs closed-form estimate
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

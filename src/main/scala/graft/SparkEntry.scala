@@ -857,6 +857,29 @@ object SparkEntry {
     //      fingerprint dedup → per-source token-budget cut. The running
     //      token total is windowed PER SOURCE (parallel across sources —
     //      a global running sum would serialize at 100 TB)
+    // ---- BPE tokenizer TRAINING (Sennrich et al. 2016): 8 merge rounds
+    //      of map-side-combined pair counts over the DISTINCT-WORD table;
+    //      the result is the merge table itself — fully deterministic
+    //      (count DESC, lexicographic tie-break), recomputed round for
+    //      round by the oracle's unrolled CTEs
+    "d_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      ops.Bpe.train(t(s, dir, "documents"), "text", numMerges = 8)
+        .toDF().select(col("rank").cast("int").as("merge_rank"),
+          col("lhs"), col("rhs"), col("pairCount").as("pair_count"))
+        .orderBy("merge_rank")
+    },
+    // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
+    //      — the "is nTokensBpe honest?" comparison, per document
+    "d_bpe_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = ops.Bpe.train(docs, "text", numMerges = 8)
+      ops.Bpe.tokenCounts(docs, "text", "doc_id", merges)
+        .join(docs.select(col("doc_id"),
+          ops.TextAnalysis.tokenEstimate(col("text")).cast("long").as("n_tok_est")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    },
     // ---- PII scrubbing: the corpus word salad carries no PII, so the
     //      row plants a deterministic specimen of every category per doc
     //      (built from doc_id with IDENTICAL integer arithmetic in the
@@ -1537,6 +1560,30 @@ object SparkEntry {
     // mirrors the composed pipeline stage-for-stage (fragments shared with
     // d_text_analysis): quality/lang gates, fingerprint dedup, per-source
     // running token budget
+    // BPE training replayed round-for-round: same distinct-word counts,
+    // same pair counting, same argmax tie-break, same left-to-right
+    // " l r " -> " lr " replace — the merge table must match exactly
+    "d_bpe_train" ->
+      s"""WITH ${OracleFrag.bpeCtes(8)},
+         |m AS (${(1 to 8).map(r =>
+             s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM best$r")
+           .mkString("\n      UNION ALL ")})
+         |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
+         |FROM m ORDER BY merge_rank""".stripMargin,
+    // Trained-tokenizer token counts per doc (the best1..best8 merges
+    // applied as nested replaces) next to the closed-form estimate
+    "d_bpe_tokens" ->
+      s"""WITH ${OracleFrag.bpeCtes(8)},
+         |tok AS (SELECT doc_id, unnest(${OracleFrag.ws("text")}) AS w FROM documents),
+         |tc AS (SELECT doc_id,
+         |    CAST(SUM(len(string_split(trim(${OracleFrag.bpeSegment("w", 8)}), ' '))) AS BIGINT)
+         |      AS n_tok_trained
+         |  FROM tok GROUP BY doc_id)
+         |SELECT tc.doc_id, tc.n_tok_trained,
+         |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |    AS n_tok_est
+         |FROM tc JOIN documents d ON d.doc_id = tc.doc_id
+         |ORDER BY tc.doc_id""".stripMargin,
     // The PII chain mirrored stage-for-stage (OracleFrag.piiStages drives
     // off the same Pii.categories), over text with one planted specimen
     // of every category built from doc_id with the same integer math

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale BPE tokenizer TRAINING — the standard pretraining-pipeline
+  * stage that turns raw text into a merge table (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" — public
+  * algorithm, reference-free implementation).
+  *
+  * Algorithm: words start as character sequences; each round counts all
+  * adjacent symbol pairs weighted by word frequency, merges the most
+  * frequent pair everywhere (ties broken lexicographically, so training
+  * is fully deterministic), and repeats. The merge table IS the
+  * tokenizer: encoding a word applies the merges in rank order.
+  *
+  * Scale shape (the part that matters at 100 TB): pair counting runs on
+  * the DISTINCT-WORD table, not the corpus — one `explode(words)` +
+  * map-side-combined `groupBy(word).count()` collapses the corpus to its
+  * vocabulary (~10⁷ rows for a web-scale crawl) before any BPE work
+  * begins, and each merge round is then one pair-keyed shuffle of
+  * vocabulary-sized data plus a LIMIT-1 argmax (a tiny aggregate; the
+  * only thing that ever reaches the driver is the single winning pair,
+  * which re-enters the plan as a literal — the broadcast pattern).
+  * Segmentations are space-separated symbol strings, so a merge is one
+  * codegen'd `replace(seg, " l r ", " lr ")` — left-to-right
+  * non-overlapping, exactly BPE's greedy merge semantics — and the
+  * DuckDB oracle replays the identical string algebra. `localCheckpoint`
+  * per round keeps the plan flat across rounds (the star-CC pattern).
+  */
+object Bpe {
+
+  /** One trained merge: at `rank`, symbols `lhs`+`rhs` fused; `pairCount`
+    * is the weighted adjacency count that won the round.
+    */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Initial segmentation of a word as a space-padded symbol string:
+    * "abc" → " a b c ". The padding makes every symbol — including the
+    * first and last — matchable as " sym ", which is what lets a merge be
+    * a plain string replace.
+    */
+  private def initSeg(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent (l, r) symbol pairs of the `seg` column, as exploded rows. */
+  private def pairCol: Column = {
+    val s = "split(trim(seg), ' ')"
+    expr(s"transform(slice($s, 1, greatest(size($s) - 1, 0)), " +
+      s"(__x, __i) -> struct(__x AS l, element_at($s, __i + 2) AS r))")
+  }
+
+  /** Apply one merge to a segmentation string. `replace` scans left to
+    * right and never rescans replaced output — BPE's greedy
+    * non-overlapping semantics (" a a a " under (a,a) → " aa a ").
+    */
+  private def applyMerge(seg: Column, m: Merge): Column =
+    replace(seg, lit(s" ${m.lhs} ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+
+  /** Train `numMerges` BPE merges over `textCol`, tokenized with the same
+    * normalization as [[TextAnalysis.words]]. Deterministic: the argmax
+    * orders by (count DESC, l ASC, r ASC). Raises if the vocabulary runs
+    * out of adjacent pairs before `numMerges` rounds (ask for fewer
+    * merges than the corpus can support).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val words = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var seg = words.select(col("w"), col("cnt"), initSeg(col("w")).as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to numMerges) {
+      val top = seg.select(col("cnt"), explode(pairCol).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE: no adjacent pairs left at round $r")
+      val m = Merge(r, top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2))
+      merges += m
+      seg = seg.withColumn("seg", applyMerge(col("seg"), m)).localCheckpoint()
+    }
+    merges.result()
+  }
+
+  /** Segmentation of a word under a trained merge table: initial chars,
+    * then every merge applied in rank order — `merges.size` chained
+    * codegen'd replaces, one projection.
+    */
+  def segmentWithMerges(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(initSeg(word))(applyMerge)
+
+  /** Per-document token counts under the TRAINED tokenizer, next to the
+    * closed-form [[TextAnalysis.tokenEstimate]] — the "is the estimate
+    * honest?" comparison row. One explode + map-side-combined sum; the
+    * merge table rides in the plan as literals (broadcast-equivalent).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val perWord = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("n",
+        size(split(trim(segmentWithMerges(col("w"), merges)), " ")))
+    perWord.groupBy(col(idCol))
+      .agg(sum(col("n").cast("long")).as("n_tok_trained"))
+  }
+}

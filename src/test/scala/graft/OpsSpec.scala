@@ -347,6 +347,63 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception](Multimodal.decodeFeatures(bad).collect())
   }
 
+  test("bpe training: merge sequence matches an independent reference, deterministic") {
+    import spark.implicits._
+    // independent reference: list-based BPE over word counts, never
+    // through the string-replace representation the operator uses
+    def refMerge(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: refMerge(rest, l, r)
+      case a :: rest => a :: refMerge(rest, l, r)
+      case Nil => Nil
+    }
+    def refTrain(wc: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var segs = wc.map { case (w, c) => w.toList.map(_.toString) -> c }
+      (1 to k).map { _ =>
+        val pairs = segs.toSeq.flatMap { case (s, c) =>
+          s.zip(s.drop(1)).map(p => p -> c) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        val ((l, r), c) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        segs = segs.map { case (s, cc) => refMerge(s, l, r) -> cc }
+        (l, r, c)
+      }
+    }
+    // the classic corpus: "low lower newest widest" shapes, plus a word
+    // with overlapping pairs to pin greedy non-overlap counting
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest") ++ Seq.fill(2)("aaa")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaa" -> 2L)
+    val got = Bpe.train(docs, "text", numMerges = 6)
+    val expect = refTrain(wc, 6)
+    assert(got.map(m => (m.lhs, m.rhs, m.pairCount)) == expect,
+      s"\ngot    $got\nexpect $expect")
+    assert(got.map(_.rank) == (1 to 6))
+    // deterministic: a second training run reproduces the table exactly
+    assert(Bpe.train(docs, "text", numMerges = 6) == got)
+    // trained tokenization: per-word segment counts match the reference
+    // segmentation lengths, summed per doc
+    val refSegs = wc.keys.map { w =>
+      w -> expect.foldLeft(w.toList.map(_.toString)) {
+        case (s, (l, r, _)) => refMerge(s, l, r) }.size
+    }.toMap
+    val counts = Bpe.tokenCounts(docs, "text", "doc_id", got).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(counts.forall { case (id, n) => n == refSegs(words(id)).toLong },
+      counts.toString)
+    // overlapping pairs count per adjacency, merge greedily left-to-right:
+    // "aaa" contributes 2 to (a,a) but segments to [aa, a] once merged
+    val aaa = Bpe.tokenCounts(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq(Bpe.Merge(1, "a", "a", 2L))).collect()
+    assert(aaa.head.getLong(1) == 2L) // [aa, a]
+    // a corpus too small for the requested merges raises, not loops
+    intercept[IllegalArgumentException](
+      Bpe.train(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 5))
+  }
+
   test("pii scrub: every category redacted, counted once, edge cases hold") {
     import spark.implicits._
     val rows = Seq(
