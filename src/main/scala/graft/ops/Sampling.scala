@@ -162,6 +162,21 @@ object Sampling {
       .drop("__u", "__b", "__bmax", "__quota")
   }
 
+  /** Diagnostic: the number of rows phase 2's rank window actually
+    * receives for an exact-n sample — the serialization measure that
+    * matters at cluster scale, where a window partition is one task on
+    * one core. The naive one-phase form feeds the FULL corpus to the
+    * per-stratum window (its dominant stratum = one task); the two-phase
+    * form feeds ≈ n + avail/[[SelectionBuckets]] per stratum. Used by
+    * tools.StressX10's dominant-stratum row.
+    */
+  def rankWindowInputRows(df: DataFrame, strataCol: String, idCol: String, n: Int): Long = {
+    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
+      hist => hist.withColumn("__quota", lit(n.toLong)))
+    withU.join(broadcast(cuts), Seq(strataCol))
+      .where(col("__b") <= col("__bmax")).count()
+  }
+
   /** TEMPERATURE-scaled mixture — the multilingual-sampling standard
     * (sampling probability ∝ availᵢ^τ): source weights are the corpus's
     * own availability counts raised to `tau`, then pushed through the
