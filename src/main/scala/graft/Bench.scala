@@ -32,6 +32,9 @@ object Bench {
     "d_pii_scrub",        // regex redaction chain, one scan-stage projection
     "d_bpe_train",        // 8 merge rounds over the distinct-word table
     "d_bpe_tokens",       // trained-tokenizer counts vs closed-form estimate
+    "d_boilerplate",      // frequent-line removal, broadcast-set scan form
+    "d_boilerplate_join", // same cut through the join+regroup scale form
+    "d_quality_classifier", // fused hashed-feature scoring, exchange-free
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

@@ -30,6 +30,24 @@ object SparkEntry {
   private val D4 = DecimalType(38, 4)
   private val D6 = DecimalType(38, 6)
 
+  /** Documents with injected multi-line page chrome for the boilerplate-
+    * removal rows: two lines shared by EVERY doc (nav bar, cookie banner),
+    * a 7-variant promo line (~n/7 docs each), an intentionally-blank
+    * separator line, a 250-variant "ref" line whose document frequency
+    * straddles the minDocs=25 cut ACROSS scale factors (sf0.01: df=20 →
+    * kept; sf0.1: df=200 → removed — the threshold provably bites on real
+    * counts), and a unique per-doc signature line. Same integer arithmetic
+    * in the oracle.
+    */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
+    val c = (e: org.apache.spark.sql.Column) => e.cast("string")
+    t(s, dir, "documents").withColumn("text_bl", concat(
+      lit("HOME | ABOUT | CONTACT\nThis site uses cookies.\n"), col("text"),
+      lit("\n\nPROMO CODE "), c(pmod(col("doc_id"), lit(7))),
+      lit("\nref "), c(pmod(col("doc_id"), lit(250))),
+      lit("\ndoc "), c(col("doc_id"))))
+  }
+
   /** Exact sum of a double column: decimal accumulate, double out. */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D4)).cast("double")
 
@@ -48,6 +66,36 @@ object SparkEntry {
       |  END AS name
       |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_orderkey LIMIT 200""".stripMargin
+
+  /** DuckDB mirror of [[boilerplateDocs]]'s injected page chrome (CTE `b`
+    * exposing `doc_id, t`) — same line set, same integer arithmetic.
+    */
+  private val BoilerplateDocsSql: String =
+    """b AS (SELECT doc_id,
+      |  'HOME | ABOUT | CONTACT' || chr(10) || 'This site uses cookies.' || chr(10) ||
+      |  text || chr(10) || chr(10) || 'PROMO CODE ' || (doc_id % 7) || chr(10) ||
+      |  'ref ' || (doc_id % 250) || chr(10) || 'doc ' || doc_id AS t
+      |  FROM documents)""".stripMargin
+
+  /** Shared oracle for the two boilerplate-removal forms (broadcast-set
+    * and join) — identical results are part of the contract, so both rows
+    * compare against this one statement: document-frequency over non-empty
+    * lines, then a list filter against the frequent set mirroring the
+    * broadcast-array probe (empty frequent set → empty list, keep all).
+    */
+  private val BoilerplateCleanOracle: String =
+    s"""WITH $BoilerplateDocsSql,
+       |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b),
+       |f AS (SELECT line FROM l WHERE len(line) > 0
+       |      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 25),
+       |fl AS (SELECT coalesce(list(line), []) AS fset FROM f),
+       |c AS (SELECT doc_id, t,
+       |        list_filter(string_split(t, chr(10)),
+       |          __x -> NOT list_contains(fl.fset, __x)) AS kept
+       |      FROM b, fl)
+       |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+       |  CAST(len(string_split(t, chr(10))) - len(kept) AS INT) AS n_lines_removed
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Per-JVM ORC materializations of the region dim, keyed by sfDir —
     * process-private temp dirs, written once under computeIfAbsent's lock.
@@ -906,6 +954,44 @@ object SparkEntry {
           col("n_pii_idnum"))
         .orderBy("doc_id")
     },
+    // ---- C4-style boilerplate line removal, broadcast-set form: lines in
+    //      >= 25 distinct docs are deleted corpus-wide; the document side
+    //      is never shuffled (frequent set -> one row -> broadcast ->
+    //      scan-stage array filter). Gate covers the cleaned TEXT itself
+    //      byte-for-byte plus the per-doc removed count
+    "d_boilerplate" -> { (s, dir) =>
+      ops.Boilerplate.clean(boilerplateDocs(s, dir), "doc_id", "text_bl",
+          minDocs = 25)
+        .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
+        .orderBy("doc_id")
+    },
+    // ---- same semantics through the JOIN form (posexplode -> broadcast
+    //      left join -> order-restoring regroup) — the scale path when the
+    //      frequent set outgrows a linear broadcast-array probe; sharing
+    //      the oracle with d_boilerplate pins cross-form parity at the
+    //      rows+schema+hash level
+    "d_boilerplate_join" -> { (s, dir) =>
+      ops.Boilerplate.cleanViaJoin(boilerplateDocs(s, dir), "doc_id",
+          "text_bl", minDocs = 25)
+        .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
+        .orderBy("doc_id")
+    },
+    // ---- the frequent-line table itself (line, document frequency) — the
+    //      corpus-level aggregate both forms consume
+    "d_boilerplate_lines" -> { (s, dir) =>
+      ops.Boilerplate.frequentLines(boilerplateDocs(s, dir), "doc_id",
+          "text_bl", minDocs = 25)
+        .select(col("line"), col("line_df").cast("long").as("line_df"))
+        .orderBy("line")
+    },
+    // ---- hashed-feature linear classifier (fastText-style gate): mean
+    //      bucket weight vs integer thresholds, scored by the fused
+    //      codegen kernel; the oracle refolds every word's bucket weight
+    "d_quality_classifier" -> { (s, dir) =>
+      ops.Classifier.classify(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
+        .orderBy("doc_id")
+    },
 
     "d_pipeline_prep" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -1600,6 +1686,35 @@ object SparkEntry {
          |SELECT doc_id, __t AS text_clean, n_pii_email, n_pii_ipv4,
          |  n_pii_phone, n_pii_ssn, n_pii_idnum
          |FROM p${ops.Pii.categories.size} ORDER BY doc_id""".stripMargin,
+    // Both boilerplate forms must equal the same statement — cross-form
+    // parity IS the oracle contract (see BoilerplateCleanOracle)
+    "d_boilerplate" -> BoilerplateCleanOracle,
+    "d_boilerplate_join" -> BoilerplateCleanOracle,
+    "d_boilerplate_lines" ->
+      s"""WITH $BoilerplateDocsSql,
+         |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b)
+         |SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+         |FROM l WHERE len(line) > 0
+         |GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 25
+         |ORDER BY line""".stripMargin,
+    // Every word's bucket weight refolded from the same poly-57 hash and
+    // Lehmer weight formula as the fused kernel; label by exact integer
+    // cross-multiplication (no division)
+    "d_quality_classifier" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |sc AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ws, __w -> CAST(
+         |      (((${OracleFrag.poly57("__w")}) % ${ops.Classifier.numBuckets} + 1) * 48271) % 2001 - 1000
+         |      AS BIGINT))),
+         |    (__t1, __t2) -> __t1 + __t2) AS score_sum
+         |  FROM w)
+         |SELECT doc_id, n_words, score_sum,
+         |  CASE WHEN n_words = 0 THEN 'empty'
+         |       WHEN score_sum >= ${ops.Classifier.keepMilli} * n_words THEN 'keep'
+         |       WHEN score_sum <= ${ops.Classifier.discardMilli} * n_words THEN 'discard'
+         |       ELSE 'borderline' END AS label
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "d_pipeline_prep" ->
       s"""WITH pp0 AS (SELECT doc_id, source, text AS __t FROM documents),
          |${OracleFrag.piiStages("pp")},

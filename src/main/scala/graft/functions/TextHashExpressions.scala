@@ -25,6 +25,20 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class WordHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.wordHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.wordHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordHashesExpr =
+    copy(child = newChild)
+}
+
 case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   override def dataType: DataType = StructType(Seq(
@@ -74,6 +88,25 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class ClassifierScoreExpr(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("score_sum", LongType, nullable = false)))
+  override def prettyName: String = "classifier_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.classifierScore(input.asInstanceOf[UTF8String], numBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.classifierScore($c, $numBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierScoreExpr =
+    copy(child = newChild)
+}
+
 case class SimHash31Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash31"
@@ -113,6 +146,11 @@ object TextFunctions {
   def shingle_hashes(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(text), n))
 
+  /** Per-word 57-bit hashes in document order, with multiplicity (bag
+    * semantics — unlike shingle_hashes(n=1), which dedups). */
+  def word_hashes(text: Column): Column =
+    GraftBridge.column(WordHashesExpr(GraftBridge.expression(text)))
+
   /** k-function MinHash signature (array<long>) over shingle hashes. */
   def minhash_sig(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(hashes), k))
@@ -125,6 +163,10 @@ object TextFunctions {
     * n_bigrams. */
   def repetition_stats(text: Column): Column =
     GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(text)))
+
+  /** One-pass hashed-feature classifier score struct: n_words/score_sum. */
+  def classifier_score(text: Column, numBuckets: Int): Column =
+    GraftBridge.column(ClassifierScoreExpr(GraftBridge.expression(text), numBuckets))
 
   /** 31-bit SimHash of normalized text; -1 when the text has no words. */
   def simhash31(text: Column): Column =

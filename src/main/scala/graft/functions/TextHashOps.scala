@@ -140,6 +140,44 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Per-word 57-bit rolling hashes of the normalized text, in document
+    * order WITH multiplicity — bag-of-words semantics for the hashed-
+    * feature classifier ([[graft.ops.Classifier]]). [[shingleHashes]] with
+    * n = 1 is NOT equivalent: it dedups to first-occurrence order, which
+    * would collapse repeated words to a single feature count.
+    */
+  def wordHashes(text: UTF8String): ArrayData = {
+    val (bytes, bounds) = tokenize(text)
+    val n = bounds.length / 2
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass hashed-feature linear score: (n_words, score_sum) where
+    * score_sum = Σ over word occurrences of the bucket weight
+    * `((h mod numBuckets + 1) * 48271) mod 2001 - 1000` over the word's
+    * poly-57 hash `h`. The fused hot path of [[graft.ops.Classifier]] —
+    * the HOF fold over [[wordHashes]] is the parity-pinned reference.
+    * Integer-only, oracle-shared arithmetic.
+    */
+  def classifierScore(text: UTF8String, numBuckets: Int): InternalRow = {
+    val (bytes, bounds) = tokenize(text)
+    val n = bounds.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val h = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      sum += ((h % numBuckets + 1) * 48271L) % 2001L - 1000L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, sum))
+  }
+
   /** Distinct rolling-hash values of the n-word shingles (space-joined),
     * first-occurrence order. Empty when the text has fewer than n words.
     */

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level boilerplate line removal — the C4-style cleanup stage
+  * (Raffel et al. 2020 removed lines duplicated across the corpus;
+  * CCNet/RefinedWeb run the same shape) that strips navigation chrome,
+  * cookie banners and template footers: any LINE that appears in at least
+  * `minDocs` distinct documents is deleted from every document, order of
+  * the surviving lines preserved.
+  *
+  * Semantics (oracle-shared, exact):
+  *  - a "line" is a maximal '\n'-free run of the raw text — no trimming,
+  *    no normalization, so the frequency key is the exact byte sequence;
+  *  - EMPTY lines are excluded from frequency counting and therefore never
+  *    removed (blank separators are structure, not boilerplate);
+  *  - frequency is DOCUMENT frequency (`countDistinct(id)`) — a line
+  *    repeated 50× inside one spammy document is repetition
+  *    ([[TextAnalysis.repetitionSignals]]'s job), not boilerplate;
+  *  - NULL text stays NULL (clean text and counts), the engine's
+  *    NULL-in/NULL-out convention for scalar transforms.
+  *
+  * Scale shape — two complementary physical forms, same result (parity
+  * pinned in OpsSpec, both oracle-gated):
+  *
+  *  1. [[clean]] (broadcast-set form): pass 1 aggregates the frequent-line
+  *     set (line-keyed, map-side combined, output bounded by
+  *     totalLines/minDocs); pass 2 packs it into ONE row and
+  *     broadcast-cross-joins it back, so line removal is a scan-stage
+  *     array filter — the corpus is never shuffled at all. The right form
+  *     when the frequent set fits an executor (guarded by
+  *     `maxFreqLines`, raise-not-truncate). Note the per-line membership
+  *     probe is a linear scan of the broadcast array (Catalyst arrays have
+  *     no hash probe), so this form's cost is lines × |freq| — fine for
+  *     the template-chrome regime (|freq| in the hundreds/thousands).
+  *  2. [[cleanViaJoin]] (join form): explode lines once, LEFT-join the
+  *     (broadcast) frequent set — hash probe, O(1) per line — and regroup
+  *     by document, restoring order from the captured line position. One
+  *     doc-keyed shuffle of the line stream; the form that survives a
+  *     frequent set too large to probe linearly.
+  *
+  * At 100 TB: pass 1 is the same shape as a word count (shuffle keyed by
+  * line, partial aggregation map-side); neither form ever builds an
+  * all-pairs structure, and the document side is touched exactly twice.
+  */
+object Boilerplate {
+
+  /** Lines of a text column: split on '\n', no trimming. */
+  def lines(text: Column): Column = split(text, "\n", -1)
+
+  /** The frequent-line table `(line, line_df)`: every non-empty line
+    * appearing in at least `minDocs` DISTINCT documents. One line-keyed
+    * aggregate; output is bounded by totalLines/minDocs regardless of
+    * corpus size.
+    */
+  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs.select(col(idCol).as("__bl_id"),
+        explode(lines(col(textCol))).as("line"))
+      .where(length(col("line")) > 0)
+      .groupBy("line")
+      .agg(countDistinct(col("__bl_id")).as("line_df"))
+      .where(col("line_df") >= minDocs)
+  }
+
+  /** Broadcast-set removal: adds `outCol` (text with frequent lines
+    * deleted) and `n_lines_removed` (INT). Zero shuffles on the document
+    * side — the frequent set is aggregated to one row and broadcast; the
+    * filter runs in the scan stage. Raises (rather than truncating) if the
+    * frequent set exceeds `maxFreqLines`, the signal to switch to
+    * [[cleanViaJoin]].
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String, minDocs: Long,
+      maxFreqLines: Long = 1L << 20, outCol: String = "text_clean"): DataFrame =
+    cleanAgainstIndex(docs, frequentLines(docs, idCol, textCol, minDocs),
+      textCol, maxFreqLines, outCol)
+
+  /** [[clean]] against a PRECOMPUTED frequent-line index (a frame with a
+    * `line` column) — the streaming-compatible half: the index is a static
+    * batch side, the document side is stateless per-row, so the identical
+    * transform runs under `readStream` (StreamingSpec pins parity).
+    */
+  def cleanAgainstIndex(docs: DataFrame, freq: DataFrame, textCol: String,
+      maxFreqLines: Long = 1L << 20, outCol: String = "text_clean"): DataFrame = {
+    // one row: the frequent-line set + its size, guarded BEFORE use so an
+    // oversized set raises in the aggregate, never silently mis-cleans
+    val packed = freq.agg(count(lit(1)).as("__bl_n"),
+      collect_list(col("line")).as("__bl_set"))
+    val guarded = packed.select(
+      when(col("__bl_n") > maxFreqLines, raise_error(concat(
+          lit(s"Boilerplate.clean: frequent-line set exceeds maxFreqLines=$maxFreqLines (found "),
+          col("__bl_n"), lit(") — use cleanViaJoin"))))
+        .otherwise(col("__bl_set")).as("__bl_set"))
+    val t = col(textCol)
+    docs.crossJoin(broadcast(guarded))
+      .withColumn("__bl_kept",
+        filter(lines(t), l => !array_contains(col("__bl_set"), l)))
+      .withColumn(outCol,
+        when(t.isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", col("__bl_kept"))))
+      .withColumn("n_lines_removed",
+        when(t.isNull, lit(null).cast("int"))
+          .otherwise((size(lines(t)) - size(col("__bl_kept"))).cast("int")))
+      .drop("__bl_set", "__bl_kept")
+  }
+
+  /** Join-form removal, result-identical to [[clean]]: explode lines with
+    * their position, LEFT-join the (broadcast) frequent set, regroup per
+    * document sorting survivors by position. The general form — hash-probe
+    * membership, no broadcast-array linear scan — at the cost of one
+    * doc-keyed shuffle of the line stream.
+    */
+  def cleanViaJoin(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, outCol: String = "text_clean"): DataFrame = {
+    val freq = frequentLines(docs, idCol, textCol, minDocs)
+      .select(col("line"), lit(1).as("__bl_hit"))
+    val exploded = docs
+      .select(col(idCol).as("__bl_id"),
+        posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")))
+    val flagged = exploded.join(broadcast(freq), Seq("line"), "left")
+    val rebuilt = flagged.groupBy(col("__bl_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__bl_hit").isNull,
+            struct(col("__bl_pos"), col("line"))))),
+          s => s.getField("line"))).as("__bl_clean"),
+        sum(when(col("__bl_hit").isNotNull, 1L).otherwise(0L))
+          .cast("int").as("__bl_removed"))
+    // docs with NULL text explode to zero rows — restore them (NULL out)
+    docs.join(rebuilt, col(idCol) === col("__bl_id"), "left")
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(col("__bl_clean")))
+      .withColumn("n_lines_removed",
+        when(col(textCol).isNull, lit(null).cast("int"))
+          .otherwise(col("__bl_removed")))
+      .drop("__bl_id", "__bl_clean", "__bl_removed")
+  }
+}

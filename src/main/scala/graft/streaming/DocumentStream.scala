@@ -53,6 +53,27 @@ object DocumentStream {
       outCol: String = "text_clean"): DataFrame =
     graft.ops.Pii.scrub(docs, textCol, outCol)
 
+  /** Stateless quality classification — [[graft.ops.Classifier.classify]]'s
+    * fused-kernel projection per micro-batch. The "model" (the committed
+    * weight formula) rides in the expression, so there is no state, no
+    * lookup side, and stream/batch label parity is structural.
+    */
+  def classified(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.Classifier.classify(docs, textCol)
+
+  /** Streaming boilerplate removal against a PRECOMPUTED frequent-line
+    * index — [[graft.ops.Boilerplate.cleanAgainstIndex]] with the index as
+    * the static batch side of a stream-static broadcast join (the same
+    * split as [[nearDupsAgainstCorpus]]: corpus-wide counting is the
+    * index-build job's problem; per-document line filtering is stateless).
+    * A document is cleaned identically by stream or batch backfill against
+    * the same index snapshot.
+    */
+  def cleanedAgainstIndex(docs: DataFrame, freqIndex: DataFrame,
+      textCol: String = "text", outCol: String = "text_clean"): DataFrame =
+    graft.ops.Boilerplate.cleanAgainstIndex(docs, freqIndex, textCol,
+      outCol = outCol)
+
   /** Deterministic streaming sample — [[graft.ops.Sampling.hashSample]]'s
     * integer-hash membership applied per micro-batch. Membership is a pure
     * function of the id, so this is STATELESS (no watermark, no state

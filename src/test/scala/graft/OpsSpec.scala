@@ -1146,4 +1146,101 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((4, 0.75, 1.0))) // "go go" is every bigram
     assert(out(4L) == ((4, 0.0, 0.333333))) // 3 distinct bigrams → max 1/3
   }
+
+  // ---- boilerplate line removal --------------------------------------
+
+  private lazy val blDocs: DataFrame = Seq(
+    (1L, "NAV\nbody one\n\nfooter"),
+    (2L, "NAV\nbody two\n\nfooter"),
+    (3L, "NAV\nbody three\nfooter"),
+    (4L, "body four\nfooter\nfooter\nfooter"), // footer 3x in ONE doc
+    (5L, null.asInstanceOf[String]),
+    (6L, ""),
+  ).toDF("doc_id", "text")
+
+  test("boilerplate clean removes frequent lines, keeps blanks and uniques, NULL-safe") {
+    // minDocs=3: NAV (docs 1,2,3) and footer (docs 1,2,3,4) qualify;
+    // the empty line is in docs 1,2 AND every doc-6 split but is excluded
+    // from df-counting by the non-empty rule, so it is never removed
+    val out = Boilerplate.clean(blDocs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(r.fieldIndex("text_clean"))),
+         Option(r.get(r.fieldIndex("n_lines_removed"))))).toMap
+    assert(out(1L) == ((Some("body one\n"), Some(2))))  // NAV + footer gone, blank kept
+    assert(out(3L) == ((Some("body three"), Some(2))))
+    assert(out(4L) == ((Some("body four"), Some(3))))   // all 3 footer copies removed
+    assert(out(5L) == ((None, None)))                   // NULL in, NULL out
+    assert(out(6L) == ((Some(""), Some(0))))            // "" splits to [""], kept
+  }
+
+  test("boilerplate cleanViaJoin is row-identical to the broadcast-set form") {
+    def key(df: DataFrame) = df
+      .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(key(Boilerplate.clean(blDocs, "doc_id", "text", 3)) ==
+      key(Boilerplate.cleanViaJoin(blDocs, "doc_id", "text", 3)))
+  }
+
+  test("frequentLines counts DOCUMENT frequency, not occurrences") {
+    val f = Boilerplate.frequentLines(blDocs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("NAV" -> 3L, "footer" -> 4L)) // footer: 4 docs, not 6 copies
+  }
+
+  test("boilerplate clean raises when the frequent set exceeds maxFreqLines") {
+    val e = intercept[Exception] {
+      Boilerplate.clean(blDocs, "doc_id", "text", minDocs = 2, maxFreqLines = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxFreqLines") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxFreqLines")))
+  }
+
+  test("boilerplate clean is a no-op when nothing is frequent") {
+    val out = Boilerplate.clean(blDocs.where(col("doc_id") <= 2), "doc_id",
+        "text", minDocs = 3) // only 2 docs: nothing can reach df 3
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("text_clean"))).toMap
+    assert(out(1L) == "NAV\nbody one\n\nfooter")
+  }
+
+  // ---- hashed-feature classifier -------------------------------------
+
+  test("classifier kernel equals the HOF reference on real data") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (nRef, sRef) = Classifier.scoreExprs(col("text"))
+    val ref = frame.select(col("doc_id"), nRef.as("n"), sRef.as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val kernel = Classifier.classify(frame)
+      .select(col("doc_id"), col("n_words"), col("score_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(kernel.nonEmpty && kernel == ref)
+  }
+
+  test("classifier labels: thresholds cut on exact integer cross-multiplication") {
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "!!! ???"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // empty/punctuation-only → zero words → 'empty'; NULL → NULL
+    val byId = Classifier.classify(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(r.fieldIndex("label")))).toMap
+    assert(byId(2L).contains("empty") && byId(3L).contains("empty"))
+    assert(byId(4L).isEmpty)
+    // doc 1 label agrees with a by-hand recompute from the weight formula
+    val Seq(n1, s1) = Classifier.classify(df).where(col("doc_id") === 1)
+      .select(col("n_words").cast("long"), col("score_sum")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toList
+    val expected =
+      if (s1 >= Classifier.keepMilli * n1) "keep"
+      else if (s1 <= Classifier.discardMilli * n1) "discard"
+      else "borderline"
+    assert(byId(1L).contains(expected))
+  }
+
+  test("classifier weights stay in [-1000, 1000] and repeats count (bag semantics)") {
+    val df = Seq((1L, "spark"), (2L, "spark spark spark")).toDF("doc_id", "text")
+    val out = Classifier.classify(df)
+      .select(col("doc_id"), col("n_words"), col("score_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 1 && math.abs(out(1L)._2) <= 1000)
+    assert(out(2L) == ((3, out(1L)._2 * 3))) // multiplicity, not distinct
+  }
 }

@@ -485,6 +485,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("boilerplate broadcast-set form never shuffles the document side") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(
+      graft.ops.Boilerplate.clean(docs, "doc_id", "text", minDocs = 25))
+    // the only legal shuffles belong to the frequent-set AGGREGATION —
+    // every exchange subtree must contain a partial aggregate; the doc
+    // stream itself goes scan → broadcast-join → project, exchange-free
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, plan.toString.take(2000))
+    shuffles.foreach(e => assert(
+      e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+      s"document-side shuffle leaked in:\n${e.toString.take(2000)}"))
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+      plan.toString.take(3000))
+    // the oversized-set guard rides the broadcast side, so it fails the
+    // job before any document task runs
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.exists(_.toString.contains("maxFreqLines")),
+      plan.toString.take(3000))
+  }
+
+  test("boilerplate join form broadcasts the frequent set (hash probe, no cartesian)") {
+    val plan = nonAdaptivePlan(graft.ops.Boilerplate.cleanViaJoin(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      minDocs = 25)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("classifier is one exchange-free codegen projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.Classifier.classify(docs))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    // the fused kernel generates inside whole-stage codegen — no
+    // CodegenFallback HOF in the hot path
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty &&
+      plan.toString.contains("classifier_score"), plan.toString.take(2000))
+  }
+
   test("replica offload reads the warehouse replica, not the primary") {
     val df = SparkEntry.queries("e_replica_offload")(spark, dir)
     assert(df.count() > 0)

@@ -133,6 +133,54 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming classifier: label parity with batch, stateless") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    val classified = DocumentStream.classified(stream)
+      .select("doc_id", "n_words", "score_sum", "label")
+    val q = classified.writeStream.outputMode("append")
+      .format("memory").queryName("doc_classified").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_classified").collect().map(key).sorted
+    val batch = graft.ops.Classifier.classify(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_id", "n_words", "score_sum", "label")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+  }
+
+  test("streaming boilerplate clean vs static index: parity with batch backfill") {
+    // the index is the batch side of the split: pick 5 known documents'
+    // full texts as the "frequent lines" (the synthetic corpus has no
+    // embedded newlines, so each text is exactly one line) — those docs
+    // must clean to empty both by stream and by batch
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val freqIndex = batchDocs.where(col("doc_id") < 5)
+      .select(col("text").as("line"))
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.cleanedAgainstIndex(stream, freqIndex)
+        .select("doc_id", "text_clean", "n_lines_removed"),
+      "doc_bl_clean")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_bl_clean").collect().map(key).sorted
+    val batch = graft.ops.Boilerplate.cleanAgainstIndex(batchDocs, freqIndex, "text")
+      .select("doc_id", "text_clean", "n_lines_removed")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+    // and the cut really happened: the 5 indexed docs cleaned to empty
+    val cleaned = spark.table("doc_bl_clean")
+      .where(col("doc_id") < 5 && col("text_clean") === "" &&
+        col("n_lines_removed") === 1)
+    assert(cleaned.count() == 5)
+  }
+
   test("streaming exact dedup within watermark matches batch distinct-on-content") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
