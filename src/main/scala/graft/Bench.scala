@@ -35,6 +35,8 @@ object Bench {
     "d_boilerplate",      // frequent-line removal, broadcast-set scan form
     "d_boilerplate_join", // same cut through the join+regroup scale form
     "d_quality_classifier", // fused hashed-feature scoring, exchange-free
+    "m_media_frames_wav", // byte-chunk sampler over genuine RIFF containers
+    "d_pipeline_clean",   // boilerplate→PII→classifier→gates→dedup, one plan
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

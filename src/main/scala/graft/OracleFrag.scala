@@ -51,6 +51,27 @@ private[graft] object OracleFrag {
          |  regexp_replace(__t, '$pat', '$repl', 'g') AS __t FROM $prefix$i)""".stripMargin
     }.mkString(",\n")
 
+  /** Hashed-feature classifier score_sum over a words-list expression —
+    * mirror of [[graft.functions.TextHashOps.classifierScore]] /
+    * [[graft.ops.Classifier.weightOf]]: per word occurrence, one Lehmer
+    * step of (poly57 mod numBuckets), summed exactly in BIGINT.
+    */
+  def classifierScoreSum(wsCol: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($wsCol, __w -> CAST(
+       |      (((${poly57("__w")}) % ${graft.ops.Classifier.numBuckets} + 1) * 48271) % 2001 - 1000
+       |      AS BIGINT))),
+       |    (__t1, __t2) -> __t1 + __t2)""".stripMargin
+
+  /** Classifier label over `n_words`/`score_sum` columns (mirror of
+    * [[graft.ops.Classifier.classify]]'s integer cross-multiplied cut).
+    */
+  val classifierLabelExpr: String =
+    s"""CASE WHEN n_words = 0 THEN 'empty'
+       |     WHEN score_sum >= ${graft.ops.Classifier.keepMilli} * n_words THEN 'keep'
+       |     WHEN score_sum <= ${graft.ops.Classifier.discardMilli} * n_words THEN 'discard'
+       |     ELSE 'borderline' END""".stripMargin
+
   /** Unrolled BPE-training CTEs mirroring [[graft.ops.Bpe.train]] round
     * for round: `wrd` (distinct words + counts, same tokenizer as `ws`),
     * `seg0` (space-padded char segmentation), then per round r: `pr{r}`

@@ -71,7 +71,7 @@ object SparkEntry {
     * exposing `doc_id, t`) — same line set, same integer arithmetic.
     */
   private val BoilerplateDocsSql: String =
-    """b AS (SELECT doc_id,
+    """b AS (SELECT doc_id, source,
       |  'HOME | ABOUT | CONTACT' || chr(10) || 'This site uses cookies.' || chr(10) ||
       |  text || chr(10) || chr(10) || 'PROMO CODE ' || (doc_id % 7) || chr(10) ||
       |  'ref ' || (doc_id % 250) || chr(10) || 'doc ' || doc_id AS t
@@ -864,6 +864,18 @@ object SparkEntry {
         windowSamples = 256, everyK = 2)
         .orderBy("assetId", "windowIdx")
     },
+    // ---- multimodal: the byte-chunk frame sampler over GENUINE media
+    //      containers (real WAV payloads, not UTF-8 text posing as video)
+    //      — the oracle reconstructs the RIFF container BYTE FOR BYTE
+    //      (canonical 44-byte JDK header: two little-endian length fields
+    //      + fixed fmt block, then the PCM sample stream) and refolds each
+    //      chunk's checksum, so a single wrong container byte fails the
+    //      gate. Only ffmpeg-class video remains on the text harness
+    "m_media_frames_wav" -> { (s, dir) =>
+      ops.Multimodal.sampleFrames(audioAssetTable(s, dir),
+        everyK = 2, frameBytes = 256)
+        .orderBy("assetId", "frameIdx")
+    },
     // ---- multimodal: batched nearest-neighbor resize over REAL decoded
     //      pixels (explicit integer resample — oracle-reproducible)
     "m_media_resize" -> { (s, dir) =>
@@ -990,6 +1002,24 @@ object SparkEntry {
     "d_quality_classifier" -> { (s, dir) =>
       ops.Classifier.classify(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
+        .orderBy("doc_id")
+    },
+    // ---- the round-9 stages composed into ONE plan: boilerplate clean
+    //      (broadcast-set) → PII scrub of the CLEANED text → classifier →
+    //      language/quality/label gates → fingerprint dedup. Proves the
+    //      new scan-stage gates chain without plan blow-ups, exactly like
+    //      d_pipeline_prep did for the PII stage in round 8
+    "d_pipeline_clean" -> { (s, dir) =>
+      val cleaned = ops.Boilerplate.clean(boilerplateDocs(s, dir), "doc_id",
+        "text_bl", minDocs = 25)
+      val scrubbed = cleaned.withColumn("text",
+        ops.Pii.scrubExprs(col("text_clean"))._1)
+      val gated = ops.TextAnalysis.analyze(ops.Classifier.classify(scrubbed))
+        .where(col("langGuess") === "en" && col("quality") >= 0.5 &&
+          col("label") =!= "discard")
+      ops.Dedup.exactDedup(gated, col("fingerprint"), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_lines_removed"),
+          col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
 
@@ -1703,18 +1733,46 @@ object SparkEntry {
     "d_quality_classifier" ->
       s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
          |sc AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(ws, __w -> CAST(
-         |      (((${OracleFrag.poly57("__w")}) % ${ops.Classifier.numBuckets} + 1) * 48271) % 2001 - 1000
-         |      AS BIGINT))),
-         |    (__t1, __t2) -> __t1 + __t2) AS score_sum
+         |  ${OracleFrag.classifierScoreSum("ws")} AS score_sum
          |  FROM w)
          |SELECT doc_id, n_words, score_sum,
-         |  CASE WHEN n_words = 0 THEN 'empty'
-         |       WHEN score_sum >= ${ops.Classifier.keepMilli} * n_words THEN 'keep'
-         |       WHEN score_sum <= ${ops.Classifier.discardMilli} * n_words THEN 'discard'
-         |       ELSE 'borderline' END AS label
+         |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // The composed clean pipeline mirrored stage-for-stage: boilerplate
+    // CTEs (shared with d_boilerplate), PII stages on the CLEANED text,
+    // classifier fragments, the d_pipeline_prep analysis gates, and the
+    // fingerprint-dedup QUALIFY
+    "d_pipeline_clean" ->
+      s"""WITH $BoilerplateDocsSql,
+         |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b),
+         |f AS (SELECT line FROM l WHERE len(line) > 0
+         |      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 25),
+         |fl AS (SELECT coalesce(list(line), []) AS fset FROM f),
+         |pc0 AS (SELECT doc_id, source,
+         |        CAST(len(string_split(t, chr(10))) -
+         |          len(list_filter(string_split(t, chr(10)),
+         |            __x -> NOT list_contains(fl.fset, __x))) AS INT) AS n_lines_removed,
+         |        array_to_string(list_filter(string_split(t, chr(10)),
+         |          __x -> NOT list_contains(fl.fset, __x)), chr(10)) AS __t
+         |      FROM b, fl),
+         |${OracleFrag.piiStages("pc")},
+         |base AS (SELECT doc_id, source, n_lines_removed, __t AS text
+         |         FROM pc${ops.Pii.categories.size}),
+         |${OracleFrag.docAnalysisCtes(", source, n_lines_removed", from = "base")},
+         |a AS (
+         |  SELECT doc_id, source, n_lines_removed,
+         |    ${OracleFrag.langGuessExpr} AS lang_guess,
+         |    ${OracleFrag.qualityExpr} AS quality,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    ${OracleFrag.classifierScoreSum("ws")} AS score_sum,
+         |    ${OracleFrag.fingerprintExpr} AS fingerprint
+         |  FROM s),
+         |lab AS (SELECT *, ${OracleFrag.classifierLabelExpr} AS label FROM a),
+         |g AS (SELECT * FROM lab
+         |      WHERE lang_guess = 'en' AND quality >= 0.5 AND label <> 'discard'
+         |      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1)
+         |SELECT doc_id, source, n_lines_removed, n_words, score_sum, label
+         |FROM g ORDER BY doc_id""".stripMargin,
     "d_pipeline_prep" ->
       s"""WITH pp0 AS (SELECT doc_id, source, text AS __t FROM documents),
          |${OracleFrag.piiStages("pp")},
@@ -2292,6 +2350,50 @@ object SparkEntry {
         |    list_transform(range(wi*256, wi*256 + least(256, n - wi*256)),
         |      t -> CAST((t*2029 + doc_id*48271 + 12345) % 65536 AS BIGINT))),
         |    (__a, __s) -> (__a * 31 + __s) % 2147483647) AS "windowChecksum"
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    // The RIFF container reconstructed byte for byte: canonical 44-byte
+    // JDK WAV header (RIFF size = 36 + 2n and data size = 2n as
+    // little-endian u32, fixed PCM fmt block: mono, 8000 Hz, 16-bit,
+    // byte rate 16000, block align 2) followed by the little-endian
+    // 16-bit samples of the analytic waveform; every 2nd 256-byte chunk
+    // folds (a*131 + byte) mod (2^31-1) — the payload-byte checksum the
+    // frame sampler computes on the REAL encodeWav output
+    "m_media_frames_wav" ->
+      """WITH d AS (SELECT doc_id, 512 + n_chars % 512 AS n FROM documents),
+        |f AS (SELECT doc_id, n, 44 + 2*n AS total,
+        |        unnest(range(0, CAST((44 + 2*n + 255) // 256 AS BIGINT), 2)) AS fi
+        |      FROM d)
+        |SELECT doc_id AS "assetId", CAST(fi AS INT) AS "frameIdx",
+        |  CAST(least(256, total - fi*256) AS INT) AS "frameBytes",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(fi*256, fi*256 + least(256, total - fi*256)), __p ->
+        |      CAST(CASE
+        |        WHEN __p = 0 THEN 82 WHEN __p = 1 THEN 73
+        |        WHEN __p = 2 THEN 70 WHEN __p = 3 THEN 70
+        |        WHEN __p = 4 THEN (36 + 2*n) % 256
+        |        WHEN __p = 5 THEN (36 + 2*n) // 256
+        |        WHEN __p IN (6, 7) THEN 0
+        |        WHEN __p = 8 THEN 87 WHEN __p = 9 THEN 65
+        |        WHEN __p = 10 THEN 86 WHEN __p = 11 THEN 69
+        |        WHEN __p = 12 THEN 102 WHEN __p = 13 THEN 109
+        |        WHEN __p = 14 THEN 116 WHEN __p = 15 THEN 32
+        |        WHEN __p = 16 THEN 16 WHEN __p IN (17, 18, 19) THEN 0
+        |        WHEN __p = 20 THEN 1 WHEN __p = 21 THEN 0
+        |        WHEN __p = 22 THEN 1 WHEN __p = 23 THEN 0
+        |        WHEN __p = 24 THEN 64 WHEN __p = 25 THEN 31 WHEN __p IN (26, 27) THEN 0
+        |        WHEN __p = 28 THEN 128 WHEN __p = 29 THEN 62 WHEN __p IN (30, 31) THEN 0
+        |        WHEN __p = 32 THEN 2 WHEN __p = 33 THEN 0
+        |        WHEN __p = 34 THEN 16 WHEN __p = 35 THEN 0
+        |        WHEN __p = 36 THEN 100 WHEN __p = 37 THEN 97
+        |        WHEN __p = 38 THEN 116 WHEN __p = 39 THEN 97
+        |        WHEN __p = 40 THEN (2*n) % 256
+        |        WHEN __p = 41 THEN (2*n) // 256
+        |        WHEN __p IN (42, 43) THEN 0
+        |        WHEN (__p - 44) % 2 = 0
+        |          THEN ((((__p - 44) // 2) * 2029 + doc_id * 48271 + 12345) % 65536) % 256
+        |        ELSE (((((__p - 44) // 2) * 2029 + doc_id * 48271 + 12345) % 65536) // 256 + 128) % 256
+        |      END AS BIGINT))),
+        |    (__a, __b) -> (__a * 131 + __b) % 2147483647) AS "frameChecksum"
         |FROM f ORDER BY 1, 2""".stripMargin,
     // The decoded raster recomputed ANALYTICALLY: the fixture PNG's pixel
     // (x,y) is r=(7x+13y+id), g=(11x+3y+5id), b=(5x+17y+11id) each mod

@@ -417,9 +417,13 @@ object Multimodal {
       }
     }
 
-  /** Frame-sampling stub for video payloads: every k-th chunk of the binary
-    * stands in for a frame; a real impl would demux containers (ffmpeg-class
-    * tooling, not in this container).
+  /** Byte-chunk frame sampling over RAW container bytes: every k-th
+    * `frameBytes` chunk of the payload with its checksum. Format-agnostic
+    * by design — over the WAV fixtures this samples genuine RIFF
+    * container bytes (the `m_media_frames_wav` oracle reconstructs the
+    * container byte-for-byte, header included); over video payloads the
+    * chunks merely stand in for frames, because true frame extraction
+    * needs an ffmpeg-class demuxer that is not in this environment.
     */
   def sampleFrames(assets: Dataset[MediaAsset], everyK: Int = 10,
       frameBytes: Int = 1024): DataFrame = {

@@ -93,7 +93,24 @@ object StressX10 {
       df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
     }
 
+    // multi-line page chrome for the boilerplate-removal row (the corpus
+    // itself is single-line word salad): shared nav/cookie lines + a
+    // 7-variant promo + a unique signature, as in the d_boilerplate query
+    def addChrome(df: DataFrame): DataFrame =
+      df.withColumn("text", concat(
+        lit("HOME | ABOUT | CONTACT\nThis site uses cookies.\n"), col("text"),
+        lit("\nPROMO CODE "), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("\ndoc "), col("doc_id").cast("string")))
+    val bl1 = addChrome(docs1).localCheckpoint()
+    val bl10 = addChrome(docs10).localCheckpoint()
+
     val scenarios: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
+      // frequent-line removal: one line-keyed aggregate (map-side
+      // combined, output bounded by lines/minDocs) + a broadcast scan
+      // filter — expect ~linear in corpus bytes
+      ("d_boilerplate (clean, minDocs=25)", bl1, bl10,
+        (d: DataFrame) => graft.ops.Boilerplate.clean(d, "doc_id", "text",
+          minDocs = 25)),
       // two-phase exact-n: the rank window sees ~n + avail/4096 rows per
       // stratum, so 10× data should cost ~the extra histogram scan, and
       // the dominant stratum must NOT serialize

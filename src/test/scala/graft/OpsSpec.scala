@@ -1203,6 +1203,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == "NAV\nbody one\n\nfooter")
   }
 
+  test("sampleFrames over a real WAV container matches a by-hand fold of encodeWav bytes") {
+    val wav = Multimodal.encodeWav(id = 42L, nSamples = 700)
+    assert(wav.length == 44 + 1400) // canonical JDK header, no extra chunks
+    val assets = spark.createDataset(
+      Seq(Multimodal.MediaAsset(42L, "audio", wav, "synthetic://wav/42")))(
+      Multimodal.assetEnc)
+    val out = Multimodal.sampleFrames(assets, everyK = 2, frameBytes = 256)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getLong(3))).toMap
+    // 1444 bytes → 6 chunks (5×256 + 164), sampled at 0, 2, 4
+    val expected = wav.grouped(256).zipWithIndex.filter(_._2 % 2 == 0)
+      .map { case (chunk, i) =>
+        i -> (chunk.length,
+          chunk.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L))
+      }.toMap
+    assert(out == expected && out.keySet == Set(0, 2, 4))
+  }
+
   // ---- hashed-feature classifier -------------------------------------
 
   test("classifier kernel equals the HOF reference on real data") {
