@@ -37,6 +37,7 @@ object Bench {
     "d_quality_classifier", // fused hashed-feature scoring, exchange-free
     "m_media_frames_wav", // byte-chunk sampler over genuine RIFF containers
     "d_pipeline_clean",   // boilerplate→PII→classifier→gates→dedup, one plan
+    "d_top_ngrams",       // exact trigram mining, pruned top-k
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

@@ -1004,6 +1004,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- corpus-wide frequent-phrase mining: exact trigram multiset
+    //      counts, minCount-pruned before the sort, deterministic
+    //      (cnt DESC, gram ASC) top-k via TakeOrderedAndProject
+    "d_top_ngrams" -> { (s, dir) =>
+      ops.Ngrams.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 50,
+        minCount = 2)
+    },
     // ---- the round-9 stages composed into ONE plan: boilerplate clean
     //      (broadcast-set) → PII scrub of the CLEANED text → classifier →
     //      language/quality/label gates → fingerprint dedup. Proves the
@@ -1738,6 +1745,16 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Trigram multiset counts rebuilt with the same tokenizer; the top-k
+    // cut is unique because ties break on the gram string itself
+    "d_top_ngrams" ->
+      s"""WITH w AS (SELECT ${OracleFrag.ws("text")} AS ws FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(ws) - 1), __i ->
+         |        ws[__i] || ' ' || ws[__i+1] || ' ' || ws[__i+2])) AS gram
+         |      FROM w WHERE len(ws) >= 3)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+         |GROUP BY gram HAVING COUNT(*) >= 2
+         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
     // The composed clean pipeline mirrored stage-for-stage: boilerplate
     // CTEs (shared with d_boilerplate), PII stages on the CLEANED text,
     // classifier fragments, the d_pipeline_prep analysis gates, and the

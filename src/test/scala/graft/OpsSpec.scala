@@ -1203,6 +1203,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == "NAV\nbody one\n\nfooter")
   }
 
+  test("topNgrams: exact multiset counts, deterministic tie-break, minCount prune") {
+    val df = Seq(
+      (1L, "a b c a b c"), // trigrams: "a b c"×2, "b c a", "c a b"
+      (2L, "a b c"),       // "a b c" +1 → 3 total
+      (3L, "x y"),         // too short for a trigram
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val top = Ngrams.topNgrams(df, "text", n = 3, k = 3, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // cnt=1 ties break on the gram string: "b c a" < "c a b"
+    assert(top == Seq(("a b c", 3L), ("b c a", 1L), ("c a b", 1L)))
+    val pruned = Ngrams.ngramCounts(df, "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pruned == Seq(("a b c", 3L)))
+  }
+
   test("sampleFrames over a real WAV container matches a by-hand fold of encodeWav bytes") {
     val wav = Multimodal.encodeWav(id = 42L, nSamples = 700)
     assert(wav.length == 44 + 1400) // canonical JDK header, no extra chunks

@@ -529,6 +529,11 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.toString.contains("classifier_score"), plan.toString.take(2000))
   }
 
+  test("top-ngrams mining plans a TakeOrderedAndProject, not a global sort") {
+    val p = planOf("d_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("replica offload reads the warehouse replica, not the primary") {
     val df = SparkEntry.queries("e_replica_offload")(spark, dir)
     assert(df.count() > 0)
