@@ -1004,6 +1004,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- dataset-card crosstab: per (source, label) doc/token/score
+    //      totals — the composition-decision table a mixture job reads;
+    //      one map-side-combined aggregate over the scan-stage
+    //      classifier+analysis projections
+    "d_corpus_labels" -> { (s, dir) =>
+      ops.Classifier.classify(ops.TextAnalysis.analyze(t(s, dir, "documents")))
+        .groupBy("source", "label").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nTokensWs").cast("long")).as("n_tokens"),
+          sum(col("score_sum")).as("score_total"))
+        .orderBy("source", "label")
+    },
     // ---- corpus-wide frequent-phrase mining: exact trigram multiset
     //      counts, minCount-pruned before the sort, deterministic
     //      (cnt DESC, gram ASC) top-k via TakeOrderedAndProject
@@ -1745,6 +1757,19 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Label × source crosstab from the shared classifier fragments; sums
+    // are exact integers so the hash gate covers the whole card
+    "d_corpus_labels" ->
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws
+         |           FROM documents),
+         |a AS (SELECT doc_id, source, CAST(len(ws) AS INT) AS n_words,
+         |        ${OracleFrag.classifierScoreSum("ws")} AS score_sum
+         |      FROM w),
+         |lab AS (SELECT *, ${OracleFrag.classifierLabelExpr} AS label FROM a)
+         |SELECT source, label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(score_sum) AS BIGINT) AS score_total
+         |FROM lab GROUP BY source, label ORDER BY source, label""".stripMargin,
     // Trigram multiset counts rebuilt with the same tokenizer; the top-k
     // cut is unique because ties break on the gram string itself
     "d_top_ngrams" ->
