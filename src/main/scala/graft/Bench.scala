@@ -56,8 +56,8 @@ object Bench {
     "d_pack_examples",    // chunk-side packed spans (partition-local explode)
     "d_epoch_pack",       // epoch shuffle + per-shard packing (zero single-partition stages)
     "d_quality_topq",     // exact top-quantile gate via value histogram
-    "d_mixture_sample",
-    "d_mixture_temp",     // avail^tau weights through the exact-quota path   // weighted source mixture under availability
+    "d_mixture_sample",   // weighted source mixture under availability
+    "d_mixture_temp",     // avail^tau weights through the exact-quota path
     "d_corpus_stats",     // per-source corpus profile report
     "d_text_surprisal",   // unigram self-surprisal quality signal
     "d_dedup_ngram",      // inverted-index jaccard

@@ -72,16 +72,26 @@ private[graft] object OracleFrag {
        |     WHEN score_sum <= ${graft.ops.Classifier.discardMilli} * n_words THEN 'discard'
        |     ELSE 'borderline' END""".stripMargin
 
+  /** Symbol list of a BPE segmentation string expression: split on single
+    * spaces, drop the empties the unit-owned double separators produce
+    * (mirror of Bpe.symsSql).
+    */
+  def bpeSyms(seg: String): String =
+    s"list_filter(string_split(trim($seg), ' '), __f -> len(__f) > 0)"
+
   /** Unrolled BPE-training CTEs mirroring [[graft.ops.Bpe.train]] round
     * for round: `wrd` (distinct words + counts, same tokenizer as `ws`),
-    * `seg0` (space-padded char segmentation), then per round r: `pr{r}`
-    * (weighted adjacent-pair counts of the current segmentation),
-    * `best{r}` (the argmax with the same count-DESC, l, r tie-break) and
-    * `seg{r}` (the merge applied via the identical " l r " → " lr "
-    * left-to-right replace). DuckDB's `replace` and Spark's share
-    * non-overlapping left-to-right scan semantics, so the string algebra
-    * — and therefore every subsequent round's pair counts — matches
-    * exactly.
+    * `seg0` (unit-owned-space char segmentation: "abc" → " a  b  c ",
+    * every symbol wrapped in its OWN spaces so adjacent pair occurrences
+    * share no characters), then per round r: `pr{r}` (weighted
+    * adjacent-pair counts of the current segmentation), `best{r}` (the
+    * argmax with the same count-DESC, l, r tie-break) and `seg{r}` (the
+    * merge applied via the identical " l  r " → " lr " left-to-right
+    * replace). DuckDB's `replace` and Spark's share non-overlapping
+    * left-to-right scan semantics, and with unit-owned spaces that scan
+    * IS greedy BPE (both "banana" (a,n) occurrences merge), so the string
+    * algebra — and therefore every subsequent round's pair counts —
+    * matches exactly.
     */
   def bpeCtes(k: Int, from: String = "documents"): String = {
     val rounds = (1 to k).map { r =>
@@ -90,19 +100,19 @@ private[graft] object OracleFrag {
          |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(syms)), __i ->
          |      struct_pack(l := syms[__i], r := syms[__i + 1]))) AS p
-         |    FROM (SELECT cnt, string_split(trim(seg), ' ') AS syms FROM $prev))
+         |    FROM (SELECT cnt, ${bpeSyms("seg")} AS syms FROM $prev))
          |  GROUP BY 1, 2),
          |best$r AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pr$r
          |           ORDER BY c DESC, l, r LIMIT 1),
          |seg$r AS MATERIALIZED (SELECT w, cnt, replace(seg,
-         |    ' ' || (SELECT l FROM best$r) || ' ' || (SELECT r FROM best$r) || ' ',
+         |    ' ' || (SELECT l FROM best$r) || '  ' || (SELECT r FROM best$r) || ' ',
          |    ' ' || (SELECT l FROM best$r) || (SELECT r FROM best$r) || ' ') AS seg
          |  FROM $prev)""".stripMargin
     }
     s"""wrd AS MATERIALIZED (SELECT __w AS w, COUNT(*) AS cnt
        |       FROM (SELECT unnest(${ws("text")}) AS __w FROM $from)
        |       GROUP BY 1),
-       |seg0 AS MATERIALIZED (SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+       |seg0 AS MATERIALIZED (SELECT w, cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seg
        |         FROM wrd),
        |""".stripMargin + rounds.mkString(",\n")
   }
@@ -113,10 +123,10 @@ private[graft] object OracleFrag {
     * subqueries.
     */
   def bpeSegment(word: String, k: Int): String =
-    (1 to k).foldLeft(s"' ' || regexp_replace($word, '(.)', '\\1 ', 'g')") {
+    (1 to k).foldLeft(s"regexp_replace($word, '(.)', ' \\1 ', 'g')") {
       (acc, r) =>
         s"""replace($acc,
-           |  ' ' || (SELECT l FROM best$r) || ' ' || (SELECT r FROM best$r) || ' ',
+           |  ' ' || (SELECT l FROM best$r) || '  ' || (SELECT r FROM best$r) || ' ',
            |  ' ' || (SELECT l FROM best$r) || (SELECT r FROM best$r) || ' ')""".stripMargin
     }
 

@@ -1711,14 +1711,15 @@ object SparkEntry {
       s"""WITH ${OracleFrag.bpeCtes(8)},
          |tok AS (SELECT doc_id, unnest(${OracleFrag.ws("text")}) AS w FROM documents),
          |tc AS (SELECT doc_id,
-         |    CAST(SUM(len(string_split(trim(${OracleFrag.bpeSegment("w", 8)}), ' '))) AS BIGINT)
+         |    CAST(SUM(len(${OracleFrag.bpeSyms(OracleFrag.bpeSegment("w", 8))})) AS BIGINT)
          |      AS n_tok_trained
          |  FROM tok GROUP BY doc_id)
-         |SELECT tc.doc_id, tc.n_tok_trained,
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(tc.n_tok_trained, 0) AS BIGINT) AS n_tok_trained,
          |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
          |    AS n_tok_est
-         |FROM tc JOIN documents d ON d.doc_id = tc.doc_id
-         |ORDER BY tc.doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // The PII chain mirrored stage-for-stage (OracleFrag.piiStages drives
     // off the same Pii.categories), over text with one planted specimen
     // of every category built from doc_id with the same integer math
@@ -2039,13 +2040,15 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     // Same quota machinery with wt = avail^0.7 — the tmax expression
     // mirrors Spark's exact formula shape (avail/wt, not avail^0.3) and
-    // the +1e-9 epsilon before FLOOR matches Sampling's guard against a
-    // last-ulp pow() difference flipping the floor at exact integers
+    // the relative-1e-12 + absolute-1e-9 epsilon before FLOOR matches
+    // Sampling's guard against a last-ulp pow() difference flipping the
+    // floor at exact integers (relative, because one ulp of a large
+    // product outgrows any absolute epsilon)
     "d_mixture_temp" ->
       s"""WITH cnt AS (SELECT source, COUNT(*) AS avail FROM documents GROUP BY 1),
          |w AS (SELECT source, avail, pow(CAST(avail AS DOUBLE), 0.7) AS wt FROM cnt),
          |t AS (SELECT MIN(CAST(avail AS DOUBLE) / wt) AS tmax FROM w),
-         |q AS (SELECT source, CAST(FLOOR(tmax * wt + 1e-9) AS BIGINT) AS quota
+         |q AS (SELECT source, CAST(FLOOR(tmax * wt * (1 + 1e-12) + 1e-9) AS BIGINT) AS quota
          |      FROM w, t),
          |r AS (SELECT doc_id, source, row_number() OVER (
          |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk

@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized data plus a LIMIT-1 argmax (a tiny aggregate; the
   * only thing that ever reaches the driver is the single winning pair,
   * which re-enters the plan as a literal — the broadcast pattern).
-  * Segmentations are space-separated symbol strings, so a merge is one
-  * codegen'd `replace(seg, " l r ", " lr ")` — left-to-right
-  * non-overlapping, exactly BPE's greedy merge semantics — and the
-  * DuckDB oracle replays the identical string algebra. `localCheckpoint`
-  * per round keeps the plan flat across rounds (the star-CC pattern).
+  * Segmentations are symbol strings where EVERY symbol owns its own
+  * leading and trailing space (" a  n  a " — two spaces between
+  * neighbors), so a merge is one codegen'd
+  * `replace(seg, " l  r ", " lr ")`. The unit-owned spaces are what make
+  * a single left-to-right replace EXACTLY greedy BPE: adjacent pair
+  * occurrences share no characters, so consuming one cannot destroy the
+  * next ("banana" under (a,n) merges BOTH occurrences). A shared-space
+  * encoding (" a n a n a " with the pattern " a n ") silently skips the
+  * second of two adjacent occurrences, because the first match eats the
+  * space the second needs. The DuckDB oracle replays the identical
+  * string algebra. `localCheckpoint` per round keeps the plan flat
+  * across rounds (the star-CC pattern).
   */
 object Bpe {
 
@@ -35,27 +42,35 @@ object Bpe {
     */
   final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
 
-  /** Initial segmentation of a word as a space-padded symbol string:
-    * "abc" → " a b c ". The padding makes every symbol — including the
-    * first and last — matchable as " sym ", which is what lets a merge be
-    * a plain string replace.
+  /** Initial segmentation of a word with unit-owned spaces:
+    * "abc" → " a  b  c " (each char wrapped as " c "). Every symbol —
+    * including the first and last — is matchable as " sym ", and
+    * NEIGHBORING pair occurrences share no characters (see the object
+    * scaladoc), which is what lets a merge be one plain string replace.
     */
   private def initSeg(word: Column): Column =
-    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    regexp_replace(word, "(.)", " $1 ")
+
+  /** Symbol list of a segmentation string: split on single spaces and
+    * drop the empties the double separators produce.
+    */
+  private val symsSql = "filter(split(trim(seg), ' '), __f -> length(__f) > 0)"
 
   /** Adjacent (l, r) symbol pairs of the `seg` column, as exploded rows. */
   private def pairCol: Column = {
-    val s = "split(trim(seg), ' ')"
+    val s = symsSql
     expr(s"transform(slice($s, 1, greatest(size($s) - 1, 0)), " +
       s"(__x, __i) -> struct(__x AS l, element_at($s, __i + 2) AS r))")
   }
 
   /** Apply one merge to a segmentation string. `replace` scans left to
-    * right and never rescans replaced output — BPE's greedy
-    * non-overlapping semantics (" a a a " under (a,a) → " aa a ").
+    * right and never rescans replaced output — and because units own
+    * their spaces, that is exactly BPE's greedy non-overlapping pass:
+    * " a  a  a " under (a,a) → " aa  a ", " b  a  n  a  n  a " under
+    * (a,n) → " b  an  an  a " (both occurrences merge).
     */
   private def applyMerge(seg: Column, m: Merge): Column =
-    replace(seg, lit(s" ${m.lhs} ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+    replace(seg, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
 
   /** Train `numMerges` BPE merges over `textCol`, tokenized with the same
     * normalization as [[TextAnalysis.words]]. Deterministic: the argmax
@@ -97,14 +112,20 @@ object Bpe {
     * closed-form [[TextAnalysis.tokenEstimate]] — the "is the estimate
     * honest?" comparison row. One explode + map-side-combined sum; the
     * merge table rides in the plan as literals (broadcast-equivalent).
+    * Documents with ZERO tokenizable words (null/empty/punctuation-only
+    * text) are kept with `n_tok_trained = 0` — the explode contracts them
+    * away, so the aggregate is re-joined against the id set; silently
+    * dropping rows would make per-corpus token sums lie.
     */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[Merge]): DataFrame = {
     val perWord = docs
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
-      .withColumn("n",
-        size(split(trim(segmentWithMerges(col("w"), merges)), " ")))
-    perWord.groupBy(col(idCol))
-      .agg(sum(col("n").cast("long")).as("n_tok_trained"))
+      .withColumn("seg", segmentWithMerges(col("w"), merges))
+      .withColumn("n", expr(s"size($symsSql)"))
+    val counts = perWord.groupBy(col(idCol))
+      .agg(sum(col("n").cast("long")).as("__n_tok"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n_tok"), lit(0L)).as("n_tok_trained"))
   }
 }

@@ -34,14 +34,16 @@ object Pii {
   /** (category, pattern, placeholder), applied in order. Order matters
     * twice: emails are redacted before the IP/ID patterns can see their
     * digits, and phone numbers before SSNs so the 3-3-4 grouping is
-    * consumed by the more specific pattern first. Placeholders contain no
-    * digits or `@`, so a later pattern can never match an earlier
-    * replacement.
+    * consumed by the more specific pattern first. The country-code prefix
+    * is OPTIONAL — bare `555-123-4567` is the most common real-world
+    * shape and must redact too (it cannot collide with SSN's 3-2-4
+    * grouping). Placeholders contain no digits or `@`, so a later pattern
+    * can never match an earlier replacement.
     */
   val categories: Seq[(String, String, String)] = Seq(
     ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
     ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"),
-    ("phone", """\+?\d{1,2}-\d{3}-\d{3}-\d{4}""", "[PHONE]"),
+    ("phone", """(\+?\d{1,2}-)?\b\d{3}-\d{3}-\d{4}\b""", "[PHONE]"),
     ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "[SSN]"),
     ("idnum", """\b\d{13,18}\b""", "[ID]"),
   )

@@ -43,6 +43,17 @@ object Sampling {
     * quota column (a literal for [[stratifiedFixed]]; derived from
     * availability for [[mixtureSample]]).
     */
+  /** Null-safe broadcast join on the stratum key. A `Seq(col)` USING join
+    * drops NULL-stratum rows (null never equals null) — but a NULL
+    * stratum is a legal partition that the one-phase window form sampled,
+    * so membership parity across forms requires `<=>` here.
+    */
+  private def joinOnStratum(left: DataFrame, right: DataFrame,
+      strataCol: String): DataFrame = {
+    val r = right.withColumnRenamed(strataCol, "__strat_r")
+    left.join(broadcast(r), col(strataCol) <=> col("__strat_r")).drop("__strat_r")
+  }
+
   private def bucketedCutoff(df: DataFrame, strataCol: String, idCol: String,
       quotaOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val bw = P31 / SelectionBuckets + 1
@@ -106,14 +117,16 @@ object Sampling {
     * one small task, not one corpus-sized one. Ranks equal the
     * full-stratum ranks because every excluded row hashes above every
     * survivor; membership is identical to the one-phase form by
-    * construction (no slack, no failure mode to guard).
+    * construction (no slack, no failure mode to guard). A NULL stratum is
+    * a legal partition sampled like any other — the cutoff joins are
+    * null-safe `<=>`, where a USING join would silently drop those rows.
     */
   def stratifiedFixed(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
     val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
       hist => hist.withColumn("__quota", lit(n.toLong)))
     val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    withU.join(broadcast(cuts), Seq(strataCol))
+    joinOnStratum(withU, cuts, strataCol)
       .where(col("__b") <= col("__bmax"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("__quota"))
@@ -152,10 +165,10 @@ object Sampling {
       val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
       val quotas = counts.crossJoin(broadcast(tmax))
         .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
-      hist.join(quotas, Seq(strataCol))
+      joinOnStratum(hist, quotas, strataCol)
     })
     val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    withU.join(broadcast(cuts), Seq(strataCol))
+    joinOnStratum(withU, cuts, strataCol)
       .where(col("__b") <= col("__bmax"))
       .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("__quota"))
@@ -173,7 +186,7 @@ object Sampling {
   def rankWindowInputRows(df: DataFrame, strataCol: String, idCol: String, n: Int): Long = {
     val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
       hist => hist.withColumn("__quota", lit(n.toLong)))
-    withU.join(broadcast(cuts), Seq(strataCol))
+    joinOnStratum(withU, cuts, strataCol)
       .where(col("__b") <= col("__bmax")).count()
   }
 
@@ -187,13 +200,17 @@ object Sampling {
     * τ → 0 flattens toward uniform, so high-resource sources are cut
     * hardest and the scarcest source always keeps everything.
     *
-    * The quota adds a 1e-9 epsilon before the floor: `pow` on doubles is
-    * the one place this file leaves integer arithmetic, and the epsilon
-    * keeps a last-ulp difference between engines from flipping the floor
-    * when `T·wᵢ` lands on an exact integer (it does for the scarcest
-    * source, where `T·wᵢ = availᵢ`). Same two-phase scale shape as
-    * [[stratifiedFixed]]: the rank window only ever sees presample
-    * survivors.
+    * The quota adds a RELATIVE 1e-12 plus absolute 1e-9 epsilon before
+    * the floor: `pow` on doubles is the one place this file leaves
+    * integer arithmetic, and the guard keeps a last-ulp difference
+    * between engines from flipping the floor when `T·wᵢ` lands on an
+    * exact integer (it does for the scarcest source, where `T·wᵢ =
+    * availᵢ`). The relative term matters because one ulp of a large
+    * product exceeds any absolute epsilon — at availᵢ = 10⁸,
+    * ulp ≈ 1.5·10⁻⁸ > 10⁻⁹ — while 1e-12 relative still cannot reach
+    * the next integer for any count below ~10¹² (floor flips only if
+    * ε·availᵢ ≥ 1). Same two-phase scale shape as [[stratifiedFixed]]:
+    * the rank window only ever sees presample survivors.
     */
   def mixtureSampleTemperature(df: DataFrame, strataCol: String, idCol: String,
       tau: Double): DataFrame = {
@@ -204,11 +221,12 @@ object Sampling {
       val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
       val quotas = counts.crossJoin(broadcast(tmax))
         .select(col(strataCol),
-          floor(col("__t") * col("__wt") + lit(1e-9)).cast("long").as("__quota"))
-      hist.join(quotas, Seq(strataCol))
+          floor(col("__t") * col("__wt") * lit(1 + 1e-12) + lit(1e-9))
+            .cast("long").as("__quota"))
+      joinOnStratum(hist, quotas, strataCol)
     })
     val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    withU.join(broadcast(cuts), Seq(strataCol))
+    joinOnStratum(withU, cuts, strataCol)
       .where(col("__b") <= col("__bmax"))
       .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("__quota"))

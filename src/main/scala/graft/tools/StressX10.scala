@@ -78,10 +78,14 @@ object StressX10 {
     // ONE stratum ("web"), the rest across 5 rare strata — the real
     // mixture-job shape where a per-stratum rank window used to serialize
     // the dominant source through a single task
+    // rare index derives from id/20, NOT id%5: every id with id%20 == 0
+    // is divisible by 5, so id%5 would collapse all rare rows into
+    // "rare0" and the harness would run with 2 strata instead of 6
     def addStrata(df: DataFrame, idCol: String): DataFrame =
       df.withColumn("strata",
         when(pmod(col(idCol), lit(20)) === 0,
-          concat(lit("rare"), pmod(col(idCol), lit(5)))).otherwise(lit("web")))
+          concat(lit("rare"), pmod((col(idCol) / lit(20)).cast("long"), lit(5))))
+          .otherwise(lit("web")))
     val strat1 = addStrata(docs1, "doc_id").localCheckpoint()
     val strat10 = addStrata(docs10, "doc_id").localCheckpoint()
     // the pre-r9 shape, kept here as the contrast row: rank the FULL

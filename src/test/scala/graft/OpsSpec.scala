@@ -368,13 +368,15 @@ class OpsSpec extends AnyFunSuite {
       }
     }
     // the classic corpus: "low lower newest widest" shapes, plus a word
-    // with overlapping pairs to pin greedy non-overlap counting
+    // with overlapping pairs ("aaa") AND a word with ADJACENT alternating
+    // pair occurrences ("banana": (a,n) at positions sharing a boundary —
+    // the case a shared-space replace encoding silently half-merges)
     val docs = (
       Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest") ++
-      Seq.fill(3)("widest") ++ Seq.fill(2)("aaa")
+      Seq.fill(3)("widest") ++ Seq.fill(2)("aaa") ++ Seq.fill(4)("banana")
     ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
     val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
-      "widest" -> 3L, "aaa" -> 2L)
+      "widest" -> 3L, "aaa" -> 2L, "banana" -> 4L)
     val got = Bpe.train(docs, "text", numMerges = 6)
     val expect = refTrain(wc, 6)
     assert(got.map(m => (m.lhs, m.rhs, m.pairCount)) == expect,
@@ -399,6 +401,17 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, "aaa")).toDF("doc_id", "text"), "text", "doc_id",
       Seq(Bpe.Merge(1, "a", "a", 2L))).collect()
     assert(aaa.head.getLong(1) == 2L) // [aa, a]
+    // adjacent occurrences BOTH merge: banana under (a,n) → [b, an, an, a]
+    val ban = Bpe.tokenCounts(
+      Seq((1L, "banana")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq(Bpe.Merge(1, "a", "n", 2L))).collect()
+    assert(ban.head.getLong(1) == 4L)
+    // and a doc with no tokenizable words keeps its row at 0 tokens
+    val zero = Bpe.tokenCounts(
+      Seq((1L, "banana"), (2L, "!!!")).toDF("doc_id", "text"), "text",
+      "doc_id", Seq(Bpe.Merge(1, "a", "n", 2L))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(1L -> 4L, 2L -> 0L))
     // a corpus too small for the requested merges raises, not loops
     intercept[IllegalArgumentException](
       Bpe.train(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 5))
@@ -442,6 +455,12 @@ class OpsSpec extends AnyFunSuite {
     val n = Pii.scrub(withNull, "text").collect().head
     assert(n.isNullAt(n.fieldIndex("text_clean")) &&
       n.isNullAt(n.fieldIndex("n_pii_email")))
+    // the bare (no-country-code) phone shape redacts too — and is taken
+    // by phone, not misparsed by any later category
+    val bare = Seq((8L, "call 555-123-4567 now")).toDF("doc_id", "text")
+    val b = Pii.scrub(bare, "text").collect().head
+    assert(b.getAs[String]("text_clean") == "call [PHONE] now" &&
+      b.getAs[Int]("n_pii_phone") == 1)
   }
 
   test("multimodal: WAV decode is REAL — container round-trip matches analytic waveform") {
@@ -621,6 +640,26 @@ class OpsSpec extends AnyFunSuite {
     // ranks are contiguous from 1 within each stratum
     val ranks = out.where($"source" === "tiny").select("rk").as[Int].collect().sorted
     assert(ranks.toSeq == Seq(1, 2))
+  }
+
+  test("stratifiedFixed: a NULL stratum is sampled like any other partition") {
+    // the two-phase form joins rows to their stratum cutoff — a plain
+    // USING join would silently drop every null-stratum row, which the
+    // one-phase window form sampled; membership parity requires <=>
+    val withNull = Seq(
+      (1L, "big"), (2L, "big"), (3L, "big"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "source")
+    val out = Sampling.stratifiedFixed(withNull, "source", "doc_id", n = 2)
+      .collect().map(r => Option(r.getString(r.fieldIndex("source"))))
+    assert(out.count(_.isEmpty) == 2 && out.count(_.isDefined) == 2)
+    // membership matches the naive per-partition rank by (unitHash, id)
+    val nullIds = Sampling.stratifiedFixed(withNull, "source", "doc_id", 2)
+      .where(col("source").isNull).select("doc_id").as[Long].collect().toSet
+    val expect = Seq(4L, 5L, 6L)
+      .sortBy(id => (Sampling.unitHashLong(id), id)).take(2).toSet
+    assert(nullIds == expect)
   }
 
   test("hashSample boundaries: fraction 0 admits nothing, fraction 1 everything") {
@@ -841,7 +880,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val tmax = avail.values.map(a => a.toDouble / math.pow(a.toDouble, 0.7)).min
     val expect = avail.map { case (s, a) =>
-      s -> math.floor(tmax * math.pow(a.toDouble, 0.7) + 1e-9).toLong }
+      s -> math.floor(tmax * math.pow(a.toDouble, 0.7) * (1 + 1e-12) + 1e-9).toLong }
     assert(got == expect, s"$got vs $expect")
     assert(got("code") == 25L) // scarcest whole
     val keepRatio = avail.keys.map(s => s -> got(s).toDouble / avail(s)).toMap
