@@ -39,6 +39,7 @@ object Bench {
     "d_pipeline_clean",   // boilerplate→PII→classifier→gates→dedup, one plan
     "d_top_ngrams",       // exact trigram mining, pruned top-k
     "d_corpus_labels",    // per (source, label) dataset-card crosstab
+    "d_quality_rules",    // Gopher rule battery, integer-exact flags
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

@@ -1004,6 +1004,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- Gopher rule battery (Rae et al. 2021): per-doc boolean per
+    //      heuristic rule + the conjunction — every flag an exact integer
+    //      cross-multiplication, so the gate AND its reject reasons are
+    //      hash-compared bit-for-bit
+    "d_quality_rules" -> { (s, dir) =>
+      ops.TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
     // ---- dataset-card crosstab: per (source, label) doc/token/score
     //      totals — the composition-decision table a mixture job reads;
     //      one map-side-combined aggregate over the scan-stage
@@ -1758,6 +1766,35 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Every rule flag recomputed from exact counts (the distinct-words
+    // count is by 57-bit hash on the Spark side and exact strings here —
+    // the same accepted-collision parity d_text_repetition pins)
+    "d_quality_rules" ->
+      s"""WITH w AS (SELECT doc_id, text, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), __i ->
+         |         ws[__i] || ' ' || ws[__i+1])) AS g FROM w WHERE len(ws) >= 2),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |m AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS nbg FROM bgc GROUP BY 1),
+         |c AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+         |        CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS chars,
+         |        CAST(len(regexp_extract_all(
+         |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |          '\\b[0-9]+\\b')) AS BIGINT) AS dtok
+         |      FROM w),
+         |j AS (SELECT c.*, COALESCE(m.maxc, 0) AS maxc, COALESCE(m.nbg, 0) AS nbg
+         |      FROM c LEFT JOIN m USING (doc_id))
+         |SELECT doc_id, CAST(n AS INT) AS n_words,
+         |  n >= 50 AND n <= 100000 AS r_word_count,
+         |  chars >= n * 3 AND chars <= n * 10 AS r_word_len,
+         |  (n - dtok) * 10 >= n * 8 AS r_alpha_frac,
+         |  nd * 2 >= n AS r_dup_words,
+         |  maxc * 5 <= nbg AS r_top_bigram,
+         |  (n >= 50 AND n <= 100000) AND (chars >= n * 3 AND chars <= n * 10)
+         |    AND ((n - dtok) * 10 >= n * 8) AND (nd * 2 >= n)
+         |    AND (maxc * 5 <= nbg) AS kept
+         |FROM j ORDER BY doc_id""".stripMargin,
     // Label × source crosstab from the shared classifier fragments; sums
     // are exact integers so the hash gate covers the whole card
     "d_corpus_labels" ->

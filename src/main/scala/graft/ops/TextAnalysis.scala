@@ -158,6 +158,54 @@ object TextAnalysis {
           .cast("double") / count(lit(1))), 6).as("surprisal"))
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021 §A1.1 — the published
+    * heuristic filter battery every pretraining pipeline runs before the
+    * learned gates): per document, one boolean per rule plus the
+    * conjunction, so reject-reason analytics are first-class (the reason
+    * MIX is what a pipeline owner actually tunes):
+    *  - `r_word_count`: words in [minWords, maxWords] (paper: 50–100k);
+    *  - `r_word_len`: mean word length in [3, 10];
+    *  - `r_alpha_frac`: ≥ 80% of words contain an alphabetic character;
+    *  - `r_dup_words`: duplicate-word fraction ≤ 0.5;
+    *  - `r_top_bigram`: most frequent bigram ≤ 20% of all bigrams.
+    *
+    * Every comparison is INTEGER cross-multiplication over kernel counts
+    * (mean word length via `3n ≤ chars ≤ 10n`, fractions likewise) — no
+    * division, no doubles, so the oracle covers each flag bit-for-bit.
+    * Scale shape: one codegen projection (the repetition-stats kernel +
+    * two regex counts), no shuffle; composes with [[analyze]] and
+    * [[graft.ops.Classifier.classify]] in the same scan stage. Zero-word
+    * documents fail `r_word_count` and are kept=false (not dropped);
+    * NULL text propagates NULL flags.
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val s = graft.functions.TextFunctions.repetition_stats(t)
+    // total a-z0-9 chars = Σ word lengths (the tokenizer keeps exactly
+    // these), so mean word length needs no per-word loop
+    val nChars = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
+    // digit-only tokens: \b-anchored runs can't half-match mixed tokens
+    val norm = regexp_replace(lower(t), "[^a-z0-9 ]", " ")
+    val nDigitOnly = size(regexp_extract_all(norm, lit("\\b[0-9]+\\b"), lit(0)))
+    df.select(col(idCol), s.as("__r"), nChars.cast("long").as("__c"),
+        nDigitOnly.cast("long").as("__d"))
+      .select(col(idCol),
+        col("__r.n_words").as("n_words"),
+        (col("__r.n_words") >= minWords && col("__r.n_words") <= maxWords)
+          .as("r_word_count"),
+        (col("__c") >= col("__r.n_words").cast("long") * 3 &&
+          col("__c") <= col("__r.n_words").cast("long") * 10).as("r_word_len"),
+        ((col("__r.n_words").cast("long") - col("__d")) * 10 >=
+          col("__r.n_words").cast("long") * 8).as("r_alpha_frac"),
+        (col("__r.n_distinct").cast("long") * 2 >=
+          col("__r.n_words").cast("long")).as("r_dup_words"),
+        (col("__r.max_bigram") * 5 <= col("__r.n_bigrams")).as("r_top_bigram"))
+      .withColumn("kept", col("r_word_count") && col("r_word_len") &&
+        col("r_alpha_frac") && col("r_dup_words") && col("r_top_bigram"))
+  }
+
   /** Explode-form reference for [[repetitionSignals]]: bigram mode via
     * explode → count → max (two doc-id-keyed shuffles). Kept as the
     * distributed fallback for adversarially long documents (the kernel's

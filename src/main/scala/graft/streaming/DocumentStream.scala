@@ -61,6 +61,14 @@ object DocumentStream {
   def classified(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.ops.Classifier.classify(docs, textCol)
 
+  /** Stateless Gopher rule gate — [[graft.ops.TextAnalysis.gopherRules]]'s
+    * integer-exact flag projection per micro-batch; same structural
+    * stream/batch parity as [[classified]].
+    */
+  def ruleGated(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
+
   /** Streaming boilerplate removal against a PRECOMPUTED frequent-line
     * index — [[graft.ops.Boilerplate.cleanAgainstIndex]] with the index as
     * the static batch side of a stream-static broadcast join (the same

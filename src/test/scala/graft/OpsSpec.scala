@@ -1186,6 +1186,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4, 0.0, 0.333333))) // 3 distinct bigrams → max 1/3
   }
 
+  test("gopherRules: each rule flags its own pathology, kept is the conjunction") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")         // 60 distinct words
+    val df = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short"),                            // fails word count only
+      (3L, (1 to 60).map(_ => "dup").mkString(" ")),// all one word: dup + bigram fail
+      (4L, (1 to 60).map(_ => "12345").mkString(" ")), // digit-only words: alpha fails
+      (5L, (1 to 60).map(i => s"w$i " + "abcdefghijklmnopqrstuvwxyz").mkString(" ")), // long words: mean len fails
+      (6L, ""),                                     // zero words: kept=false, not dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df).collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._6 == false)
+    assert(out(3L)._4 == false && out(3L)._5 == false && out(3L)._6 == false)
+    assert(out(4L)._3 == false && out(4L)._6 == false)
+    assert(out(5L)._2 == false && out(5L)._6 == false)
+    assert(out(6L)._1 == false && out(6L)._6 == false) // present, rejected
+    assert(out.size == 6)
+  }
+
   // ---- boilerplate line removal --------------------------------------
 
   private lazy val blDocs: DataFrame = Seq(

@@ -154,6 +154,19 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.length}, batch ${batch.length}")
   }
 
+  test("streaming gopher rule gate: flag parity with batch, stateless") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.ruleGated(stream), "doc_rule_gate")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_rule_gate").collect().map(key).sorted
+    val batch = graft.ops.TextAnalysis.gopherRules(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+  }
+
   test("streaming boilerplate clean vs static index: parity with batch backfill") {
     // the index is the batch side of the split: pick 5 known documents'
     // full texts as the "frequent lines" (the synthetic corpus has no
