@@ -1004,6 +1004,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- cluster-balanced "diverse subset" selection: assign every
+    //      vector to its trained-centroid cell (broadcast centroids, no
+    //      corpus shuffle), then exactly-n per cell via the two-phase
+    //      sampler — embedding-space diversity sampling for data
+    //      curation, composed entirely from individually-gated operators
+    "d_diverse_sample" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val assigned = ops.Similarity.assignCells(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        fixtureCentroids(s))
+      ops.Sampling.stratifiedFixed(
+        assigned.select(col("cid").as("vec_id"), col("centId").as("cell")),
+        "cell", "vec_id", n = 20)
+        .orderBy("vec_id")
+    },
     // ---- Gopher rule battery (Rae et al. 2021): per-doc boolean per
     //      heuristic rule + the conjunction — every flag an exact integer
     //      cross-multiplication, so the gate AND its reject reasons are
@@ -1766,6 +1781,26 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Fixture-centroid assignment (the trained-IVF mirror) + the Lehmer
+    // rank membership — diversity sampling replayed end-to-end
+    "d_diverse_sample" -> {
+      val values = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $values) AS __cent(centid, cv)),
+         |asg AS (SELECT vec_id, centid AS cell FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1)
+         |SELECT vec_id, cell, rk FROM (
+         |  SELECT vec_id, cell, CAST(row_number() OVER (
+         |    PARTITION BY cell ORDER BY ${OracleFrag.unitHash("vec_id")}, vec_id) AS INT) AS rk
+         |  FROM asg) WHERE rk <= 20 ORDER BY vec_id""".stripMargin
+    },
     // Every rule flag recomputed from exact counts (the distinct-words
     // count is by 57-bit hash on the Spark side and exact strings here —
     // the same accepted-collision parity d_text_repetition pins)

@@ -1186,6 +1186,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4, 0.0, 0.333333))) // 3 distinct bigrams → max 1/3
   }
 
+  test("diverse sample: every trained cell contributes at most n, quotas fill when possible") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+      SparkEntry.fixtureCentroids(spark))
+    val out = Sampling.stratifiedFixed(
+      assigned.select(col("cid").as("vec_id"), col("centId").as("cell")),
+      "cell", "vec_id", n = 10)
+    val perCell = out.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val availPerCell = assigned.groupBy("centId").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.nonEmpty)
+    perCell.foreach { case (cell, cnt) =>
+      assert(cnt == math.min(10L, availPerCell(cell)), s"cell $cell: $cnt")
+    }
+  }
+
   test("gopherRules: each rule flags its own pathology, kept is the conjunction") {
     val good = (1 to 60).map(i => s"word$i").mkString(" ")         // 60 distinct words
     val df = Seq(
