@@ -1004,6 +1004,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- quality-weighted soft sampling: survival probability = the
+    //      doc's own quality score, deterministically (u < floor(q·P31))
+    //      — quality pacing between a hard gate and keep-everything
+    "d_sample_weighted" -> { (s, dir) =>
+      val scored = ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      ops.Sampling.weightedHashSample(scored, "doc_id", "quality")
+        .orderBy("doc_id")
+    },
     // ---- cluster-balanced "diverse subset" selection: assign every
     //      vector to its trained-centroid cell (broadcast centroids, no
     //      corpus shuffle), then exactly-n per cell via the two-phase
@@ -1781,6 +1790,15 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Survival cut replayed from the shared quality formula and Lehmer
+    // hash; FLOOR spelled explicitly (DuckDB CAST rounds, Spark truncates)
+    "d_sample_weighted" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes()},
+         |q AS (SELECT doc_id, ${OracleFrag.qualityExpr} AS quality FROM s)
+         |SELECT doc_id, quality, ${OracleFrag.unitHash("doc_id")} AS u
+         |FROM q
+         |WHERE ${OracleFrag.unitHash("doc_id")} < CAST(FLOOR(quality * 2147483647) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     // Fixture-centroid assignment (the trained-IVF mirror) + the Lehmer
     // rank membership — diversity sampling replayed end-to-end
     "d_diverse_sample" -> {

@@ -102,6 +102,29 @@ object Sampling {
     df.withColumn("u", unitHash(col(idCol))).where(col("u") < cut)
   }
 
+  /** Quality-WEIGHTED soft sampling: keep each row with probability equal
+    * to its weight column (∈ [0, 1]), deterministically — membership is
+    * `unitHash(id) < floor(w · (2³¹−1))`, a pure function of (id, w), so
+    * the sample is retry/partitioning-stable and reproducible like
+    * [[hashSample]] while high-quality documents survive at higher rates
+    * (the quality-pacing pattern between a hard gate and keep-everything).
+    * NULL or out-of-range weights raise on the scan (the guard-before-use
+    * convention) — a silently-dropped NULL would bias the mixture.
+    * Scale shape: stateless scan-stage filter, zero exchanges.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val guarded = when(w.isNull || w < 0 || w > 1,
+      raise_error(concat(
+        lit(s"weightedHashSample: $weightCol null or out of [0,1] at $idCol="),
+        col(idCol).cast("string")))).otherwise(w)
+    // explicit floor: Spark's cast-to-long truncates but DuckDB's CAST
+    // rounds half-even — floor is the one spelling both engines share
+    df.withColumn("u", unitHash(col(idCol)))
+      .where(col("u") < floor(guarded * P31).cast("long"))
+  }
+
   /** Exactly-n-per-stratum deterministic sample: the `n` rows with the
     * smallest (unit hash, id) inside each stratum — a uniform shuffle
     * order that is stable across runs — with the rank emitted as `rk`.

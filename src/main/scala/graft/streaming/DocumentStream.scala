@@ -96,6 +96,14 @@ object DocumentStream {
   def hashSample(docs: DataFrame, idCol: String, fraction: Double): DataFrame =
     graft.ops.Sampling.hashSample(docs, idCol, fraction)
 
+  /** Quality-weighted streaming sample — survival probability = the
+    * row's own weight column, via the same pure-hash membership as
+    * [[hashSample]] (stateless, stream == backfill decision).
+    */
+  def weightedSample(docs: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    graft.ops.Sampling.weightedHashSample(docs, idCol, weightCol)
+
   /** Per-stratum streaming sample — same stateless property as
     * [[hashSample]], with per-source fractions (downsample the crawl,
     * keep curated sources whole) compiled into the scan's when-cascade.

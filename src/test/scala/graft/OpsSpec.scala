@@ -662,6 +662,21 @@ class OpsSpec extends AnyFunSuite {
     assert(nullIds == expect)
   }
 
+  test("weightedHashSample: membership is u < floor(w*P31); bad weights raise") {
+    val df = Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, 0.25)).toDF("doc_id", "w")
+    val kept = Sampling.weightedHashSample(df, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    val expect = Seq((2L, 1.0), (3L, 0.5), (4L, 0.25)).filter { case (id, w) =>
+      Sampling.unitHashLong(id) < math.floor(w * 2147483647.0).toLong
+    }.map(_._1).toSet
+    assert(!kept.contains(1L) && kept.contains(2L) && kept == expect)
+    intercept[Exception](Sampling.weightedHashSample(
+      Seq((1L, 1.5)).toDF("doc_id", "w"), "doc_id", "w").collect())
+    intercept[Exception](Sampling.weightedHashSample(
+      Seq((1L, Option.empty[Double])).toDF("doc_id", "w"), "doc_id", "w")
+      .collect())
+  }
+
   test("hashSample boundaries: fraction 0 admits nothing, fraction 1 everything") {
     assert(Sampling.hashSample(strata, "doc_id", 0.0).count() == 0)
     // unitHash lands in [0, 2^31-1) strictly below the fraction-1.0 cutoff

@@ -154,6 +154,23 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.length}, batch ${batch.length}")
   }
 
+  test("streaming weighted sample: quality-paced membership matches batch") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.weightedSample(
+        DocumentStream.enriched(stream), "doc_id", "quality"),
+      "doc_weighted_sample")
+    val streamed = spark.table("doc_weighted_sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Sampling.weightedHashSample(
+        graft.ops.TextAnalysis.analyze(
+          spark.read.parquet(s"$dir/documents.parquet")),
+        "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+  }
+
   test("streaming gopher rule gate: flag parity with batch, stateless") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
