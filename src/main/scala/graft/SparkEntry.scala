@@ -2113,7 +2113,9 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
          |FROM a GROUP BY source ORDER BY source""".stripMargin,
     // Mirrors Sampling.mixtureSample: same availability counts, IEEE
-    // double feasibility min, floored quotas, hash-ranked keep.
+    // double feasibility min, floored quotas, hash-ranked keep. The quota
+    // join is null-safe (IS NOT DISTINCT FROM) like Sampling's
+    // joinOnStratum — a NULL stratum samples under the default weight.
     "d_mixture_sample" ->
       s"""WITH cnt AS (SELECT source, COUNT(*) AS avail FROM documents GROUP BY 1),
          |w AS (SELECT source, avail, CASE source
@@ -2126,7 +2128,8 @@ object SparkEntry {
          |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
          |      FROM documents)
          |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
-         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+         |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+         |WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
     // Same quota machinery with wt = avail^0.7 — the tmax expression
     // mirrors Spark's exact formula shape (avail/wt, not avail^0.3) and
@@ -2144,7 +2147,8 @@ object SparkEntry {
          |        PARTITION BY source ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
          |      FROM documents)
          |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
-         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+         |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+         |WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
     // Mirrors Quantile.selectTopFraction: same histogram → running count →
     // k-th-best cutoff (k = ceil(frac·n)) → >= filter with ties kept.

@@ -662,6 +662,22 @@ class OpsSpec extends AnyFunSuite {
     assert(nullIds == expect)
   }
 
+  test("mixtureSample: a NULL stratum samples under the default weight") {
+    val df = Seq(
+      (1L, "web"), (2L, "web"), (3L, "web"), (4L, "web"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "source")
+    // weights: web 1.0, default 1.0 → T = min(4/1, 2/1) = 2 → quota 2 each
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+        Map("web" -> 1.0), default = 1.0)
+      .collect().map(r => Option(r.getString(r.fieldIndex("source"))))
+    assert(out.count(_.isEmpty) == 2 && out.count(_.isDefined) == 2)
+    // and temperature routing keeps the NULL stratum too (avail^tau > 0)
+    val temp = Sampling.mixtureSampleTemperature(df, "source", "doc_id", 0.7)
+      .collect().map(r => Option(r.getString(r.fieldIndex("source"))))
+    assert(temp.count(_.isEmpty) == 2) // scarcest stratum keeps everything
+  }
+
   test("weightedHashSample: membership is u < floor(w*P31); bad weights raise") {
     val df = Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, 0.25)).toDF("doc_id", "w")
     val kept = Sampling.weightedHashSample(df, "doc_id", "w")
@@ -1223,7 +1239,7 @@ class OpsSpec extends AnyFunSuite {
     val good = (1 to 60).map(i => s"word$i").mkString(" ")         // 60 distinct words
     val df = Seq(
       (1L, good),                                   // passes everything
-      (2L, "too short"),                            // fails word count only
+      (2L, "too short"),  // fails word count (and, with 1 bigram, top-bigram)
       (3L, (1 to 60).map(_ => "dup").mkString(" ")),// all one word: dup + bigram fail
       (4L, (1 to 60).map(_ => "12345").mkString(" ")), // digit-only words: alpha fails
       (5L, (1 to 60).map(i => s"w$i " + "abcdefghijklmnopqrstuvwxyz").mkString(" ")), // long words: mean len fails
