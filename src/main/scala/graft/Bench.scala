@@ -42,6 +42,7 @@ object Bench {
     "d_quality_rules",    // Gopher rule battery, integer-exact flags
     "d_diverse_sample",   // trained-cell assignment → exact-n per cell
     "d_sample_weighted",  // survival probability = own quality score
+    "d_dedup_incremental", // batch anti-join vs the accumulated key index
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan

@@ -1004,6 +1004,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- incremental dedup: yesterday's corpus contributes only its
+    //      FINGERPRINT INDEX; today's batch anti-joins it, then dedups
+    //      within itself — the accumulated corpus is never rescanned
+    "d_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fp = ops.TextAnalysis.fingerprint(col("text"))
+      val index = docs.where(col("doc_id") < 250)
+        .select(fp.as("key")).distinct()
+      ops.Dedup.dedupIncremental(docs.where(col("doc_id") >= 250), index,
+          fp, "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     // ---- quality-weighted soft sampling: survival probability = the
     //      doc's own quality score, deterministically (u < floor(q·P31))
     //      — quality pacing between a hard gate and keep-everything
@@ -1790,6 +1803,17 @@ object SparkEntry {
          |SELECT doc_id, n_words, score_sum,
          |  ${OracleFrag.classifierLabelExpr} AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Increment replayed: NOT IN the old half's fingerprint set, then the
+    // within-batch min-id QUALIFY — shared fingerprint fragment
+    "d_dedup_incremental" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes(", source")},
+         |f AS (SELECT doc_id, source, ${OracleFrag.fingerprintExpr} AS fp FROM s),
+         |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         |batch AS (SELECT * FROM f WHERE doc_id >= 250)
+         |SELECT doc_id, source FROM batch
+         |WHERE fp NOT IN (SELECT fp FROM idx)
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
     // Survival cut replayed from the shared quality formula and Lehmer
     // hash; FLOOR spelled explicitly (DuckDB CAST rounds, Spark truncates)
     "d_sample_weighted" ->

@@ -57,6 +57,26 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup — the daily-increment pattern: drop from
+    * `batch` every row whose content key already exists in `keyIndex`
+    * (the accumulated corpus's key table — fingerprint-sized, NOT the
+    * corpus), then exact-dedup within the batch itself (keep min id).
+    * The accumulated corpus is never rescanned or self-joined: growing a
+    * deduped corpus costs one key-keyed anti join per increment against
+    * an index that is output-, not history-, sized per key.
+    *
+    * `keyIndex` must expose a single `key` column; [[exactDedup]]'s
+    * within-batch cut runs AFTER the index cut so a batch row equal to an
+    * indexed key can never survive via a smaller batch id.
+    */
+  def dedupIncremental(batch: DataFrame, keyIndex: DataFrame,
+      keyCol: Column, idCol: String): DataFrame = {
+    val keyed = batch.withColumn("__inc_k", keyCol)
+    val cut = keyed.join(keyIndex.select(col("key").as("__inc_k")),
+      Seq("__inc_k"), "left_anti")
+    exactDedup(cut, col("__inc_k"), idCol).drop("__inc_k")
+  }
+
   /** MinHash+LSH near-dup pairs. Signature = `numHashes` salted-min hashes
     * over the 3-word shingle set (native codegen, one pass per row). LSH
     * banding: docs sharing any band (a `numHashes/bands`-slice of the

@@ -662,6 +662,19 @@ class OpsSpec extends AnyFunSuite {
     assert(nullIds == expect)
   }
 
+  test("dedupIncremental: index keys cut the batch, then min-id wins within it") {
+    val index = Seq("k1", "k2").toDF("key")
+    val batch = Seq((10L, "k1"), (11L, "k3"), (12L, "k3"), (13L, "k4"))
+      .toDF("doc_id", "k")
+    val out = Dedup.dedupIncremental(batch, index, col("k"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L)) // k1 indexed out; k3 dedups to min id 11
+    // empty index → pure within-batch dedup
+    val none = Dedup.dedupIncremental(batch, index.where(lit(false)),
+      col("k"), "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(none == Set(10L, 11L, 13L))
+  }
+
   test("mixtureSample: a NULL stratum samples under the default weight") {
     val df = Seq(
       (1L, "web"), (2L, "web"), (3L, "web"), (4L, "web"),
