@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -123,6 +123,21 @@ object DocumentStream {
       .withColumn("contentKey", xxhash64(col("text")))
       .withWatermark("ingestTs", delay)
       .dropDuplicatesWithinWatermark("contentKey")
+
+  /** Streaming incremental exact dedup against a STATIC key index — the
+    * stream half of [[graft.ops.Dedup.dedupIncremental]]'s split: the
+    * accumulated corpus contributes only its fingerprint index (a static
+    * anti-join side), arriving documents whose key is already indexed are
+    * dropped per micro-batch, statelessly. Within-stream duplicates are
+    * [[dedupExactWithinWatermark]]'s job — compose both for the full
+    * increment semantics.
+    */
+  def dedupAgainstIndex(docs: DataFrame, keyIndex: DataFrame,
+      keyCol: Column): DataFrame =
+    docs.withColumn("__inc_k", keyCol)
+      .join(keyIndex.select(col("key").as("__inc_k")), Seq("__inc_k"),
+        "left_anti")
+      .drop("__inc_k")
 
   /** Static simhash block index of an existing corpus: (block, blockKey,
     * id, sim) — the join side for streaming near-dup lookups. `blocks`

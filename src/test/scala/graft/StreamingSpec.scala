@@ -154,6 +154,26 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.length}, batch ${batch.length}")
   }
 
+  test("streaming dedup against a static key index: indexed docs dropped, rest pass") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val fp = graft.ops.TextAnalysis.fingerprint(col("text"))
+    val index = batchDocs.where(col("doc_id") < 250)
+      .select(fp.as("key")).distinct()
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.dedupAgainstIndex(stream, index, fp)
+        .select("doc_id"),
+      "doc_inc_dedup")
+    val streamed = spark.table("doc_inc_dedup")
+      .collect().map(_.getLong(0)).toSet
+    val batch = batchDocs.withColumn("__k", fp)
+      .join(index.select(col("key").as("__k")), Seq("__k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+    assert(!streamed.exists(_ < 250)) // every indexed doc was cut
+  }
+
   test("streaming weighted sample: quality-paced membership matches batch") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
