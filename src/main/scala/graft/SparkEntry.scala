@@ -1047,6 +1047,9 @@ object SparkEntry {
     //      hash-compared bit-for-bit
     "d_quality_rules" -> { (s, dir) =>
       ops.TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("r_word_count"),
+          col("r_word_len"), col("r_alpha_frac"), col("r_dup_words"),
+          col("r_top_bigram"), col("kept"))
         .orderBy("doc_id")
     },
     // ---- dataset-card crosstab: per (source, label) doc/token/score

@@ -56,12 +56,15 @@ object Bpe {
     */
   private val symsSql = "filter(split(trim(seg), ' '), __f -> length(__f) > 0)"
 
-  /** Adjacent (l, r) symbol pairs of the `seg` column, as exploded rows. */
-  private def pairCol: Column = {
-    val s = symsSql
+  /** Adjacent (l, r) symbol pairs of a BOUND symbol-array column. The
+    * caller materializes the array once (`__syms`) before this transform:
+    * inlining [[symsSql]] here would re-run trim/split/filter inside the
+    * per-element lambda (`element_at`), making pair extraction O(L²) per
+    * word per round — HOF lambdas get no common-subexpression elimination.
+    */
+  private def pairCol(s: String): Column =
     expr(s"transform(slice($s, 1, greatest(size($s) - 1, 0)), " +
       s"(__x, __i) -> struct(__x AS l, element_at($s, __i + 2) AS r))")
-  }
 
   /** Apply one merge to a segmentation string. `replace` scans left to
     * right and never rescans replaced output — and because units own
@@ -87,7 +90,8 @@ object Bpe {
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     for (r <- 1 to numMerges) {
-      val top = seg.select(col("cnt"), explode(pairCol).as("p"))
+      val top = seg.withColumn("__syms", expr(symsSql))
+        .select(col("cnt"), explode(pairCol("__syms")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("c"))
         .orderBy(desc("c"), asc("l"), asc("r"))

@@ -70,12 +70,21 @@ object Dedup {
     * indexed key can never survive via a smaller batch id.
     */
   def dedupIncremental(batch: DataFrame, keyIndex: DataFrame,
-      keyCol: Column, idCol: String): DataFrame = {
-    val keyed = batch.withColumn("__inc_k", keyCol)
-    val cut = keyed.join(keyIndex.select(col("key").as("__inc_k")),
-      Seq("__inc_k"), "left_anti")
-    exactDedup(cut, col("__inc_k"), idCol).drop("__inc_k")
-  }
+      keyCol: Column, idCol: String): DataFrame =
+    exactDedup(indexCut(batch, keyIndex, keyCol), col("__inc_k"), idCol)
+      .drop("__inc_k")
+
+  /** The index-cut half of [[dedupIncremental]] alone: LEFT ANTI against
+    * the accumulated key index, keeping the computed `__inc_k` key column
+    * for the caller's follow-up (dedupIncremental ranks on it; the
+    * streaming twin drops it). ONE definition of the cut, so batch and
+    * stream semantics cannot drift.
+    */
+  def indexCut(batch: DataFrame, keyIndex: DataFrame,
+      keyCol: Column): DataFrame =
+    batch.withColumn("__inc_k", keyCol)
+      .join(keyIndex.select(col("key").as("__inc_k")), Seq("__inc_k"),
+        "left_anti")
 
   /** MinHash+LSH near-dup pairs. Signature = `numHashes` salted-min hashes
     * over the 3-word shingle set (native codegen, one pass per row). LSH

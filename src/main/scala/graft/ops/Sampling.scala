@@ -57,7 +57,15 @@ object Sampling {
   private def bucketedCutoff(df: DataFrame, strataCol: String, idCol: String,
       quotaOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val bw = P31 / SelectionBuckets + 1
-    val withU = df.withColumn("__u", unitHash(col(idCol)))
+    // null ids RAISE (the guard-before-use convention): a null id hashes
+    // to a null bucket, which would both vanish from the sample silently
+    // and — if its count reaches the quota — aggregate __bmax to NULL and
+    // zero out the whole stratum
+    val withU = df.withColumn("__u",
+        when(col(idCol).isNull, raise_error(lit(
+          s"exact-n sampler: null $idCol — a null id has no hash rank; " +
+            "filter or repair ids upstream")))
+          .otherwise(unitHash(col(idCol))))
       .withColumn("__b", floor(col("__u") / lit(bw)).cast("long"))
     val hist = withU.groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
@@ -70,6 +78,26 @@ object Sampling {
       .groupBy(col(strataCol))
       .agg(max(col("__b")).as("__bmax"), max(col("__quota")).as("__quota"))
     (withU, cuts)
+  }
+
+  /** Phase-2 presample: rows joined to their stratum's broadcast cutoff
+    * and filtered to the prefix buckets — the rank window's entire input.
+    */
+  private def presample(withU: DataFrame, cuts: DataFrame,
+      strataCol: String): DataFrame =
+    joinOnStratum(withU, cuts, strataCol).where(col("__b") <= col("__bmax"))
+
+  /** Shared phase-2 tail of the three exact-n samplers: presample → rank
+    * by (unit hash, id) within stratum → keep the quota. One definition,
+    * so a fix here cannot drift between samplers.
+    */
+  private def rankAndCut(withU: DataFrame, cuts: DataFrame,
+      strataCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    presample(withU, cuts, strataCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__quota"))
+      .drop("__u", "__b", "__bmax", "__quota")
   }
 
   /** Deterministic unit hash of a row id into [0, 2^31-1): two Lehmer
@@ -148,12 +176,7 @@ object Sampling {
     require(n > 0, s"sample size must be positive: $n")
     val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
       hist => hist.withColumn("__quota", lit(n.toLong)))
-    val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    joinOnStratum(withU, cuts, strataCol)
-      .where(col("__b") <= col("__bmax"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("__quota"))
-      .drop("__u", "__b", "__bmax", "__quota")
+    rankAndCut(withU, cuts, strataCol, idCol)
   }
 
   /** Weighted corpus MIXTURE: scale every source to target proportions
@@ -190,12 +213,7 @@ object Sampling {
         .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
       joinOnStratum(hist, quotas, strataCol)
     })
-    val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    joinOnStratum(withU, cuts, strataCol)
-      .where(col("__b") <= col("__bmax"))
-      .withColumn("rk", row_number().over(wRank))
-      .where(col("rk") <= col("__quota"))
-      .drop("__u", "__b", "__bmax", "__quota")
+    rankAndCut(withU, cuts, strataCol, idCol)
   }
 
   /** Diagnostic: the number of rows phase 2's rank window actually
@@ -209,8 +227,7 @@ object Sampling {
   def rankWindowInputRows(df: DataFrame, strataCol: String, idCol: String, n: Int): Long = {
     val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
       hist => hist.withColumn("__quota", lit(n.toLong)))
-    joinOnStratum(withU, cuts, strataCol)
-      .where(col("__b") <= col("__bmax")).count()
+    presample(withU, cuts, strataCol).count()
   }
 
   /** TEMPERATURE-scaled mixture — the multilingual-sampling standard
@@ -248,12 +265,7 @@ object Sampling {
             .cast("long").as("__quota"))
       joinOnStratum(hist, quotas, strataCol)
     })
-    val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
-    joinOnStratum(withU, cuts, strataCol)
-      .where(col("__b") <= col("__bmax"))
-      .withColumn("rk", row_number().over(wRank))
-      .where(col("rk") <= col("__quota"))
-      .drop("__u", "__b", "__bmax", "__quota")
+    rankAndCut(withU, cuts, strataCol, idCol)
   }
 
   /** Deterministic epoch shuffle + shard: the "reshuffle the corpus each

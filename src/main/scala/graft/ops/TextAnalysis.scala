@@ -173,13 +173,13 @@ object TextAnalysis {
     * (mean word length via `3n ≤ chars ≤ 10n`, fractions likewise) — no
     * division, no doubles, so the oracle covers each flag bit-for-bit.
     * Scale shape: one codegen projection (the repetition-stats kernel +
-    * two regex counts), no shuffle; composes with [[analyze]] and
-    * [[graft.ops.Classifier.classify]] in the same scan stage. Zero-word
+    * two regex counts), no shuffle; like [[graft.ops.Pii.scrub]] and
+    * [[graft.ops.Classifier.classify]] it ADDS columns and keeps the
+    * frame, so gates chain in one scan stage with no re-join. Zero-word
     * documents fail `r_word_count` and are kept=false (not dropped);
     * NULL text propagates NULL flags.
     */
-  def gopherRules(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minWords: Int = 50,
+  def gopherRules(df: DataFrame, textCol: String = "text", minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
     val s = graft.functions.TextFunctions.repetition_stats(t)
@@ -189,21 +189,21 @@ object TextAnalysis {
     // digit-only tokens: \b-anchored runs can't half-match mixed tokens
     val norm = regexp_replace(lower(t), "[^a-z0-9 ]", " ")
     val nDigitOnly = size(regexp_extract_all(norm, lit("\\b[0-9]+\\b"), lit(0)))
-    df.select(col(idCol), s.as("__r"), nChars.cast("long").as("__c"),
-        nDigitOnly.cast("long").as("__d"))
-      .select(col(idCol),
-        col("__r.n_words").as("n_words"),
-        (col("__r.n_words") >= minWords && col("__r.n_words") <= maxWords)
-          .as("r_word_count"),
-        (col("__c") >= col("__r.n_words").cast("long") * 3 &&
-          col("__c") <= col("__r.n_words").cast("long") * 10).as("r_word_len"),
-        ((col("__r.n_words").cast("long") - col("__d")) * 10 >=
-          col("__r.n_words").cast("long") * 8).as("r_alpha_frac"),
-        (col("__r.n_distinct").cast("long") * 2 >=
-          col("__r.n_words").cast("long")).as("r_dup_words"),
-        (col("__r.max_bigram") * 5 <= col("__r.n_bigrams")).as("r_top_bigram"))
+    val n = col("__r.n_words").cast("long")
+    df.withColumn("__r", s)
+      .withColumn("__c", nChars.cast("long"))
+      .withColumn("__d", nDigitOnly.cast("long"))
+      .withColumn("n_words", col("__r.n_words"))
+      .withColumn("r_word_count",
+        col("__r.n_words") >= minWords && col("__r.n_words") <= maxWords)
+      .withColumn("r_word_len", col("__c") >= n * 3 && col("__c") <= n * 10)
+      .withColumn("r_alpha_frac", (n - col("__d")) * 10 >= n * 8)
+      .withColumn("r_dup_words", col("__r.n_distinct").cast("long") * 2 >= n)
+      .withColumn("r_top_bigram",
+        col("__r.max_bigram") * 5 <= col("__r.n_bigrams"))
       .withColumn("kept", col("r_word_count") && col("r_word_len") &&
         col("r_alpha_frac") && col("r_dup_words") && col("r_top_bigram"))
+      .drop("__r", "__c", "__d")
   }
 
   /** Explode-form reference for [[repetitionSignals]]: bigram mode via

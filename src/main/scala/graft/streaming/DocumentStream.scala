@@ -65,9 +65,8 @@ object DocumentStream {
     * integer-exact flag projection per micro-batch; same structural
     * stream/batch parity as [[classified]].
     */
-  def ruleGated(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
+  def ruleGated(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, textCol)
 
   /** Streaming boilerplate removal against a PRECOMPUTED frequent-line
     * index — [[graft.ops.Boilerplate.cleanAgainstIndex]] with the index as
@@ -134,10 +133,7 @@ object DocumentStream {
     */
   def dedupAgainstIndex(docs: DataFrame, keyIndex: DataFrame,
       keyCol: Column): DataFrame =
-    docs.withColumn("__inc_k", keyCol)
-      .join(keyIndex.select(col("key").as("__inc_k")), Seq("__inc_k"),
-        "left_anti")
-      .drop("__inc_k")
+    Dedup.indexCut(docs, keyIndex, keyCol).drop("__inc_k")
 
   /** Static simhash block index of an existing corpus: (block, blockKey,
     * id, sim) — the join side for streaming near-dup lookups. `blocks`

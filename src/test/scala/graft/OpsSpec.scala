@@ -675,6 +675,16 @@ class OpsSpec extends AnyFunSuite {
     assert(none == Set(10L, 11L, 13L))
   }
 
+  test("exact-n samplers raise on NULL ids (no hash rank, no silent drop)") {
+    val df = Seq((Option(1L), "web"), (Option.empty[Long], "web"))
+      .toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      Sampling.stratifiedFixed(df, "source", "doc_id", n = 1).collect()
+    }
+    assert(e.getMessage.contains("null doc_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null doc_id")))
+  }
+
   test("mixtureSample: a NULL stratum samples under the default weight") {
     val df = Seq(
       (1L, "web"), (2L, "web"), (3L, "web"), (4L, "web"),
@@ -1258,9 +1268,14 @@ class OpsSpec extends AnyFunSuite {
       (5L, (1 to 60).map(i => s"w$i " + "abcdefghijklmnopqrstuvwxyz").mkString(" ")), // long words: mean len fails
       (6L, ""),                                     // zero words: kept=false, not dropped
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.gopherRules(df).collect().map(r =>
-      r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
-        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    val gated = TextAnalysis.gopherRules(df)
+    // the gate ADDS columns — the original frame rides through intact
+    assert(gated.columns.take(2).toSeq == Seq("doc_id", "text"))
+    def f(r: org.apache.spark.sql.Row, c: String) = r.getBoolean(r.fieldIndex(c))
+    val out = gated.collect().map(r =>
+      r.getLong(0) -> (f(r, "r_word_count"), f(r, "r_word_len"),
+        f(r, "r_alpha_frac"), f(r, "r_dup_words"), f(r, "r_top_bigram"),
+        f(r, "kept"))).toMap
     assert(out(1L) == ((true, true, true, true, true, true)))
     assert(out(2L)._1 == false && out(2L)._6 == false)
     assert(out(3L)._4 == false && out(3L)._5 == false && out(3L)._6 == false)

@@ -192,13 +192,17 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming gopher rule gate: flag parity with batch, stateless") {
+    val cols = Seq("doc_id", "n_words", "r_word_count", "r_word_len",
+      "r_alpha_frac", "r_dup_words", "r_top_bigram", "kept")
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
-      DocumentStream.ruleGated(stream), "doc_rule_gate")
+      DocumentStream.ruleGated(stream).select(cols.map(col): _*),
+      "doc_rule_gate")
     def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
     val streamed = spark.table("doc_rule_gate").collect().map(key).sorted
     val batch = graft.ops.TextAnalysis.gopherRules(
         spark.read.parquet(s"$dir/documents.parquet"))
+      .select(cols.map(col): _*)
       .collect().map(key).sorted
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
       s"stream ${streamed.length}, batch ${batch.length}")
