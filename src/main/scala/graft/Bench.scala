@@ -34,6 +34,7 @@ object Bench {
     "d_bpe_tokens",       // trained-tokenizer counts vs closed-form estimate
     "d_boilerplate",      // frequent-line removal, broadcast-set scan form
     "d_boilerplate_join", // same cut through the join+regroup scale form
+    "d_boilerplate_by_source", // per-domain scope: (source, line) df keys
     "d_quality_classifier", // fused hashed-feature scoring, exchange-free
     "m_media_frames_wav", // byte-chunk sampler over genuine RIFF containers
     "d_pipeline_clean",   // boilerplate→PII→classifier→gates→dedup, one plan

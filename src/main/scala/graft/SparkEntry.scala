@@ -33,18 +33,23 @@ object SparkEntry {
   /** Documents with injected multi-line page chrome for the boilerplate-
     * removal rows: two lines shared by EVERY doc (nav bar, cookie banner),
     * a 7-variant promo line (~n/7 docs each), an intentionally-blank
-    * separator line, a 250-variant "ref" line whose document frequency
-    * straddles the minDocs=25 cut ACROSS scale factors (sf0.01: df=20 →
-    * kept; sf0.1: df=200 → removed — the threshold provably bites on real
-    * counts), and a unique per-doc signature line. Same integer arithmetic
-    * in the oracle.
+    * separator line, a 16-variant "shared" line that is GLOBALLY frequent
+    * but rare WITHIN each of the 20 sources (global df = n/16 ≥ 25 at
+    * both sfs; per-source df = n/320 < 25 at both — the line that
+    * separates corpus-wide from per-source boilerplate semantics), a
+    * 100-variant "ref" line whose document frequency straddles the
+    * minDocs=25 cut ACROSS scale factors (sf0.01, n=500: df=5 → kept;
+    * sf0.1, n=5000: df=50 → removed — the threshold provably bites on
+    * real counts), and a unique per-doc signature line. Same integer
+    * arithmetic in the oracle.
     */
   private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
     val c = (e: org.apache.spark.sql.Column) => e.cast("string")
     t(s, dir, "documents").withColumn("text_bl", concat(
       lit("HOME | ABOUT | CONTACT\nThis site uses cookies.\n"), col("text"),
       lit("\n\nPROMO CODE "), c(pmod(col("doc_id"), lit(7))),
-      lit("\nref "), c(pmod(col("doc_id"), lit(250))),
+      lit("\nshared "), c(pmod(col("doc_id"), lit(16))),
+      lit("\nref "), c(pmod(col("doc_id"), lit(100))),
       lit("\ndoc "), c(col("doc_id"))))
   }
 
@@ -74,7 +79,8 @@ object SparkEntry {
     """b AS (SELECT doc_id, source,
       |  'HOME | ABOUT | CONTACT' || chr(10) || 'This site uses cookies.' || chr(10) ||
       |  text || chr(10) || chr(10) || 'PROMO CODE ' || (doc_id % 7) || chr(10) ||
-      |  'ref ' || (doc_id % 250) || chr(10) || 'doc ' || doc_id AS t
+      |  'shared ' || (doc_id % 16) || chr(10) ||
+      |  'ref ' || (doc_id % 100) || chr(10) || 'doc ' || doc_id AS t
       |  FROM documents)""".stripMargin
 
   /** Shared oracle for the two boilerplate-removal forms (broadcast-set
@@ -988,6 +994,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
         .orderBy("doc_id")
     },
+    // ---- PER-SOURCE boilerplate (the per-domain granularity): a line is
+    //      cut only where it is frequent WITHIN its source — the injected
+    //      16-variant "shared" line is globally frequent but per-source
+    //      rare, so it survives here and falls only to the global forms
+    "d_boilerplate_by_source" -> { (s, dir) =>
+      ops.Boilerplate.cleanViaJoinBy(boilerplateDocs(s, dir), "source",
+          "doc_id", "text_bl", minDocs = 25)
+        .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
+        .orderBy("doc_id")
+    },
     // ---- the frequent-line table itself (line, document frequency) — the
     //      corpus-level aggregate both forms consume
     "d_boilerplate_lines" -> { (s, dir) =>
@@ -1788,6 +1804,22 @@ object SparkEntry {
     // parity IS the oracle contract (see BoilerplateCleanOracle)
     "d_boilerplate" -> BoilerplateCleanOracle,
     "d_boilerplate_join" -> BoilerplateCleanOracle,
+    // Per-source scope: document frequency grouped by (source, line), the
+    // removal probe null-safe per source (IS NOT DISTINCT FROM)
+    "d_boilerplate_by_source" ->
+      s"""WITH $BoilerplateDocsSql,
+         |l AS (SELECT doc_id, source, unnest(string_split(t, chr(10))) AS line FROM b),
+         |f AS (SELECT source, line FROM l WHERE len(line) > 0
+         |      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 25),
+         |fl AS (SELECT source, list(line) AS fset FROM f GROUP BY source),
+         |c AS (SELECT b.doc_id,
+         |        list_filter(string_split(b.t, chr(10)),
+         |          __x -> NOT list_contains(coalesce(fl.fset, []), __x)) AS kept,
+         |        len(string_split(b.t, chr(10))) AS n0
+         |      FROM b LEFT JOIN fl ON b.source IS NOT DISTINCT FROM fl.source)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+         |  CAST(n0 - len(kept) AS INT) AS n_lines_removed
+         |FROM c ORDER BY doc_id""".stripMargin,
     "d_boilerplate_lines" ->
       s"""WITH $BoilerplateDocsSql,
          |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b)

@@ -113,13 +113,59 @@ object Boilerplate {
     * doc-keyed shuffle of the line stream.
     */
   def cleanViaJoin(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Long, outCol: String = "text_clean"): DataFrame = {
-    val freq = frequentLines(docs, idCol, textCol, minDocs)
-      .select(col("line"), lit(1).as("__bl_hit"))
+      minDocs: Long, outCol: String = "text_clean"): DataFrame =
+    cleanViaJoinKeyed(docs,
+      frequentLines(docs, idCol, textCol, minDocs), Nil, idCol, textCol,
+      outCol)
+
+  /** PER-STRATUM frequent lines — the per-DOMAIN granularity
+    * (RefinedWeb-style: a nav bar is boilerplate on ITS site, not
+    * globally): `(strata, line, line_df)` with document frequency counted
+    * within each stratum. Same single aggregate, keyed by (stratum, line).
+    */
+  def frequentLinesBy(docs: DataFrame, strataCol: String, idCol: String,
+      textCol: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs.select(col(strataCol), col(idCol).as("__bl_id"),
+        explode(lines(col(textCol))).as("line"))
+      .where(length(col("line")) > 0)
+      .groupBy(col(strataCol), col("line"))
+      .agg(countDistinct(col("__bl_id")).as("line_df"))
+      .where(col("line_df") >= minDocs)
+  }
+
+  /** Per-stratum removal: a line is deleted from a document only when it
+    * is frequent WITHIN that document's stratum. A line frequent globally
+    * but rare inside every source (an aggregator artifact) survives here
+    * and falls to [[clean]] — the two scopes are complementary gates.
+    */
+  def cleanViaJoinBy(docs: DataFrame, strataCol: String, idCol: String,
+      textCol: String, minDocs: Long,
+      outCol: String = "text_clean"): DataFrame =
+    cleanViaJoinKeyed(docs,
+      frequentLinesBy(docs, strataCol, idCol, textCol, minDocs),
+      Seq(strataCol), idCol, textCol, outCol)
+
+  /** Shared join-form core: LEFT-join exploded lines against `freq` on
+    * (extraKeys :+ line), regroup per document restoring order. One
+    * definition for the global and per-stratum scopes. The stratum keys
+    * join NULL-SAFE (`<=>`) — a NULL stratum is a legal group whose
+    * frequent lines must still be cut (the round-9 sampler lesson);
+    * `line` itself can never be NULL (split yields no null elements).
+    */
+  private def cleanViaJoinKeyed(docs: DataFrame, freq: DataFrame,
+      extraKeys: Seq[String], idCol: String, textCol: String,
+      outCol: String): DataFrame = {
+    val freqFlag = freq.select(
+      extraKeys.map(k => col(k).as(s"__bl_r_$k")) ++
+        Seq(col("line").as("__bl_r_line"), lit(1).as("__bl_hit")): _*)
     val exploded = docs
-      .select(col(idCol).as("__bl_id"),
-        posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")))
-    val flagged = exploded.join(broadcast(freq), Seq("line"), "left")
+      .select((extraKeys.map(col) :+ col(idCol).as("__bl_id")) :+
+        posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")): _*)
+    val joinCond = extraKeys
+      .map(k => col(k) <=> col(s"__bl_r_$k"))
+      .foldLeft(col("line") === col("__bl_r_line"))(_ && _)
+    val flagged = exploded.join(broadcast(freqFlag), joinCond, "left")
     val rebuilt = flagged.groupBy(col("__bl_id"))
       .agg(
         concat_ws("\n", transform(

@@ -1319,6 +1319,26 @@ class OpsSpec extends AnyFunSuite {
       key(Boilerplate.cleanViaJoin(blDocs, "doc_id", "text", 3)))
   }
 
+  test("per-source boilerplate cuts within the stratum only; the same line survives elsewhere") {
+    val df = Seq(
+      (1L, "sA", "NAV-A\nbody1"), (2L, "sA", "NAV-A\nbody2"),
+      (3L, "sA", "NAV-A\nbody3"),
+      (4L, "sB", "NAV-A\nbody4"), // NAV-A is rare inside sB
+      (5L, "sB", "x\nbody5"), (6L, "sB", "y\nbody6"),
+    ).toDF("doc_id", "source", "text")
+    val perSource = Boilerplate.cleanViaJoinBy(df, "source", "doc_id",
+        "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("text_clean"))).toMap
+    assert(perSource(1L) == "body1" && perSource(3L) == "body3")
+    assert(perSource(4L) == "NAV-A\nbody4") // sA's chrome is not sB's
+    // the GLOBAL scope with the same threshold would cut doc 4's copy too
+    val global = Boilerplate.cleanViaJoin(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("text_clean"))).toMap
+    assert(global(4L) == "body4")
+  }
+
   test("frequentLines counts DOCUMENT frequency, not occurrences") {
     val f = Boilerplate.frequentLines(blDocs, "doc_id", "text", minDocs = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
