@@ -1890,10 +1890,8 @@ object SparkEntry {
          |c AS (SELECT doc_id,
          |        CAST(len(ws) AS BIGINT) AS n,
          |        CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
-         |        CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS chars,
-         |        CAST(len(regexp_extract_all(
-         |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-         |          '\\b[0-9]+\\b')) AS BIGINT) AS dtok
+         |        COALESCE(CAST(list_sum(list_transform(ws, __t1 -> len(__t1))) AS BIGINT), 0) AS chars,
+         |        CAST(len(list_filter(ws, __t2 -> regexp_matches(__t2, '^[0-9]+$$'))) AS BIGINT) AS dtok
          |      FROM w),
          |j AS (SELECT c.*, COALESCE(m.maxc, 0) AS maxc, COALESCE(m.nbg, 0) AS nbg
          |      FROM c LEFT JOIN m USING (doc_id))

@@ -45,7 +45,9 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     StructField("n_words", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),
     StructField("max_bigram", LongType, nullable = false),
-    StructField("n_bigrams", LongType, nullable = false)))
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_digit_only", IntegerType, nullable = false)))
   override def prettyName: String = "repetition_stats"
 
   override protected def nullSafeEval(input: Any): Any =

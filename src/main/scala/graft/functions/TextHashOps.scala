@@ -77,27 +77,40 @@ object TextHashOps {
   }
 
   /** One-pass repetition stats: (n_words, n_distinct, max_bigram,
-    * n_bigrams) — the inputs of the Gopher-style dup-word and top-bigram
-    * fractions. Row-local with a hash map over 57-bit word/bigram hashes:
-    * O(words) time and memory per document, versus the explode → count →
-    * max form's two corpus shuffles (kept in
+    * n_bigrams, n_chars, n_digit_only) — the inputs of the Gopher-style
+    * rule battery (dup-word / top-bigram fractions, mean word length,
+    * digit-token fraction). Row-local with a hash map over 57-bit
+    * word/bigram hashes: O(words) time and memory per document, versus the
+    * explode → count → max form's two corpus shuffles (kept in
     * `TextAnalysis.repetitionSignalsExplode` as the distributed reference;
     * parity pinned). Distinctness is by poly-57 hash — collision odds
     * ~2^-57 per pair, the same accepted risk as the shingle/fingerprint
     * kernels. Bigram hash = the shingle n=2 formula (word, space, word),
-    * so the arithmetic stays oracle-shared.
+    * so the arithmetic stays oracle-shared. `n_chars` (Σ token lengths)
+    * and `n_digit_only` (tokens that are entirely '0'-'9') come from the
+    * SAME byte-level tokenizer as the word counts — deriving them from a
+    * separate `lower()`+regex pass would disagree on non-ASCII input
+    * (e.g. U+212A Kelvin lowercases into 'k') and skew the ratios.
     */
   def repetitionStats(text: UTF8String): InternalRow = {
     val (bytes, bounds) = tokenize(text)
     val nWords = bounds.length / 2
     if (nWords == 0)
-      return new GenericInternalRow(Array[Any](0, 0, 0L, 0L))
+      return new GenericInternalRow(Array[Any](0, 0, 0L, 0L, 0L, 0))
     val wordHashes = new Array[Long](nWords)
     val distinct = new java.util.HashSet[java.lang.Long]()
+    var nChars = 0L
+    var nDigitOnly = 0
     var i = 0
     while (i < nWords) {
-      wordHashes(i) = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      val from = bounds(2 * i)
+      val until = bounds(2 * i + 1)
+      wordHashes(i) = foldBytes(0L, bytes, from, until)
       distinct.add(wordHashes(i))
+      nChars += until - from
+      var j = from
+      while (j < until && bytes(j) >= '0' && bytes(j) <= '9') j += 1
+      if (j == until) nDigitOnly += 1
       i += 1
     }
     var maxBigram = 0L
@@ -115,7 +128,8 @@ object TextHashOps {
       }
     }
     val nBigrams = if (nWords >= 2) (nWords - 1).toLong else 0L
-    new GenericInternalRow(Array[Any](nWords, distinct.size(), maxBigram, nBigrams))
+    new GenericInternalRow(
+      Array[Any](nWords, distinct.size(), maxBigram, nBigrams, nChars, nDigitOnly))
   }
 
   /** Aligned character-window passage hashes: the poly-57 hash of the RAW

@@ -49,6 +49,21 @@ object Boilerplate {
   /** Lines of a text column: split on '\n', no trimming. */
   def lines(text: Column): Column = split(text, "\n", -1)
 
+  /** Null ids RAISE (the guard-before-use convention shared with the
+    * samplers): a NULL id would silently vanish from `countDistinct`
+    * document frequency — under-counting every line the document
+    * contributes — and can never match the join form's regroup-restore
+    * join, so a non-null text would come back with a NULL clean column
+    * (silent data loss). Ids must also be UNIQUE for the join form (one
+    * document = one regroup); duplicates are detected and raised in
+    * [[cleanViaJoinKeyed]] itself, where the regroup can see them.
+    */
+  private def guardedId(idCol: String): Column =
+    when(col(idCol).isNull, raise_error(lit(
+      s"Boilerplate: null $idCol — document frequency and line regrouping " +
+        "need a non-null unique document id; filter or repair ids upstream")))
+      .otherwise(col(idCol))
+
   /** The frequent-line table `(line, line_df)`: every non-empty line
     * appearing in at least `minDocs` DISTINCT documents. One line-keyed
     * aggregate; output is bounded by totalLines/minDocs regardless of
@@ -57,7 +72,7 @@ object Boilerplate {
   def frequentLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    docs.select(col(idCol).as("__bl_id"),
+    docs.select(guardedId(idCol).as("__bl_id"),
         explode(lines(col(textCol))).as("line"))
       .where(length(col("line")) > 0)
       .groupBy("line")
@@ -126,7 +141,7 @@ object Boilerplate {
   def frequentLinesBy(docs: DataFrame, strataCol: String, idCol: String,
       textCol: String, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    docs.select(col(strataCol), col(idCol).as("__bl_id"),
+    docs.select(col(strataCol), guardedId(idCol).as("__bl_id"),
         explode(lines(col(textCol))).as("line"))
       .where(length(col("line")) > 0)
       .groupBy(col(strataCol), col("line"))
@@ -152,6 +167,13 @@ object Boilerplate {
     * join NULL-SAFE (`<=>`) — a NULL stratum is a legal group whose
     * frequent lines must still be cut (the round-9 sampler lesson);
     * `line` itself can never be NULL (split yields no null elements).
+    * Ids are guarded: NULL ids raise on the scan ([[guardedId]] — a NULL
+    * regroup key never re-joins, so the doc's clean text would silently
+    * come back NULL), and DUPLICATE ids raise in the regroup — two
+    * documents sharing an id would interleave their lines into one
+    * rebuilt text. Duplicates are detected as >1 position-0 line per
+    * group (every non-NULL-text document explodes exactly one), which
+    * costs one conditional sum — no countDistinct expansion.
     */
   private def cleanViaJoinKeyed(docs: DataFrame, freq: DataFrame,
       extraKeys: Seq[String], idCol: String, textCol: String,
@@ -160,7 +182,7 @@ object Boilerplate {
       extraKeys.map(k => col(k).as(s"__bl_r_$k")) ++
         Seq(col("line").as("__bl_r_line"), lit(1).as("__bl_hit")): _*)
     val exploded = docs
-      .select((extraKeys.map(col) :+ col(idCol).as("__bl_id")) :+
+      .select((extraKeys.map(col) :+ guardedId(idCol).as("__bl_id")) :+
         posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")): _*)
     val joinCond = extraKeys
       .map(k => col(k) <=> col(s"__bl_r_$k"))
@@ -173,7 +195,14 @@ object Boilerplate {
             struct(col("__bl_pos"), col("line"))))),
           s => s.getField("line"))).as("__bl_clean"),
         sum(when(col("__bl_hit").isNotNull, 1L).otherwise(0L))
-          .cast("int").as("__bl_removed"))
+          .cast("int").as("__bl_removed"),
+        sum(when(col("__bl_pos") === 0, 1L).otherwise(0L)).as("__bl_docs"))
+      .select(col("__bl_id"),
+        when(col("__bl_docs") > 1, raise_error(concat(
+            lit(s"Boilerplate: duplicate $idCol "), col("__bl_id").cast("string"),
+            lit(" — line regrouping needs unique document ids"))))
+          .otherwise(col("__bl_clean")).as("__bl_clean"),
+        col("__bl_removed"))
     // docs with NULL text explode to zero rows — restore them (NULL out)
     docs.join(rebuilt, col(idCol) === col("__bl_id"), "left")
       .withColumn(outCol,

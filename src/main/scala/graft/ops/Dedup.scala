@@ -79,10 +79,23 @@ object Dedup {
     * for the caller's follow-up (dedupIncremental ranks on it; the
     * streaming twin drops it). ONE definition of the cut, so batch and
     * stream semantics cannot drift.
+    *
+    * NULL keys RAISE (the guard-before-use convention): a NULL key never
+    * equals an indexed key — even a NULL one — so it always survives the
+    * anti join, and [[exactDedup]]'s window would then collapse ALL
+    * null-key batch rows into one survivor: distinct null-text documents
+    * silently deduping against each other, while a SQL `NOT IN` oracle
+    * would instead drop every one of them. Neither silent behavior is
+    * acceptable — filter or repair keys upstream.
     */
   def indexCut(batch: DataFrame, keyIndex: DataFrame,
       keyCol: Column): DataFrame =
-    batch.withColumn("__inc_k", keyCol)
+    batch.withColumn("__inc_k",
+        when(keyCol.isNull, raise_error(lit(
+          "Dedup.indexCut: null content key — a null key neither matches " +
+            "the index nor dedups within the batch; filter or repair keys " +
+            "upstream")))
+          .otherwise(keyCol))
       .join(keyIndex.select(col("key").as("__inc_k")), Seq("__inc_k"),
         "left_anti")
 
@@ -188,6 +201,106 @@ object Dedup {
       .select(col("idA"), col("idB"), hamming(col("simA"), col("simB")).as("dist"))
       .where(col("dist") <= maxHamming)
       .distinct()
+  }
+
+  /** Static simhash block index of an accumulated corpus: `(block,
+    * blockKey, corpusId, corpusSim)` — the join side for incremental
+    * near-dup lookups, batch ([[simhashIndexMatches]]) and streaming
+    * (`DocumentStream.nearDupsAgainstCorpus`) alike. ONE builder and ONE
+    * blocking scheme ([[blockKeyCols]]), so the persisted index and every
+    * prober agree byte-for-byte. Index size = `blocks` rows per corpus
+    * document — signature-sized, not corpus-sized; the accumulated corpus
+    * text is never rescanned by an increment.
+    */
+  def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      blocks: Int = 4): DataFrame = {
+    val sims = corpus.select(col(idCol).as("corpusId"),
+      TextFunctions.simhash31(col(textCol)).as("corpusSim"))
+      .where(col("corpusSim") >= 0)
+    sims.select(col("corpusId"), col("corpusSim"),
+      posexplode(blockKeyCols(col("corpusSim"), blocks)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+  }
+
+  /** Shared candidate-match core against a [[simhashIndex]]: the input
+    * must carry `doc_id` and `sim`; any extra columns (e.g. a stream's
+    * `ingestTs`) ride through. Emits input columns + `corpusId` + exact
+    * `dist`, one row per (doc, corpusDoc, matching block) — callers
+    * collapse multi-block collisions their own way (batch `.distinct()`,
+    * streaming `dropDuplicatesWithinWatermark`). ONE definition of the
+    * probe, so batch and stream semantics cannot drift.
+    */
+  private[graft] def indexMatchCore(withSim: DataFrame, index: DataFrame,
+      maxHamming: Int, blocks: Int): DataFrame = {
+    require(blocks > maxHamming,
+      s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
+        "pigeonhole guarantees a shared block only for distance < blocks")
+    withSim
+      .select(col("*"), posexplode(blockKeyCols(col("sim"), blocks)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+      .join(broadcast(index), Seq("block", "blockKey"))
+      .where(col("doc_id") =!= col("corpusId"))
+      .withColumn("dist", hamming(col("sim"), col("corpusSim")))
+      .where(col("dist") <= maxHamming)
+      .drop("block", "blockKey", "corpusSim")
+  }
+
+  /** Batch near-dup matches against an accumulated corpus's
+    * [[simhashIndex]]: `(doc_id, corpusId, dist)` for every batch document
+    * within Hamming `maxHamming` of an indexed one — the batch twin of the
+    * streaming corpus lookup, for the daily-increment pipeline. Blocking
+    * is lossless under the same pigeonhole bound as [[simhashPairs]].
+    * Scale shape: the corpus contributes only its signature-sized index
+    * (broadcast when small; a plain shuffle join otherwise — Spark picks
+    * by stats); candidates are verified with one exact Hamming per
+    * colliding block, and the batch is scanned once.
+    */
+  def simhashIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    val sims = ensureParallelism(batch)
+      .select(col(idCol).as("doc_id"), TextFunctions.simhash31(col(textCol)).as("sim"))
+      .where(col("sim") >= 0)
+    indexMatchCore(sims, index, maxHamming, blocks)
+      .select(col("doc_id"), col("corpusId"), col("dist"))
+      .distinct()
+  }
+
+  /** Incremental NEAR-dedup — the near-dup half of the daily-increment
+    * story ([[dedupIncremental]] is the exact half): grow an accumulated
+    * deduped corpus by one batch, dropping from the batch
+    *
+    *  1. every document within Hamming `maxHamming` of the accumulated
+    *     [[simhashIndex]] (its near-original is already released), and
+    *  2. every member of a within-batch near-dup component that TOUCHES
+    *     the corpus (the released near-original stands in as that
+    *     component's survivor — keeping any member would re-admit a
+    *     chain-dup the full-corpus rerun would have removed), and
+    *  3. in components not touching the corpus, everything but the min-id
+    *     representative (the [[removeNearDuplicates]] rule).
+    *
+    * Because accumulated-corpus documents are immutable (already
+    * released), this reproduces the full-rerun survivor set whenever
+    * corpus ids precede batch ids — pinned in OpsSpec. The corpus is
+    * never rescanned: it contributes only the signature-sized index.
+    */
+  def dedupIncrementalNear(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, blocks: Int = 4,
+      maxIters: Int = 30): DataFrame = {
+    val sims = ensureParallelism(batch)
+      .select(col(idCol).as("doc_id"), TextFunctions.simhash31(col(textCol)).as("sim"))
+      .where(col("sim") >= 0)
+    val matched = indexMatchCore(sims, index, maxHamming, blocks)
+      .select(col("doc_id")).distinct()
+    val comps = connectedComponentsStar(
+      pairsFromSimhash(sims, maxHamming, blocks), "idA", "idB", maxIters)
+    val touched = comps
+      .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
+      .select(col("comp")).distinct()
+    val losers = matched.select(col("doc_id").as("__nd_id"))
+      .union(comps.join(touched, Seq("comp")).select(col("node").as("__nd_id")))
+      .union(comps.where(col("node") =!= col("comp")).select(col("node").as("__nd_id")))
+      .distinct()
+    batch.join(losers, batch(idCol) === losers("__nd_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index.

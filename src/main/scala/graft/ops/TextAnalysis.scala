@@ -172,8 +172,12 @@ object TextAnalysis {
     * Every comparison is INTEGER cross-multiplication over kernel counts
     * (mean word length via `3n ≤ chars ≤ 10n`, fractions likewise) — no
     * division, no doubles, so the oracle covers each flag bit-for-bit.
-    * Scale shape: one codegen projection (the repetition-stats kernel +
-    * two regex counts), no shuffle; like [[graft.ops.Pii.scrub]] and
+    * EVERY count — words, distinct, bigrams, chars, digit-only tokens —
+    * comes from the single repetition-stats kernel, so all five rules see
+    * one consistent tokenization (a separate `lower()`+regex pass would
+    * disagree on non-ASCII input and silently skew the ratios).
+    * Scale shape: one codegen projection (the repetition-stats kernel),
+    * no shuffle; like [[graft.ops.Pii.scrub]] and
     * [[graft.ops.Classifier.classify]] it ADDS columns and keeps the
     * frame, so gates chain in one scan stage with no re-join. Zero-word
     * documents fail `r_word_count` and are kept=false (not dropped);
@@ -183,16 +187,12 @@ object TextAnalysis {
       maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
     val s = graft.functions.TextFunctions.repetition_stats(t)
-    // total a-z0-9 chars = Σ word lengths (the tokenizer keeps exactly
-    // these), so mean word length needs no per-word loop
-    val nChars = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
-    // digit-only tokens: \b-anchored runs can't half-match mixed tokens
-    val norm = regexp_replace(lower(t), "[^a-z0-9 ]", " ")
-    val nDigitOnly = size(regexp_extract_all(norm, lit("\\b[0-9]+\\b"), lit(0)))
     val n = col("__r.n_words").cast("long")
     df.withColumn("__r", s)
-      .withColumn("__c", nChars.cast("long"))
-      .withColumn("__d", nDigitOnly.cast("long"))
+      // total kept chars = Σ token lengths and the digit-only token count,
+      // both emitted by the SAME kernel tokenizer as n_words
+      .withColumn("__c", col("__r.n_chars"))
+      .withColumn("__d", col("__r.n_digit_only").cast("long"))
       .withColumn("n_words", col("__r.n_words"))
       .withColumn("r_word_count",
         col("__r.n_words") >= minWords && col("__r.n_words") <= maxWords)

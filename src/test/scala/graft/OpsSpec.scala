@@ -675,6 +675,17 @@ class OpsSpec extends AnyFunSuite {
     assert(none == Set(10L, 11L, 13L))
   }
 
+  test("indexCut raises on NULL content keys (no silent survive-then-collapse)") {
+    val index = Seq("k1").toDF("key")
+    val batch = Seq((10L, Option("k1")), (11L, Option.empty[String]))
+      .toDF("doc_id", "k")
+    val e = intercept[Exception] {
+      Dedup.dedupIncremental(batch, index, col("k"), "doc_id").collect()
+    }
+    assert(e.getMessage.contains("null content key") ||
+      Option(e.getCause).exists(_.getMessage.contains("null content key")))
+  }
+
   test("exact-n samplers raise on NULL ids (no hash rank, no silent drop)") {
     val df = Seq((Option(1L), "web"), (Option.empty[Long], "web"))
       .toDF("doc_id", "source")
@@ -1285,6 +1296,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("gopherRules: char/digit counts share the kernel tokenizer (Unicode-consistent)") {
+    // U+212A KELVIN SIGN: Java lower() maps it INTO 'k', so a lower()+regex
+    // char count would see one extra char per word (660 > 10n = 600 → rule
+    // flips); the kernel treats the multi-byte char as a separator, exactly
+    // like its word counting does — one tokenization, consistent ratios
+    val word = "abcdefghijK" // 10 kept chars + Kelvin sign
+    val df = Seq((1L, (1 to 60).map(i => word).mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df).collect().head
+    assert(r.getInt(r.fieldIndex("n_words")) == 60)
+    assert(r.getBoolean(r.fieldIndex("r_word_len")), "10-char words sit ON the <=10n boundary")
+    // and the struct fields themselves: chars = Σ token lengths, digit-only tokens
+    val s = graft.functions.TextFunctions.repetition_stats(col("text"))
+    val st = Seq((1L, "ab 12 cd 34 34")).toDF("doc_id", "text")
+      .select(s.getField("n_chars"), s.getField("n_digit_only")).collect().head
+    assert(st.getLong(0) == 10L && st.getInt(1) == 3)
+  }
+
   // ---- boilerplate line removal --------------------------------------
 
   private lazy val blDocs: DataFrame = Seq(
@@ -1352,6 +1380,34 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxFreqLines") ||
       Option(e.getCause).exists(_.getMessage.contains("maxFreqLines")))
+  }
+
+  test("boilerplate raises on NULL ids (df counting and regrouping both need them)") {
+    val df = Seq((Option(1L), "NAV\na"), (Option.empty[Long], "NAV\nb"),
+      (Option(3L), "NAV\nc")).toDF("doc_id", "text")
+    // pass 1 (document frequency) raises — a NULL id would silently
+    // under-count 'NAV' — in BOTH physical forms, which share frequentLines
+    val e1 = intercept[Exception](
+      Boilerplate.clean(df, "doc_id", "text", minDocs = 2).collect())
+    val e2 = intercept[Exception](
+      Boilerplate.cleanViaJoin(df, "doc_id", "text", minDocs = 2).collect())
+    Seq(e1, e2).foreach(e =>
+      assert(e.getMessage.contains("null doc_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null doc_id"))))
+  }
+
+  test("cleanViaJoin raises on DUPLICATE ids (one regroup must be one document)") {
+    val df = Seq((1L, "NAV\nalpha"), (1L, "NAV\nbeta"), (2L, "NAV\ngamma"),
+      (3L, "NAV\ndelta")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Boilerplate.cleanViaJoin(df, "doc_id", "text", minDocs = 3).collect())
+    assert(e.getMessage.contains("duplicate doc_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate doc_id")))
+    // the broadcast-set form is row-local: duplicate ids are two
+    // independent rows there, cleaned independently — still fine
+    val ok = Boilerplate.clean(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getString(r.fieldIndex("text_clean"))).toSet
+    assert(ok == Set("alpha", "beta", "gamma", "delta"))
   }
 
   test("boilerplate clean is a no-op when nothing is frequent") {
