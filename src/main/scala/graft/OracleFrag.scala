@@ -63,6 +63,14 @@ private[graft] object OracleFrag {
        |      AS BIGINT))),
        |    (__t1, __t2) -> __t1 + __t2)""".stripMargin
 
+  /** Per-occurrence feature-bucket list of a words-list expression
+    * (mirror of wordHashes mod [[graft.ops.Classifier.numBuckets]] — bag
+    * semantics, repeats count). Shared by the trainer and the trained
+    * scorer so both sides bucket identically.
+    */
+  def classifierBuckets(wsCol: String): String =
+    s"""list_transform($wsCol, __w3 -> (${poly57("__w3")}) % ${graft.ops.Classifier.numBuckets})"""
+
   /** Classifier label over `n_words`/`score_sum` columns (mirror of
     * [[graft.ops.Classifier.classify]]'s integer cross-multiplied cut).
     */

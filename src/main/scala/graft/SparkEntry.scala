@@ -1020,6 +1020,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- classifier TRAINING (CCNet-style: curated sources positive,
+    //      the crawl negative): per hashed feature bucket, smoothed
+    //      integer positive-rate weights from ONE map-side-combined
+    //      aggregate — every weight recomputed bit-for-bit by the oracle
+    "d_classifier_train" -> { (s, dir) =>
+      val labeled = t(s, dir, "documents").withColumn("is_positive",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      ops.Classifier.train(labeled, "text", "is_positive")
+        .orderBy("bucket")
+    },
+    // ---- train → weights → gate, end-to-end: the trained table rides
+    //      into the scoring expression as a codegen object reference
+    //      (the BPE model-artifact pattern), inference stays one
+    //      scan-stage projection
+    "d_classifier_trained" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("is_positive",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val w = ops.Classifier.trainedWeights(
+        ops.Classifier.train(labeled, "text", "is_positive"))
+      ops.Classifier.classifyTrained(docs, w.toSeq)
+        .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
+        .orderBy("doc_id")
+    },
     // ---- incremental dedup: yesterday's corpus contributes only its
     //      FINGERPRINT INDEX; today's batch anti-joins it, then dedups
     //      within itself — the accumulated corpus is never rescanned
@@ -1030,6 +1054,32 @@ object SparkEntry {
         .select(fp.as("key")).distinct()
       ops.Dedup.dedupIncremental(docs.where(col("doc_id") >= 250), index,
           fp, "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    // ---- incremental NEAR-dup: the accumulated corpus contributes only
+    //      its signature-sized simhash block index; every batch doc within
+    //      Hamming ≤ 3 of an indexed doc is reported — the batch twin of
+    //      the streaming corpus lookup (one shared probe definition)
+    "d_dedup_simhash_vs_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.simhashIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text", blocks = 4)
+      ops.Dedup.simhashIndexMatches(docs.where(col("doc_id") >= 250), index,
+          "doc_id", "text", maxHamming = 3, blocks = 4)
+        .orderBy("doc_id", "corpusId")
+    },
+    // ---- incremental NEAR-dedup: drop batch docs near the corpus index,
+    //      every member of a batch component that touches the corpus (its
+    //      released near-original is the survivor), and non-representatives
+    //      of untouched components — reproduces the full-rerun survivor
+    //      set while never rescanning the accumulated corpus
+    "d_dedup_simhash_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.simhashIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text", blocks = 4)
+      ops.Dedup.dedupIncrementalNear(docs.where(col("doc_id") >= 250), index,
+          "doc_id", "text", maxHamming = 3, blocks = 4)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -1848,6 +1898,45 @@ object SparkEntry {
          |SELECT doc_id, source FROM batch
          |WHERE fp NOT IN (SELECT fp FROM idx)
          |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    // BRUTE-FORCE vs-index oracle: ALL (batch × corpus) Hamming pairs —
+    // like d_dedup_simhash it proves the blocked probe loses no match
+    "d_dedup_simhash_vs_index" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |s AS (SELECT doc_id, ${OracleFrag.simhash31("ws")} AS sim FROM w WHERE len(ws) > 0),
+         |idx AS (SELECT doc_id AS cid, sim FROM s WHERE doc_id < 250),
+         |bt AS (SELECT doc_id, sim FROM s WHERE doc_id >= 250)
+         |SELECT bt.doc_id, idx.cid AS "corpusId",
+         |  CAST(bit_count(xor(bt.sim, idx.sim)) AS INT) AS dist
+         |FROM bt JOIN idx ON bit_count(xor(bt.sim, idx.sim)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+    // Increment replayed against the full-rerun rule: brute-force index
+    // matches, within-batch Hamming closure (recursive reach), then drop
+    // matched docs, whole corpus-touching components, and non-reps
+    "d_dedup_simhash_incremental" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |s AS (SELECT doc_id, ${OracleFrag.simhash31("ws")} AS sim FROM w WHERE len(ws) > 0),
+         |idx AS (SELECT sim FROM s WHERE doc_id < 250),
+         |bt AS (SELECT doc_id, sim FROM s WHERE doc_id >= 250),
+         |m AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx
+         |      ON bit_count(xor(bt.sim, idx.sim)) <= 3),
+         |pr AS (SELECT a.doc_id AS ia, c.doc_id AS ib FROM bt a JOIN bt c
+         |       ON a.doc_id < c.doc_id AND bit_count(xor(a.sim, c.sim)) <= 3),
+         |e AS (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.ea, reach.r FROM e JOIN reach ON reach.node = e.eb),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |touched AS (SELECT DISTINCT component FROM comp
+         |            WHERE node IN (SELECT doc_id FROM m)),
+         |losers AS (
+         |  SELECT doc_id AS id FROM m
+         |  UNION SELECT node FROM comp
+         |        WHERE component IN (SELECT component FROM touched)
+         |  UNION SELECT node FROM comp WHERE node != component)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
     // Survival cut replayed from the shared quality formula and Lehmer
     // hash; FLOOR spelled explicitly (DuckDB CAST rounds, Spark truncates)

@@ -109,6 +109,38 @@ case class ClassifierScoreExpr(child: Expression, numBuckets: Int)
     copy(child = newChild)
 }
 
+/** [[ClassifierScoreExpr]] with a TRAINED weight table: the bucket-indexed
+  * long array rides into generated code via `addReferenceObj` (one object
+  * per codegen, not per row) — the model artifact lives in the expression,
+  * so inference is still a single whole-stage-codegen projection with no
+  * join. `weights` is a Seq for sane Catalyst equality semantics (an
+  * Array param would compare by reference and break semanticEquals).
+  */
+case class ClassifierScoreWeightedExpr(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  require(weights.nonEmpty, "trained classifier needs a non-empty weight table")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("score_sum", LongType, nullable = false)))
+  override def prettyName: String = "classifier_score_trained"
+
+  @transient private lazy val weightArr: Array[Long] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.classifierScoreWeighted(
+      input.asInstanceOf[UTF8String], weightArr, weightArr.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("clsWeights", weights.toArray, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.classifierScoreWeighted($c, $wRef, ${weights.length})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierScoreWeightedExpr =
+    copy(child = newChild)
+}
+
 case class SimHash31Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash31"
@@ -169,6 +201,11 @@ object TextFunctions {
   /** One-pass hashed-feature classifier score struct: n_words/score_sum. */
   def classifier_score(text: Column, numBuckets: Int): Column =
     GraftBridge.column(ClassifierScoreExpr(GraftBridge.expression(text), numBuckets))
+
+  /** [[classifier_score]] with a trained bucket-indexed weight table
+    * (index = wordHash mod weights.length). */
+  def classifier_score_trained(text: Column, weights: Seq[Long]): Column =
+    GraftBridge.column(ClassifierScoreWeightedExpr(GraftBridge.expression(text), weights))
 
   /** 31-bit SimHash of normalized text; -1 when the text has no words. */
   def simhash31(text: Column): Column =

@@ -132,6 +132,28 @@ object TextHashOps {
       Array[Any](nWords, distinct.size(), maxBigram, nBigrams, nChars, nDigitOnly))
   }
 
+  /** [[classifierScore]]'s TRAINED twin: the per-word feature weight comes
+    * from a caller-supplied bucket-indexed table (a trained model
+    * artifact, e.g. [[graft.ops.Classifier.train]]'s output) instead of
+    * the committed Lehmer formula. Same one-pass shape: tokenize once,
+    * fold `weights[wordHash mod numBuckets]` exactly in a long.
+    * `weights.length` must equal `numBuckets` (checked by the expression
+    * constructor, not per row).
+    */
+  def classifierScoreWeighted(text: UTF8String, weights: Array[Long],
+      numBuckets: Int): InternalRow = {
+    val (bytes, bounds) = tokenize(text)
+    val nWords = bounds.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < nWords) {
+      val h = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      sum += weights((h % numBuckets).toInt)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, sum))
+  }
+
   /** Aligned character-window passage hashes: the poly-57 hash of the RAW
     * bytes `[i*stride, i*stride + window)` for every full window — the key
     * for VERBATIM repeated-passage detection (no normalization: verbatim

@@ -72,7 +72,89 @@ object Classifier {
       keep: Long = keepMilli, discard: Long = discardMilli): DataFrame = {
     require(keep > discard, s"keep ($keep) must exceed discard ($discard)")
     val s0 = graft.functions.TextFunctions.classifier_score(col(textCol), numBuckets)
-    df.withColumn("__cls", s0)
+    withScoreAndLabel(df, textCol, s0, keep, discard)
+  }
+
+  /** TRAIN the weight table from a labeled seed frame — the standard
+    * pipeline stage (CCNet/LLaMA: positive = a curated corpus, negative =
+    * random crawl) as ONE map-side-combined aggregate: every word
+    * occurrence hashes to its feature bucket, and per bucket the positive
+    * and negative occurrence counts yield a smoothed, milli-scaled,
+    * centered positive rate
+    *
+    *   `w_milli = ⌊(pos+1)·1000 / (pos+neg+2)⌋ − 500  ∈ [−500, 500]`
+    *
+    * (add-one smoothing, so unseen-side buckets shrink toward 0) — a
+    * naive-Bayes-flavored discriminative weight in PURE INTEGER
+    * arithmetic: no logs, no doubles, so the DuckDB oracle recomputes
+    * every weight bit-for-bit, and the whole train → weights → gate chain
+    * stays inside the hash-compared plan. Emits `(bucket, pos_cnt,
+    * neg_cnt, w_milli)` for every OBSERVED bucket; absent buckets score 0
+    * at inference ([[trainedWeights]] fills them).
+    *
+    * Scale shape: explode word hashes → one `groupBy(bucket)` whose
+    * output is ≤ [[numBuckets]] rows with map-side partial aggregation —
+    * word-count shape, no other shuffle. NULL labels raise (the
+    * guard-before-use convention: a silently-skipped seed doc would bias
+    * the prior); NULL text contributes no occurrences.
+    */
+  def train(labeled: DataFrame, textCol: String = "text",
+      labelCol: String = "is_positive"): DataFrame = {
+    val y = when(col(labelCol).isNull, raise_error(lit(
+        s"Classifier.train: null $labelCol — label every seed document " +
+          "or filter unlabeled rows upstream")))
+      .otherwise(col(labelCol).cast("boolean"))
+    val hs = graft.functions.TextFunctions.word_hashes(col(textCol))
+    val counts = labeled.select(y.as("__y"), explode(hs).as("__h"))
+      .groupBy(pmod(col("__h"), lit(numBuckets.toLong)).as("bucket"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("neg_cnt"))
+    // exact integer division: (a - a mod b) / b — both engines share the
+    // spelling-independent value since a, b are non-negative integers
+    val num = (col("pos_cnt") + 1L) * 1000L
+    val den = col("pos_cnt") + col("neg_cnt") + 2L
+    counts.withColumn("w_milli",
+      (((num - pmod(num, den)) / den).cast("long") - 500L))
+  }
+
+  /** Pack [[train]]'s output into the bucket-indexed array
+    * [[classifyTrained]] consumes — a ≤[[numBuckets]]-row driver collect
+    * (the BPE merge-table precedent: vocabulary-sized model artifacts ride
+    * into the plan as literals/references, never as a per-row join).
+    * Unobserved buckets default to weight 0.
+    */
+  def trainedWeights(weightTable: DataFrame): Array[Long] = {
+    val arr = new Array[Long](numBuckets)
+    weightTable.select(col("bucket").cast("long"), col("w_milli").cast("long"))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** [[classify]] with a TRAINED weight table: same added columns, same
+    * integer cross-multiplied label cut, but the per-bucket weight comes
+    * from the model artifact — train → weights → gate, end-to-end inside
+    * the plan. Inference is still one codegen'd scan-stage projection
+    * (the weights ride in the expression via a codegen object reference,
+    * no join, no UDF). Trained weights live in [−500, 500] milli, so the
+    * default ±25 thresholds keep their meaning.
+    */
+  def classifyTrained(df: DataFrame, weights: Seq[Long],
+      textCol: String = "text", keep: Long = keepMilli,
+      discard: Long = discardMilli): DataFrame = {
+    require(keep > discard, s"keep ($keep) must exceed discard ($discard)")
+    require(weights.length == numBuckets,
+      s"weight table must cover all $numBuckets buckets, got ${weights.length}")
+    val s0 = graft.functions.TextFunctions.classifier_score_trained(col(textCol), weights)
+    withScoreAndLabel(df, textCol, s0, keep, discard)
+  }
+
+  /** Shared tail of [[classify]]/[[classifyTrained]]: unpack the score
+    * struct and apply the integer cross-multiplied label cut. ONE
+    * definition, so the seeded and trained gates cannot drift.
+    */
+  private def withScoreAndLabel(df: DataFrame, textCol: String,
+      scoreStruct: Column, keep: Long, discard: Long): DataFrame =
+    df.withColumn("__cls", scoreStruct)
       .withColumn("n_words", col("__cls.n_words"))
       .withColumn("score_sum", col("__cls.score_sum"))
       .drop("__cls")
@@ -82,5 +164,4 @@ object Classifier {
           .when(col("score_sum") >= lit(keep) * col("n_words"), "keep")
           .when(col("score_sum") <= lit(discard) * col("n_words"), "discard")
           .otherwise("borderline"))
-  }
 }

@@ -292,7 +292,8 @@ object Dedup {
     val matched = indexMatchCore(sims, index, maxHamming, blocks)
       .select(col("doc_id")).distinct()
     val comps = connectedComponentsStar(
-      pairsFromSimhash(sims, maxHamming, blocks), "idA", "idB", maxIters)
+      pairsFromSimhash(sims.withColumnRenamed("doc_id", "id"), maxHamming, blocks),
+      "idA", "idB", maxIters)
     val touched = comps
       .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
       .select(col("comp")).distinct()

@@ -136,18 +136,15 @@ object DocumentStream {
     Dedup.indexCut(docs, keyIndex, keyCol).drop("__inc_k")
 
   /** Static simhash block index of an existing corpus: (block, blockKey,
-    * id, sim) — the join side for streaming near-dup lookups. `blocks`
-    * must exceed the lookup's maxHamming (pigeonhole, as in batch).
+    * corpusId, corpusSim) — the join side for streaming near-dup lookups.
+    * ONE builder shared with the batch increment
+    * ([[graft.ops.Dedup.simhashIndex]]), so a persisted index serves both
+    * the stream and the batch backfill identically. `blocks` must exceed
+    * the lookup's maxHamming (pigeonhole, as in batch).
     */
   def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      blocks: Int = 4): DataFrame = {
-    val sims = corpus.select(col(idCol).as("corpusId"),
-      TextFunctions.simhash31(col(textCol)).as("corpusSim"))
-      .where(col("corpusSim") >= 0)
-    sims.select(col("corpusId"), col("corpusSim"),
-      posexplode(Dedup.blockKeyCols(col("corpusSim"), blocks)))
-      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
-  }
+      blocks: Int = 4): DataFrame =
+    Dedup.simhashIndex(corpus, idCol, textCol, blocks)
 
   /** Streaming near-dup detection: each arriving doc is simhashed, its
     * blocks joined against the static index (broadcast — the index is tiny
@@ -160,19 +157,14 @@ object DocumentStream {
   def nearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       maxHamming: Int = 3, blocks: Int = 4,
       dedupDelay: String = "10 minutes"): DataFrame = {
-    require(blocks > maxHamming, "pigeonhole: blocks must exceed maxHamming")
     val withSim = stream
-      .withColumn("sim", TextFunctions.simhash31(col("text")))
+      .select(col("doc_id"), col("ingestTs"),
+        TextFunctions.simhash31(col("text")).as("sim"))
       .where(col("sim") >= 0)
-    withSim
-      .select(col("doc_id"), col("ingestTs"), col("sim"),
-        posexplode(Dedup.blockKeyCols(col("sim"), blocks)))
-      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
-      .join(broadcast(index), Seq("block", "blockKey"))
-      .where(col("doc_id") =!= col("corpusId"))
-      .select(col("doc_id"), col("ingestTs"), col("corpusId"),
-        Dedup.hamming(col("sim"), col("corpusSim")).as("dist"))
-      .where(col("dist") <= maxHamming)
+    // the probe itself is the ONE shared definition (Dedup.indexMatchCore);
+    // only the multi-block-collision collapse is streaming-specific
+    Dedup.indexMatchCore(withSim, index, maxHamming, blocks)
+      .select(col("doc_id"), col("ingestTs"), col("corpusId"), col("dist"))
       .withWatermark("ingestTs", dedupDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corpusId")
       .drop("ingestTs")

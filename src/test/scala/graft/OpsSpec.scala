@@ -675,6 +675,56 @@ class OpsSpec extends AnyFunSuite {
     assert(none == Set(10L, 11L, 13L))
   }
 
+  test("simhashIndexMatches equals the brute-force batch × corpus Hamming join") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") < 250)
+    val batch = all.where(col("doc_id") >= 250)
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text", blocks = 4)
+    val got = Dedup.simhashIndexMatches(batch, index, "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def sims(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash31(col("text")).as("s"))
+      .where(col("s") >= 0).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bf = for {
+      (bid, bs) <- sims(batch); (cid, cs) <- sims(corpus)
+      d = java.lang.Long.bitCount(bs ^ cs) if d <= 3
+    } yield (bid, cid, d)
+    assert(got == bf.toSet && got.nonEmpty)
+  }
+
+  test("dedupIncrementalNear reproduces the full-rerun survivor set (corpus ids first)") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") < 250)
+    val batch = all.where(col("doc_id") >= 250)
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text", blocks = 4)
+    val got = Dedup.dedupIncrementalNear(batch, index, "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // full rerun, brute force: CC over Hamming-≤3 pairs on corpus ∪ batch,
+    // survivors = min id per component; expected batch survivors = the
+    // batch slice of that (corpus ids all precede batch ids here)
+    val sims = all
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash31(col("text")).as("s"))
+      .where(col("s") >= 0).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val parent = scala.collection.mutable.Map(sims.map(_._1 -> -1L): _*)
+    def find(x: Long): Long = { val p = parent(x); if (p < 0) x else { val r = find(p); parent(x) = r; r } }
+    for { (a, sa) <- sims; (b, sb) <- sims
+          if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3 } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = sims.map(_._1).filter(id => find(id) != id).toSet
+    val expect = all.select("doc_id").as[Long].collect()
+      .filter(_ >= 250).filterNot(losers).toSet
+    assert(got == expect)
+    // and the increment is strictly coarser than a batch-only dedup when
+    // cross-half dups exist (they do in this fixture)
+    assert(got.size < batch.count())
+  }
+
   test("indexCut raises on NULL content keys (no silent survive-then-collapse)") {
     val index = Seq("k1").toDF("key")
     val batch = Seq((10L, Option("k1")), (11L, Option.empty[String]))
