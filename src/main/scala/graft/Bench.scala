@@ -44,6 +44,9 @@ object Bench {
     "d_diverse_sample",   // trained-cell assignment → exact-n per cell
     "d_sample_weighted",  // survival probability = own quality score
     "d_dedup_incremental", // batch anti-join vs the accumulated key index
+    "d_classifier_train",  // NB-style hashed-feature training, one aggregate
+    "d_corpus_manifest",   // release manifest: counts + content hash folds
+    "d_classifier_trained", // train → weights → gate, end-to-end
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
     "d_dedup_simhash_incremental", // near-dedup increment: index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

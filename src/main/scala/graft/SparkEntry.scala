@@ -1323,6 +1323,16 @@ object SparkEntry {
           sum(when(col("langGuess") === "en", 1L).otherwise(0L)).as("n_en"))
         .orderBy("source")
     },
+    // ---- corpus snapshot manifest: per (source, shard) row count, token
+    //      sum and order-independent content hashes (XOR + modular-sum
+    //      folds of the shared document fingerprint) — the release
+    //      artifact a backfill proves identity against; one map-side-
+    //      combined aggregate, shard = pure hash of the id
+    "d_corpus_manifest" -> { (s, dir) =>
+      ops.Manifest.snapshot(t(s, dir, "documents"), "source", "doc_id",
+          "text", nShards = 8)
+        .orderBy("source", "shard")
+    },
     // ---- weighted mixture: rescale sources to 3 : 1 : 0.5-per-other
     //      target ratios under availability; quotas broadcast, one
     //      stratum-key shuffle for the rank window
@@ -1877,6 +1887,47 @@ object SparkEntry {
          |FROM l WHERE len(line) > 0
          |GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 25
          |ORDER BY line""".stripMargin,
+    // Training replayed: same poly-57 buckets (bag semantics), exact
+    // integer counts, and the smoothed positive-rate weight recomputed
+    // with DuckDB's integer division — every weight bit-for-bit
+    "d_classifier_train" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT source IN ('src0','src1','src2','src3','src4') AS y,
+         |        unnest(${OracleFrag.classifierBuckets("ws")}) AS bucket
+         |      FROM w),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+         |        CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+         |      FROM f GROUP BY bucket)
+         |SELECT bucket, pos_cnt, neg_cnt,
+         |  CAST((pos_cnt + 1) * 1000 // (pos_cnt + neg_cnt + 2) - 500 AS BIGINT) AS w_milli
+         |FROM c ORDER BY bucket""".stripMargin,
+    // Train → weights → gate replayed end-to-end: the weight CTE feeds a
+    // per-occurrence join, scores summed exactly, the same integer label
+    // cut — the whole trained chain inside one hash-compared query
+    "d_classifier_trained" ->
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT source IN ('src0','src1','src2','src3','src4') AS y,
+         |        unnest(${OracleFrag.classifierBuckets("ws")}) AS bucket
+         |      FROM w),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+         |        CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+         |      FROM f GROUP BY bucket),
+         |wt AS (SELECT bucket,
+         |        CAST((pos_cnt + 1) * 1000 // (pos_cnt + neg_cnt + 2) - 500 AS BIGINT) AS wm
+         |       FROM c),
+         |d AS (SELECT doc_id, unnest(${OracleFrag.classifierBuckets("ws")}) AS bucket FROM w),
+         |s2 AS (SELECT d.doc_id, CAST(SUM(wt.wm) AS BIGINT) AS ss
+         |       FROM d JOIN wt USING (bucket) GROUP BY d.doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+         |  CAST(COALESCE(s2.ss, 0) AS BIGINT) AS score_sum,
+         |  CASE WHEN len(w.ws) = 0 THEN 'empty'
+         |       WHEN COALESCE(s2.ss, 0) >= ${graft.ops.Classifier.keepMilli} * len(w.ws) THEN 'keep'
+         |       WHEN COALESCE(s2.ss, 0) <= ${graft.ops.Classifier.discardMilli} * len(w.ws) THEN 'discard'
+         |       ELSE 'borderline' END AS label
+         |FROM w LEFT JOIN s2 ON s2.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     // Every word's bucket weight refolded from the same poly-57 hash and
     // Lehmer weight formula as the fused kernel; label by exact integer
     // cross-multiplication (no division)
@@ -2242,6 +2293,21 @@ object SparkEntry {
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
     // quality mean, language-mix count.
+    // Manifest replayed: same Lehmer shard hash, same rolling fingerprint,
+    // XOR and exact-HUGEINT-sum-then-mod folds recomputed per cell
+    "d_corpus_manifest" ->
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |m AS (SELECT source,
+         |        CAST((${OracleFrag.unitHash("doc_id")}) % 8 AS INT) AS shard,
+         |        CAST(len(ws) AS BIGINT) AS tok,
+         |        ${OracleFrag.fingerprintExpr} AS fp
+         |      FROM w)
+         |SELECT source, shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(fp) AS BIGINT) AS content_xor,
+         |  CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
+         |FROM m GROUP BY source, shard ORDER BY source, shard""".stripMargin,
     "d_corpus_stats" ->
       s"""WITH ${OracleFrag.docAnalysisCtes(", source, n_chars")},
          |a AS (

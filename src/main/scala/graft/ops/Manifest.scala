@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot manifest — the release artifact of a training-data
+  * pipeline. After sampling, budgeting and packing, a dataset release
+  * needs a deterministic, order-independent summary a backfill can prove
+  * identity against: per (source, shard), the row count, the token sum,
+  * and content hashes such that re-materializing the corpus on any
+  * cluster layout reproduces the manifest byte-for-byte iff the content
+  * is identical.
+  *
+  * Hash design: per-document fingerprints (the shared rolling word
+  * fingerprint, `TextStatsOps`/`OracleFrag.fingerprintExpr` mirror) are
+  * combined with BOTH
+  *  - `content_xor` — XOR-fold: order-independent, overflow-free, flips
+  *    on any single-document change; blind to PAIRS of identical
+  *    documents (x ⊕ x = 0), which is exactly what
+  *  - `content_mod` — the modular sum (exact DECIMAL accumulation, then
+  *    mod 2³¹−1) — catches: duplicate insertions shift the sum.
+  * A collision must fool both folds simultaneously.
+  *
+  * Scale shape: ONE map-side-combined aggregate over a scan-stage
+  * projection (the stats kernel + shard hash) — word-count shape, output
+  * bounded by sources × shards, no other shuffle, no window. Shards use
+  * the [[Sampling.unitHash]] family, so shard membership is a pure
+  * function of the id: a backfill of one shard recomputes exactly that
+  * shard's row. NULL ids raise (the guard-before-use convention — a NULL
+  * shard would silently pool mis-assigned rows); NULL text counts toward
+  * `n_docs` but contributes no tokens or content (documented NULL-skip,
+  * mirrored by the oracle's aggregate NULL semantics).
+  */
+object Manifest {
+
+  /** Per-(source, shard) manifest: `(source, shard, n_docs, n_tokens,
+    * content_xor, content_mod)`.
+    */
+  def snapshot(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val st = graft.functions.TextFunctions.text_stats(col(textCol))
+    val guarded: Column = when(col(idCol).isNull, raise_error(lit(
+        s"Manifest.snapshot: null $idCol — shard assignment needs a " +
+          "non-null id; filter or repair ids upstream")))
+      .otherwise(col(idCol))
+    docs
+      .withColumn("shard",
+        pmod(Sampling.unitHash(guarded), lit(nShards.toLong)).cast("int"))
+      .withColumn("__fp", st.getField("fingerprint"))
+      .withColumn("__tok", st.getField("nTokensWs"))
+      .groupBy(col(sourceCol), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok").cast("long")).as("n_tokens"),
+        bit_xor(col("__fp")).as("content_xor"),
+        // exact DECIMAL accumulation (fingerprints < 2³¹, so 38 digits
+        // hold any corpus), folded back to a long AFTER the sum — Spark's
+        // long sum would wrap silently at ~4·10¹⁸ total
+        (sum(col("__fp").cast("decimal(38,0)")) % lit(2147483647L))
+          .cast("long").as("content_mod"))
+  }
+}

@@ -61,6 +61,18 @@ object DocumentStream {
   def classified(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.ops.Classifier.classify(docs, textCol)
 
+  /** Stateless TRAINED-classifier gate — the index-split pattern applied
+    * to a model: training ([[graft.ops.Classifier.train]], corpus-wide
+    * counts) is the batch index-build job's problem; the trained weight
+    * table rides into the streaming projection as a codegen object
+    * reference, so scoring is stateless and a document is labeled
+    * identically by stream or batch backfill against the same weights
+    * snapshot.
+    */
+  def classifiedTrained(docs: DataFrame, weights: Seq[Long],
+      textCol: String = "text"): DataFrame =
+    graft.ops.Classifier.classifyTrained(docs, weights, textCol)
+
   /** Stateless Gopher rule gate — [[graft.ops.TextAnalysis.gopherRules]]'s
     * integer-exact flag projection per micro-batch; same structural
     * stream/batch parity as [[classified]].

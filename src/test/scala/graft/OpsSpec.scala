@@ -1500,6 +1500,53 @@ class OpsSpec extends AnyFunSuite {
     assert(out == expected && out.keySet == Set(0, 2, 4))
   }
 
+  // ---- corpus snapshot manifest --------------------------------------
+
+  test("manifest is layout-independent and backfill-stable") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("source", "shard").collect()
+      .map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSeq
+    val base = Manifest.snapshot(frame, "source", "doc_id", "text", nShards = 8)
+    // same content on a different layout → identical manifest
+    assert(key(base) == key(Manifest.snapshot(
+      frame.repartition(7), "source", "doc_id", "text", nShards = 8)))
+    // a single changed document flips BOTH content folds of its cell only
+    val tweaked = frame.withColumn("text",
+      when(col("doc_id") === 3, concat(col("text"), lit(" tweaked")))
+        .otherwise(col("text")))
+    val diff = key(base).toSet.diff(
+      key(Manifest.snapshot(tweaked, "source", "doc_id", "text", 8)).toSet)
+    assert(diff.size == 1)
+  }
+
+  test("manifest content_mod catches the duplicate pair content_xor is blind to") {
+    // nShards = 1: everything lands in one cell, so the pair cancels in XOR
+    val a = Seq((1L, "s", "alpha beta"), (2L, "s", "gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val dup = Seq((1L, "s", "alpha beta"), (2L, "s", "gamma delta"),
+      (3L, "s", "extra words"), (4L, "s", "extra words"))
+      .toDF("doc_id", "source", "text")
+    def cell(df: org.apache.spark.sql.DataFrame) = {
+      val r = Manifest.snapshot(df, "source", "doc_id", "text", 1).collect().head
+      (r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("content_xor")),
+        r.getLong(r.fieldIndex("content_mod")))
+    }
+    val (na, xa, ma) = cell(a)
+    val (nd, xd, md) = cell(dup)
+    assert(na == 2 && nd == 4)
+    assert(xa == xd, "identical pair must cancel in the XOR fold")
+    assert(ma != md, "the modular sum must still move")
+    // and NULL ids raise: shard assignment has no hash
+    val bad = Seq((Option(1L), "s", "x"), (Option.empty[Long], "s", "y"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception](
+      Manifest.snapshot(bad, "source", "doc_id", "text", 4).collect())
+    assert(e.getMessage.contains("null doc_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null doc_id")))
+  }
+
   // ---- hashed-feature classifier -------------------------------------
 
   test("classifier kernel equals the HOF reference on real data") {
@@ -1539,5 +1586,70 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     assert(out(1L)._1 == 1 && math.abs(out(1L)._2) <= 1000)
     assert(out(2L) == ((3, out(1L)._2 * 3))) // multiplicity, not distinct
+  }
+
+  test("classifier training: exact per-bucket counts and smoothed integer weights") {
+    val df = Seq(
+      (1L, "apple apple banana", true),
+      (2L, "apple cherry", false),
+      (3L, null.asInstanceOf[String], true), // NULL text: zero occurrences
+    ).toDF("doc_id", "text", "is_positive")
+    // resolve each word's bucket with the SAME plan arithmetic
+    val bucketOf = Seq((1L, "apple banana cherry")).toDF("id", "text")
+      .select(explode(graft.functions.TextFunctions.word_hashes(col("text"))).as("h"))
+      .select(pmod(col("h"), lit(Classifier.numBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0))
+    val Seq(bApple, bBanana, bCherry) = bucketOf.toSeq
+    assume(Set(bApple, bBanana, bCherry).size == 3, "fixture words collide")
+    val w = Classifier.train(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def wm(p: Long, n: Long) = (p + 1) * 1000 / (p + n + 2) - 500
+    assert(w(bApple) == ((2L, 1L, wm(2, 1))))   // 400/5 → 100
+    assert(w(bBanana) == ((1L, 0L, wm(1, 0))))  // 666-500 = 166
+    assert(w(bCherry) == ((0L, 1L, wm(0, 1))))  // 333-500 = -167
+    assert(w.size == 3)
+    // and NULL labels raise (a silently-skipped seed doc biases the prior)
+    val bad = Seq((1L, "x", Option(true)), (2L, "y", Option.empty[Boolean]))
+      .toDF("doc_id", "text", "is_positive")
+    val e = intercept[Exception](Classifier.train(bad).collect())
+    assert(e.getMessage.contains("null is_positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("null is_positive")))
+  }
+
+  test("classifyTrained with the seeded formula table equals classify exactly") {
+    // the trained-scoring kernel, fed the committed Lehmer weights as a
+    // table, must reproduce the seeded kernel bit-for-bit — pins the two
+    // scoring paths (formula-in-kernel vs table-in-reference) together
+    val seeded: Seq[Long] = (0 until Classifier.numBuckets)
+      .map(b => ((b + 1L) * 48271L % 2001L + 2001L) % 2001L - 1000L)
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_words", "score_sum", "label")
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    assert(key(Classifier.classifyTrained(frame, seeded)) ==
+      key(Classifier.classify(frame)))
+  }
+
+  test("train → weights → gate: trained labels separate the seed sources") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labeled = frame.withColumn("is_positive", col("source").isin("src0", "src1"))
+    val weights = Classifier.trainedWeights(Classifier.train(labeled, "text", "is_positive"))
+    assert(weights.length == Classifier.numBuckets)
+    val out = Classifier.classifyTrained(frame, weights.toSeq)
+    // scores must agree with a driver-side recompute over word buckets
+    val byDoc = out.select("doc_id", "score_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = frame
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.word_hashes(col("text"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(Classifier.numBuckets.toLong)).as("b"))
+      .collect().groupBy(_.getLong(0))
+    buckets.foreach { case (id, rows) =>
+      assert(byDoc(id) == rows.map(r => weights(r.getLong(1).toInt)).sum, s"doc $id")
+    }
+    // and the gate actually separates: positives keep-lean, negatives not
+    val meanByPos = out.withColumn("pos", col("source").isin("src0", "src1"))
+      .groupBy("pos").agg(avg(col("score_sum") / col("n_words"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(meanByPos(true) > meanByPos(false))
   }
 }

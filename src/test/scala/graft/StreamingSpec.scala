@@ -154,6 +154,30 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.length}, batch ${batch.length}")
   }
 
+  test("streaming TRAINED classifier: label parity with batch, stateless") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val weights = graft.ops.Classifier.trainedWeights(graft.ops.Classifier.train(
+      batchDocs.withColumn("is_positive", col("source").isin("src0", "src1")),
+      "text", "is_positive")).toSeq
+    val stream = DocumentStream.read(spark, docStreamDir)
+    val classified = DocumentStream.classifiedTrained(stream, weights)
+      .select("doc_id", "n_words", "score_sum", "label")
+    val q = classified.writeStream.outputMode("append")
+      .format("memory").queryName("doc_cls_trained").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_cls_trained").collect().map(key).sorted
+    val batch = graft.ops.Classifier.classifyTrained(batchDocs, weights)
+      .select("doc_id", "n_words", "score_sum", "label")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+  }
+
   test("streaming dedup against a static key index: indexed docs dropped, rest pass") {
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
     val fp = graft.ops.TextAnalysis.fingerprint(col("text"))
