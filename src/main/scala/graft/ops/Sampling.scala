@@ -54,18 +54,22 @@ object Sampling {
     left.join(broadcast(r), col(strataCol) <=> col("__strat_r")).drop("__strat_r")
   }
 
+  /** Null ids RAISE (the guard-before-use convention): a null id hashes
+    * to a null rank/bucket, which would both vanish from the sample
+    * silently and — in the two-phase form, if its count reaches the
+    * quota — aggregate `__bmax` to NULL and zero out the whole stratum.
+    */
+  private def guardedU(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("__u",
+      when(col(idCol).isNull, raise_error(lit(
+        s"exact-n sampler: null $idCol — a null id has no hash rank; " +
+          "filter or repair ids upstream")))
+        .otherwise(unitHash(col(idCol))))
+
   private def bucketedCutoff(df: DataFrame, strataCol: String, idCol: String,
       quotaOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val bw = P31 / SelectionBuckets + 1
-    // null ids RAISE (the guard-before-use convention): a null id hashes
-    // to a null bucket, which would both vanish from the sample silently
-    // and — if its count reaches the quota — aggregate __bmax to NULL and
-    // zero out the whole stratum
-    val withU = df.withColumn("__u",
-        when(col(idCol).isNull, raise_error(lit(
-          s"exact-n sampler: null $idCol — a null id has no hash rank; " +
-            "filter or repair ids upstream")))
-          .otherwise(unitHash(col(idCol))))
+    val withU = guardedU(df, idCol)
       .withColumn("__b", floor(col("__u") / lit(bw)).cast("long"))
     val hist = withU.groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
@@ -99,6 +103,63 @@ object Sampling {
       .where(col("rk") <= col("__quota"))
       .drop("__u", "__b", "__bmax", "__quota")
   }
+
+  /** Session override for [[onePhaseMaxBytes]] (bytes, long). */
+  val OnePhaseMaxBytesConf = "graft.sampler.onePhaseMaxBytes"
+
+  /** Inputs whose OPTIMIZED-plan size estimate sits below this are sampled
+    * one-phase. Default 256 MB: a couple of scan partitions' worth, where
+    * the histogram's extra jobs, broadcast and re-scan cost more wall
+    * clock than they save (measured ~3× at sf0.1 in round 9), while any
+    * corpus big enough for a dominant stratum to serialize through one
+    * window task is far above it. Same stats source as
+    * `Dedup.ensureParallelism` — no physical planning is forced.
+    */
+  val DefaultOnePhaseMaxBytes: Long = 256L << 20
+
+  private def onePhaseRegime(df: DataFrame): Boolean = {
+    val cutoff = df.sparkSession.conf
+      .getOption(OnePhaseMaxBytesConf).map(_.toLong)
+      .getOrElse(DefaultOnePhaseMaxBytes)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(cutoff)
+  }
+
+  /** One-phase tail: rank the FULL stratum by (u, id) and keep the joined
+    * quota — the small-input regime. Membership AND ranks are identical
+    * to [[rankAndCut]] by construction: the two-phase presample only ever
+    * excludes rows hashing above every survivor, so full-stratum ranks of
+    * the kept rows are unchanged (the property the parity spec pins).
+    */
+  private def rankAll(withU: DataFrame, quotas: DataFrame,
+      strataCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    joinOnStratum(withU, quotas, strataCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__quota"))
+      .drop("__u", "__quota")
+  }
+
+  /** Regime dispatch shared by the three exact-n samplers: `quotasFrom`
+    * maps per-stratum availability `(strataCol, __avail)` to quotas
+    * `(strataCol, __quota)` — ONE quota definition per sampler, consumed
+    * by both physical forms, so the switch cannot change membership.
+    * Small inputs rank directly (fewer jobs wins); large inputs go
+    * through the bucketed-histogram cutoff (the rank window's input stays
+    * ≈ quota + avail/[[SelectionBuckets]] per stratum).
+    */
+  private def samplePhased(df: DataFrame, strataCol: String, idCol: String,
+      quotasFrom: DataFrame => DataFrame): DataFrame =
+    if (onePhaseRegime(df)) {
+      val withU = guardedU(df, idCol)
+      val counts = withU.groupBy(col(strataCol)).agg(count(lit(1)).as("__avail"))
+      rankAll(withU, quotasFrom(counts), strataCol, idCol)
+    } else {
+      val (withU, cuts) = bucketedCutoff(df, strataCol, idCol, hist =>
+        joinOnStratum(hist,
+          quotasFrom(hist.groupBy(col(strataCol)).agg(sum("__c").as("__avail"))),
+          strataCol))
+      rankAndCut(withU, cuts, strataCol, idCol)
+    }
 
   /** Deterministic unit hash of a row id into [0, 2^31-1): two Lehmer
     * steps, `u = (((id mod p + 1) * 48271 mod p) * 48271) mod p`. One step
@@ -171,12 +232,17 @@ object Sampling {
     * construction (no slack, no failure mode to guard). A NULL stratum is
     * a legal partition sampled like any other — the cutoff joins are
     * null-safe `<=>`, where a USING join would silently drop those rows.
+    *
+    * Below [[DefaultOnePhaseMaxBytes]] (plan-stats estimate, overridable
+    * via [[OnePhaseMaxBytesConf]]) the sampler ranks the full stratum
+    * directly instead — at that size the histogram's extra jobs cost more
+    * than they save, and membership/ranks are identical either way
+    * (parity-pinned in OpsSpec).
     */
   def stratifiedFixed(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
-    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
-      hist => hist.withColumn("__quota", lit(n.toLong)))
-    rankAndCut(withU, cuts, strataCol, idCol)
+    samplePhased(df, strataCol, idCol,
+      counts => counts.select(col(strataCol), lit(n.toLong).as("__quota")))
   }
 
   /** Weighted corpus MIXTURE: scale every source to target proportions
@@ -204,16 +270,12 @@ object Sampling {
       "at least one mixture weight must be positive")
     val wt = weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(w)).otherwise(acc) }
-    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol, { hist =>
-      val counts = hist.groupBy(col(strataCol)).agg(sum("__c").as("__avail"))
-        .withColumn("__wt", wt)
-        .where(col("__wt") > 0)
+    samplePhased(df, strataCol, idCol, { counts0 =>
+      val counts = counts0.withColumn("__wt", wt).where(col("__wt") > 0)
       val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
-      val quotas = counts.crossJoin(broadcast(tmax))
+      counts.crossJoin(broadcast(tmax))
         .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
-      joinOnStratum(hist, quotas, strataCol)
     })
-    rankAndCut(withU, cuts, strataCol, idCol)
   }
 
   /** Diagnostic: the number of rows phase 2's rank window actually
@@ -255,17 +317,15 @@ object Sampling {
   def mixtureSampleTemperature(df: DataFrame, strataCol: String, idCol: String,
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau out of (0,1]: $tau")
-    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol, { hist =>
-      val counts = hist.groupBy(col(strataCol)).agg(sum("__c").as("__avail"))
+    samplePhased(df, strataCol, idCol, { counts0 =>
+      val counts = counts0
         .withColumn("__wt", pow(col("__avail").cast("double"), lit(tau)))
       val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
-      val quotas = counts.crossJoin(broadcast(tmax))
+      counts.crossJoin(broadcast(tmax))
         .select(col(strataCol),
           floor(col("__t") * col("__wt") * lit(1 + 1e-12) + lit(1e-9))
             .cast("long").as("__quota"))
-      joinOnStratum(hist, quotas, strataCol)
     })
-    rankAndCut(withU, cuts, strataCol, idCol)
   }
 
   /** Deterministic epoch shuffle + shard: the "reshuffle the corpus each

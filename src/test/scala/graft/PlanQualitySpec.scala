@@ -281,6 +281,9 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // force the LARGE-input regime: this pin is about the scale shape
+    spark.conf.set(graft.ops.Sampling.OnePhaseMaxBytesConf, "0")
+    try {
     for ((label, df) <- Seq(
       "stratifiedFixed" -> graft.ops.Sampling.stratifiedFixed(
         docs, "source", "doc_id", 8),
@@ -311,6 +314,23 @@ class PlanQualitySpec extends AnyFunSuite {
         p.contains("source") && p.contains("__b")
       }, s"$label histogram not bucket-partitioned:\n${plan.toString.take(3000)}")
     }
+    } finally spark.conf.unset(graft.ops.Sampling.OnePhaseMaxBytesConf)
+  }
+
+  test("exact-n samplers below the size cutoff skip the histogram machinery") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // sf0.001 sits far below the default cutoff → one-phase: a direct
+    // stratum-keyed rank window, NO (source, __b) histogram exchange and
+    // no second scan of the input
+    val plan = nonAdaptivePlan(
+      graft.ops.Sampling.stratifiedFixed(docs, "source", "doc_id", 8))
+    assert(plan.collect { case w: WindowExec => w }.size == 1)
+    assert(!plan.collect { case e: ShuffleExchangeExec => e }.exists { e =>
+      val p = e.outputPartitioning.toString
+      p.contains("source") && p.contains("__b")
+    }, s"small input still pays the histogram:\n${plan.toString.take(3000)}")
   }
 
   test("epoch shuffle shards with one shard-key exchange, never a global sort") {
