@@ -46,6 +46,7 @@ object Bench {
     "d_dedup_incremental", // batch anti-join vs the accumulated key index
     "d_classifier_train",  // NB-style hashed-feature training, one aggregate
     "d_corpus_manifest",   // release manifest: counts + content hash folds
+    "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
     "d_classifier_trained", // train → weights → gate, end-to-end
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
     "d_dedup_simhash_incremental", // near-dedup increment: index cut + touched components

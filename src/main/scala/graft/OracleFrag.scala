@@ -125,6 +125,48 @@ private[graft] object OracleFrag {
        |""".stripMargin + rounds.mkString(",\n")
   }
 
+  /** Unrolled WordPiece-training CTEs mirroring
+    * [[graft.ops.Bpe.trainWordPiece]]: same `wrd`/`seg0` prefix and the
+    * same per-round pair counts and merge replace as [[bpeCtes]], plus a
+    * per-round symbol-count CTE `sc{r}`, with the argmax ordered by the
+    * likelihood score `c / (cl·cr)` compared as an IEEE double — int →
+    * double conversion, multiply and divide are correctly rounded and
+    * monotone, so the double order never contradicts the exact rational
+    * order; exact-double ties fall to the same (l, r) tie-break as Spark.
+    */
+  def wordpieceCtes(k: Int, from: String = "documents"): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"seg${r - 1}"
+      s"""sc$r AS MATERIALIZED (
+         |  SELECT sym, SUM(cnt) AS c FROM (
+         |    SELECT cnt, unnest(${bpeSyms("seg")}) AS sym FROM $prev)
+         |  GROUP BY 1),
+         |pr$r AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)), __i ->
+         |      struct_pack(l := syms[__i], r := syms[__i + 1]))) AS p
+         |    FROM (SELECT cnt, ${bpeSyms("seg")} AS syms FROM $prev))
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, CAST(p.c AS BIGINT) AS c,
+         |         CAST(sl.c AS BIGINT) AS cl, CAST(sr.c AS BIGINT) AS cr
+         |  FROM pr$r p JOIN sc$r sl ON sl.sym = p.l JOIN sc$r sr ON sr.sym = p.r
+         |  ORDER BY CAST(p.c AS DOUBLE) / (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)) DESC,
+         |           p.l, p.r
+         |  LIMIT 1),
+         |seg$r AS MATERIALIZED (SELECT w, cnt, replace(seg,
+         |    ' ' || (SELECT l FROM best$r) || '  ' || (SELECT r FROM best$r) || ' ',
+         |    ' ' || (SELECT l FROM best$r) || (SELECT r FROM best$r) || ' ') AS seg
+         |  FROM $prev)""".stripMargin
+    }
+    s"""wrd AS MATERIALIZED (SELECT __w AS w, COUNT(*) AS cnt
+       |       FROM (SELECT unnest(${ws("text")}) AS __w FROM $from)
+       |       GROUP BY 1),
+       |seg0 AS MATERIALIZED (SELECT w, cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seg
+       |         FROM wrd),
+       |""".stripMargin + rounds.mkString(",\n")
+  }
+
   /** The trained-tokenizer segmentation of a word expression under the
     * `best1..bestK` merges of [[bpeCtes]] — the mirror of
     * [[graft.ops.Bpe.segmentWithMerges]] as nested replaces with scalar

@@ -935,6 +935,19 @@ object SparkEntry {
           col("lhs"), col("rhs"), col("pairCount").as("pair_count"))
         .orderBy("merge_rank")
     },
+    // ---- WordPiece-style tokenizer TRAINING (Schuster & Nakajima 2012):
+    //      same distinct-word machinery as BPE, but the round argmax
+    //      maximizes likelihood gain c/(cl·cr) — cohesive rare pairs beat
+    //      merely-frequent ones; table emitted integer-only, the score
+    //      order proven safe as correctly-rounded IEEE division
+    "d_wordpiece_train" -> { (s, dir) =>
+      import s.implicits._
+      ops.Bpe.trainWordPiece(t(s, dir, "documents"), "text", numMerges = 8)
+        .toDF().select(col("rank").cast("int").as("merge_rank"),
+          col("lhs"), col("rhs"), col("pairCount").as("pair_count"),
+          col("leftCount").as("left_count"), col("rightCount").as("right_count"))
+        .orderBy("merge_rank")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -1828,6 +1841,18 @@ object SparkEntry {
              s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM best$r")
            .mkString("\n      UNION ALL ")})
          |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
+         |FROM m ORDER BY merge_rank""".stripMargin,
+    // WordPiece training replayed round-for-round: same pair counts plus
+    // per-round symbol counts; argmax by the identical IEEE-double score
+    // with the same lexicographic tie-break
+    "d_wordpiece_train" ->
+      s"""WITH ${OracleFrag.wordpieceCtes(8)},
+         |m AS (${(1 to 8).map(r =>
+             s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, c AS pair_count, " +
+               s"cl AS left_count, cr AS right_count FROM best$r")
+           .mkString("\n      UNION ALL ")})
+         |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count,
+         |  left_count, right_count
          |FROM m ORDER BY merge_rank""".stripMargin,
     // Trained-tokenizer token counts per doc (the best1..best8 merges
     // applied as nested replaces) next to the closed-form estimate

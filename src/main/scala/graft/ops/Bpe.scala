@@ -73,7 +73,10 @@ object Bpe {
     * (a,n) → " b  an  an  a " (both occurrences merge).
     */
   private def applyMerge(seg: Column, m: Merge): Column =
-    replace(seg, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+    applyPair(seg, m.lhs, m.rhs)
+
+  private def applyPair(seg: Column, lhs: String, rhs: String): Column =
+    replace(seg, lit(s" $lhs  $rhs "), lit(s" $lhs$rhs "))
 
   /** Train `numMerges` BPE merges over `textCol`, tokenized with the same
     * normalization as [[TextAnalysis.words]]. Deterministic: the argmax
@@ -111,6 +114,82 @@ object Bpe {
     */
   def segmentWithMerges(word: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(initSeg(word))(applyMerge)
+
+  /** One trained WordPiece-style merge: the likelihood-scored variant,
+    * with the symbol counts that formed its score kept for audit (the
+    * emitted table is integer-only; see [[trainWordPiece]]).
+    */
+  final case class WpMerge(rank: Int, lhs: String, rhs: String,
+      pairCount: Long, leftCount: Long, rightCount: Long)
+
+  /** WordPiece-style tokenizer TRAINING (Schuster & Nakajima 2012; the
+    * BERT tokenizer family — public algorithm, reference-free): identical
+    * machinery to [[train]] except the per-round argmax maximizes the
+    * LIKELIHOOD GAIN `count(l,r) / (count(l) · count(r))` instead of raw
+    * pair frequency — the pair that is frequent TOGETHER relative to how
+    * frequent its parts are. A corpus of very common characters stops
+    * winning on raw adjacency; cohesive rare units merge first (pinned in
+    * OpsSpec against a fixture where the two trainers pick different
+    * first merges). Continuation markers ("##") are a vocabulary-EXPORT
+    * rendering; the score is what distinguishes the training dynamics.
+    *
+    * Determinism across engines: the score is compared as an IEEE double
+    * `c / (cl·cr)` from exact integer counts. Int→double conversion,
+    * multiply and divide are all correctly rounded, and rounding to
+    * nearest is monotone — so the double order can never CONTRADICT the
+    * exact rational order; near-equal scores can only collapse to exact
+    * double equality, where the (l, r) lexicographic tie-break decides,
+    * identically in Spark and DuckDB. The emitted table itself is
+    * integer-only (pair/left/right counts).
+    *
+    * Scale shape: same as [[train]] — everything runs on the
+    * vocabulary-sized distinct-word table; each round adds one
+    * symbol-keyed count aggregate (map-side combined) and two broadcast
+    * joins of that ≤vocabulary-sized count table into the pair argmax.
+    */
+  def trainWordPiece(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[WpMerge] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val words = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var seg = words.select(col("w"), col("cnt"), initSeg(col("w")).as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[WpMerge]
+    for (r <- 1 to numMerges) {
+      val withSyms = seg.withColumn("__syms", expr(symsSql))
+      val symCounts = withSyms
+        .select(col("cnt"), explode(col("__syms")).as("sym"))
+        .groupBy("sym").agg(sum("cnt").as("sc"))
+      val top = withSyms
+        .select(col("cnt"), explode(pairCol("__syms")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .join(broadcast(symCounts.select(col("sym").as("l"), col("sc").as("cl"))), Seq("l"))
+        .join(broadcast(symCounts.select(col("sym").as("r"), col("sc").as("cr"))), Seq("r"))
+        .orderBy(
+          (col("c").cast("double") / (col("cl").cast("double") * col("cr").cast("double"))).desc,
+          asc("l"), asc("r"))
+        .limit(1).select("l", "r", "c", "cl", "cr").collect()
+      require(top.nonEmpty, s"WordPiece: no adjacent pairs left at round $r")
+      val h = top.head
+      val m = WpMerge(r, h.getString(0), h.getString(1), h.getLong(2),
+        h.getLong(3), h.getLong(4))
+      merges += m
+      seg = seg.withColumn("seg", applyPair(col("seg"), m.lhs, m.rhs))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
+  /** [[tokenCounts]] under a trained WordPiece merge table — the merge
+    * application is the identical unit-owned-space replace, so the BPE
+    * machinery segments both tokenizers.
+    */
+  def tokenCountsWordPiece(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[WpMerge]): DataFrame =
+    tokenCounts(docs, textCol, idCol,
+      merges.map(m => Merge(m.rank, m.lhs, m.rhs, m.pairCount)))
 
   /** Per-document token counts under the TRAINED tokenizer, next to the
     * closed-form [[TextAnalysis.tokenEstimate]] — the "is the estimate

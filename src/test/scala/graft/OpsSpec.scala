@@ -417,6 +417,32 @@ class OpsSpec extends AnyFunSuite {
       Bpe.train(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 5))
   }
 
+  test("wordpiece training: likelihood argmax diverges from raw-frequency BPE") {
+    // (a,a) is the most FREQUENT pair (100 > 30) but its parts are common:
+    // score 100/(200·200) = 0.0025; (b,c)'s parts only ever co-occur:
+    // 30/(30·30) = 0.0333 — WordPiece merges the cohesive pair first
+    val docs = Seq((1L, Seq.fill(100)("aa").mkString(" ")),
+      (2L, Seq.fill(30)("bc").mkString(" "))).toDF("doc_id", "text")
+    val bpe = Bpe.train(docs, "text", numMerges = 1)
+    val wp = Bpe.trainWordPiece(docs, "text", numMerges = 1)
+    assert(bpe.head.lhs == "a" && bpe.head.rhs == "a")
+    assert(wp.head.lhs == "b" && wp.head.rhs == "c")
+    assert(wp.head == Bpe.WpMerge(1, "b", "c", 30L, 30L, 30L))
+    // deterministic re-run
+    assert(Bpe.trainWordPiece(docs, "text", numMerges = 1) == wp)
+    // segmentation under the trained WP table uses the same greedy
+    // unit-owned-space replace: "bcbc" word → [bc, bc]
+    val n = Bpe.tokenCountsWordPiece(
+      Seq((1L, "bcbc")).toDF("doc_id", "text"), "text", "doc_id", wp)
+      .collect().head.getLong(1)
+    assert(n == 2L)
+    // after (b,c) merges, round 2's symbol counts see "bc" as ONE symbol —
+    // a second round still trains (the "aa" mass remains)
+    val wp2 = Bpe.trainWordPiece(docs, "text", numMerges = 2)
+    assert(wp2(1).lhs == "a" && wp2(1).rhs == "a" &&
+      wp2(1).pairCount == 100L && wp2(1).leftCount == 200L)
+  }
+
   test("pii scrub: every category redacted, counted once, edge cases hold") {
     import spark.implicits._
     val rows = Seq(
@@ -977,6 +1003,34 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("rk")))
       .filter { case (_, s, rk) => rk <= quota(s) }.toSet
     assert(got == expect, s"mixture: ${got.size} vs ${expect.size}")
+  }
+
+  test("sampler regime switch: one-phase and two-phase forms agree exactly") {
+    // membership AND ranks across the size switch, including a NULL
+    // stratum (pins the <=> joins in BOTH tails)
+    val rows = (1L to 300L).map(i => (i * 37L % 2029L + i, Option("web"))) ++
+      (2000L to 2040L).map(i => (i, Option("books"))) ++
+      (3000L to 3014L).map(i => (i, Option.empty[String]))
+    val df = rows.toDF("doc_id", "source").distinct()
+    def all() = Map(
+      "fixed" -> Sampling.stratifiedFixed(df, "source", "doc_id", 7),
+      "mixture" -> Sampling.mixtureSample(df, "source", "doc_id",
+        Map("web" -> 3.0, "books" -> 1.0), default = 0.5),
+      "temperature" -> Sampling.mixtureSampleTemperature(df, "source", "doc_id", 0.7),
+    ).map { case (k, v) =>
+      k -> v.select("doc_id", "source", "rk").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+    }
+    val conf = TestSpark.session.conf
+    val one = try { conf.set(Sampling.OnePhaseMaxBytesConf, Long.MaxValue.toString); all() }
+      finally conf.unset(Sampling.OnePhaseMaxBytesConf)
+    val two = try { conf.set(Sampling.OnePhaseMaxBytesConf, "0"); all() }
+      finally conf.unset(Sampling.OnePhaseMaxBytesConf)
+    for (k <- one.keys) {
+      assert(one(k).nonEmpty, s"$k: empty sample")
+      assert(one(k) == two(k), s"$k: one-phase ${one(k).size} vs two-phase ${two(k).size}")
+    }
+    assert(one("fixed").exists(_._2.isEmpty), "NULL stratum must be sampled")
   }
 
   test("mixtureSampleTemperature: avail^tau quotas, scarcest kept whole, tau=1 = identity") {
