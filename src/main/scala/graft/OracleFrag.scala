@@ -129,10 +129,12 @@ private[graft] object OracleFrag {
     * [[graft.ops.Bpe.trainWordPiece]]: same `wrd`/`seg0` prefix and the
     * same per-round pair counts and merge replace as [[bpeCtes]], plus a
     * per-round symbol-count CTE `sc{r}`, with the argmax ordered by the
-    * likelihood score `c / (cl·cr)` compared as an IEEE double — int →
-    * double conversion, multiply and divide are correctly rounded and
-    * monotone, so the double order never contradicts the exact rational
-    * order; exact-double ties fall to the same (l, r) tie-break as Spark.
+    * likelihood score `c / (cl·cr)` compared as an IEEE double — both
+    * engines evaluate the identical expression on identical integer
+    * inputs, so the winner matches bit-for-bit; while `cl·cr ≤ 2⁵³` the
+    * double order also provably never contradicts the exact rational
+    * order (see Bpe.trainWordPiece), and exact-double ties fall to the
+    * same (l, r) tie-break as Spark.
     */
   def wordpieceCtes(k: Int, from: String = "documents"): String = {
     val rounds = (1 to k).map { r =>

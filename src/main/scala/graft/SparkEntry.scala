@@ -1087,11 +1087,17 @@ object SparkEntry {
     //      released near-original is the survivor), and non-representatives
     //      of untouched components — reproduces the full-rerun survivor
     //      set while never rescanning the accumulated corpus
+    //      (batch capped at doc_id < 1250 — a no-op at sf0.01's 500 docs —
+    //      because the ORACLE's recursive transitive closure over the
+    //      dense within-batch pair graph is quadratic per component in
+    //      DuckDB; the operator's own scale shape is what the plan pins
+    //      and the ×10 stress measure, not the fixture size)
     "d_dedup_simhash_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val index = ops.Dedup.simhashIndex(docs.where(col("doc_id") < 250),
         "doc_id", "text", blocks = 4)
-      ops.Dedup.dedupIncrementalNear(docs.where(col("doc_id") >= 250), index,
+      ops.Dedup.dedupIncrementalNear(
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 1250), index,
           "doc_id", "text", maxHamming = 3, blocks = 4)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
@@ -1946,8 +1952,10 @@ object SparkEntry {
          |s2 AS (SELECT d.doc_id, CAST(SUM(wt.wm) AS BIGINT) AS ss
          |       FROM d JOIN wt USING (bucket) GROUP BY d.doc_id)
          |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
-         |  CAST(COALESCE(s2.ss, 0) AS BIGINT) AS score_sum,
-         |  CASE WHEN len(w.ws) = 0 THEN 'empty'
+         |  CAST(CASE WHEN w.ws IS NULL THEN NULL
+         |            ELSE COALESCE(s2.ss, 0) END AS BIGINT) AS score_sum,
+         |  CASE WHEN w.ws IS NULL THEN NULL
+         |       WHEN len(w.ws) = 0 THEN 'empty'
          |       WHEN COALESCE(s2.ss, 0) >= ${graft.ops.Classifier.keepMilli} * len(w.ws) THEN 'keep'
          |       WHEN COALESCE(s2.ss, 0) <= ${graft.ops.Classifier.discardMilli} * len(w.ws) THEN 'discard'
          |       ELSE 'borderline' END AS label
@@ -1993,7 +2001,7 @@ object SparkEntry {
       s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
          |s AS (SELECT doc_id, ${OracleFrag.simhash31("ws")} AS sim FROM w WHERE len(ws) > 0),
          |idx AS (SELECT sim FROM s WHERE doc_id < 250),
-         |bt AS (SELECT doc_id, sim FROM s WHERE doc_id >= 250),
+         |bt AS (SELECT doc_id, sim FROM s WHERE doc_id >= 250 AND doc_id < 1250),
          |m AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx
          |      ON bit_count(xor(bt.sim, idx.sim)) <= 3),
          |pr AS (SELECT a.doc_id AS ia, c.doc_id AS ib FROM bt a JOIN bt c
@@ -2012,7 +2020,8 @@ object SparkEntry {
          |        WHERE component IN (SELECT component FROM touched)
          |  UNION SELECT node FROM comp WHERE node != component)
          |SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT id FROM losers)
+         |WHERE d.doc_id >= 250 AND d.doc_id < 1250
+         |  AND d.doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
     // Survival cut replayed from the shared quality formula and Lehmer
     // hash; FLOOR spelled explicitly (DuckDB CAST rounds, Spark truncates)
@@ -2316,8 +2325,6 @@ object SparkEntry {
          |    / COUNT(*)), 6) AS surprisal
          |FROM tok JOIN cnt USING (w), t
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
-    // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
-    // quality mean, language-mix count.
     // Manifest replayed: same Lehmer shard hash, same rolling fingerprint,
     // XOR and exact-HUGEINT-sum-then-mod folds recomputed per cell
     "d_corpus_manifest" ->
@@ -2333,6 +2340,8 @@ object SparkEntry {
          |  CAST(bit_xor(fp) AS BIGINT) AS content_xor,
          |  CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
          |FROM m GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+    // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
+    // quality mean, language-mix count.
     "d_corpus_stats" ->
       s"""WITH ${OracleFrag.docAnalysisCtes(", source, n_chars")},
          |a AS (

@@ -84,26 +84,41 @@ object Bpe {
     * out of adjacent pairs before `numMerges` rounds (ask for fewer
     * merges than the corpus can support).
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    trainRounds(docs, textCol, numMerges, "BPE",
+      pick = { (seg, r) =>
+        val top = seg.withColumn("__syms", expr(symsSql))
+          .select(col("cnt"), explode(pairCol("__syms")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        top.headOption.map(h => Merge(r, h.getString(0), h.getString(1), h.getLong(2)))
+      },
+      pairOf = (m: Merge) => (m.lhs, m.rhs))
+
+  /** Shared round scaffold of [[train]] and [[trainWordPiece]]: distinct-
+    * word collapse, unit-owned-space init segmentation, and the per-round
+    * argmax-collect → merge-replace → checkpoint loop. ONE definition —
+    * the two trainers differ ONLY in `pick`'s argmax — so loop fixes
+    * (checkpoint strategy, the no-pairs-left raise) cannot drift.
+    */
+  private def trainRounds[M](docs: DataFrame, textCol: String,
+      numMerges: Int, name: String, pick: (DataFrame, Int) => Option[M],
+      pairOf: M => (String, String)): Seq[M] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     val words = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     var seg = words.select(col("w"), col("cnt"), initSeg(col("w")).as("seg"))
       .localCheckpoint()
-    val merges = Seq.newBuilder[Merge]
+    val merges = Seq.newBuilder[M]
     for (r <- 1 to numMerges) {
-      val top = seg.withColumn("__syms", expr(symsSql))
-        .select(col("cnt"), explode(pairCol("__syms")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(1).collect()
-      require(top.nonEmpty, s"BPE: no adjacent pairs left at round $r")
-      val m = Merge(r, top.head.getString(0), top.head.getString(1),
-        top.head.getLong(2))
-      merges += m
-      seg = seg.withColumn("seg", applyMerge(col("seg"), m)).localCheckpoint()
+      val m = pick(seg, r)
+      require(m.nonEmpty, s"$name: no adjacent pairs left at round $r")
+      merges += m.get
+      val (l, rr) = pairOf(m.get)
+      seg = seg.withColumn("seg", applyPair(col("seg"), l, rr)).localCheckpoint()
     }
     merges.result()
   }
@@ -134,53 +149,47 @@ object Bpe {
     * rendering; the score is what distinguishes the training dynamics.
     *
     * Determinism across engines: the score is compared as an IEEE double
-    * `c / (cl·cr)` from exact integer counts. Int→double conversion,
-    * multiply and divide are all correctly rounded, and rounding to
-    * nearest is monotone — so the double order can never CONTRADICT the
-    * exact rational order; near-equal scores can only collapse to exact
-    * double equality, where the (l, r) lexicographic tie-break decides,
-    * identically in Spark and DuckDB. The emitted table itself is
-    * integer-only (pair/left/right counts).
+    * `c / (cl·cr)` from exact integer counts, and BOTH engines evaluate
+    * the identical expression on identical inputs — the argmax is always
+    * bit-reproducible Spark-vs-DuckDB. While `cl·cr ≤ 2⁵³` (counts to
+    * ~9·10¹⁵ products — any vocabulary a single tokenizer run trains on),
+    * the stronger property also holds: every step is correctly rounded
+    * and monotone, so the double order cannot contradict the exact
+    * rational order — near-equal scores only collapse to exact double
+    * equality, where the (l, r) lexicographic tie-break decides. Beyond
+    * 2⁵³ the product itself rounds and two scores within ~2⁻⁵⁰ relative
+    * may order arbitrarily (still deterministically, and identically in
+    * both engines). The emitted table itself is integer-only
+    * (pair/left/right counts).
     *
     * Scale shape: same as [[train]] — everything runs on the
-    * vocabulary-sized distinct-word table; each round adds one
-    * symbol-keyed count aggregate (map-side combined) and two broadcast
-    * joins of that ≤vocabulary-sized count table into the pair argmax.
+    * vocabulary-sized distinct-word table ([[trainRounds]] is literally
+    * the shared loop); each round adds one symbol-keyed count aggregate
+    * (map-side combined) and two broadcast joins of that
+    * ≤vocabulary-sized count table into the pair argmax.
     */
   def trainWordPiece(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[WpMerge] = {
-    require(numMerges > 0, s"numMerges must be positive: $numMerges")
-    val words = docs
-      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var seg = words.select(col("w"), col("cnt"), initSeg(col("w")).as("seg"))
-      .localCheckpoint()
-    val merges = Seq.newBuilder[WpMerge]
-    for (r <- 1 to numMerges) {
-      val withSyms = seg.withColumn("__syms", expr(symsSql))
-      val symCounts = withSyms
-        .select(col("cnt"), explode(col("__syms")).as("sym"))
-        .groupBy("sym").agg(sum("cnt").as("sc"))
-      val top = withSyms
-        .select(col("cnt"), explode(pairCol("__syms")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .join(broadcast(symCounts.select(col("sym").as("l"), col("sc").as("cl"))), Seq("l"))
-        .join(broadcast(symCounts.select(col("sym").as("r"), col("sc").as("cr"))), Seq("r"))
-        .orderBy(
-          (col("c").cast("double") / (col("cl").cast("double") * col("cr").cast("double"))).desc,
-          asc("l"), asc("r"))
-        .limit(1).select("l", "r", "c", "cl", "cr").collect()
-      require(top.nonEmpty, s"WordPiece: no adjacent pairs left at round $r")
-      val h = top.head
-      val m = WpMerge(r, h.getString(0), h.getString(1), h.getLong(2),
-        h.getLong(3), h.getLong(4))
-      merges += m
-      seg = seg.withColumn("seg", applyPair(col("seg"), m.lhs, m.rhs))
-        .localCheckpoint()
-    }
-    merges.result()
-  }
+      numMerges: Int): Seq[WpMerge] =
+    trainRounds(docs, textCol, numMerges, "WordPiece",
+      pick = { (seg, r) =>
+        val withSyms = seg.withColumn("__syms", expr(symsSql))
+        val symCounts = withSyms
+          .select(col("cnt"), explode(col("__syms")).as("sym"))
+          .groupBy("sym").agg(sum("cnt").as("sc"))
+        val top = withSyms
+          .select(col("cnt"), explode(pairCol("__syms")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .join(broadcast(symCounts.select(col("sym").as("l"), col("sc").as("cl"))), Seq("l"))
+          .join(broadcast(symCounts.select(col("sym").as("r"), col("sc").as("cr"))), Seq("r"))
+          .orderBy(
+            (col("c").cast("double") / (col("cl").cast("double") * col("cr").cast("double"))).desc,
+            asc("l"), asc("r"))
+          .limit(1).select("l", "r", "c", "cl", "cr").collect()
+        top.headOption.map(h => WpMerge(r, h.getString(0), h.getString(1),
+          h.getLong(2), h.getLong(3), h.getLong(4)))
+      },
+      pairOf = (m: WpMerge) => (m.lhs, m.rhs))
 
   /** [[tokenCounts]] under a trained WordPiece merge table — the merge
     * application is the identical unit-owned-space replace, so the BPE

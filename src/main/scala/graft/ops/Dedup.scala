@@ -213,14 +213,11 @@ object Dedup {
     * text is never rescanned by an increment.
     */
   def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      blocks: Int = 4): DataFrame = {
-    val sims = corpus.select(col(idCol).as("corpusId"),
-      TextFunctions.simhash31(col(textCol)).as("corpusSim"))
-      .where(col("corpusSim") >= 0)
-    sims.select(col("corpusId"), col("corpusSim"),
-      posexplode(blockKeyCols(col("corpusSim"), blocks)))
+      blocks: Int = 4): DataFrame =
+    guardedSims(corpus, idCol, textCol)
+      .select(col("doc_id").as("corpusId"), col("sim").as("corpusSim"),
+        posexplode(blockKeyCols(col("sim"), blocks)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
-  }
 
   /** Shared candidate-match core against a [[simhashIndex]]: the input
     * must carry `doc_id` and `sim`; any extra columns (e.g. a stream's
@@ -229,6 +226,17 @@ object Dedup {
     * collapse multi-block collisions their own way (batch `.distinct()`,
     * streaming `dropDuplicatesWithinWatermark`). ONE definition of the
     * probe, so batch and stream semantics cannot drift.
+    *
+    * No broadcast hint here: batch callers pass the index plain and let
+    * Catalyst pick by stats (an accumulated-corpus index can be hundreds
+    * of millions of rows — a forced broadcast would OOM the driver at
+    * exactly the scale the increment targets); the streaming caller
+    * passes `broadcast(index)` itself, where the static side must be the
+    * build side. A row whose `doc_id` EQUALS a `corpusId` never matches
+    * itself — the id is the document's identity across corpus and batch,
+    * the property that makes probing a frame against an index built from
+    * that same frame (a backfill) sane; re-crawls of already-released
+    * ids are the EXACT increment's job ([[dedupIncremental]]), run first.
     */
   private[graft] def indexMatchCore(withSim: DataFrame, index: DataFrame,
       maxHamming: Int, blocks: Int): DataFrame = {
@@ -238,12 +246,29 @@ object Dedup {
     withSim
       .select(col("*"), posexplode(blockKeyCols(col("sim"), blocks)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
-      .join(broadcast(index), Seq("block", "blockKey"))
+      .join(index, Seq("block", "blockKey"))
       .where(col("doc_id") =!= col("corpusId"))
       .withColumn("dist", hamming(col("sim"), col("corpusSim")))
       .where(col("dist") <= maxHamming)
       .drop("block", "blockKey", "corpusSim")
   }
+
+  /** Null-guarded (id, sim) projection shared by the batch near-dup
+    * probes: NULL ids raise (the guard-before-use convention — a NULL id
+    * can neither match `doc_id =!= corpusId` nor survive the removal
+    * anti-join, so a null-id near-duplicate would be silently
+    * re-admitted); wordless docs (sim = −1) are excluded from probing and
+    * pairing but pass every cut untouched.
+    */
+  private def guardedSims(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(
+        when(col(idCol).isNull, raise_error(lit(
+          s"Dedup: null $idCol — near-dup matching needs a non-null " +
+            "document id; filter or repair ids upstream")))
+          .otherwise(col(idCol)).as("doc_id"),
+        TextFunctions.simhash31(col(textCol)).as("sim"))
+      .where(col("sim") >= 0)
 
   /** Batch near-dup matches against an accumulated corpus's
     * [[simhashIndex]]: `(doc_id, corpusId, dist)` for every batch document
@@ -256,14 +281,11 @@ object Dedup {
     * colliding block, and the batch is scanned once.
     */
   def simhashIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
-    val sims = ensureParallelism(batch)
-      .select(col(idCol).as("doc_id"), TextFunctions.simhash31(col(textCol)).as("sim"))
-      .where(col("sim") >= 0)
-    indexMatchCore(sims, index, maxHamming, blocks)
+      textCol: String, maxHamming: Int = 3, blocks: Int = 4): DataFrame =
+    indexMatchCore(guardedSims(ensureParallelism(batch), idCol, textCol),
+        index, maxHamming, blocks)
       .select(col("doc_id"), col("corpusId"), col("dist"))
       .distinct()
-  }
 
   /** Incremental NEAR-dedup — the near-dup half of the daily-increment
     * story ([[dedupIncremental]] is the exact half): grow an accumulated
@@ -282,13 +304,18 @@ object Dedup {
     * released), this reproduces the full-rerun survivor set whenever
     * corpus ids precede batch ids — pinned in OpsSpec. The corpus is
     * never rescanned: it contributes only the signature-sized index.
+    * Ids are document IDENTITY across corpus and batch: a batch row
+    * sharing an id with an indexed row never matches itself (see
+    * [[indexMatchCore]]) — compose with [[dedupIncremental]] first when
+    * re-crawls of already-released ids can appear in a batch.
     */
   def dedupIncrementalNear(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, blocks: Int = 4,
       maxIters: Int = 30): DataFrame = {
-    val sims = ensureParallelism(batch)
-      .select(col(idCol).as("doc_id"), TextFunctions.simhash31(col(textCol)).as("sim"))
-      .where(col("sim") >= 0)
+    // checkpoint: sims feeds both the index probe and the within-batch
+    // pairing — without it the batch is re-scanned and re-hashed per use
+    val sims = guardedSims(ensureParallelism(batch), idCol, textCol)
+      .localCheckpoint(true)
     val matched = indexMatchCore(sims, index, maxHamming, blocks)
       .select(col("doc_id")).distinct()
     val comps = connectedComponentsStar(

@@ -174,8 +174,10 @@ object DocumentStream {
         TextFunctions.simhash31(col("text")).as("sim"))
       .where(col("sim") >= 0)
     // the probe itself is the ONE shared definition (Dedup.indexMatchCore);
-    // only the multi-block-collision collapse is streaming-specific
-    Dedup.indexMatchCore(withSim, index, maxHamming, blocks)
+    // only the multi-block-collision collapse — and the broadcast hint,
+    // which a stream-static join wants on the static side — is
+    // streaming-specific (the batch probe lets Catalyst pick by stats)
+    Dedup.indexMatchCore(withSim, broadcast(index), maxHamming, blocks)
       .select(col("doc_id"), col("ingestTs"), col("corpusId"), col("dist"))
       .withWatermark("ingestTs", dedupDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corpusId")

@@ -751,6 +751,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size < batch.count())
   }
 
+  test("near-dup increment raises on NULL ids (a null id would bypass every cut)") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text", blocks = 4)
+    val batch = Seq((Option(10L), "the quick brown fox jumps over the lazy cat"),
+      (Option.empty[Long], "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    for (op <- Seq(
+      () => Dedup.simhashIndexMatches(batch, index, "doc_id", "text").collect(),
+      () => Dedup.dedupIncrementalNear(batch, index, "doc_id", "text").collect(),
+      () => Dedup.simhashIndex(batch, "doc_id", "text").collect())) {
+      val e = intercept[Exception](op())
+      assert(e.getMessage.contains("null doc_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null doc_id")))
+    }
+  }
+
   test("indexCut raises on NULL content keys (no silent survive-then-collapse)") {
     val index = Seq("k1").toDF("key")
     val batch = Seq((10L, Option("k1")), (11L, Option.empty[String]))

@@ -317,6 +317,24 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.ops.Sampling.OnePhaseMaxBytesConf)
   }
 
+  test("corpus manifest is one map-side-combined aggregate: single exchange, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(
+      graft.ops.Manifest.snapshot(docs, "source", "doc_id", "text", 8))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"manifest must shuffle exactly once:\n${plan.toString.take(3000)}")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "manifest must not use windows")
+    assert(plan.collect {
+      case h: HashAggregateExec
+        if h.aggregateExpressions.exists(_.mode == Partial) => h
+    }.nonEmpty, s"manifest aggregate not map-side combined:\n${plan.toString.take(3000)}")
+  }
+
   test("exact-n samplers below the size cutoff skip the histogram machinery") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
