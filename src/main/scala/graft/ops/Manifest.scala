@@ -33,10 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Manifest {
 
-  /** Per-(source, shard) manifest: `(source, shard, n_docs, n_tokens,
-    * content_xor, content_mod)`.
+  /** The scan-stage projection under the manifest: `shard` (pure function
+    * of the id), `__fp` (per-document fingerprint) and `__tok` (whitespace
+    * token count). Shared verbatim by the batch [[snapshot]] and the
+    * streaming twin (`DocumentStream.runningManifest`) so the two can't
+    * drift — the per-document values are computed by the SAME expressions;
+    * only the fold differs (one aggregate vs a per-key running state).
     */
-  def snapshot(docs: DataFrame, sourceCol: String, idCol: String,
+  def fingerprinted(docs: DataFrame, sourceCol: String, idCol: String,
       textCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val st = graft.functions.TextFunctions.text_stats(col(textCol))
@@ -49,6 +53,14 @@ object Manifest {
         pmod(Sampling.unitHash(guarded), lit(nShards.toLong)).cast("int"))
       .withColumn("__fp", st.getField("fingerprint"))
       .withColumn("__tok", st.getField("nTokensWs"))
+  }
+
+  /** Per-(source, shard) manifest: `(source, shard, n_docs, n_tokens,
+    * content_xor, content_mod)`.
+    */
+  def snapshot(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, nShards: Int): DataFrame = {
+    fingerprinted(docs, sourceCol, idCol, textCol, nShards)
       .groupBy(col(sourceCol), col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
