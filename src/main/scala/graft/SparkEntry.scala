@@ -577,17 +577,17 @@ object SparkEntry {
 
     // ---- window analytics over event sequences (per-user ordering,
     //      gaps, running sums — the feature-engineering shapes a training
-    //      pipeline derives from event logs; ts is raw nanos int64)
+    //      pipeline derives from event logs; ts is parquet timestamp[us],
+    //      no timezone → Spark infers TIMESTAMP_NTZ, DuckDB naive TIMESTAMP)
     "q11_window_features" -> { (s, dir) =>
       val e = t(s, dir, "events")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      // second-granularity timestamps: DuckDB reads parquet nanos as
-      // rounded microseconds, so sub-second gap math can't cross-check;
-      // whole seconds are boundary-safe on this data (verified: no ts
-      // within 2µs of a second boundary at sf0.01/sf0.1)
+      // second-granularity gap math on both sides (floor to epoch seconds);
+      // the NTZ→TIMESTAMP cast is identity under the UTC session timezone,
+      // matching DuckDB's naive epoch_us
       e.select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .withColumn("tsSec", expr("ts div 1000000000"))
+        .withColumn("tsSec", unix_seconds(col("ts").cast("timestamp")))
         .withColumn("seqNum", row_number().over(w))
         .withColumn("gapSec", col("tsSec") - lag(col("tsSec"), 1).over(w))
         .withColumn("runValue", sum(col("value").cast(D6)).over(w).cast("double"))
@@ -1794,8 +1794,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority ORDER BY priority""".stripMargin,
-    // ts is nanosecond int64 in the parquet (Spark reads it as long via
-    // nanosAsLong; DuckDB as TIMESTAMP_NS → epoch_ns recovers the int64)
+    // ts is parquet timestamp[us] with no timezone; DuckDB reads it as a
+    // naive TIMESTAMP, so epoch_us // 1e6 is the same floor-to-seconds the
+    // Spark side computes with unix_seconds under the UTC session zone
     "q11_window_features" ->
       """SELECT user_id AS "userId", event_id AS "eventId",
         |  CAST(row_number() OVER w AS INT) AS "seqNum",

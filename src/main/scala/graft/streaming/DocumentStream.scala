@@ -368,4 +368,69 @@ object DocumentStream {
           out.iterator
       }
   }
+
+  final case class ManifestDoc(source: String, shard: Int,
+      fp: Option[Long], tok: Option[Long])
+  final case class ManifestAcc(nDocs: Long, nContent: Long, nTokens: Long,
+      xorFp: Long, modFp: Long)
+  final case class ManifestRow(source: String, shard: Int, n_docs: Long,
+      n_tokens: Option[Long], content_xor: Option[Long],
+      content_mod: Option[Long])
+
+  /** Streaming twin of [[graft.ops.Manifest.snapshot]]: a per-(source,
+    * shard) RUNNING release manifest, updated every micro-batch, so an
+    * always-on ingest can publish "what would the manifest be if we cut a
+    * release now" without re-scanning the corpus.
+    *
+    * The per-document values (`shard`, fingerprint, token count) come from
+    * [[graft.ops.Manifest.fingerprinted]] — the SAME Catalyst expressions
+    * the batch aggregate folds, so the twins cannot drift; only the fold
+    * differs. And because every fold here is commutative and associative
+    * (count, sum, XOR, modular sum — the fingerprint is already reduced
+    * into [0, 2³¹−1) per document, so per-step `% p` equals the batch's
+    * decimal-sum-then-mod), the running manifest equals the batch manifest
+    * of everything ingested so far REGARDLESS of arrival order — stronger
+    * than the budget twins, which need id-ordered arrival. That is the
+    * point of the XOR/mod hash design: order-independence is what makes
+    * the manifest both cluster-layout-proof in batch and exactly
+    * incrementable in a stream.
+    *
+    * State = one 5-long accumulator per (source, shard) — bounded by
+    * sources × nShards, never corpus size. NULL ids raise in the shared
+    * projection (guard-before-use); NULL text counts toward `n_docs` but
+    * contributes no tokens/content, and the emitted row keeps the batch's
+    * NULL semantics (all-null group → NULL sums/xor) via the `nContent`
+    * counter. Output mode: Update (each key re-emits its current row).
+    */
+  def runningManifest(docs: DataFrame, nShards: Int,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[ManifestRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P31 = 2147483647L
+    graft.ops.Manifest.fingerprinted(docs, sourceCol, idCol, textCol, nShards)
+      .select(col(sourceCol).as("source"), col("shard"),
+        col("__fp").as("fp"), col("__tok").cast("long").as("tok"))
+      .as[ManifestDoc]
+      .groupByKey(d => (d.source, d.shard))
+      .mapGroupsWithState[ManifestAcc, ManifestRow](
+        GroupStateTimeout.NoTimeout) {
+        case ((source, shard), rows, state: GroupState[ManifestAcc]) =>
+          var acc = state.getOption.getOrElse(ManifestAcc(0L, 0L, 0L, 0L, 0L))
+          rows.foreach { d =>
+            val withDoc = d.fp match {
+              case Some(f) => ManifestAcc(acc.nDocs + 1, acc.nContent + 1,
+                acc.nTokens + d.tok.getOrElse(0L),
+                acc.xorFp ^ f, (acc.modFp + f) % P31)
+              case None => acc.copy(nDocs = acc.nDocs + 1)
+            }
+            acc = withDoc
+          }
+          state.update(acc)
+          if (acc.nContent > 0)
+            ManifestRow(source, shard, acc.nDocs, Some(acc.nTokens),
+              Some(acc.xorFp), Some(acc.modFp))
+          else ManifestRow(source, shard, acc.nDocs, None, None, None)
+      }
+  }
 }

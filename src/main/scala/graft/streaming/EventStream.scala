@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The testdata stores `ts` as nanosecond INT64 (Spark reads parquet
-    * nanos as Long); the stream converts to micros TimestampType on entry.
+  /** The testdata stores `ts` as parquet timestamp[us] without a timezone;
+    * requesting TimestampType in the read schema makes Spark interpret the
+    * naive micros in the session timezone (UTC everywhere in this project),
+    * which is what the watermark/window machinery needs.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -33,7 +35,6 @@ object EventStream {
   /** File-source stream over a directory of event parquet files. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
 
   /** Watermarked tumbling-window aggregation: events and value sums per
     * (window, event_type). The 10-minute watermark bounds state: windows

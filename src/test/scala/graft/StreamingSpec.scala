@@ -31,7 +31,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("win_counts")
       .select(col("window.start"), col("event_type"), col("n"))
     val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("event_type"), col("n"))
@@ -309,6 +309,63 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch,
       s"stream admitted ${streamed.size}, batch ${batch.size}")
+  }
+
+  test("streaming running manifest: final per-key rows equal the batch snapshot") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.runningManifest(stream, nShards = 4).toDF(),
+      "doc_manifest", OutputMode.Update())
+    // update-mode sink appends one row per key per micro-batch; n_docs is
+    // strictly increasing per key, so the max-n_docs struct is the latest
+    val latest = spark.table("doc_manifest")
+      .groupBy("source", "shard")
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("content_xor"),
+        col("content_mod"))).as("m"))
+      .select(col("source"), col("shard"), col("m.n_docs"), col("m.n_tokens"),
+        col("m.content_xor"), col("m.content_mod"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Manifest.snapshot(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "source", "doc_id", "text", nShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(latest.nonEmpty && latest == batch,
+      s"stream ${latest.size} manifest rows, batch ${batch.size}")
+  }
+
+  test("running manifest is arrival-order independent across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // adversarial arrival: reverse-id order, split mid-shard so every key
+    // accumulates across both micro-batches
+    val reversed = docs.sortBy(-_._1)
+    val (b1, b2) = reversed.splitAt(reversed.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocumentStream.runningManifest(
+        input.toDF().toDF("doc_id", "text", "source"), nShards = 4).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_manifest_ooo").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("doc_manifest_ooo")
+      .groupBy("source", "shard")
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("content_xor"),
+        col("content_mod"))).as("m"))
+      .select(col("source"), col("shard"), col("m.n_docs"), col("m.n_tokens"),
+        col("m.content_xor"), col("m.content_mod"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Manifest.snapshot(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "source", "doc_id", "text", nShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(latest == batch,
+      s"out-of-order stream ${latest.size} rows != batch ${batch.size}")
   }
 
   test("online ANN serving over the persisted IVF index matches the batch path") {
