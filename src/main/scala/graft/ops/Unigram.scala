@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.UnigramFunctions._
+
+/** Unigram-LM tokenizer TRAINING at corpus scale (Kudo 2018, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates" — public algorithm, reference-free
+  * implementation; the SentencePiece-unigram family). The other tokenizer
+  * a pipeline team reaches for next to BPE/WordPiece: instead of growing
+  * merges bottom-up, it starts from a large candidate-piece vocabulary
+  * and lets EM shrink it — pieces earn probability mass by appearing in
+  * maximum-likelihood segmentations.
+  *
+  * This is the hard-EM (Viterbi) variant: each round segments every word
+  * with the current model (the DP kernel in
+  * [[graft.functions.UnigramOps]]), counts piece usage weighted by word
+  * frequency, and re-estimates probabilities from the counts (M-step with
+  * Laplace mass on single characters, which keeps every character
+  * segmentable forever — coverage cannot be pruned away). The Viterbi
+  * corpus log-likelihood is non-decreasing round over round (the standard
+  * hard-EM guarantee: re-estimating on fixed segmentations cannot lower
+  * their likelihood, and re-segmenting under the new model only
+  * improves it) — asserted per round in UnigramSpec.
+  *
+  * Scale shape — the same collapse as [[Bpe]]: every training aggregate
+  * runs on the DISTINCT-WORD table (vocabulary-sized, ~10⁷ rows for a
+  * web-scale crawl), never the corpus. Per EM round: one codegen'd
+  * projection (the DP kernel, model riding as a broadcast-style reference
+  * object) + one explode + one map-side-combined count aggregate, whose
+  * result (bounded by the piece vocabulary) returns to the driver to
+  * become the next round's model — the BPE argmax pattern, widened from
+  * one row to one model-sized table. Corpus-sized data is never
+  * collected, joined all-pairs, or windowed.
+  *
+  * Why OpsSpec-gated, not DuckDB-oracle-gated: the per-word DP maximizes
+  * IEEE-double sums of log probabilities; replaying bit-identical float
+  * argmaxes through another engine's SQL pipeline is exactly the float
+  * boundary VERDICT r9 pre-authorized for this operator ("else
+  * OpsSpec-gated with the float-boundary documented"). The spec instead
+  * pins: (a) a brute-force differential — DP equals exhaustive-search
+  * segmentation on every fixture word (the oracle-in-test), (b) run-to-run
+  * determinism of the full piece table, (c) per-round monotone Viterbi
+  * likelihood, (d) coverage (token counts defined and positive for every
+  * word), and (e) the BPE-vs-unigram comparison row.
+  */
+object Unigram {
+
+  /** One trained piece: final Viterbi count (weighted by word frequency)
+    * and the log probability the final M-step assigned. */
+  final case class Piece(piece: String, count: Long, logProb: Double)
+
+  /** A trained model plus the per-round Viterbi corpus log-likelihood
+    * history (monotone non-decreasing; pinned in UnigramSpec). */
+  final case class Trained(pieces: Seq[Piece], maxPieceLen: Int,
+      unkLogProb: Double, viterbiLL: Seq[Double]) {
+    def pieceStrings: Seq[String] = pieces.map(_.piece)
+    def logProbs: Seq[Double] = pieces.map(_.logProb)
+  }
+
+  /** Distinct-word collapse shared by the trainer and [[tokenCounts]]. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** M-step: probabilities from counts with one Laplace pseudo-count on
+    * each single character (coverage floor). Deterministic pure function
+    * of the integer count table. */
+  private def mStep(tab: Seq[(String, Long)], maxPieceLen: Int): Trained = {
+    val nChars = tab.count(_._1.length == 1)
+    val denom = (tab.map(_._2).sum + nChars).toDouble
+    val pieces = tab.map { case (p, c) =>
+      val mass = c + (if (p.length == 1) 1L else 0L)
+      Piece(p, c, math.log(mass.toDouble / denom))
+    }
+    // an unseen character at inference scores strictly below every
+    // in-vocabulary piece: half of one Laplace pseudo-count
+    Trained(pieces, maxPieceLen, math.log(0.5 / denom), Seq.empty)
+  }
+
+  private def llOf(words: DataFrame, m: Trained): Double =
+    words.select(sum(col("cnt").cast("double") *
+        unigram_word_logprob(col("w"), m.pieceStrings, m.logProbs,
+          m.maxPieceLen, m.unkLogProb)).as("ll"))
+      .first().getDouble(0)
+
+  private def countsUnder(words: DataFrame, m: Trained): Map[Int, Long] =
+    words.select(col("cnt"),
+        explode(unigram_piece_ids(col("w"), m.pieceStrings, m.logProbs,
+          m.maxPieceLen, m.unkLogProb)).as("pid"))
+      .groupBy("pid").agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Train a unigram-LM piece table over `textCol`.
+    *
+    * @param vocabSize   max pieces kept after the final prune (all single
+    *                    characters are always kept, whatever the cap)
+    * @param maxPieceLen candidate piece length bound (the DP's inner-loop
+    *                    width — cost per word is O(len · maxPieceLen))
+    * @param emRounds    hard-EM rounds between seeding and the final prune
+    * @param seedMultis  multi-character candidates seeded (top weighted
+    *                    substring counts; the EM rounds then concentrate
+    *                    mass and the prune keeps the best `vocabSize`)
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, emRounds: Int = 3, seedMultis: Int = 256): Trained = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1: $emRounds")
+    require(seedMultis >= 0, s"seedMultis must be >= 0: $seedMultis")
+    val words = wordTable(docs, textCol).localCheckpoint()
+
+    // ---- seed: weighted substring counts over the distinct-word table
+    //      (every occurrence of every substring up to maxPieceLen)
+    val subs = words.select(col("cnt"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), __s -> " +
+          s"transform(sequence(1, least($maxPieceLen, length(w) - __s + 1)), " +
+          s"__l -> substring(w, __s, __l))))")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      .localCheckpoint()
+    val charRows = subs.where(length(col("piece")) === 1).collect()
+    val multiRows = subs.where(length(col("piece")) > 1)
+      .orderBy(desc("c"), asc("piece")).limit(seedMultis).collect()
+    var table: Seq[(String, Long)] = (charRows ++ multiRows)
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(table.nonEmpty, "unigram: empty corpus — nothing to train on")
+    var model = mStep(table, maxPieceLen)
+    val llHistory = Seq.newBuilder[Double]
+
+    // ---- hard-EM rounds: Viterbi counts → re-estimate
+    for (_ <- 1 to emRounds) {
+      val counts = countsUnder(words, model)
+      table = table.indices.flatMap { i =>
+        val (p, _) = table(i)
+        val c = counts.getOrElse(i, 0L)
+        // a multi-char piece used by NO best segmentation is dead weight:
+        // dropping it changes no chosen path (it was chosen nowhere), so
+        // the likelihood history is unaffected; characters always stay
+        if (c == 0L && p.length > 1) None else Some((p, c))
+      }
+      model = mStep(table, maxPieceLen)
+      llHistory += llOf(words, model)
+    }
+
+    // ---- final prune to vocabSize (chars always kept), then one more
+    //      count pass so the EMITTED counts describe the EMITTED model
+    val (chars, multis) = table.partition(_._1.length == 1)
+    val kept = chars ++ multis.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize - chars.size, 0))
+    table = kept.sortBy(_._1)
+    model = mStep(table, maxPieceLen)
+    val finalCounts = countsUnder(words, model)
+    val finalTable = table.indices.map { i =>
+      (table(i)._1, finalCounts.getOrElse(i, 0L))
+    }
+    val pruned = mStep(finalTable, maxPieceLen)
+    Trained(pruned.pieces, maxPieceLen, pruned.unkLogProb,
+      llHistory.result() :+ llOf(words, pruned))
+  }
+
+  /** Per-document token counts under a trained unigram model — the
+    * comparison row against [[Bpe.tokenCounts]] and the closed-form
+    * estimate. One codegen'd projection per word occurrence + one
+    * map-side-combined sum; zero-word documents kept at 0 via the id
+    * re-join (the [[Bpe.tokenCounts]] contract). */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      m: Trained): DataFrame = {
+    val perWord = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("n", unigram_token_len(col("w"), m.pieceStrings,
+        m.logProbs, m.maxPieceLen, m.unkLogProb))
+    val counts = perWord.groupBy(col(idCol))
+      .agg(sum(col("n").cast("long")).as("__n_tok"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n_tok"), lit(0L)).as("n_tok_unigram"))
+  }
+}
