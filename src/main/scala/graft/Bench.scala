@@ -29,6 +29,7 @@ object Bench {
     "q15_partitioned_scan", // partition-dir pruning on the year-partitioned fact
     "d_text_analysis",    // HOF text pipeline
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
+    "d_line_repetition",  // within-doc duplicate-line stats, row-local sort
     "d_pii_scrub",        // regex redaction chain, one scan-stage projection
     "d_bpe_train",        // 8 merge rounds over the distinct-word table
     "d_bpe_tokens",       // trained-tokenizer counts vs closed-form estimate
@@ -47,6 +48,7 @@ object Bench {
     "d_classifier_train",  // NB-style hashed-feature training, one aggregate
     "d_corpus_manifest",   // release manifest: counts + content hash folds
     "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
+    "d_wordpiece_tokens",  // WordPiece-trained counts through the shared segmenter
     "d_classifier_trained", // train → weights → gate, end-to-end
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
     "d_dedup_simhash_incremental", // near-dedup increment: index cut + touched components
@@ -60,6 +62,7 @@ object Bench {
     "d_dedup_removal",    // end-to-end removal: pairs → components → anti-join cut
     "d_dedup_passages",   // verbatim repeated-passage pairs (char windows)
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
+    "d_split_corpus",     // train/val/test split on inlined hash thresholds
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
     "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard

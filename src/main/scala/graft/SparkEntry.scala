@@ -948,6 +948,17 @@ object SparkEntry {
           col("leftCount").as("left_count"), col("rightCount").as("right_count"))
         .orderBy("merge_rank")
     },
+    // ---- tokens under the TRAINED WordPiece tokenizer — the same
+    //      unit-owned-space segmentation machinery as d_bpe_tokens, under
+    //      the likelihood-scored merge table; next to the BPE counts the
+    //      row is the tokenizer-choice comparison a pipeline team reads
+    "d_wordpiece_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = ops.Bpe.trainWordPiece(docs, "text", numMerges = 8)
+      ops.Bpe.tokenCountsWordPiece(docs, "text", "doc_id", merges)
+        .withColumnRenamed("n_tok_trained", "n_tok_wp")
+        .orderBy("doc_id")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -1136,6 +1147,28 @@ object SparkEntry {
           col("r_word_len"), col("r_alpha_frac"), col("r_dup_words"),
           col("r_top_bigram"), col("kept"))
         .orderBy("doc_id")
+    },
+    // ---- Gopher-style WITHIN-doc duplicate-line stats over planted page
+    //      chrome (every doc carries a twice-repeated nav line; docs with
+    //      doc_id % 3 == 0 additionally duplicate their body) — row-local
+    //      sorted-adjacency, no explode, no shuffle
+    "d_line_repetition" -> { (s, dir) =>
+      val c = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val docs = t(s, dir, "documents").withColumn("text_lr", concat(
+        lit("NAV MENU\n"), col("text"), lit("\nNAV MENU\nfooter "),
+        c(pmod(col("doc_id"), lit(5))),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("\n"), col("text"))).otherwise(lit(""))))
+      ops.TextAnalysis.lineRepetition(docs, "doc_id", "text_lr")
+        .orderBy("doc_id")
+    },
+    // ---- deterministic train/val/test split: integer thresholds on the
+    //      unit-hash line, precomputed once and inlined as literals in
+    //      BOTH engines — disjoint, layout-stable, zero exchanges
+    "d_split_corpus" -> { (s, dir) =>
+      ops.Sampling.splitLabels(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
     },
     // ---- dataset-card crosstab: per (source, label) doc/token/score
     //      totals — the composition-decision table a mixture job reads;
@@ -1861,6 +1894,20 @@ object SparkEntry {
          |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count,
          |  left_count, right_count
          |FROM m ORDER BY merge_rank""".stripMargin,
+    // WordPiece-trained token counts: the SAME nested-replace segmentation
+    // (bpeSegment reads best1..best8, which wordpieceCtes also defines —
+    // the merge application is tokenizer-agnostic, only the argmax differs)
+    "d_wordpiece_tokens" ->
+      s"""WITH ${OracleFrag.wordpieceCtes(8)},
+         |tok AS (SELECT doc_id, unnest(${OracleFrag.ws("text")}) AS w FROM documents),
+         |tc AS (SELECT doc_id,
+         |    CAST(SUM(len(${OracleFrag.bpeSyms(OracleFrag.bpeSegment("w", 8))})) AS BIGINT)
+         |      AS n_tok_wp
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(tc.n_tok_wp, 0) AS BIGINT) AS n_tok_wp
+         |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Trained-tokenizer token counts per doc (the best1..best8 merges
     // applied as nested replaces) next to the closed-form estimate
     "d_bpe_tokens" ->
@@ -2080,6 +2127,49 @@ object SparkEntry {
          |    AND ((n - dtok) * 10 >= n * 8) AND (nd * 2 >= n)
          |    AND (maxc * 5 <= nbg) AS kept
          |FROM j ORDER BY doc_id""".stripMargin,
+    // Within-doc duplicate-line stats: same planted chrome (integer
+    // arithmetic), same sorted-adjacency dup rule via indexed lambdas
+    // (DuckDB lists are 1-based where Spark transform's index is 0-based;
+    // both spell "equals the previous or next sorted line")
+    "d_line_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |  'NAV MENU' || chr(10) || text || chr(10) || 'NAV MENU' || chr(10)
+        |    || 'footer ' || (doc_id % 5)
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t,
+        |        list_sort(list_filter(string_split(t, chr(10)),
+        |          __l -> len(__l) > 0)) AS ls
+        |      FROM b),
+        |d AS (SELECT doc_id, t, ls, len(ls) AS n,
+        |        list_transform(ls, (__x, __i) -> CASE WHEN
+        |          (__i > 1 AND __x = ls[__i - 1]) OR
+        |          (__i < len(ls) AND __x = ls[__i + 1])
+        |          THEN 1 ELSE 0 END) AS dup
+        |      FROM l)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN t IS NULL THEN 0 ELSE n END AS INT) AS n_lines,
+        |  CAST(COALESCE(list_sum(dup), 0) AS INT) AS n_dup_lines,
+        |  CASE WHEN n > 0 THEN CAST(round(
+        |    CAST(list_sum(dup) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        |  END AS dup_line_frac,
+        |  CASE WHEN n > 0 THEN CAST(round(
+        |    CAST(list_sum(list_transform(dup, (__d, __i) -> __d * len(ls[__i]))) AS DOUBLE)
+        |      / CAST(list_sum(list_transform(ls, __x -> len(__x))) AS DOUBLE), 6) AS DOUBLE)
+        |  END AS dup_char_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Split thresholds are the SAME Scala-computed literals the operator
+    // inlines — no per-row float arithmetic on either side
+    "d_split_corpus" -> {
+      val Seq(t1, t2, t3) = ops.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH t AS (SELECT doc_id,
+         |  ${OracleFrag.unitHash("doc_id")} AS u FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN u < $t1 THEN 'train'
+         |       WHEN u < $t2 THEN 'val'
+         |       WHEN u < $t3 THEN 'test' END AS split
+         |FROM t WHERE u < $t3 ORDER BY doc_id""".stripMargin
+    },
     // Label × source crosstab from the shared classifier fragments; sums
     // are exact integers so the hash gate covers the whole card
     "d_corpus_labels" ->

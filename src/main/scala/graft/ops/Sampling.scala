@@ -191,6 +191,48 @@ object Sampling {
     df.withColumn("u", unitHash(col(idCol))).where(col("u") < cut)
   }
 
+  /** Deterministic TRAIN/VAL/TEST split — the release-time partition every
+    * training pipeline needs before anything touches an evaluation set.
+    * Membership is a pure function of the id: the unit-hash line [0, 2³¹−1)
+    * is cut at precomputed integer thresholds (cumulative fractions floored
+    * ONCE on the driver and inlined as literals, so there is no per-row
+    * float arithmetic to drift between engines or runs). Splits are
+    * disjoint and layout/retry-stable by construction; rows above the last
+    * threshold (when fractions sum below 1) are the unlabeled remainder
+    * and are dropped — an explicit holdout, not a silent loss (the row
+    * count contract is pinned in OpsSpec). NULL ids raise (a NULL id
+    * cannot be assigned stably — the guard-before-use convention).
+    *
+    * Scale shape: stateless scan-stage projection + filter, zero
+    * exchanges, same as [[hashSample]].
+    */
+  def splitLabels(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "splitLabels: no fractions given")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"splitLabels: duplicate split names in ${fractions.map(_._1)}")
+    require(fractions.forall(_._2 > 0),
+      s"splitLabels: non-positive fraction in $fractions")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"splitLabels: fractions sum past 1: ${fractions.map(_._2).sum}")
+    val thresholds = splitThresholds(fractions.map(_._2))
+    val label = fractions.zip(thresholds).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), thr)) =>
+        when(col("__u") < thr, lit(name)).otherwise(acc)
+      }
+    guardedU(df, idCol).withColumn("split", label)
+      .where(col("split").isNotNull).drop("__u")
+  }
+
+  /** The integer cut points of [[splitLabels]] on the [0, 2³¹−1) hash
+    * line — public so the oracle SQL embeds the IDENTICAL literals. A
+    * cumulative fraction within 1e-9 of 1 maps to the open upper bound
+    * (every row below it belongs to the last split). */
+  def splitThresholds(fractions: Seq[Double]): Seq[Long] =
+    fractions.scanLeft(0.0)(_ + _).tail.map { c =>
+      if (c >= 1.0 - 1e-9) P31 else math.floor(c * P31).toLong
+    }
+
   /** Quality-WEIGHTED soft sampling: keep each row with probability equal
     * to its weight column (∈ [0, 1]), deterministically — membership is
     * `unitHash(id) < floor(w · (2³¹−1))`, a pure function of (id, w), so
@@ -290,6 +332,28 @@ object Sampling {
     val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
       hist => hist.withColumn("__quota", lit(n.toLong)))
     presample(withU, cuts, strataCol).count()
+  }
+
+  /** Diagnostic sibling of [[rankWindowInputRows]]: the rows through the
+    * BUSIEST window task under a forced shard count — the per-task ceiling
+    * a cluster inherits, measured rather than argued. Both forms are
+    * repartitioned by the window's own partitioning key into `numShards`
+    * shards (a window partition never splits across tasks, so hashing the
+    * stratum key is exactly what the window exchange does); returns
+    * (two-phase max task rows, naive max task rows). The naive ceiling is
+    * bounded BELOW by the dominant stratum — no shard count can shrink it —
+    * while the two-phase ceiling tracks presample survivors.
+    */
+  def rankWindowTaskCeiling(df: DataFrame, strataCol: String, idCol: String,
+      n: Int, numShards: Int): (Long, Long) = {
+    val (withU, cuts) = bucketedCutoff(df, strataCol, idCol,
+      hist => hist.withColumn("__quota", lit(n.toLong)))
+    def maxTask(d: DataFrame): Long =
+      d.repartition(numShards, col(strataCol))
+        .select(spark_partition_id().as("__p"))
+        .groupBy("__p").agg(count(lit(1)).as("__c"))
+        .agg(max("__c")).first().getLong(0)
+    (maxTask(presample(withU, cuts, strataCol)), maxTask(withU))
   }
 
   /** TEMPERATURE-scaled mixture — the multilingual-sampling standard

@@ -239,6 +239,54 @@ object TextAnalysis {
     * semantics (TextStatsSpec pins kernel ≡ HOF on testdata + edge cases;
     * the DuckDB oracle for `d_text_analysis` mirrors the same formulas).
     */
+  /** Gopher-style WITHIN-document duplicate-line stats (Rae et al. 2021
+    * §A1.1 repetition filters — public heuristics, reference-free
+    * implementation): the fraction of non-empty lines that are exact
+    * duplicates of another line in the SAME document, and the fraction of
+    * line characters inside such duplicates. Boilerplate chrome, chat-log
+    * spam and scraper loops show up here before any cross-document pass.
+    *
+    * Scale shape: fully row-local — split, sort, neighbor-compare inside
+    * ONE projection (no explode, no shuffle, no state). Duplicate
+    * detection is sorted-adjacency (a line is duplicated iff it equals a
+    * sorted neighbor), O(L log L) per document instead of the O(L²)
+    * per-line membership scan a naive HOF would cost on a
+    * thousands-of-lines document. NULL text → zero lines with NULL
+    * fractions (no lines to judge ≠ 0% duplicated); fractions are
+    * round(·, 6) doubles, the repo's established cross-engine boundary
+    * for ratio columns.
+    */
+  def lineRepetition(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sorted = array_sort(expr(
+      s"filter(split($textCol, '\\n'), __l -> length(__l) > 0)"))
+    df.select(col(idCol), col(textCol))
+      .withColumn("__ls", sorted)
+      .withColumn("__n", size(col("__ls")))
+      // 0/1 per sorted position: equals the previous or next line
+      // (element_at is 1-based; transform's index is 0-based)
+      .withColumn("__dup", expr(
+        "transform(__ls, (__x, __i) -> CASE WHEN " +
+          "(__i > 0 AND __x = element_at(__ls, __i)) OR " +
+          "(__i < size(__ls) - 1 AND __x = element_at(__ls, __i + 2)) " +
+          "THEN 1 ELSE 0 END)"))
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(0)).otherwise(col("__n")).as("n_lines"),
+        coalesce(expr(
+          "aggregate(__dup, 0, (__a, __x) -> __a + __x)"), lit(0))
+          .as("n_dup_lines"),
+        when(col("__n") > 0, round(
+            expr("aggregate(__dup, 0, (__a, __x) -> __a + __x)").cast("double") /
+              col("__n").cast("double"), 6))
+          .as("dup_line_frac"),
+        when(col("__n") > 0, round(
+            expr("aggregate(zip_with(__dup, __ls, (__d, __l) -> __d * length(__l)), " +
+              "CAST(0 AS BIGINT), (__a, __x) -> __a + __x)").cast("double") /
+              expr("aggregate(__ls, CAST(0 AS BIGINT), " +
+                "(__a, __l) -> __a + length(__l))").cast("double"), 6))
+          .as("dup_char_frac"))
+  }
+
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val s = graft.functions.TextFunctions.text_stats(col(textCol))
     df.withColumn("langGuess", s.getField("langGuess"))

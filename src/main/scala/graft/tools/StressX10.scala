@@ -186,6 +186,15 @@ object StressX10 {
         f"rank-window input $winRows rows across strata-many tiny tasks " +
         f"| naive window $tNaive%.2f s locally, rank-window input 160000000 rows " +
         f"(152M of them ONE task) | window-input ratio ${160000000.0 / winRows}%.0f× |")
+      // the VERDICT r9 #8 point: force 64 shards and MEASURE the per-task
+      // ceiling both forms would hand a cluster — the naive form's busiest
+      // task is the dominant stratum no matter the shard count (a window
+      // partition never splits), the two-phase form's is presample-sized
+      val (twoMax, naiveMax) = graft.ops.Sampling.rankWindowTaskCeiling(
+        big, "strata", "doc_id", 1000, numShards = 64)
+      println(f"| stratifiedFixed 160M, 64 forced shards | two-phase busiest " +
+        f"task $twoMax rows | naive busiest task $naiveMax rows | per-task " +
+        f"ceiling ratio ${naiveMax.toDouble / twoMax}%.0f× |")
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

@@ -1723,4 +1723,62 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(meanByPos(true) > meanByPos(false))
   }
+
+  test("lineRepetition: planted dups found, null/empty/unique texts handled") {
+    val frame = Seq(
+      (1L, "a\nb\na\nc"),            // one dup pair among 4 lines
+      (2L, "x\ny\nz"),               // all unique
+      (3L, "same\nsame\nsame"),      // everything duplicated
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),                      // no non-empty lines
+      (6L, "aa\n\n\naa\nbcd"),       // empty lines ignored; dup by content
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineRepetition(frame).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    assert(row(1L) == ((4, 2, Some(0.5), Some(0.5))))
+    assert(row(2L) == ((3, 0, Some(0.0), Some(0.0))))
+    assert(row(3L) == ((3, 3, Some(1.0), Some(1.0))))
+    assert(row(4L) == ((0, 0, None, None)))
+    assert(row(5L) == ((0, 0, None, None)))
+    // doc 6: lines aa, aa, bcd → 2 of 3 dup; chars 4 of 7
+    assert(row(6L) == ((3, 2, Some(0.666667), Some(0.571429))))
+  }
+
+  test("splitLabels: disjoint, deterministic, remainder dropped, null id raises") {
+    val frame = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val out = Sampling.splitLabels(frame, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // fractions sum to 1 → total membership, one label per row
+    assert(out.count() == 2000)
+    assert(out.groupBy("doc_id").count().where(col("count") > 1).isEmpty)
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // hash-proportionality within a loose band (80/10/10 ± 5 points)
+    assert(math.abs(sizes("train") - 1600L) < 100, sizes.toString)
+    // deterministic: same membership on a re-run and on a reshuffled frame
+    val again = Sampling.splitLabels(frame.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // partial fractions: remainder is dropped, not mislabeled
+    val holdout = Sampling.splitLabels(frame, "doc_id", Seq("dev" -> 0.2))
+    val n = holdout.count()
+    assert(n > 0 && n < 2000 && math.abs(n - 400L) < 60, n.toString)
+    // null ids raise (guard-before-use)
+    val err = intercept[Exception] {
+      Seq(Some(1L), None).toDF("doc_id")
+        .select(col("doc_id"))
+        .transform(d => Sampling.splitLabels(d, "doc_id", Seq("train" -> 1.0)))
+        .collect()
+    }
+    assert(err.getMessage.contains("null"))
+  }
 }
