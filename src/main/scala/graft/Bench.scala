@@ -47,10 +47,12 @@ object Bench {
     "d_dedup_incremental", // batch anti-join vs the accumulated key index
     "d_classifier_train",  // NB-style hashed-feature training, one aggregate
     "d_corpus_manifest",   // release manifest: counts + content hash folds
+    "d_manifest_verify",   // backfill diff vs the released manifest
     "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
     "d_wordpiece_tokens",  // WordPiece-trained counts through the shared segmenter
     "d_classifier_trained", // train → weights → gate, end-to-end
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
+    "d_dedup_minhash_vs_index", // est-Jaccard probe of the corpus MinHash band index
     "d_dedup_simhash_incremental", // near-dedup increment: index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan

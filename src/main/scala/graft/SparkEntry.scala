@@ -1103,6 +1103,18 @@ object SparkEntry {
     //      dense within-batch pair graph is quadratic per component in
     //      DuckDB; the operator's own scale shape is what the plan pins
     //      and the ×10 stress measure, not the fixture size)
+    // ---- est-Jaccard sibling of the simhash index probe: batch documents
+    //      within estimated Jaccard 0.3 of the accumulated MinHash band
+    //      index — same banded recall contract as d_dedup_minhash, same
+    //      id-identity rule as the simhash probe
+    "d_dedup_minhash_vs_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.minhashIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text")
+      ops.Dedup.minhashIndexMatches(docs.where(col("doc_id") >= 250), index,
+          "doc_id", "text")
+        .orderBy("doc_id", "corpusId")
+    },
     "d_dedup_simhash_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val index = ops.Dedup.simhashIndex(docs.where(col("doc_id") < 250),
@@ -1147,6 +1159,23 @@ object SparkEntry {
           col("r_word_len"), col("r_alpha_frac"), col("r_dup_words"),
           col("r_top_bigram"), col("kept"))
         .orderBy("doc_id")
+    },
+    // ---- backfill VERIFICATION against the released manifest: the probe
+    //      plants a lost document, a corrupted text, and a renamed-source
+    //      handful — the diff must flag exactly those shards ('mismatch' /
+    //      'missing' / 'unexpected') and pass everything else 'ok'; two
+    //      snapshot aggregates + one shards-sized join, corpora never joined
+    "d_manifest_verify" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val released = ops.Manifest.snapshot(docs, "source", "doc_id", "text", 8)
+      val probe = docs
+        .where(col("doc_id") =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(97)) === 13,
+          concat(col("text"), lit(" corrupted"))).otherwise(col("text")))
+        .withColumn("source", when(col("doc_id") < 5, lit("backfill_extra"))
+          .otherwise(col("source")))
+      ops.Manifest.verify(probe, released, "source", "doc_id", "text", 8)
+        .orderBy("source", "shard")
     },
     // ---- Gopher-style WITHIN-doc duplicate-line stats over planted page
     //      chrome (every doc carries a twice-repeated nav line; docs with
@@ -2127,6 +2156,47 @@ object SparkEntry {
          |    AND ((n - dtok) * 10 >= n * 8) AND (nd * 2 >= n)
          |    AND (maxc * 5 <= nbg) AS kept
          |FROM j ORDER BY doc_id""".stripMargin,
+    // Backfill verification: both snapshots rebuilt with the shared
+    // manifest fragments over the raw and the planted-corruption corpus,
+    // then the same null-safe four-cell diff
+    "d_manifest_verify" -> {
+      def snap(alias: String, from: String) =
+        s"""${alias}m AS (SELECT source,
+           |        CAST((${OracleFrag.unitHash("doc_id")}) % 8 AS INT) AS shard,
+           |        CAST(len(ws) AS BIGINT) AS tok,
+           |        ${OracleFrag.fingerprintExpr} AS fp
+           |      FROM (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws
+           |            FROM $from)),
+           |$alias AS (SELECT source, shard,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           |    CAST(bit_xor(fp) AS BIGINT) AS content_xor,
+           |    CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
+           |  FROM ${alias}m GROUP BY source, shard)""".stripMargin
+      val probeFrom =
+        """(SELECT doc_id,
+          |   CASE WHEN doc_id < 5 THEN 'backfill_extra' ELSE source END AS source,
+          |   CASE WHEN doc_id % 97 = 13 THEN text || ' corrupted' ELSE text END AS text
+          | FROM documents WHERE doc_id <> 3)""".stripMargin
+      s"""WITH ${snap("rel", "documents")},
+         |${snap("got", probeFrom)}
+         |SELECT COALESCE(g.source, r.source) AS source,
+         |  COALESCE(g.shard, r.shard) AS shard,
+         |  CASE WHEN r.n_docs IS NULL THEN 'unexpected'
+         |       WHEN g.n_docs IS NULL THEN 'missing'
+         |       WHEN g.n_docs = r.n_docs
+         |         AND g.n_tokens IS NOT DISTINCT FROM r.n_tokens
+         |         AND g.content_xor IS NOT DISTINCT FROM r.content_xor
+         |         AND g.content_mod IS NOT DISTINCT FROM r.content_mod THEN 'ok'
+         |       ELSE 'mismatch' END AS status,
+         |  g.n_docs AS n_docs_got, r.n_docs AS n_docs_want,
+         |  g.n_tokens IS NOT DISTINCT FROM r.n_tokens AS tokens_ok,
+         |  (g.content_xor IS NOT DISTINCT FROM r.content_xor
+         |    AND g.content_mod IS NOT DISTINCT FROM r.content_mod) AS content_ok
+         |FROM got g FULL OUTER JOIN rel r
+         |  ON g.source = r.source AND g.shard = r.shard
+         |ORDER BY source, shard""".stripMargin
+    },
     // Within-doc duplicate-line stats: same planted chrome (integer
     // arithmetic), same sorted-adjacency dup rule via indexed lambdas
     // (DuckDB lists are 1-based where Spark transform's index is 0-based;
@@ -2602,6 +2672,25 @@ object SparkEntry {
          |          __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
          |       FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
          |SELECT ia AS "idA", ib AS "idB", ej AS "estJaccard"
+         |FROM sc WHERE ej >= 0.3 ORDER BY 1, 2""".stripMargin,
+    // The index probe replayed: same signatures, same banding, restricted
+    // to (batch ≥ 250) × (index < 250) — the within-batch oracle's split
+    // sibling
+    "d_dedup_minhash_vs_index" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
+         |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
+         |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+         |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+         |p AS (SELECT DISTINCT b.doc_id AS did, i.doc_id AS cid
+         |      FROM bd b JOIN bd i ON b.band = i.band AND b.bkey = i.bkey
+         |      WHERE b.doc_id >= 250 AND i.doc_id < 250),
+         |sc AS (SELECT p.did, p.cid,
+         |        CAST(list_sum(list_transform(range(1, 33),
+         |          __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+         |       FROM p JOIN s sa ON sa.doc_id = p.did JOIN s sb ON sb.doc_id = p.cid)
+         |SELECT did AS doc_id, cid AS "corpusId", ej AS "estJaccard"
          |FROM sc WHERE ej >= 0.3 ORDER BY 1, 2""".stripMargin,
     // BRUTE-FORCE oracle (all pairs, exact Hamming ≤ 3): stronger than a
     // mirror — it also proves the 4-block pigeonhole bucketing loses no pair.

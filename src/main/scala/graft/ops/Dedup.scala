@@ -118,30 +118,86 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.3,
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = ensureParallelism(docs)
-      .select(col(idCol).as("id"),
-        TextFunctions.minhash_sig(
-          TextFunctions.shingle_hashes(col(textCol)), numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + lit(1), lit(rows)))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandKey"))
+    val banded = bandedMinhash(docs, idCol, textCol, numHashes, bands)
     val l = banded.select(col("band"), col("bandKey"),
-      col("id").as("idA"), col("sig").as("sigA"))
+      col("doc_id").as("idA"), col("sig").as("sigA"))
     val r = banded.select(col("band"), col("bandKey"),
-      col("id").as("idB"), col("sig").as("sigB"))
+      col("doc_id").as("idB"), col("sig").as("sigB"))
     l.join(r, Seq("band", "bandKey")).where(col("idA") < col("idB"))
       .groupBy("idA", "idB")
       .agg(first(col("sigA")).as("sigA"), first(col("sigB")).as("sigB"))
       .select(col("idA"), col("idB"),
-        (aggregate(zip_with(col("sigA"), col("sigB"),
-          (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / lit(numHashes)).as("estJaccard"))
+        estJaccard(col("sigA"), col("sigB"), numHashes).as("estJaccard"))
       .where(col("estJaccard") >= threshold)
   }
+
+  /** Signature-agreement estimate of Jaccard similarity: the fraction of
+    * agreeing MinHash functions. ONE definition shared by the within-batch
+    * pairing and the index probe. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / lit(numHashes)
+
+  /** The shared banded-signature projection of the MinHash family:
+    * `(doc_id, sig, band, bandKey)`, one row per (doc, band). NULL ids
+    * raise (guard-before-use — a NULL id can neither pair-order nor match
+    * an index identity); shingle-less docs (fewer than 3 words) carry no
+    * signature and are excluded from matching, like [[guardedSims]]'
+    * wordless exclusion. ONE banding definition, so the persisted index
+    * and every prober (batch pairs, index probe) agree byte-for-byte.
+    */
+  private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    ensureParallelism(df)
+      .select(
+        when(col(idCol).isNull, raise_error(lit(
+          s"Dedup: null $idCol — MinHash matching needs a non-null " +
+            "document id; filter or repair ids upstream")))
+          .otherwise(col(idCol)).as("doc_id"),
+        TextFunctions.minhash_sig(
+          TextFunctions.shingle_hashes(col(textCol)), numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + lit(1), lit(rows)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandKey"))
+  }
+
+  /** Static MinHash band index of an accumulated corpus: `(band, bandKey,
+    * corpusId, corpusSig)` — the est-Jaccard sibling of [[simhashIndex]]
+    * for the daily-increment pipeline, when the near-dup criterion is
+    * shingle overlap rather than Hamming distance. Index size = `bands`
+    * rows per corpus document; the corpus text is never rescanned by an
+    * increment.
+    */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    bandedMinhash(corpus, idCol, textCol, numHashes, bands)
+      .select(col("band"), col("bandKey"),
+        col("doc_id").as("corpusId"), col("sig").as("corpusSig"))
+
+  /** Batch matches against a [[minhashIndex]]: `(doc_id, corpusId,
+    * estJaccard)` for every batch document whose estimated Jaccard with an
+    * indexed one reaches `threshold` AND that shares at least one LSH band
+    * with it (the standard banded-recall contract, identical to
+    * [[minhashLshPairs]] — the oracle replays the banding, so recall is
+    * pinned, not hidden). Same id-identity rule as [[simhashIndexMatches]]:
+    * a row never matches its own id. Scale shape: band-keyed shuffle of
+    * id+signature rows only; Catalyst picks broadcast vs shuffle by stats.
+    */
+  def minhashIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.3): DataFrame =
+    bandedMinhash(batch, idCol, textCol, numHashes, bands)
+      .join(index, Seq("band", "bandKey"))
+      .where(col("doc_id") =!= col("corpusId"))
+      .groupBy("doc_id", "corpusId")
+      .agg(first(col("sig")).as("sig"), first(col("corpusSig")).as("corpusSig"))
+      .select(col("doc_id"), col("corpusId"),
+        estJaccard(col("sig"), col("corpusSig"), numHashes).as("estJaccard"))
+      .where(col("estJaccard") >= threshold)
 
   /** Hamming distance between two packed simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -72,4 +72,45 @@ object Manifest {
         (sum(col("__fp").cast("decimal(38,0)")) % lit(2147483647L))
           .cast("long").as("content_mod"))
   }
+
+  /** Backfill VERIFICATION — the consumer of [[snapshot]]: recompute the
+    * manifest over a re-materialized corpus and diff it against the
+    * released manifest, per (source, shard). This is what makes the
+    * manifest a release artifact rather than a report: "the backfill is
+    * byte-identical" becomes one join over two shard-count-sized tables.
+    *
+    * Emits every (source, shard) of either side with a `status`:
+    * `ok` (all four cells agree), `mismatch` (both sides present,
+    * something differs — `tokens_ok`/`content_ok` say what), `missing`
+    * (released but absent from the probe), `unexpected` (present in the
+    * probe only). Comparisons are null-safe (`<=>`): an all-NULL-text
+    * shard agreeing on NULL hashes is `ok`, not a false mismatch.
+    *
+    * Scale shape: two [[snapshot]] aggregates (one corpus scan each) and
+    * one join of sources × shards rows — the corpora themselves are never
+    * joined. Because a shard is a pure function of the id, verifying a
+    * SUBSET of shards only needs the probe filtered to those shards.
+    */
+  def verify(probe: DataFrame, released: DataFrame, sourceCol: String,
+      idCol: String, textCol: String, nShards: Int): DataFrame = {
+    val got = snapshot(probe, sourceCol, idCol, textCol, nShards)
+      .withColumnsRenamed(Map("n_docs" -> "g_docs", "n_tokens" -> "g_tok",
+        "content_xor" -> "g_xor", "content_mod" -> "g_mod"))
+    val want = released
+      .withColumnsRenamed(Map("n_docs" -> "w_docs", "n_tokens" -> "w_tok",
+        "content_xor" -> "w_xor", "content_mod" -> "w_mod"))
+    got.join(want, Seq(sourceCol, "shard"), "full_outer")
+      .select(col(sourceCol), col("shard"),
+        when(col("w_docs").isNull, lit("unexpected"))
+          .when(col("g_docs").isNull, lit("missing"))
+          .when(col("g_docs") === col("w_docs") &&
+            (col("g_tok") <=> col("w_tok")) &&
+            (col("g_xor") <=> col("w_xor")) &&
+            (col("g_mod") <=> col("w_mod")), lit("ok"))
+          .otherwise(lit("mismatch")).as("status"),
+        col("g_docs").as("n_docs_got"), col("w_docs").as("n_docs_want"),
+        (col("g_tok") <=> col("w_tok")).as("tokens_ok"),
+        ((col("g_xor") <=> col("w_xor")) && (col("g_mod") <=> col("w_mod")))
+          .as("content_ok"))
+  }
 }

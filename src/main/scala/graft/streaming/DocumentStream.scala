@@ -53,6 +53,25 @@ object DocumentStream {
       outCol: String = "text_clean"): DataFrame =
     graft.ops.Pii.scrub(docs, textCol, outCol)
 
+  /** Stateless train/val/test labeling — [[graft.ops.Sampling.splitLabels]]
+    * per micro-batch. Membership is a pure function of the id against
+    * driver-inlined integer thresholds, so a document gets the same split
+    * whether it arrives by stream or batch backfill — no state, no
+    * watermark.
+    */
+  def splitLabeled(docs: DataFrame, idCol: String = "doc_id",
+      fractions: Seq[(String, Double)]): DataFrame =
+    graft.ops.Sampling.splitLabels(docs, idCol, fractions)
+
+  /** Stateless within-doc duplicate-line stats —
+    * [[graft.ops.TextAnalysis.lineRepetition]]'s row-local sorted-adjacency
+    * projection per micro-batch; the same expressions, so stream/batch
+    * parity is structural.
+    */
+  def lineRepetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.lineRepetition(docs, idCol, textCol)
+
   /** Stateless quality classification — [[graft.ops.Classifier.classify]]'s
     * fused-kernel projection per micro-batch. The "model" (the committed
     * weight formula) rides in the expression, so there is no state, no

@@ -1618,6 +1618,58 @@ class OpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("null doc_id")))
   }
 
+  test("minhash index probe: split equals the cross-half of within-batch pairs") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // all-pairs truth on the union, restricted to (old half) × (new half)
+    val all = Dedup.minhashLshPairs(frame, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cut = 250L
+    val expect = all.collect {
+      case (a, b, e) if a < cut && b >= cut => (b, a, e) // (batch, corpus)
+      case (a, b, e) if b < cut && a >= cut => (a, b, e)
+    }.toSet
+    val index = Dedup.minhashIndex(frame.where(col("doc_id") < cut),
+      "doc_id", "text")
+    val got = Dedup.minhashIndexMatches(frame.where(col("doc_id") >= cut),
+        index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "fixture should contain cross-half near-dups")
+    assert(got == expect, s"probe ${got.size} vs pair-derived ${expect.size}")
+    // null batch ids raise
+    val e = intercept[Exception](Dedup.minhashIndexMatches(
+      Seq((Option.empty[Long], "alpha beta gamma")).toDF("doc_id", "text"),
+      index, "doc_id", "text").collect())
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("manifest verify: clean backfill all-ok; planted faults map to statuses") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val released = Manifest.snapshot(frame, "source", "doc_id", "text", 8)
+    // identical corpus on another layout → every row ok
+    val clean = Manifest.verify(frame.repartition(5), released,
+      "source", "doc_id", "text", 8)
+    assert(clean.where(col("status") =!= "ok").isEmpty)
+    assert(clean.count() == released.count())
+    // one corrupted text → exactly that shard mismatches, content_ok false
+    val tweaked = frame.withColumn("text",
+      when(col("doc_id") === 11, concat(col("text"), lit(" corrupted")))
+        .otherwise(col("text")))
+    val bad = Manifest.verify(tweaked, released, "source", "doc_id", "text", 8)
+      .where(col("status") =!= "ok").collect()
+    assert(bad.length == 1 && bad.head.getString(2) == "mismatch")
+    assert(!bad.head.getBoolean(6), "content_ok must flag the corruption")
+    // a whole source absent from the probe → all its shards 'missing';
+    // a probe-only source → 'unexpected'
+    val srcs = frame.select("source").distinct().limit(2)
+      .collect().map(_.getString(0))
+    val moved = frame.withColumn("source",
+      when(col("source") === srcs(0), lit("brand_new")).otherwise(col("source")))
+    val vs = Manifest.verify(moved, released, "source", "doc_id", "text", 8)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vs.contains("missing") && vs.contains("unexpected"), vs.toString)
+  }
+
   // ---- hashed-feature classifier -------------------------------------
 
   test("classifier kernel equals the HOF reference on real data") {

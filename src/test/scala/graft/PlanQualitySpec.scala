@@ -233,10 +233,46 @@ class PlanQualitySpec extends AnyFunSuite {
     for ((label, df) <- Seq(
       "hashSample" -> Sampling.hashSample(docs, "doc_id", 0.25),
       "stratifiedSample" -> Sampling.stratifiedSample(docs, "source", "doc_id",
-        Map("src0" -> 1.0, "src2" -> 0.0), default = 0.4))) {
+        Map("src0" -> 1.0, "src2" -> 0.0), default = 0.4),
+      "splitLabels" -> Sampling.splitLabels(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"$label shuffles:\n${p.take(2000)}")
       assert(p.contains("Filter"), s"$label lost its filter:\n${p.take(2000)}")
+    }
+  }
+
+  test("line repetition is one row-local projection: no explode, no shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.TextAnalysis.lineRepetition(docs))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"lineRepetition shuffles:\n${plan.toString.take(2000)}")
+    assert(!plan.toString.contains("Generate"),
+      s"lineRepetition exploded:\n${plan.toString.take(2000)}")
+  }
+
+  test("manifest verify joins two shard-sized aggregates, never the corpora") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val released = graft.ops.Manifest.snapshot(docs, "source", "doc_id", "text", 8)
+    val plan = nonAdaptivePlan(
+      graft.ops.Manifest.verify(docs, released, "source", "doc_id", "text", 8))
+    // exactly one join, and BOTH of its children are post-aggregate
+    // (shards-sized) subtrees — the corpora meet only through their hashes
+    val joins = plan.collect {
+      case j: BroadcastHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.size == 1, s"expected 1 join:\n${plan.toString.take(3000)}")
+    joins.head.children.foreach { side =>
+      val aggs = side.collect {
+        case a: HashAggregateExec => a: org.apache.spark.sql.execution.SparkPlan
+        case a: ObjectHashAggregateExec => a
+      }
+      assert(aggs.nonEmpty, s"join side lacks an aggregate:\n${side.toString.take(2000)}")
     }
   }
 

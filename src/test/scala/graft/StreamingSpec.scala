@@ -311,6 +311,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming split + line-repetition: stateless, row-for-row batch parity") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val stream = DocumentStream.read(spark, docStreamDir)
+    // split: the only stateful thing a split could smuggle in is a shuffle
+    // for the filter — assert none
+    val q = DocumentStream.splitLabeled(stream, "doc_id", fr)
+      .select("doc_id", "split")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_split").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val splitS = spark.table("doc_split").collect().map(key).sorted
+    val splitB = graft.ops.Sampling.splitLabels(batchDocs, "doc_id", fr)
+      .select("doc_id", "split").collect().map(key).sorted
+    assert(splitS.nonEmpty && splitS.sameElements(splitB),
+      s"split: stream ${splitS.length}, batch ${splitB.length}")
+    // line repetition: same expressions per micro-batch
+    EventStream.runToMemory(
+      DocumentStream.lineRepetitionStats(
+        DocumentStream.read(spark, docStreamDir)), "doc_lr")
+    val lrS = spark.table("doc_lr").collect().map(key).sorted
+    val lrB = graft.ops.TextAnalysis.lineRepetition(batchDocs)
+      .collect().map(key).sorted
+    assert(lrS.nonEmpty && lrS.sameElements(lrB),
+      s"lineRepetition: stream ${lrS.length}, batch ${lrB.length}")
+  }
+
   test("streaming running manifest: final per-key rows equal the batch snapshot") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
