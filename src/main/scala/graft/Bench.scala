@@ -48,6 +48,7 @@ object Bench {
     "d_classifier_train",  // NB-style hashed-feature training, one aggregate
     "d_corpus_manifest",   // release manifest: counts + content hash folds
     "d_manifest_verify",   // backfill diff vs the released manifest
+    "d_manifest_update",   // released + increment combined = full recompute
     "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
     "d_wordpiece_tokens",  // WordPiece-trained counts through the shared segmenter
     "d_classifier_trained", // train → weights → gate, end-to-end

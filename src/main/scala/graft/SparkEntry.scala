@@ -72,6 +72,24 @@ object SparkEntry {
       |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_orderkey LIMIT 200""".stripMargin
 
+  /** Full-corpus manifest SQL, shared by `d_corpus_manifest` (direct
+    * snapshot) and `d_manifest_update` (released + increment combined):
+    * the shared string IS the associativity claim's oracle.
+    */
+  private lazy val CorpusManifestSql: String =
+    s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+       |m AS (SELECT source,
+       |        CAST((${OracleFrag.unitHash("doc_id")}) % 8 AS INT) AS shard,
+       |        CAST(len(ws) AS BIGINT) AS tok,
+       |        ${OracleFrag.fingerprintExpr} AS fp
+       |      FROM w)
+       |SELECT source, shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(fp) AS BIGINT) AS content_xor,
+       |  CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
+       |FROM m GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
   /** DuckDB mirror of [[boilerplateDocs]]'s injected page chrome (CTE `b`
     * exposing `doc_id, t`) — same line set, same integer arithmetic.
     */
@@ -1159,6 +1177,18 @@ object SparkEntry {
           col("r_word_len"), col("r_alpha_frac"), col("r_dup_words"),
           col("r_top_bigram"), col("kept"))
         .orderBy("doc_id")
+    },
+    // ---- incremental manifest UPDATE: released(docs < 250) combined with
+    //      snapshot(batch ≥ 250) — the oracle recomputes the FULL corpus,
+    //      so the row pins combine's associativity claim exactly; one
+    //      shards-sized full-outer join, accumulated corpus never rescanned
+    "d_manifest_update" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val released = ops.Manifest.snapshot(docs.where(col("doc_id") < 250),
+        "source", "doc_id", "text", 8)
+      val inc = ops.Manifest.snapshot(docs.where(col("doc_id") >= 250),
+        "source", "doc_id", "text", 8)
+      ops.Manifest.combine(released, inc, "source").orderBy("source", "shard")
     },
     // ---- backfill VERIFICATION against the released manifest: the probe
     //      plants a lost document, a corrupted text, and a renamed-source
@@ -2488,19 +2518,11 @@ object SparkEntry {
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     // Manifest replayed: same Lehmer shard hash, same rolling fingerprint,
     // XOR and exact-HUGEINT-sum-then-mod folds recomputed per cell
-    "d_corpus_manifest" ->
-      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
-         |m AS (SELECT source,
-         |        CAST((${OracleFrag.unitHash("doc_id")}) % 8 AS INT) AS shard,
-         |        CAST(len(ws) AS BIGINT) AS tok,
-         |        ${OracleFrag.fingerprintExpr} AS fp
-         |      FROM w)
-         |SELECT source, shard,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
-         |  CAST(bit_xor(fp) AS BIGINT) AS content_xor,
-         |  CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
-         |FROM m GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+    "d_corpus_manifest" -> CorpusManifestSql,
+    // The incremental update's oracle IS the full recompute: combine's
+    // whole claim is combine(snapshot(A), snapshot(B)) = snapshot(A ∪ B),
+    // so the two keys share one SQL string
+    "d_manifest_update" -> CorpusManifestSql,
     // Mirrors d_corpus_stats: same analysis fragments, DECIMAL(38,4)-exact
     // quality mean, language-mix count.
     "d_corpus_stats" ->

@@ -147,10 +147,8 @@ object Dedup {
     * and every prober (batch pairs, index probe) agree byte-for-byte.
     */
   private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    ensureParallelism(df)
+      numHashes: Int, bands: Int): DataFrame =
+    bandExplode(ensureParallelism(df)
       .select(
         when(col(idCol).isNull, raise_error(lit(
           s"Dedup: null $idCol — MinHash matching needs a non-null " +
@@ -158,12 +156,37 @@ object Dedup {
           .otherwise(col(idCol)).as("doc_id"),
         TextFunctions.minhash_sig(
           TextFunctions.shingle_hashes(col(textCol)), numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-      .select(col("doc_id"), col("sig"),
+      .where(size(col("sig")) > 0), numHashes, bands)
+
+  /** The banding step alone, over a pre-projected frame carrying `doc_id`
+    * and `sig` (extra columns — e.g. a stream's `ingestTs` — ride
+    * through). Shared with the streaming probe, which builds its own
+    * projection (streams cannot take the stats-based `ensureParallelism`
+    * path).
+    */
+  private[graft] def bandExplode(withSig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    withSig
+      .select(col("*"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + lit(1), lit(rows)))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandKey"))
   }
+
+  /** Shared probe core of the MinHash index matchers: banded rows joined
+    * to the index, self-identity excluded, estimated Jaccard attached per
+    * colliding band. Callers collapse multi-band collisions their own way
+    * (batch `.distinct()`, streaming `dropDuplicatesWithinWatermark`) —
+    * the [[indexMatchCore]] contract, est-Jaccard flavored.
+    */
+  private[graft] def minhashMatchCore(banded: DataFrame, index: DataFrame,
+      numHashes: Int): DataFrame =
+    banded.join(index, Seq("band", "bandKey"))
+      .where(col("doc_id") =!= col("corpusId"))
+      .withColumn("estJaccard", estJaccard(col("sig"), col("corpusSig"), numHashes))
+      .drop("band", "bandKey", "sig", "corpusSig")
 
   /** Static MinHash band index of an accumulated corpus: `(band, bandKey,
     * corpusId, corpusSig)` — the est-Jaccard sibling of [[simhashIndex]]
@@ -190,13 +213,10 @@ object Dedup {
   def minhashIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.3): DataFrame =
-    bandedMinhash(batch, idCol, textCol, numHashes, bands)
-      .join(index, Seq("band", "bandKey"))
-      .where(col("doc_id") =!= col("corpusId"))
-      .groupBy("doc_id", "corpusId")
-      .agg(first(col("sig")).as("sig"), first(col("corpusSig")).as("corpusSig"))
-      .select(col("doc_id"), col("corpusId"),
-        estJaccard(col("sig"), col("corpusSig"), numHashes).as("estJaccard"))
+    minhashMatchCore(bandedMinhash(batch, idCol, textCol, numHashes, bands),
+        index, numHashes)
+      .select(col("doc_id"), col("corpusId"), col("estJaccard"))
+      .distinct()
       .where(col("estJaccard") >= threshold)
 
   /** Hamming distance between two packed simhashes. */

@@ -73,6 +73,45 @@ object Manifest {
           .cast("long").as("content_mod"))
   }
 
+  /** Incremental manifest UPDATE — append a batch to a released manifest
+    * WITHOUT rescanning the accumulated corpus: every [[snapshot]] fold is
+    * commutative and associative (count, sum, XOR, modular sum), so
+    * `combine(snapshot(A), snapshot(B)) = snapshot(A ∪ B)` exactly — the
+    * algebra the oracle row pins by recomputing the full corpus. The same
+    * property powers the streaming twin's per-key running state; this is
+    * its batch form for the daily-increment release.
+    *
+    * Inputs must be disjoint corpora (ids are identity — run
+    * [[graft.ops.Dedup.dedupIncremental]] first if a batch can re-carry
+    * released ids; double-counted documents are exactly what the
+    * [[verify]] diff would then catch). NULL hash cells (all-NULL-text
+    * groups) combine by the aggregates' NULL-skip rule, matching what a
+    * full recompute produces.
+    *
+    * Scale shape: one full-outer join of two shards-sized tables.
+    */
+  def combine(released: DataFrame, increment: DataFrame,
+      sourceCol: String): DataFrame = {
+    val a = released.withColumnsRenamed(Map("n_docs" -> "a_docs",
+      "n_tokens" -> "a_tok", "content_xor" -> "a_xor", "content_mod" -> "a_mod"))
+    val b = increment.withColumnsRenamed(Map("n_docs" -> "b_docs",
+      "n_tokens" -> "b_tok", "content_xor" -> "b_xor", "content_mod" -> "b_mod"))
+    a.join(b, Seq(sourceCol, "shard"), "full_outer")
+      .select(col(sourceCol), col("shard"),
+        (coalesce(col("a_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L)))
+          .as("n_docs"),
+        // NULL-skip semantics of SUM: null + value = value, null + null = null
+        when(col("a_tok").isNull && col("b_tok").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("a_tok"), lit(0L)) + coalesce(col("b_tok"), lit(0L)))
+          .as("n_tokens"),
+        when(col("a_xor").isNull && col("b_xor").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("a_xor"), lit(0L))
+            .bitwiseXOR(coalesce(col("b_xor"), lit(0L)))).as("content_xor"),
+        when(col("a_mod").isNull && col("b_mod").isNull, lit(null).cast("long"))
+          .otherwise(pmod(coalesce(col("a_mod"), lit(0L))
+            + coalesce(col("b_mod"), lit(0L)), lit(2147483647L))).as("content_mod"))
+  }
+
   /** Backfill VERIFICATION — the consumer of [[snapshot]]: recompute the
     * manifest over a re-materialized corpus and diff it against the
     * released manifest, per (source, shard). This is what makes the

@@ -203,6 +203,31 @@ object DocumentStream {
       .drop("ingestTs")
   }
 
+  /** Est-Jaccard sibling of [[nearDupsAgainstCorpus]]: arriving documents
+    * probed against a static [[graft.ops.Dedup.minhashIndex]] of the
+    * accumulated corpus. The banding and the per-collision probe are the
+    * batch operator's own definitions ([[graft.ops.Dedup.bandExplode]] /
+    * `minhashMatchCore`) — only the signature projection (streams skip the
+    * stats-based repartition), the broadcast hint, and the
+    * watermark-bounded multi-band collapse are streaming-specific.
+    */
+  def minhashNearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.3,
+      dedupDelay: String = "10 minutes"): DataFrame = {
+    val withSig = stream
+      .select(col("doc_id"), col("ingestTs"),
+        TextFunctions.minhash_sig(
+          TextFunctions.shingle_hashes(col("text")), numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+    Dedup.minhashMatchCore(
+        Dedup.bandExplode(withSig, numHashes, bands), broadcast(index), numHashes)
+      .where(col("estJaccard") >= threshold)
+      .select(col("doc_id"), col("ingestTs"), col("corpusId"), col("estJaccard"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
+      .drop("ingestTs")
+  }
+
   /** Stream-stream self-dedup: near-dup pairs BETWEEN documents arriving in
     * the same stream, found online — closes the lambda gap that
     * [[nearDupsAgainstCorpus]] leaves for new-vs-new duplicates. Both sides

@@ -1642,6 +1642,32 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null"))
   }
 
+  test("manifest combine: split snapshots equal the full recompute, nulls obey SUM-skip") {
+    val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("source", "shard").collect()
+      .map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSeq
+    val full = Manifest.snapshot(frame, "source", "doc_id", "text", 8)
+    val combined = Manifest.combine(
+      Manifest.snapshot(frame.where(col("doc_id") < 250), "source", "doc_id", "text", 8),
+      Manifest.snapshot(frame.where(col("doc_id") >= 250), "source", "doc_id", "text", 8),
+      "source")
+    assert(key(combined) == key(full))
+    // a source entirely inside one half still combines correctly (the
+    // full-outer's one-sided rows), and all-NULL-text cells stay NULL
+    val a = Seq((1L, "solo", "alpha"), (2L, "both", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((3L, "both", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = Manifest.combine(
+      Manifest.snapshot(a, "source", "doc_id", "text", 1),
+      Manifest.snapshot(b, "source", "doc_id", "text", 1), "source")
+    val want = Manifest.snapshot(a.unionByName(b), "source", "doc_id", "text", 1)
+    assert(key(got) == key(want))
+    val bothRow = got.where(col("source") === "both").collect().head
+    assert(bothRow.getLong(2) == 2 && bothRow.isNullAt(3) && bothRow.isNullAt(4))
+  }
+
   test("manifest verify: clean backfill all-ok; planted faults map to statuses") {
     val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val released = Manifest.snapshot(frame, "source", "doc_id", "text", 8)

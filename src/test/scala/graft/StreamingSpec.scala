@@ -289,6 +289,24 @@ class StreamingSpec extends AnyFunSuite {
       s"stream found ${streamed.size} directed pairs, batch ${batchPairs.size}")
   }
 
+  test("streaming minhash probe vs static band index matches the batch probe") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val half = corpus.where(col("doc_id") < 250)
+    val index = graft.ops.Dedup.minhashIndex(half, "doc_id", "text")
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .where(col("doc_id") >= 250)
+    EventStream.runToMemory(
+      DocumentStream.minhashNearDupsAgainstCorpus(stream, index), "doc_mh_probe")
+    val streamed = spark.table("doc_mh_probe")
+      .select("doc_id", "corpusId", "estJaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.minhashIndexMatches(
+        corpus.where(col("doc_id") >= 250), index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} matches, batch ${batch.size}")
+  }
+
   test("streaming per-source token budget matches the batch windowed running sum") {
     import org.apache.spark.sql.expressions.Window
     val stream = DocumentStream.read(spark, docStreamDir)
