@@ -1452,6 +1452,18 @@ object SparkEntry {
         Map("src0" -> 3.0, "src1" -> 1.0), default = 0.5)
         .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
     },
+    // ---- language-balanced mixture: the SAME exact-quota machinery over
+    //      a DERIVED stratum (the analyzer's language guess) — the
+    //      multilingual rebalance a pipeline actually runs, and the proof
+    //      that the samplers compose with analysis columns, not just
+    //      physical ones
+    "d_mixture_lang" -> { (s, dir) =>
+      val analyzed = ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("langGuess"))
+      ops.Sampling.mixtureSample(analyzed, "langGuess", "doc_id",
+        Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0), default = 0.25)
+        .select(col("doc_id"), col("langGuess"), col("rk")).orderBy("doc_id")
+    },
     // ---- temperature-scaled mixture (weights = avail^τ, the multilingual
     //      sampling standard): same exact-quota machinery, weights derived
     //      from the corpus's own counts
@@ -2558,6 +2570,27 @@ object SparkEntry {
          |      FROM documents)
          |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
          |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+         |WHERE r.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin,
+    // Same quota machinery over the DERIVED language stratum (the shared
+    // analyzer fragments compute langGuess); weights 1.0/0.25 are exact
+    // binary fractions, so decimal-vs-double division cannot drift
+    "d_mixture_lang" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes()},
+         |lg AS (SELECT doc_id, ${OracleFrag.langGuessExpr} AS lang FROM s),
+         |cnt AS (SELECT lang, COUNT(*) AS avail FROM lg GROUP BY 1),
+         |lw AS (SELECT lang, avail, CASE lang
+         |        WHEN 'en' THEN 1.0 WHEN 'de' THEN 1.0
+         |        WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0 ELSE 0.25 END AS wt
+         |      FROM cnt),
+         |t AS (SELECT MIN(avail / wt) AS tmax FROM lw WHERE wt > 0),
+         |q AS (SELECT lang, CAST(FLOOR(tmax * wt) AS BIGINT) AS quota
+         |      FROM lw, t WHERE wt > 0),
+         |r AS (SELECT doc_id, lang, row_number() OVER (
+         |        PARTITION BY lang ORDER BY ${OracleFrag.unitHash("doc_id")}, doc_id) AS rk
+         |      FROM lg)
+         |SELECT r.doc_id, r.lang AS "langGuess", CAST(r.rk AS INT) AS rk
+         |FROM r JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
          |WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
     // Same quota machinery with wt = avail^0.7 — the tmax expression
