@@ -42,6 +42,7 @@ object Bench {
     "d_top_ngrams",       // exact trigram mining, pruned top-k
     "d_corpus_labels",    // per (source, label) dataset-card crosstab
     "d_quality_rules",    // Gopher rule battery, integer-exact flags
+    "d_quality_calibration", // classifier label × rule verdict agreement card
     "d_diverse_sample",   // trained-cell assignment → exact-n per cell
     "d_sample_weighted",  // survival probability = own quality score
     "d_dedup_incremental", // batch anti-join vs the accumulated key index

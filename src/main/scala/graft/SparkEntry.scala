@@ -1229,6 +1229,21 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split")).orderBy("doc_id")
     },
+    // ---- gate-calibration crosstab: classifier label × Gopher-rule
+    //      verdict — the agreement table a pipeline reads to tune its
+    //      thresholds (how often does the learned gate contradict the
+    //      heuristic battery?); two scan-stage projections, one id join,
+    //      one tiny aggregate
+    "d_quality_calibration" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val kept = ops.TextAnalysis.gopherRules(docs)
+        .select(col("doc_id"), col("kept"))
+      val lab = ops.Classifier.classify(docs)
+        .select(col("doc_id"), col("label"))
+      lab.join(kept, Seq("doc_id"))
+        .groupBy("label", "kept").agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("label", "kept")
+    },
     // ---- dataset-card crosstab: per (source, label) doc/token/score
     //      totals — the composition-decision table a mixture job reads;
     //      one map-side-combined aggregate over the scan-stage
@@ -2282,6 +2297,34 @@ object SparkEntry {
          |       WHEN u < $t3 THEN 'test' END AS split
          |FROM t WHERE u < $t3 ORDER BY doc_id""".stripMargin
     },
+    // Calibration crosstab: the rules CTEs and the classifier fragments
+    // joined on doc_id, counts exact integers
+    "d_quality_calibration" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), __i ->
+         |         ws[__i] || ' ' || ws[__i+1])) AS g FROM w WHERE len(ws) >= 2),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |m AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS nbg FROM bgc GROUP BY 1),
+         |c AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+         |        COALESCE(CAST(list_sum(list_transform(ws, __t1 -> len(__t1))) AS BIGINT), 0) AS chars,
+         |        CAST(len(list_filter(ws, __t2 -> regexp_matches(__t2, '^[0-9]+$$'))) AS BIGINT) AS dtok
+         |      FROM w),
+         |j AS (SELECT c.*, COALESCE(m.maxc, 0) AS maxc, COALESCE(m.nbg, 0) AS nbg
+         |      FROM c LEFT JOIN m USING (doc_id)),
+         |k AS (SELECT doc_id,
+         |        (n >= 50 AND n <= 100000) AND (chars >= n * 3 AND chars <= n * 10)
+         |          AND ((n - dtok) * 10 >= n * 8) AND (nd * 2 >= n)
+         |          AND (maxc * 5 <= nbg) AS kept
+         |      FROM j),
+         |a AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |        ${OracleFrag.classifierScoreSum("ws")} AS score_sum
+         |      FROM w),
+         |lab AS (SELECT doc_id, ${OracleFrag.classifierLabelExpr} AS label FROM a)
+         |SELECT lab.label, k.kept, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM lab JOIN k USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Label × source crosstab from the shared classifier fragments; sums
     // are exact integers so the hash gate covers the whole card
     "d_corpus_labels" ->
