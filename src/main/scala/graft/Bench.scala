@@ -30,6 +30,7 @@ object Bench {
     "d_text_analysis",    // HOF text pipeline
     "d_text_repetition",  // Gopher-style repetition signals (explode→count→max)
     "d_line_repetition",  // within-doc duplicate-line stats, row-local sort
+    "d_dedup_lines_within", // within-doc repeated-line REMOVAL, order kept
     "d_pii_scrub",        // regex redaction chain, one scan-stage projection
     "d_bpe_train",        // 8 merge rounds over the distinct-word table
     "d_bpe_tokens",       // trained-tokenizer counts vs closed-form estimate

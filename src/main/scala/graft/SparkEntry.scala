@@ -53,6 +53,31 @@ object SparkEntry {
       lit("\ndoc "), c(col("doc_id"))))
   }
 
+  /** Planted within-doc duplicate-line chrome shared by
+    * `d_line_repetition` and `d_dedup_lines_within`: every doc carries a
+    * twice-repeated nav line; docs with doc_id % 3 == 0 additionally
+    * duplicate their body. Mirrored by [[LineRepDocsSql]].
+    */
+  private def lineRepDocs(s: SparkSession, dir: String): DataFrame = {
+    val c = (e: org.apache.spark.sql.Column) => e.cast("string")
+    t(s, dir, "documents").withColumn("text_lr", concat(
+      lit("NAV MENU\n"), col("text"), lit("\nNAV MENU\nfooter "),
+      c(pmod(col("doc_id"), lit(5))),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("\n"), col("text"))).otherwise(lit(""))))
+  }
+
+  /** DuckDB mirror of [[lineRepDocs]] (CTE `b` exposing `doc_id, t`).
+    * Concatenation operators sit at line ENDS: this string is interpolated
+    * into oracles whose own stripMargin would otherwise eat a leading `|`.
+    */
+  private val LineRepDocsSql: String =
+    """b AS (SELECT doc_id,
+      |  'NAV MENU' || chr(10) || text || chr(10) || 'NAV MENU' || chr(10) ||
+      |    'footer ' || (doc_id % 5) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END AS t
+      |  FROM documents)""".stripMargin
+
   /** Exact sum of a double column: decimal accumulate, double out. */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D4)).cast("double")
 
@@ -1212,13 +1237,16 @@ object SparkEntry {
     //      doc_id % 3 == 0 additionally duplicate their body) — row-local
     //      sorted-adjacency, no explode, no shuffle
     "d_line_repetition" -> { (s, dir) =>
-      val c = (e: org.apache.spark.sql.Column) => e.cast("string")
-      val docs = t(s, dir, "documents").withColumn("text_lr", concat(
-        lit("NAV MENU\n"), col("text"), lit("\nNAV MENU\nfooter "),
-        c(pmod(col("doc_id"), lit(5))),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit("\n"), col("text"))).otherwise(lit(""))))
-      ops.TextAnalysis.lineRepetition(docs, "doc_id", "text_lr")
+      ops.TextAnalysis.lineRepetition(lineRepDocs(s, dir), "doc_id", "text_lr")
+        .orderBy("doc_id")
+    },
+    // ---- the CLEANER counterpart: keep the first occurrence of every
+    //      repeated line within each doc, order preserved, empties kept —
+    //      same planted chrome, so the nav line loses its second copy and
+    //      doc_id % 3 == 0 docs lose their duplicated body
+    "d_dedup_lines_within" -> { (s, dir) =>
+      ops.Boilerplate.dedupLinesWithin(lineRepDocs(s, dir), "doc_id", "text_lr")
+        .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
         .orderBy("doc_id")
     },
     // ---- deterministic train/val/test split: integer thresholds on the
@@ -2259,11 +2287,7 @@ object SparkEntry {
     // (DuckDB lists are 1-based where Spark transform's index is 0-based;
     // both spell "equals the previous or next sorted line")
     "d_line_repetition" ->
-      """WITH b AS (SELECT doc_id,
-        |  'NAV MENU' || chr(10) || text || chr(10) || 'NAV MENU' || chr(10)
-        |    || 'footer ' || (doc_id % 5)
-        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END AS t
-        |  FROM documents),
+      s"""WITH $LineRepDocsSql,
         |l AS (SELECT doc_id, t,
         |        list_sort(list_filter(string_split(t, chr(10)),
         |          __l -> len(__l) > 0)) AS ls
@@ -2285,6 +2309,28 @@ object SparkEntry {
         |      / CAST(list_sum(list_transform(ls, __x -> len(__x))) AS DOUBLE), 6) AS DOUBLE)
         |  END AS dup_char_frac
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Within-doc line dedup: the same rn=1-or-empty keep rule over the
+    // shared chrome; string_agg skips the CASE-nulled cut lines exactly
+    // as concat_ws skips the collect_list's dropped structs
+    "d_dedup_lines_within" ->
+      s"""WITH $LineRepDocsSql,
+         |l AS (SELECT doc_id, t,
+         |        unnest(list_transform(string_split(t, chr(10)),
+         |          (__x, __i) -> struct_pack(pos := __i, line := __x))) AS s
+         |      FROM b),
+         |m AS (SELECT doc_id, s.pos AS pos, s.line AS line,
+         |        row_number() OVER (PARTITION BY doc_id, s.line ORDER BY s.pos) AS rn
+         |      FROM l),
+         |r AS (SELECT doc_id,
+         |        string_agg(CASE WHEN rn = 1 OR line = '' THEN line END,
+         |          chr(10) ORDER BY pos) AS clean,
+         |        CAST(SUM(CASE WHEN rn = 1 OR line = '' THEN 0 ELSE 1 END) AS INT)
+         |          AS removed
+         |      FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.t IS NULL THEN NULL ELSE r.clean END AS text_clean,
+         |  CASE WHEN d.t IS NULL THEN NULL ELSE r.removed END AS n_lines_removed
+         |FROM b d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Split thresholds are the SAME Scala-computed literals the operator
     // inlines — no per-row float arithmetic on either side
     "d_split_corpus" -> {

@@ -188,13 +188,27 @@ object Boilerplate {
       .map(k => col(k) <=> col(s"__bl_r_$k"))
       .foldLeft(col("line") === col("__bl_r_line"))(_ && _)
     val flagged = exploded.join(broadcast(freqFlag), joinCond, "left")
-    val rebuilt = flagged.groupBy(col("__bl_id"))
+    regroupLines(flagged, col("__bl_hit").isNull, docs, idCol, textCol, outCol)
+  }
+
+  /** Shared order-restoring regroup of a marked line stream (`__bl_id`,
+    * `__bl_pos`, `line`, + the keep condition's inputs): keep the lines
+    * satisfying `keepCond`, rebuild each document in position order, count
+    * the cut lines, raise on duplicate ids (>1 position-0 line per group),
+    * and restore NULL-text documents (which explode to zero rows) as
+    * NULL-out. ONE definition under the corpus-frequency cut and the
+    * within-document dedup, so the regroup invariants cannot drift.
+    */
+  private def regroupLines(marked: DataFrame, keepCond: Column,
+      docs: DataFrame, idCol: String, textCol: String,
+      outCol: String): DataFrame = {
+    val rebuilt = marked.groupBy(col("__bl_id"))
       .agg(
         concat_ws("\n", transform(
-          array_sort(collect_list(when(col("__bl_hit").isNull,
+          array_sort(collect_list(when(keepCond,
             struct(col("__bl_pos"), col("line"))))),
           s => s.getField("line"))).as("__bl_clean"),
-        sum(when(col("__bl_hit").isNotNull, 1L).otherwise(0L))
+        sum(when(keepCond, 0L).otherwise(1L))
           .cast("int").as("__bl_removed"),
         sum(when(col("__bl_pos") === 0, 1L).otherwise(0L)).as("__bl_docs"))
       .select(col("__bl_id"),
@@ -212,5 +226,36 @@ object Boilerplate {
         when(col(textCol).isNull, lit(null).cast("int"))
           .otherwise(col("__bl_removed")))
       .drop("__bl_id", "__bl_clean", "__bl_removed")
+  }
+
+  /** WITHIN-document duplicate-line removal — the cleaner counterpart of
+    * [[TextAnalysis.lineRepetition]]'s stats (Gopher-style repetition
+    * REMOVAL: scraper loops, chat-log spam, repeated nav chrome inside one
+    * page). Keeps the FIRST occurrence of every repeated line, preserving
+    * document order; EMPTY lines are structure and are never deduplicated
+    * (repeated blank separators survive). NULL text stays NULL; NULL ids
+    * raise and duplicate ids raise in the regroup (the [[clean]] family's
+    * guard conventions).
+    *
+    * Scale shape: one (id, line)-keyed window to rank occurrences + the
+    * shared doc-keyed regroup — two shuffles of the line stream, no
+    * corpus-level aggregate at all (the cut is per-document, so unlike
+    * [[clean]] there is no frequency table to build or broadcast). The
+    * row-local alternative (first-occurrence filter via array membership)
+    * is O(lines²) per document — this form stays O(lines log lines) for
+    * the pathological many-line documents that are exactly the ones
+    * needing the cleanup.
+    */
+  def dedupLinesWithin(docs: DataFrame, idCol: String, textCol: String,
+      outCol: String = "text_clean"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs
+      .select(guardedId(idCol).as("__bl_id"),
+        posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")))
+    val w = Window.partitionBy(col("__bl_id"), col("line"))
+      .orderBy(col("__bl_pos"))
+    val marked = exploded.withColumn("__bl_rn", row_number().over(w))
+    regroupLines(marked, col("__bl_rn") === 1 || col("line") === "",
+      docs, idCol, textCol, outCol)
   }
 }

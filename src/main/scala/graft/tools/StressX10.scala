@@ -129,6 +129,16 @@ object StressX10 {
         (d: DataFrame) => graft.ops.Dedup.connectedComponentsStar(
           graft.ops.Dedup.minhashLshPairs(d, "doc_id", "text",
             numHashes = 32, bands = 8, threshold = 0.3), "idA", "idB")),
+      // the composed daily increment (r10's most expensive row): index the
+      // even-id half, grow by the odd-id half — cost should track the CC
+      // family (its dominant stage), not corpus²
+      ("d_dedup_simhash_incremental (index=half)", docs1, docs10,
+        (d: DataFrame) => {
+          val idx = graft.ops.Dedup.simhashIndex(
+            d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+          graft.ops.Dedup.dedupIncrementalNear(
+            d.where(pmod(col("doc_id"), lit(2)) === 1), idx, "doc_id", "text")
+        }),
       // the GATED parameterization: threshold 0.3 admits ~0.6% of ALL
       // pairs on this synthetic distribution (measured: p90 raw cosine
       // 0.16, max 0.38 on a sample), so OUTPUT is Θ(n²) by data, not by

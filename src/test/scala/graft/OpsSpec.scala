@@ -1828,6 +1828,32 @@ class OpsSpec extends AnyFunSuite {
     assert(row(6L) == ((3, 2, Some(0.666667), Some(0.571429))))
   }
 
+  test("dedupLinesWithin: first occurrence kept in order, empties survive, nulls pass") {
+    val frame = Seq(
+      (1L, "a\nb\na\nc\nb"),       // a and b repeat
+      (2L, "x\ny"),                // nothing to cut
+      (3L, "s\n\n\ns\n\ns"),       // repeated blanks are structure, s repeats
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),                    // one empty line
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupLinesWithin(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(r.fieldIndex("text_clean"))),
+          if (r.isNullAt(r.fieldIndex("n_lines_removed"))) None
+          else Some(r.getInt(r.fieldIndex("n_lines_removed"))))).toMap
+    assert(out(1L) == ((Some("a\nb\nc"), Some(2))))
+    assert(out(2L) == ((Some("x\ny"), Some(0))))
+    // kept: s(0), ""(1), ""(2), ""(4) → "s" + 3 separators
+    assert(out(3L) == ((Some("s\n\n\n"), Some(2))), out(3L).toString)
+    assert(out(4L) == ((None, None)))
+    assert(out(5L) == ((Some(""), Some(0))))
+    // duplicate ids raise in the regroup (shared invariant)
+    val e = intercept[Exception](Boilerplate.dedupLinesWithin(
+      Seq((1L, "x"), (1L, "y")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect())
+    assert(e.getMessage.contains("duplicate") || e.getMessage.contains("unique"))
+  }
+
   test("splitLabels: disjoint, deterministic, remainder dropped, null id raises") {
     val frame = spark.range(0, 2000).select(col("id").as("doc_id"))
     val out = Sampling.splitLabels(frame, "doc_id",
