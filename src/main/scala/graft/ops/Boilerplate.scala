@@ -258,4 +258,31 @@ object Boilerplate {
     regroupLines(marked, col("__bl_rn") === 1 || col("line") === "",
       docs, idCol, textCol, outCol)
   }
+
+  /** Row-local regime of [[dedupLinesWithin]] — identical result (parity
+    * pinned in OpsSpec) computed inside ONE projection: a line survives iff
+    * it is empty or its FIRST index in the document's line array is its own
+    * (`array_position`, 1-based, against the 0-based filter index). Zero
+    * exchanges, no ids needed (nothing regroups, so the null/duplicate-id
+    * guards of the shuffle form are moot here), which also makes it the
+    * stateless STREAMING twin. The membership probe is O(L) per line —
+    * O(L²) per document — so this is the bounded-line-count regime (page
+    * chrome, chat transcripts); the window+regroup form is the many-line
+    * escape, exactly the [[clean]]-vs-[[cleanViaJoin]] pairing one level
+    * down.
+    */
+  def dedupLinesWithinLocal(docs: DataFrame, textCol: String,
+      outCol: String = "text_clean"): DataFrame = {
+    val kept = expr("filter(__bl_ls, (__l, __i) -> " +
+      "__l = '' OR array_position(__bl_ls, __l) = __i + 1)")
+    docs.withColumn("__bl_ls", lines(col(textCol)))
+      .withColumn("__bl_keep", kept)
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", col("__bl_keep"))))
+      .withColumn("n_lines_removed",
+        when(col(textCol).isNull, lit(null).cast("int"))
+          .otherwise((size(col("__bl_ls")) - size(col("__bl_keep"))).cast("int")))
+      .drop("__bl_ls", "__bl_keep")
+  }
 }

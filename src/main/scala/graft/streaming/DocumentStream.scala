@@ -72,6 +72,15 @@ object DocumentStream {
       textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.lineRepetition(docs, idCol, textCol)
 
+  /** Stateless within-doc repeated-line removal —
+    * [[graft.ops.Boilerplate.dedupLinesWithinLocal]]'s row-local projection
+    * per micro-batch (the batch window+regroup form needs a per-document
+    * shuffle a stream doesn't; the two forms are parity-pinned in OpsSpec,
+    * so the stream still matches a batch backfill row-for-row).
+    */
+  def lineDeduped(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.Boilerplate.dedupLinesWithinLocal(docs, textCol)
+
   /** Stateless quality classification — [[graft.ops.Classifier.classify]]'s
     * fused-kernel projection per micro-batch. The "model" (the committed
     * weight formula) rides in the expression, so there is no state, no

@@ -1854,6 +1854,24 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate") || e.getMessage.contains("unique"))
   }
 
+  test("dedupLinesWithin: row-local form parity with the window+regroup form") {
+    // hand edge cases + the real corpus with planted within-doc dups
+    val edge = Seq(
+      (900001L, "a\nb\na\nc\nb"), (900002L, "x"), (900003L, "s\n\n\ns\n\ns"),
+      (900004L, null.asInstanceOf[String]), (900005L, ""))
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("NAV\n"), col("text"), lit("\nNAV\n"), col("text")).as("text"))
+      .unionByName(edge)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text_clean", "n_lines_removed")
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    val viaShuffle = key(Boilerplate.dedupLinesWithin(corpus, "doc_id", "text"))
+    val viaLocal = key(Boilerplate.dedupLinesWithinLocal(corpus, "text"))
+    assert(viaShuffle.nonEmpty && viaShuffle == viaLocal)
+  }
+
   test("splitLabels: disjoint, deterministic, remainder dropped, null id raises") {
     val frame = spark.range(0, 2000).select(col("id").as("doc_id"))
     val out = Sampling.splitLabels(frame, "doc_id",

@@ -252,6 +252,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lineRepetition exploded:\n${plan.toString.take(2000)}")
   }
 
+  test("row-local line dedup has zero exchanges; regroup form exactly two") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val local = nonAdaptivePlan(
+      graft.ops.Boilerplate.dedupLinesWithinLocal(docs, "text"))
+    assert(local.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"local form shuffles:\n${local.toString.take(2000)}")
+    // window (id, line) + regroup (id) + the restore join's doc side: the
+    // line stream moves at most twice and there is NO corpus-level
+    // aggregate — every exchange is keyed by the document id (or id+line),
+    // so parallelism scales with documents (the broadcast Catalyst may
+    // pick for the restore join at fixture scale is stats-driven and
+    // flips to SMJ at corpus scale)
+    val shuffled = nonAdaptivePlan(
+      graft.ops.Boilerplate.dedupLinesWithin(docs, "doc_id", "text"))
+    val n = shuffled.collect { case e: ShuffleExchangeExec => e }.size
+    assert(n <= 3, s"regroup form has $n exchanges:\n${shuffled.toString.take(3000)}")
+    assert(!shuffled.toString.contains("CartesianProduct") &&
+      !shuffled.toString.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${shuffled.toString.take(2000)}")
+  }
+
   test("manifest verify joins two shard-sized aggregates, never the corpora") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}

@@ -359,6 +359,17 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(key).sorted
     assert(lrS.nonEmpty && lrS.sameElements(lrB),
       s"lineRepetition: stream ${lrS.length}, batch ${lrB.length}")
+    // within-doc line dedup: the stream runs the row-local form; batch
+    // truth is the SHUFFLE form — cross-form AND cross-mode parity at once
+    EventStream.runToMemory(
+      DocumentStream.lineDeduped(DocumentStream.read(spark, docStreamDir))
+        .select("doc_id", "text_clean", "n_lines_removed"), "doc_linededup")
+    val ldS = spark.table("doc_linededup").collect().map(key).sorted
+    val ldB = graft.ops.Boilerplate.dedupLinesWithin(batchDocs, "doc_id", "text")
+      .select("doc_id", "text_clean", "n_lines_removed")
+      .collect().map(key).sorted
+    assert(ldS.nonEmpty && ldS.sameElements(ldB),
+      s"lineDedup: stream ${ldS.length}, batch ${ldB.length}")
   }
 
   test("streaming running manifest: final per-key rows equal the batch snapshot") {
