@@ -61,6 +61,7 @@ object Bench {
     "d_pipeline_full",    // + decontaminate→sample→GLOBAL budget, one plan
     "d_pipeline_pack",    // gates→dedup→quantile→budget→packing, one plan
     "d_decontaminate",    // broadcast bench-shingle overlap vs the corpus
+    "d_decontaminate_pairs", // per-(doc, bench item) attribution audit table
     "d_decontaminate_containment", // ratio-gated variant, same broadcast shape
     "d_dedup_clusters",   // minhash pairs → connected components (label prop)
     "d_dedup_clusters_star", // same via O(log n)-round large/small-star

@@ -1385,6 +1385,15 @@ object SparkEntry {
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
         "doc_id", "text", minShared = 2).orderBy("doc_id")
     },
+    // ---- per-(doc, bench item) ATTRIBUTION: which eval item leaked into
+    //      which document, with the shingle evidence count — the audit
+    //      table behind d_decontaminate's per-doc rollup
+    "d_decontaminate_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ops.Decontaminate.overlapPairs(
+        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+        "doc_id", "text", minShared = 2).orderBy("doc_id", "bench_id")
+    },
     // ---- containment-ratio decontamination: quarantine when >= 15% of a
     //      doc's distinct shingles appear anywhere in the bench slice —
     //      the right gate for short eval items (absolute counts miss them)
@@ -2497,6 +2506,17 @@ object SparkEntry {
          |  CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
          |FROM j GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
          |ORDER BY doc_id""".stripMargin,
+    // The attribution table: same CTEs, grouped by (doc, bench item)
+    "d_decontaminate_pairs" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS hs FROM w),
+         |c AS (SELECT doc_id, unnest(hs) AS sh FROM h WHERE doc_id >= 25),
+         |b AS (SELECT doc_id AS bid, unnest(hs) AS sh FROM h WHERE doc_id < 25),
+         |j AS (SELECT c.doc_id, c.sh, b.bid FROM c JOIN b USING (sh))
+         |SELECT doc_id, bid AS bench_id,
+         |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shared
+         |FROM j GROUP BY doc_id, bid HAVING COUNT(DISTINCT sh) >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
     // Mirrors d_pipeline_pack stage-for-stage: analysis gates + dedup from
     // d_pipeline_prep's fragments, the quantile histogram/cutoff from
     // d_quality_topq's, then naive-window budget and packing.

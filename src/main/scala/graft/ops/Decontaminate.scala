@@ -28,18 +28,38 @@ object Decontaminate {
     * `n_shared >= minShared` are returned (these are the ones a pipeline
     * would quarantine). Both frames need (`idCol`, `textCol`).
     */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      out: String) = df.select(
+    col(idCol).as(out),
+    explode(TextFunctions.shingle_hashes(col(textCol))).as("sh"))
+
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    def shingled(df: DataFrame, out: String) = df.select(
-      col(idCol).as(out),
-      explode(TextFunctions.shingle_hashes(col(textCol))).as("sh"))
-    shingled(corpus, "cid")
-      .join(broadcast(shingled(bench, "bid")), "sh")
+    shingled(corpus, idCol, textCol, "cid")
+      .join(broadcast(shingled(bench, idCol, textCol, "bid")), "sh")
       .groupBy("cid")
       .agg(countDistinct("sh").as("n_shared"), countDistinct("bid").as("n_bench"))
       .where(col("n_shared") >= minShared)
       .select(col("cid").as(idCol), col("n_shared"), col("n_bench"))
+  }
+
+  /** Per-(corpus doc, benchmark doc) ATTRIBUTION of [[overlap]]: which
+    * eval item leaked into which document, with the distinct-shingle
+    * evidence count — the audit table a decontamination report cites
+    * ([[overlap]] aggregates it away to one row per corpus doc). Same
+    * scale shape: broadcast bench shingles, corpus streamed once; output
+    * is bounded by actual contamination, not the cross product.
+    */
+  def overlapPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    shingled(corpus, idCol, textCol, "cid")
+      .join(broadcast(shingled(bench, idCol, textCol, "bid")), "sh")
+      .groupBy("cid", "bid")
+      .agg(countDistinct("sh").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("cid").as(idCol), col("bid").as("bench_id"), col("n_shared"))
   }
 
   /** Containment-RATIO variant of [[overlap]]: flags a corpus document when
