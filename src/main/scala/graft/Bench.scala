@@ -69,6 +69,7 @@ object Bench {
     "d_dedup_passages",   // verbatim repeated-passage pairs (char windows)
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_split_corpus",     // train/val/test split on inlined hash thresholds
+    "d_split_manifest",   // per-split release manifests (split × shard)
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
     "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard

@@ -1257,6 +1257,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split")).orderBy("doc_id")
     },
+    // ---- the release view of the split: a manifest PER SPLIT (split as
+    //      the manifest's source key) — what actually ships alongside
+    //      train/val/test artifacts, and the split-disjointness proof at
+    //      the release level (per-split n_docs sum to the corpus; the
+    //      content folds are per-split recomputable)
+    "d_split_manifest" -> { (s, dir) =>
+      val split = ops.Sampling.splitLabels(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      ops.Manifest.snapshot(split, "split", "doc_id", "text", 8)
+        .orderBy("split", "shard")
+    },
     // ---- gate-calibration crosstab: classifier label × Gopher-rule
     //      verdict — the agreement table a pipeline reads to tune its
     //      thresholds (how often does the learned gate contradict the
@@ -2351,6 +2362,28 @@ object SparkEntry {
          |       WHEN u < $t2 THEN 'val'
          |       WHEN u < $t3 THEN 'test' END AS split
          |FROM t WHERE u < $t3 ORDER BY doc_id""".stripMargin
+    },
+    // Per-split manifests: the split CASE feeding the shared manifest
+    // fragments, grouped by (split, shard)
+    "d_split_manifest" -> {
+      val Seq(t1, t2, t3) = ops.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH sp AS (SELECT doc_id, text,
+         |    CASE WHEN ${OracleFrag.unitHash("doc_id")} < $t1 THEN 'train'
+         |         WHEN ${OracleFrag.unitHash("doc_id")} < $t2 THEN 'val'
+         |         WHEN ${OracleFrag.unitHash("doc_id")} < $t3 THEN 'test' END AS split
+         |  FROM documents),
+         |w AS (SELECT doc_id, split, ${OracleFrag.ws("text")} AS ws FROM sp),
+         |m AS (SELECT split,
+         |        CAST((${OracleFrag.unitHash("doc_id")}) % 8 AS INT) AS shard,
+         |        CAST(len(ws) AS BIGINT) AS tok,
+         |        ${OracleFrag.fingerprintExpr} AS fp
+         |      FROM w)
+         |SELECT split, shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(fp) AS BIGINT) AS content_xor,
+         |  CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_mod
+         |FROM m GROUP BY split, shard ORDER BY split, shard""".stripMargin
     },
     // Calibration crosstab: the rules CTEs and the classifier fragments
     // joined on doc_id, counts exact integers

@@ -95,7 +95,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("dedup pipelines never degenerate to cartesian/nested-loop joins") {
     for (name <- Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
-      "d_dedup_cosine_lsh", "d_dedup_passages", "s_ann_lsh", "s_ann_lsh_probed")) {
+      "d_dedup_cosine_lsh", "d_dedup_passages", "s_ann_lsh", "s_ann_lsh_probed",
+      "d_dedup_simhash_vs_index", "d_dedup_minhash_vs_index",
+      "d_dedup_simhash_incremental", "d_dedup_lines_within",
+      "d_decontaminate_pairs")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"),
