@@ -394,6 +394,31 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${latest.size} manifest rows, batch ${batch.size}")
   }
 
+  test("streaming split -> running manifest composes: live per-split release manifests") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val stream = DocumentStream.splitLabeled(
+      DocumentStream.read(spark, docStreamDir), "doc_id", fr)
+    EventStream.runToMemory(
+      DocumentStream.runningManifest(stream, nShards = 4,
+        sourceCol = "split").toDF(),
+      "doc_split_manifest", OutputMode.Update())
+    val latest = spark.table("doc_split_manifest")
+      .groupBy("source", "shard")
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("content_xor"),
+        col("content_mod"))).as("m"))
+      .select(col("source"), col("shard"), col("m.n_docs"), col("m.n_tokens"),
+        col("m.content_xor"), col("m.content_mod"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Manifest.snapshot(
+        graft.ops.Sampling.splitLabels(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", fr),
+        "split", "doc_id", "text", nShards = 4)
+      .withColumnRenamed("split", "source")
+      .collect().map(_.toSeq).toSet
+    assert(latest.nonEmpty && latest == batch,
+      s"stream ${latest.size} split-manifest rows, batch ${batch.size}")
+  }
+
   test("running manifest is arrival-order independent across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
