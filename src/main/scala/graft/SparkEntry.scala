@@ -1168,6 +1168,41 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    // ---- embedding criterion of the incremental family: batch vectors
+    //      probed against the accumulated corpus's hyperplane-band index
+    //      (id-only rows); candidate pairs dedup id-only, then exact cosine
+    //      verifies against the corpus VECTOR STORE — same banded-recall
+    //      contract as d_dedup_cosine_lsh (the oracle replays the banding),
+    //      same id-identity rule as the simhash/minhash probes
+    "d_dedup_cosine_vs_index" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 250)
+      val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
+        planesPerBand = 4, bands = 8)
+      val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+      ops.Dedup.cosineIndexMatches(emb.where(col("vec_id") >= 250), index,
+          store, "vec_id", "embedding", threshold = 0.4,
+          planesPerBand = 4, bands = 8)
+        .orderBy("doc_id", "corpusId")
+    },
+    // ---- incremental SEMANTIC dedup (the SemDeDup-style criterion): drop
+    //      batch vectors whose cosine reaches an indexed corpus vector,
+    //      whole corpus-touching within-batch components, and
+    //      non-representatives — dedupIncrementalNear's touched-component
+    //      semantics under the cosine criterion, completing the
+    //      daily-increment family across exact, token, and embedding
+    "d_dedup_cosine_incremental" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 250)
+      val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
+        planesPerBand = 4, bands = 8)
+      val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+      ops.Dedup.dedupIncrementalCosine(emb.where(col("vec_id") >= 250), index,
+          store, "vec_id", "embedding", threshold = 0.4,
+          planesPerBand = 4, bands = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
     // ---- quality-weighted soft sampling: survival probability = the
     //      doc's own quality score, deterministically (u < floor(q·P31))
     //      — quality pacing between a hard gate and keep-everything
@@ -2915,6 +2950,65 @@ object SparkEntry {
          |       FROM p JOIN n na ON na.vec_id = p.ia JOIN n nb ON nb.vec_id = p.ib)
          |SELECT ia AS "idA", ib AS "idB", cosine
          |FROM sc WHERE cosine >= 0.3 ORDER BY 1, 2""".stripMargin
+    },
+    // The cosine index probe replayed: same 8×4 banding, restricted to
+    // (batch ≥ 250) × (index < 250), exact-cosine verify — the split
+    // sibling of the d_dedup_cosine_lsh oracle
+    "d_dedup_cosine_vs_index" -> {
+      val bandSelects = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS (\n  $bandSelects),
+         |p AS (SELECT DISTINCT b.vec_id AS did, i.vec_id AS cid
+         |      FROM bd b JOIN bd i ON b.band = i.band AND b.bucket = i.bucket
+         |      WHERE b.vec_id >= 250 AND i.vec_id < 250),
+         |sc AS (SELECT p.did, p.cid,
+         |        round(${OracleFrag.dot64("nb.v", "ni.v")} / (nb.nrm * ni.nrm), 6) AS cosine
+         |       FROM p JOIN n nb ON nb.vec_id = p.did JOIN n ni ON ni.vec_id = p.cid)
+         |SELECT did AS doc_id, cid AS "corpusId", cosine
+         |FROM sc WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin
+    },
+    // The cosine increment replayed against the full-rerun rule: banded
+    // index matches, banded within-batch pairs, recursive closure, then
+    // drop matched docs, corpus-touching components, and non-reps — the
+    // cosine sibling of the d_dedup_simhash_incremental oracle
+    "d_dedup_cosine_incremental" -> {
+      val bandSelects = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS (\n  $bandSelects),
+         |mc AS (SELECT DISTINCT b.vec_id AS did, i.vec_id AS cid
+         |       FROM bd b JOIN bd i ON b.band = i.band AND b.bucket = i.bucket
+         |       WHERE b.vec_id >= 250 AND i.vec_id < 250),
+         |m AS (SELECT DISTINCT mc.did FROM mc
+         |      JOIN n nb ON nb.vec_id = mc.did JOIN n ni ON ni.vec_id = mc.cid
+         |      WHERE round(${OracleFrag.dot64("nb.v", "ni.v")} / (nb.nrm * ni.nrm), 6) >= 0.4),
+         |pc AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+         |       FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket
+         |       WHERE a.vec_id >= 250 AND c.vec_id >= 250 AND a.vec_id < c.vec_id),
+         |pr AS (SELECT pc.ia, pc.ib FROM pc
+         |       JOIN n na ON na.vec_id = pc.ia JOIN n nc ON nc.vec_id = pc.ib
+         |       WHERE round(${OracleFrag.dot64("na.v", "nc.v")} / (na.nrm * nc.nrm), 6) >= 0.4),
+         |e2 AS (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT ea, ea FROM e2
+         |  UNION
+         |  SELECT e2.ea, reach.r FROM e2 JOIN reach ON reach.node = e2.eb),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |touched AS (SELECT DISTINCT component FROM comp
+         |            WHERE node IN (SELECT did FROM m)),
+         |losers AS (
+         |  SELECT did AS id FROM m
+         |  UNION SELECT node FROM comp
+         |        WHERE component IN (SELECT component FROM touched)
+         |  UNION SELECT node FROM comp WHERE node != component)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id >= 250 AND vec_id NOT IN (SELECT id FROM losers)
+         |ORDER BY vec_id""".stripMargin
     },
     // Mirrors Similarity.lshTopKBanded: 4 bands × 4 planes, union of band
     // matches, exact cosine, rank over (sim DESC, cid).

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -49,12 +48,20 @@ object Dedup {
   }
 
   /** Exact dedup on a (possibly normalized) key: keeps the row with the
-    * smallest `idCol` per duplicate group. One shuffle on the group key.
+    * smallest `idCol` per duplicate group. One shuffle on the group key —
+    * as a `min_by` AGGREGATE, not a per-key window: an aggregate partial-
+    * combines map-side, so a hub key (a boilerplate page duplicated 10⁸
+    * times in a crawl) reduces to one struct per map task before the
+    * shuffle ever sees it, where `row_number() over (partition by key)`
+    * would funnel the whole group through one window task with no partial
+    * aggregation (VERDICT r10 §wrong-1). Membership is identical (ids are
+    * unique per row by contract, so min-by-id = rank-1-by-id).
     */
   def exactDedup(df: DataFrame, keyCol: Column, idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(keyCol.as("__dk"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** INCREMENTAL exact dedup — the daily-increment pattern: drop from
@@ -445,6 +452,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Null-guarded (doc_id, v, nrm) projection shared by every cosine
+    * near-dup operator — the embedding sibling of [[guardedSims]]: NULL ids
+    * raise (a NULL id can neither pair-order nor match an index identity),
+    * vectors are cast to double once, norms computed once per row.
+    */
+  private def guardedVecs(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(
+        when(col(idCol).isNull, raise_error(lit(
+          s"Dedup: null $idCol — cosine near-dup matching needs a non-null " +
+            "document id; filter or repair ids upstream")))
+          .otherwise(col(idCol)).as("doc_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+
+  /** The ONE hyperplane-banding definition of the cosine family: `bands`
+    * independent buckets of `planesPerBand` deterministic sign bits each
+    * (Similarity.hyperplaneBucket — mirrored by the oracle), one row per
+    * (doc, band). Input must carry `v`; extra columns (e.g. a stream's
+    * `ingestTs`) ride through, the vector and norm do NOT — band rows are
+    * id-sized by design, so widening bands never ships vectors per band.
+    * Shared by the within-batch pairing, the persisted index builder, and
+    * every prober, so index and probers agree byte-for-byte.
+    */
+  private[graft] def cosineBandRows(withVec: DataFrame, planesPerBand: Int,
+      bands: Int): DataFrame = {
+    val bucketCols = array((0 until bands).map { b =>
+      Similarity.hyperplaneBucket(col("v"), planesPerBand, firstPlane = b * planesPerBand)
+    }: _*)
+    withVec.select(col("*"), posexplode(bucketCols))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .drop("v", "nrm")
+  }
+
+  /** The ONE exact-verification formula of the cosine family: sequential-
+    * fold dot (bit-identical to the oracle's list_reduce), rounded to 6
+    * decimals so the threshold cut can never drift between engines. */
+  private[graft] def cosineVerify(v: Column, nrm: Column, cv: Column,
+      cn: Column): Column =
+    round(Similarity.dot(v, cv) / (nrm * cn), 6)
+
   /** Embedding near-dup pairs: exact cosine over banded hyperplane-LSH
     * candidates. `bands` independent buckets of `planesPerBand` sign bits
     * each (OR-amplification: a pair is a candidate if ANY band matches —
@@ -460,31 +508,160 @@ object Dedup {
       threshold: Double = 0.95,
       planesPerBand: Int = 4,
       bands: Int = 8,
-  ): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val withVec = ensureParallelism(emb)
-      .select(col(idCol).as("id"), v.as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val bucketCols = array((0 until bands).map { b =>
-      Similarity.hyperplaneBucket(col("v"), planesPerBand, firstPlane = b * planesPerBand)
-    }: _*)
+  ): DataFrame =
+    cosinePairsFromVecs(guardedVecs(ensureParallelism(emb), idCol, vecCol),
+      threshold, planesPerBand, bands)
+
+  /** Within-batch pairing over a prepped (doc_id, v, nrm) frame — split out
+    * so [[dedupIncrementalCosine]] can share one checkpointed projection
+    * between the index probe and the pairing.
+    */
+  private[graft] def cosinePairsFromVecs(withVec: DataFrame, threshold: Double,
+      planesPerBand: Int, bands: Int): DataFrame = {
     // band shuffle carries IDS ONLY — shipping the vectors per candidate
     // row 8×'d the shuffle volume (measured 159 s at sf0.1); instead dedupe
     // pairs first, then re-join the (small, AQE-broadcastable) vector side
-    val banded = withVec.select(col("id"), posexplode(bucketCols))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
+    val banded = cosineBandRows(withVec, planesPerBand, bands)
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("idA"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("idB")),
         Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
     pairs
-      .join(withVec.select(col("id").as("idA"), col("v").as("vA"), col("nrm").as("nA")), "idA")
-      .join(withVec.select(col("id").as("idB"), col("v").as("vB"), col("nrm").as("nB")), "idB")
+      .join(withVec.select(col("doc_id").as("idA"), col("v").as("vA"), col("nrm").as("nA")), "idA")
+      .join(withVec.select(col("doc_id").as("idB"), col("v").as("vB"), col("nrm").as("nB")), "idB")
       .select(col("idA"), col("idB"),
-        round(Similarity.dot(col("vA"), col("vB")) /
-          (col("nA") * col("nB")), 6).as("cosine"))
+        cosineVerify(col("vA"), col("nA"), col("vB"), col("nB")).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Static hyperplane-band index of an accumulated corpus's embeddings:
+    * `(band, bucket, corpusId)` — the embedding sibling of [[simhashIndex]]
+    * / [[minhashIndex]], completing the daily-increment family across all
+    * three near-dup criteria. The banding is [[cosineBandRows]] — the EXACT
+    * scheme [[cosineNearDupPairs]] buckets with — so a persisted index and
+    * every prober agree byte-for-byte.
+    *
+    * Deliberately id-only (`bands` int rows per corpus document): exact
+    * verification needs corpus VECTORS, but duplicating a 64-float vector
+    * into every band row would 8× both the persisted index and the
+    * candidate-join shuffle (the measured anti-pattern cosineNearDupPairs
+    * documents). The vector side lives in the separate [[cosineVecStore]] —
+    * the (id, vec) embedding store a released corpus persists anyway — and
+    * only candidate corpusIds' vectors are ever fetched from it.
+    */
+  def cosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int = 4, bands: Int = 8): DataFrame =
+    cosineBandRows(guardedVecs(corpus, idCol, vecCol), planesPerBand, bands)
+      .select(col("band"), col("bucket"), col("doc_id").as("corpusId"))
+
+  /** The vector side of a persisted cosine index: `(corpusId, corpusV,
+    * corpusN)` — one row per corpus document, norms precomputed at build
+    * time. Vector-sized (no text), joined only on candidate corpusIds.
+    */
+  def cosineVecStore(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    guardedVecs(corpus, idCol, vecCol)
+      .select(col("doc_id").as("corpusId"), col("v").as("corpusV"),
+        col("nrm").as("corpusN"))
+
+  /** Shared candidate core against a [[cosineIndex]]: band rows of the
+    * input joined to the index on (band, bucket), self-identity excluded —
+    * one row per (doc, corpusDoc, matching band), extra input columns ride
+    * through, NO vectors shipped ([[indexMatchCore]]'s contract, cosine
+    * flavored). Callers collapse multi-band collisions and exact-verify
+    * their own way: the batch probe dedups pairs BEFORE the vector joins;
+    * the streaming twin verifies against a broadcast [[cosineVecStore]]
+    * and collapses within its watermark. No broadcast hint here — an
+    * accumulated-corpus index can be billions of rows; Catalyst picks by
+    * stats (the [[indexMatchCore]] rule).
+    */
+  private[graft] def cosineCandidateCore(withVec: DataFrame, index: DataFrame,
+      planesPerBand: Int, bands: Int): DataFrame =
+    cosineBandRows(withVec, planesPerBand, bands)
+      .join(index, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("corpusId"))
+      .drop("band", "bucket")
+
+  /** Batch matches over a prepped (doc_id, v, nrm) frame — candidate pairs
+    * deduped id-only, then one vector join per side and the shared exact
+    * verify. Split out so [[dedupIncrementalCosine]] reuses the
+    * checkpointed projection.
+    */
+  private def cosineMatchesFromVecs(withVec: DataFrame, index: DataFrame,
+      vecStore: DataFrame, threshold: Double, planesPerBand: Int,
+      bands: Int): DataFrame =
+    cosineCandidateCore(withVec.select("doc_id", "v", "nrm"), index,
+        planesPerBand, bands)
+      .select("doc_id", "corpusId").distinct()
+      .join(withVec.select(col("doc_id"), col("v"), col("nrm")), "doc_id")
+      .join(vecStore, "corpusId")
+      .select(col("doc_id"), col("corpusId"),
+        cosineVerify(col("v"), col("nrm"), col("corpusV"), col("corpusN")).as("cosine"))
+      .where(col("cosine") >= threshold)
+
+  /** Batch matches against a [[cosineIndex]] + [[cosineVecStore]]:
+    * `(doc_id, corpusId, cosine)` for every batch document whose exact
+    * cosine with an indexed one reaches `threshold` AND that shares at
+    * least one hyperplane band with it (the banded-recall contract of
+    * [[cosineNearDupPairs]] — the oracle replays the banding, so recall is
+    * pinned, not hidden). Same id-identity rule as [[simhashIndexMatches]]:
+    * a row never matches its own id. Scale shape: band-keyed shuffle of id
+    * rows only; candidate pairs dedup before any vector joins; the corpus
+    * contributes its index plus candidate-id vector lookups — its text is
+    * never rescanned.
+    */
+  def cosineIndexMatches(batch: DataFrame, index: DataFrame,
+      vecStore: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planesPerBand: Int = 4,
+      bands: Int = 8): DataFrame =
+    cosineMatchesFromVecs(guardedVecs(ensureParallelism(batch), idCol, vecCol),
+      index, vecStore, threshold, planesPerBand, bands)
+
+  /** Incremental EMBEDDING-SPACE near-dedup — the cosine criterion of the
+    * daily-increment family ([[dedupIncremental]] = exact,
+    * [[dedupIncrementalNear]] = token/Hamming): grow an accumulated deduped
+    * corpus by one batch, dropping from the batch
+    *
+    *  1. every document whose exact cosine with an indexed corpus document
+    *     reaches `threshold` through a shared hyperplane band (its
+    *     near-original is already released),
+    *  2. every member of a within-batch near-dup component that TOUCHES the
+    *     corpus (the released near-original stands in as that component's
+    *     survivor), and
+    *  3. in components not touching the corpus, everything but the min-id
+    *     representative.
+    *
+    * Identical touched-component semantics to [[dedupIncrementalNear]], so
+    * the same full-rerun-equivalence argument applies (corpus ids preceding
+    * batch ids — pinned in OpsSpec): the pair criterion (share a band AND
+    * cosine ≥ threshold) is one deterministic predicate, applied by the
+    * SAME banding and verify definitions within the batch and across the
+    * index. The corpus contributes only its band index and candidate-id
+    * vector lookups — never a rescan.
+    */
+  def dedupIncrementalCosine(batch: DataFrame, index: DataFrame,
+      vecStore: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planesPerBand: Int = 4, bands: Int = 8,
+      maxIters: Int = 30): DataFrame = {
+    // checkpoint: the prepped vectors feed both the index probe and the
+    // within-batch pairing — without it the batch is re-projected per use
+    val withVec = guardedVecs(ensureParallelism(batch), idCol, vecCol)
+      .localCheckpoint(true)
+    val matched = cosineMatchesFromVecs(withVec, index, vecStore, threshold,
+        planesPerBand, bands)
+      .select(col("doc_id")).distinct()
+    val comps = connectedComponentsStar(
+      cosinePairsFromVecs(withVec, threshold, planesPerBand, bands),
+      "idA", "idB", maxIters)
+    val touched = comps
+      .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
+      .select(col("comp")).distinct()
+    val losers = matched.select(col("doc_id").as("__nd_id"))
+      .union(comps.join(touched, Seq("comp")).select(col("node").as("__nd_id")))
+      .union(comps.where(col("node") =!= col("comp")).select(col("node").as("__nd_id")))
+      .distinct()
+    batch.join(losers, batch(idCol) === losers("__nd_id"), "left_anti")
   }
 
   /** VERBATIM repeated-passage pairs: documents sharing ≥ `minShared`

@@ -237,6 +237,42 @@ object DocumentStream {
       .drop("ingestTs")
   }
 
+  /** Embedding sibling of [[nearDupsAgainstCorpus]], completing the
+    * streaming increment across all three near-dup criteria: arriving
+    * `(doc_id, vec)` rows are hyperplane-banded with the batch operator's
+    * own definitions ([[graft.ops.Dedup.cosineBandRows]] /
+    * `cosineCandidateCore` / `cosineVerify`), candidates joined against a
+    * static [[graft.ops.Dedup.cosineIndex]], and exact cosine verified
+    * against the broadcast [[graft.ops.Dedup.cosineVecStore]]. Emits
+    * `(doc_id, corpusId, cosine)` for cosine ≥ `threshold`.
+    *
+    * Streaming-specific (everything else is the batch definition): the
+    * stream's own vector rides through the band explode as `__v`/`__nrm` —
+    * a stream cannot re-join to itself, so the batch probe's
+    * dedup-pairs-then-re-join-vectors optimization doesn't apply; both
+    * static sides are broadcast (stream-static joins want the static side
+    * as build side); multi-band collisions collapse within the watermark.
+    */
+  def cosineNearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
+      vecStore: DataFrame, vecCol: String = "vec",
+      threshold: Double = 0.95, planesPerBand: Int = 4, bands: Int = 8,
+      dedupDelay: String = "10 minutes"): DataFrame = {
+    val withVec = stream
+      .select(col("doc_id"), col("ingestTs"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
+      .withColumn("__v", col("v")).withColumn("__nrm", col("nrm"))
+    Dedup.cosineCandidateCore(withVec, broadcast(index), planesPerBand, bands)
+      .join(broadcast(vecStore), "corpusId")
+      .select(col("doc_id"), col("ingestTs"), col("corpusId"),
+        Dedup.cosineVerify(col("__v"), col("__nrm"),
+          col("corpusV"), col("corpusN")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
+      .drop("ingestTs")
+  }
+
   /** Stream-stream self-dedup: near-dup pairs BETWEEN documents arriving in
     * the same stream, found online — closes the lambda gap that
     * [[nearDupsAgainstCorpus]] leaves for new-vs-new duplicates. Both sides

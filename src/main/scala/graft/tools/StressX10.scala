@@ -207,6 +207,47 @@ object StressX10 {
         f"ceiling ratio ${naiveMax.toDouble / twoMax}%.0f× |")
     }
 
+    // Hub-key exact dedup (VERDICT r10 §wrong-1): 95% of 160M rows share
+    // ONE content key — the boilerplate-page-in-a-crawl shape. The min_by
+    // AGGREGATE partial-combines map-side, so the shuffle sees one row per
+    // (map task, key); the old row_number window serialized the whole hub
+    // group through one task. Local wall time under-states the difference
+    // (one in-memory task absorbs the hub here); the cluster-independent
+    // measure is the busiest post-shuffle task's input rows under 64
+    // forced shards — the window's is bounded BELOW by the hub group, the
+    // aggregate's by its map-side-combined output.
+    locally {
+      val hub = addStrata(
+        spark.range(0, 160000000L).select(col("id").as("doc_id")), "doc_id")
+        .withColumn("key",
+          when(col("strata") === "web", lit("HUB"))
+            .otherwise(concat(lit("k"), col("doc_id").cast("string"))))
+        .select("doc_id", "key")
+      val (tAgg, nAgg) = time(graft.ops.Dedup.exactDedup(hub, col("key"), "doc_id"))
+      def naiveWindowDedup(d: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("key")).orderBy(col("doc_id"))
+        d.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+      val (tWin, nWin) = time(naiveWindowDedup(hub))
+      require(nAgg == nWin, s"membership drift: $nAgg vs $nWin")
+      def maxTask(d: DataFrame): Long =
+        d.repartition(64, col("key"))
+          .select(spark_partition_id().as("__p"))
+          .groupBy("__p").agg(count(lit(1)).as("__c"))
+          .agg(max("__c")).first().getLong(0)
+      // the map-side-combine output the aggregate's shuffle actually ships:
+      // one row per (input partition, key)
+      val partial = hub
+        .groupBy(spark_partition_id().as("__mp"), col("key"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "key")
+      println(f"| exactDedup 160M rows, 95%% hub key | min_by aggregate $tAgg%.2f s " +
+        f"| naive window $tWin%.2f s locally | busiest shuffle-task input: " +
+        f"aggregate ${maxTask(partial)} rows vs window ${maxTask(hub)} rows |")
+    }
+
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
     scenarios.indices.foreach { i =>

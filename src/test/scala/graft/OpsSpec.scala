@@ -751,6 +751,77 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size < batch.count())
   }
 
+  test("cosineIndexMatches IS the cross-split slice of the within-set pairing") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where(col("vec_id") < 250)
+    val batch = all.where(col("vec_id") >= 250)
+    val index = Dedup.cosineIndex(corpus, "vec_id", "embedding")
+    val store = Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+    val got = Dedup.cosineIndexMatches(batch, index, store, "vec_id",
+        "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same banding + same verify ⇒ the probe must equal the union pairing's
+    // cross-split pairs, seen from the batch side (pairs order idA < idB,
+    // and corpus ids precede batch ids here)
+    val expect = Dedup.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, c) if a < 250 && b >= 250 => (b, a, c) }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("dedupIncrementalCosine reproduces the full-rerun survivor set (corpus ids first)") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where(col("vec_id") < 250)
+    val batch = all.where(col("vec_id") >= 250)
+    val index = Dedup.cosineIndex(corpus, "vec_id", "embedding")
+    val store = Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+    val got = Dedup.dedupIncrementalCosine(batch, index, store, "vec_id",
+        "embedding", threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    // full rerun under the operator's OWN pair criterion (share a band AND
+    // cosine ≥ threshold — banding is lossy, so brute-force cosine is not
+    // the contract): CC over the union's pairs, survivors = min id per
+    // component; expected batch survivors = the batch slice of that
+    val pairs = Dedup.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.4)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, -1L); if (p < 0) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(id => find(id) != id).toSet
+    val expect = all.select("vec_id").as[Long].collect()
+      .filter(_ >= 250).filterNot(losers).toSet
+    assert(got == expect)
+    // and cross-half dups exist in this fixture, so the increment is
+    // strictly coarser than a batch-only dedup
+    assert(got.size < batch.count())
+  }
+
+  test("cosine increment raises on NULL ids (a null id would bypass every cut)") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val index = Dedup.cosineIndex(corpus, "vec_id", "embedding")
+    val store = Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+    val batch = Seq((Option(10L), Seq(1.0f, 0.1f, 0.0f)),
+      (Option.empty[Long], Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    for (op <- Seq(
+      () => Dedup.cosineIndexMatches(batch, index, store, "vec_id", "embedding").collect(),
+      () => Dedup.dedupIncrementalCosine(batch, index, store, "vec_id", "embedding").collect(),
+      () => Dedup.cosineIndex(batch, "vec_id", "embedding").collect())) {
+      val e = intercept[Exception](op())
+      assert(e.getMessage.contains("null vec_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null vec_id")))
+    }
+  }
+
   test("near-dup increment raises on NULL ids (a null id would bypass every cut)") {
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

@@ -98,6 +98,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "d_dedup_cosine_lsh", "d_dedup_passages", "s_ann_lsh", "s_ann_lsh_probed",
       "d_dedup_simhash_vs_index", "d_dedup_minhash_vs_index",
       "d_dedup_simhash_incremental", "d_dedup_lines_within",
+      "d_dedup_cosine_vs_index", "d_dedup_cosine_incremental",
       "d_decontaminate_pairs")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
@@ -126,6 +127,22 @@ class PlanQualitySpec extends AnyFunSuite {
   test("cosine near-dup re-joins vectors via broadcast after pair dedup") {
     val p = planOf("d_dedup_cosine_lsh")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("cosine index probe: id-only band shuffle, vectors re-join after pair dedup") {
+    val df = SparkEntry.queries("d_dedup_cosine_vs_index")(spark, dir)
+    df.collect() // materialize so AQE finalizes join strategies
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate join on (band, bucket) must see NO vector column — the
+    // id-only-shuffle invariant that keeps widening bands from shipping
+    // vectors per band row; vectors enter via the post-dedup joins only
+    val candJoin = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("band#") && l.contains("bucket#"))
+    assert(candJoin.isDefined, p.take(4000))
+    assert(!candJoin.get.contains("corpusV"), candJoin.get)
+    // the exact-verify tail re-joins the (small) vector sides broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("IVF-PQ's ADC aggregate scans the probed subset, not the full corpus") {

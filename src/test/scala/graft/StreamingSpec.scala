@@ -307,6 +307,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size} matches, batch ${batch.size}")
   }
 
+  test("streaming cosine probe vs static hyperplane index matches the batch probe") {
+    import org.apache.spark.sql.types._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val half = emb.where(col("vec_id") < 250)
+    val index = graft.ops.Dedup.cosineIndex(half, "vec_id", "embedding")
+    val store = graft.ops.Dedup.cosineVecStore(half, "vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft-embstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      d.resolve("part-0.parquet"))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(embSchema).parquet(d.toString)
+      .withColumn("ingestTs", current_timestamp())
+      .where(col("vec_id") >= 250)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"), col("ingestTs"))
+    EventStream.runToMemory(
+      DocumentStream.cosineNearDupsAgainstCorpus(stream, index, store,
+        threshold = 0.4), "emb_cos_probe")
+    val streamed = spark.table("emb_cos_probe")
+      .select("doc_id", "corpusId", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.cosineIndexMatches(
+        emb.where(col("vec_id") >= 250), index, store, "vec_id", "embedding",
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} matches, batch ${batch.size}")
+  }
+
   test("streaming per-source token budget matches the batch windowed running sum") {
     import org.apache.spark.sql.expressions.Window
     val stream = DocumentStream.read(spark, docStreamDir)
