@@ -81,6 +81,7 @@ object Bench {
     "d_quality_topq",     // exact top-quantile gate via value histogram
     "d_mixture_sample",   // weighted source mixture under availability
     "d_mixture_temp",     // avail^tau weights through the exact-quota path
+    "d_mixture_tokens",   // TOKEN-budgeted quotas via bucketed prefix sums
     "d_mixture_lang",     // language-balanced mixture over the DERIVED stratum
     "d_corpus_stats",     // per-source corpus profile report
     "d_text_surprisal",   // unigram self-surprisal quality signal

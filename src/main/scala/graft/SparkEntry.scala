@@ -1550,6 +1550,21 @@ object SparkEntry {
         Map("src0" -> 3.0, "src1" -> 1.0), default = 0.5)
         .select(col("doc_id"), col("source"), col("rk")).orderBy("doc_id")
     },
+    // ---- TOKEN-budgeted mixture: quotas in tokens, not documents ("3:1
+    //      by tokens") — per-source token availability feeds the same
+    //      feasibility min, and each source admits its hash-ordered prefix
+    //      while the inclusive running token total stays ≤ quota (the
+    //      boundary document that would overflow is cut, documents being
+    //      atomic); bucketed prefix sums keep the running window off the
+    //      corpus
+    "d_mixture_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("nTokens", ops.TextAnalysis.wsTokenCount(col("text")))
+      ops.Sampling.mixtureSampleTokens(docs, "source", "doc_id", "nTokens",
+        Map("src0" -> 3.0, "src1" -> 1.0), default = 0.5)
+        .select(col("doc_id"), col("source"), col("nTokens"), col("cumTokens"))
+        .orderBy("doc_id")
+    },
     // ---- language-balanced mixture: the SAME exact-quota machinery over
     //      a DERIVED stratum (the analyzer's language guess) — the
     //      multilingual rebalance a pipeline actually runs, and the proof
@@ -2748,6 +2763,29 @@ object SparkEntry {
          |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
          |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
          |WHERE r.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin,
+    // Token-quota mixture replayed: per-source token sums, the same
+    // feasibility min and floor, and the inclusive running token total in
+    // (unitHash, id) order — the boundary document cut is `cum <= quota`
+    // in both engines
+    "d_mixture_tokens" ->
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tk AS (SELECT doc_id, source, CAST(len(ws) AS INT) AS ntok,
+         |        ${OracleFrag.unitHash("doc_id")} AS u FROM w),
+         |av AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS avail FROM tk GROUP BY 1),
+         |wt AS (SELECT source, avail, CASE source
+         |        WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 ELSE 0.5 END AS wt
+         |      FROM av),
+         |t AS (SELECT MIN(CAST(avail AS DOUBLE) / wt) AS tmax FROM wt WHERE wt > 0),
+         |q AS (SELECT source, CAST(FLOOR(tmax * wt) AS BIGINT) AS quota
+         |      FROM wt, t WHERE wt > 0),
+         |r AS (SELECT doc_id, source, ntok,
+         |        CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM tk)
+         |SELECT r.doc_id, r.source, r.ntok AS "nTokens", r.cum AS "cumTokens"
+         |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+         |WHERE r.cum <= q.quota
          |ORDER BY doc_id""".stripMargin,
     // Same quota machinery over the DERIVED language stratum (the shared
     // analyzer fragments compute langGuess); weights 1.0/0.25 are exact

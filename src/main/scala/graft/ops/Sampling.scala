@@ -320,6 +320,87 @@ object Sampling {
     })
   }
 
+  /** TOKEN-budgeted corpus mixture — real mixture specs budget TOKENS, not
+    * documents ("30% code by tokens"): the largest feasible total is
+    * `T = min_i tokenAvail_i / w_i` (availability measured in tokens), each
+    * source's token quota is `⌊T · w_i⌋`, and a source admits its
+    * hash-ordered document prefix while the INCLUSIVE running token total
+    * stays ≤ quota — the first document that would overflow the quota is
+    * CUT (documents are atomic; an admitted-then-truncated document would
+    * not be a document any more). Zero-token documents inside the admitted
+    * prefix are kept (they cost nothing); NULL/negative token counts raise
+    * (a silently-nulled sum would zero a source's availability and bias
+    * the whole mixture). Emits `cumTokens` (the inclusive running total)
+    * for audit, like [[hashSample]] emits `u`.
+    *
+    * Scale shape — the same two-phase trick as [[stratifiedFixed]], with
+    * token SUMS in place of row counts (the [[Budget]] bucketed-prefix-sum
+    * idea applied per stratum): phase 1 histograms per (source, hash
+    * bucket) token sums — a map-side-combined aggregate, ≤ strata ×
+    * [[SelectionBuckets]] rows — and a tiny aggregate-fed window picks each
+    * source's cutoff bucket (the last whose PRECEDING cumulative tokens ≤
+    * quota — `≤`, not `<`, so a zero-token document landing exactly on the
+    * quota boundary stays reachable); phase 2 re-scans, keeps only
+    * prefix-bucket rows, and runs the exact running-token window over the
+    * ≈ quota-tokens-worth of survivors. The dominant source of a real
+    * mixture never serializes through one corpus-sized window task. Below
+    * the [[onePhaseRegime]] cutoff the running sum ranks the full stratum
+    * directly — membership identical by construction (every excluded row's
+    * preceding cumulative already exceeds the quota), parity-pinned in
+    * OpsSpec.
+    */
+  def mixtureSampleTokens(df: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, weights: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && default >= 0,
+      "mixture weights must be non-negative")
+    require((weights.values.toSeq :+ default).exists(_ > 0),
+      "at least one mixture weight must be positive")
+    val wt = weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc) }
+    val tok = when(col(tokenCol).isNull || col(tokenCol) < 0,
+      raise_error(concat(
+        lit(s"mixtureSampleTokens: $tokenCol null or negative at $idCol="),
+        col(idCol).cast("string"))))
+      .otherwise(col(tokenCol).cast("long"))
+    def quotasFrom(avails: DataFrame): DataFrame = { // (strataCol, __avail) in TOKENS
+      val counts = avails.withColumn("__wt", wt).where(col("__wt") > 0)
+      val tmax = counts.agg(min(col("__avail").cast("double") / col("__wt")).as("__t"))
+      counts.crossJoin(broadcast(tmax))
+        .select(col(strataCol), floor(col("__t") * col("__wt")).cast("long").as("__quota"))
+    }
+    val withU = guardedU(df, idCol).withColumn("__tok", tok)
+    val wRun = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if (onePhaseRegime(df)) {
+      val avails = withU.groupBy(col(strataCol)).agg(sum("__tok").as("__avail"))
+      joinOnStratum(withU, quotasFrom(avails), strataCol)
+        .withColumn("cumTokens", sum("__tok").over(wRun))
+        .where(col("cumTokens") <= col("__quota"))
+        .drop("__u", "__tok", "__quota")
+    } else {
+      val bw = P31 / SelectionBuckets + 1
+      val bucketed = withU.withColumn("__b", floor(col("__u") / lit(bw)).cast("long"))
+      val hist = bucketed.groupBy(col(strataCol), col("__b"))
+        .agg(sum("__tok").as("__tc"))
+      val quotas = quotasFrom(
+        hist.groupBy(col(strataCol)).agg(sum("__tc").as("__avail")))
+      val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // tiny by construction: ≤ strata × SelectionBuckets rows feed this
+      // window, the aggregate-fed shape this repo pins everywhere
+      val cuts = joinOnStratum(hist, quotas, strataCol)
+        .withColumn("__cum", sum("__tc").over(wCum))
+        .where(col("__cum") - col("__tc") <= col("__quota"))
+        .groupBy(col(strataCol))
+        .agg(max(col("__b")).as("__bmax"), max(col("__quota")).as("__quota"))
+      joinOnStratum(bucketed, cuts, strataCol).where(col("__b") <= col("__bmax"))
+        .withColumn("cumTokens", sum("__tok").over(wRun))
+        .where(col("cumTokens") <= col("__quota"))
+        .drop("__u", "__b", "__bmax", "__tok", "__quota")
+    }
+  }
+
   /** Diagnostic: the number of rows phase 2's rank window actually
     * receives for an exact-n sample — the serialization measure that
     * matters at cluster scale, where a window partition is one task on

@@ -1121,6 +1121,71 @@ class OpsSpec extends AnyFunSuite {
     assert(one("fixed").exists(_._2.isEmpty), "NULL stratum must be sampled")
   }
 
+  test("mixtureSampleTokens: token quotas, boundary doc cut, zero-token docs free") {
+    // source a: 8 docs × 5 tokens (+1 zero-token doc), source b: 17 docs ×
+    // 1 token. weights 1:1 → T = min(40, 17) = 17 → quotaA = quotaB = 17.
+    // b keeps all 17 (cum 17 ≤ 17 — exact-fit boundary KEPT); a admits in
+    // hash order while cum ≤ 17 → three 5-token docs (cum 15), the fourth
+    // (cum 20) is CUT; the zero-token doc is kept iff it falls inside the
+    // admitted prefix — it is forced FIRST in hash order here, so it must
+    // survive at zero cost.
+    val aIds = (1L to 2000L).sortBy(Sampling.unitHashLong).take(9)
+    val zeroId = aIds.head
+    val rows = aIds.map(i => (i, "a", if (i == zeroId) 0 else 5)) ++
+      (10001L to 10017L).map(i => (i, "b", 1))
+    val df = rows.toDF("doc_id", "source", "ntok")
+    val got = Sampling.mixtureSampleTokens(df, "source", "doc_id", "ntok",
+      Map("a" -> 1.0, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    // independent driver replay: per source, (unitHash, id) order, keep
+    // while the inclusive running total stays ≤ quota
+    val quota = Map("a" -> 17L, "b" -> 17L)
+    val expect = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (Sampling.unitHashLong(r._1), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= quota(src)) Some((r._1, src, cum)) else None
+      }.takeWhile(_ => true)
+    }.toSet
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    assert(got.exists { case (id, s, cum) => id == zeroId && s == "a" && cum == 0L },
+      "zero-token doc in the admitted prefix must survive at zero cost")
+    assert(got.count(_._2 == "a") == 4 && got.count(_._2 == "b") == 17)
+    // boundary semantics: b's last doc lands exactly on the quota (kept);
+    // a's fourth 5-token doc would overflow (cut)
+    assert(got.filter(_._2 == "b").map(_._3).max == 17L)
+    assert(!got.exists { case (_, s, cum) => s == "a" && cum > 17L })
+  }
+
+  test("mixtureSampleTokens: one-phase and two-phase forms agree exactly") {
+    val rows = (1L to 300L).map(i => (i * 37L % 2029L + i, "web", (i % 7L).toInt)) ++
+      (2000L to 2040L).map(i => (i, "books", 3)) ++
+      (3000L to 3014L).map(i => (i, "code", 1))
+    val df = rows.toDF("doc_id", "source", "ntok").distinct()
+    def run() = Sampling.mixtureSampleTokens(df, "source", "doc_id", "ntok",
+      Map("web" -> 3.0, "books" -> 1.0), default = 0.5)
+      .select("doc_id", "source", "cumTokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val conf = TestSpark.session.conf
+    val one = try { conf.set(Sampling.OnePhaseMaxBytesConf, Long.MaxValue.toString); run() }
+      finally conf.unset(Sampling.OnePhaseMaxBytesConf)
+    val two = try { conf.set(Sampling.OnePhaseMaxBytesConf, "0"); run() }
+      finally conf.unset(Sampling.OnePhaseMaxBytesConf)
+    assert(one.nonEmpty && one == two,
+      s"one-phase ${one.size} vs two-phase ${two.size}")
+  }
+
+  test("mixtureSampleTokens raises on NULL/negative token counts") {
+    val df = Seq((1L, "a", Option(5)), (2L, "a", Option.empty[Int]),
+      (3L, "b", Option(2))).toDF("doc_id", "source", "ntok")
+    val e = intercept[Exception] {
+      Sampling.mixtureSampleTokens(df, "source", "doc_id", "ntok",
+        Map("a" -> 1.0, "b" -> 1.0)).collect()
+    }
+    assert(e.getMessage.contains("null or negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("null or negative")))
+  }
+
   test("mixtureSampleTemperature: avail^tau quotas, scarcest kept whole, tau=1 = identity") {
     val rows = (1L to 400L).map(i => (i, "web")) ++
       (1000L to 1099L).map(i => (i, "books")) ++

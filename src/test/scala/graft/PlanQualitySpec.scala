@@ -552,14 +552,16 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    for (name <- Seq("d_pipeline_pack", "d_mixture_sample", "d_pipeline_clean")) {
+    for (name <- Seq("d_pipeline_pack", "d_mixture_sample", "d_pipeline_clean",
+      "d_mixture_tokens")) {
       val plan = nonAdaptivePlan(SparkEntry.queries(name)(spark, dir))
       val singles = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
       // pipeline_pack: quantile histogram total + cutoff window + two
-      // prefix-sum offset windows; mixture: the feasibility min — all of
-      // them tiny post-aggregate data (the agg-fed check below is the
-      // load-bearing invariant; the count just bounds drift)
+      // prefix-sum offset windows; mixture (docs and tokens): the
+      // feasibility min — all of them tiny post-aggregate data (the
+      // agg-fed check below is the load-bearing invariant; the count just
+      // bounds drift)
       assert(singles.size <= 4, s"$name: ${plan.toString.take(3000)}")
       singles.foreach(e => assert(
         e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
