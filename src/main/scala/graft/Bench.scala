@@ -98,6 +98,8 @@ object Bench {
     "s_ann_ivf_trained_indexed", // trained + persisted: assignment amortized at build
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
+    "s_ann_pq_trained",   // PQ serve path under the committed trained codebook
+    "s_ann_ivfpq_trained", // fully-trained IVF-PQ: fixture quantizer + codebook
     "m_media_frames",     // mapPartitions frame sampling
     "m_media_features",   // REAL PNG decode (ImageIO) + raster checksum
     "m_media_resize",     // real decode + nearest-neighbor resample

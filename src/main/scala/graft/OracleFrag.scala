@@ -244,6 +244,16 @@ private[graft] object OracleFrag {
   def subDot(a: String, b: String, sVar: String, subDim: Int): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${subDim + 1}), __i -> ($a)[$sVar*$subDim + __i] * ($b)[$sVar*$subDim + __i])), (__x, __y) -> __x + __y)"""
 
+  /** Mixed-subspace dot: slice `sVar` of full-width `a` against an
+    * ALREADY-SLICED `subDim`-wide `b` (a trained-codebook centroid) —
+    * the fold order of `DotProduct(slice(v), cb_sub)`. */
+  def subDotFix(a: String, b: String, sVar: String, subDim: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${subDim + 1}), __i -> ($a)[$sVar*$subDim + __i] * ($b)[__i])), (__x, __y) -> __x + __y)"""
+
+  /** Sequential dot of two `n`-wide double-list expressions (dims 1..n). */
+  def dotN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), __i -> ($a)[__i] * ($b)[__i])), (__x, __y) -> __x + __y)"""
+
   /** ±1 sign of hyperplane p at lambda-var dim `iVar` (mirror of
     * Similarity.planeSign — two Lehmer steps, overflow-safe). */
   private def planeSignSql(p: Int, iVar: String): String =

@@ -226,6 +226,31 @@ object SparkEntry {
       .withColumn("cent_n", ops.Similarity.norm(col("cent_v")))
   }
 
+  /** The committed per-subspace PQ codebook fixture (tools.TrainPqFixture),
+    * parsed once per JVM. Lines are `s codeId v1 .. v8` with
+    * `Double.toString` values, so Spark and the DuckDB oracle (which
+    * embeds the SAME text as literals) encode against bit-identical
+    * codebook doubles.
+    */
+  private[graft] lazy val fixtureCodebookRows: Seq[(Int, Int, Seq[Double])] = {
+    val in = getClass.getResourceAsStream("/graft/pq_trained_codebook.txt")
+    require(in != null, "pq_trained_codebook.txt fixture missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val parts = line.split(' ')
+      (parts(0).toInt, parts(1).toInt, parts.drop(2).map(_.toDouble).toSeq)
+    }.toList
+    finally src.close()
+  }
+
+  /** Fixture codebook as the (s, codeId, cb_sub) frame [[ops.Similarity.pqTopK]]
+    * expects — swaps in frame-for-frame where the seeded codebook would be.
+    */
+  private[graft] def fixtureCodebook(sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    fixtureCodebookRows.toDF("s", "codeId", "cb_sub")
+  }
+
   /** Per-JVM materialized PNG asset table (binary payload + metadata) —
     * a real pipeline stores encoded media and DECODES on read; writing
     * the fixture once per sfDir keeps the m_media_* rows measuring the
@@ -877,6 +902,30 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
         refine = 30).orderBy("qid", "rank")
+    },
+    // ---- ANN: PQ serve path under the TRAINED codebook — the committed
+    //      per-subspace k-means snapshot (tools.TrainPqFixture); encode,
+    //      ADC and refine are deterministic given it, so the oracle
+    //      recomputes quantization from the same literal values
+    "s_ann_pq_trained" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.pqTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, m = 8, subDim = 8, kCode = 16, refine = 30,
+        codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
+    },
+    // ---- ANN: the FULLY-trained IVF-PQ composition — trained coarse
+    //      quantizer routes, trained codebook compresses; both committed
+    //      fixtures, so the whole serve path stays hash-oracled
+    "s_ann_ivfpq_trained" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfPqTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
+        refine = 30, centroids = Some(fixtureCentroids(s)),
+        codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
     },
     // ---- multimodal: REAL PNG decode (javax.imageio) via mapPartitions —
     //      fixture PNGs are deterministic pixel functions of (x, y, id),
@@ -1693,6 +1742,36 @@ object SparkEntry {
       s"SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn " +
         s"FROM (VALUES $values) AS __cent(centid, cv)")
   }
+
+  /** Trained-PQ codebook as literal VALUES — the same `Double.toString`
+    * text [[fixtureCodebook]] parses, so both engines quantize against
+    * bit-identical codebook doubles (the [[trainedIvfOracleSql]] pattern).
+    */
+  private lazy val trainedPqCbSelect: String = {
+    val values = fixtureCodebookRows.map { case (s, c, v) =>
+      s"($s, $c, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"SELECT s, codeid, bv FROM (VALUES $values) AS __cb(s, codeid, bv)"
+  }
+
+  /** Trained-codebook encode + ADC-table CTE bodies shared by the two
+    * trained-PQ oracles: the codebook rows carry their OWN subspace id, so
+    * the seeded oracle's `sub × cb` cross join collapses to `cb` alone;
+    * cross terms use the mixed-width dot (full vector slice × 8-wide
+    * centroid), matching `DotProduct(slice(v), cb_sub)`'s fold exactly.
+    */
+  private lazy val trainedPqEncQtab: String =
+    s"""enc AS (SELECT cid, s, codeid FROM (
+       |  SELECT c.vec_id AS cid, cb.s, cb.codeid,
+       |    row_number() OVER (PARTITION BY c.vec_id, cb.s ORDER BY
+       |      (${OracleFrag.subDot("c.v", "c.v", "cb.s", 8)}
+       |       - 2.0 * ${OracleFrag.subDotFix("c.v", "cb.bv", "cb.s", 8)}
+       |       + ${OracleFrag.dotN("cb.bv", "cb.bv", 8)}) ASC, cb.codeid) AS rn
+       |  FROM e c CROSS JOIN cb) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT q.vec_id AS qid, cb.s, cb.codeid,
+       |    CAST(round(${OracleFrag.subDotFix("q.v", "cb.bv", "cb.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 20)""".stripMargin
 
   /** Shared clusters CTE prefix: the minhash pair CTEs closed by a
     * RECURSIVE reachability fixpoint, ending in `reach(node, r)`.
@@ -3183,6 +3262,71 @@ object SparkEntry {
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The PQ pipeline under the TRAINED codebook: same encode/ADC/refine
+    // CTEs, codebook = the committed fixture as literal VALUES (rows carry
+    // their own subspace id, so `sub × cb` collapses to `cb`).
+    "s_ann_pq_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cb AS ($trainedPqCbSelect),
+         |$trainedPqEncQtab,
+         |ax AS (
+         |  SELECT qtab.qid, enc.cid, SUM(pdot) AS adot
+         |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.codeid = enc.codeid
+         |  WHERE qtab.qid != enc.cid GROUP BY qtab.qid, enc.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The FULLY-trained IVF-PQ: fixture-centroid routing CTEs (the
+    // s_ann_ivf_trained mirror) feed the trained-codebook ADC CTEs — ax
+    // aggregates ONLY routed (qid, cid) pairs, then refine-30 + rescore.
+    "s_ann_ivfpq_trained" -> {
+      val centValues = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $centValues) AS __cent(centid, cv)),
+         |asg AS (SELECT vec_id AS cid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |qc AS (SELECT vec_id AS qid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |rt AS (SELECT qc.qid, asg.cid
+         |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+         |cb AS ($trainedPqCbSelect),
+         |$trainedPqEncQtab,
+         |ax AS (
+         |  SELECT rt.qid, rt.cid, SUM(qtab.pdot) AS adot
+         |  FROM rt JOIN enc ON enc.cid = rt.cid
+         |          JOIN qtab ON qtab.qid = rt.qid AND qtab.s = enc.s AND qtab.codeid = enc.codeid
+         |  GROUP BY rt.qid, rt.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
     // Deterministic chunk math: frames = every 2nd 128-byte chunk of the
     // UTF-8 payload (ASCII text ⇒ byte k = ascii of char k); checksum is
     // the same (a*131 + byte) mod (2^31-1) fold as Multimodal.checksum.

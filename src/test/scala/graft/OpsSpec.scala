@@ -118,6 +118,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rp > r4, s"2-probe recall $rp should beat probeless $r4")
   }
 
+  test("trained PQ codebook: recall@5 at least matches the seeded codebook") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val bf = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val cb = SparkEntry.fixtureCodebook(TestSpark.session)
+    val cent = SparkEntry.fixtureCentroids(TestSpark.session)
+    // the committed Lloyd codebook quantizes the corpus it was trained on
+    // at least as faithfully as the seeded one — ADC ranks fewer wrong
+    // candidates into the refine set, so recall must not drop
+    val pqSeeded = recallOf(Similarity.pqTopK(q, c, k = 5))
+    val pqTrained = recallOf(Similarity.pqTopK(q, c, k = 5, codebook = Some(cb)))
+    assert(pqTrained >= pqSeeded, s"trained PQ $pqTrained < seeded $pqSeeded")
+    val ivfpqSeeded = recallOf(Similarity.ivfPqTopK(q, c, k = 5))
+    val ivfpqTrained = recallOf(Similarity.ivfPqTopK(q, c, k = 5,
+      centroids = Some(cent), codebook = Some(cb)))
+    assert(ivfpqTrained >= ivfpqSeeded,
+      s"trained IVF-PQ $ivfpqTrained < seeded $ivfpqSeeded")
+  }
+
   test("IVF ANN: results are true cosines; probing more cells raises recall") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")

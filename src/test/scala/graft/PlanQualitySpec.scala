@@ -161,6 +161,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // ADC only ever sees (qid, cid) pairs inside probed IVF cells
     assert(hasRoutingJoin(adcAgg("s_ann_ivfpq")),
       "s_ann_ivfpq: ADC aggregate is not fed by the centId routing join")
+    // the trained composition keeps the same shape — fixture quantizers
+    // swap in frame-for-frame without touching the routing
+    assert(hasRoutingJoin(adcAgg("s_ann_ivfpq_trained")),
+      "s_ann_ivfpq_trained: ADC aggregate is not fed by the centId routing join")
     // the documented contrast: plain PQ is compression-only — its ADC
     // aggregate has no routing join and touches every (query, corpus) pair
     assert(!hasRoutingJoin(adcAgg("s_ann_pq")),
