@@ -251,6 +251,28 @@ object SparkEntry {
     fixtureCodebookRows.toDF("s", "codeId", "cb_sub")
   }
 
+  /** The committed unigram-LM model fixture (tools.TrainUnigramFixture),
+    * parsed once per JVM: header `! maxPieceLen unkLogProb`, then
+    * `piece count logProb` lines. Log probs sit on the trainer's 2⁻⁴⁰
+    * dyadic grid, so Viterbi path sums over these literals are exact in
+    * ANY engine — what lets the DuckDB oracle replay segmentation.
+    */
+  private[graft] lazy val fixtureUnigram: ops.Unigram.Trained = {
+    val in = getClass.getResourceAsStream("/graft/unigram_trained_pieces.txt")
+    require(in != null, "unigram_trained_pieces.txt fixture missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines().filter(_.nonEmpty).toList
+      val header = lines.head.split(' ')
+      require(header(0) == "!", s"bad unigram fixture header: ${lines.head}")
+      val pieces = lines.tail.map { line =>
+        val p = line.split(' ')
+        ops.Unigram.Piece(p(0), p(1).toLong, p(2).toDouble)
+      }
+      ops.Unigram.Trained(pieces, header(1).toInt, header(2).toDouble, Seq.empty)
+    } finally src.close()
+  }
+
   /** Per-JVM materialized PNG asset table (binary payload + metadata) —
     * a real pipeline stores encoded media and DECODES on read; writing
     * the fixture once per sfDir keeps the m_media_* rows measuring the
@@ -1050,6 +1072,15 @@ object SparkEntry {
       ops.Bpe.tokenCountsWordPiece(docs, "text", "doc_id", merges)
         .withColumnRenamed("n_tok_trained", "n_tok_wp")
         .orderBy("doc_id")
+    },
+    // ---- tokens under the TRAINED unigram-LM model (committed fixture,
+    //      tools.TrainUnigramFixture) — the third tokenizer family's
+    //      oracle-gated token-count row: the 2⁻⁴⁰ log-prob grid makes
+    //      every Viterbi path sum exact, so the oracle re-derives the DP
+    //      argmax by enumerating segmentations over the same literals
+    "d_unigram_tokens" -> { (s, dir) =>
+      ops.Unigram.tokenCounts(t(s, dir, "documents"), "text", "doc_id",
+        fixtureUnigram).orderBy("doc_id")
     },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
@@ -2171,6 +2202,41 @@ object SparkEntry {
          |  CAST(COALESCE(tc.n_tok_wp, 0) AS BIGINT) AS n_tok_wp
          |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Trained-unigram token counts replayed WITHOUT the DP: enumerate
+    // every segmentation of each distinct word (recursive CTE from the
+    // word's end backwards over the fixture piece table; unk only for
+    // uncovered single chars), score with the SAME grid-exact literal
+    // log probs, and pick the DP's path — max score, ties to the
+    // lexicographically-largest piece-length list (= longest final
+    // piece, recursively: UnigramOps' documented tie-break).
+    "d_unigram_tokens" -> {
+      val pieceValues = fixtureUnigram.pieces
+        .map(p => s"('${p.piece}', ${p.logProb})").mkString(", ")
+      s"""WITH RECURSIVE docw AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |wo AS (SELECT doc_id, unnest(ws) AS w FROM docw),
+         |wd AS (SELECT DISTINCT w FROM wo),
+         |pc AS (SELECT piece, lp FROM (VALUES $pieceValues) AS __p(piece, lp)),
+         |ln AS (SELECT unnest(range(1, ${fixtureUnigram.maxPieceLen + 1})) AS l),
+         |paths(w, pos, score, ntok, lens) AS (
+         |  SELECT w, CAST(length(w) AS BIGINT), CAST(0.0 AS DOUBLE), 0, CAST([] AS BIGINT[]) FROM wd
+         |  UNION ALL
+         |  SELECT p.w, p.pos - ln.l,
+         |         p.score + COALESCE(pc.lp, ${fixtureUnigram.unkLogProb}),
+         |         p.ntok + 1,
+         |         list_append(p.lens, ln.l)
+         |  FROM paths p
+         |  JOIN ln ON ln.l <= p.pos
+         |  LEFT JOIN pc ON pc.piece = substring(p.w, CAST(p.pos - ln.l + 1 AS INT), CAST(ln.l AS INT))
+         |  WHERE p.pos > 0 AND (pc.piece IS NOT NULL OR ln.l = 1)),
+         |best AS (SELECT w, ntok FROM (
+         |  SELECT w, ntok, row_number() OVER (PARTITION BY w ORDER BY score DESC, lens DESC) AS rn
+         |  FROM paths WHERE pos = 0) WHERE rn = 1),
+         |tc AS (SELECT wo.doc_id, CAST(SUM(best.ntok) AS BIGINT) AS n
+         |       FROM wo JOIN best ON wo.w = best.w GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_tok_unigram
+         |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // Trained-tokenizer token counts per doc (the best1..best8 merges
     // applied as nested replaces) next to the closed-form estimate
     "d_bpe_tokens" ->

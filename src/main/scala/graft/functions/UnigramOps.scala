@@ -24,18 +24,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * the tie-break decides: candidates are scanned longest-piece-first with
   * a strict `>` update, so ties keep the LONGEST final piece (then the
   * earlier tie at the shorter prefix, recursively). Two runs over the
-  * same data on any IEEE-754 JVM produce identical segmentations; this
-  * float boundary (documented, like the IVF trainer's) is why the unigram
-  * family is OpsSpec-gated rather than DuckDB-oracle-gated — replaying
-  * per-word DP in SQL would mean re-deriving the identical float sums in
-  * another engine's expression pipeline.
+  * same data on any IEEE-754 JVM produce identical segmentations. With
+  * the trainer's 2⁻⁴⁰ log-prob grid (ops.Unigram.mStep) every path sum
+  * is EXACT dyadic arithmetic, so the same literal model yields
+  * bit-identical scores in any engine — the property the committed-model
+  * `d_unigram_tokens` oracle row relies on (its DuckDB replay enumerates
+  * segmentations and applies this tie-break as a lexicographic
+  * piece-length compare). The live TRAINER remains OpsSpec-gated: its EM
+  * loop is not one SQL expression.
   */
 final class UnigramVocab(val pieces: Array[String], val logProbs: Array[Double],
     val maxPieceLen: Int, val unkLogProb: Double) extends Serializable {
   require(pieces.length == logProbs.length,
     s"pieces/logProbs length mismatch: ${pieces.length} vs ${logProbs.length}")
 
-  @transient private var idx: java.util.HashMap[String, Integer] = _
+  // volatile: one vocab instance can be shared across executor task
+  // threads; without the fence a reader could observe a partially
+  // published HashMap under the JMM (ADVICE r10)
+  @transient @volatile private var idx: java.util.HashMap[String, Integer] = _
 
   def index: java.util.HashMap[String, Integer] = {
     if (idx == null) synchronized {

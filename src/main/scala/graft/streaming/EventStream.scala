@@ -32,9 +32,22 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files. */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over a directory of event parquet files.
+    *
+    * Requires `spark.sql.session.timeZone = UTC` (the guard-before-use
+    * convention, ADVICE r10): the schema reads NAIVE parquet micros as
+    * TimestampType, so a non-UTC session would silently shift every
+    * event time — and with it every window boundary and watermark cut.
+    * Raising here turns that silent corruption into an immediate error;
+    * Bench/Verify/TestSpark already pin UTC.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"EventStream.read: session timezone is '$tz', not UTC — naive event " +
+        "micros would be silently shifted; set spark.sql.session.timeZone=UTC")
     spark.readStream.schema(eventSchema).parquet(dir)
+  }
 
   /** Watermarked tumbling-window aggregation: events and value sums per
     * (window, event_type). The 10-minute watermark bounds state: windows

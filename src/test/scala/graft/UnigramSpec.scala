@@ -108,13 +108,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(again.unkLogProb == trained.unkLogProb)
   }
 
-  test("hard-EM Viterbi log-likelihood is monotone non-decreasing") {
+  test("hard-EM Viterbi log-likelihood is monotone non-decreasing (up to smoothing)") {
     // vocabSize 5000 >> candidates, so the final prune keeps everything
-    // and even the post-prune entry obeys the guarantee
+    // and even the post-prune entry obeys the guarantee. The M-step is
+    // NOT the exact ML argmax — it adds Laplace pseudo-counts on single
+    // characters (and snaps to the 2^-40 log-prob grid) — so the exact
+    // hard-EM guarantee holds only up to that perturbation: tolerance is
+    // proportional to |LL|, not the old absolute 1e-9 (ADVICE r10)
     val ll = trained.viterbiLL
     assert(ll.size == 4) // 3 EM rounds + the post-prune recount
     ll.sliding(2).foreach { case Seq(a, b) =>
-      assert(b >= a - 1e-9, s"likelihood decreased: $ll")
+      assert(b >= a - math.max(1e-9, math.abs(a) * 1e-6),
+        s"likelihood decreased beyond the smoothing band: $ll")
     }
   }
 
