@@ -1283,6 +1283,42 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },
+    // ---- SemDeDup (cluster-then-dedup): committed-quantizer cells, exact
+    //      within-cell cosine prune — the EXACT-within-cell alternative to
+    //      the LSH-banded near-dup path, served off the trained-IVF
+    //      centroid fixture so the oracle replays the assignment
+    "d_dedup_semantic" -> { (s, dir) =>
+      ops.Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          fixtureCentroids(s), threshold = 0.3)
+        .orderBy("vec_id")
+    },
+    // ---- BM25 retrieval over the corpus: one literal query, global
+    //      top-10 via TakeOrderedAndProject (per-partition heaps, never a
+    //      single-task sort)
+    "d_bm25_search" -> { (s, dir) =>
+      ops.Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "join"), topK = 10)
+        .orderBy("rank")
+    },
+    // ---- per-doc TF-IDF keywords (top 3): doc-partitioned rank window
+    //      over the salted df join
+    "d_tfidf_keywords" -> { (s, dir) =>
+      ops.Ranking.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+          topPerDoc = 3)
+        .orderBy("doc_id", "rank")
+    },
+    // ---- exact pairwise source shingle-overlap (the cross-source dedup
+    //      audit); corpus collapses to distinct (source, shingle) first
+    "d_source_overlap" -> { (s, dir) =>
+      ops.TextAnalysis.sourceOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("srcA", "srcB")
+    },
+    // ---- MinHash estimate of the same matrix — the 100 TB path: one
+    //      32-long signature per source (min-of-mins), #sources² compares
+    "d_source_overlap_est" -> { (s, dir) =>
+      ops.TextAnalysis.sourceOverlapEst(t(s, dir, "documents"), "source", "text")
+        .orderBy("srcA", "srcB")
+    },
     // ---- quality-weighted soft sampling: survival probability = the
     //      doc's own quality score, deterministically (u < floor(q·P31))
     //      — quality pacing between a hard gate and keep-everything
@@ -3193,6 +3229,107 @@ object SparkEntry {
          |WHERE vec_id >= 250 AND vec_id NOT IN (SELECT id FROM losers)
          |ORDER BY vec_id""".stripMargin
     },
+    // SemDeDup replayed: fixture-centroid argmax assignment (the
+    // d_diverse_sample CTE), then within-cell exact-cosine losers — any
+    // vector with a smaller-id neighbor ≥ 0.3 in its own cell
+    "d_dedup_semantic" -> {
+      val values = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $values) AS __cent(centid, cv)),
+         |asg AS (SELECT vec_id, centid AS cell FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |losers AS (SELECT DISTINCT b.vec_id AS lid
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE round(${OracleFrag.dot64("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) >= 0.3)
+         |SELECT vec_id, cell FROM asg WHERE vec_id NOT IN (SELECT lid FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+    // BM25 replayed formula-for-formula: same left-assoc double op order
+    // as Ranking.bm25, per-(doc,term) score terms accumulated in
+    // DECIMAL(38,18), constants interpolated from the SAME Scala doubles
+    "d_bm25_search" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+         |       WHERE t IN ('spark', 'window', 'join') GROUP BY 1, 2),
+         |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |  round(CAST(SUM(CAST(
+         |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |              / (CAST(df.df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
+         |       / (CAST(tf.tf AS DOUBLE) + ${k1} * (${1.0 - b}
+         |          + (${b} * CAST(dl.dl AS DOUBLE))
+         |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+         |   AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+         |  FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id, st
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    },
+    // TF-IDF keywords replayed: same smoothed idf, rank over the ROUNDED
+    // score with the term string as tiebreak
+    "d_tfidf_keywords" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.t AS term, tf.tf,
+         |        round(CAST(tf.tf AS DOUBLE) *
+         |          ln((1.0 + CAST(st.n_docs AS DOUBLE))
+         |             / (1.0 + CAST(df.df AS DOUBLE))), 6) AS tfidf
+         |       FROM tf JOIN df USING (t), st)
+         |SELECT doc_id, term, tf, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Exact source-overlap matrix: distinct (source, shingle) set, pair
+    // intersection by shingle join, Jaccard from exact set sizes
+    "d_source_overlap" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT source, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |sh AS (SELECT DISTINCT source AS src, unnest(shs) AS sh FROM h),
+         |sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.src AS sa, b.src AS sb, COUNT(*) AS n_shared
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+         |          GROUP BY 1, 2)
+         |SELECT sa AS "srcA", sb AS "srcB",
+         |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(za.n + zb.n - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sizes za ON za.src = sa JOIN sizes zb ON zb.src = sb
+         |ORDER BY 1, 2""".stripMargin,
+    // MinHash estimate replayed WITHOUT the per-doc detour: min over docs
+    // of per-doc signature components = min over the source's union
+    // shingle set (min-of-mins), so the oracle computes each source
+    // signature directly from the distinct shingles
+    "d_source_overlap_est" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT source, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |sh AS (SELECT DISTINCT source AS src, unnest(shs) AS sh FROM h),
+         |sig AS (SELECT src, q,
+         |          MIN(((2*q + 3) * (sh % ${OracleFrag.P31}) + (q*q + 7*q + 41)) % ${OracleFrag.P31}) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS q) __q
+         |        GROUP BY 1, 2),
+         |pr AS (SELECT a.src AS sa, b.src AS sb,
+         |         SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS neq
+         |       FROM sig a JOIN sig b ON a.q = b.q AND a.src < b.src
+         |       GROUP BY 1, 2)
+         |SELECT sa AS "srcA", sb AS "srcB",
+         |  round(CAST(neq AS DOUBLE) / 32.0, 6) AS est_jaccard
+         |FROM pr ORDER BY 1, 2""".stripMargin,
     // Mirrors Similarity.lshTopKBanded: 4 bands × 4 planes, union of band
     // matches, exact cosine, rank over (sim DESC, cid).
     "s_ann_lsh" -> {

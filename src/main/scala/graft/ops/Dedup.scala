@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -662,6 +663,53 @@ object Dedup {
       .union(comps.where(col("node") =!= col("comp")).select(col("node").as("__nd_id")))
       .distinct()
     batch.join(losers, batch(idCol) === losers("__nd_id"), "left_anti")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a coarse
+    * k-means quantizer, then within each cell drop every vector that has
+    * an exact-cosine neighbor ≥ `threshold` with a SMALLER id in the same
+    * cell. Returns the survivors as (id, cell).
+    *
+    * This is the cluster-then-dedup scale pattern: the quadratic pair
+    * search runs per cell, so total pair work is Σ|cell|² ≈ n²/k — at
+    * 100 TB you grow k (the SemDeDup paper uses 50k clusters for LAION)
+    * so cells stay task-sized, and the only corpus-wide shuffle is ONE
+    * hash partition by cell id. Contrast with [[cosineNearDupPairs]]: LSH
+    * banding bounds candidates probabilistically and can miss pairs;
+    * the cell partition is exact WITHIN a cell but blind across cell
+    * boundaries — the trade the paper accepts for exactness-at-scale.
+    *
+    * `centroids` is a (centId, cent_v, cent_n) frame — typically
+    * [[Similarity.kmeansCentroids]] output or a committed training
+    * snapshot (deterministic serving, the trained-IVF precedent).
+    * Assignment is argmax cosine with centId as tiebreak; the per-row
+    * argmax is a window PARTITIONED BY the vector id over the broadcast
+    * centroid cross join (k rows per vector, uniformly keyed). The
+    * within-cell self-join ships each (id, v) once per side — one vector
+    * per row, never per candidate pair — and AQE's skew-join split covers
+    * a hot cell's pair partition.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val vecs = guardedVecs(ensureParallelism(emb), idCol, vecCol)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("csim").desc, col("centId"))
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("doc_id"), col("v"), col("nrm"), col("centId"),
+        (Similarity.dot(col("v"), col("cent_v")) / (col("nrm") * col("cent_n")))
+          .as("csim"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("v"), col("nrm"), col("centId").as("cell"))
+    val losers = assigned
+      .select(col("cell"), col("doc_id").as("idA"), col("v").as("vA"), col("nrm").as("nA"))
+      .join(assigned.select(col("cell"), col("doc_id").as("idB"),
+        col("v").as("vB"), col("nrm").as("nB")), Seq("cell"))
+      .where(col("idA") < col("idB"))
+      .where(cosineVerify(col("vA"), col("nA"), col("vB"), col("nB")) >= threshold)
+      .select(col("idB").as("__sd_id")).distinct()
+    assigned.join(losers, assigned("doc_id") === losers("__sd_id"), "left_anti")
+      .select(col("doc_id").as(idCol), col("cell"))
   }
 
   /** VERBATIM repeated-passage pairs: documents sharing ≥ `minShared`

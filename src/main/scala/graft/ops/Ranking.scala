@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus ranking / keyword-extraction operators: BM25 full-text scoring
+  * and per-document TF-IDF keywords — the retrieval half of a training-
+  * data pipeline (finding near-query documents for curation, surfacing
+  * per-document topical terms for dataset cards and cluster labeling).
+  *
+  * Both operators are pure DataFrame aggregations over the exploded token
+  * stream — no UDFs, no driver-side state — so the term-statistics passes
+  * are map-side-combined shuffles keyed by term (bounded by vocabulary,
+  * not corpus) and the scoring pass is keyed by document. Transcendentals
+  * (ln) appear only per DISTINCT (term) or (doc, term) group, and every
+  * cross-row sum of doubles accumulates in DECIMAL(38,18) with a final
+  * round-to-6 so results hash-match the DuckDB oracle regardless of
+  * partition order (the unigramSurprisal precedent).
+  */
+object Ranking {
+
+  private val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+
+  /** Okapi BM25 top-k for one literal query over the corpus.
+    *
+    * score(d) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    * Robertson/Spärck-Jones form, non-negative for any df.
+    *
+    * Only documents containing at least one query term are scored (the
+    * inverted-index semantics: everything else scores 0 and can never
+    * reach the top-k for a non-empty query). The global top-k is a
+    * sort-limit — Spark plans TakeOrderedAndProject (per-partition heaps,
+    * k rows to the driver-side merge), NOT a single-task global sort, so
+    * the cut scales to a billion scored documents; the rank column is
+    * stamped by a window over the k survivors only.
+    *
+    * Scale shape: the df pass groups by term (|query| rows out), the tf
+    * pass by (doc, term); both partial-aggregate map-side. The per-doc
+    * length frame joins on doc_id — the corpus' own key, no skew — and
+    * term statistics broadcast (|query| rows).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val ws = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+    // corpus-level constants as a 1-row broadcast frame (no collect)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = ws.select(col("doc_id"), explode(col("ws")).as("t"))
+      .where(col("t").isInCollection(query))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val tfn = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(df_), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum((idf * tfn).cast(d18)).cast("double"), 6).as("score"))
+    // rank on the ROUNDED score (ties → doc_id): identical across engines
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+  }
+
+  /** Per-document TF-IDF keywords: the `topPerDoc` highest-scoring terms
+    * of every document, score = tf · ln((1+N)/(1+df)) (add-one smoothed so
+    * a corpus-universal term scores ~0 rather than −∞ on df = N edge
+    * cases). Rank is a window PARTITIONED BY doc_id — per-document vocab
+    * is bounded by document length, so the window input per task is tiny
+    * and uniformly keyed no matter the corpus size. Ordering uses the
+    * rounded score with the term string as tiebreak, so ranks are
+    * engine-stable.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int = 3, saltBuckets: Int = 32): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.words(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    // the df join is term-keyed — a hub term (stopword-like) concentrates
+    // its postings in one task, so salt it like unigramSurprisal does
+    val joined = Skew.saltedJoin(tf, col("t"), col("doc_id"),
+        df_.withColumnRenamed("t", "__t"), col("__t"), saltBuckets)
+      .drop("__t")
+      .crossJoin(broadcast(stats))
+    val score = round(col("tf").cast("double") *
+      log((lit(1.0) + col("n_docs").cast("double")) /
+        (lit(1.0) + col("df").cast("double"))), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    joined.select(col("doc_id"), col("t").as("term"), col("tf"), score.as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topPerDoc)
+  }
+}

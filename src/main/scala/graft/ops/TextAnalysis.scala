@@ -307,4 +307,73 @@ object TextAnalysis {
       .withColumn("nTokensBpe", tokenEstimate(c))
       .withColumn("fingerprint", fingerprint(c))
   }
+
+  /** EXACT pairwise shingle-set Jaccard between corpus partitions (e.g.
+    * sources): how much raw-text overlap two crawls/dumps share — the
+    * corpus-level diagnostic behind "do we need cross-source dedup" and
+    * mixture double-count audits. Shingle vocabulary is the dedup family's
+    * 3-word rolling hash ([[graft.functions.TextHashOps.shingleHashes]]),
+    * so the number agrees with what n-gram dedup would act on.
+    *
+    * Output: one row per unordered pair with ≥1 shared shingle —
+    * (srcA, srcB, n_a, n_b, n_shared, jaccard).
+    *
+    * Scale shape: the corpus collapses to distinct (source, shingle) rows
+    * FIRST (map-side-combined aggregate keyed by shingle space, not corpus
+    * rows); the pair expansion self-joins that bounded set on the shingle
+    * hash, so a shingle present in s sources contributes s·(s−1)/2 rows —
+    * bounded by #sources², never by document count. For corpora where even
+    * the distinct-shingle set is too large, use [[sourceOverlapEst]].
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("src"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("sh"), col("src").as("srcA"))
+      .join(sh.select(col("sh"), col("src").as("srcB")), Seq("sh"))
+      .where(col("srcA") < col("srcB"))
+      .groupBy("srcA", "srcB").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("srcA"), col("n").as("n_a"))), "srcA")
+      .join(broadcast(sizes.select(col("src").as("srcB"), col("n").as("n_b"))), "srcB")
+      .select(col("srcA"), col("srcB"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** MinHash ESTIMATE of pairwise source overlap — the 100 TB path for
+    * [[sourceOverlap]]. A source's signature is the element-wise MIN of
+    * its documents' MinHash signatures (min-of-mins = the signature of the
+    * union shingle set, exactly — no approximation is added by the
+    * aggregation), so the corpus reduces to one `numHashes`-long signature
+    * per source in a single map-side-combined pass, and the pair stage
+    * compares #sources² fixed-size signatures — no shingle self-join at
+    * all. est_jaccard = matching-component fraction, the same estimator
+    * the MinHash-LSH dedup verifier uses.
+    */
+  def sourceOverlapEst(docs: DataFrame, sourceCol: String, textCol: String,
+      numHashes: Int = 32): DataFrame = {
+    val sigs = docs
+      .select(col(sourceCol).as("src"),
+        graft.functions.TextFunctions.minhash_sig(
+          graft.functions.TextFunctions.shingle_hashes(col(textCol)), numHashes)
+          .as("sig"))
+      .where(size(col("sig")) > 0) // shingle-less docs carry no evidence
+      .select(col("src"), posexplode(col("sig")))
+      .groupBy("src", "pos").agg(min(col("col")).as("mh"))
+      .groupBy("src").agg(array_sort(collect_list(struct(col("pos"), col("mh"))))
+        .as("ps"))
+      .select(col("src"), transform(col("ps"), p => p.getField("mh")).as("sig"))
+    sigs.select(col("src").as("srcA"), col("sig").as("sigA"))
+      .crossJoin(sigs.select(col("src").as("srcB"), col("sig").as("sigB")))
+      .where(col("srcA") < col("srcB"))
+      .select(col("srcA"), col("srcB"),
+        round(size(filter(zip_with(col("sigA"), col("sigB"), (a, b) =>
+          when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
+          .cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+  }
 }

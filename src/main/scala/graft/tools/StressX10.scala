@@ -108,6 +108,16 @@ object StressX10 {
     val bl1 = addChrome(docs1).localCheckpoint()
     val bl10 = addChrome(docs10).localCheckpoint()
 
+    // steady-state incremental-dedup fixtures (scenario below): probe
+    // batch fixed, persisted index 1x vs 10x, both materialized up front
+    val probeBatch = docs1.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val ssIdx1 = graft.ops.Dedup.simhashIndex(docs1, "doc_id", "text")
+      .localCheckpoint()
+    val ssIdx10 = graft.ops.Dedup.simhashIndex(docs10, "doc_id", "text")
+      .localCheckpoint()
+
     val scenarios: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
       // frequent-line removal: one line-keyed aggregate (map-side
       // combined, output bounded by lines/minDocs) + a broadcast scan
@@ -139,6 +149,18 @@ object StressX10 {
           graft.ops.Dedup.dedupIncrementalNear(
             d.where(pmod(col("doc_id"), lit(2)) === 1), idx, "doc_id", "text")
         }),
+      // VERDICT r10 item 8 — the STEADY-STATE regime of a mature corpus:
+      // the daily batch is FIXED (10% of the 1x corpus, ids shifted clear
+      // of every index id) while the persisted simhash index grows 1x→10x.
+      // Index build is OUTSIDE the timed op (it is amortized across many
+      // batches in production); what is timed is probe + within-batch CC +
+      // anti-join. The claim: the within-batch stages are index-size-
+      // independent, so 10× index costs only the bigger band-join side —
+      // the ratio should sit well under the index growth factor.
+      ("dedupIncrementalNear steady-state (fixed batch, index 1x->10x)",
+        ssIdx1, ssIdx10,
+        (idx: DataFrame) => graft.ops.Dedup.dedupIncrementalNear(
+          probeBatch, idx, "doc_id", "text")),
       // the GATED parameterization: threshold 0.3 admits ~0.6% of ALL
       // pairs on this synthetic distribution (measured: p90 raw cosine
       // 0.16, max 0.38 on a sample), so OUTPUT is Θ(n²) by data, not by
@@ -256,6 +278,25 @@ object StressX10 {
       val t10 = results.map(_(i)._4).min
       val (n1, n10) = (results.head(i)._3, results.head(i)._5)
       println(f"| $name | $t1%.2f | $n1 | $t10%.2f | $n10 | ${t10 / t1}%.1f× |")
+    }
+
+    // The broadcast→shuffle crossover on the steady-state probe: AQE picks
+    // the strategy for the batch-fingerprints ⋈ index join from runtime
+    // stats — report what it actually chose at each index size (on a real
+    // cluster the index side keeps growing, so the expected end state is
+    // batch-side broadcast or, past both thresholds, a shuffle join that
+    // moves only fingerprint-sized rows; never a forced index broadcast).
+    Seq(("1x", ssIdx1), ("10x", ssIdx10)).foreach { case (label, idx) =>
+      val probed = graft.ops.Dedup.simhashIndexMatches(
+        probeBatch, idx, "doc_id", "text")
+      probed.write.format("noop").mode("overwrite").save()
+      val plan = probed.queryExecution.executedPlan.toString
+      val shape =
+        if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+        else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+        else "other"
+      println(s"| steady-state probe join strategy, index $label | $shape (AQE final) |")
     }
     spark.stop()
   }

@@ -2067,4 +2067,93 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("null"))
   }
+
+  test("bm25: formula recomputed in plain Scala; termless docs excluded") {
+    val c = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler"),
+      (3L, "filler content only"), // no query term → never scored
+      (4L, "spark join window"),
+    ).toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+    val out = Ranking.bm25(c, "doc_id", "text", q, topK = 4)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)]
+      .collect().sortBy(_._3)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    // independent recomputation (same op order as the operator)
+    val dls = Map(1L -> 5.0, 2L -> 2.0, 4L -> 3.0)
+    val tfs = Map((1L, "spark") -> 3.0, (2L, "spark") -> 1.0,
+      (4L, "spark") -> 1.0, (4L, "join") -> 1.0, (4L, "window") -> 1.0)
+    val dfs = Map("spark" -> 3.0, "join" -> 1.0, "window" -> 1.0)
+    val n = 4.0; val avgdl = (5.0 + 2.0 + 3.0 + 3.0) / n // doc 3's length counts
+    val (k1, b) = (1.2, 0.75)
+    def score(d: Long): Double = {
+      val s = q.flatMap { t => tfs.get((d, t)).map { tf =>
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dls(d) / avgdl)))
+      } }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (d, s, _) => assert(math.abs(s - score(d)) < 1e-9, d.toString) }
+  }
+
+  test("tfidf keywords: rare terms outrank corpus-wide ones, bound holds") {
+    val c = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry cherry date shared"),
+    ).toDF("doc_id", "text")
+    val out = Ranking.tfidfKeywords(c, "doc_id", "text", topPerDoc = 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Int)].collect()
+    assert(out.count(_._1 == 1L) == 2)
+    // doc 1's top keyword is its doubled unique term (2·ln(4/2) beats
+    // banana's 1·ln(4/3)); doc 3's UNIQUE 'date' (ln(4/2)) outranks its
+    // doubled-but-shared 'cherry' (2·ln(4/3)); 'shared' (df = N, idf ≈ 0)
+    // never makes a top-2 over a rarer term
+    assert(out.find(t => t._1 == 1L && t._3 == 1).get._2 == "apple")
+    assert(out.find(t => t._1 == 3L && t._3 == 1).get._2 == "date")
+    assert(!out.exists(t => t._1 == 3L && t._2 == "shared"))
+  }
+
+  test("source overlap: identical sources J=1, disjoint pairs absent; est agrees at the extremes") {
+    val c = Seq(
+      ("a", "one two three four five"),
+      ("b", "one two three four five"), // identical shingle set to a
+      ("c", "alpha beta gamma delta"),  // disjoint from both
+    ).toDF("source", "text")
+    val exact = TextAnalysis.sourceOverlap(c, "source", "text")
+      .select("srcA", "srcB", "jaccard").as[(String, String, Double)].collect()
+    assert(exact.toSeq == Seq(("a", "b", 1.0))) // c pairs share nothing → absent
+    val est = TextAnalysis.sourceOverlapEst(c, "source", "text")
+      .select("srcA", "srcB", "est_jaccard").as[(String, String, Double)]
+      .collect().sortBy(p => (p._1, p._2))
+    assert(est.find(p => p._1 == "a" && p._2 == "b").get._3 == 1.0)
+    // disjoint sources: 32 independent components, each collides with
+    // probability ~1/P31 — est must be ~0 (exactly 0 on this fixture)
+    assert(est.filter(_._2 == "c").forall(_._3 == 0.0))
+  }
+
+  test("semanticDedup: within-cell near-dup drops to min id; far rows and boundary twins survive") {
+    def unit(hot: Int, extra: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = 1.0f
+      extra.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toSeq
+    }
+    val cents = Seq((0, unit(0).map(_.toDouble)), (1, unit(1).map(_.toDouble)))
+      .toDF("centId", "cent_v")
+      .withColumn("cent_n", Similarity.norm(col("cent_v")))
+    val emb = Seq(
+      (10L, unit(0)),                 // cell 0
+      (11L, unit(0, 2 -> 0.01)),      // cell 0, cos≈1 with 10 → dropped
+      (12L, unit(0, 2 -> 10.0)),      // cell 0 but nearly orthogonal to 10 → kept
+      (20L, unit(1)),                 // cell 1, alone there in direction → kept
+      (30L, unit(0, 1 -> 0.99)),      // boundary twins: cells 0 and 1,
+      (31L, unit(1, 0 -> 0.99)),      //   cos≈0.99995 — BOTH kept (documented
+    ).toDF("vec_id", "embedding")     //   cross-cell blindness)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.9)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 20L, 30L, 31L))
+    assert(out.toMap == Map(10L -> 0, 12L -> 0, 20L -> 1, 30L -> 0, 31L -> 1))
+  }
 }
