@@ -666,4 +666,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(meta.strategy == "materialized" &&
       meta.tablesUsed.head.physicalName == "orders_replica")
   }
+
+  test("bm25 global cut is TakeOrderedAndProject, never a single-task sort") {
+    val p = planOf("d_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("semanticDedup: cell pairing is a hash join on the cell key, never cartesian") {
+    val p = planOf("d_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the within-cell self-join and the loser cut must be equi-joins
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("source-overlap estimate plans no shingle self-join (signature-sized pair stage)") {
+    val p = planOf("d_source_overlap_est")
+    // the only join in the plan is the #sources² signature cross pair —
+    // a nested-loop over source-count rows, NOT a shingle-keyed shuffle
+    // join; the corpus itself is consumed by aggregates only
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(3000))
+  }
 }
