@@ -1082,6 +1082,13 @@ object SparkEntry {
       ops.Unigram.tokenCounts(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram).orderBy("doc_id")
     },
+    // ---- CCNet-style LM quality filter: per-doc NLL/token under the
+    //      committed unigram model (grid-exact path scores, decimal-exact
+    //      doc sums); cutoff 3.75 ≈ p90 of the corpus
+    "d_unigram_ppl" -> { (s, dir) =>
+      ops.Unigram.docNll(t(s, dir, "documents"), "text", "doc_id",
+        fixtureUnigram, nllCutoff = 3.75).orderBy("doc_id")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -1840,6 +1847,39 @@ object SparkEntry {
        |    CAST(round(${OracleFrag.subDotFix("q.v", "cb.bv", "cb.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
        |  FROM e q CROSS JOIN cb WHERE q.vec_id < 20)""".stripMargin
 
+  /** Shared unigram-Viterbi CTE body (caller prepends `WITH RECURSIVE`):
+    * enumerate every segmentation of each distinct word backwards over
+    * the fixture piece table (unk only for uncovered single chars), score
+    * with the grid-exact literal log probs, and end in `best(w, ntok,
+    * score)` — the DP's path: max score, ties to the lexicographically-
+    * largest piece-length list (= longest final piece, recursively:
+    * UnigramOps' documented tie-break). `wo(doc_id, w)` stays visible for
+    * the per-doc aggregation the callers add.
+    */
+  private lazy val unigramBestCtes: String = {
+    val pieceValues = fixtureUnigram.pieces
+      .map(p => s"('${p.piece}', ${p.logProb})").mkString(", ")
+    s"""docw AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+       |wo AS (SELECT doc_id, unnest(ws) AS w FROM docw),
+       |wd AS (SELECT DISTINCT w FROM wo),
+       |pc AS (SELECT piece, lp FROM (VALUES $pieceValues) AS __p(piece, lp)),
+       |ln AS (SELECT unnest(range(1, ${fixtureUnigram.maxPieceLen + 1})) AS l),
+       |paths(w, pos, score, ntok, lens) AS (
+       |  SELECT w, CAST(length(w) AS BIGINT), CAST(0.0 AS DOUBLE), 0, CAST([] AS BIGINT[]) FROM wd
+       |  UNION ALL
+       |  SELECT p.w, p.pos - ln.l,
+       |         p.score + COALESCE(pc.lp, ${fixtureUnigram.unkLogProb}),
+       |         p.ntok + 1,
+       |         list_append(p.lens, ln.l)
+       |  FROM paths p
+       |  JOIN ln ON ln.l <= p.pos
+       |  LEFT JOIN pc ON pc.piece = substring(p.w, CAST(p.pos - ln.l + 1 AS INT), CAST(ln.l AS INT))
+       |  WHERE p.pos > 0 AND (pc.piece IS NOT NULL OR ln.l = 1)),
+       |best AS (SELECT w, ntok, score FROM (
+       |  SELECT w, ntok, score, row_number() OVER (PARTITION BY w ORDER BY score DESC, lens DESC) AS rn
+       |  FROM paths WHERE pos = 0) WHERE rn = 1)""".stripMargin
+  }
+
   /** Shared clusters CTE prefix: the minhash pair CTEs closed by a
     * RECURSIVE reachability fixpoint, ending in `reach(node, r)`.
     */
@@ -2245,34 +2285,27 @@ object SparkEntry {
     // log probs, and pick the DP's path — max score, ties to the
     // lexicographically-largest piece-length list (= longest final
     // piece, recursively: UnigramOps' documented tie-break).
-    "d_unigram_tokens" -> {
-      val pieceValues = fixtureUnigram.pieces
-        .map(p => s"('${p.piece}', ${p.logProb})").mkString(", ")
-      s"""WITH RECURSIVE docw AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
-         |wo AS (SELECT doc_id, unnest(ws) AS w FROM docw),
-         |wd AS (SELECT DISTINCT w FROM wo),
-         |pc AS (SELECT piece, lp FROM (VALUES $pieceValues) AS __p(piece, lp)),
-         |ln AS (SELECT unnest(range(1, ${fixtureUnigram.maxPieceLen + 1})) AS l),
-         |paths(w, pos, score, ntok, lens) AS (
-         |  SELECT w, CAST(length(w) AS BIGINT), CAST(0.0 AS DOUBLE), 0, CAST([] AS BIGINT[]) FROM wd
-         |  UNION ALL
-         |  SELECT p.w, p.pos - ln.l,
-         |         p.score + COALESCE(pc.lp, ${fixtureUnigram.unkLogProb}),
-         |         p.ntok + 1,
-         |         list_append(p.lens, ln.l)
-         |  FROM paths p
-         |  JOIN ln ON ln.l <= p.pos
-         |  LEFT JOIN pc ON pc.piece = substring(p.w, CAST(p.pos - ln.l + 1 AS INT), CAST(ln.l AS INT))
-         |  WHERE p.pos > 0 AND (pc.piece IS NOT NULL OR ln.l = 1)),
-         |best AS (SELECT w, ntok FROM (
-         |  SELECT w, ntok, row_number() OVER (PARTITION BY w ORDER BY score DESC, lens DESC) AS rn
-         |  FROM paths WHERE pos = 0) WHERE rn = 1),
+    "d_unigram_tokens" ->
+      s"""WITH RECURSIVE $unigramBestCtes,
          |tc AS (SELECT wo.doc_id, CAST(SUM(best.ntok) AS BIGINT) AS n
          |       FROM wo JOIN best ON wo.w = best.w GROUP BY 1)
          |SELECT d.doc_id, CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_tok_unigram
          |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
+    // Per-doc LM NLL replayed over the SAME path enumeration: best now
+    // carries its (grid-exact, hence order-independent) path score; the
+    // cross-word sum goes through DECIMAL(38,18) like the Spark side
+    "d_unigram_ppl" ->
+      s"""WITH RECURSIVE $unigramBestCtes,
+         |tc AS (SELECT wo.doc_id, CAST(SUM(best.ntok) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(best.score AS DECIMAL(38,18))) AS DOUBLE) AS lp
+         |       FROM wo JOIN best ON wo.w = best.w GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_tok,
+         |  CASE WHEN tc.n > 0 THEN round(-(tc.lp / CAST(tc.n AS DOUBLE)), 6) END AS nll_per_tok,
+         |  COALESCE(CASE WHEN tc.n > 0
+         |    THEN round(-(tc.lp / CAST(tc.n AS DOUBLE)), 6) <= 3.75 END, false) AS kept
+         |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Trained-tokenizer token counts per doc (the best1..best8 merges
     // applied as nested replaces) next to the closed-form estimate
     "d_bpe_tokens" ->

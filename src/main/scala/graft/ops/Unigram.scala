@@ -195,4 +195,39 @@ object Unigram {
     docs.select(col(idCol)).join(counts, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__n_tok"), lit(0L)).as("n_tok_unigram"))
   }
+
+  /** Per-document negative log-likelihood per token under a trained
+    * unigram model — the CCNet-style LM quality signal (Wenzek et al.
+    * 2020): low NLL ≈ in-domain fluent text, high NLL ≈ noise/outliers.
+    * `kept` applies the filter at `nllCutoff` (zero-word docs carry NULL
+    * NLL and are not kept — no evidence, no pass).
+    *
+    * Same plan shape as [[tokenCounts]]: one codegen'd projection per
+    * word occurrence (the Viterbi max runs inside
+    * [[graft.functions.UnigramOps.wordLogProb]] — grid-exact dyadic
+    * log-probs, so the per-word score is bit-identical in any engine) and
+    * one map-side-combined aggregate; the cross-word sum accumulates in
+    * DECIMAL(38,18) so the doc score is partition-order independent.
+    */
+  def docNll(docs: DataFrame, textCol: String, idCol: String, m: Trained,
+      nllCutoff: Double): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val perWord = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("n", unigram_token_len(col("w"), m.pieceStrings,
+        m.logProbs, m.maxPieceLen, m.unkLogProb))
+      .withColumn("lp", unigram_word_logprob(col("w"), m.pieceStrings,
+        m.logProbs, m.maxPieceLen, m.unkLogProb))
+    val agg = perWord.groupBy(col(idCol))
+      .agg(sum(col("n").cast("long")).as("__n"),
+        sum(col("lp").cast(d18)).as("__lp"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tok"),
+        when(col("__n") > 0,
+          round(-(col("__lp").cast("double") / col("__n").cast("double")), 6))
+          .as("nll_per_tok"))
+      .withColumn("kept",
+        coalesce(col("nll_per_tok") <= nllCutoff, lit(false)))
+  }
 }

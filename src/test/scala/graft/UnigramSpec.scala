@@ -180,4 +180,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(u > 0 && b > 0)
     assert(u <= b * 2, s"unigram $u vs bpe $b — unigram degenerated")
   }
+
+  test("docNll: in-vocab text scores below unk-heavy text; zero-word docs never kept") {
+    val frame = Seq(
+      (1L, docs.select("text").first().getString(0)), // in-domain corpus text
+      (2L, "zzqx jvwq qqqq xxxx zzzz"),               // unk-heavy garbage
+      (3L, ""),                                       // zero words
+    ).toDF("doc_id", "text")
+    val out = Unigram.docNll(frame, "text", "doc_id", trained, nllCutoff = 1e9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .toMap
+    val (n1, Some(nll1), kept1) = out(1L)
+    val (n2, Some(nll2), _) = out(2L)
+    assert(n1 > 0 && n2 > 0)
+    assert(nll1 < nll2, s"in-domain $nll1 should beat garbage $nll2")
+    assert(kept1) // cutoff 1e9 keeps everything with evidence
+    assert(out(3L) == ((0L, None, false))) // no tokens → NULL NLL → not kept
+    // per-word score agrees with the DP the segmentation tests pin:
+    // recompute doc 2's NLL from bruteBest over its words
+    val v = new UnigramVocab(trained.pieceStrings.toArray,
+      trained.logProbs.toArray, trained.maxPieceLen, trained.unkLogProb)
+    val words2 = "zzqx jvwq qqqq xxxx zzzz".split(" ").toSeq
+    val lpSum = words2.map(w => BigDecimal(bruteBest(w, v))).sum
+    val ntok2 = out(2L)._1
+    val expect = (-(lpSum / BigDecimal(ntok2.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(nll2 - expect) < 2e-6, s"$nll2 vs $expect")
+  }
 }
