@@ -92,10 +92,13 @@ object Bench {
     "d_dedup_simhash",    // simhash blocked Hamming
     "d_dedup_cosine_lsh", // banded hyperplane LSH + exact cosine
     "d_dedup_semantic",   // SemDeDup: trained cells + exact within-cell prune
+    "d_semantic_cells",   // per-cell embedding-space dataset card
     "d_bm25_search",      // BM25 top-10, TakeOrderedAndProject global cut
+    "d_bm25_multi",       // query TABLE scored in one corpus pass
     "d_tfidf_keywords",   // per-doc TF-IDF top-3, doc-partitioned rank window
     "d_source_overlap",   // exact pairwise source shingle Jaccard matrix
     "d_source_overlap_est", // MinHash min-of-mins estimate (one sig per source)
+    "d_ann_negatives",    // ANCE-style hard-negative mining (label mismatch)
     "s_ann_topk",         // brute-force cosine top-k
     "s_ann_lsh",          // banded-LSH ANN
     "s_ann_lsh_probed",   // + query-side multi-probe (2 weakest-bit flips)

@@ -1314,6 +1314,35 @@ object SparkEntry {
           topPerDoc = 3)
         .orderBy("doc_id", "rank")
     },
+    // ---- hard-negative mining (ANCE-style): per query, top-5 nearest
+    //      corpus vectors with a DIFFERENT label — banded-LSH candidates,
+    //      label mismatch before ranking
+    "d_ann_negatives" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.hardNegatives(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"),
+          col("embedding").as("vec"), col("label")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec"), col("label")),
+        k = 5).orderBy("qid", "rank")
+    },
+    // ---- batched BM25: a (qid, term) query TABLE scored in one corpus
+    //      pass, per-query top-5
+    "d_bm25_multi" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(("qa", "spark"), ("qa", "window"), ("qa", "join"),
+        ("qb", "customer"), ("qb", "query"), ("qb", "table"),
+        ("qc", "vector"), ("qc", "stream")).toDF("qid", "term")
+      ops.Ranking.bm25Batch(t(s, dir, "documents"), "doc_id", "text", qs, topK = 5)
+        .orderBy("qid", "rank")
+    },
+    // ---- embedding-space dataset card: per trained-cell count +
+    //      cosine-to-centroid distribution (decimal-exact mean)
+    "d_semantic_cells" -> { (s, dir) =>
+      ops.Similarity.cellProfile(
+        t(s, dir, "embeddings").select(col("vec_id").as("cid"),
+          col("embedding").as("vec")),
+        fixtureCentroids(s)).orderBy("cell")
+    },
     // ---- exact pairwise source shingle-overlap (the cross-source dedup
     //      audit); corpus collapses to distinct (source, shingle) first
     "d_source_overlap" -> { (s, dir) =>
@@ -3284,6 +3313,83 @@ object SparkEntry {
          |  WHERE round(${OracleFrag.dot64("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) >= 0.3)
          |SELECT vec_id, cell FROM asg WHERE vec_id NOT IN (SELECT lid FROM losers)
          |ORDER BY vec_id""".stripMargin
+    },
+    // Hard negatives replayed: the s_ann_lsh banding (4×4) restricted to
+    // query ids, label-mismatch filter BEFORE the rank, same tie-break
+    "d_ann_negatives" -> {
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |n AS (SELECT vec_id, v, label, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS (\n  $bandSelects),
+         |p AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+         |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id != c.vec_id
+         |      WHERE a.vec_id < 20),
+         |sc AS (SELECT p.qid, p.cid, nc.label AS neg_label,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid
+         |       WHERE nq.label != nc.label)
+         |SELECT qid, cid, neg_label, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    // Batched BM25 replayed: the d_bm25_search CTEs with the query VALUES
+    // table joined in for the per-(qid, doc) grouping
+    "d_bm25_multi" -> {
+      val k1 = 1.2; val b = 0.75
+      val qvals = Seq("qa" -> "spark", "qa" -> "window", "qa" -> "join",
+        "qb" -> "customer", "qb" -> "query", "qb" -> "table",
+        "qc" -> "vector", "qc" -> "stream")
+        .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT qid, t FROM (VALUES $qvals) AS __q(qid, t)),
+         |terms AS (SELECT DISTINCT t FROM qt),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok JOIN terms USING (t)
+         |       GROUP BY 1, 2),
+         |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.qid, tf.doc_id,
+         |  round(CAST(SUM(CAST(
+         |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |              / (CAST(df.df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
+         |       / (CAST(tf.tf AS DOUBLE) + ${k1} * (${1.0 - b}
+         |          + (${b} * CAST(dl.dl AS DOUBLE))
+         |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+         |   AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+         |  FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id
+         |       JOIN qt ON qt.t = tf.t, st
+         |  GROUP BY 1, 2)
+         |SELECT qid, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    // Cell profile replayed: fixture-centroid argmax with csim retained,
+    // then per-cell count + decimal-exact mean + rounded extremes
+    "d_semantic_cells" -> {
+      val values = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $values) AS __cent(centid, cv)),
+         |cj AS (SELECT n.vec_id, cent.centid,
+         |         ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) AS csim
+         |       FROM n CROSS JOIN cent),
+         |asgc AS (SELECT vec_id, centid AS cell, csim FROM (
+         |  SELECT vec_id, centid, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centid) AS rn
+         |  FROM cj) WHERE rn = 1)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(SUM(CAST(csim AS DECIMAL(38,18))) AS DOUBLE)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_csim,
+         |  round(MIN(csim), 6) AS min_csim,
+         |  round(MAX(csim), 6) AS max_csim
+         |FROM asgc GROUP BY cell ORDER BY cell""".stripMargin
     },
     // BM25 replayed formula-for-formula: same left-assoc double op order
     // as Ranking.bm25, per-(doc,term) score terms accumulated in

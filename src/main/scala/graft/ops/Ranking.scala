@@ -73,6 +73,54 @@ object Ranking {
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
   }
 
+  /** Batched BM25: score a TABLE of queries — `(qid, term)` rows — in ONE
+    * corpus pass, returning each query's top-k. This is the production
+    * retrieval shape (mining matches for a whole eval set or seed-query
+    * list), where running [[bm25]] per query would rescan the corpus per
+    * query.
+    *
+    * Scale shape: the token stream joins the broadcast DISTINCT term set
+    * once (the union over all queries — term-count-sized); tf/df
+    * statistics are computed per TERM (shared across queries that reuse a
+    * term, never recomputed); the per-(qid, doc) fan-out joins the
+    * broadcast (qid, term) map on term. The final per-query top-k is a
+    * qid-partitioned rank window whose input is bounded by the docs
+    * matching that query's terms — for hub terms that approach corpus
+    * size, trim with a per-term posting cut upstream (the maxDf playbook
+    * from ngram dedup) before ranking.
+    */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, // (qid, term)
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val qterms = queries.select(col("qid"), col("term").as("t")).distinct()
+    val terms = qterms.select("t").distinct()
+    val ws = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = ws.select(col("doc_id"), explode(col("ws")).as("t"))
+      .join(broadcast(terms), "t")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val tfn = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(df_), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "t")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum((idf * tfn).cast(d18)).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topK)
+  }
+
   /** Per-document TF-IDF keywords: the `topPerDoc` highest-scoring terms
     * of every document, score = tf · ln((1+N)/(1+df)) (add-one smoothed so
     * a corpus-universal term scores ~0 rather than −∞ on df = N edge

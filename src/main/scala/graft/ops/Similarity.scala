@@ -540,4 +540,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive embedding training (the
+    * ANCE-style "near but wrong" selection, Xiong et al. 2021,
+    * arXiv:2007.00808): for each query vector, the top-k most-similar
+    * corpus vectors whose `label` DIFFERS from the query's — the
+    * negatives that actually shape a decision boundary, as opposed to
+    * random negatives the model already separates.
+    *
+    * Inputs carry (qid|cid, vec, label). The candidate cut is the
+    * [[lshTopKBanded]] machinery (id-only band shuffle, OR-amplified
+    * buckets); labels join in at rescore time with the vectors — int-sized
+    * columns on candidate-count rows — and the mismatch filter runs BEFORE
+    * ranking, so negatives crowded out by same-label neighbors still
+    * surface. Exact cosine, rank ties to cid.
+    */
+  def hardNegatives(
+      queries: DataFrame, // (qid, vec, label)
+      corpus: DataFrame,  // (cid, vec, label)
+      k: Int = 5,
+      planesPerBand: Int = 4,
+      bands: Int = 4,
+  ): DataFrame = {
+    def banded(df: DataFrame, id: String) = {
+      val buckets = array((0 until bands).map(b =>
+        hyperplaneBucket(col(s"${id}_v"), planesPerBand, b * planesPerBand)): _*)
+      prep(df, id).select(col(id), posexplode(buckets))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    }
+    val cand = banded(queries, "qid").join(banded(corpus, "cid"), Seq("band", "bucket"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(prep(queries, "qid"), "qid")
+      .join(prep(corpus, "cid"), "cid")
+      .join(queries.select(col("qid"), col("label").as("qlabel")), "qid")
+      .join(corpus.select(col("cid"), col("label").as("neg_label")), "cid")
+      .where(col("qlabel") =!= col("neg_label"))
+      .select(col("qid"), col("cid"), col("neg_label"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * col("cid_n")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-space dataset card: per trained-quantizer cell, the vector
+    * count and the distribution of cosine-to-own-centroid (mean exact via
+    * DECIMAL accumulation, min/max rounded at output) — the cluster-
+    * balance / compactness report a curation run logs next to the corpus
+    * manifest, and the "is one cell swallowing the corpus" check before
+    * [[graft.ops.Dedup.semanticDedup]]'s per-cell pair stage.
+    * One broadcast-centroid argmax pass + one map-side-combined aggregate
+    * keyed by (at most) the quantizer size.
+    */
+  def cellProfile(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = prep(corpus, "cid")
+    val w = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("centId"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("centId"),
+        (dot_product(col("cid_v"), col("cent_v")) /
+          (col("cid_n") * col("cent_n"))).as("csim"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    assigned.groupBy(col("centId").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("csim").cast(DecMean)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_csim"),
+        round(min(col("csim")), 6).as("min_csim"),
+        round(max(col("csim")), 6).as("max_csim"))
+  }
+
+  private val DecMean = org.apache.spark.sql.types.DecimalType(38, 18)
 }

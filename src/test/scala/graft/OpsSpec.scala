@@ -2134,6 +2134,70 @@ class OpsSpec extends AnyFunSuite {
     assert(est.filter(_._2 == "c").forall(_._3 == 0.0))
   }
 
+  test("hardNegatives: same-label neighbors excluded, nearest wrong-label ranks first") {
+    def unit(hot: Int, extra: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = 1.0f
+      extra.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toSeq
+    }
+    val q = Seq((1L, unit(0), 0)).toDF("qid", "vec", "label")
+    val corpus = Seq(
+      (2L, unit(0, 2 -> 0.01), 0),  // nearest of all — but same label
+      (3L, unit(0, 2 -> 0.05), 1),  // nearest wrong-label
+      (4L, unit(0, 2 -> 0.20), 1),  // farther wrong-label
+      (5L, unit(0, 2 -> 0.02), 0),  // same label again
+    ).toDF("cid", "vec", "label")
+    val out = Similarity.hardNegatives(q, corpus, k = 5)
+      .select("qid", "cid", "neg_label", "rank")
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._4)
+    assert(out.forall(_._3 == 1), out.mkString(","))   // only wrong labels
+    assert(!out.exists(r => r._2 == 2L || r._2 == 5L)) // same-label excluded
+    assert(out.map(_._2).toSeq == Seq(3L, 4L))         // nearest wrong first
+  }
+
+  test("bm25Batch: per-query results equal the single-query operator") {
+    val c = Seq(
+      (1L, "spark spark join filler"),
+      (2L, "spark filler filler"),
+      (3L, "window table content"),
+      (4L, "join window spark"),
+    ).toDF("doc_id", "text")
+    val qs = Seq(("qa", "spark"), ("qa", "join"), ("qb", "window"))
+      .toDF("qid", "term")
+    val batch = Ranking.bm25Batch(c, "doc_id", "text", qs, topK = 10)
+      .select("qid", "doc_id", "score").as[(String, Long, Double)].collect()
+    val singleA = Ranking.bm25(c, "doc_id", "text", Seq("spark", "join"), topK = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val singleB = Ranking.bm25(c, "doc_id", "text", Seq("window"), topK = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(batch.filter(_._1 == "qa").map(r => r._2 -> r._3).toMap == singleA)
+    assert(batch.filter(_._1 == "qb").map(r => r._2 -> r._3).toMap == singleB)
+  }
+
+  test("cellProfile: counts cover the corpus, stats bound the mean, twin cell at 1.0") {
+    def unit(hot: Int, extra: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = 1.0f
+      extra.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toSeq
+    }
+    val cents = Seq((0, unit(0).map(_.toDouble)), (1, unit(1).map(_.toDouble)))
+      .toDF("centId", "cent_v")
+      .withColumn("cent_n", Similarity.norm(col("cent_v")))
+    val emb = Seq(
+      (1L, unit(0)), (2L, unit(0)),          // cell 0, exactly on centroid
+      (3L, unit(1, 2 -> 1.0)),               // cell 1, cos = 1/√2
+    ).toDF("cid", "vec")
+    val out = Similarity.cellProfile(emb, cents)
+      .select("cell", "n_vecs", "avg_csim", "min_csim", "max_csim")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == 3L)
+    val c0 = out.find(_._1 == 0).get
+    assert(c0._2 == 2L && c0._3 == 1.0 && c0._4 == 1.0 && c0._5 == 1.0)
+    val c1 = out.find(_._1 == 1).get
+    assert(c1._2 == 1L && math.abs(c1._3 - 0.707107) < 1e-6)
+    out.foreach(r => assert(r._4 <= r._3 && r._3 <= r._5 + 1e-9))
+  }
+
   test("semanticDedup: within-cell near-dup drops to min id; far rows and boundary twins survive") {
     def unit(hot: Int, extra: (Int, Double)*): Seq[Float] = {
       val a = Array.fill(64)(0.0f); a(hot) = 1.0f
