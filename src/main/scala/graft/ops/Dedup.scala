@@ -402,9 +402,11 @@ object Dedup {
       .localCheckpoint(true)
     val matched = indexMatchCore(sims, index, maxHamming, blocks)
       .select(col("doc_id")).distinct()
+    // comps feeds touched + two loser branches: checkpoint (node-sized)
+    // so the CC assembly doesn't replay per consumer
     val comps = connectedComponentsStar(
       pairsFromSimhash(sims.withColumnRenamed("doc_id", "id"), maxHamming, blocks),
-      "idA", "idB", maxIters)
+      "idA", "idB", maxIters).localCheckpoint(true)
     val touched = comps
       .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
       .select(col("comp")).distinct()
@@ -652,9 +654,11 @@ object Dedup {
     val matched = cosineMatchesFromVecs(withVec, index, vecStore, threshold,
         planesPerBand, bands)
       .select(col("doc_id")).distinct()
+    // comps feeds touched + two loser branches: checkpoint (node-sized)
+    // so the CC assembly doesn't replay per consumer
     val comps = connectedComponentsStar(
       cosinePairsFromVecs(withVec, threshold, planesPerBand, bands),
-      "idA", "idB", maxIters)
+      "idA", "idB", maxIters).localCheckpoint(true)
     val touched = comps
       .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
       .select(col("comp")).distinct()
@@ -824,7 +828,13 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    // checkpoint the RAW pairs, not just the canonical edges: allNodes is
+    // derived from them too, and without this the caller's pair pipeline
+    // (typically a full LSH candidate+verify pass) re-executed for the
+    // node set — measured 5x the operator's whole cost on the cosine
+    // increment at sf0.1 (r11)
     val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
     val allNodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node"))).distinct()
     var edges = raw.where(col("u") =!= col("v"))
