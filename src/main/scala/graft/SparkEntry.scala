@@ -1089,6 +1089,12 @@ object SparkEntry {
       ops.Unigram.docNll(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram, nllCutoff = 3.75).orderBy("doc_id")
     },
+    // ---- TERMINAL tokenization: per-doc token-ID sequences under the
+    //      committed unigram model, ids concatenated in word order
+    "d_tokenize_ids" -> { (s, dir) =>
+      ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
+        fixtureUnigram).orderBy("doc_id")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -1904,8 +1910,8 @@ object SparkEntry {
        |  JOIN ln ON ln.l <= p.pos
        |  LEFT JOIN pc ON pc.piece = substring(p.w, CAST(p.pos - ln.l + 1 AS INT), CAST(ln.l AS INT))
        |  WHERE p.pos > 0 AND (pc.piece IS NOT NULL OR ln.l = 1)),
-       |best AS (SELECT w, ntok, score FROM (
-       |  SELECT w, ntok, score, row_number() OVER (PARTITION BY w ORDER BY score DESC, lens DESC) AS rn
+       |best AS (SELECT w, ntok, score, lens FROM (
+       |  SELECT w, ntok, score, lens, row_number() OVER (PARTITION BY w ORDER BY score DESC, lens DESC) AS rn
        |  FROM paths WHERE pos = 0) WHERE rn = 1)""".stripMargin
   }
 
@@ -2321,6 +2327,33 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_tok_unigram
          |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Token-ID sequences replayed: best's winning lens list (reversed to
+    // word order) slices each word back into its pieces, pieces map to
+    // their committed-table ordinals (-1 = unk), and per-doc assembly
+    // re-concatenates in word order via explicit positions
+    "d_tokenize_ids" -> {
+      val pidValues = fixtureUnigram.pieces.zipWithIndex
+        .map { case (p, i) => s"('${p.piece}', $i)" }.mkString(", ")
+      s"""WITH RECURSIVE $unigramBestCtes,
+         |pcx AS (SELECT piece, pid FROM (VALUES $pidValues) AS __px(piece, pid)),
+         |seg AS (SELECT w, list_reverse(lens) AS ordlens FROM best),
+         |pk AS (SELECT w, ordlens, unnest(range(1, len(ordlens) + 1)) AS k FROM seg),
+         |off AS (SELECT w, k,
+         |          CAST(COALESCE(list_sum(list_slice(ordlens, 1, CAST(k - 1 AS INT))), 0) AS INT) AS pre,
+         |          CAST(ordlens[CAST(k AS INT)] AS INT) AS l FROM pk),
+         |pid AS (SELECT off.w, off.k, COALESCE(pcx.pid, -1) AS pid
+         |        FROM off LEFT JOIN pcx ON pcx.piece = substring(off.w, off.pre + 1, off.l)),
+         |wid AS (SELECT w, list(CAST(pid AS INT) ORDER BY k) AS ids FROM pid GROUP BY w),
+         |wp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wpos FROM docw),
+         |wp2 AS (SELECT doc_id, wpos, ws[CAST(wpos AS INT)] AS w FROM wp),
+         |docids AS (SELECT wp2.doc_id, flatten(list(wid.ids ORDER BY wp2.wpos)) AS ids
+         |           FROM wp2 JOIN wid ON wid.w = wp2.w GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(docids.ids, CAST([] AS INTEGER[])) AS token_ids,
+         |  CAST(len(COALESCE(docids.ids, CAST([] AS INTEGER[]))) AS INT) AS n_tok
+         |FROM documents d LEFT JOIN docids ON docids.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // Per-doc LM NLL replayed over the SAME path enumeration: best now
     // carries its (grid-exact, hence order-independent) path score; the
     // cross-word sum goes through DECIMAL(38,18) like the Spark side

@@ -196,6 +196,35 @@ object Unigram {
       .select(col(idCol), coalesce(col("__n_tok"), lit(0L)).as("n_tok_unigram"))
   }
 
+  /** Per-document token-ID sequences under a trained unigram model — the
+    * TERMINAL tokenization step that turns the curated corpus into what a
+    * trainer actually consumes. IDs are vocabulary indices from the
+    * committed piece table (−1 = unknown-char fallback), concatenated in
+    * word order.
+    *
+    * Scale shape: one codegen'd Viterbi projection per word occurrence
+    * ([[graft.functions.UnigramOps.pieceIds]]); the per-doc assembly is a
+    * doc-keyed aggregate whose collect is bounded by document length
+    * (positions ride along and sort locally — no corpus-wide ordering
+    * stage). Zero-word docs keep an empty sequence.
+    */
+  def tokenIds(docs: DataFrame, textCol: String, idCol: String,
+      m: Trained): DataFrame = {
+    val perWord = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("wpos", "w")))
+      .withColumn("ids", unigram_piece_ids(col("w"), m.pieceStrings,
+        m.logProbs, m.maxPieceLen, m.unkLogProb))
+    val agg = perWord.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        s => s.getField("ids"))).as("__ids"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ids"), expr("array()").cast("array<int>")).as("token_ids"))
+      .withColumn("n_tok", size(col("token_ids")))
+  }
+
   /** Per-document negative log-likelihood per token under a trained
     * unigram model — the CCNet-style LM quality signal (Wenzek et al.
     * 2020): low NLL ≈ in-domain fluent text, high NLL ≈ noise/outliers.

@@ -181,6 +181,34 @@ class UnigramSpec extends AnyFunSuite {
     assert(u <= b * 2, s"unigram $u vs bpe $b — unigram degenerated")
   }
 
+  test("tokenIds: ids reconstruct each doc's words in order; counts agree with tokenCounts") {
+    val sample = docs.limit(30)
+    val out = Unigram.tokenIds(sample, "text", "doc_id", trained)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getInt(2))).toMap
+    val counts = Unigram.tokenCounts(sample, "text", "doc_id", trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (ids, n)) =>
+      assert(ids.length == n)
+      assert(n.toLong == counts(id), s"doc $id")
+      // round-trip: consume the doc's concatenated words piece by piece
+      val stream = texts(id).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).mkString("")
+      var pos = 0
+      ids.foreach { pid =>
+        if (pid >= 0) {
+          val p = trained.pieceStrings(pid)
+          assert(stream.startsWith(p, pos), s"doc $id pos $pos piece '$p'")
+          pos += p.length
+        } else pos += 1 // unk fallback is always a single char
+      }
+      assert(pos == stream.length, s"doc $id consumed $pos of ${stream.length}")
+    }
+  }
+
   test("docNll: in-vocab text scores below unk-heavy text; zero-word docs never kept") {
     val frame = Seq(
       (1L, docs.select("text").first().getString(0)), // in-domain corpus text
