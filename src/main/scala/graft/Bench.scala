@@ -56,6 +56,7 @@ object Bench {
     "d_unigram_tokens",    // unigram-LM counts under the committed grid-exact model
     "d_unigram_ppl",       // CCNet-style per-doc NLL/token quality filter
     "d_tokenize_ids",      // terminal tokenization: per-doc token-ID sequences
+    "d_pack_tokens",       // materialized 128-token training examples
     "d_classifier_trained", // train → weights → gate, end-to-end
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
     "d_dedup_minhash_vs_index", // est-Jaccard probe of the corpus MinHash band index

@@ -1095,6 +1095,16 @@ object SparkEntry {
       ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram).orderBy("doc_id")
     },
+    // ---- tokenize → pack, materialized: the actual 128-token training
+    //      examples (prefix-sum chunking; every chunk full except the
+    //      stream's last). The oracle is an INDEPENDENT formulation —
+    //      flatten the doc-ordered global stream and slice — so the span
+    //      arithmetic is proved against the definition, not itself
+    "d_pack_tokens" -> { (s, dir) =>
+      val tok = ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
+        fixtureUnigram)
+      ops.Budget.packTokenIds(tok, "doc_id", seqLen = 128).orderBy("chunk")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -2353,6 +2363,38 @@ object SparkEntry {
          |  CAST(len(COALESCE(docids.ids, CAST([] AS INTEGER[]))) AS INT) AS n_tok
          |FROM documents d LEFT JOIN docids ON docids.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // Packed examples proved against the DEFINITION: per-doc id lists
+    // (the d_tokenize_ids CTEs) laid end-to-end in doc order with global
+    // positions, then grouped by position div seqLen — no span arithmetic
+    // in common with the Spark plan
+    "d_pack_tokens" -> {
+      val pidValues = fixtureUnigram.pieces.zipWithIndex
+        .map { case (p, i) => s"('${p.piece}', $i)" }.mkString(", ")
+      s"""WITH RECURSIVE $unigramBestCtes,
+         |pcx AS (SELECT piece, pid FROM (VALUES $pidValues) AS __px(piece, pid)),
+         |seg AS (SELECT w, list_reverse(lens) AS ordlens FROM best),
+         |pk AS (SELECT w, ordlens, unnest(range(1, len(ordlens) + 1)) AS k FROM seg),
+         |off AS (SELECT w, k,
+         |          CAST(COALESCE(list_sum(list_slice(ordlens, 1, CAST(k - 1 AS INT))), 0) AS INT) AS pre,
+         |          CAST(ordlens[CAST(k AS INT)] AS INT) AS l FROM pk),
+         |pid AS (SELECT off.w, off.k, COALESCE(pcx.pid, -1) AS pid
+         |        FROM off LEFT JOIN pcx ON pcx.piece = substring(off.w, off.pre + 1, off.l)),
+         |wid AS (SELECT w, list(CAST(pid AS INT) ORDER BY k) AS ids FROM pid GROUP BY w),
+         |wp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wpos FROM docw),
+         |wp2 AS (SELECT doc_id, wpos, ws[CAST(wpos AS INT)] AS w FROM wp),
+         |docids AS (SELECT wp2.doc_id, flatten(list(wid.ids ORDER BY wp2.wpos)) AS ids
+         |           FROM wp2 JOIN wid ON wid.w = wp2.w GROUP BY 1),
+         |offs AS (SELECT doc_id, ids,
+         |           COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+         |         FROM docids),
+         |tokpos AS (SELECT goff + tk - 1 AS gpos, ids[CAST(tk AS INT)] AS tid
+         |           FROM (SELECT goff, ids, unnest(range(1, len(ids) + 1)) AS tk FROM offs))
+         |SELECT CAST(gpos // 128 AS BIGINT) AS chunk,
+         |  list(CAST(tid AS INT) ORDER BY gpos) AS token_ids,
+         |  CAST(COUNT(*) AS INT) AS n_tok
+         |FROM tokpos GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // Per-doc LM NLL replayed over the SAME path enumeration: best now
     // carries its (grid-exact, hence order-independent) path score; the

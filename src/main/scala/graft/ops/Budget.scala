@@ -168,6 +168,34 @@ object Budget {
     * ⌈weight/seqLen⌉+1, never corpus-sized. Zero-weight documents occupy
     * no chunk and are dropped.
     */
+  /** MATERIALIZED packed training examples: compose a tokenized frame
+    * (`idCol`, `token_ids`, `n_tok` — e.g. [[graft.ops.Unigram.tokenIds]]
+    * output) with [[packExamples]]' span arithmetic and assemble each
+    * chunk's actual `seqLen`-token ID sequence. This is the last hop of
+    * the pipeline: what comes out is literally the training batch content
+    * (every chunk full at `seqLen` except the stream's last).
+    *
+    * Shape: the prefix-sum plan of [[packSequences]] (one bucket
+    * shuffle), a partition-local span explode (⌈n/seqLen⌉+1 rows per
+    * doc), one `slice` per span (no per-token explode — tokens move as
+    * array payloads), and a chunk-keyed aggregate whose collect is
+    * bounded by `seqLen` tokens per group. No stage is corpus-ordered on
+    * a single task.
+    */
+  def packTokenIds(tok: DataFrame, idCol: String,
+      seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    val spans = packExamples(tok, idCol, "n_tok", seqLen, bucketWidth)
+    spans.join(tok.select(col(idCol), col("token_ids")), idCol)
+      .select(col("chunk"), col("chunk_pos"),
+        slice(col("token_ids"), col("doc_offset").cast("int") + lit(1),
+          col("len").cast("int")).as("span"))
+      .groupBy("chunk")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("chunk_pos"), col("span")))),
+        s => s.getField("span"))).as("token_ids"))
+      .withColumn("n_tok", size(col("token_ids")))
+  }
+
   def packExamples(df: DataFrame, idCol: String, weightCol: String,
       seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     val packed = packSequences(df, idCol, weightCol, seqLen, bucketWidth)

@@ -1432,6 +1432,24 @@ class OpsSpec extends AnyFunSuite {
     assert(doc4.map(_._3).sum == 2000L)
   }
 
+  test("packTokenIds: chunks reassemble the exact global stream, all full but the last") {
+    val tok = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq(4, 5, 6, 7, 8)),   // straddles the 4-boundary
+      (3L, Seq.empty[Int]),       // zero-token doc occupies nothing
+      (4L, Seq(9, 10)),
+    ).toDF("doc_id", "token_ids")
+      .withColumn("n_tok", size(col("token_ids")))
+    val out = Budget.packTokenIds(tok, "doc_id", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      .sortBy(_._1)
+    // stream = 1..10 → chunks [1,2,3,4], [5,6,7,8], [9,10]
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._2).toSeq ==
+      Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8), Seq(9, 10)))
+    assert(out.init.forall(_._3 == 4) && out.last._3 == 2)
+  }
+
   test("packSequencesSharded: independent per-shard streams, guards fire") {
     val docs = Seq(
       (1L, 0, 1, 100L), (2L, 0, 2, 2000L), (3L, 0, 3, 50L),  // shard 0 stream
