@@ -507,6 +507,31 @@ class PlanQualitySpec extends AnyFunSuite {
         docs, "doc_id", "n_chars", seqLen = 2048, bucketWidth = 64)))
   }
 
+  test("packTokenIds: single-partition stages are aggregate-fed (bucket offsets only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.functions.col
+    // a tokenized stand-in (the real tokenizer's plan shape upstream of
+    // packing is already pinned by its own rows)
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.array(
+          (col("doc_id") % 7).cast("int")).as("token_ids"))
+      .withColumn("n_tok", org.apache.spark.sql.functions.size(col("token_ids")))
+    val plan = nonAdaptivePlan(
+      graft.ops.Budget.packTokenIds(tok, "doc_id", seqLen = 128, bucketWidth = 64))
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
+    // the only global-order stage is packSequences' offsets window, whose
+    // input is the bucket-sum aggregate — token arrays never pass through
+    // a single-partition exchange
+    singles.foreach(e => assert(
+      e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+      s"single-partition stage not fed by an aggregate:\n${e.toString.take(2000)}"))
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("quantile gate: single-partition stage sees only the value histogram") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
