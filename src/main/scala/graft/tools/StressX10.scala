@@ -108,6 +108,14 @@ object StressX10 {
     val bl1 = addChrome(docs1).localCheckpoint()
     val bl10 = addChrome(docs10).localCheckpoint()
 
+    // seeded coarse quantizer for the SemDeDup scenarios: the k
+    // smallest-id vectors as centroids (deterministic, shared by 1x/10x)
+    def seedCents(d: DataFrame, k: Int): DataFrame =
+      d.where(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("centId"),
+          transform(col("embedding"), x => x.cast("double")).as("cent_v"))
+        .withColumn("cent_n", graft.ops.Similarity.norm(col("cent_v")))
+
     // steady-state incremental-dedup fixtures (scenario below): probe
     // batch fixed, persisted index 1x vs 10x, both materialized up front
     val probeBatch = docs1.where(pmod(col("doc_id"), lit(10)) === 3)
@@ -118,7 +126,11 @@ object StressX10 {
     val ssIdx10 = graft.ops.Dedup.simhashIndex(docs10, "doc_id", "text")
       .localCheckpoint()
 
-    val scenarios: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
+    // optional arg 2: substring filter — run only matching scenarios and
+    // skip the 160M-row locally{} points (fast iteration on one scenario)
+    val only = args.drop(1).headOption
+
+    val allScenarios: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
       // frequent-line removal: one line-keyed aggregate (map-side
       // combined, output bounded by lines/minDocs) + a broadcast scan
       // filter — expect ~linear in corpus bytes
@@ -161,6 +173,18 @@ object StressX10 {
         ssIdx1, ssIdx10,
         (idx: DataFrame) => graft.ops.Dedup.dedupIncrementalNear(
           probeBatch, idx, "doc_id", "text")),
+      // SemDeDup cell-size control: with the quantizer FIXED at k=16, 10×
+      // corpus → ~100× within-cell pair candidates (cells don't multiply);
+      // growing k with the corpus (k = n/125 — 16 cells at 1x, 160 at 10x,
+      // the SemDeDup paper's regime) keeps cells task-sized and the pair
+      // stage ~linear. Seeded centroids (k smallest-id vectors, present in
+      // both frames) keep the two runs deterministic and comparable.
+      ("d_dedup_semantic (k=16 FIXED)", emb1, emb10,
+        (d: DataFrame) => graft.ops.Dedup.semanticDedup(d, "vec_id", "embedding",
+          seedCents(d, 16), 0.3)),
+      ("d_dedup_semantic (k = n/125, grows with corpus)", emb1, emb10,
+        (d: DataFrame) => graft.ops.Dedup.semanticDedup(d, "vec_id", "embedding",
+          seedCents(d, math.max((d.count() / 125L).toInt, 16)), 0.3)),
       // the GATED parameterization: threshold 0.3 admits ~0.6% of ALL
       // pairs on this synthetic distribution (measured: p90 raw cosine
       // 0.16, max 0.38 on a sample), so OUTPUT is Θ(n²) by data, not by
@@ -177,6 +201,8 @@ object StressX10 {
         (d: DataFrame) => graft.ops.Dedup.cosineNearDupPairs(d, "vec_id", "embedding",
           threshold = 0.9, planesPerBand = 8, bands = 8)),
     )
+    val scenarios = only.map(f => allScenarios.filter(_._1.contains(f)))
+      .getOrElse(allScenarios)
 
     def time(df: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -204,7 +230,7 @@ object StressX10 {
     // survivors (≈ n + avail/4096 per stratum), a ~1000× reduction that
     // the per-task ceiling inherits directly. Both are printed; membership
     // equality is asserted.
-    locally {
+    if (only.isEmpty) locally {
       // NOT checkpointed: range generation is a few hundred ms and both
       // forms pay it identically (materializing 160M rows OOMs the heap)
       val big = addStrata(
@@ -238,7 +264,7 @@ object StressX10 {
     // measure is the busiest post-shuffle task's input rows under 64
     // forced shards — the window's is bounded BELOW by the hub group, the
     // aggregate's by its map-side-combined output.
-    locally {
+    if (only.isEmpty) locally {
       val hub = addStrata(
         spark.range(0, 160000000L).select(col("id").as("doc_id")), "doc_id")
         .withColumn("key",
