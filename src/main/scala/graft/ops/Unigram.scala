@@ -202,28 +202,25 @@ object Unigram {
     * committed piece table (−1 = unknown-char fallback), concatenated in
     * word order.
     *
-    * Scale shape: one codegen'd Viterbi projection per word occurrence
-    * ([[graft.functions.UnigramOps.pieceIds]]); the per-doc assembly is a
-    * doc-keyed aggregate whose collect is bounded by document length
-    * (positions ride along and sort locally — no corpus-wide ordering
-    * stage). Zero-word docs keep an empty sequence.
+    * Scale shape: fully ROW-LOCAL — the Viterbi kernel
+    * ([[graft.functions.UnigramOps.pieceIds]]) runs per word INSIDE a
+    * `transform` lambda over the row's own word array, so the whole
+    * operator is one scan-stage projection: zero exchanges, no per-word
+    * explode/regroup (a first cut exploded words and re-grouped by doc —
+    * that shuffles every token id of the corpus just to reassemble rows
+    * that were already together). Stateless, so it is also
+    * streaming-safe as-is ([[graft.streaming.DocumentStream.tokenized]]).
+    * Zero-word and null docs keep an empty sequence.
     */
   def tokenIds(docs: DataFrame, textCol: String, idCol: String,
-      m: Trained): DataFrame = {
-    val perWord = docs
-      .select(col(idCol),
-        posexplode(TextAnalysis.words(col(textCol))).as(Seq("wpos", "w")))
-      .withColumn("ids", unigram_piece_ids(col("w"), m.pieceStrings,
-        m.logProbs, m.maxPieceLen, m.unkLogProb))
-    val agg = perWord.groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("wpos"), col("ids")))),
-        s => s.getField("ids"))).as("__ids"))
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__ids"), expr("array()").cast("array<int>")).as("token_ids"))
+      m: Trained): DataFrame =
+    docs.select(col(idCol),
+      coalesce(
+        flatten(transform(TextAnalysis.words(col(textCol)),
+          w => unigram_piece_ids(w, m.pieceStrings, m.logProbs,
+            m.maxPieceLen, m.unkLogProb))),
+        expr("array()").cast("array<int>")).as("token_ids"))
       .withColumn("n_tok", size(col("token_ids")))
-  }
 
   /** Per-document negative log-likelihood per token under a trained
     * unigram model — the CCNet-style LM quality signal (Wenzek et al.

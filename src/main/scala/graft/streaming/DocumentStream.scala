@@ -63,6 +63,15 @@ object DocumentStream {
       fractions: Seq[(String, Double)]): DataFrame =
     graft.ops.Sampling.splitLabels(docs, idCol, fractions)
 
+  /** Terminal tokenization on the stream — [[graft.ops.Unigram.tokenIds]]
+    * VERBATIM: the row-local transform-lambda projection carries no state,
+    * so arriving documents tokenize in their micro-batch with exact batch
+    * parity (structural, same expressions).
+    */
+  def tokenized(docs: DataFrame, m: graft.ops.Unigram.Trained,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.ops.Unigram.tokenIds(docs, textCol, idCol, m)
+
   /** Stateless within-doc duplicate-line stats —
     * [[graft.ops.TextAnalysis.lineRepetition]]'s row-local sorted-adjacency
     * projection per micro-batch; the same expressions, so stream/batch

@@ -507,6 +507,15 @@ class PlanQualitySpec extends AnyFunSuite {
         docs, "doc_id", "n_chars", seqLen = 2048, bucketWidth = 64)))
   }
 
+  test("tokenize: per-doc token-ID assembly is one exchange-free projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(graft.ops.Unigram.tokenIds(
+      docs, "text", "doc_id", SparkEntry.fixtureUnigram))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+  }
+
   test("packTokenIds: single-partition stages are aggregate-fed (bucket offsets only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

@@ -642,6 +642,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tokenization matches the batch tokenizer doc for doc") {
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(
+      DocumentStream.tokenized(stream, SparkEntry.fixtureUnigram), "doc_tok")
+    val streamed = spark.table("doc_tok")
+      .select("doc_id", "token_ids", "n_tok").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    val batch = graft.ops.Unigram.tokenIds(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        SparkEntry.fixtureUnigram)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream self-dedup matches batch simhash pairs") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
