@@ -76,6 +76,7 @@ object Bench {
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_split_corpus",     // train/val/test split on inlined hash thresholds
     "d_split_manifest",   // per-split release manifests (split × shard)
+    "d_split_decontam",   // train→test near-dup leakage removal
     "d_sample_stratified", // exactly-n-per-stratum hash-ranked sample
     "d_budget_global",    // parallel-prefix-sum global admission budget
     "d_epoch_shards",     // deterministic per-epoch shuffle+shard

@@ -1306,6 +1306,23 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },
+    // ---- train→test LEAKAGE removal: the split assignment feeding the
+    //      near-dup index machinery — test docs index their simhashes,
+    //      train docs within Hamming 3 of any test doc are dropped (the
+    //      doc-level contamination cut that n-gram decontamination
+    //      against external benchmarks doesn't cover)
+    "d_split_decontam" -> { (s, dir) =>
+      val labeled = ops.Sampling.splitLabels(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val idx = ops.Dedup.simhashIndex(
+        labeled.where(col("split") === "test"), "doc_id", "text")
+      val train = labeled.where(col("split") === "train")
+      val leaked = ops.Dedup.simhashIndexMatches(train, idx, "doc_id", "text")
+        .select(col("doc_id")).distinct()
+      train.join(leaked, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
+    },
     // ---- SemDeDup (cluster-then-dedup): committed-quantizer cells, exact
     //      within-cell cosine prune — the EXACT-within-cell alternative to
     //      the LSH-banded near-dup path, served off the trained-IVF
@@ -3365,6 +3382,29 @@ object SparkEntry {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id >= 250 AND vec_id NOT IN (SELECT id FROM losers)
          |ORDER BY vec_id""".stripMargin
+    },
+    // Split-leakage removal replayed brute-force: the split CASE over the
+    // unit hash, then train docs with ANY test doc within Hamming 3
+    // dropped (blocking completeness already proved by the vs_index row)
+    "d_split_decontam" -> {
+      val Seq(t1, t2, t3) = ops.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH sp AS (SELECT doc_id, text, source,
+         |  CASE WHEN u < $t1 THEN 'train'
+         |       WHEN u < $t2 THEN 'val'
+         |       WHEN u < $t3 THEN 'test' END AS split
+         |  FROM (SELECT doc_id, text, source,
+         |          ${OracleFrag.unitHash("doc_id")} AS u FROM documents)
+         |  WHERE u < $t3),
+         |w AS (SELECT doc_id, split, ${OracleFrag.ws("text")} AS ws FROM sp),
+         |s AS (SELECT doc_id, split, ${OracleFrag.simhash31("ws")} AS sim
+         |      FROM w WHERE len(ws) > 0),
+         |tst AS (SELECT sim FROM s WHERE split = 'test'),
+         |trn AS (SELECT doc_id, sim FROM s WHERE split = 'train'),
+         |leak AS (SELECT DISTINCT trn.doc_id FROM trn JOIN tst
+         |         ON bit_count(xor(trn.sim, tst.sim)) <= 3)
+         |SELECT doc_id, source, split FROM sp
+         |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
+         |ORDER BY doc_id""".stripMargin
     },
     // SemDeDup replayed: fixture-centroid argmax assignment (the
     // d_diverse_sample CTE), then within-cell exact-cosine losers — any
