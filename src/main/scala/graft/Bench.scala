@@ -96,6 +96,7 @@ object Bench {
     "d_dedup_cosine_lsh", // banded hyperplane LSH + exact cosine
     "d_dedup_semantic",   // SemDeDup: trained cells + exact within-cell prune
     "d_semantic_cells",   // per-cell embedding-space dataset card
+    "d_embed_normalize",  // mean-center + L2-normalize feature prep
     "d_bm25_search",      // BM25 top-10, TakeOrderedAndProject global cut
     "d_bm25_multi",       // query TABLE scored in one corpus pass
     "d_tfidf_keywords",   // per-doc TF-IDF top-3, doc-partitioned rank window

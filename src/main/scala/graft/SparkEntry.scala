@@ -1368,6 +1368,12 @@ object SparkEntry {
       ops.Ranking.bm25Batch(t(s, dir, "documents"), "doc_id", "text", qs, topK = 5)
         .orderBy("qid", "rank")
     },
+    // ---- embedding feature prep: mean-center on the corpus centroid,
+    //      L2-normalize (decimal-exact centroid, row-local projection)
+    "d_embed_normalize" -> { (s, dir) =>
+      ops.Similarity.normalizeEmbeddings(t(s, dir, "embeddings"),
+        "vec_id", "embedding").orderBy("vec_id")
+    },
     // ---- embedding-space dataset card: per trained-cell count +
     //      cosine-to-centroid distribution (decimal-exact mean)
     "d_semantic_cells" -> { (s, dir) =>
@@ -3482,6 +3488,24 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // Normalization replayed: decimal-exact per-dim centroid (list built
+    // in dim order), sequential-fold norm of the centered vector, same
+    // zero-norm escape, components rounded 6
+    "d_embed_normalize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (SELECT k, CAST(SUM(CAST(v[CAST(k AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS mu
+         |         FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
+         |         GROUP BY k),
+         |mul AS (SELECT list(mu ORDER BY k) AS mus FROM dims),
+         |c AS (SELECT vec_id,
+         |        list_transform(range(1, 65), __i -> v[__i] - mus[__i]) AS cv
+         |      FROM e, mul),
+         |n2 AS (SELECT vec_id, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS nrm FROM c)
+         |SELECT vec_id,
+         |  CASE WHEN nrm != 0 THEN list_transform(range(1, 65), __i -> round(cv[__i] / nrm, 6))
+         |       ELSE list_transform(range(1, 65), __i -> round(cv[__i], 6)) END AS nvec
+         |FROM n2 ORDER BY vec_id""".stripMargin,
     // Cell profile replayed: fixture-centroid argmax with csim retained,
     // then per-cell count + decimal-exact mean + rounded extremes
     "d_semantic_cells" -> {

@@ -585,6 +585,41 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Corpus-level embedding feature prep: mean-center every vector on the
+    * corpus centroid, then L2-normalize — the standard conditioning step
+    * before k-means / cosine ANN (removes the common-direction bias that
+    * makes raw embedding cosines cluster near 1). A zero vector after
+    * centering (a vector AT the centroid) stays zero rather than
+    * dividing by its own zero norm.
+    *
+    * Scale shape: the mean is 64 dimension-keyed partial aggregates
+    * (map-side combined, DECIMAL-exact so the centroid is partition-order
+    * independent), collected into ONE broadcast array; the
+    * center+normalize pass is then a row-local projection. Components
+    * round to 6 decimals at output (the cosine-family convention).
+    */
+  def normalizeEmbeddings(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.functions.Exprs
+    val withV = corpus.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val mu = withV.select(col(idCol), posexplode(col("v")))
+      .groupBy("pos")
+      .agg((sum(col("col").cast(DecMean)).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+      .select(transform(col("pm"), p => p.getField("mu")).as("mu"))
+    withV.crossJoin(broadcast(muArr))
+      .select(col(idCol),
+        Exprs.let(zip_with(col("v"), col("mu"), (x, m) => x - m), { cv =>
+          Exprs.let(norm(cv), { nrm =>
+            when(nrm =!= lit(0.0), transform(cv, c => round(c / nrm, 6)))
+              .otherwise(transform(cv, c => round(c, 6)))
+          })
+        }).as("nvec"))
+  }
+
   /** Embedding-space dataset card: per trained-quantizer cell, the vector
     * count and the distribution of cosine-to-own-centroid (mean exact via
     * DECIMAL accumulation, min/max rounded at output) — the cluster-

@@ -2192,6 +2192,28 @@ class OpsSpec extends AnyFunSuite {
     assert(batch.filter(_._1 == "qb").map(r => r._2 -> r._3).toMap == singleB)
   }
 
+  test("normalizeEmbeddings: unit norms, centroid-resident vector stays zero") {
+    def vec(a: Double, b: Double): Seq[Float] = {
+      val arr = Array.fill(64)(0.0f); arr(0) = a.toFloat; arr(1) = b.toFloat
+      arr.toSeq
+    }
+    // centroid of the four corners is (1, 1)/2... mean = (0.5, 0.5); the
+    // fifth vector SITS on the centroid → zero after centering
+    val emb = Seq(
+      (1L, vec(1, 0)), (2L, vec(0, 1)), (3L, vec(1, 1)), (4L, vec(0, 0)),
+      (5L, vec(0.5, 0.5)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.normalizeEmbeddings(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out.foreach { case (id, nv) =>
+      val n2 = nv.map(x => x * x).sum
+      if (id == 5L) assert(n2 == 0.0, s"centroid vector must stay zero: $nv")
+      else assert(math.abs(n2 - 1.0) < 1e-4, s"vec $id norm² $n2")
+    }
+    // centering flips corner 4 (below the mean in both dims) opposite 3
+    assert(out(4L).take(2).forall(_ < 0) && out(3L).take(2).forall(_ > 0))
+  }
+
   test("cellProfile: counts cover the corpus, stats bound the mean, twin cell at 1.0") {
     def unit(hot: Int, extra: (Int, Double)*): Seq[Float] = {
       val a = Array.fill(64)(0.0f); a(hot) = 1.0f
