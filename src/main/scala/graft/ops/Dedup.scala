@@ -698,6 +698,9 @@ object Dedup {
       centroids: DataFrame, threshold: Double): DataFrame = {
     val vecs = guardedVecs(ensureParallelism(emb), idCol, vecCol)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("csim").desc, col("centId"))
+    // checkpoint: assignment feeds both sides of the pair self-join AND
+    // the survivor anti-join — without it the centroid argmax pass runs
+    // once per consumer (the connectedComponentsStar lesson, r11)
     val assigned = vecs.crossJoin(broadcast(centroids))
       .select(col("doc_id"), col("v"), col("nrm"), col("centId"),
         (Similarity.dot(col("v"), col("cent_v")) / (col("nrm") * col("cent_n")))
@@ -705,6 +708,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("doc_id"), col("v"), col("nrm"), col("centId").as("cell"))
+      .localCheckpoint(true)
     val losers = assigned
       .select(col("cell"), col("doc_id").as("idA"), col("v").as("vA"), col("nrm").as("nA"))
       .join(assigned.select(col("cell"), col("doc_id").as("idB"),
