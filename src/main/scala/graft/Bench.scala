@@ -99,6 +99,7 @@ object Bench {
     "d_embed_normalize",  // mean-center + L2-normalize feature prep
     "d_bm25_search",      // BM25 top-10, TakeOrderedAndProject global cut
     "d_bm25_multi",       // query TABLE scored in one corpus pass
+    "d_bm25_served",      // frozen-stats serve path, row-local term fold
     "d_tfidf_keywords",   // per-doc TF-IDF top-3, doc-partitioned rank window
     "d_source_overlap",   // exact pairwise source shingle Jaccard matrix
     "d_source_overlap_est", // MinHash min-of-mins estimate (one sig per source)

@@ -1358,6 +1358,15 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec"), col("label")),
         k = 5).orderBy("qid", "rank")
     },
+    // ---- BM25 SERVE path: frozen corpus stats → row-local scoring of
+    //      every doc (router semantics: termless docs score 0); the same
+    //      artifact the streaming twin consumes
+    "d_bm25_served" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val stats = ops.Ranking.bm25Stats(docs, "doc_id", "text",
+        Seq("spark", "window", "join"))
+      ops.Ranking.bm25Score(docs, "doc_id", "text", stats).orderBy("doc_id")
+    },
     // ---- batched BM25: a (qid, term) query TABLE scored in one corpus
     //      pass, per-query top-5
     "d_bm25_multi" -> { (s, dir) =>
@@ -3454,6 +3463,34 @@ object SparkEntry {
          |SELECT qid, cid, neg_label, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+    // Serve-path BM25 replayed as the ROW-LOCAL fold it is: per-term
+    // scores collected in sorted term order and reduced left-to-right in
+    // plain doubles (the serve projection's exact addition order — NOT
+    // the retrieval form's decimal sum), termless docs at 0
+    "d_bm25_served" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT t FROM (VALUES ('join'), ('spark'), ('window')) __q(t)),
+         |dfq AS (SELECT qt.t, COALESCE(c.df, 0) AS df FROM qt
+         |        LEFT JOIN (SELECT qt2.t, COUNT(*) AS df FROM (SELECT t FROM qt) qt2
+         |                   JOIN w ON list_contains(w.ws, qt2.t) GROUP BY 1) c
+         |        ON c.t = qt.t),
+         |sc AS (SELECT w.doc_id, dfq.t,
+         |  CASE WHEN len(list_filter(w.ws, __x -> __x = dfq.t)) > 0 THEN
+         |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |    * ((CAST(len(list_filter(w.ws, __x -> __x = dfq.t)) AS DOUBLE) * ${k1 + 1.0})
+         |       / (CAST(len(list_filter(w.ws, __x -> __x = dfq.t)) AS DOUBLE) + ${k1} * (${1.0 - b}
+         |          + (${b} * CAST(len(w.ws) AS DOUBLE))
+         |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+         |  ELSE 0.0 END AS s
+         |  FROM w CROSS JOIN dfq, st)
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(0.0, list(s ORDER BY t)), (__a, __b) -> __a + __b), 6) AS score
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // Batched BM25 replayed: the d_bm25_search CTEs with the query VALUES
     // table joined in for the per-(qid, doc) grouping

@@ -73,6 +73,63 @@ object Ranking {
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
   }
 
+  /** Frozen corpus term statistics for one query — the BM25 SERVE
+    * artifact (the classifier train→serve precedent): one row carrying
+    * the query terms, their document frequencies, and the corpus
+    * constants. Computed once on the released corpus, then broadcast to
+    * score any number of new documents (batch or stream) without
+    * rescanning the corpus.
+    */
+  def bm25Stats(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String]): DataFrame = {
+    require(query.nonEmpty, "bm25Stats: empty query")
+    val ws = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfs = ws.select(col("doc_id"), explode(col("ws")).as("t"))
+      .where(col("t").isInCollection(query))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    // absent terms carry df = 0 so the serve fold sees every query term
+    val termFrame = docs.sparkSession
+      .createDataset(query.distinct.sorted)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("t")
+    termFrame.join(dfs, Seq("t"), "left")
+      .select(col("t"), coalesce(col("df"), lit(0L)).as("df"))
+      .agg(array_sort(collect_list(struct(col("t"), col("df")))).as("td"))
+      .select(transform(col("td"), x => x.getField("t")).as("terms"),
+        transform(col("td"), x => x.getField("df")).as("dfs"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Score documents against FROZEN [[bm25Stats]] — a stateless
+    * stream-safe projection: one stream-static cross join against the
+    * one-row stats frame, then a row-local fold over the query terms
+    * (per-term tf comes from the row's own word array). Every input doc
+    * gets a score (0 when no query term occurs) — router semantics, not
+    * retrieval semantics; use [[bm25]] for corpus-side top-k.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      stats: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+      .crossJoin(broadcast(stats))
+    val dlD = size(col("__ws")).cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val term = zip_with(col("terms"), col("dfs"), (t, df) => {
+      val tfD = size(filter(col("__ws"), w => w === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df.cast("double") + lit(0.5)) /
+          (df.cast("double") + lit(0.5)))
+      val tfn = tfD * lit(k1 + 1.0) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))
+      when(tfD > 0, idf * tfn).otherwise(lit(0.0))
+    })
+    scored.select(col(idCol),
+      round(aggregate(term, lit(0.0), (acc, x) => acc + x), 6).as("score"))
+  }
+
   /** Batched BM25: score a TABLE of queries — `(qid, term)` rows — in ONE
     * corpus pass, returning each query's top-k. This is the production
     * retrieval shape (mining matches for a whole eval set or seed-query

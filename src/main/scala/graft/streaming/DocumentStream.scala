@@ -63,6 +63,15 @@ object DocumentStream {
       fractions: Seq[(String, Double)]): DataFrame =
     graft.ops.Sampling.splitLabels(docs, idCol, fractions)
 
+  /** BM25 relevance scoring of ARRIVING documents against a frozen
+    * corpus-statistics snapshot ([[graft.ops.Ranking.bm25Stats]]) — the
+    * query-routing serve path: stateless stream-static join + row-local
+    * term fold, no state store, no corpus rescan.
+    */
+  def bm25Scored(docs: DataFrame, stats: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.ops.Ranking.bm25Score(docs, idCol, textCol, stats)
+
   /** Terminal tokenization on the stream — [[graft.ops.Unigram.tokenIds]]
     * VERBATIM: the row-local transform-lambda projection carries no state,
     * so arriving documents tokenize in their micro-batch with exact batch

@@ -642,6 +642,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BM25 serve path: streamed scores match batch retrieval, termless docs at 0") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = Seq("spark", "window", "join")
+    val stats = graft.ops.Ranking.bm25Stats(batchDocs, "doc_id", "text", q)
+      .localCheckpoint(true) // frozen snapshot, reused per micro-batch
+    val stream = DocumentStream.read(spark, docStreamDir)
+    EventStream.runToMemory(DocumentStream.bm25Scored(stream, stats), "doc_bm25")
+    val streamed = spark.table("doc_bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.ops.Ranking.bm25(batchDocs, "doc_id", "text", q,
+        topK = Int.MaxValue)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.nonEmpty && streamed.size == batchDocs.count())
+    // retrieval only scores docs containing a term; the router scores all
+    batch.foreach { case (id, s) =>
+      assert(math.abs(streamed(id) - s) <= 2e-6, s"doc $id: ${streamed(id)} vs $s")
+    }
+    assert(streamed.count(_._2 == 0.0) == streamed.size - batch.size)
+  }
+
   test("streaming tokenization matches the batch tokenizer doc for doc") {
     val stream = DocumentStream.read(spark, docStreamDir)
     EventStream.runToMemory(
