@@ -61,6 +61,9 @@ object Bench {
     "d_dedup_simhash_vs_index", // batch near-dup probe of the corpus simhash index
     "d_dedup_minhash_vs_index", // est-Jaccard probe of the corpus MinHash band index
     "d_dedup_simhash_incremental", // near-dedup increment: index cut + touched components
+    "d_dedup_minhash_incremental", // est-Jaccard increment: banded probe + touched components
+    "d_dedup_lines_across",        // corpus-wide first-occurrence line dedup (CCNet paragraphs)
+    "s_ann_sq8",                   // scalar-quantized ANN: byte codes, midpoint-decode ranking
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

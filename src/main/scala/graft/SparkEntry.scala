@@ -914,6 +914,17 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
     },
+    // ---- ANN, scalar-quantization (SQ8) variant: one byte per dimension
+    //      from corpus min/max ranges, bucket-midpoint reconstruction
+    //      ranks (decimal-exact, refine-30), exact rescore finishes — the
+    //      4x-compression tier between raw floats and PQ's 32x
+    "s_ann_sq8" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.sq8TopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, refine = 30).orderBy("qid", "rank")
+    },
     // ---- ANN, IVF-PQ composition: coarse cells route (4-of-16 probe), PQ
     //      codes compress, ADC ranks ONLY inside probed cells, exact
     //      rescore finishes — the scan-pruning form of s_ann_pq
@@ -1214,6 +1225,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
     },
+    // ---- DSIR importance resampling: per-bucket target-vs-raw micro-nat
+    //      log-ratios (curated sources = target), scored through the SAME
+    //      trained-weights codegen kernel, global top-100 by mean
+    //      importance — estimate → weights → select, end-to-end in-plan
+    "d_dsir_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("is_target",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val w = ops.Classifier.packWeights(
+        ops.Classifier.dsirLogRatios(labeled, "text", "is_target"), "lr_micro")
+      ops.Classifier.dsirTopN(docs, "doc_id", "text", w.toSeq, 100)
+        .select(col("doc_id"), col("n_words"), col("lr_sum"),
+          col("importance"), col("rank"))
+        .orderBy("rank")
+    },
     // ---- incremental dedup: yesterday's corpus contributes only its
     //      FINGERPRINT INDEX; today's batch anti-joins it, then dedups
     //      within itself — the accumulated corpus is never rescanned
@@ -1268,6 +1294,22 @@ object SparkEntry {
       ops.Dedup.dedupIncrementalNear(
           docs.where(col("doc_id") >= 250 && col("doc_id") < 1250), index,
           "doc_id", "text", maxHamming = 3, blocks = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    // ---- est-Jaccard criterion of the incremental family: the composed
+    //      MinHash incremental (index probe + within-batch CC + the shared
+    //      touched-component cut) — closes the last asymmetry where
+    //      MinHash had index + probe halves but no composed operator
+    //      (same batch cap as the simhash sibling: the ORACLE's recursive
+    //      closure is quadratic per component in DuckDB)
+    "d_dedup_minhash_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.minhashIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text")
+      ops.Dedup.dedupIncrementalMinhash(
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 1250), index,
+          "doc_id", "text")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -1481,6 +1523,16 @@ object SparkEntry {
     //      doc_id % 3 == 0 docs lose their duplicated body
     "d_dedup_lines_within" -> { (s, dir) =>
       ops.Boilerplate.dedupLinesWithin(lineRepDocs(s, dir), "doc_id", "text_lr")
+        .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
+        .orderBy("doc_id")
+    },
+    // ---- CORPUS-WIDE first-occurrence line dedup (CCNet's paragraph
+    //      dedup): every non-empty line survives only at its smallest
+    //      (doc_id, pos) — the planted chrome keeps ONE copy in the
+    //      min-id doc (contrast d_boilerplate, which deletes it from
+    //      every doc), and duplicated bodies vanish from later docs
+    "d_dedup_lines_across" -> { (s, dir) =>
+      ops.Boilerplate.dedupLinesAcross(lineRepDocs(s, dir), "doc_id", "text_lr")
         .select(col("doc_id"), col("text_clean"), col("n_lines_removed"))
         .orderBy("doc_id")
     },
@@ -2543,6 +2595,40 @@ object SparkEntry {
          |       ELSE 'borderline' END AS label
          |FROM w LEFT JOIN s2 ON s2.doc_id = w.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+    // DSIR replayed: dense bucket counts (target = curated sources, raw =
+    // all occurrences), the SAME ln micro-nat integerization (ln runs once
+    // per bucket — the BM25 ln precedent), exact BIGINT per-doc sums, and
+    // the top-100 cut on the identical double division
+    "d_dsir_sample" -> {
+      val B = graft.ops.Classifier.numBuckets
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS y,
+         |        unnest(${OracleFrag.classifierBuckets("ws")}) AS bucket
+         |      FROM w),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         |        CAST(COUNT(*) AS BIGINT) AS r_cnt
+         |      FROM f GROUP BY bucket),
+         |dn AS (SELECT b.bucket, COALESCE(c.t_cnt, 0) AS t_cnt,
+         |         COALESCE(c.r_cnt, 0) AS r_cnt
+         |       FROM (SELECT unnest(range(0, $B)) AS bucket) b
+         |       LEFT JOIN c USING (bucket)),
+         |tt AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS T, CAST(SUM(r_cnt) AS BIGINT) AS R FROM dn),
+         |lr AS (SELECT bucket,
+         |         CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(T + $B AS DOUBLE))
+         |                   - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(R + $B AS DOUBLE)))
+         |                   * 1000000.0, 0) AS BIGINT) AS lrm
+         |       FROM dn, tt),
+         |sc AS (SELECT f.doc_id, CAST(COUNT(*) AS INT) AS n_words,
+         |         CAST(SUM(lr.lrm) AS BIGINT) AS lr_sum
+         |       FROM f JOIN lr USING (bucket) GROUP BY f.doc_id),
+         |r AS (SELECT doc_id, n_words, lr_sum,
+         |        CAST(lr_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS importance
+         |      FROM sc)
+         |SELECT doc_id, n_words, lr_sum, importance,
+         |  CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS INT) AS rank
+         |FROM r QUALIFY rank <= 100 ORDER BY rank""".stripMargin
+    },
     // Every word's bucket weight refolded from the same poly-57 hash and
     // Lehmer weight formula as the fused kernel; label by exact integer
     // cross-multiplication (no division)
@@ -2588,6 +2674,49 @@ object SparkEntry {
          |      ON bit_count(xor(bt.sim, idx.sim)) <= 3),
          |pr AS (SELECT a.doc_id AS ia, c.doc_id AS ib FROM bt a JOIN bt c
          |       ON a.doc_id < c.doc_id AND bit_count(xor(a.sim, c.sim)) <= 3),
+         |e AS (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.ea, reach.r FROM e JOIN reach ON reach.node = e.eb),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |touched AS (SELECT DISTINCT component FROM comp
+         |            WHERE node IN (SELECT doc_id FROM m)),
+         |losers AS (
+         |  SELECT doc_id AS id FROM m
+         |  UNION SELECT node FROM comp
+         |        WHERE component IN (SELECT component FROM touched)
+         |  UNION SELECT node FROM comp WHERE node != component)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id >= 250 AND d.doc_id < 1250
+         |  AND d.doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+    // est-Jaccard sibling: banding replayed (the banded-recall contract),
+    // matches + within-batch pairs both gated at estJaccard >= 0.3, then
+    // the same recursive closure and touched-component loser rule
+    "d_dedup_minhash_incremental" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
+         |s AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM h WHERE len(shs) > 0),
+         |bd AS (SELECT s.doc_id, s.sig, bb.b AS band,
+         |         array_slice(s.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+         |       FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+         |idx AS (SELECT * FROM bd WHERE doc_id < 250),
+         |bt AS (SELECT * FROM bd WHERE doc_id >= 250 AND doc_id < 1250),
+         |mc AS (SELECT DISTINCT bt.doc_id, idx.doc_id AS cid
+         |       FROM bt JOIN idx ON bt.band = idx.band AND bt.bkey = idx.bkey),
+         |m AS (SELECT DISTINCT mc.doc_id FROM mc
+         |      JOIN s sa ON sa.doc_id = mc.doc_id JOIN s sb ON sb.doc_id = mc.cid
+         |      WHERE CAST(list_sum(list_transform(range(1, 33),
+         |        __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 >= 0.3),
+         |p AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+         |      FROM bt a JOIN bt c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |pr AS (SELECT ia, ib FROM (
+         |        SELECT p.ia, p.ib,
+         |          CAST(list_sum(list_transform(range(1, 33),
+         |            __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+         |        FROM p JOIN s sa ON sa.doc_id = p.ia JOIN s sb ON sb.doc_id = p.ib)
+         |       WHERE ej >= 0.3),
          |e AS (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
          |reach(node, r) AS (
          |  SELECT DISTINCT ea, ea FROM e
@@ -2749,6 +2878,28 @@ object SparkEntry {
          |      FROM m GROUP BY doc_id)
          |SELECT d.doc_id,
          |  CASE WHEN d.t IS NULL THEN NULL ELSE r.clean END AS text_clean,
+         |  CASE WHEN d.t IS NULL THEN NULL ELSE r.removed END AS n_lines_removed
+         |FROM b d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Corpus-wide first occurrence: the SAME regroup, with the keep window
+    // partitioned by line ALONE ordered by (doc_id, pos) — rn=1 is the
+    // global min (doc_id, pos), the operator's min(struct(id, pos))
+    "d_dedup_lines_across" ->
+      s"""WITH $LineRepDocsSql,
+         |l AS (SELECT doc_id, t,
+         |        unnest(list_transform(string_split(t, chr(10)),
+         |          (__x, __i) -> struct_pack(pos := __i, line := __x))) AS s
+         |      FROM b),
+         |m AS (SELECT doc_id, s.pos AS pos, s.line AS line,
+         |        row_number() OVER (PARTITION BY s.line ORDER BY doc_id, s.pos) AS rn
+         |      FROM l),
+         |r AS (SELECT doc_id,
+         |        string_agg(CASE WHEN rn = 1 OR line = '' THEN line END,
+         |          chr(10) ORDER BY pos) AS clean,
+         |        CAST(SUM(CASE WHEN rn = 1 OR line = '' THEN 0 ELSE 1 END) AS INT)
+         |          AS removed
+         |      FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.t IS NULL THEN NULL ELSE COALESCE(r.clean, '') END AS text_clean,
          |  CASE WHEN d.t IS NULL THEN NULL ELSE r.removed END AS n_lines_removed
          |FROM b d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Split thresholds are the SAME Scala-computed literals the operator
@@ -3721,6 +3872,41 @@ object SparkEntry {
          |  SELECT qtab.qid, enc.cid, SUM(pdot) AS adot
          |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.codeid = enc.codeid
          |  WHERE qtab.qid != enc.cid GROUP BY qtab.qid, enc.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // SQ8 replayed range-for-range: per-dim min/max → step=(hi-lo)/256,
+    // floor-encode clamped to 255, bucket-midpoint decode, 9-decimal
+    // DECIMAL ranking (the PQ adot convention), refine-30, exact rescore
+    "s_ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
+         |         (MAX(v[CAST(k AS INT)]) - MIN(v[CAST(k AS INT)])) / 256.0 AS st
+         |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
+         |       GROUP BY k),
+         |rg AS (SELECT list(lo ORDER BY k) AS los, list(st ORDER BY k) AS sts FROM mm),
+         |cd AS (SELECT vec_id AS cid,
+         |         list_transform(range(1, 65), __i ->
+         |           CASE WHEN sts[__i] = 0 THEN 0
+         |                ELSE LEAST(255, CAST(FLOOR((v[__i] - los[__i]) / sts[__i]) AS INT))
+         |           END) AS codes
+         |       FROM e, rg),
+         |rc AS (SELECT cid,
+         |         list_transform(range(1, 65), __i ->
+         |           los[__i] + (CAST(codes[__i] AS DOUBLE) + 0.5) * sts[__i]) AS rv
+         |       FROM cd, rg),
+         |ax AS (SELECT q.vec_id AS qid, rc.cid,
+         |         CAST(round(${OracleFrag.dot64("q.v", "rc.rv")}, 9) AS DECIMAL(38,12)) AS adot
+         |       FROM e q CROSS JOIN rc WHERE q.vec_id < 20 AND q.vec_id != rc.cid),
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn

@@ -259,6 +259,52 @@ object Boilerplate {
       docs, idCol, textCol, outCol)
   }
 
+  /** CORPUS-WIDE first-occurrence line dedup — the paragraph-level exact
+    * dedup stage of CCNet (Wenzek et al. 2020 dedupe paragraphs across the
+    * whole crawl shard before LM filtering): every non-empty line keeps
+    * only its FIRST occurrence corpus-wide — the smallest `(doc_id, pos)`
+    * holding it — and every later occurrence in ANY document (including
+    * repeats inside the first document itself) is removed. Empty lines
+    * are structure and always survive; NULL text stays NULL; NULL and
+    * duplicate ids raise ([[clean]]'s guard conventions).
+    *
+    * Contrast the two corpus-scope cuts: [[clean]] deletes a frequent line
+    * from EVERY document (boilerplate is noise wherever it appears, at a
+    * df threshold); this keeps exactly one copy of every line, at df 1
+    * (duplicated content is signal once, noise twice — the CCNet stance
+    * for training corpora). Composing it subsumes [[dedupLinesWithin]]
+    * (a within-doc repeat is a later occurrence by definition).
+    *
+    * Scale shape: the first-occurrence table is ONE line-keyed aggregate —
+    * a lexicographic `min(struct(id, pos))`, partial-combined map-side, so
+    * a hub line (chrome on 10⁸ pages) reduces per map task before the
+    * shuffle (the exactDedup min_by rule); then one line-keyed LEFT join
+    * of the line stream against that distinct-line-sized table (never
+    * broadcast-forced — at corpus scale it IS corpus-sized; Catalyst picks
+    * by stats) and the shared doc-keyed regroup. No all-pairs structure,
+    * three shuffles total, each keyed by line or doc.
+    */
+  def dedupLinesAcross(docs: DataFrame, idCol: String, textCol: String,
+      outCol: String = "text_clean"): DataFrame = {
+    val exploded = docs
+      .select(guardedId(idCol).as("__bl_id"),
+        posexplode(lines(col(textCol))).as(Seq("__bl_pos", "line")))
+    val firstOcc = exploded.where(length(col("line")) > 0)
+      .groupBy("line")
+      .agg(min(struct(col("__bl_id").as("id"), col("__bl_pos").as("pos")))
+        .as("__bl_first"))
+      .select(col("line").as("__bl_f_line"),
+        col("__bl_first").getField("id").as("__bl_f_id"),
+        col("__bl_first").getField("pos").as("__bl_f_pos"))
+    val marked = exploded
+      .join(firstOcc, col("line") === col("__bl_f_line"), "left")
+    regroupLines(marked,
+      col("__bl_f_id").isNull ||
+        (col("__bl_id") === col("__bl_f_id") &&
+          col("__bl_pos") === col("__bl_f_pos")),
+      docs, idCol, textCol, outCol)
+  }
+
   /** Row-local regime of [[dedupLinesWithin]] — identical result (parity
     * pinned in OpsSpec) computed inside ONE projection: a line survives iff
     * it is empty or its FIRST index in the document's line array is its own

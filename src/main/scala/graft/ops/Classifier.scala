@@ -123,11 +123,98 @@ object Classifier {
     * into the plan as literals/references, never as a per-row join).
     * Unobserved buckets default to weight 0.
     */
-  def trainedWeights(weightTable: DataFrame): Array[Long] = {
+  def trainedWeights(weightTable: DataFrame): Array[Long] =
+    packWeights(weightTable, "w_milli")
+
+  /** Bucket-indexed long-array pack of any (bucket, <valueCol>) table —
+    * shared by the classifier ([[trainedWeights]]) and the DSIR estimator
+    * ([[dsirLogRatios]]); absent buckets stay 0.
+    */
+  def packWeights(weightTable: DataFrame, valueCol: String): Array[Long] = {
     val arr = new Array[Long](numBuckets)
-    weightTable.select(col("bucket").cast("long"), col("w_milli").cast("long"))
+    weightTable.select(col("bucket").cast("long"), col(valueCol).cast("long"))
       .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
+  }
+
+  /** DSIR-style importance estimator (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): per hashed feature
+    * bucket, the log-ratio of add-one-smoothed occurrence probabilities
+    * between the TARGET distribution (occurrences in `targetCol` = true
+    * documents — the curated corpus the training mix should resemble) and
+    * the RAW distribution (occurrences in ALL documents — the crawl being
+    * resampled), in integer MICRO-NATS:
+    *
+    *   `lr_micro = round(1e6 · (ln((t+1)/(T+B)) − ln((r+1)/(R+B))))`
+    *
+    * where t/r are the bucket's target/raw occurrence counts, T/R the
+    * totals, B = [[numBuckets]]. Emits a DENSE `(bucket, t_cnt, r_cnt,
+    * lr_micro)` table (all B rows) so unobserved buckets carry the
+    * smoothed default rather than a silent 0. The micro-nat integerization
+    * is the [[train]] milli-unit convention one scale up: the per-document
+    * sum stays exact BIGINT arithmetic (the hash gate covers it), and the
+    * only transcendental runs once per BUCKET — B evaluations total,
+    * mirrored by the oracle's `ln` (the BM25 precedent) — never per word.
+    *
+    * Scale shape: identical to [[train]] — explode word hashes, ONE
+    * map-side-combined `groupBy(bucket)` aggregate bounded at B rows, plus
+    * a B-row totals pass. NULL target labels raise (guard-before-use).
+    */
+  def dsirLogRatios(labeled: DataFrame, textCol: String = "text",
+      targetCol: String = "is_target"): DataFrame = {
+    val y = when(col(targetCol).isNull, raise_error(lit(
+        s"Classifier.dsirLogRatios: null $targetCol — label every document " +
+          "or filter unlabeled rows upstream")))
+      .otherwise(col(targetCol).cast("boolean"))
+    val hs = graft.functions.TextFunctions.word_hashes(col(textCol))
+    val counts = labeled.select(y.as("__y"), explode(hs).as("__h"))
+      .groupBy(pmod(col("__h"), lit(numBuckets.toLong)).as("bucket"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("t_cnt"),
+        count(lit(1)).as("r_cnt"))
+    val dense = labeled.sparkSession.range(numBuckets)
+      .select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
+        coalesce(col("r_cnt"), lit(0L)).as("r_cnt"))
+    val tot = dense.agg(sum("t_cnt").as("__T"), sum("r_cnt").as("__R"))
+    val b = lit(numBuckets.toLong)
+    dense.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("t_cnt"), col("r_cnt"),
+        round((log((col("t_cnt") + 1L).cast("double") /
+            (col("__T") + b).cast("double"))
+          - log((col("r_cnt") + 1L).cast("double") /
+            (col("__R") + b).cast("double"))) * lit(1000000.0), 0)
+          .cast("long").as("lr_micro"))
+  }
+
+  /** DSIR selection: score every document's mean micro-nat log-ratio per
+    * word — `importance = lr_sum / n_words`, the length-normalized log
+    * importance weight — through the SAME codegen'd trained-weights kernel
+    * as [[classifyTrained]] (the model rides in the expression; inference
+    * is one scan-stage projection, no join), then keep the global top `n`
+    * (greedy resampling-without-replacement under deterministic ranking —
+    * ties to the smaller id). Zero-word and NULL-text documents carry no
+    * importance and are excluded.
+    *
+    * Scale shape: scoring is read-throughput; the cut plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort — the
+    * BM25 cut's pin), and the rank window runs on the n-row result only.
+    */
+  def dsirTopN(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive: $n")
+    val s0 = graft.functions.TextFunctions.classifier_score_trained(col(textCol), weights)
+    val scored = docs.withColumn("__ds", s0)
+      .select(col(idCol), col("__ds").getField("n_words").as("n_words"),
+        col("__ds").getField("score_sum").as("lr_sum"))
+      .where(col("n_words") > 0)
+      .withColumn("importance",
+        col("lr_sum").cast("double") / col("n_words").cast("double"))
+    val top = scored.orderBy(col("importance").desc, col(idCol)).limit(n)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("importance").desc, col(idCol))).cast("int"))
   }
 
   /** [[classify]] with a TRAINED weight table: same added columns, same

@@ -125,8 +125,17 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.3,
-  ): DataFrame = {
-    val banded = bandedMinhash(docs, idCol, textCol, numHashes, bands)
+  ): DataFrame =
+    minhashPairsFromBanded(
+      bandedMinhash(docs, idCol, textCol, numHashes, bands), numHashes,
+      threshold)
+
+  /** Within-set pairing over a pre-banded frame ([[bandedMinhash]] shape) —
+    * split out so [[dedupIncrementalMinhash]] can share one checkpointed
+    * banded frame between the index probe and the pairing.
+    */
+  private def minhashPairsFromBanded(banded: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame = {
     val l = banded.select(col("band"), col("bandKey"),
       col("doc_id").as("idA"), col("sig").as("sigA"))
     val r = banded.select(col("band"), col("bandKey"),
@@ -407,6 +416,21 @@ object Dedup {
     val comps = connectedComponentsStar(
       pairsFromSimhash(sims.withColumnRenamed("doc_id", "id"), maxHamming, blocks),
       "idA", "idB", maxIters).localCheckpoint(true)
+    incrementalCut(batch, idCol, matched, comps)
+  }
+
+  /** The shared loser assembly of the incremental near-dedup family —
+    * `matched` = batch ids whose near-original is already in the corpus
+    * (`doc_id` column), `comps` = within-batch components (`node`/`comp`,
+    * pre-checkpointed by the caller). Drops (1) index-matched docs,
+    * (2) whole corpus-touching components, (3) non-representatives of
+    * untouched components — ONE definition, so the three criteria
+    * (Hamming, est-Jaccard, cosine) cannot drift in their composition
+    * semantics. The final cut is one id-keyed LEFT ANTI join against a
+    * loser list that is dup-count-sized, ≪ batch.
+    */
+  private def incrementalCut(batch: DataFrame, idCol: String,
+      matched: DataFrame, comps: DataFrame): DataFrame = {
     val touched = comps
       .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
       .select(col("comp")).distinct()
@@ -415,6 +439,43 @@ object Dedup {
       .union(comps.where(col("node") =!= col("comp")).select(col("node").as("__nd_id")))
       .distinct()
     batch.join(losers, batch(idCol) === losers("__nd_id"), "left_anti")
+  }
+
+  /** Incremental MinHash near-dedup — the est-Jaccard criterion of the
+    * daily-increment family, completing the composed incremental operator
+    * across all four dedup criteria ([[dedupIncremental]] = exact key,
+    * [[dedupIncrementalNear]] = Hamming, [[dedupIncrementalCosine]] =
+    * embedding cosine; until now MinHash had only the index + probe
+    * halves, [[minhashIndex]] / [[minhashIndexMatches]]). Drops from the
+    * batch every document within estimated Jaccard `threshold` of the
+    * accumulated [[minhashIndex]] through a shared LSH band, every member
+    * of a within-batch component that touches the corpus, and
+    * non-representatives of untouched components — [[incrementalCut]]'s
+    * touched-component semantics under the est-Jaccard pair criterion.
+    *
+    * Same full-rerun-equivalence argument as the siblings (corpus ids
+    * preceding batch ids — pinned in OpsSpec): the pair criterion (share
+    * a band AND estJaccard ≥ threshold) is one deterministic predicate,
+    * applied by the SAME banding ([[bandedMinhash]]) and agreement
+    * estimate within the batch and across the index. The accumulated
+    * corpus contributes only its `bands`-rows-per-doc signature index —
+    * never a text rescan; the one batch scan's banded signatures are
+    * checkpointed and shared by the probe and the pairing.
+    */
+  def dedupIncrementalMinhash(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.3, maxIters: Int = 30): DataFrame = {
+    // checkpoint: the banded signatures feed both the index probe and the
+    // within-batch pairing — without it the batch is re-shingled per use
+    val banded = bandedMinhash(batch, idCol, textCol, numHashes, bands)
+      .localCheckpoint(true)
+    val matched = minhashMatchCore(banded, index, numHashes)
+      .where(col("estJaccard") >= threshold)
+      .select(col("doc_id")).distinct()
+    val comps = connectedComponentsStar(
+      minhashPairsFromBanded(banded, numHashes, threshold),
+      "idA", "idB", maxIters).localCheckpoint(true)
+    incrementalCut(batch, idCol, matched, comps)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
@@ -659,14 +720,7 @@ object Dedup {
     val comps = connectedComponentsStar(
       cosinePairsFromVecs(withVec, threshold, planesPerBand, bands),
       "idA", "idB", maxIters).localCheckpoint(true)
-    val touched = comps
-      .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
-      .select(col("comp")).distinct()
-    val losers = matched.select(col("doc_id").as("__nd_id"))
-      .union(comps.join(touched, Seq("comp")).select(col("node").as("__nd_id")))
-      .union(comps.where(col("node") =!= col("comp")).select(col("node").as("__nd_id")))
-      .distinct()
-    batch.join(losers, batch(idCol) === losers("__nd_id"), "left_anti")
+    incrementalCut(batch, idCol, matched, comps)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

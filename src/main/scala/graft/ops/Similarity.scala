@@ -517,6 +517,79 @@ object Similarity {
     adcRefineRescore(Some(routed), qTab, codes, queries, corpus, k, refine)
   }
 
+  /** Scalar-quantization (SQ8) ANN: compress each corpus dimension to ONE
+    * byte — code = ⌊(x − lo_d) / step_d⌋ clamped to [0, 255], with
+    * per-dimension ranges [lo_d, hi_d) from one corpus aggregate and
+    * step_d = (hi_d − lo_d)/256 — then rank candidates by the exact dot
+    * against the BUCKET-MIDPOINT reconstruction (lo_d + (code+0.5)·step_d,
+    * the asymmetric-distance convention: the query stays full-precision)
+    * and exact-rescore the top `refine`. The compression tier between raw
+    * floats and PQ: 4× (float32→byte) with near-exact ranking — each
+    * dimension keeps 256 levels where PQ's 16-centroid codebook keeps 16
+    * levels per 8-dim SUBSPACE — so SQ8 needs a far smaller refine budget
+    * for the same recall (FAISS's SQ8 vs PQ trade).
+    *
+    * Deterministic end-to-end (min/max are order-independent, floor and
+    * the midpoint decode are exact double arithmetic), so the DuckDB
+    * oracle recomputes ranges → codes → reconstruction → refine
+    * bit-for-bit; the approximate dot rounds to 9 decimals and ranks as
+    * DECIMAL so the refine cutoff can never drift between engines.
+    *
+    * Like [[pqTopK]] this is the COMPRESSION-ONLY variant: the ranking
+    * scan touches every (query, corpus) pair — memory shrinks 4×, scan
+    * work does not (the decode is once per corpus ROW, not per pair, and
+    * the per-pair op is one codegen dot). Routing composes exactly as in
+    * [[ivfPqTopK]]: restrict the cross join to IVF-probed cells and
+    * nothing else changes.
+    */
+  def sq8TopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      refine: Int = 30,   // exact-rescore budget per query
+  ): DataFrame = {
+    val c = prep(corpus, "cid")
+    // derive the dimension from the data (the kmeansCentroids rule)
+    val d = corpus.select(size(col("vec"))).head.getInt(0)
+    // per-dimension ranges: d dimension-keyed aggregates, map-side
+    // combined, packed into ONE broadcast row
+    val mm = c.select(posexplode(col("cid_v")))
+      .groupBy("pos")
+      .agg(min("col").as("lo"),
+        ((max("col") - min("col")) / lit(256.0)).as("st"))
+    val rg = mm
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("st")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("lo")).as("los"),
+        transform(col("ps"), p => p.getField("st")).as("sts"))
+    // encode (the persisted byte artifact), then decode each corpus row
+    // ONCE to its midpoint reconstruction for the ranking dot. A constant
+    // dimension (step 0) codes to 0 and reconstructs to exactly lo.
+    val enc = c.crossJoin(broadcast(rg))
+      .select(col("cid"), col("los"), col("sts"),
+        transform(sequence(lit(0), lit(d - 1)), i => {
+          val x = element_at(col("cid_v"), i + 1)
+          val lo = element_at(col("los"), i + 1)
+          val st = element_at(col("sts"), i + 1)
+          when(st === 0.0, lit(0))
+            .otherwise(least(lit(255), floor((x - lo) / st).cast("int")))
+        }).as("codes"))
+    val rec = enc.select(col("cid"),
+      transform(col("codes"), (cd, i) =>
+        element_at(col("los"), i + 1) +
+          (cd.cast("double") + lit(0.5)) * element_at(col("sts"), i + 1))
+        .as("rv"))
+    val approx = prep(queries, "qid").select(col("qid"), col("qid_v"))
+      .crossJoin(rec)
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("rv")), 9).cast(DecExact).as("adot"))
+    val cand = approx
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+      .where(col("arn") <= refine).select("qid", "cid")
+    rescoreTopK(cand, queries, corpus, k)
+  }
+
   /** ANN top-k via hyperplane LSH: score only same-bucket candidates. With
     * multi-probe = 0 this trades recall for a ~2^planes candidate cut.
     */

@@ -146,6 +146,35 @@ class OpsSpec extends AnyFunSuite {
       s"trained IVF-PQ $ivfpqTrained < seeded $ivfpqSeeded")
   }
 
+  test("SQ8 ANN: full-refine equals brute force exactly; refine-30 recall beats PQ's") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // refine ≥ corpus ⇒ every pair reaches the exact rescore ⇒ the whole
+    // approximation layer cancels and the result IS brute force
+    val n = c.count().toInt
+    val full = key(Similarity.sq8TopK(q, c, k = 5, refine = n))
+    val bf = key(Similarity.bruteForceTopK(q, c, k = 5))
+    assert(full == bf && bf.nonEmpty)
+    // at the shared refine-30 budget, 256 levels/dim must rank candidates
+    // at least as faithfully as PQ's 16 centroids per 8-dim subspace
+    val bfPairs = bf.map(t => (t._1, t._2))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bfPairs & got).size.toDouble / bfPairs.size
+    }
+    val sq8 = recallOf(Similarity.sq8TopK(q, c, k = 5, refine = 30))
+    val pq = recallOf(Similarity.pqTopK(q, c, k = 5, refine = 30))
+    assert(sq8 >= pq, s"SQ8 recall $sq8 < PQ recall $pq at equal refine")
+    assert(sq8 >= 0.9, s"SQ8 refine-30 recall@5 = $sq8 < 0.9")
+  }
+
   test("IVF ANN: results are true cosines; probing more cells raises recall") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -830,6 +859,53 @@ class OpsSpec extends AnyFunSuite {
     // and cross-half dups exist in this fixture, so the increment is
     // strictly coarser than a batch-only dedup
     assert(got.size < batch.count())
+  }
+
+  test("dedupIncrementalMinhash reproduces the full-rerun survivor set (corpus ids first)") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") < 250)
+    val batch = all.where(col("doc_id") >= 250)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val got = Dedup.dedupIncrementalMinhash(batch, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // full rerun under the operator's OWN pair criterion (share a band AND
+    // estJaccard ≥ threshold — banding is lossy, so brute-force Jaccard is
+    // not the contract): CC over the union's pairs, survivors = min id per
+    // component; expected batch survivors = the batch slice of that
+    val pairs = Dedup.minhashLshPairs(all, "doc_id", "text")
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, -1L); if (p < 0) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(id => find(id) != id).toSet
+    val expect = all.select("doc_id").as[Long].collect()
+      .filter(_ >= 250).filterNot(losers).toSet
+    assert(got == expect)
+    // cross-half dups exist in this fixture, so the increment is strictly
+    // coarser than a batch-only dedup
+    assert(got.size < batch.count())
+  }
+
+  test("minhash increment raises on NULL ids (a null id would bypass every cut)") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val batch = Seq((Option(10L), "the quick brown fox jumps over the lazy cat today"),
+      (Option.empty[Long], "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    for (op <- Seq(
+      () => Dedup.minhashIndexMatches(batch, index, "doc_id", "text").collect(),
+      () => Dedup.dedupIncrementalMinhash(batch, index, "doc_id", "text").collect(),
+      () => Dedup.minhashIndex(batch, "doc_id", "text").collect())) {
+      val e = intercept[Exception](op())
+      assert(e.getMessage.contains("null doc_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null doc_id")))
+    }
   }
 
   test("cosine increment raises on NULL ids (a null id would bypass every cut)") {
@@ -2034,6 +2110,44 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, "x"), (1L, "y")).toDF("doc_id", "text"), "doc_id", "text")
       .collect())
     assert(e.getMessage.contains("duplicate") || e.getMessage.contains("unique"))
+  }
+
+  test("dedupLinesAcross: global first occurrence by (doc_id, pos), full-wipe docs come back empty") {
+    val frame = Seq(
+      (1L, "a\nb\na"),             // keeps a(0), b(1); a(2) is a later occurrence
+      (2L, "b\nc\n\nc"),           // b lost to doc 1; keeps c(1), ""(2); c(3) cut
+      (3L, "a\nb"),                // exact copy of earlier lines → full wipe
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),                    // one empty line: structure, survives
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupLinesAcross(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(r.fieldIndex("text_clean"))),
+          if (r.isNullAt(r.fieldIndex("n_lines_removed"))) None
+          else Some(r.getInt(r.fieldIndex("n_lines_removed"))))).toMap
+    assert(out(1L) == ((Some("a\nb"), Some(1))))
+    assert(out(2L) == ((Some("c\n"), Some(2))))
+    assert(out(3L) == ((Some(""), Some(2)))) // wiped, NOT null
+    assert(out(4L) == ((None, None)))
+    assert(out(5L) == ((Some(""), Some(0))))
+    // corpus-level invariant: every distinct non-empty input line appears
+    // EXACTLY once across all clean texts (the df-1 contract)
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("NAV\n"), col("text")).as("text"))
+    val cleaned = Boilerplate.dedupLinesAcross(all, "doc_id", "text")
+    val counts = cleaned
+      .select(explode(split(col("text_clean"), "\n", -1)).as("l"))
+      .where(length(col("l")) > 0)
+      .groupBy("l").count().agg(max("count")).head().getLong(0)
+    assert(counts == 1L)
+    val distinctIn = all
+      .select(explode(split(col("text"), "\n", -1)).as("l"))
+      .where(length(col("l")) > 0).distinct().count()
+    val keptOut = cleaned
+      .select(explode(split(col("text_clean"), "\n", -1)).as("l"))
+      .where(length(col("l")) > 0).count()
+    assert(keptOut == distinctIn)
   }
 
   test("dedupLinesWithin: row-local form parity with the window+regroup form") {

@@ -298,6 +298,40 @@ class PlanQualitySpec extends AnyFunSuite {
       s"degenerate join:\n${shuffled.toString.take(2000)}")
   }
 
+  test("corpus-wide line dedup: line/doc-keyed exchanges only, no degenerate join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = nonAdaptivePlan(
+      graft.ops.Boilerplate.dedupLinesAcross(docs, "doc_id", "text"))
+    // first-occurrence aggregate (line), membership join (line), regroup
+    // (id), restore join (id): every exchange is keyed by line or doc id —
+    // never a corpus-wide single-partition stage — and the min(struct)
+    // aggregate partial-combines, so a hub line collapses map-side
+    val n = plan.collect { case e: ShuffleExchangeExec => e }.size
+    assert(n <= 5, s"dedupLinesAcross has $n exchanges:\n${plan.toString.take(3000)}")
+    assert(plan.toString.contains("partial_min") || plan.toString.contains("partial min"),
+      s"first-occurrence min is not partially aggregated:\n${plan.toString.take(3000)}")
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${plan.toString.take(2000)}")
+  }
+
+  test("DSIR top-n cut is TakeOrderedAndProject over a join-free scoring scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val labeled = docs.withColumn("is_target", col("source").isin("src0", "src1"))
+    val w = graft.ops.Classifier.packWeights(
+      graft.ops.Classifier.dsirLogRatios(labeled, "text", "is_target"), "lr_micro")
+    val plan = nonAdaptivePlan(
+      graft.ops.Classifier.dsirTopN(docs, "doc_id", "text", w.toSeq, 100))
+    val p = plan.toString
+    // the model rides in the expression: scoring is one scan-stage
+    // projection (no join anywhere), and the global cut is per-partition
+    // heaps, not a full sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join"), s"DSIR scoring plans a join:\n${p.take(2000)}")
+  }
+
   test("manifest verify joins two shard-sized aggregates, never the corpora") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
