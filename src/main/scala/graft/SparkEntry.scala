@@ -925,6 +925,16 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, refine = 30).orderBy("qid", "rank")
     },
+    // ---- ANN, IVF-SQ8 composition: coarse cells route (4-of-16 probe),
+    //      byte codes compress, the midpoint-decode dot ranks ONLY inside
+    //      probed cells — the scan-pruning form of s_ann_sq8
+    "s_ann_ivfsq8" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfSq8TopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4, refine = 30).orderBy("qid", "rank")
+    },
     // ---- ANN, IVF-PQ composition: coarse cells route (4-of-16 probe), PQ
     //      codes compress, ADC ranks ONLY inside probed cells, exact
     //      rescore finishes — the scan-pruning form of s_ann_pq
@@ -3907,6 +3917,54 @@ object SparkEntry {
          |ax AS (SELECT q.vec_id AS qid, rc.cid,
          |         CAST(round(${OracleFrag.dot64("q.v", "rc.rv")}, 9) AS DECIMAL(38,12)) AS adot
          |       FROM e q CROSS JOIN rc WHERE q.vec_id < 20 AND q.vec_id != rc.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Mirrors Similarity.ivfSq8TopK: the s_ann_ivf routing CTEs feed the
+    // s_ann_sq8 quantization CTEs — ax ranks ONLY routed (qid, cid) pairs,
+    // then the same refine-30 + exact rescore
+    "s_ann_ivfsq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id AS cid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |qc AS (SELECT vec_id AS qid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |rt AS (SELECT qc.qid, asg.cid
+         |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+         |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
+         |         (MAX(v[CAST(k AS INT)]) - MIN(v[CAST(k AS INT)])) / 256.0 AS st
+         |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
+         |       GROUP BY k),
+         |rg AS (SELECT list(lo ORDER BY k) AS los, list(st ORDER BY k) AS sts FROM mm),
+         |cd AS (SELECT vec_id AS cid,
+         |         list_transform(range(1, 65), __i ->
+         |           CASE WHEN sts[__i] = 0 THEN 0
+         |                ELSE LEAST(255, CAST(FLOOR((v[__i] - los[__i]) / sts[__i]) AS INT))
+         |           END) AS codes
+         |       FROM e, rg),
+         |rc AS (SELECT cid,
+         |         list_transform(range(1, 65), __i ->
+         |           los[__i] + (CAST(codes[__i] AS DOUBLE) + 0.5) * sts[__i]) AS rv
+         |       FROM cd, rg),
+         |ax AS (SELECT rt.qid, rt.cid,
+         |         CAST(round(${OracleFrag.dot64("q.v", "rc.rv")}, 9) AS DECIMAL(38,12)) AS adot
+         |       FROM rt JOIN rc ON rc.cid = rt.cid JOIN e q ON q.vec_id = rt.qid),
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn

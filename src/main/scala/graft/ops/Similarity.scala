@@ -549,10 +549,58 @@ object Similarity {
       refine: Int = 30,   // exact-rescore budget per query
   ): DataFrame = {
     val c = prep(corpus, "cid")
+    val rec = sq8Reconstructed(c, corpus)
+    val approx = prep(queries, "qid").select(col("qid"), col("qid_v"))
+      .crossJoin(rec)
+      .where(col("qid") =!= col("cid"))
+    sq8RefineRescore(approx, queries, corpus, k, refine)
+  }
+
+  /** IVF-SQ8: coarse cells route, SQ8 codes compress, the midpoint-decode
+    * dot ranks ONLY inside probed cells, exact rescore finishes — the
+    * scan-pruning form of [[sq8TopK]], exactly the [[ivfPqTopK]]
+    * composition one compression tier up. Non-residual (ranges come from
+    * the WHOLE corpus, not per cell), so routing changes WHICH codes are
+    * scanned, never the codes themselves — ranking dots match
+    * [[sq8TopK]]'s for the pairs both scan, and probing every cell
+    * reproduces it exactly (pinned in OpsSpec).
+    */
+  def ivfSq8TopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      nCells: Int = 16,   // coarse cells
+      nProbe: Int = 4,    // cells scanned per query
+      refine: Int = 30,   // exact-rescore budget per query
+      centroids: Option[DataFrame] = None, // (centId, cent_v, cent_n)
+  ): DataFrame = {
+    val c = prep(corpus, "cid")
+    val q = prep(queries, "qid")
+    val cent = centroids.getOrElse(seededCentroids(c, nCells))
+    // routing: keep=1 assignment + nProbe distinct probed cells per query
+    // means routed pairs are already unique (the ivfPqTopK argument)
+    val assigned = nearestCells(c, "cid", cent, keep = 1)
+    val probed = nearestCells(q, "qid", cent, keep = nProbe)
+    val routed = probed.join(assigned, "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    val approx = routed
+      .join(sq8Reconstructed(c, corpus), "cid")
+      .join(q.select(col("qid"), col("qid_v")), "qid")
+    sq8RefineRescore(approx, queries, corpus, k, refine)
+  }
+
+  /** The SQ8 build: per-dimension ranges → byte codes → bucket-midpoint
+    * reconstruction, one row per corpus vector — `(cid, rv)`. ONE
+    * definition shared by the exhaustive and IVF-routed forms, so their
+    * ranking dots agree bit-for-bit. Ranges are d tiny dimension-keyed
+    * aggregates (map-side combined) packed into ONE broadcast row; the
+    * decode runs once per corpus ROW, never per candidate pair. A
+    * constant dimension (step 0) codes to 0 and reconstructs to its lo.
+    */
+  private def sq8Reconstructed(c: DataFrame, corpus: DataFrame): DataFrame = {
     // derive the dimension from the data (the kmeansCentroids rule)
     val d = corpus.select(size(col("vec"))).head.getInt(0)
-    // per-dimension ranges: d dimension-keyed aggregates, map-side
-    // combined, packed into ONE broadcast row
     val mm = c.select(posexplode(col("cid_v")))
       .groupBy("pos")
       .agg(min("col").as("lo"),
@@ -561,9 +609,6 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("st")))).as("ps"))
       .select(transform(col("ps"), p => p.getField("lo")).as("los"),
         transform(col("ps"), p => p.getField("st")).as("sts"))
-    // encode (the persisted byte artifact), then decode each corpus row
-    // ONCE to its midpoint reconstruction for the ranking dot. A constant
-    // dimension (step 0) codes to 0 and reconstructs to exactly lo.
     val enc = c.crossJoin(broadcast(rg))
       .select(col("cid"), col("los"), col("sts"),
         transform(sequence(lit(0), lit(d - 1)), i => {
@@ -573,17 +618,23 @@ object Similarity {
           when(st === 0.0, lit(0))
             .otherwise(least(lit(255), floor((x - lo) / st).cast("int")))
         }).as("codes"))
-    val rec = enc.select(col("cid"),
+    enc.select(col("cid"),
       transform(col("codes"), (cd, i) =>
         element_at(col("los"), i + 1) +
           (cd.cast("double") + lit(0.5)) * element_at(col("sts"), i + 1))
         .as("rv"))
-    val approx = prep(queries, "qid").select(col("qid"), col("qid_v"))
-      .crossJoin(rec)
-      .where(col("qid") =!= col("cid"))
+  }
+
+  /** Shared SQ8 ranking tail: the 9-decimal DECIMAL-ranked midpoint dot
+    * (the PQ adot convention — the refine cutoff can never drift from the
+    * oracle), per-query refine cut, exact rescore. Input must carry
+    * `qid`, `qid_v`, `cid`, `rv`.
+    */
+  private def sq8RefineRescore(approx: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, refine: Int): DataFrame = {
+    val cand = approx
       .select(col("qid"), col("cid"),
         round(dot_product(col("qid_v"), col("rv")), 9).cast(DecExact).as("adot"))
-    val cand = approx
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
       .where(col("arn") <= refine).select("qid", "cid")

@@ -200,6 +200,43 @@ object StressX10 {
       ("d_dedup_cosine_lsh (near-dup, thr 0.9, 8 planes)", emb1, emb10,
         (d: DataFrame) => graft.ops.Dedup.cosineNearDupPairs(d, "vec_id", "embedding",
           threshold = 0.9, planesPerBand = 8, bands = 8)),
+      // corpus-wide first-occurrence line dedup: the chrome lines are HUB
+      // lines (every doc carries them), so the stress is the min(struct)
+      // first-occurrence aggregate — it partial-combines map-side, so the
+      // line-keyed shuffle sees one row per (map task, line); expect
+      // ~linear in corpus bytes like the boilerplate aggregate above
+      ("d_dedup_lines_across (hub chrome lines)", bl1, bl10,
+        (d: DataFrame) => graft.ops.Boilerplate.dedupLinesAcross(d, "doc_id", "text")),
+      // est-Jaccard composed increment, mirroring the simhash scenario:
+      // cost should track the CC family, not corpus²
+      ("d_dedup_minhash_incremental (index=half)", docs1, docs10,
+        (d: DataFrame) => {
+          val idx = graft.ops.Dedup.minhashIndex(
+            d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+          graft.ops.Dedup.dedupIncrementalMinhash(
+            d.where(pmod(col("doc_id"), lit(2)) === 1), idx, "doc_id", "text")
+        }),
+      // DSIR estimate → weights → top-n, end-to-end: the estimator is one
+      // bucket-keyed aggregate (≤1024 rows out), scoring is scan-
+      // throughput, the cut is TakeOrdered — expect ~linear
+      ("d_dsir_sample (estimate+select, n=1000)", docs1, docs10,
+        (d: DataFrame) => {
+          val labeled = d.withColumn("is_target",
+            pmod(col("doc_id"), lit(3)) === 0)
+          val w = graft.ops.Classifier.packWeights(
+            graft.ops.Classifier.dsirLogRatios(labeled, "text", "is_target"),
+            "lr_micro")
+          graft.ops.Classifier.dsirTopN(d, "doc_id", "text", w.toSeq, 1000)
+        }),
+      // SQ8 exhaustive ranking with a FIXED 20-query side: the ranges
+      // aggregate and the decode are linear in corpus, the ranking cross
+      // join is queries × corpus — expect ~linear at fixed query count
+      ("s_ann_sq8 (fixed 20 queries)", emb1, emb10,
+        (d: DataFrame) => graft.ops.Similarity.sq8TopK(
+          emb1.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          d.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+          k = 5, refine = 30)),
     )
     val scenarios = only.map(f => allScenarios.filter(_._1.contains(f)))
       .getOrElse(allScenarios)

@@ -173,6 +173,16 @@ class OpsSpec extends AnyFunSuite {
     val pq = recallOf(Similarity.pqTopK(q, c, k = 5, refine = 30))
     assert(sq8 >= pq, s"SQ8 recall $sq8 < PQ recall $pq at equal refine")
     assert(sq8 >= 0.9, s"SQ8 refine-30 recall@5 = $sq8 < 0.9")
+    // non-residual IVF-SQ8: probing EVERY cell covers every (qid, cid)
+    // pair with identical codes, so it must reproduce sq8TopK exactly
+    val allCells = key(Similarity.ivfSq8TopK(q, c, k = 5, nCells = 16,
+      nProbe = 16, refine = 30))
+    val exhaustive = key(Similarity.sq8TopK(q, c, k = 5, refine = 30))
+    assert(allCells == exhaustive && exhaustive.nonEmpty)
+    // and the default 4-of-16 probe stays within the candidate-cut trade:
+    // nonempty, per-query k rows at most, recall not degenerate
+    val routed = recallOf(Similarity.ivfSq8TopK(q, c, k = 5))
+    assert(routed >= 0.5, s"IVF-SQ8 4/16-probe recall@5 = $routed")
   }
 
   test("IVF ANN: results are true cosines; probing more cells raises recall") {
