@@ -1250,6 +1250,19 @@ object SparkEntry {
           col("importance"), col("rank"))
         .orderBy("rank")
     },
+    // ---- DSIR admission GATE: the threshold (streamable) serving shape —
+    //      integer cross-multiplied cut, every row covered by the hash
+    //      gate; threshold 0 micro-nats = "more target-like than raw"
+    "d_dsir_gate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("is_target",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val w = ops.Classifier.packWeights(
+        ops.Classifier.dsirLogRatios(labeled, "text", "is_target"), "lr_micro")
+      ops.Classifier.dsirGate(docs, w.toSeq, minImportanceMicro = 0L)
+        .select(col("doc_id"), col("n_words"), col("lr_sum"), col("admitted"))
+        .orderBy("doc_id")
+    },
     // ---- incremental dedup: yesterday's corpus contributes only its
     //      FINGERPRINT INDEX; today's batch anti-joins it, then dedups
     //      within itself — the accumulated corpus is never rescanned
@@ -2638,6 +2651,39 @@ object SparkEntry {
          |SELECT doc_id, n_words, lr_sum, importance,
          |  CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS INT) AS rank
          |FROM r QUALIFY rank <= 100 ORDER BY rank""".stripMargin
+    },
+    // The gate form: same estimator CTEs, then the integer
+    // cross-multiplied admission per document (threshold 0 micro-nats)
+    "d_dsir_gate" -> {
+      val B = graft.ops.Classifier.numBuckets
+      s"""WITH w AS (SELECT doc_id, source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS y,
+         |        unnest(${OracleFrag.classifierBuckets("ws")}) AS bucket
+         |      FROM w),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         |        CAST(COUNT(*) AS BIGINT) AS r_cnt
+         |      FROM f GROUP BY bucket),
+         |dn AS (SELECT b.bucket, COALESCE(c.t_cnt, 0) AS t_cnt,
+         |         COALESCE(c.r_cnt, 0) AS r_cnt
+         |       FROM (SELECT unnest(range(0, $B)) AS bucket) b
+         |       LEFT JOIN c USING (bucket)),
+         |tt AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS T, CAST(SUM(r_cnt) AS BIGINT) AS R FROM dn),
+         |lr AS (SELECT bucket,
+         |         CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(T + $B AS DOUBLE))
+         |                   - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(R + $B AS DOUBLE)))
+         |                   * 1000000.0, 0) AS BIGINT) AS lrm
+         |       FROM dn, tt),
+         |sc AS (SELECT f.doc_id, CAST(SUM(lr.lrm) AS BIGINT) AS ls
+         |       FROM f JOIN lr USING (bucket) GROUP BY f.doc_id)
+         |SELECT w.doc_id,
+         |  CAST(CASE WHEN w.ws IS NULL THEN NULL ELSE len(w.ws) END AS INT) AS n_words,
+         |  CAST(CASE WHEN w.ws IS NULL THEN NULL ELSE COALESCE(sc.ls, 0) END AS BIGINT) AS lr_sum,
+         |  CASE WHEN w.ws IS NULL THEN NULL
+         |       ELSE len(w.ws) > 0 AND COALESCE(sc.ls, 0) >= 0 * len(w.ws)
+         |  END AS admitted
+         |FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin
     },
     // Every word's bucket weight refolded from the same poly-57 hash and
     // Lehmer weight formula as the fused kernel; label by exact integer

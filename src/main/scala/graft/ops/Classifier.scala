@@ -235,6 +235,31 @@ object Classifier {
     withScoreAndLabel(df, textCol, s0, keep, discard)
   }
 
+  /** DSIR admission GATE — the streamable form of [[dsirTopN]]: keep/flag
+    * every document whose mean micro-nat importance reaches
+    * `minImportanceMicro`, decided by exact integer cross-multiplication
+    * (`lr_sum ≥ minImportanceMicro · n_words` — no division, no doubles,
+    * the [[classify]] label-cut convention), so the hash gate covers every
+    * row and the identical row-local transform runs under `readStream`
+    * (a global top-n needs the whole corpus; a threshold admits each
+    * document the moment it arrives — the two standard DSIR serving
+    * shapes). Adds `n_words`, `lr_sum`, `admitted`; NULL text → NULL
+    * admitted, zero-word documents are never admitted (no importance
+    * exists).
+    */
+  def dsirGate(docs: DataFrame, weights: Seq[Long],
+      minImportanceMicro: Long, textCol: String = "text"): DataFrame = {
+    val s0 = graft.functions.TextFunctions.classifier_score_trained(col(textCol), weights)
+    docs.withColumn("__ds", s0)
+      .withColumn("n_words", col("__ds").getField("n_words"))
+      .withColumn("lr_sum", col("__ds").getField("score_sum"))
+      .drop("__ds")
+      .withColumn("admitted",
+        when(col(textCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col("n_words") > 0 &&
+            col("lr_sum") >= lit(minImportanceMicro) * col("n_words")))
+  }
+
   /** Shared tail of [[classify]]/[[classifyTrained]]: unpack the score
     * struct and apply the integer cross-multiplied label cut. ONE
     * definition, so the seeded and trained gates cannot drift.

@@ -119,6 +119,19 @@ object DocumentStream {
       textCol: String = "text"): DataFrame =
     graft.ops.Classifier.classifyTrained(docs, weights, textCol)
 
+  /** Stateless DSIR admission gate — [[graft.ops.Classifier.dsirGate]]'s
+    * integer cross-multiplied threshold per micro-batch: the micro-nat
+    * log-ratio table (estimated batch-side by
+    * [[graft.ops.Classifier.dsirLogRatios]], the index-split pattern)
+    * rides in as a codegen object reference, so each arriving document is
+    * admitted or cut the moment it is scored — the streaming half of
+    * importance resampling (a global top-n needs the corpus; the
+    * threshold form doesn't).
+    */
+  def dsirGated(docs: DataFrame, weights: Seq[Long],
+      minImportanceMicro: Long, textCol: String = "text"): DataFrame =
+    graft.ops.Classifier.dsirGate(docs, weights, minImportanceMicro, textCol)
+
   /** Stateless Gopher rule gate — [[graft.ops.TextAnalysis.gopherRules]]'s
     * integer-exact flag projection per micro-batch; same structural
     * stream/batch parity as [[classified]].

@@ -178,6 +178,41 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.length}, batch ${batch.length}")
   }
 
+  test("streaming DSIR gate: admission parity with batch, stateless") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val weights = graft.ops.Classifier.packWeights(
+      graft.ops.Classifier.dsirLogRatios(
+        batchDocs.withColumn("is_target", col("source").isin("src0", "src1")),
+        "text", "is_target"), "lr_micro").toSeq
+    // a data-derived threshold (the batch median importance, in micro-nats
+    // per word) so the gate demonstrably separates on this fixture — in
+    // production the threshold is calibrated offline the same way
+    val thr = graft.ops.Classifier.dsirGate(batchDocs, weights, 0L)
+      .where(col("n_words") > 0)
+      .select((col("lr_sum").cast("double") / col("n_words").cast("double")).as("imp"))
+      .stat.approxQuantile("imp", Array(0.5), 0.0)(0).floor.toLong
+    val stream = DocumentStream.read(spark, docStreamDir)
+    val gated = DocumentStream.dsirGated(stream, weights, minImportanceMicro = thr)
+      .select("doc_id", "n_words", "lr_sum", "admitted")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("doc_dsir_gate").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_dsir_gate").collect().map(key).sorted
+    val batch = graft.ops.Classifier.dsirGate(batchDocs, weights, thr)
+      .select("doc_id", "n_words", "lr_sum", "admitted")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+    // the gate separates: both admitted and cut documents exist
+    val admitted = spark.table("doc_dsir_gate").where(col("admitted")).count()
+    assert(admitted > 0 && admitted < streamed.length)
+  }
+
   test("streaming dedup against a static key index: indexed docs dropped, rest pass") {
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
     val fp = graft.ops.TextAnalysis.fingerprint(col("text"))
