@@ -65,8 +65,10 @@ object Bench {
     "d_dedup_lines_across",        // corpus-wide first-occurrence line dedup (CCNet paragraphs)
     "s_ann_sq8",                   // scalar-quantized ANN: byte codes, midpoint-decode ranking
     "s_ann_ivfsq8",                // IVF-routed SQ8: probed-cell scan, same codes
+    "s_ann_sq8_indexed",           // persisted SQ8 serve: byte codes read from disk
     "d_dsir_sample",               // DSIR: estimate -> micro-nat weights -> top-n select
     "d_dsir_gate",                 // DSIR threshold gate (the streamable serving shape)
+    "d_dedup_rates",               // per-source dedup-rate card over the removal closure
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

@@ -199,6 +199,21 @@ object SparkEntry {
       path
     })
 
+  /** Per-JVM persisted SQ8 index (byte codes + range row + raw vectors) —
+    * written once per sfDir; ranges and codes are byte-identical to the
+    * in-flight build, so the s_ann_sq8 oracle applies unchanged.
+    */
+  private val sq8IndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sq8Index(s: SparkSession, dir: String): String =
+    sq8IndexDir.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_sq8").resolve("index").toString
+      ops.Similarity.writeSq8Index(
+        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        path)
+      path
+    })
+
   /** The committed k-means centroid fixture, parsed once per JVM. Lines
     * are `centId v1 .. v64` with `Double.toString` values — the shortest
     * decimal that round-trips to the same IEEE double, so Spark and the
@@ -925,6 +940,16 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, refine = 30).orderBy("qid", "rank")
     },
+    // ---- ANN: PERSISTED SQ8 index — codes (1 B/dim on disk) + ranges +
+    //      vectors written once; serving decodes the code scan and touches
+    //      full-precision vectors only for refine survivors. Identical
+    //      results to s_ann_sq8 → same oracle.
+    "s_ann_sq8_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.sq8TopKIndexed(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        sq8Index(s, dir), k = 5, refine = 30).orderBy("qid", "rank")
+    },
     // ---- ANN, IVF-SQ8 composition: coarse cells route (4-of-16 probe),
     //      byte codes compress, the midpoint-decode dot ranks ONLY inside
     //      probed cells — the scan-pruning form of s_ann_sq8
@@ -1234,6 +1259,22 @@ object SparkEntry {
       ops.Classifier.classifyTrained(docs, w.toSeq)
         .select(col("doc_id"), col("n_words"), col("score_sum"), col("label"))
         .orderBy("doc_id")
+    },
+    // ---- per-source dedup-rate card: the curation report a near-dup
+    //      removal run logs — docs in, survivors, dup rate per source
+    //      (one id-keyed left join of the corpus against the survivor
+    //      set + one source-keyed aggregate on top of the removal op)
+    "d_dedup_rates" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val surv = ops.Dedup.removeNearDuplicates(docs, "doc_id", "text")
+        .select(col("doc_id").as("__s_id"))
+      docs.join(surv, docs("doc_id") === col("__s_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__s_id").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("__s_id").isNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_rate"))
+        .orderBy("source")
     },
     // ---- DSIR importance resampling: per-bucket target-vs-raw micro-nat
     //      log-ratios (curated sources = target), scored through the SAME
@@ -2075,6 +2116,45 @@ object SparkEntry {
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared SQ8 oracle — gates both the in-flight `s_ann_sq8` and the
+    * persisted `s_ann_sq8_indexed` (byte-identical ranges + codes):
+    * per-dim min/max → step=(hi−lo)/256, floor-encode clamped to 255,
+    * bucket-midpoint decode, 9-decimal DECIMAL ranking (the PQ adot
+    * convention), refine-30, exact rescore.
+    */
+  private lazy val sq8OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
+       |         (MAX(v[CAST(k AS INT)]) - MIN(v[CAST(k AS INT)])) / 256.0 AS st
+       |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
+       |       GROUP BY k),
+       |rg AS (SELECT list(lo ORDER BY k) AS los, list(st ORDER BY k) AS sts FROM mm),
+       |cd AS (SELECT vec_id AS cid,
+       |         list_transform(range(1, 65), __i ->
+       |           CASE WHEN sts[__i] = 0 THEN 0
+       |                ELSE LEAST(255, CAST(FLOOR((v[__i] - los[__i]) / sts[__i]) AS INT))
+       |           END) AS codes
+       |       FROM e, rg),
+       |rc AS (SELECT cid,
+       |         list_transform(range(1, 65), __i ->
+       |           los[__i] + (CAST(codes[__i] AS DOUBLE) + 0.5) * sts[__i]) AS rv
+       |       FROM cd, rg),
+       |ax AS (SELECT q.vec_id AS qid, rc.cid,
+       |         CAST(round(${OracleFrag.dot64("q.v", "rc.rv")}, 9) AS DECIMAL(38,12)) AS adot
+       |       FROM e q CROSS JOIN rc WHERE q.vec_id < 20 AND q.vec_id != rc.cid),
+       |cand AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+       |  FROM ax) WHERE arn <= 30),
+       |sc AS (SELECT cand.qid, cand.cid,
+       |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+       |                 JOIN n nc ON nc.vec_id = cand.cid)
+       |SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3229,6 +3309,16 @@ object SparkEntry {
     "d_dedup_clusters" -> clustersOracleSql,
     "d_dedup_clusters_star" -> clustersOracleSql,
     "d_dedup_removal" -> removalOracleSql,
+    // The removal closure grouped per source: docs in, survivors, dup rate
+    "d_dedup_rates" ->
+      s"""$clustersCtes,
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM comp WHERE node != component)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM losers) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  round(CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM losers) THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Mirrors TextAnalysis.repetitionSignals: same normalized words, same
     // bigram construction, mode via per-(doc, bigram) counts.
     "d_text_repetition" ->
@@ -3942,38 +4032,10 @@ object SparkEntry {
     // SQ8 replayed range-for-range: per-dim min/max → step=(hi-lo)/256,
     // floor-encode clamped to 255, bucket-midpoint decode, 9-decimal
     // DECIMAL ranking (the PQ adot convention), refine-30, exact rescore
-    "s_ann_sq8" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
-         |         (MAX(v[CAST(k AS INT)]) - MIN(v[CAST(k AS INT)])) / 256.0 AS st
-         |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
-         |       GROUP BY k),
-         |rg AS (SELECT list(lo ORDER BY k) AS los, list(st ORDER BY k) AS sts FROM mm),
-         |cd AS (SELECT vec_id AS cid,
-         |         list_transform(range(1, 65), __i ->
-         |           CASE WHEN sts[__i] = 0 THEN 0
-         |                ELSE LEAST(255, CAST(FLOOR((v[__i] - los[__i]) / sts[__i]) AS INT))
-         |           END) AS codes
-         |       FROM e, rg),
-         |rc AS (SELECT cid,
-         |         list_transform(range(1, 65), __i ->
-         |           los[__i] + (CAST(codes[__i] AS DOUBLE) + 0.5) * sts[__i]) AS rv
-         |       FROM cd, rg),
-         |ax AS (SELECT q.vec_id AS qid, rc.cid,
-         |         CAST(round(${OracleFrag.dot64("q.v", "rc.rv")}, 9) AS DECIMAL(38,12)) AS adot
-         |       FROM e q CROSS JOIN rc WHERE q.vec_id < 20 AND q.vec_id != rc.cid),
-         |cand AS (SELECT qid, cid FROM (
-         |  SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
-         |sc AS (SELECT cand.qid, cand.cid,
-         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
-         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
-         |                 JOIN n nc ON nc.vec_id = cand.cid)
-         |SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s_ann_sq8" -> sq8OracleSql,
+    // The persisted layout serves byte-identical ranges + codes, so the
+    // indexed path carries the same oracle (the s_ann_ivf_indexed rule)
+    "s_ann_sq8_indexed" -> sq8OracleSql,
     // Mirrors Similarity.ivfSq8TopK: the s_ann_ivf routing CTEs feed the
     // s_ann_sq8 quantization CTEs — ax ranks ONLY routed (qid, cid) pairs,
     // then the same refine-30 + exact rescore

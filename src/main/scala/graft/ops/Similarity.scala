@@ -601,16 +601,25 @@ object Similarity {
   private def sq8Reconstructed(c: DataFrame, corpus: DataFrame): DataFrame = {
     // derive the dimension from the data (the kmeansCentroids rule)
     val d = corpus.select(size(col("vec"))).head.getInt(0)
-    val mm = c.select(posexplode(col("cid_v")))
+    val rg = sq8Ranges(c)
+    sq8Decode(sq8Codes(c, rg, d), rg)
+  }
+
+  /** The ONE per-dimension range aggregate of the SQ8 family — one row,
+    * `(los, sts)` arrays — shared by the in-flight and persisted forms. */
+  private def sq8Ranges(c: DataFrame): DataFrame =
+    c.select(posexplode(col("cid_v")))
       .groupBy("pos")
       .agg(min("col").as("lo"),
         ((max("col") - min("col")) / lit(256.0)).as("st"))
-    val rg = mm
       .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("st")))).as("ps"))
       .select(transform(col("ps"), p => p.getField("lo")).as("los"),
         transform(col("ps"), p => p.getField("st")).as("sts"))
-    val enc = c.crossJoin(broadcast(rg))
-      .select(col("cid"), col("los"), col("sts"),
+
+  /** The ONE floor-encode: byte codes per corpus vector — `(cid, codes)`. */
+  private def sq8Codes(c: DataFrame, rg: DataFrame, d: Int): DataFrame =
+    c.crossJoin(broadcast(rg))
+      .select(col("cid"),
         transform(sequence(lit(0), lit(d - 1)), i => {
           val x = element_at(col("cid_v"), i + 1)
           val lo = element_at(col("los"), i + 1)
@@ -618,11 +627,50 @@ object Similarity {
           when(st === 0.0, lit(0))
             .otherwise(least(lit(255), floor((x - lo) / st).cast("int")))
         }).as("codes"))
-    enc.select(col("cid"),
-      transform(col("codes"), (cd, i) =>
-        element_at(col("los"), i + 1) +
-          (cd.cast("double") + lit(0.5)) * element_at(col("sts"), i + 1))
-        .as("rv"))
+
+  /** The ONE midpoint decode of a codes frame — `(cid, rv)`. */
+  private def sq8Decode(codes: DataFrame, rg: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(rg))
+      .select(col("cid"),
+        transform(col("codes"), (cd, i) =>
+          element_at(col("los"), i + 1) +
+            (cd.cast("double") + lit(0.5)) * element_at(col("sts"), i + 1))
+          .as("rv"))
+
+  /** Persist an SQ8 index: the byte codes, the one-row range table, and
+    * the raw vectors (the exact-rescore side) written as three parquet
+    * datasets — the build-offline / serve-online split of
+    * [[writeIvfIndex]] at the scalar-quantization tier. What serving
+    * SCANS for ranking is the codes dataset — one byte per dimension on
+    * disk (parquet stores the int array dictionary/byte-packed), 4× less
+    * ranking I/O than raw float32 — while the full-precision vectors are
+    * touched only for the per-query `refine` survivors.
+    */
+  def writeSq8Index(corpus: DataFrame, path: String): Unit = {
+    val c = prep(corpus, "cid")
+    val d = corpus.select(size(col("vec"))).head.getInt(0)
+    val rg = sq8Ranges(c)
+    sq8Codes(c, rg, d).write.parquet(s"$path/codes")
+    rg.write.parquet(s"$path/ranges")
+    corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
+  }
+
+  /** Query a [[writeSq8Index]] layout: decode the persisted codes against
+    * the persisted ranges, rank, refine, and exact-rescore against the
+    * persisted vectors. Ranges and codes are byte-identical to the
+    * in-flight build, so results equal [[sq8TopK]] over the same corpus
+    * and the same DuckDB oracle gates both.
+    */
+  def sq8TopKIndexed(queries: DataFrame, path: String,
+      k: Int = 10, refine: Int = 30): DataFrame = {
+    val spark = queries.sparkSession
+    val rg = spark.read.parquet(s"$path/ranges")
+    val rec = sq8Decode(spark.read.parquet(s"$path/codes"), rg)
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val approx = prep(queries, "qid").select(col("qid"), col("qid_v"))
+      .crossJoin(rec)
+      .where(col("qid") =!= col("cid"))
+    sq8RefineRescore(approx, queries, vectors, k, refine)
   }
 
   /** Shared SQ8 ranking tail: the 9-decimal DECIMAL-ranked midpoint dot

@@ -125,6 +125,19 @@ object StressX10 {
       .localCheckpoint()
     val ssIdx10 = graft.ops.Dedup.simhashIndex(docs10, "doc_id", "text")
       .localCheckpoint()
+    // cosine steady-state fixtures: fixed probe batch (ids shifted clear
+    // of every index id), band index + vector store at both corpus sizes
+    val vecBatch = emb1.where(pmod(col("vec_id"), lit(10)) === 3)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val csIdx1 = graft.ops.Dedup.cosineIndex(emb1, "vec_id", "embedding")
+      .localCheckpoint()
+    val csIdx10 = graft.ops.Dedup.cosineIndex(emb10, "vec_id", "embedding")
+      .localCheckpoint()
+    val csStore1 = graft.ops.Dedup.cosineVecStore(emb1, "vec_id", "embedding")
+      .localCheckpoint()
+    val csStore10 = graft.ops.Dedup.cosineVecStore(emb10, "vec_id", "embedding")
+      .localCheckpoint()
 
     // optional arg 2: substring filter — run only matching scenarios and
     // skip the 160M-row locally{} points (fast iteration on one scenario)
@@ -173,6 +186,20 @@ object StressX10 {
         ssIdx1, ssIdx10,
         (idx: DataFrame) => graft.ops.Dedup.dedupIncrementalNear(
           probeBatch, idx, "doc_id", "text")),
+      // the cosine criterion's steady-state point (completing VERDICT r10
+      // item 8 across criteria): fixed embedding batch, hyperplane-band
+      // index + vector store grown 1x->10x, BOTH built outside the timed
+      // op (amortized across batches in production, like ssIdx above);
+      // the claim is the same — the within-batch stages are index-size-
+      // independent and the probe stays an id-only band join plus
+      // candidate-id vector lookups
+      ("dedupIncrementalCosine steady-state (fixed batch, index 1x->10x)",
+        csIdx1, csIdx10,
+        (idx: DataFrame) => {
+          val store = if (idx eq csIdx1) csStore1 else csStore10
+          graft.ops.Dedup.dedupIncrementalCosine(vecBatch, idx, store,
+            "vec_id", "embedding", threshold = 0.4)
+        }),
       // SemDeDup cell-size control: with the quantizer FIXED at k=16, 10×
       // corpus → ~100× within-cell pair candidates (cells don't multiply);
       // growing k with the corpus (k = n/125 — 16 cells at 1x, 160 at 10x,

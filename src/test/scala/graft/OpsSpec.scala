@@ -173,6 +173,13 @@ class OpsSpec extends AnyFunSuite {
     val pq = recallOf(Similarity.pqTopK(q, c, k = 5, refine = 30))
     assert(sq8 >= pq, s"SQ8 recall $sq8 < PQ recall $pq at equal refine")
     assert(sq8 >= 0.9, s"SQ8 refine-30 recall@5 = $sq8 < 0.9")
+    // persisted index serves byte-identical ranges + codes, so the
+    // indexed path must reproduce the in-flight form exactly
+    val idxPath = java.nio.file.Files.createTempDirectory("sq8idx").toString + "/index"
+    Similarity.writeSq8Index(c, idxPath)
+    val indexed = key(Similarity.sq8TopKIndexed(q, idxPath, k = 5, refine = 30))
+    val inFlight = key(Similarity.sq8TopK(q, c, k = 5, refine = 30))
+    assert(indexed == inFlight && inFlight.nonEmpty)
     // non-residual IVF-SQ8: probing EVERY cell covers every (qid, cid)
     // pair with identical codes, so it must reproduce sq8TopK exactly
     val allCells = key(Similarity.ivfSq8TopK(q, c, k = 5, nCells = 16,
