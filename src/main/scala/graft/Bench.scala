@@ -69,6 +69,7 @@ object Bench {
     "d_dsir_sample",               // DSIR: estimate -> micro-nat weights -> top-n select
     "d_dsir_gate",                 // DSIR threshold gate (the streamable serving shape)
     "d_dedup_rates",               // per-source dedup-rate card over the removal closure
+    "d_dedup_semantic_indexed",    // SemDeDup over the persisted cell-partitioned layout
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

@@ -1438,6 +1438,15 @@ object SparkEntry {
           fixtureCentroids(s), threshold = 0.3)
         .orderBy("vec_id")
     },
+    // ---- SemDeDup over the PERSISTED cell layout (trained-fixture
+    //      quantizer): assignment paid at index build, within-cell pairs
+    //      read from their own partition directories — identical results
+    //      to d_dedup_semantic, same oracle
+    "d_dedup_semantic_indexed" -> { (s, dir) =>
+      ops.Dedup.semanticDedupIndexed(s, trainedIvfIndex(s, dir), "vec_id",
+          threshold = 0.3)
+        .orderBy("vec_id")
+    },
     // ---- BM25 retrieval over the corpus: one literal query, global
     //      top-10 via TakeOrderedAndProject (per-partition heaps, never a
     //      single-task sort)
@@ -3722,6 +3731,28 @@ object SparkEntry {
     // d_diverse_sample CTE), then within-cell exact-cosine losers — any
     // vector with a smaller-id neighbor ≥ 0.3 in its own cell
     "d_dedup_semantic" -> {
+      val values = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $values) AS __cent(centid, cv)),
+         |asg AS (SELECT vec_id, centid AS cell FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |losers AS (SELECT DISTINCT b.vec_id AS lid
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE round(${OracleFrag.dot64("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) >= 0.3)
+         |SELECT vec_id, cell FROM asg WHERE vec_id NOT IN (SELECT lid FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+    // The persisted cell layout assigns with the same argmax/tiebreak at
+    // write time, so the indexed form carries the identical oracle
+    "d_dedup_semantic_indexed" -> {
       val values = fixtureCentroidRows.map { case (id, v) =>
         s"($id, [${v.mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")

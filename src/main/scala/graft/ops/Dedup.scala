@@ -763,6 +763,16 @@ object Dedup {
       .where(col("__rn") === 1)
       .select(col("doc_id"), col("v"), col("nrm"), col("centId").as("cell"))
       .localCheckpoint(true)
+    semanticPrune(assigned, idCol, threshold)
+  }
+
+  /** The within-cell prune half of [[semanticDedup]], over a prepped
+    * `(doc_id, v, nrm, cell)` assignment — ONE definition shared by the
+    * in-flight form and the persisted-layout form, so the drop rule
+    * cannot drift between them.
+    */
+  private def semanticPrune(assigned: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val losers = assigned
       .select(col("cell"), col("doc_id").as("idA"), col("v").as("vA"), col("nrm").as("nA"))
       .join(assigned.select(col("cell"), col("doc_id").as("idB"),
@@ -772,6 +782,26 @@ object Dedup {
       .select(col("idB").as("__sd_id")).distinct()
     assigned.join(losers, assigned("doc_id") === losers("__sd_id"), "left_anti")
       .select(col("doc_id").as(idCol), col("cell"))
+  }
+
+  /** SemDeDup over a PERSISTED cell layout ([[Similarity.writeIvfIndex]]:
+    * the corpus written PARTITIONED BY coarse cell) — the 100 TB serving
+    * shape of [[semanticDedup]]: the quantizer argmax is paid ONCE at
+    * index-build time, and the within-cell pair stage reads cells from
+    * their own partition directories (the self-join's equi-key IS the
+    * partition column, so a cell's pairs never leave its files' rows).
+    * Assignment at write time uses the same argmax/tiebreak, so results
+    * are identical to the in-flight form with the same quantizer — one
+    * oracle gates both (the `s_ann_ivf_indexed` rule).
+    */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, threshold: Double): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val assigned = cells.select(col("cid").as("doc_id"),
+        transform(col("vec"), x => x.cast("double")).as("v"),
+        col("centId").as("cell"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    semanticPrune(assigned, idCol, threshold)
   }
 
   /** VERBATIM repeated-passage pairs: documents sharing ≥ `minShared`
