@@ -70,6 +70,8 @@ object Bench {
     "d_dsir_gate",                 // DSIR threshold gate (the streamable serving shape)
     "d_dedup_rates",               // per-source dedup-rate card over the removal closure
     "d_dedup_semantic_indexed",    // SemDeDup over the persisted cell-partitioned layout
+    "d_decontaminate_redact",      // surgical span-level decontamination (GPT-3 style)
+    "d_dedup_passages_redact",     // exact-substring passage redaction (Lee et al.)
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

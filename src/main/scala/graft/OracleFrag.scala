@@ -215,6 +215,14 @@ private[graft] object OracleFrag {
     s"""list_distinct(list_transform(range(1, len($wsCol) - 1), __i -> ${poly57(sh)}))"""
   }
 
+  /** POSITIONAL shingle-hash list (n = 3): index i (1-based) = the
+    * shingle starting at word i — [[shingleHashes]] without the distinct
+    * (mirror of TextHashOps.shingleHashesAt). */
+  def shingleHashesAt(wsCol: String): String = {
+    val sh = s"($wsCol[__i] || ' ' || $wsCol[__i+1] || ' ' || $wsCol[__i+2])"
+    s"""list_transform(range(1, len($wsCol) - 1), __i -> ${poly57(sh)})"""
+  }
+
   /** Deterministic two-step Lehmer unit hash of a row id (mirror of
     * Sampling.unitHash — same mod arithmetic, integer-only). */
   def unitHash(id: String): String =

@@ -1774,6 +1774,29 @@ object SparkEntry {
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
         "doc_id", "text", minRatio = 0.15).orderBy("doc_id")
     },
+    // ---- SURGICAL span-level decontamination (the GPT-3 appendix-C
+    //      practice): words covered by a bench 3-gram are cut, the longest
+    //      clean fragment >= 10 words survives, untouched docs keep their
+    //      raw text — the keep-the-document alternative to d_decontaminate
+    "d_decontaminate_redact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ops.Decontaminate.redactSpans(
+          docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+          "doc_id", "text", n = 3, minFragmentWords = 10)
+        .select(col("doc_id"), col("n_words"), col("n_dirty_words"),
+          col("kept_words"), col("kept_text"))
+        .orderBy("doc_id")
+    },
+    // ---- exact-substring passage REDACTION (Lee et al. 2021): duplicated
+    //      60-char windows cut everywhere but their first occurrence,
+    //      clean runs >= 20 chars survive concatenated
+    "d_dedup_passages_redact" -> { (s, dir) =>
+      ops.Dedup.redactRepeatedPassages(t(s, dir, "documents"), "doc_id",
+          "text", window = 60, stride = 20, minRunChars = 20)
+        .select(col("doc_id"), col("n_chars"), col("n_dup_chars"),
+          col("kept_chars"), col("kept_text"))
+        .orderBy("doc_id")
+    },
     // ---- verbatim repeated-passage pairs: 60-char windows at stride 20,
     //      df-pruned hub windows, distinct-counted shared passages
     "d_dedup_passages" -> { (s, dir) =>
@@ -3295,9 +3318,99 @@ object SparkEntry {
          |  round(n_shared / CAST(nsh AS DOUBLE), 6) AS containment
          |FROM j WHERE round(n_shared / CAST(nsh AS DOUBLE), 6) >= 0.15
          |ORDER BY doc_id""".stripMargin,
+    // Span redaction replayed with an INDEPENDENT formulation: positional
+    // gram hashes (1-based on both sides of every comparison), dirty words
+    // by a range join, clean runs via gaps-and-islands (wp − row_number),
+    // longest-earliest fragment by window rank — where the operator uses a
+    // row-local fold, the oracle uses SQL islands; semantics must agree
+    "d_decontaminate_redact" ->
+      s"""WITH a AS (SELECT doc_id, text, ${OracleFrag.ws("text")} AS ws
+         |           FROM documents WHERE doc_id >= 25),
+         |bw AS (SELECT ${OracleFrag.ws("text")} AS ws FROM documents WHERE doc_id < 25),
+         |bs AS (SELECT DISTINCT unnest(${OracleFrag.shingleHashes("ws")}) AS sh FROM bw),
+         |g AS (SELECT doc_id, unnest(list_transform(${OracleFrag.shingleHashesAt("ws")},
+         |        (__g, __gi) -> struct_pack(p := __gi, gh := __g))) AS s FROM a),
+         |m AS (SELECT DISTINCT g.doc_id, g.s.p AS p FROM g JOIN bs ON g.s.gh = bs.sh),
+         |wp AS (SELECT doc_id, unnest(list_transform(ws,
+         |        (__w, __wi) -> struct_pack(wp := __wi, wd := __w))) AS s FROM a),
+         |wd AS (SELECT wp.doc_id, wp.s.wp AS wp, wp.s.wd AS wd,
+         |         EXISTS (SELECT 1 FROM m WHERE m.doc_id = wp.doc_id
+         |                 AND m.p <= wp.s.wp AND wp.s.wp <= m.p + 2) AS dirty
+         |       FROM wp),
+         |cl AS (SELECT doc_id, wp, wd,
+         |         wp - row_number() OVER (PARTITION BY doc_id ORDER BY wp) AS isl
+         |       FROM wd WHERE NOT dirty),
+         |runs AS (SELECT doc_id, isl, MIN(wp) AS st, CAST(COUNT(*) AS INT) AS len,
+         |           string_agg(wd, ' ' ORDER BY wp) AS frag
+         |         FROM cl GROUP BY doc_id, isl),
+         |best AS (SELECT doc_id, len, frag FROM (
+         |  SELECT doc_id, len, frag,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY len DESC, st ASC) AS rn
+         |  FROM runs) WHERE rn = 1),
+         |dm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS nd FROM wd WHERE dirty GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE len(a.ws) END AS INT) AS n_words,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dirty_words,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN len(a.ws)
+         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.len
+         |       ELSE 0 END AS INT) AS kept_words,
+         |  CASE WHEN a.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN a.text
+         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.frag
+         |  END AS kept_text
+         |FROM a LEFT JOIN dm USING (doc_id) LEFT JOIN best USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
     // Mirrors Dedup.repeatedPassagePairs: poly-57 over the same raw
     // 60-char windows at stride 20 (ascii() == byte for the ASCII
     // testdata), df-prune [2, 50], distinct shared-window counts.
+    // Passage redaction replayed with an INDEPENDENT formulation: the
+    // operator's row-local interval-merge fold becomes SQL
+    // gaps-and-islands — canonical occurrence by ROW_NUMBER over (doc, s),
+    // merged dirty intervals via running-MAX grouping, clean runs via LAG
+    // over the merged intervals plus the per-doc tail run
+    "d_dedup_passages_redact" ->
+      s"""WITH occ AS (SELECT doc_id, i*20 AS s,
+         |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
+         |  WHERE length(text) >= 60),
+         |od AS (SELECT doc_id, s,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+         |  FROM occ),
+         |dirty AS (SELECT doc_id, s, s + 60 AS e FROM od WHERE cnt >= 2 AND rn > 1),
+         |o AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dirty),
+         |g AS (SELECT doc_id, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM o),
+         |iv AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
+         |dm AS (SELECT doc_id, SUM(e - s) AS nd FROM iv GROUP BY doc_id),
+         |runs AS (
+         |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS rs,
+         |    s AS re FROM iv
+         |  UNION ALL
+         |  SELECT iv.doc_id, MAX(iv.e), MAX(length(d.text))
+         |  FROM iv JOIN documents d ON iv.doc_id = d.doc_id GROUP BY iv.doc_id),
+         |k AS (SELECT r.doc_id,
+         |    SUM(CASE WHEN r.re - r.rs >= 20 THEN r.re - r.rs ELSE 0 END) AS kc,
+         |    string_agg(CASE WHEN r.re - r.rs >= 20
+         |      THEN substr(d.text, r.rs + 1, r.re - r.rs) END, '' ORDER BY r.rs) AS kt
+         |  FROM runs r JOIN documents d ON r.doc_id = d.doc_id
+         |  WHERE r.re > r.rs GROUP BY r.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE length(d.text) END AS INT) AS n_chars,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dup_chars,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN length(d.text)
+         |       ELSE COALESCE(k.kc, 0) END AS INT) AS kept_chars,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN d.text
+         |       WHEN COALESCE(k.kc, 0) > 0 THEN k.kt
+         |  END AS kept_text
+         |FROM documents d LEFT JOIN dm ON d.doc_id = dm.doc_id
+         |LEFT JOIN k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d_dedup_passages" ->
       s"""WITH h AS (SELECT doc_id,
          |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h

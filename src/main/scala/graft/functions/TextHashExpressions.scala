@@ -25,6 +25,20 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class ShingleHashesAtExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_at"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.shingleHashesAt(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.shingleHashesAt($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAtExpr =
+    copy(child = newChild)
+}
+
 case class WordHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_hashes"
@@ -179,6 +193,11 @@ object TextFunctions {
   /** Distinct 57-bit rolling hashes of n-word shingles of normalized text. */
   def shingle_hashes(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(text), n))
+
+  /** Positional n-word shingle hashes: index i = the shingle starting at
+    * word i, no dedup (the span-redaction correspondence). */
+  def shingle_hashes_at(text: Column, n: Int = 3): Column =
+    GraftBridge.column(ShingleHashesAtExpr(GraftBridge.expression(text), n))
 
   /** Per-word 57-bit hashes in document order, with multiplicity (bag
     * semantics — unlike shingle_hashes(n=1), which dedups). */

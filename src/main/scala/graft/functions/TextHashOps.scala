@@ -214,6 +214,33 @@ object TextHashOps {
     new GenericInternalRow(Array[Any](n, sum))
   }
 
+  /** POSITIONAL n-word shingle hashes: one hash per starting word index,
+    * in order, NO dedup — index i of the result is the shingle starting at
+    * word i. The span-level consumers ([[graft.ops.Decontaminate]]'s
+    * redaction) need the position ↔ hash correspondence that
+    * [[shingleHashes]]'s distinct-set form erases. Same arithmetic, so a
+    * hash here equals the [[shingleHashes]] value of the same shingle.
+    */
+  def shingleHashesAt(text: UTF8String, n: Int): ArrayData = {
+    val (bytes, bounds) = tokenize(text)
+    val nWords = bounds.length / 2
+    if (nWords < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nWords - n + 1)
+    var i = 0
+    while (i <= nWords - n) {
+      var h = 0L
+      var j = i
+      while (j < i + n) {
+        h = foldBytes(h, bytes, bounds(2 * j), bounds(2 * j + 1))
+        if (j < i + n - 1) h = (h * 31 + ' '.toInt) % P57
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct rolling-hash values of the n-word shingles (space-joined),
     * first-occurrence order. Empty when the text has fewer than n words.
     */

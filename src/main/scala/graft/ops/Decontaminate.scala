@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -60,6 +60,99 @@ object Decontaminate {
       .agg(countDistinct("sh").as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select(col("cid").as(idCol), col("bid").as("bench_id"), col("n_shared"))
+  }
+
+  /** SURGICAL span-level decontamination — the GPT-3 appendix-C practice
+    * (Brown et al. 2020 split contaminated documents at the overlapping
+    * n-grams and kept the clean remainder) instead of [[overlap]]'s
+    * whole-document quarantine: every word covered by an n-gram that
+    * appears anywhere in the benchmark set is CONTAMINATED; the document
+    * is cut at contaminated words and the LONGEST clean fragment (ties →
+    * earliest) survives if it has at least `minFragmentWords` words,
+    * otherwise the document is dropped (`kept_text` NULL).
+    *
+    * Semantics (oracle-shared, exact):
+    *  - the word stream is the canonical tokenizer stream (lowercased
+    *    alnum runs — the same normalization every shingle kernel applies),
+    *    so a kept FRAGMENT is re-joined canonical tokens; a document with
+    *    NO contamination keeps its RAW text untouched (the fast path —
+    *    never rewrite what the gate didn't touch);
+    *  - gram↔position correspondence comes from the POSITIONAL hash
+    *    kernel (`shingle_hashes_at` — [[graft.functions.TextHashOps]]),
+    *    whose values equal the distinct-set kernel's, so the bench set is
+    *    the same broadcast [[overlap]] uses;
+    *  - NULL text → NULL out; docs shorter than n words carry no grams
+    *    and pass clean.
+    *
+    * Scale shape: the bench gram set is BROADCAST (map-side join — only
+    * MATCHING grams reach the contamination-bounded aggregate), matched
+    * start positions come back to the corpus through one id-keyed LEFT
+    * join, and the split/rebuild is ONE row-local projection whose
+    * clean-document branch is a null test (the rare dirty rows pay the
+    * per-word fold). The corpus is scanned twice, never self-joined.
+    */
+  def redactSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minFragmentWords: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minFragmentWords >= 1,
+      s"minFragmentWords must be >= 1: $minFragmentWords")
+    val benchSh = bench
+      .select(explode(TextFunctions.shingle_hashes(col(textCol), n)).as("sh"))
+      .distinct()
+    val matched = corpus
+      .select(col(idCol).as("__rd_id"),
+        posexplode(TextFunctions.shingle_hashes_at(col(textCol), n)))
+      .withColumnsRenamed(Map("pos" -> "__rd_p", "col" -> "__rd_gh"))
+      .join(broadcast(benchSh), col("__rd_gh") === col("sh"))
+      .groupBy("__rd_id")
+      .agg(array_sort(collect_set(col("__rd_p"))).as("__rd_starts"))
+    val t = col(textCol)
+    // the canonical token stream — the same normalization tokenize()
+    // applies, so word indexes line up with the positional gram hashes
+    val wsExpr = filter(
+      split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), " "),
+      w => length(w) > 0)
+    def dirty(w: Column) = exists(col("__rd_starts"),
+      p => p <= w && w <= p + lit(n - 1))
+    def f(s: Column, name: String) = s.getField(name)
+    val run = aggregate(
+      sequence(lit(0), size(col("__rd_ws")) - 1),
+      struct(lit(0).as("curS"), lit(0).as("curL"),
+        lit(0).as("bestS"), lit(0).as("bestL")),
+      (st, w) => when(dirty(w),
+          struct((w + 1).as("curS"), lit(0).as("curL"),
+            f(st, "bestS").as("bestS"), f(st, "bestL").as("bestL")))
+        .otherwise(when(f(st, "curL") + 1 > f(st, "bestL"),
+          struct(f(st, "curS").as("curS"), (f(st, "curL") + 1).as("curL"),
+            f(st, "curS").as("bestS"), (f(st, "curL") + 1).as("bestL")))
+          .otherwise(struct(f(st, "curS").as("curS"), (f(st, "curL") + 1).as("curL"),
+            f(st, "bestS").as("bestS"), f(st, "bestL").as("bestL")))))
+    corpus.join(matched, col(idCol) === col("__rd_id"), "left")
+      .withColumn("__rd_ws", wsExpr)
+      .withColumn("__rd_run",
+        when(col("__rd_starts").isNull, lit(null)).otherwise(run))
+      .withColumn("n_words",
+        when(t.isNull, lit(null).cast("int"))
+          .otherwise(size(col("__rd_ws")).cast("int")))
+      .withColumn("n_dirty_words",
+        when(t.isNull, lit(null).cast("int"))
+          .when(col("__rd_starts").isNull, lit(0))
+          .otherwise(size(filter(sequence(lit(0), size(col("__rd_ws")) - 1),
+            dirty(_))).cast("int")))
+      .withColumn("kept_words",
+        when(t.isNull, lit(null).cast("int"))
+          .when(col("__rd_starts").isNull, size(col("__rd_ws")).cast("int"))
+          .when(f(col("__rd_run"), "bestL") >= minFragmentWords,
+            f(col("__rd_run"), "bestL").cast("int"))
+          .otherwise(lit(0)))
+      .withColumn("kept_text",
+        when(t.isNull, lit(null).cast("string"))
+          .when(col("__rd_starts").isNull, t)
+          .when(f(col("__rd_run"), "bestL") >= minFragmentWords,
+            concat_ws(" ", slice(col("__rd_ws"),
+              f(col("__rd_run"), "bestS") + 1, f(col("__rd_run"), "bestL"))))
+          .otherwise(lit(null).cast("string")))
+      .drop("__rd_id", "__rd_starts", "__rd_ws", "__rd_run")
   }
 
   /** Containment-RATIO variant of [[overlap]]: flags a corpus document when

@@ -804,6 +804,100 @@ object Dedup {
     semanticPrune(assigned, idCol, threshold)
   }
 
+  /** SURGICAL repeated-passage REMOVAL — the exact-substring dedup of Lee
+    * et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): instead of dropping whole near-dup documents, every
+    * occurrence of a duplicated `window`-char passage EXCEPT its canonical
+    * first occurrence (smallest (doc, offset)) is excised from the text,
+    * and the clean remainder survives. The unit is the same aligned
+    * poly-57 window hash as [[repeatedPassagePairs]]
+    * ([[graft.functions.TextHashOps.passageHashes]] — positional: index i
+    * ↔ byte offset i×stride), but with NO df ceiling: a license header
+    * duplicated across half the corpus is precisely what must be cut, so
+    * hub hashes are aggregated (map-side-combinable count + min), never
+    * pair-expanded — this operator has no pair stage at all.
+    *
+    * Semantics (oracle-shared, exact; ASCII corpus contract as the pair
+    * op, so byte offsets == char offsets):
+    *  - a window hash with ≥ 2 occurrences corpus-wide (counting same-doc
+    *    repeats) is DUPLICATED; its canonical occurrence is the smallest
+    *    (doc_id, offset) and stays; all others are dirty;
+    *  - dirty char ranges [offset, offset+window) are merged per doc; the
+    *    complement's clean runs are kept IF at least `minRunChars` long
+    *    (shorter slivers between two cuts are debris, not content) and
+    *    concatenated in order into `kept_text`;
+    *  - a document with no dirty window keeps its raw text untouched (the
+    *    fast path — never rewrite what the gate didn't touch); one whose
+    *    every clean run is sub-minimum is dropped (`kept_text` NULL,
+    *    `kept_chars` 0); NULL text → NULL out.
+    *
+    * Scale shape: one (hash, doc, offset) explode → one map-side-combined
+    * aggregate per hash (count + min-struct — hub-safe, no collect_list)
+    * → the duplicated-hash table joins back on the hash key (int rows) →
+    * one per-doc sorted-offsets aggregate → one row-local interval-merge
+    * fold rebuilds the text. The corpus is scanned twice and never
+    * self-joined; nothing corpus-sized is broadcast.
+    */
+  def redactRepeatedPassages(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 60, stride: Int = 20, minRunChars: Int = 20): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    require(minRunChars >= 1, s"minRunChars must be >= 1: $minRunChars")
+    val occ = ensureParallelism(docs)
+      .select(col(idCol).as("__rp_id"),
+        posexplode(TextFunctions.passage_hashes(col(textCol), window, stride)))
+      .select(col("__rp_id"), (col("pos") * stride).as("__rp_s"), col("col").as("__rp_h"))
+    val dupHashes = occ.groupBy("__rp_h")
+      .agg(count(lit(1)).as("__rp_cnt"),
+        min(struct(col("__rp_id"), col("__rp_s"))).as("__rp_can"))
+      .where(col("__rp_cnt") >= 2)
+      .select(col("__rp_h"), col("__rp_can"))
+    val starts = occ.join(dupHashes, Seq("__rp_h"))
+      .where(!(col("__rp_can.__rp_id") === col("__rp_id") &&
+        col("__rp_can.__rp_s") === col("__rp_s")))
+      .groupBy(col("__rp_id"))
+      .agg(array_sort(collect_set(col("__rp_s"))).as("__rp_starts"))
+    val t = col(textCol)
+    def f(s: Column, name: String) = s.getField(name)
+    // interval-merge fold over the sorted dirty starts: state carries the
+    // merged-coverage end seen so far, dup/kept char tallies, and the
+    // concatenated kept fragments; every range is a full window by
+    // construction (posexplode of FULL windows), so no end clipping
+    val keepRun = (st: Column, from: Column, to: Column) =>
+      when(to - from >= minRunChars,
+        struct(f(st, "pe").as("pe"), f(st, "dup").as("dup"),
+          (f(st, "kept") + (to - from)).as("kept"),
+          concat(f(st, "frag"), t.substr(from + 1, to - from)).as("frag")))
+        .otherwise(st)
+    val folded = aggregate(col("__rp_starts"),
+      struct(lit(0).as("pe"), lit(0).as("dup"), lit(0).as("kept"), lit("").as("frag")),
+      (st, s) => {
+        val kept = when(s > f(st, "pe"), keepRun(st, f(st, "pe"), s)).otherwise(st)
+        struct((s + window).as("pe"),
+          (f(kept, "dup") + (s + window - greatest(s, f(kept, "pe")))).as("dup"),
+          f(kept, "kept").as("kept"), f(kept, "frag").as("frag"))
+      },
+      st => keepRun(st, f(st, "pe"), length(t)))
+    docs.join(starts, col(idCol) === col("__rp_id"), "left")
+      .withColumn("__rp_f",
+        when(col("__rp_starts").isNull, lit(null)).otherwise(folded))
+      .withColumn("n_chars",
+        when(t.isNull, lit(null).cast("int")).otherwise(length(t).cast("int")))
+      .withColumn("n_dup_chars",
+        when(t.isNull, lit(null).cast("int"))
+          .when(col("__rp_starts").isNull, lit(0))
+          .otherwise(f(col("__rp_f"), "dup").cast("int")))
+      .withColumn("kept_chars",
+        when(t.isNull, lit(null).cast("int"))
+          .when(col("__rp_starts").isNull, length(t).cast("int"))
+          .otherwise(f(col("__rp_f"), "kept").cast("int")))
+      .withColumn("kept_text",
+        when(t.isNull, lit(null).cast("string"))
+          .when(col("__rp_starts").isNull, t)
+          .when(f(col("__rp_f"), "kept") > 0, f(col("__rp_f"), "frag"))
+          .otherwise(lit(null).cast("string")))
+      .drop("__rp_id", "__rp_starts", "__rp_f")
+  }
+
   /** VERBATIM repeated-passage pairs: documents sharing ≥ `minShared`
     * aligned `window`-character passages — the character-level exact-dedup
     * primitive (boilerplate, licenses, templated spam) that word-shingle

@@ -725,6 +725,57 @@ class OpsSpec extends AnyFunSuite {
     assert(abs == Set(1L, 2L))
   }
 
+  test("redactSpans: covered words cut, longest-earliest clean fragment survives") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // dirty span in the middle: grams (alpha beta gamma), (beta gamma
+      // delta) cover words 5..8; two clean runs of 5 — tie → earliest
+      (1L, "one two three four five alpha beta gamma delta six seven eight nine ten"),
+      (2L, "Clean, doc! with NO overlap at all here."), // raw text kept untouched
+      (3L, null.asInstanceOf[String]),
+      (4L, "alpha beta gamma delta"),                   // fully dirty → dropped
+      (5L, "hi alpha beta gamma delta yo"),             // clean runs too short → dropped
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.redactSpans(corpus, bench, "doc_id", "text",
+        n = 3, minFragmentWords = 3)
+      .select("doc_id", "n_words", "n_dirty_words", "kept_words", "kept_text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          Option(r.getString(4)))).toMap
+    assert(out(1L) == ((14, 4, 5, Some("one two three four five"))))
+    assert(out(2L) == ((8, 0, 8, Some("Clean, doc! with NO overlap at all here."))))
+    assert(out(3L) == ((-1, -1, -1, None)))
+    assert(out(4L) == ((4, 4, 0, None)))
+    assert(out(5L) == ((6, 4, 0, None)))
+  }
+
+  test("redactRepeatedPassages: duplicated windows cut everywhere but first occurrence") {
+    val corpus = Seq(
+      (1L, "AAAAAABBBBBBCCCCCC"),   // canonical holder of AAAAAA — untouched
+      (2L, "XXXXXXAAAAAAYYYYYY"),   // AAAAAA@6 dirty; both flanks survive
+      (3L, "ZZZZZZZZZZ"),           // self-repeating; clean sliver < minRun → dropped
+      (4L, null.asInstanceOf[String]),
+      (5L, "SHORT"),                // shorter than the window → no grams, untouched
+      (6L, "AAAAAAqqqqAAAAAA"),     // two dirty islands; middle run exactly minRun
+    ).toDF("doc_id", "text")
+    val out = Dedup.redactRepeatedPassages(corpus, "doc_id", "text",
+        window = 6, stride = 2, minRunChars = 4)
+      .select("doc_id", "n_chars", "n_dup_chars", "kept_chars", "kept_text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          Option(r.getString(4)))).toMap
+    assert(out(1L) == ((18, 0, 18, Some("AAAAAABBBBBBCCCCCC"))))
+    assert(out(2L) == ((18, 6, 12, Some("XXXXXXYYYYYY"))))
+    assert(out(3L) == ((10, 8, 0, None)))
+    assert(out(4L) == ((-1, -1, -1, None)))
+    assert(out(5L) == ((5, 0, 5, Some("SHORT"))))
+    assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
+  }
+
   // ---- sampling edge cases -------------------------------------------------
 
   private lazy val strata: DataFrame = Seq(

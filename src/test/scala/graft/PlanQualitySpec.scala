@@ -99,7 +99,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "d_dedup_simhash_vs_index", "d_dedup_minhash_vs_index",
       "d_dedup_simhash_incremental", "d_dedup_lines_within",
       "d_dedup_cosine_vs_index", "d_dedup_cosine_incremental",
-      "d_decontaminate_pairs")) {
+      "d_decontaminate_pairs", "d_decontaminate_redact",
+      "d_dedup_passages_redact")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -249,6 +250,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BuildRight"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("span redaction: bench grams broadcast, matches return by one id-keyed left join") {
+    // redactSpans scans the corpus twice (gram probe + rebuild) but must
+    // never shuffle-join it against the bench side: the gram match is a
+    // broadcast hash join, and the only corpus-keyed join is the LEFT join
+    // bringing matched start positions back by id
+    val p = planOf("d_decontaminate_redact")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("hash + fractional stratified sampling stay scan-stage filters: zero exchanges") {
