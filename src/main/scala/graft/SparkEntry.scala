@@ -1787,6 +1787,21 @@ object SparkEntry {
           col("kept_words"), col("kept_text"))
         .orderBy("doc_id")
     },
+    // ---- the SERVE shape of span redaction: bench grams frozen into a
+    //      sorted array, membership via codegen'd binary search — ONE
+    //      join-free projection (the stream-safe form; parity-pinned by
+    //      StreamingSpec, same oracle as the batch form)
+    "d_decontaminate_redact_served" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val set = ops.Decontaminate.benchGramSet(
+        docs.where(col("doc_id") < 25), "text")
+      ops.Decontaminate.redactSpansServe(
+          docs.where(col("doc_id") >= 25), set, "text",
+          n = 3, minFragmentWords = 10)
+        .select(col("doc_id"), col("n_words"), col("n_dirty_words"),
+          col("kept_words"), col("kept_text"))
+        .orderBy("doc_id")
+    },
     // ---- exact-substring passage REDACTION (Lee et al. 2021): duplicated
     //      60-char windows cut everywhere but their first occurrence,
     //      clean runs >= 20 chars survive concatenated
@@ -2128,6 +2143,51 @@ object SparkEntry {
        |  SELECT DISTINCT a, a FROM e
        |  UNION
        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)""".stripMargin
+
+  /** Shared span-redaction oracle — gates both the broadcast-join
+    * batch form (`d_decontaminate_redact`) and the frozen-set serve
+    * form (`d_decontaminate_redact_served`): identical semantics by
+    * construction (shared rebuild fold), two plan shapes proven
+    * against one independent SQL formulation.
+    */
+  private lazy val redactSpansOracleSql: String =
+      s"""WITH a AS (SELECT doc_id, text, ${OracleFrag.ws("text")} AS ws
+         |           FROM documents WHERE doc_id >= 25),
+         |bw AS (SELECT ${OracleFrag.ws("text")} AS ws FROM documents WHERE doc_id < 25),
+         |bs AS (SELECT DISTINCT unnest(${OracleFrag.shingleHashes("ws")}) AS sh FROM bw),
+         |g AS (SELECT doc_id, unnest(list_transform(${OracleFrag.shingleHashesAt("ws")},
+         |        (__g, __gi) -> struct_pack(p := __gi, gh := __g))) AS s FROM a),
+         |m AS (SELECT DISTINCT g.doc_id, g.s.p AS p FROM g JOIN bs ON g.s.gh = bs.sh),
+         |wp AS (SELECT doc_id, unnest(list_transform(ws,
+         |        (__w, __wi) -> struct_pack(wp := __wi, wd := __w))) AS s FROM a),
+         |wd AS (SELECT wp.doc_id, wp.s.wp AS wp, wp.s.wd AS wd,
+         |         EXISTS (SELECT 1 FROM m WHERE m.doc_id = wp.doc_id
+         |                 AND m.p <= wp.s.wp AND wp.s.wp <= m.p + 2) AS dirty
+         |       FROM wp),
+         |cl AS (SELECT doc_id, wp, wd,
+         |         wp - row_number() OVER (PARTITION BY doc_id ORDER BY wp) AS isl
+         |       FROM wd WHERE NOT dirty),
+         |runs AS (SELECT doc_id, isl, MIN(wp) AS st, CAST(COUNT(*) AS INT) AS len,
+         |           string_agg(wd, ' ' ORDER BY wp) AS frag
+         |         FROM cl GROUP BY doc_id, isl),
+         |best AS (SELECT doc_id, len, frag FROM (
+         |  SELECT doc_id, len, frag,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY len DESC, st ASC) AS rn
+         |  FROM runs) WHERE rn = 1),
+         |dm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS nd FROM wd WHERE dirty GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE len(a.ws) END AS INT) AS n_words,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dirty_words,
+         |  CAST(CASE WHEN a.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN len(a.ws)
+         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.len
+         |       ELSE 0 END AS INT) AS kept_words,
+         |  CASE WHEN a.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN a.text
+         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.frag
+         |  END AS kept_text
+         |FROM a LEFT JOIN dm USING (doc_id) LEFT JOIN best USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin
 
   /** Shared clusters oracle — gates both `d_dedup_clusters` (label
     * propagation) and `d_dedup_clusters_star` (large-star/small-star),
@@ -3322,45 +3382,11 @@ object SparkEntry {
     // gram hashes (1-based on both sides of every comparison), dirty words
     // by a range join, clean runs via gaps-and-islands (wp − row_number),
     // longest-earliest fragment by window rank — where the operator uses a
-    // row-local fold, the oracle uses SQL islands; semantics must agree
-    "d_decontaminate_redact" ->
-      s"""WITH a AS (SELECT doc_id, text, ${OracleFrag.ws("text")} AS ws
-         |           FROM documents WHERE doc_id >= 25),
-         |bw AS (SELECT ${OracleFrag.ws("text")} AS ws FROM documents WHERE doc_id < 25),
-         |bs AS (SELECT DISTINCT unnest(${OracleFrag.shingleHashes("ws")}) AS sh FROM bw),
-         |g AS (SELECT doc_id, unnest(list_transform(${OracleFrag.shingleHashesAt("ws")},
-         |        (__g, __gi) -> struct_pack(p := __gi, gh := __g))) AS s FROM a),
-         |m AS (SELECT DISTINCT g.doc_id, g.s.p AS p FROM g JOIN bs ON g.s.gh = bs.sh),
-         |wp AS (SELECT doc_id, unnest(list_transform(ws,
-         |        (__w, __wi) -> struct_pack(wp := __wi, wd := __w))) AS s FROM a),
-         |wd AS (SELECT wp.doc_id, wp.s.wp AS wp, wp.s.wd AS wd,
-         |         EXISTS (SELECT 1 FROM m WHERE m.doc_id = wp.doc_id
-         |                 AND m.p <= wp.s.wp AND wp.s.wp <= m.p + 2) AS dirty
-         |       FROM wp),
-         |cl AS (SELECT doc_id, wp, wd,
-         |         wp - row_number() OVER (PARTITION BY doc_id ORDER BY wp) AS isl
-         |       FROM wd WHERE NOT dirty),
-         |runs AS (SELECT doc_id, isl, MIN(wp) AS st, CAST(COUNT(*) AS INT) AS len,
-         |           string_agg(wd, ' ' ORDER BY wp) AS frag
-         |         FROM cl GROUP BY doc_id, isl),
-         |best AS (SELECT doc_id, len, frag FROM (
-         |  SELECT doc_id, len, frag,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY len DESC, st ASC) AS rn
-         |  FROM runs) WHERE rn = 1),
-         |dm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS nd FROM wd WHERE dirty GROUP BY doc_id)
-         |SELECT a.doc_id,
-         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE len(a.ws) END AS INT) AS n_words,
-         |  CAST(CASE WHEN a.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dirty_words,
-         |  CAST(CASE WHEN a.text IS NULL THEN NULL
-         |       WHEN dm.nd IS NULL THEN len(a.ws)
-         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.len
-         |       ELSE 0 END AS INT) AS kept_words,
-         |  CASE WHEN a.text IS NULL THEN NULL
-         |       WHEN dm.nd IS NULL THEN a.text
-         |       WHEN COALESCE(best.len, 0) >= 10 THEN best.frag
-         |  END AS kept_text
-         |FROM a LEFT JOIN dm USING (doc_id) LEFT JOIN best USING (doc_id)
-         |ORDER BY a.doc_id""".stripMargin,
+    // row-local fold, the oracle uses SQL islands; semantics must agree.
+    // The SAME oracle gates the frozen-set serve path (identical
+    // semantics, join-free plan) — one definition, two plan shapes proven.
+    "d_decontaminate_redact" -> redactSpansOracleSql,
+    "d_decontaminate_redact_served" -> redactSpansOracleSql,
     // Mirrors Dedup.repeatedPassagePairs: poly-57 over the same raw
     // 60-char windows at stride 20 (ascii() == byte for the ASCII
     // testdata), df-prune [2, 50], distinct shared-window counts.

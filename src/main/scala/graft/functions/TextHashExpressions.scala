@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd wrappers around the [[TextHashOps]] kernels. Each generates a
@@ -36,6 +36,28 @@ case class ShingleHashesAtExpr(child: Expression, n: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.shingleHashesAt($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesAtExpr =
+    copy(child = newChild)
+}
+
+/** Row-local frozen-set membership over a hash array: returns the indexes
+  * whose hash is in the SORTED `set` (binary search — O(log |set|) per
+  * element, vs array_contains' linear scan). The set rides into generated
+  * code as a reference object, so the lookup stays inside whole-stage
+  * codegen with zero per-row allocation beyond the result.
+  */
+case class MatchedStartsExpr(child: Expression, set: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "matched_starts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.matchedStarts(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("benchSet", set, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.matchedStarts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatchedStartsExpr =
     copy(child = newChild)
 }
 
@@ -198,6 +220,12 @@ object TextFunctions {
     * word i, no dedup (the span-redaction correspondence). */
   def shingle_hashes_at(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashesAtExpr(GraftBridge.expression(text), n))
+
+  /** Indexes of `hashes` that are members of the SORTED frozen `set`
+    * (binary search, codegen'd) — the row-local serve-time twin of a
+    * broadcast gram join. */
+  def matched_starts(hashes: Column, set: Array[Long]): Column =
+    GraftBridge.column(MatchedStartsExpr(GraftBridge.expression(hashes), set))
 
   /** Per-word 57-bit hashes in document order, with multiplicity (bag
     * semantics — unlike shingle_hashes(n=1), which dedups). */

@@ -241,6 +241,28 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Indexes into `hs` whose hash is a member of the SORTED `set` —
+    * binary search per element, O(len·log |set|). The frozen-set twin of
+    * the broadcast gram join: [[graft.ops.Decontaminate.redactSpansServe]]
+    * matches a document's positional gram hashes against a collected
+    * benchmark set entirely row-locally (stream-safe — no join, no
+    * shuffle, no state).
+    */
+  def matchedStarts(hs: ArrayData, set: Array[Long]): ArrayData = {
+    val n = hs.numElements()
+    val buf = new Array[Int](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, hs.getLong(i)) >= 0) {
+        buf(k) = i
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
   /** Distinct rolling-hash values of the n-word shingles (space-joined),
     * first-occurrence order. Empty when the text has fewer than n words.
     */

@@ -106,6 +106,57 @@ object Decontaminate {
       .join(broadcast(benchSh), col("__rd_gh") === col("sh"))
       .groupBy("__rd_id")
       .agg(array_sort(collect_set(col("__rd_p"))).as("__rd_starts"))
+    rebuildSpans(
+      corpus.join(matched, col(idCol) === col("__rd_id"), "left"),
+      textCol, n, minFragmentWords)
+  }
+
+  /** SERVE-TIME form of [[redactSpans]]: the benchmark gram set is FROZEN
+    * into a sorted array ([[benchGramSet]]) and membership is a row-local
+    * binary search (`matched_starts` — codegen'd), so the whole operator
+    * is ONE projection: no join, no aggregate, no shuffle, no state.
+    * Identical semantics to the batch form by construction (same
+    * positional hashes, same rebuild fold — the fold is literally shared).
+    *
+    * This is the streaming/online shape — the gate a stream of arriving
+    * documents passes through (the `d_dsir_gate` / `d_bm25_served`
+    * precedent: freeze the small side once, serve row-locally forever).
+    * Benchmark sets are eval suites — thousands of items, not corpora —
+    * so the frozen array is broadcast-sized by the same argument as
+    * [[overlap]]'s broadcast join.
+    */
+  def redactSpansServe(corpus: DataFrame, benchSet: Array[Long],
+      textCol: String, n: Int = 3, minFragmentWords: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minFragmentWords >= 1,
+      s"minFragmentWords must be >= 1: $minFragmentWords")
+    val ms = TextFunctions.matched_starts(
+      TextFunctions.shingle_hashes_at(col(textCol), n), benchSet)
+    // empty match list → NULL starts, so the untouched-document fast path
+    // (keep raw text) is the same branch the batch LEFT join produces
+    rebuildSpans(
+      corpus.withColumn("__rd_starts",
+        when(size(ms) === 0, lit(null)).otherwise(ms)),
+      textCol, n, minFragmentWords)
+  }
+
+  /** The frozen benchmark gram set for [[redactSpansServe]]: sorted
+    * distinct shingle hashes, collected driver-side (bench sets are tiny
+    * by construction — the same size argument that lets [[overlap]]
+    * broadcast them).
+    */
+  def benchGramSet(bench: DataFrame, textCol: String, n: Int = 3): Array[Long] =
+    bench.select(explode(TextFunctions.shingle_hashes(col(textCol), n)).as("sh"))
+      .distinct().orderBy("sh")
+      .collect().map(_.getLong(0))
+
+  /** Shared split/rebuild projection: expects `__rd_starts` (sorted match
+    * start positions, NULL = untouched) and rewrites the text row-locally —
+    * the single definition both the batch aggregate path and the frozen-set
+    * serve path feed, so their semantics cannot drift.
+    */
+  private def rebuildSpans(withStarts: DataFrame, textCol: String,
+      n: Int, minFragmentWords: Int): DataFrame = {
     val t = col(textCol)
     // the canonical token stream — the same normalization tokenize()
     // applies, so word indexes line up with the positional gram hashes
@@ -127,7 +178,7 @@ object Decontaminate {
             f(st, "curS").as("bestS"), (f(st, "curL") + 1).as("bestL")))
           .otherwise(struct(f(st, "curS").as("curS"), (f(st, "curL") + 1).as("curL"),
             f(st, "bestS").as("bestS"), f(st, "bestL").as("bestL")))))
-    corpus.join(matched, col(idCol) === col("__rd_id"), "left")
+    withStarts
       .withColumn("__rd_ws", wsExpr)
       .withColumn("__rd_run",
         when(col("__rd_starts").isNull, lit(null)).otherwise(run))

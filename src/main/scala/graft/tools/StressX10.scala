@@ -108,6 +108,20 @@ object StressX10 {
     val bl1 = addChrome(docs1).localCheckpoint()
     val bl10 = addChrome(docs10).localCheckpoint()
 
+    // aligned 80-char license header on 95% of docs: its two full windows
+    // ([0,60) and [20,80)) are HUB passage hashes with df ≈ corpus — the
+    // redaction operator's no-df-ceiling worst case (headers are added
+    // AFTER Caesar replication, so they stay identical across replicas
+    // and hub df scales with the corpus)
+    val licHeader = "LICENSE: Creative Commons Attribution 4.0 International. Redistribution allowed."
+      .padTo(80, '-')
+    def addHeader(df: DataFrame): DataFrame =
+      df.withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) =!= 0, concat(lit(licHeader), col("text")))
+          .otherwise(col("text")))
+    val hub1 = addHeader(docs1).localCheckpoint()
+    val hub10 = addHeader(docs10).localCheckpoint()
+
     // seeded coarse quantizer for the SemDeDup scenarios: the k
     // smallest-id vectors as centroids (deterministic, shared by 1x/10x)
     def seedCents(d: DataFrame, k: Int): DataFrame =
@@ -234,6 +248,20 @@ object StressX10 {
       // ~linear in corpus bytes like the boilerplate aggregate above
       ("d_dedup_lines_across (hub chrome lines)", bl1, bl10,
         (d: DataFrame) => graft.ops.Boilerplate.dedupLinesAcross(d, "doc_id", "text")),
+      // exact-substring redaction under hub windows: two passage hashes
+      // carry df ≈ 0.95 × corpus, and redaction has NO df ceiling by
+      // design (the license header is exactly what must be cut). The
+      // dup-hash aggregate partial-combines map-side (1 row per hash
+      // out), so the dup table stays tiny and the occurrence join never
+      // funnels the hub's occurrence list through one task — expect
+      // ~linear in corpus bytes
+      // the trailing coalesce-filter is always true but NOT foldable, so
+      // count() cannot prune the kept_text rebuild out of the plan (the
+      // noop-sink lesson: time the work, not the pruned skeleton)
+      ("d_dedup_passages_redact (hub header on 95% of docs)", hub1, hub10,
+        (d: DataFrame) => graft.ops.Dedup.redactRepeatedPassages(
+            d, "doc_id", "text")
+          .where(coalesce(length(col("kept_text")), lit(0)) >= 0)),
       // est-Jaccard composed increment, mirroring the simhash scenario:
       // cost should track the CC family, not corpus²
       ("d_dedup_minhash_incremental (index=half)", docs1, docs10,

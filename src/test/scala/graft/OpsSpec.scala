@@ -751,6 +751,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((6, 4, 0, None)))
   }
 
+  test("redactSpansServe: frozen-set path reproduces the batch fold exactly") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five alpha beta gamma delta six seven eight nine ten"),
+      (2L, "Clean, doc! with NO overlap at all here."),
+      (3L, null.asInstanceOf[String]),
+      (4L, "alpha beta gamma delta"),
+      (5L, "hi alpha beta gamma delta yo"),
+    ).toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_words", "n_dirty_words", "kept_words", "kept_text")
+    val set = Decontaminate.benchGramSet(bench, "text")
+    assert(set.nonEmpty && set.sameElements(set.sorted))
+    val served = Decontaminate.redactSpansServe(corpus, set, "text",
+        n = 3, minFragmentWords = 3)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val batch = Decontaminate.redactSpans(corpus, bench, "doc_id", "text",
+        n = 3, minFragmentWords = 3)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(served == batch)
+    // empty bench set: every document passes untouched
+    val none = Decontaminate.redactSpansServe(corpus, Array.empty[Long], "text")
+      .where(col("text").isNotNull)
+      .select("kept_text").collect().map(_.getString(0))
+    assert(none.length == 4 && none.forall(_ != null))
+  }
+
   test("redactRepeatedPassages: duplicated windows cut everywhere but first occurrence") {
     val corpus = Seq(
       (1L, "AAAAAABBBBBBCCCCCC"),   // canonical holder of AAAAAA — untouched

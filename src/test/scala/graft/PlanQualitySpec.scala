@@ -252,6 +252,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("frozen-set span redaction serve path: zero exchanges, codegen'd membership") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val set = graft.ops.Decontaminate.benchGramSet(
+      docs.where(col("doc_id") < 25), "text")
+    val df = graft.ops.Decontaminate.redactSpansServe(
+      docs.where(col("doc_id") >= 25), set, "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"serve path shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"serve path joins:\n${p.take(2000)}")
+    assert(p.contains("matched_starts"), p.take(3000))
+  }
+
   test("span redaction: bench grams broadcast, matches return by one id-keyed left join") {
     // redactSpans scans the corpus twice (gram probe + rebuild) but must
     // never shuffle-join it against the bench side: the gram match is a

@@ -574,6 +574,33 @@ class StreamingSpec extends AnyFunSuite {
       s"stream flagged ${flagged.size}, batch ${batch.size}")
   }
 
+  test("streaming span redaction: frozen-set serve path matches batch, stateless") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") < 25)
+    val set = graft.ops.Decontaminate.benchGramSet(bench, "text")
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .where(col("doc_id") >= 25)
+    val served = graft.ops.Decontaminate.redactSpansServe(stream, set, "text")
+      .select("doc_id", "n_words", "n_dirty_words", "kept_words", "kept_text")
+    // the serve form must be a pure projection: no join, no aggregate, no
+    // state — the invariant that makes the gate watermark-free
+    val q = served.writeStream.outputMode("append")
+      .format("memory").queryName("doc_redact_serve").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val streamed = spark.table("doc_redact_serve").collect().map(key).sorted
+    val batch = graft.ops.Decontaminate.redactSpans(
+        docs.where(col("doc_id") >= 25), bench, "doc_id", "text")
+      .select("doc_id", "n_words", "n_dirty_words", "kept_words", "kept_text")
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length}, batch ${batch.length}")
+  }
+
   test("event-time token budget: late-but-in-watermark docs decided like batch, too-late dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
