@@ -1984,6 +1984,15 @@ object SparkEntry {
         budget = 60000L, bucketWidth = 64)
         .select(col("doc_id"), col("n_chars"), col("cum")).orderBy("doc_id")
     },
+    // ---- length-bucketed batching card: padding cost of power-of-two
+    //      length buckets vs padding every batch to the corpus max — the
+    //      batch-shape analysis behind non-packed fine-tuning loaders
+    "d_length_buckets" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("nTokens",
+          coalesce(ops.TextAnalysis.wsTokenCount(col("text")), lit(0)))
+      ops.Budget.lengthBucketCard(docs, "nTokens").orderBy("bucket")
+    },
     // ---- epoch-shuffled SHARDED packing: the per-epoch permutation
     //      (epochShards) composed with per-shard concatenate-and-chunk —
     //      chunk indexes are per-shard, windows run per-shard in
@@ -3559,6 +3568,23 @@ object SparkEntry {
          |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
          |WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
+    // Length-bucket card: the same integer-only <=-chain over 2^k
+    // literals (no float log2 on either side), same global-max padding
+    // baseline, same 6-decimal savings rounding
+    "d_length_buckets" ->
+      s"""WITH tk AS (SELECT COALESCE(CAST(len(${OracleFrag.ws("text")}) AS BIGINT), 0) AS ntok
+         |  FROM documents),
+         |b AS (SELECT ntok, CASE WHEN ntok <= 1 THEN 1 ${(1 to 20).map(k =>
+                 s"WHEN ntok <= ${1L << k} THEN ${1L << k}").mkString(" ")} END AS bucket
+         |  FROM tk),
+         |g AS (SELECT MAX(ntok) AS gmax FROM tk)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) * bucket AS BIGINT) AS pad_bucket,
+         |  CAST(COUNT(*) * (SELECT gmax FROM g) AS BIGINT) AS pad_global,
+         |  round(1.0 - CAST(COUNT(*) * bucket AS DOUBLE)
+         |    / CAST(COUNT(*) * (SELECT gmax FROM g) AS DOUBLE), 6) AS savings
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Token-quota mixture replayed: per-source token sums, the same
     // feasibility min and floor, and the inclusive running token total in
     // (unitHash, id) order — the boundary document cut is `cum <= quota`

@@ -196,6 +196,58 @@ object Budget {
       .withColumn("n_tok", size(col("token_ids")))
   }
 
+  /** Length-bucketed batching card: how much padding does grouping
+    * sequences into power-of-two length buckets save over one global
+    * batch shape? Standard practice for non-packed fine-tuning batches
+    * (pad each batch to its longest member): bucketing by length bounds
+    * per-batch padding by the bucket ceiling, so the card reports, per
+    * bucket `2^k` (smallest power of two ≥ n_tokens):
+    *  - `n_docs`, `sum_tokens` — volume in the bucket;
+    *  - `pad_bucket` = n_docs × bucket — tokens if every doc pads to the
+    *    bucket ceiling (the bucketed batching upper bound);
+    *  - `pad_global` = n_docs × corpus-max — the same docs padded to the
+    *    global longest sequence (unbucketed batching's worst case);
+    *  - `savings` = 1 − pad_bucket / pad_global.
+    *
+    * The bucket boundary is integer-only (a ≤-chain over the 2^k
+    * literals — no float log2, whose boundary rounding the oracle could
+    * disagree with). Token counts must be NON-NULL and ≥ 0 (coalesce
+    * upstream; a null count has no length bucket) — violations raise.
+    * Counts above `2^maxExp` raise too: a silent clamp would misreport
+    * the card's padding math on genuinely long documents.
+    *
+    * Scale shape: one map-side-combined aggregate over ≤ maxExp+1 bucket
+    * keys + a broadcast one-row global max — no corpus-sized shuffle, no
+    * window, nothing driver-side.
+    */
+  def lengthBucketCard(df: DataFrame, nTokensCol: String,
+      maxExp: Int = 20): DataFrame = {
+    require(maxExp >= 0 && maxExp <= 62, s"maxExp out of range: $maxExp")
+    val n = col(nTokensCol)
+    val guarded = when(n.isNull || n < 0, raise_error(lit(
+        s"Budget.lengthBucketCard: null or negative $nTokensCol — " +
+          "coalesce/repair token counts upstream")))
+      .otherwise(n.cast("long"))
+    val chain = (1 to maxExp).foldLeft(when(guarded <= 1L, lit(1L))) {
+      (acc, k) => acc.when(guarded <= (1L << k), lit(1L << k))
+    }
+    val bucket = chain.otherwise(raise_error(lit(
+      s"Budget.lengthBucketCard: $nTokensCol above 2^$maxExp — raise maxExp"))
+      .cast("long"))
+    val perBucket = df
+      .withColumn("__lb_b", bucket)
+      .groupBy(col("__lb_b").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol).cast("long")).as("sum_tokens"))
+    perBucket
+      .crossJoin(broadcast(df.agg(max(guarded).as("__lb_gmax"))))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("pad_bucket"),
+        (col("n_docs") * col("__lb_gmax")).as("pad_global"))
+      .withColumn("savings", round(lit(1.0) -
+        col("pad_bucket").cast("double") / col("pad_global").cast("double"), 6))
+  }
+
   def packExamples(df: DataFrame, idCol: String, weightCol: String,
       seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     val packed = packSequences(df, idCol, weightCol, seqLen, bucketWidth)

@@ -751,6 +751,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((6, 4, 0, None)))
   }
 
+  test("lengthBucketCard: integer bucket boundaries, padding math, guarded inputs") {
+    val df = Seq(0, 1, 2, 3, 4, 5, 9, 16, 100).map(n => (n.toLong, n))
+      .toDF("doc_id", "nTokens")
+    val out = ops.Budget.lengthBucketCard(df, "nTokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // boundary membership: n <= 2^k, so exact powers stay in their own bucket
+    assert(out.keySet == Set(1L, 2L, 4L, 8L, 16L, 128L))
+    assert(out(1L) == ((2L, 1L, 2L, 200L)))     // n=0 and n=1
+    assert(out(4L) == ((2L, 7L, 8L, 200L)))     // n=3 and n=4
+    assert(out(8L) == ((1L, 5L, 8L, 100L)))     // n=5
+    assert(out(16L) == ((2L, 25L, 32L, 200L)))  // n=9 and n=16
+    assert(out(128L) == ((1L, 100L, 128L, 100L)))
+    // savings = 1 - pad_bucket/pad_global at 6 decimals
+    val s = ops.Budget.lengthBucketCard(df, "nTokens")
+      .where(col("bucket") === 128).select("savings").head().getDouble(0)
+    assert(s == math.rint((1.0 - 128.0 / 100.0) * 1e6) / 1e6 ||
+      math.abs(s - (1.0 - 1.28)) < 1e-9)
+    intercept[Exception] {
+      Seq((1L, null.asInstanceOf[Integer])).toDF("doc_id", "nTokens")
+        .withColumn("nTokens", col("nTokens").cast("int"))
+        .transform(d => ops.Budget.lengthBucketCard(d, "nTokens")).collect()
+    }
+    intercept[Exception] {
+      Seq((1L, 5)).toDF("doc_id", "nTokens")
+        .transform(d => ops.Budget.lengthBucketCard(d, "nTokens", maxExp = 2))
+        .collect()
+    }
+  }
+
   test("redactSpansServe: frozen-set path reproduces the batch fold exactly") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(

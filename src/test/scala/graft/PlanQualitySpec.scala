@@ -252,6 +252,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("length-bucket card: bucket aggregate + one-row broadcast max, no window") {
+    // the card must stay a map-side-combined aggregate over <= maxExp+1
+    // keys plus a broadcast one-row global max — a corpus-wide Window (or
+    // a shuffle join against the max) here would serialize at scale
+    val p = planOf("d_length_buckets")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("frozen-set span redaction serve path: zero exchanges, codegen'd membership") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
