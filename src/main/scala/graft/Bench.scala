@@ -74,6 +74,7 @@ object Bench {
     "d_dedup_passages_redact",     // exact-substring passage redaction (Lee et al.)
     "d_decontaminate_redact_served", // frozen-set serve twin: join-free binary-search gate
     "d_length_buckets",            // power-of-two length buckets, padding-savings card
+    "d_dedup_passages_incremental", // passage criterion's daily increment vs hash index
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

@@ -1812,6 +1812,22 @@ object SparkEntry {
           col("kept_chars"), col("kept_text"))
         .orderBy("doc_id")
     },
+    // ---- the passage criterion's daily increment: batch redacted against
+    //      the corpus's fingerprint-sized distinct-hash index plus itself,
+    //      corpus never rescanned; equals the full rerun restricted to the
+    //      batch under the monotone-id ingest layout (OpsSpec-pinned, and
+    //      the oracle IS the full rerun restricted to batch ids)
+    "d_dedup_passages_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.passageHashIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      ops.Dedup.redactRepeatedPassagesIncremental(
+          docs.where(col("doc_id") >= 250), index, "doc_id", "text",
+          window = 60, stride = 20, minRunChars = 20)
+        .select(col("doc_id"), col("n_chars"), col("n_dup_chars"),
+          col("kept_chars"), col("kept_text"))
+        .orderBy("doc_id")
+    },
     // ---- verbatim repeated-passage pairs: 60-char windows at stride 20,
     //      df-pruned hub windows, distinct-counted shared passages
     "d_dedup_passages" -> { (s, dir) =>
@@ -2197,6 +2213,55 @@ object SparkEntry {
          |  END AS kept_text
          |FROM a LEFT JOIN dm USING (doc_id) LEFT JOIN best USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin
+
+  /** Shared passage-redaction oracle: the full-corpus formulation,
+    * with an optional final-select predicate — the incremental row's
+    * oracle IS the full rerun restricted to the batch ids (the
+    * equivalence the monotone-id ingest layout guarantees).
+    */
+  private def passagesRedactOracleSql(finalWhere: String): String =
+      s"""WITH occ AS (SELECT doc_id, i*20 AS s,
+         |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
+         |  WHERE length(text) >= 60),
+         |od AS (SELECT doc_id, s,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+         |  FROM occ),
+         |dirty AS (SELECT doc_id, s, s + 60 AS e FROM od WHERE cnt >= 2 AND rn > 1),
+         |o AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dirty),
+         |g AS (SELECT doc_id, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM o),
+         |iv AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
+         |dm AS (SELECT doc_id, SUM(e - s) AS nd FROM iv GROUP BY doc_id),
+         |runs AS (
+         |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS rs,
+         |    s AS re FROM iv
+         |  UNION ALL
+         |  SELECT iv.doc_id, MAX(iv.e), MAX(length(d.text))
+         |  FROM iv JOIN documents d ON iv.doc_id = d.doc_id GROUP BY iv.doc_id),
+         |k AS (SELECT r.doc_id,
+         |    SUM(CASE WHEN r.re - r.rs >= 20 THEN r.re - r.rs ELSE 0 END) AS kc,
+         |    string_agg(CASE WHEN r.re - r.rs >= 20
+         |      THEN substr(d.text, r.rs + 1, r.re - r.rs) END, '' ORDER BY r.rs) AS kt
+         |  FROM runs r JOIN documents d ON r.doc_id = d.doc_id
+         |  WHERE r.re > r.rs GROUP BY r.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE length(d.text) END AS INT) AS n_chars,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dup_chars,
+         |  CAST(CASE WHEN d.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN length(d.text)
+         |       ELSE COALESCE(k.kc, 0) END AS INT) AS kept_chars,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       WHEN dm.nd IS NULL THEN d.text
+         |       WHEN COALESCE(k.kc, 0) > 0 THEN k.kt
+         |  END AS kept_text
+         |FROM documents d LEFT JOIN dm ON d.doc_id = dm.doc_id
+         |LEFT JOIN k ON d.doc_id = k.doc_id
+         |$finalWhere
+         |ORDER BY d.doc_id""".stripMargin
 
   /** Shared clusters oracle — gates both `d_dedup_clusters` (label
     * propagation) and `d_dedup_clusters_star` (large-star/small-star),
@@ -3404,48 +3469,9 @@ object SparkEntry {
     // gaps-and-islands — canonical occurrence by ROW_NUMBER over (doc, s),
     // merged dirty intervals via running-MAX grouping, clean runs via LAG
     // over the merged intervals plus the per-doc tail run
-    "d_dedup_passages_redact" ->
-      s"""WITH occ AS (SELECT doc_id, i*20 AS s,
-         |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
-         |  FROM documents, LATERAL (SELECT unnest(range(0,
-         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
-         |  WHERE length(text) >= 60),
-         |od AS (SELECT doc_id, s,
-         |    COUNT(*) OVER (PARTITION BY h) AS cnt,
-         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
-         |  FROM occ),
-         |dirty AS (SELECT doc_id, s, s + 60 AS e FROM od WHERE cnt >= 2 AND rn > 1),
-         |o AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dirty),
-         |g AS (SELECT doc_id, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
-         |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM o),
-         |iv AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
-         |dm AS (SELECT doc_id, SUM(e - s) AS nd FROM iv GROUP BY doc_id),
-         |runs AS (
-         |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS rs,
-         |    s AS re FROM iv
-         |  UNION ALL
-         |  SELECT iv.doc_id, MAX(iv.e), MAX(length(d.text))
-         |  FROM iv JOIN documents d ON iv.doc_id = d.doc_id GROUP BY iv.doc_id),
-         |k AS (SELECT r.doc_id,
-         |    SUM(CASE WHEN r.re - r.rs >= 20 THEN r.re - r.rs ELSE 0 END) AS kc,
-         |    string_agg(CASE WHEN r.re - r.rs >= 20
-         |      THEN substr(d.text, r.rs + 1, r.re - r.rs) END, '' ORDER BY r.rs) AS kt
-         |  FROM runs r JOIN documents d ON r.doc_id = d.doc_id
-         |  WHERE r.re > r.rs GROUP BY r.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE length(d.text) END AS INT) AS n_chars,
-         |  CAST(CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(dm.nd, 0) END AS INT) AS n_dup_chars,
-         |  CAST(CASE WHEN d.text IS NULL THEN NULL
-         |       WHEN dm.nd IS NULL THEN length(d.text)
-         |       ELSE COALESCE(k.kc, 0) END AS INT) AS kept_chars,
-         |  CASE WHEN d.text IS NULL THEN NULL
-         |       WHEN dm.nd IS NULL THEN d.text
-         |       WHEN COALESCE(k.kc, 0) > 0 THEN k.kt
-         |  END AS kept_text
-         |FROM documents d LEFT JOIN dm ON d.doc_id = dm.doc_id
-         |LEFT JOIN k ON d.doc_id = k.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "d_dedup_passages_redact" -> passagesRedactOracleSql(""),
+    "d_dedup_passages_incremental" ->
+      passagesRedactOracleSql("WHERE d.doc_id >= 250"),
     "d_dedup_passages" ->
       s"""WITH h AS (SELECT doc_id,
          |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h

@@ -842,10 +842,7 @@ object Dedup {
       window: Int = 60, stride: Int = 20, minRunChars: Int = 20): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
     require(minRunChars >= 1, s"minRunChars must be >= 1: $minRunChars")
-    val occ = ensureParallelism(docs)
-      .select(col(idCol).as("__rp_id"),
-        posexplode(TextFunctions.passage_hashes(col(textCol), window, stride)))
-      .select(col("__rp_id"), (col("pos") * stride).as("__rp_s"), col("col").as("__rp_h"))
+    val occ = passageOcc(docs, idCol, textCol, window, stride)
     val dupHashes = occ.groupBy("__rp_h")
       .agg(count(lit(1)).as("__rp_cnt"),
         min(struct(col("__rp_id"), col("__rp_s"))).as("__rp_can"))
@@ -856,6 +853,94 @@ object Dedup {
         col("__rp_can.__rp_s") === col("__rp_s")))
       .groupBy(col("__rp_id"))
       .agg(array_sort(collect_set(col("__rp_s"))).as("__rp_starts"))
+    rebuildPassages(
+      docs.join(starts, col(idCol) === col("__rp_id"), "left"),
+      textCol, window, minRunChars)
+  }
+
+  /** Positional window occurrences — the (id, charStart, hash) explode
+    * shared by [[redactRepeatedPassages]], the passage-hash index builder
+    * and the incremental prober, so all three agree byte-for-byte.
+    */
+  private def passageOcc(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    ensureParallelism(docs)
+      .select(col(idCol).as("__rp_id"),
+        posexplode(TextFunctions.passage_hashes(col(textCol), window, stride)))
+      .select(col("__rp_id"), (col("pos") * stride).as("__rp_s"),
+        col("col").as("__rp_h"))
+
+  /** Persisted passage-hash index of an accumulated corpus: the DISTINCT
+    * window hashes — fingerprint-sized (one long per distinct window,
+    * smaller than any signature index: membership is all the incremental
+    * prober needs, because a batch occurrence of ANY corpus hash is
+    * non-canonical by the id-ordering convention below). Write it out
+    * once per increment cycle; [[redactRepeatedPassagesIncremental]]
+    * probes it without ever rescanning the corpus.
+    */
+  def passageHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      window: Int = 60, stride: Int = 20): DataFrame =
+    passageOcc(corpus, idCol, textCol, window, stride)
+      .select(col("__rp_h").as("h")).distinct()
+
+  /** Daily-increment form of [[redactRepeatedPassages]] — the passage
+    * criterion joins the incremental family (exact, simhash, minhash,
+    * cosine): redact the NEW batch against the accumulated corpus's
+    * [[passageHashIndex]] plus itself, without rescanning the corpus.
+    * A batch window is dirty when (a) its hash is IN the index — the
+    * corpus occurrence is older, hence canonical, so every batch
+    * occurrence is cut — or (b) its hash is duplicated within the batch
+    * and this occurrence is not the batch's (id, offset)-min. Documents
+    * already in the corpus are untouched by construction (their
+    * canonical occurrences won; a within-corpus duplicate was already
+    * redacted when ITS batch landed).
+    *
+    * Equivalence contract (OpsSpec-pinned): when every corpus id
+    * precedes every batch id — the natural monotone-ingest layout every
+    * incremental operator in this family assumes — the result equals
+    * [[redactRepeatedPassages]] over corpus ∪ batch restricted to batch
+    * documents.
+    *
+    * Scale shape: the index probe is a (hash)-keyed join of batch
+    * occurrences against the fingerprint-sized index (Catalyst picks
+    * broadcast vs shuffle by stats — a day's batch bands broadcast
+    * against an arbitrarily large index scan, never the reverse by
+    * force); the within-batch stage is [[redactRepeatedPassages]]'s
+    * batch-sized aggregate; the corpus is never read.
+    */
+  def redactRepeatedPassagesIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, window: Int = 60, stride: Int = 20,
+      minRunChars: Int = 20): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    require(minRunChars >= 1, s"minRunChars must be >= 1: $minRunChars")
+    val occ = passageOcc(batch, idCol, textCol, window, stride)
+      .localCheckpoint() // two consumers: index probe + within-batch dup cut
+    val idxDirty = occ.join(index.select(col("h").as("__rp_h")), Seq("__rp_h"))
+      .select(col("__rp_id"), col("__rp_s"))
+    val batchDirty = occ.groupBy("__rp_h")
+      .agg(count(lit(1)).as("__rp_cnt"),
+        min(struct(col("__rp_id"), col("__rp_s"))).as("__rp_can"))
+      .where(col("__rp_cnt") >= 2)
+      .select(col("__rp_h"), col("__rp_can"))
+      .join(occ, Seq("__rp_h"))
+      .where(!(col("__rp_can.__rp_id") === col("__rp_id") &&
+        col("__rp_can.__rp_s") === col("__rp_s")))
+      .select(col("__rp_id"), col("__rp_s"))
+    val starts = idxDirty.union(batchDirty)
+      .groupBy(col("__rp_id"))
+      .agg(array_sort(collect_set(col("__rp_s"))).as("__rp_starts"))
+    rebuildPassages(
+      batch.join(starts, col(idCol) === col("__rp_id"), "left"),
+      textCol, window, minRunChars)
+  }
+
+  /** Shared split/rebuild projection for the passage-redaction family:
+    * expects `__rp_starts` (sorted dirty char starts, NULL = untouched)
+    * and excises the covered ranges row-locally — one definition feeds
+    * the full-corpus and incremental forms, so semantics cannot drift.
+    */
+  private def rebuildPassages(withStarts: DataFrame, textCol: String,
+      window: Int, minRunChars: Int): DataFrame = {
     val t = col(textCol)
     def f(s: Column, name: String) = s.getField(name)
     // interval-merge fold over the sorted dirty starts: state carries the
@@ -877,7 +962,7 @@ object Dedup {
           f(kept, "kept").as("kept"), f(kept, "frag").as("frag"))
       },
       st => keepRun(st, f(st, "pe"), length(t)))
-    docs.join(starts, col(idCol) === col("__rp_id"), "left")
+    withStarts
       .withColumn("__rp_f",
         when(col("__rp_starts").isNull, lit(null)).otherwise(folded))
       .withColumn("n_chars",

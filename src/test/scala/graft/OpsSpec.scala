@@ -832,6 +832,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("redactRepeatedPassagesIncremental: equals the full rerun restricted to the batch") {
+    val corpus = Seq(
+      (1L, "AAAAAABBBBBBCCCCCC"),
+      (2L, "XXXXXXAAAAAAYYYYYY"),
+      (3L, "ZZZZZZZZZZ"),
+      (5L, "SHORT"),
+      (6L, "AAAAAAqqqqAAAAAA"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "AAAAAABBBBBBCCCCCC"),           // exact copy of corpus 1 → dropped
+      (11L, "MMMMMMNNNNNNOOOOOO"),           // unique → untouched
+      (12L, "QQQQQQRRRRRRSSSSSS"),           // within-batch dup, canonical → untouched
+      (13L, "QQQQQQRRRRRRSSSSSS"),           // within-batch dup, later → dropped
+      (14L, null.asInstanceOf[String]),
+      (15L, "UUUUUUAAAAAAVVVVVVWWWWWW"),     // index hit mid-doc, flanks survive
+    ).toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_chars", "n_dup_chars", "kept_chars", "kept_text")
+    val index = Dedup.passageHashIndex(corpus, "doc_id", "text",
+      window = 6, stride = 2)
+    val inc = Dedup.redactRepeatedPassagesIncremental(batch, index,
+        "doc_id", "text", window = 6, stride = 2, minRunChars = 4)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val full = Dedup.redactRepeatedPassages(corpus.union(batch),
+        "doc_id", "text", window = 6, stride = 2, minRunChars = 4)
+      .where(col("doc_id") >= 10)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(inc == full)
+    // spot-check the index-hit-with-flanks shape
+    val r15 = inc.find(_.head == 15L).get
+    assert(r15 == Seq(15L, 24, 6, 18, "UUUUUUVVVVVVWWWWWW"))
+  }
+
   // ---- sampling edge cases -------------------------------------------------
 
   private lazy val strata: DataFrame = Seq(
