@@ -1151,6 +1151,15 @@ object SparkEntry {
         fixtureUnigram)
       ops.Budget.packTokenIds(tok, "doc_id", seqLen = 128).orderBy("chunk")
     },
+    // ---- packing with EOS document separators — the real pre-training
+    //      stream shape: each nonempty doc's ids followed by the reserved
+    //      eos id (= vocab size) before the global chunking
+    "d_pack_eos" -> { (s, dir) =>
+      val tok = ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
+        fixtureUnigram)
+      ops.Budget.packTokenIdsEos(tok, "doc_id", seqLen = 128,
+        eosId = fixtureUnigram.pieceStrings.length).orderBy("chunk")
+    },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
     "d_bpe_tokens" -> { (s, dir) =>
@@ -1811,6 +1820,38 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("n_dup_chars"),
           col("kept_chars"), col("kept_text"))
         .orderBy("doc_id")
+    },
+    // ---- per-source passage-duplication card: how much of each source's
+    //      character volume sits in duplicated passages, and how many docs
+    //      the surgical cut touches / drops — the triage view that decides
+    //      whether a source needs redaction at all
+    "d_dedup_passage_rates" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ops.Dedup.redactRepeatedPassages(docs, "doc_id", "text",
+          window = 60, stride = 20, minRunChars = 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_dup_chars") > 0, 1L).otherwise(0L)).as("n_touched"),
+          sum(when(col("n_chars").isNotNull && col("kept_text").isNull, 1L)
+            .otherwise(0L)).as("n_dropped"),
+          sum(coalesce(col("n_chars").cast("long"), lit(0L))).as("sum_chars"),
+          sum(coalesce(col("n_dup_chars").cast("long"), lit(0L))).as("dup_chars"),
+          round(sum(coalesce(col("n_dup_chars").cast("long"), lit(0L))).cast("double")
+            / sum(coalesce(col("n_chars").cast("long"), lit(0L))).cast("double"),
+            6).as("dup_char_rate"))
+        .orderBy("source")
+    },
+    // ---- probe stage alone: the (doc, char_start) dirty set a batch
+    //      inherits from the corpus passage-hash index (the shape the
+    //      streaming twin consumes)
+    "d_dedup_passages_vs_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.passageHashIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      ops.Dedup.passageIndexMatches(
+          docs.where(col("doc_id") >= 250), index, "doc_id", "text",
+          window = 60, stride = 20)
+        .orderBy("doc_id", "char_start")
     },
     // ---- the passage criterion's daily increment: batch redacted against
     //      the corpus's fingerprint-sized distinct-hash index plus itself,
@@ -2749,6 +2790,39 @@ object SparkEntry {
          |  CAST(COUNT(*) AS INT) AS n_tok
          |FROM tokpos GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // EOS-separated packing: the SAME stream formulation with the
+    // reserved eos id (= vocab size) appended per nonempty document
+    // before the global offsets — empty docs contribute nothing
+    "d_pack_eos" -> {
+      val pidValues = fixtureUnigram.pieces.zipWithIndex
+        .map { case (p, i) => s"('${p.piece}', $i)" }.mkString(", ")
+      val eos = fixtureUnigram.pieceStrings.length
+      s"""WITH RECURSIVE $unigramBestCtes,
+         |pcx AS (SELECT piece, pid FROM (VALUES $pidValues) AS __px(piece, pid)),
+         |seg AS (SELECT w, list_reverse(lens) AS ordlens FROM best),
+         |pk AS (SELECT w, ordlens, unnest(range(1, len(ordlens) + 1)) AS k FROM seg),
+         |off AS (SELECT w, k,
+         |          CAST(COALESCE(list_sum(list_slice(ordlens, 1, CAST(k - 1 AS INT))), 0) AS INT) AS pre,
+         |          CAST(ordlens[CAST(k AS INT)] AS INT) AS l FROM pk),
+         |pid AS (SELECT off.w, off.k, COALESCE(pcx.pid, -1) AS pid
+         |        FROM off LEFT JOIN pcx ON pcx.piece = substring(off.w, off.pre + 1, off.l)),
+         |wid AS (SELECT w, list(CAST(pid AS INT) ORDER BY k) AS ids FROM pid GROUP BY w),
+         |wp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wpos FROM docw),
+         |wp2 AS (SELECT doc_id, wpos, ws[CAST(wpos AS INT)] AS w FROM wp),
+         |docids AS (SELECT wp2.doc_id,
+         |             list_append(flatten(list(wid.ids ORDER BY wp2.wpos)), $eos) AS ids
+         |           FROM wp2 JOIN wid ON wid.w = wp2.w GROUP BY 1),
+         |offs AS (SELECT doc_id, ids,
+         |           COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+         |         FROM docids),
+         |tokpos AS (SELECT goff + tk - 1 AS gpos, ids[CAST(tk AS INT)] AS tid
+         |           FROM (SELECT goff, ids, unnest(range(1, len(ids) + 1)) AS tk FROM offs))
+         |SELECT CAST(gpos // 128 AS BIGINT) AS chunk,
+         |  list(CAST(tid AS INT) ORDER BY gpos) AS token_ids,
+         |  CAST(COUNT(*) AS INT) AS n_tok
+         |FROM tokpos GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // Per-doc LM NLL replayed over the SAME path enumeration: best now
     // carries its (grid-exact, hence order-independent) path score; the
     // cross-word sum goes through DECIMAL(38,18) like the Spark side
@@ -3472,6 +3546,34 @@ object SparkEntry {
     "d_dedup_passages_redact" -> passagesRedactOracleSql(""),
     "d_dedup_passages_incremental" ->
       passagesRedactOracleSql("WHERE d.doc_id >= 250"),
+    // Probe stage: batch windows whose hash appears anywhere in the
+    // corpus half — the distinct-hash membership semantics, replayed
+    "d_dedup_passages_vs_index" ->
+      s"""WITH ih AS (SELECT DISTINCT ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
+         |  WHERE doc_id < 250 AND length(text) >= 60),
+         |occ AS (SELECT doc_id, i*20 AS s,
+         |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    GREATEST((length(text) - 60) // 20 + 1, 0))) AS i)
+         |  WHERE doc_id >= 250 AND length(text) >= 60)
+         |SELECT occ.doc_id, CAST(occ.s AS INT) AS char_start
+         |FROM occ JOIN ih USING (h) ORDER BY 1, 2""".stripMargin,
+    // The card is the redaction result re-aggregated per source — the
+    // oracle nests the shared full-corpus formulation verbatim
+    "d_dedup_passage_rates" ->
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN j.n_dup_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+         |  CAST(SUM(CASE WHEN j.n_chars IS NOT NULL AND j.kept_text IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(COALESCE(j.n_chars, 0)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(COALESCE(j.n_dup_chars, 0)) AS BIGINT) AS dup_chars,
+         |  round(CAST(SUM(COALESCE(j.n_dup_chars, 0)) AS DOUBLE)
+         |    / CAST(SUM(COALESCE(j.n_chars, 0)) AS DOUBLE), 6) AS dup_char_rate
+         |FROM (${passagesRedactOracleSql("")}) j
+         |JOIN documents d ON j.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "d_dedup_passages" ->
       s"""WITH h AS (SELECT doc_id,
          |    ${OracleFrag.poly57("substr(text, i*20 + 1, 60)")} AS h

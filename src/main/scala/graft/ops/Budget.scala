@@ -248,6 +248,27 @@ object Budget {
         col("pad_bucket").cast("double") / col("pad_global").cast("double"), 6))
   }
 
+  /** [[packTokenIds]] with an EOS document separator — the shape real LM
+    * pre-training streams use: each NONEMPTY document's ids are followed
+    * by `eosId` before the global concatenate-and-chunk, so examples
+    * carry explicit document boundaries (attention resets / loss masking
+    * key off them downstream). Empty documents contribute nothing — they
+    * have no content to delimit, and an EOS for them would inject
+    * boundary tokens whose position depends on upstream filtering.
+    * Same two-stage parallel prefix sum; the separator is a row-local
+    * append before it.
+    */
+  def packTokenIdsEos(tok: DataFrame, idCol: String, seqLen: Long,
+      eosId: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    val withEos = tok
+      .withColumn("token_ids",
+        when(size(col("token_ids")) > 0,
+          concat(col("token_ids"), array(lit(eosId))))
+          .otherwise(col("token_ids")))
+      .withColumn("n_tok", size(col("token_ids")))
+    packTokenIds(withEos, idCol, seqLen, bucketWidth)
+  }
+
   def packExamples(df: DataFrame, idCol: String, weightCol: String,
       seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     val packed = packSequences(df, idCol, weightCol, seqLen, bucketWidth)

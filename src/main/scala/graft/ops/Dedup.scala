@@ -917,6 +917,24 @@ object Dedup {
       .localCheckpoint() // two consumers: index probe + within-batch dup cut
     val idxDirty = occ.join(index.select(col("h").as("__rp_h")), Seq("__rp_h"))
       .select(col("__rp_id"), col("__rp_s"))
+    composeIncremental(batch, occ, idxDirty, idCol, textCol, window, minRunChars)
+  }
+
+  /** Batch probe of [[passageHashIndex]] alone: the `(id, char_start)`
+    * dirty-start set a batch inherits from the accumulated corpus —
+    * exposed (like the simhash/minhash `*_vs_index` probes) so the
+    * streaming twin and monitoring queries can consume the probe stage
+    * without the within-batch cut.
+    */
+  def passageIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, window: Int = 60, stride: Int = 20): DataFrame =
+    passageOcc(batch, idCol, textCol, window, stride)
+      .join(index.select(col("h").as("__rp_h")), Seq("__rp_h"))
+      .select(col("__rp_id").as(idCol), col("__rp_s").as("char_start"))
+
+  private def composeIncremental(batch: DataFrame, occ: DataFrame,
+      idxDirty: DataFrame, idCol: String, textCol: String, window: Int,
+      minRunChars: Int): DataFrame = {
     val batchDirty = occ.groupBy("__rp_h")
       .agg(count(lit(1)).as("__rp_cnt"),
         min(struct(col("__rp_id"), col("__rp_s"))).as("__rp_can"))

@@ -368,6 +368,27 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("doc_id", "sh")
       .select("doc_id", "sh")
 
+  /** Streaming passage probe against a static corpus passage-hash index
+    * ([[graft.ops.Dedup.passageHashIndex]]): each arriving document's
+    * aligned window hashes are checked by a stream-static broadcast join
+    * (stateless on the stream side), emitting the `(doc_id, char_start)`
+    * dirty-start rows a downstream redactor consumes — the streaming
+    * face of [[graft.ops.Dedup.passageIndexMatches]] (parity-pinned).
+    * The watermark-bounded distinct collapses micro-batch replays, so
+    * state is arrival-rate × delay, never corpus size.
+    */
+  def passageProbe(stream: DataFrame, index: DataFrame, window: Int = 60,
+      stride: Int = 20, dedupDelay: String = "10 minutes"): DataFrame =
+    stream
+      .select(col("doc_id"), col("ingestTs"),
+        posexplode(TextFunctions.passage_hashes(col("text"), window, stride)))
+      .select(col("doc_id"), col("ingestTs"),
+        (col("pos") * stride).as("char_start"), col("col").as("h"))
+      .join(broadcast(index.select(col("h"))), Seq("h"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "char_start")
+      .select("doc_id", "char_start")
+
   final case class BudgetDoc(doc_id: Long, source: String, nTokens: Int)
   final case class BudgetAdmit(doc_id: Long, source: String, nTokens: Int, cumTokens: Long)
 

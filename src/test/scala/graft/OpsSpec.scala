@@ -832,6 +832,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("packTokenIdsEos: EOS after each nonempty doc, empty docs contribute nothing") {
+    val tok = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq.empty[Int]),   // no EOS for an empty doc
+      (3L, Seq(4, 5)),
+    ).toDF("doc_id", "token_ids")
+      .withColumn("n_tok", size(col("token_ids")))
+    val out = ops.Budget.packTokenIdsEos(tok, "doc_id", seqLen = 4, eosId = 99)
+      .orderBy("chunk").collect()
+    // stream = 1 2 3 99 | 4 5 99 → [1,2,3,99], [4,5,99]
+    assert(out.map(_.getSeq[Int](out.head.fieldIndex("token_ids")).toList).toSeq ==
+      Seq(List(1, 2, 3, 99), List(4, 5, 99)))
+  }
+
   test("redactRepeatedPassagesIncremental: equals the full rerun restricted to the batch") {
     val corpus = Seq(
       (1L, "AAAAAABBBBBBCCCCCC"),

@@ -574,6 +574,23 @@ class StreamingSpec extends AnyFunSuite {
       s"stream flagged ${flagged.size}, batch ${batch.size}")
   }
 
+  test("streaming passage probe vs static hash index matches the batch probe") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ops.Dedup.passageHashIndex(
+      docs.where(col("doc_id") < 250), "doc_id", "text")
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .where(col("doc_id") >= 250)
+    EventStream.runToMemory(
+      DocumentStream.passageProbe(stream, index), "doc_passage_probe")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val streamed = spark.table("doc_passage_probe").collect().map(key).toSet
+    val batch = graft.ops.Dedup.passageIndexMatches(
+        docs.where(col("doc_id") >= 250), index, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+  }
+
   test("streaming span redaction: frozen-set serve path matches batch, stateless") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.where(col("doc_id") < 25)
