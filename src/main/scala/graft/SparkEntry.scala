@@ -2041,6 +2041,15 @@ object SparkEntry {
         budget = 60000L, bucketWidth = 64)
         .select(col("doc_id"), col("n_chars"), col("cum")).orderBy("doc_id")
     },
+    // ---- repetition-aware per-source upsampling (the LLaMA-recipe
+    //      shape): src0 seen 2.5 epochs (fractional half hash-sampled),
+    //      src1 once, src2 dropped, everything else 0.25 epochs
+    "d_mixture_epochs" -> { (s, dir) =>
+      ops.Sampling.epochUpsample(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), default = 0.25)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
     // ---- length-bucketed batching card: padding cost of power-of-two
     //      length buckets vs padding every batch to the corpus max — the
     //      batch-shape analysis behind non-packed fine-tuning loaders
@@ -3696,6 +3705,22 @@ object SparkEntry {
          |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
          |WHERE r.rk <= q.quota
          |ORDER BY doc_id""".stripMargin,
+    // Epoch upsampling replayed: same per-source floor/frac-cut integer
+    // literals (floored once, here at SQL-build time), same Lehmer unit
+    // hash, LATERAL range materializes the epoch rows
+    "d_mixture_epochs" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 1
+         |         WHEN source = 'src2' THEN 0 ELSE 0 END AS nfull,
+         |    CASE WHEN source = 'src0' THEN ${(0.5 * 2147483647.0).toLong}
+         |         WHEN source = 'src1' THEN 0 WHEN source = 'src2' THEN 0
+         |         ELSE ${(0.25 * 2147483647.0).toLong} END AS fcut,
+         |    ${OracleFrag.unitHash("doc_id")} AS u FROM documents),
+         |n AS (SELECT doc_id, source,
+         |        nfull + CASE WHEN u < fcut THEN 1 ELSE 0 END AS n FROM f)
+         |SELECT doc_id, source, CAST(e AS INT) AS epoch
+         |FROM n, LATERAL (SELECT unnest(range(1, n + 1)) AS e)
+         |ORDER BY doc_id, epoch""".stripMargin,
     // Length-bucket card: the same integer-only <=-chain over 2^k
     // literals (no float log2 on either side), same global-max padding
     // baseline, same 6-decimal savings rounding

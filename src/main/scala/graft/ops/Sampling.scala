@@ -506,6 +506,46 @@ object Sampling {
     * sources whole). Strata missing from `fractions` use `default`.
     * Still a stateless filter — the when-cascade compiles into the scan.
     */
+  /** Repetition-aware per-source UPSAMPLING — the data-recipe shape of
+    * LLaMA-class pre-training mixes ("wikipedia: 2.5 epochs, crawl: 0.8"):
+    * each document of source `s` is materialized `floor(f_s)` times
+    * (epochs 1..floor), and the fractional remainder is a deterministic
+    * hash sample — documents whose [[unitHash]] falls below
+    * `frac(f_s) × 2³¹` carry one extra epoch row. Factor 0 drops the
+    * source. The fractional cut reuses the SAME unit-hash line as every
+    * other sampler (cuts floored ONCE on the driver, inlined as integer
+    * literals), so membership is layout/retry-stable and composes with
+    * the split/sample family's determinism guarantees.
+    *
+    * Output = input columns + `epoch` (1-based int); downstream epoch
+    * shuffling/sharding treats each (doc, epoch) row independently.
+    *
+    * Scale shape: one scan-stage projection + filter + a row-local
+    * explode whose fan-out is the epoch factor (bounded by the recipe,
+    * not the data) — zero exchanges, no state, stream-safe.
+    */
+  def epochUpsample(df: DataFrame, sourceCol: String, idCol: String,
+      factors: Map[String, Double], default: Double = 1.0): DataFrame = {
+    (factors.values.toSeq :+ default).foreach(f =>
+      require(f >= 0 && f <= 1000, s"epoch factor out of [0,1000]: $f"))
+    def full(f: Double) = lit(math.floor(f).toInt)
+    def cut(f: Double) = lit(((f - math.floor(f)) * P31).toLong)
+    val fullCol = factors.foldLeft(full(default)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, full(f)).otherwise(acc)
+    }
+    val cutCol = factors.foldLeft(cut(default)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, cut(f)).otherwise(acc)
+    }
+    val n = fullCol +
+      when(unitHash(col(idCol)) < cutCol, lit(1)).otherwise(lit(0))
+    df.withColumn("__eu_n", n)
+      // sequence(1, 0) would DESCEND in Spark — guard empties explicitly
+      .withColumn("epoch",
+        explode(when(col("__eu_n") >= 1, sequence(lit(1), col("__eu_n")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__eu_n")
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], default: Double): DataFrame = {
     (fractions.values.toSeq :+ default).foreach(f =>

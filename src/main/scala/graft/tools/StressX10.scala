@@ -153,6 +153,18 @@ object StressX10 {
     val csStore10 = graft.ops.Dedup.cosineVecStore(emb10, "vec_id", "embedding")
       .localCheckpoint()
 
+    // passage-criterion steady-state fixtures: fixed probe batch (10% of
+    // 1x, ids shifted clear of every index id), distinct-hash index at
+    // both corpus sizes, built OUTSIDE the timed op (amortized across
+    // batches in production, like ssIdx/csIdx above)
+    val ppBatch = docs1.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val ppIdx1 = graft.ops.Dedup.passageHashIndex(docs1, "doc_id", "text")
+      .localCheckpoint()
+    val ppIdx10 = graft.ops.Dedup.passageHashIndex(docs10, "doc_id", "text")
+      .localCheckpoint()
+
     // optional arg 2: substring filter — run only matching scenarios and
     // skip the 160M-row locally{} points (fast iteration on one scenario)
     val only = args.drop(1).headOption
@@ -261,6 +273,16 @@ object StressX10 {
       ("d_dedup_passages_redact (hub header on 95% of docs)", hub1, hub10,
         (d: DataFrame) => graft.ops.Dedup.redactRepeatedPassages(
             d, "doc_id", "text")
+          .where(coalesce(length(col("kept_text")), lit(0)) >= 0)),
+      // the passage criterion's steady-state point (the family's
+      // convention: fixed batch, index 1x->10x, builds amortized): the
+      // within-batch stages are index-size-independent and the probe is
+      // a hash-keyed join whose bigger side ships one long per distinct
+      // window — expect ~flat; kept_text rebuild forced as in the hub row
+      ("redactRepeatedPassagesIncremental steady-state (fixed batch, index 1x->10x)",
+        ppIdx1, ppIdx10,
+        (idx: DataFrame) => graft.ops.Dedup.redactRepeatedPassagesIncremental(
+            ppBatch, idx, "doc_id", "text")
           .where(coalesce(length(col("kept_text")), lit(0)) >= 0)),
       // est-Jaccard composed increment, mirroring the simhash scenario:
       // cost should track the CC family, not corpus²

@@ -832,6 +832,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("epochUpsample: floor epochs for all, fractional epoch hash-gated, factor 0 drops") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "c"), (12L, "d"),
+    ).toDF("doc_id", "source")
+    val out = Sampling.epochUpsample(docs, "source", "doc_id",
+        Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0), default = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val cutHalf = (0.5 * 2147483647.0).toLong
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val expected = if (Sampling.unitHashLong(id) < cutHalf) 3 else 2
+      assert(byDoc(id) == (1 to expected), s"doc $id: ${byDoc.get(id)}")
+    }
+    assert(byDoc(10L) == Seq(1))
+    assert(!byDoc.contains(11L))                 // factor 0 → dropped
+    val d12 = if (Sampling.unitHashLong(12L) < cutHalf) Some(Seq(1)) else None
+    assert(byDoc.get(12L) == d12)                // default 0.5 → hash-gated
+    // epochs materialize deterministically: rerun is identical
+    val again = Sampling.epochUpsample(docs, "source", "doc_id",
+        Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0), default = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("packTokenIdsEos: EOS after each nonempty doc, empty docs contribute nothing") {
     val tok = Seq(
       (1L, Seq(1, 2, 3)),

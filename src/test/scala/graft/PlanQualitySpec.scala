@@ -253,6 +253,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("epoch upsampling is a scan-stage explode: zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Sampling.epochUpsample(docs, "source", "doc_id",
+      Map("src0" -> 2.5, "src2" -> 0.0), default = 0.25)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"epochUpsample shuffles:\n${p.take(2000)}")
+    assert(p.contains("Generate"), s"explode missing:\n${p.take(2000)}")
+  }
+
   test("length-bucket card: bucket aggregate + one-row broadcast max, no window") {
     // the card must stay a map-side-combined aggregate over <= maxExp+1
     // keys plus a broadcast one-row global max — a corpus-wide Window (or

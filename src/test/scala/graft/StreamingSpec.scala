@@ -574,6 +574,27 @@ class StreamingSpec extends AnyFunSuite {
       s"stream flagged ${flagged.size}, batch ${batch.size}")
   }
 
+  test("streaming epoch upsampling: stateless, epochs match batch row-for-row") {
+    val served = graft.ops.Sampling.epochUpsample(
+        DocumentStream.read(spark, docStreamDir), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), default = 0.25)
+      .select("doc_id", "source", "epoch")
+    val q = served.writeStream.outputMode("append")
+      .format("memory").queryName("doc_epochs").start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty, s"unexpected state operators: $st")
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1), r.getInt(2))
+    val streamed = spark.table("doc_epochs").collect().map(key).sorted
+    val batch = graft.ops.Sampling.epochUpsample(
+        spark.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), default = 0.25)
+      .select("doc_id", "source", "epoch").collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming passage probe vs static hash index matches the batch probe") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val index = graft.ops.Dedup.passageHashIndex(
