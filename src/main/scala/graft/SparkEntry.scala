@@ -2014,6 +2014,15 @@ object SparkEntry {
       ops.Quantile.selectTopFraction(scored, "quality", frac = 0.25)
         .orderBy("doc_id")
     },
+    // ---- curriculum phases: 4 equal-count quality-quantile buckets,
+    //      phase 1 = lowest quality (the easy→hard training schedule);
+    //      integer boundary arithmetic, tie-stable per score value
+    "d_curriculum" -> { (s, dir) =>
+      val scored = ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      ops.Quantile.curriculumPhases(scored, "quality", phases = 4)
+        .orderBy("doc_id")
+    },
     // ---- deterministic epoch shuffle + shard (epoch 3, 16 shards): the
     //      per-epoch corpus permutation a data loader consumes — pure
     //      integer functions of (id, epoch), one shard-key shuffle,
@@ -3813,6 +3822,18 @@ object SparkEntry {
          |cut AS (SELECT MAX(v) AS cutv FROM cc, t WHERE cum >= CEIL(0.25 * n))
          |SELECT doc_id, quality FROM a, cut WHERE quality >= cutv
          |ORDER BY doc_id""".stripMargin,
+    // Curriculum replayed: ascending cumulative histogram, the same
+    // integer ceil-division phase boundary, phases joined back by score
+    "d_curriculum" ->
+      s"""WITH ${OracleFrag.docAnalysisCtes()},
+         |a AS (SELECT doc_id, ${OracleFrag.qualityExpr} AS quality FROM s),
+         |hh AS (SELECT quality AS v, COUNT(*) AS c FROM a GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hh),
+         |cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM hh),
+         |ph AS (SELECT v, CAST((cum * 4 + n - 1) // n AS INT) AS phase FROM cc, t)
+         |SELECT a.doc_id, a.quality, ph.phase
+         |FROM a JOIN ph ON a.quality = ph.v ORDER BY a.doc_id""".stripMargin,
     // Same epoch salt + Lehmer hash + shard mod + per-shard rank.
     "d_epoch_shards" ->
       s"""WITH t AS (SELECT doc_id,

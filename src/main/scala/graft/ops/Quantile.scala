@@ -85,6 +85,49 @@ object Quantile {
       .agg(max("__v").as("__cut"))
   }
 
+  /** Curriculum phase assignment over a QUANTIZED score: rows are split
+    * into `phases` equal-count quantile buckets of `scoreCol`, phase 1 =
+    * lowest scores — the easy→hard ordering curriculum schedules train
+    * on. Integer-exact and tie-stable: with `c(v)` = the inclusive
+    * ascending cumulative count of score value `v` and `n` the corpus
+    * size, `phase(v) = ceil(c(v)·phases / n)` computed as
+    * `(c·P + n − 1) div n` — every row of the same score lands in the
+    * same phase, and the boundary arithmetic has no floats for an oracle
+    * to round differently. Same preconditions and guards as
+    * [[topFractionCutoff]] (non-null, ≤ `maxDistinct` distinct values;
+    * both fail loudly before the histogram window runs).
+    *
+    * Scale shape: one histogram aggregate (map-side combined), a
+    * histogram-sized cumulative window (aggregate-fed single partition —
+    * the same pinned shape as the top-fraction gate), and a BROADCAST
+    * score→phase map joined back on the scan — the corpus is never
+    * sorted or windowed.
+    */
+  def curriculumPhases(df: DataFrame, scoreCol: String, phases: Int,
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
+    require(phases >= 1 && phases <= 100000, s"phases out of range: $phases")
+    require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
+    val v = when(col(scoreCol).isNull,
+        raise_error(lit(s"curriculumPhases: null $scoreCol — the exact " +
+          "histogram gate requires non-null quantized scores")))
+      .otherwise(col(scoreCol))
+    val hist = df.groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum("__c").as("__n"), count(lit(1)).as("__nd"))
+      .select(col("__n"),
+        when(col("__nd") > maxDistinct, raise_error(concat(
+          lit(s"curriculumPhases: $scoreCol has "), col("__nd").cast("string"),
+          lit(s" distinct values (> $maxDistinct); quantize the score first")))
+        ).otherwise(col("__nd")).as("__nd"))
+    val mapped = hist.withColumn("__cum", sum("__c").over(wCum))
+      .crossJoin(broadcast(tot))
+      .where(col("__nd") > 0)
+      .select(col("__v"),
+        expr(s"CAST((__cum * $phases + __n - 1) DIV __n AS INT)").as("phase"))
+    df.join(broadcast(mapped), col(scoreCol) === col("__v")).drop("__v")
+  }
+
   /** Keep rows whose `scoreCol` reaches the top-`frac` cutoff. */
   def selectTopFraction(df: DataFrame, scoreCol: String, frac: Double,
       maxDistinct: Long = DefaultMaxDistinct): DataFrame =

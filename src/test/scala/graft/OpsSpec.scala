@@ -832,6 +832,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("curriculumPhases: equal-count buckets, tie-stable, boundary exact") {
+    // 8 rows, 4 phases → 2 per phase; score 0.3 spans the phase-1/2
+    // boundary, so BOTH its rows must land in phase 2 (inclusive-cum rule)
+    val df = Seq(
+      (1L, 0.1), (2L, 0.3), (3L, 0.3), (4L, 0.5),
+      (5L, 0.6), (6L, 0.7), (7L, 0.8), (8L, 0.9),
+    ).toDF("doc_id", "score")
+    val out = ops.Quantile.curriculumPhases(df, "score", phases = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+    // phases = 1 → everything phase 1
+    val one = ops.Quantile.curriculumPhases(df, "score", phases = 1)
+      .select("phase").distinct().collect().map(_.getInt(0)).toSeq
+    assert(one == Seq(1))
+    intercept[Exception] {
+      ops.Quantile.curriculumPhases(
+        df.withColumn("score", when(col("doc_id") === 1, lit(null))
+          .otherwise(col("score"))), "score", 4).collect()
+    }
+  }
+
   test("epochUpsample: floor epochs for all, fractional epoch hash-gated, factor 0 drops") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),

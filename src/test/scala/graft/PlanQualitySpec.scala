@@ -666,12 +666,12 @@ class PlanQualitySpec extends AnyFunSuite {
       e.toString.take(2000)))
   }
 
-  test("pipeline_pack + mixture: every single-partition stage consumes aggregates") {
+  test("pipeline_pack + mixture + curriculum: every single-partition stage consumes aggregates") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     for (name <- Seq("d_pipeline_pack", "d_mixture_sample", "d_pipeline_clean",
-      "d_mixture_tokens")) {
+      "d_mixture_tokens", "d_curriculum")) {
       val plan = nonAdaptivePlan(SparkEntry.queries(name)(spark, dir))
       val singles = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
