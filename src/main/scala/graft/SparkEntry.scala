@@ -1718,6 +1718,26 @@ object SparkEntry {
     //      GLOBAL token budget via the parallel prefix sum. Each stage is
     //      the scale-shaped operator gated individually above; this row
     //      proves they compose without plan blow-ups (pin: PlanQualitySpec)
+    // ---- redaction feeding admission: passage-redact the corpus, drop
+    //      fully-redacted docs, then admit per source while the running
+    //      KEPT-token total stays in budget — duplicated content stops
+    //      charging the budget, which is the point of redacting first
+    "d_pipeline_redact" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val red = ops.Dedup.redactRepeatedPassages(t(s, dir, "documents"),
+          "doc_id", "text", window = 60, stride = 20, minRunChars = 20)
+        .where(col("kept_text").isNotNull)
+        .withColumn("n_tokens",
+          coalesce(ops.TextAnalysis.wsTokenCount(col("kept_text")), lit(0))
+            .cast("int"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      red
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+        .where(col("cum_tokens") <= 4000)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
     "d_pipeline_full" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") < 25)
@@ -3578,6 +3598,22 @@ object SparkEntry {
          |  WHERE doc_id >= 250 AND length(text) >= 60)
          |SELECT occ.doc_id, CAST(occ.s AS INT) AS char_start
          |FROM occ JOIN ih USING (h) ORDER BY 1, 2""".stripMargin,
+    // Redact → admit composed: the shared redaction formulation nested as
+    // a CTE, kept-token counts over kept_text, the same per-source
+    // running-sum admission window as d_pipeline_prep
+    "d_pipeline_redact" ->
+      s"""WITH red AS (${passagesRedactOracleSql("")}),
+         |rk AS (SELECT red.doc_id, d.source,
+         |         CAST(COALESCE(len(${OracleFrag.ws("red.kept_text")}), 0) AS INT) AS n_tokens
+         |       FROM red JOIN documents d ON red.doc_id = d.doc_id
+         |       WHERE red.kept_text IS NOT NULL),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
+         |          PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM rk)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 4000 ORDER BY doc_id""".stripMargin,
     // The card is the redaction result re-aggregated per source — the
     // oracle nests the shared full-corpus formulation verbatim
     "d_dedup_passage_rates" ->
