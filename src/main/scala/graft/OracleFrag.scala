@@ -223,6 +223,19 @@ private[graft] object OracleFrag {
     s"""list_transform(range(1, len($wsCol) - 1), __i -> ${poly57(sh)})"""
   }
 
+  /** Winnowing selection over a gram-hash LIST expression `g` (1-based):
+    * the distinct window-minimum hashes, ties → rightmost — mirror of
+    * TextHashOps.winnowHashes' selection rule. For each window start j,
+    * the rightmost minimum's global index is
+    * `j + slen − pos(reverse(slice), min(slice))` with
+    * `slen = end − j + 1`. */
+  def winnowSelected(g: String, w: Int): String = {
+    val end = s"LEAST(j + ${w - 1}, len($g))"
+    val sl = s"list_slice($g, j, $end)"
+    s"""list_distinct(list_transform(range(1, GREATEST(len($g) - $w, 0) + 2),
+       |      j -> $g[j + ($end - j + 1) - list_position(list_reverse($sl), list_min($sl))]))""".stripMargin
+  }
+
   /** Deterministic two-step Lehmer unit hash of a row id (mirror of
     * Sampling.unitHash — same mod arithmetic, integer-only). */
   def unitHash(id: String): String =

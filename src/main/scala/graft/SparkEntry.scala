@@ -1861,6 +1861,13 @@ object SparkEntry {
             6).as("dup_char_rate"))
         .orderBy("source")
     },
+    // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
+    //      catch shared passages at ANY offset — the recall the aligned
+    //      stride windows trade away
+    "d_dedup_winnow" -> { (s, dir) =>
+      ops.Dedup.winnowedPassagePairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 30, w = 10, maxDf = 50, minShared = 2).orderBy("idA", "idB")
+    },
     // ---- probe stage alone: the (doc, char_start) dirty set a batch
     //      inherits from the corpus passage-hash index (the shape the
     //      streaming twin consumes)
@@ -3584,6 +3591,23 @@ object SparkEntry {
     "d_dedup_passages_redact" -> passagesRedactOracleSql(""),
     "d_dedup_passages_incremental" ->
       passagesRedactOracleSql("WHERE d.doc_id >= 250"),
+    // Winnow pairs replayed: same k-gram poly-57 list, the same
+    // rightmost-min window selection (winnowSelected mirrors the kernel's
+    // tie rule), per-doc distinct, df-prune [2, 50], pair counts
+    "d_dedup_winnow" ->
+      s"""WITH gr AS (SELECT doc_id,
+         |    list_transform(range(1, length(text) - 30 + 2),
+         |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
+         |  FROM documents WHERE length(text) >= 30),
+         |sel AS (SELECT doc_id,
+         |          unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gr),
+         |rare AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |hh AS (SELECT sel.doc_id, sel.h FROM sel JOIN rare USING (h)),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
+         |      FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT ia AS "idA", ib AS "idB", CAST(ns AS BIGINT) AS n_shared
+         |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
     // Probe stage: batch windows whose hash appears anywhere in the
     // corpus half — the distinct-hash membership semantics, replayed
     "d_dedup_passages_vs_index" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd wrappers around the [[TextHashOps]] kernels. Each generates a
@@ -58,6 +58,24 @@ case class MatchedStartsExpr(child: Expression, set: Array[Long]) extends UnaryE
   }
 
   override protected def withNewChildInternal(newChild: Expression): MatchedStartsExpr =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (position + hash structs) — codegen'd wrapper
+  * over [[TextHashOps.winnowHashes]]. */
+case class WinnowHashesExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.winnowHashes(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.winnowHashes($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashesExpr =
     copy(child = newChild)
 }
 
@@ -220,6 +238,12 @@ object TextFunctions {
     * word i, no dedup (the span-redaction correspondence). */
   def shingle_hashes_at(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashesAtExpr(GraftBridge.expression(text), n))
+
+  /** Winnowing fingerprints: `(pos, h)` structs of the window-minimum
+    * k-gram hashes (ties rightmost) — alignment-robust local
+    * fingerprinting (any ≥ w+k−1 char match shares one). */
+  def winnow_hashes(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowHashesExpr(GraftBridge.expression(text), k, w))
 
   /** Indexes of `hashes` that are members of the SORTED frozen `set`
     * (binary search, codegen'd) — the row-local serve-time twin of a

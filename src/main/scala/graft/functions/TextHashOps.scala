@@ -241,6 +241,50 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting algorithm): poly-57 hashes of all char
+    * `k`-grams, then in every window of `w` consecutive gram hashes keep
+    * the MINIMUM (ties → rightmost), each selection recorded once. The
+    * guarantee stride alignment lacks: any verbatim match of length
+    * ≥ `w + k − 1` chars shares at least one fingerprint REGARDLESS of
+    * its offset in either document. Density is ~2/(w+1) of all grams.
+    * Returns `array<struct<pos:int, h:long>>` in position order
+    * (0-based char start of the selected gram). Texts with fewer than
+    * `k` chars have no grams; with grams but fewer than `w` of them,
+    * one global minimum is selected (the standard short-text rule).
+    * O(n·w) per row — w is a small constant; docs are row-local.
+    */
+  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val g = new Array[Long](n)
+    var i = 0
+    while (i < n) { g(i) = foldBytes(0L, bytes, i, i + k); i += 1 }
+    val selected = new Array[Boolean](n)
+    val lastWindow = math.max(n - w, 0)
+    var j = 0
+    while (j <= lastWindow) {
+      val end = math.min(j + w, n)
+      var mi = j
+      var x = j + 1
+      while (x < end) { if (g(x) <= g(mi)) mi = x; x += 1 } // <= → rightmost
+      selected(mi) = true
+      j += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < n) { if (selected(i)) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (selected(i)) { out(o) = new GenericInternalRow(Array[Any](i, g(i))); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Indexes into `hs` whose hash is a member of the SORTED `set` —
     * binary search per element, O(len·log |set|). The frozen-set twin of
     * the broadcast gram join: [[graft.ops.Decontaminate.redactSpansServe]]

@@ -1035,6 +1035,44 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** ALIGNMENT-ROBUST repeated-passage pairs via winnowing fingerprints
+    * (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm):
+    * [[repeatedPassagePairs]]'s stride alignment only catches a shared
+    * passage when it starts at the same offset mod `stride` in both
+    * documents; winnowing selects the window-minimum char `k`-gram hash
+    * (ties rightmost) from every window of `w` consecutive grams, which
+    * GUARANTEES any verbatim match of length ≥ `w + k − 1` chars shares
+    * at least one fingerprint regardless of its offset in either
+    * document — at ~2/(w+1) of the gram density. Pairs = documents
+    * sharing ≥ `minShared` distinct fingerprint hashes.
+    *
+    * Scale shape: identical to the aligned form — the winnow selection
+    * is a row-local codegen kernel, fingerprints are df-pruned
+    * ([2, maxDf] document frequency, computed on per-doc DISTINCT
+    * hashes) before pair expansion, and the join shuffles (hash, id)
+    * ints only.
+    */
+  def winnowedPassagePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 30, w: Int = 10, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(k > 0 && w > 0, s"k/w must be positive: $k/$w")
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val exploded = ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.winnow_hashes(col(textCol), k, w)).as("f"))
+      .select(col("id"), col("f").getField("h").as("h"))
+      .distinct()
+    val rare = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf)).select("h")
+    val pruned = exploded.join(rare, Seq("h"))
+    pruned.select(col("h"), col("id").as("idA"))
+      .join(pruned.select(col("h"), col("id").as("idB")), Seq("h"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup PAIR list — the step that turns
     * pairwise collisions into dedup GROUPS: near-duplication is transitive
     * in practice (A~B, B~C ⇒ same content family), so a pipeline keeps ONE

@@ -832,6 +832,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("winnowedPassagePairs: catches misaligned shared passages the stride windows miss") {
+    // 55-char shared passage at offsets 7 and 13 — different mod-20
+    // alignment, so NO aligned stride window can match; winnowing's
+    // guarantee (any match >= w+k-1 = 39 chars shares a fingerprint)
+    // must still pair the docs
+    val common = "the quick brown fox jumps over the lazy dog repeatedly!"
+    assert(common.length == 55)
+    val docs = Seq(
+      (1L, "XXXXXXX" + common + " 111 one filler tail for doc one here"),
+      (2L, "YYYYYYYYYYYYY" + common + " 222 other tail entirely z"),
+      (3L, "completely unrelated content with nothing shared at all here ok"),
+    ).toDF("doc_id", "text")
+    val winnow = Dedup.winnowedPassagePairs(docs, "doc_id", "text",
+        k = 30, w = 10, maxDf = 50, minShared = 1)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow == Set((1L, 2L)))
+    val aligned = Dedup.repeatedPassagePairs(docs, "doc_id", "text",
+        window = 40, stride = 20, maxDf = 50, minShared = 1)
+      .collect()
+    assert(aligned.isEmpty, "stride windows should miss the misaligned passage")
+    // selection determinism: identical text → identical fingerprints
+    val f = graft.functions.TextFunctions
+    val two = Seq((1L, common), (2L, common)).toDF("id", "t")
+      .select(f.winnow_hashes(col("t"), 30, 10).as("fp"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getInt(0), r.getLong(1))))
+    assert(two(0) == two(1) && two(0).nonEmpty)
+  }
+
   test("curriculumPhases: equal-count buckets, tie-stable, boundary exact") {
     // 8 rows, 4 phases → 2 per phase; score 0.3 spans the phase-1/2
     // boundary, so BOTH its rows must land in phase 2 (inclusive-cum rule)
