@@ -1861,6 +1861,18 @@ object SparkEntry {
             6).as("dup_char_rate"))
         .orderBy("source")
     },
+    // ---- deterministic KMV distinct-count sketch: per-source distinct
+    //      shingles, estimate vs exact vs realized error — the
+    //      oracle-replayable alternative to HLL (whose register layout no
+    //      two engines share)
+    "d_distinct_sketch" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingle_hashes(col("text")))
+            .as("h"))
+      ops.Sketch.kmvDistinct(sh, "source", col("h"), k = 64)
+        .orderBy("source")
+    },
     // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
     //      catch shared passages at ANY offset — the recall the aligned
     //      stride windows trade away
@@ -3591,6 +3603,24 @@ object SparkEntry {
     "d_dedup_passages_redact" -> passagesRedactOracleSql(""),
     "d_dedup_passages_incremental" ->
       passagesRedactOracleSql("WHERE d.doc_id >= 250"),
+    // KMV replayed naively: the oracle takes the k-th smallest distinct
+    // hash per source by brute row_number — the operator's two-phase
+    // bucketed cut must land on the identical h_(k); 63·P57 stays in
+    // int64 on both engines
+    "d_distinct_sketch" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source, unnest(${OracleFrag.shingleHashes("ws")}) AS h FROM w),
+         |mx AS (SELECT source, h, CAST(((CAST(h AS HUGEINT) + 1) * 48271 % ${ops.Sketch.P57})
+         |         * 48271 % ${ops.Sketch.P57} AS BIGINT) AS m FROM sh),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM mx GROUP BY 1),
+         |kk AS (SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m, h) AS rk FROM mx),
+         |hk AS (SELECT source, m AS hk FROM kk WHERE rk = 64),
+         |est AS (SELECT ex.source, ex.n_exact,
+         |          CAST(COALESCE((63 * ${ops.Sketch.P57}) // hk.hk, ex.n_exact) AS BIGINT) AS n_est
+         |        FROM ex LEFT JOIN hk ON ex.source = hk.source)
+         |SELECT source, n_exact, n_est,
+         |  round(CAST(ABS(n_est - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM est ORDER BY source""".stripMargin,
     // Winnow pairs replayed: same k-gram poly-57 list, the same
     // rightmost-min window selection (winnowSelected mirrors the kernel's
     // tie rule), per-doc distinct, df-prune [2, 50], pair counts

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketching — KMV (k-minimum-values).
+  *
+  * A 100 TB pipeline constantly wants cheap per-group cardinalities
+  * (distinct shingles per source, distinct URLs per snapshot) where exact
+  * distinct is affordable but repeated, and HyperLogLog is the standard
+  * answer. HLL's register layout is implementation-defined, though —
+  * Spark's estimate and DuckDB's disagree, so an HLL row could never pass
+  * the byte-exact oracle gate. KMV (Bar-Yossef et al. 2002) has the same
+  * one-pass, bounded-memory shape but is a PURE FUNCTION of the hashed
+  * set: keep the k smallest distinct hash values; with `h_(k)` the k-th
+  * smallest on the `[0, P57)` line, the estimate `(k−1)·P57 div h_(k)`
+  * is integer arithmetic both engines reproduce bit-for-bit. Groups with
+  * fewer than k distinct values are EXACT by the same rule (the sketch
+  * isn't full, so it IS the set).
+  *
+  * k is capped at 64 so the numerator `(k−1)·P57` stays inside int64
+  * (63 · (2⁵⁷−13) ≈ 9.08e18 < 2⁶³−1) — no decimal widening on either
+  * side. Expected relative error ≈ 1/√(k−2) ≈ 13% at k = 64; the
+  * operator reports estimate, exact, and realized error side by side,
+  * which is the honest way to ship a sketch.
+  *
+  * Scale shape: one distinct on (group, hash), then the k-th minimum per
+  * group is found WITHOUT a per-group corpus sort — a bucketed two-phase
+  * cut (the exact-n sampler's trick): per-group histogram over fixed hash
+  * ranges (map-side combined, ≤ groups×buckets rows), cumulative counts
+  * pick each group's cutoff bucket, and only hashes at or below it
+  * (≈ k + one bucket's worth per group) enter the per-group rank window.
+  * The exact count rides the same distinct through a map-side-combined
+  * aggregate.
+  */
+object Sketch {
+
+  val P57: Long = graft.functions.TextHashOps.P57
+
+  /** Maximum k such that `(k−1)·P57` fits int64. */
+  val MaxK: Int = 64
+
+  /** Per-`groupCol` KMV estimate of `countDistinct(hashCol)`, with the
+    * exact count and realized relative error. `hashCol` values must lie
+    * on the `[0, P57)` line (the shingle/word/passage kernels all do);
+    * NULL hashes raise — a null has no position on the hash line.
+    * Output: `(group, n_exact, n_est, rel_err)`.
+    *
+    * KMV needs UNIFORM positions, and the poly-57 kernels are not: a
+    * short shingle's polynomial never wraps the modulus, so short-string
+    * hashes pile up at the bottom of the line and the raw-k-th-minimum
+    * estimate overshoots several-fold (measured 1.2–2.9 relative error
+    * on the word-salad corpus). The sketch therefore ranks a MIXED
+    * position: two Lehmer rounds `((h+1)·48271 mod P57)·48271 mod P57`
+    * — the sampler family's generator lifted to the P57 line, computed
+    * in exact DECIMAL(38,0) (the product exceeds int64; DuckDB replays
+    * it in HUGEINT). Distinctness is still judged on the RAW hash.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, hashCol: Column,
+      k: Int = MaxK, buckets: Int = 4096): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"k out of [2, $MaxK]: $k")
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.kmvDistinct: null hash — a null has no position on the " +
+          "hash line; filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    val bw = P57 / buckets + 1
+    val dh = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h")).distinct()
+      .withColumn("__kv_m", expr(
+        s"CAST(CAST((CAST(__kv_h AS DECIMAL(38,0)) + 1) * 48271 % ${P57}L" +
+          s" AS DECIMAL(38,0)) * 48271 % ${P57}L AS BIGINT)"))
+    val exact = dh.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
+    // integer bucket id (DIV, not double /): positions exceed 2^53, so
+    // double division would round; DIV keeps the bucket function exact
+    val hist = dh.groupBy(col("__kv_g"), expr(s"__kv_m DIV ${bw}L").as("__kv_b"))
+      .agg(count(lit(1)).as("__kv_c"))
+    val wCum = Window.partitionBy("__kv_g").orderBy("__kv_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-group cutoff bucket: first bucket whose cumulative count
+    // reaches k (NULL = group has < k distinct → sketch not full → exact)
+    val cuts = hist.withColumn("__kv_cum", sum("__kv_c").over(wCum))
+      .groupBy("__kv_g")
+      .agg(min(when(col("__kv_cum") >= k, col("__kv_b"))).as("__kv_bcut"))
+    val survivors = dh.join(broadcast(cuts), Seq("__kv_g"))
+      .where(col("__kv_bcut").isNotNull &&
+        expr(s"__kv_m DIV ${bw}L") <= col("__kv_bcut"))
+    // raw hash as tiebreak: mixed-position collisions are ~impossible on
+    // the P57 line, but determinism must not depend on that
+    val wRank = Window.partitionBy("__kv_g").orderBy("__kv_m", "__kv_h")
+    val hk = survivors.withColumn("__kv_rk", row_number().over(wRank))
+      .where(col("__kv_rk") === k)
+      .select(col("__kv_g"), col("__kv_m").as("__kv_hk"))
+    exact.join(hk, Seq("__kv_g"), "left")
+      .withColumn("n_est",
+        when(col("__kv_hk").isNull, col("n_exact"))
+          .otherwise(expr(s"CAST((${(k - 1).toLong} * ${P57}L) DIV __kv_hk AS BIGINT)")))
+      .withColumn("rel_err",
+        round(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 6))
+      .select(col("__kv_g").as(groupCol), col("n_exact"), col("n_est"),
+        col("rel_err"))
+  }
+}

@@ -832,6 +832,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("kmvDistinct: sketch-full estimate formula, under-k groups exact, error reported") {
+    val p57 = ops.Sketch.P57
+    // group "big": 200 distinct hashes spread over the line; "small": 5
+    val rnd = (1 to 200).map(i => Sampling.unitHashLong(i * 7L) * (p57 / 2147483647L))
+    assert(rnd.distinct.size == 200)
+    val rows = rnd.map(h => ("big", h)) ++ (1 to 5).map(i => ("small", i * 1000L))
+    val df = rows.toDF("g", "h")
+    val out = ops.Sketch.kmvDistinct(df, "g", col("h"), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def mix(h: Long) =
+      (((BigInt(h) + 1) * 48271 % p57) * 48271 % p57).toLong
+    val m64 = rnd.map(mix).sorted.apply(63)
+    assert(out("big") == ((200L, 63L * p57 / m64)))
+    assert(out("small") == ((5L, 5L)))   // sketch not full → exact
+    // duplicate hashes collapse before sketching
+    val dup = (rows ++ rows).toDF("g", "h")
+    val out2 = ops.Sketch.kmvDistinct(dup, "g", col("h"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 == out.view.mapValues(_._2).toMap)
+  }
+
   test("winnowedPassagePairs: catches misaligned shared passages the stride windows miss") {
     // 55-char shared passage at offsets 7 and 13 — different mod-20
     // alignment, so NO aligned stride window can match; winnowing's
