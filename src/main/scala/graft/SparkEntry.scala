@@ -1873,6 +1873,18 @@ object SparkEntry {
       ops.Sketch.kmvDistinct(sh, "source", col("h"), k = 64)
         .orderBy("source")
     },
+    // ---- KMV mergeability — the sketch's 100 TB property: per-shard
+    //      sketches (doc_id mod 8) unioned per source give the EXACT
+    //      one-shot estimate (k-minima union is lossless)
+    "d_distinct_sketch_merged" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .select(col("source"), col("shard"),
+          explode(graft.functions.TextFunctions.shingle_hashes(col("text")))
+            .as("h"))
+      val sketches = ops.Sketch.kmvSketch(sh, "source", "shard", col("h"), k = 64)
+      ops.Sketch.kmvMergeEstimate(sketches, "source", k = 64).orderBy("source")
+    },
     // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
     //      catch shared passages at ANY offset — the recall the aligned
     //      stride windows trade away
@@ -3613,7 +3625,8 @@ object SparkEntry {
          |mx AS (SELECT source, h, CAST(((CAST(h AS HUGEINT) + 1) * 48271 % ${ops.Sketch.P57})
          |         * 48271 % ${ops.Sketch.P57} AS BIGINT) AS m FROM sh),
          |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM mx GROUP BY 1),
-         |kk AS (SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m, h) AS rk FROM mx),
+         |dm AS (SELECT DISTINCT source, m FROM mx),
+         |kk AS (SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m) AS rk FROM dm),
          |hk AS (SELECT source, m AS hk FROM kk WHERE rk = 64),
          |est AS (SELECT ex.source, ex.n_exact,
          |          CAST(COALESCE((63 * ${ops.Sketch.P57}) // hk.hk, ex.n_exact) AS BIGINT) AS n_est
@@ -3621,6 +3634,22 @@ object SparkEntry {
          |SELECT source, n_exact, n_est,
          |  round(CAST(ABS(n_est - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS rel_err
          |FROM est ORDER BY source""".stripMargin,
+    // Mergeability proof: the oracle IGNORES the sharding entirely and
+    // recomputes the one-shot distinct-position estimate — merged
+    // per-shard sketches must land on the identical k-th minimum
+    "d_distinct_sketch_merged" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source, unnest(${OracleFrag.shingleHashes("ws")}) AS h FROM w),
+         |mx AS (SELECT source, CAST(((CAST(h AS HUGEINT) + 1) * 48271 % ${ops.Sketch.P57})
+         |         * 48271 % ${ops.Sketch.P57} AS BIGINT) AS m FROM sh),
+         |dm AS (SELECT DISTINCT source, m FROM mx),
+         |kk AS (SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m) AS rk FROM dm),
+         |hk AS (SELECT source, m AS hk FROM kk WHERE rk = 64),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nm FROM dm GROUP BY 1)
+         |SELECT cnt.source,
+         |  CAST(COALESCE((63 * ${ops.Sketch.P57}) // hk.hk, cnt.nm) AS BIGINT) AS n_est
+         |FROM cnt LEFT JOIN hk ON cnt.source = hk.source
+         |ORDER BY cnt.source""".stripMargin,
     // Winnow pairs replayed: same k-gram poly-57 list, the same
     // rightmost-min window selection (winnowSelected mirrors the kernel's
     // tie rule), per-doc distinct, df-prune [2, 50], pair counts

@@ -41,6 +41,62 @@ object Sketch {
   /** Maximum k such that `(k−1)·P57` fits int64. */
   val MaxK: Int = 64
 
+  /** The Lehmer-mixed position expression shared by the one-shot
+    * estimator, the per-shard sketch builder, and the merger — one
+    * definition, so persisted sketches and live estimates can't drift.
+    */
+  private def mixedExpr: Column = expr(
+    s"CAST(CAST((CAST(__kv_h AS DECIMAL(38,0)) + 1) * 48271 % ${P57}L" +
+      s" AS DECIMAL(38,0)) * 48271 % ${P57}L AS BIGINT)")
+
+  /** Per-(group × shard) KMV sketch rows: the ≤ k smallest mixed
+    * positions of each shard's distinct hash set, one `(group, shard,
+    * positions)` row — the PERSISTABLE form. KMV's 100 TB property is
+    * mergeability: the union of per-shard k-minima is a superset of the
+    * global k-minima, so [[kmvMergeEstimate]] over these rows returns
+    * the EXACT same estimate as [[kmvDistinct]] over the raw corpus
+    * (not approximately — set-identically; the shared oracle row proves
+    * it). Build sketches once per shard/day, merge at query time.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, shardCol: String,
+      hashCol: Column, k: Int = MaxK): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"k out of [2, $MaxK]: $k")
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.kmvSketch: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    df.select(col(groupCol).as("__kv_g"), col(shardCol).as("__kv_s"),
+        h.as("__kv_h")).distinct()
+      .withColumn("__kv_m", mixedExpr)
+      .groupBy("__kv_g", "__kv_s")
+      // slice(sort(collect_set)) is shard-sized input but k-sized output;
+      // shards are the unit a builder controls, so the set stays bounded
+      .agg(slice(array_sort(collect_set(col("__kv_m"))), 1, k).as("positions"))
+      .select(col("__kv_g").as(groupCol), col("__kv_s").as(shardCol),
+        col("positions"))
+  }
+
+  /** Merge per-shard sketches and estimate: union the position lists per
+    * group, keep the k smallest distinct, apply the same
+    * `(k−1)·P57 div m_(k)` rule (exact count when the merged sketch
+    * holds fewer than k positions). Output `(group, n_est)` — exactly
+    * [[kmvDistinct]]'s estimate column, by the superset property.
+    */
+  def kmvMergeEstimate(sketches: DataFrame, groupCol: String,
+      k: Int = MaxK): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"k out of [2, $MaxK]: $k")
+    sketches
+      .select(col(groupCol).as("__kv_g"), explode(col("positions")).as("__kv_m"))
+      .distinct()
+      .groupBy("__kv_g")
+      .agg(slice(array_sort(collect_set(col("__kv_m"))), 1, k).as("__kv_ps"))
+      .select(col("__kv_g").as(groupCol),
+        when(size(col("__kv_ps")) < k,
+          size(col("__kv_ps")).cast("long"))
+          .otherwise(expr(
+            s"CAST((${(k - 1).toLong} * ${P57}L) DIV element_at(__kv_ps, $k) AS BIGINT)"))
+          .as("n_est"))
+  }
+
   /** Per-`groupCol` KMV estimate of `countDistinct(hashCol)`, with the
     * exact count and realized relative error. `hashCol` values must lie
     * on the `[0, P57)` line (the shingle/word/passage kernels all do);
@@ -67,13 +123,16 @@ object Sketch {
       .otherwise(hashCol.cast("long"))
     val bw = P57 / buckets + 1
     val dh = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h")).distinct()
-      .withColumn("__kv_m", expr(
-        s"CAST(CAST((CAST(__kv_h AS DECIMAL(38,0)) + 1) * 48271 % ${P57}L" +
-          s" AS DECIMAL(38,0)) * 48271 % ${P57}L AS BIGINT)"))
+    // rank DISTINCT mixed positions (not hash rows): exactly the position
+    // set the persisted per-shard sketches carry, so one-shot and merged
+    // estimates agree set-identically even under (astronomically rare)
+    // position collisions
+    val dm = dh.withColumn("__kv_m", mixedExpr)
+      .select("__kv_g", "__kv_m").distinct()
     val exact = dh.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
     // integer bucket id (DIV, not double /): positions exceed 2^53, so
     // double division would round; DIV keeps the bucket function exact
-    val hist = dh.groupBy(col("__kv_g"), expr(s"__kv_m DIV ${bw}L").as("__kv_b"))
+    val hist = dm.groupBy(col("__kv_g"), expr(s"__kv_m DIV ${bw}L").as("__kv_b"))
       .agg(count(lit(1)).as("__kv_c"))
     val wCum = Window.partitionBy("__kv_g").orderBy("__kv_b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -82,12 +141,10 @@ object Sketch {
     val cuts = hist.withColumn("__kv_cum", sum("__kv_c").over(wCum))
       .groupBy("__kv_g")
       .agg(min(when(col("__kv_cum") >= k, col("__kv_b"))).as("__kv_bcut"))
-    val survivors = dh.join(broadcast(cuts), Seq("__kv_g"))
+    val survivors = dm.join(broadcast(cuts), Seq("__kv_g"))
       .where(col("__kv_bcut").isNotNull &&
         expr(s"__kv_m DIV ${bw}L") <= col("__kv_bcut"))
-    // raw hash as tiebreak: mixed-position collisions are ~impossible on
-    // the P57 line, but determinism must not depend on that
-    val wRank = Window.partitionBy("__kv_g").orderBy("__kv_m", "__kv_h")
+    val wRank = Window.partitionBy("__kv_g").orderBy("__kv_m")
     val hk = survivors.withColumn("__kv_rk", row_number().over(wRank))
       .where(col("__kv_rk") === k)
       .select(col("__kv_g"), col("__kv_m").as("__kv_hk"))

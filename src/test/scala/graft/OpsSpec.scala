@@ -851,6 +851,14 @@ class OpsSpec extends AnyFunSuite {
     val out2 = ops.Sketch.kmvDistinct(dup, "g", col("h"), k = 64)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out2 == out.view.mapValues(_._2).toMap)
+    // mergeability is LOSSLESS: per-shard sketches unioned per group give
+    // the one-shot estimate set-identically, whatever the sharding
+    val sharded = rows.zipWithIndex
+      .map { case ((g, h), i) => (g, (i % 4).toLong, h) }.toDF("g", "s", "h")
+    val merged = ops.Sketch.kmvMergeEstimate(
+        ops.Sketch.kmvSketch(sharded, "g", "s", col("h"), k = 64), "g", k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == out.view.mapValues(_._2).toMap)
   }
 
   test("winnowedPassagePairs: catches misaligned shared passages the stride windows miss") {
