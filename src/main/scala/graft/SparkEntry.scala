@@ -1892,6 +1892,19 @@ object SparkEntry {
       ops.Dedup.winnowedPassagePairs(t(s, dir, "documents"), "doc_id", "text",
         k = 30, w = 10, maxDf = 50, minShared = 2).orderBy("idA", "idB")
     },
+    // ---- winnow pairs -> star-CC -> one LEFT ANTI: character-level
+    //      near-dup removal under the alignment-robust criterion
+    "d_dedup_winnow_removal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = ops.Dedup.winnowedPassagePairs(docs, "doc_id", "text",
+        k = 30, w = 10, maxDf = 50, minShared = 2)
+      val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+      val losers = comps.where(col("node") =!= col("comp"))
+        .select(col("node").as("__dup_id"))
+      docs.join(losers, docs("doc_id") === col("__dup_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
     // ---- probe stage alone: the (doc, char_start) dirty set a batch
     //      inherits from the corpus passage-hash index (the shape the
     //      streaming twin consumes)
@@ -2258,6 +2271,21 @@ object SparkEntry {
   /** Shared clusters CTE prefix: the minhash pair CTEs closed by a
     * RECURSIVE reachability fixpoint, ending in `reach(node, r)`.
     */
+  /** Winnow fingerprint pair CTEs (through `p`) — shared by the pair row
+    * and the removal closure. */
+  private lazy val winnowPairCtes: String =
+    s"""gr AS (SELECT doc_id,
+       |    list_transform(range(1, length(text) - 30 + 2),
+       |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
+       |  FROM documents WHERE length(text) >= 30),
+       |sel AS (SELECT doc_id,
+       |          unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gr),
+       |rare AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+       |hh AS (SELECT sel.doc_id, sel.h FROM sel JOIN rare USING (h)),
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
+       |      FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)""".stripMargin
+
   private lazy val clustersCtes: String =
     s"""WITH RECURSIVE w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
        |h AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM w),
@@ -3654,19 +3682,24 @@ object SparkEntry {
     // rightmost-min window selection (winnowSelected mirrors the kernel's
     // tie rule), per-doc distinct, df-prune [2, 50], pair counts
     "d_dedup_winnow" ->
-      s"""WITH gr AS (SELECT doc_id,
-         |    list_transform(range(1, length(text) - 30 + 2),
-         |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
-         |  FROM documents WHERE length(text) >= 30),
-         |sel AS (SELECT doc_id,
-         |          unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gr),
-         |rare AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
-         |hh AS (SELECT sel.doc_id, sel.h FROM sel JOIN rare USING (h)),
-         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
-         |      FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2)
+      s"""WITH $winnowPairCtes
          |SELECT ia AS "idA", ib AS "idB", CAST(ns AS BIGINT) AS n_shared
          |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
+    // Winnow pairs closed into components recursively, survivors kept —
+    // the same reach/comp closure the minhash removal oracle proves
+    "d_dedup_winnow_removal" ->
+      s"""WITH RECURSIVE $winnowPairCtes,
+         |pr AS (SELECT ia, ib FROM p WHERE ns >= 2),
+         |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+         |ORDER BY d.doc_id""".stripMargin,
     // Probe stage: batch windows whose hash appears anywhere in the
     // corpus half — the distinct-hash membership semantics, replayed
     "d_dedup_passages_vs_index" ->

@@ -101,7 +101,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "d_dedup_cosine_vs_index", "d_dedup_cosine_incremental",
       "d_decontaminate_pairs", "d_decontaminate_redact",
       "d_dedup_passages_redact", "d_dedup_passages_incremental",
-      "d_dedup_passages_vs_index", "d_dedup_winnow")) {
+      "d_dedup_passages_vs_index", "d_dedup_winnow",
+      "d_dedup_winnow_removal")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"),
