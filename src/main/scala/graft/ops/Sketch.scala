@@ -41,13 +41,20 @@ object Sketch {
   /** Maximum k such that `(k−1)·P57` fits int64. */
   val MaxK: Int = 64
 
-  /** The Lehmer-mixed position expression shared by the one-shot
-    * estimator, the per-shard sketch builder, and the merger — one
-    * definition, so persisted sketches and live estimates can't drift.
+  /** The Lehmer-mixed position of a raw hash — two rounds of
+    * `·48271 mod P57` in exact DECIMAL(38,0) (the product exceeds
+    * int64). ONE definition shared by the one-shot estimator, the
+    * per-shard sketch builder, the merger, and the streaming running
+    * sketch, so persisted sketches and live estimates can't drift.
     */
-  private def mixedExpr: Column = expr(
-    s"CAST(CAST((CAST(__kv_h AS DECIMAL(38,0)) + 1) * 48271 % ${P57}L" +
-      s" AS DECIMAL(38,0)) * 48271 % ${P57}L AS BIGINT)")
+  def mixedPosition(h: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    (((h.cast(d38) + lit(1)) * lit(48271) % lit(P57)).cast(d38)
+      * lit(48271) % lit(P57)).cast("long")
+  }
+
+  private def mixedExpr: Column = mixedPosition(col("__kv_h"))
 
   /** Per-(group × shard) KMV sketch rows: the ≤ k smallest mixed
     * positions of each shard's distinct hash set, one `(group, shard,

@@ -368,6 +368,51 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("doc_id", "sh")
       .select("doc_id", "sh")
 
+  final case class KmvPos(source: String, m: Long)
+  final case class KmvState(seq: Long, mins: Array[Long])
+  final case class KmvEst(source: String, seq: Long, n_est: Long)
+
+  /** Streaming KMV distinct-count sketch — the sketch family's natural
+    * streaming form, because the state IS the sketch: ≤ k mixed
+    * positions per group ([[graft.ops.Sketch.mixedPosition]] — the same
+    * definition the batch estimator ranks), merged micro-batch by
+    * micro-batch with the bounded insert rule (admit a position only if
+    * the sketch isn't full or it beats the current k-th minimum). Each
+    * update emits the group's running estimate with a sequence number so
+    * consumers (and the parity test) can pick the latest. After any
+    * prefix of the stream, the emitted estimate equals the batch
+    * [[graft.ops.Sketch.kmvDistinct]] estimate over the rows seen so far
+    * — KMV is order-insensitive, so arrival order and batching cannot
+    * move it.
+    */
+  def runningKmv(docs: DataFrame, k: Int = graft.ops.Sketch.MaxK,
+      sourceCol: String = "source", textCol: String = "text"): Dataset[KmvEst] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p57 = graft.ops.Sketch.P57
+    docs.select(col(sourceCol).as("source"),
+        explode(TextFunctions.shingle_hashes(col(textCol))).as("h"))
+      .select(col("source"), graft.ops.Sketch.mixedPosition(col("h")).as("m"))
+      .as[KmvPos]
+      .groupByKey(_.source)
+      .mapGroupsWithState[KmvState, KmvEst](GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(0L, Array.empty[Long]))
+          val buf = scala.collection.mutable.SortedSet.empty[Long] ++ prev.mins
+          rows.foreach { r =>
+            if (buf.size < k) buf += r.m
+            // evict only on real growth: a duplicate position must not
+            // push out the current k-th minimum
+            else if (r.m < buf.last) { buf += r.m; if (buf.size > k) buf -= buf.last }
+          }
+          val mins = buf.toArray
+          state.update(KmvState(prev.seq + 1, mins))
+          val est = if (mins.length < k) mins.length.toLong
+            else (k - 1).toLong * p57 / mins(k - 1)
+          KmvEst(source, prev.seq + 1, est)
+      }
+  }
+
   /** Streaming passage probe against a static corpus passage-hash index
     * ([[graft.ops.Dedup.passageHashIndex]]): each arriving document's
     * aligned window hashes are checked by a stream-static broadcast join

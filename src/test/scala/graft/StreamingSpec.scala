@@ -521,6 +521,38 @@ class StreamingSpec extends AnyFunSuite {
       s"out-of-order stream ${latest.size} rows != batch ${batch.size}")
   }
 
+  test("running KMV sketch: bounded state, final estimate equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // reverse order, split so every source accumulates across both batches
+    val reversed = docs.reverse
+    val (b1, b2) = reversed.splitAt(reversed.length / 2)
+    val input = MemoryStream[(String, String)]
+    val q = DocumentStream.runningKmv(
+        input.toDF().toDF("source", "text"), k = 64).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_kmv").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("doc_kmv")
+      .groupBy("source").agg(max(struct(col("seq"), col("n_est"))).as("m"))
+      .select(col("source"), col("m.n_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("text"))).as("h"))
+    val batch = graft.ops.Sketch.kmvDistinct(sh, "source", col("h"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(latest.nonEmpty && latest == batch,
+      s"stream ${latest.size} sources, batch ${batch.size}")
+  }
+
   test("online ANN serving over the persisted IVF index matches the batch path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
