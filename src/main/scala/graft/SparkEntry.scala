@@ -2123,6 +2123,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")
     },
+    // ---- per-source token-length profile: exact p50/p90/p99 over the
+    //      quantized count histogram — no corpus sort, windows run over
+    //      histograms partitioned per source
+    "d_length_quantiles" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("nTokens",
+          coalesce(ops.TextAnalysis.wsTokenCount(col("text")), lit(0)))
+      ops.Quantile.groupQuantiles(docs, "source", "nTokens",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("source")
+    },
     // ---- length-bucketed batching card: padding cost of power-of-two
     //      length buckets vs padding every batch to the corpus max — the
     //      batch-shape analysis behind non-packed fine-tuning loaders
@@ -3882,6 +3893,22 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(e AS INT) AS epoch
          |FROM n, LATERAL (SELECT unnest(range(1, n + 1)) AS e)
          |ORDER BY doc_id, epoch""".stripMargin,
+    // Per-source quantile profile replayed: same histogram, same
+    // discrete lower-quantile rule (DECIMAL literals on both sides, so
+    // CEIL(q*n) has no float boundary)
+    "d_length_quantiles" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tk AS (SELECT source, COALESCE(CAST(len(ws) AS INT), 0) AS v FROM w),
+         |hh AS (SELECT source, v, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hh GROUP BY 1),
+         |cc AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hh)
+         |SELECT t.source, t.n AS n_rows,
+         |  CAST(MIN(CASE WHEN cc.cum >= CEIL(0.5 * t.n) THEN cc.v END) AS INT) AS p50,
+         |  CAST(MIN(CASE WHEN cc.cum >= CEIL(0.9 * t.n) THEN cc.v END) AS INT) AS p90,
+         |  CAST(MIN(CASE WHEN cc.cum >= CEIL(0.99 * t.n) THEN cc.v END) AS INT) AS p99
+         |FROM cc JOIN t ON cc.source = t.source
+         |GROUP BY t.source, t.n ORDER BY t.source""".stripMargin,
     // Length-bucket card: the same integer-only <=-chain over 2^k
     // literals (no float log2 on either side), same global-max padding
     // baseline, same 6-decimal savings rounding

@@ -85,6 +85,56 @@ object Quantile {
       .agg(max("__v").as("__cut"))
   }
 
+  /** Per-group EXACT quantiles over a QUANTIZED value — the length/score
+    * profile card (p50/p90/p99 tokens per source) every corpus report
+    * carries. Quantile `q` = the smallest value whose inclusive
+    * ascending cumulative count reaches `ceil(q·n)` within the group
+    * (the discrete lower-quantile rule; `ceil` on the exact decimal of
+    * `q`, so there is no float boundary). Null values raise — exclude or
+    * coalesce upstream, a silent skip would shrink n.
+    *
+    * Scale shape: one (group × value) histogram aggregate (map-side
+    * combined — the value is quantized, so histograms are
+    * cardinality-bounded), a per-group cumulative window OVER THE
+    * HISTOGRAM (parallel across groups, each partition ≤ maxDistinct
+    * rows), and one final per-group aggregate folding every requested
+    * quantile at once. The corpus is never sorted.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)],
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
+    require(qs.nonEmpty, "no quantiles requested")
+    qs.foreach { case (n, q) =>
+      require(q > 0 && q <= 1, s"quantile $n out of (0,1]: $q") }
+    val v = when(col(valueCol).isNull,
+        raise_error(lit(s"groupQuantiles: null $valueCol — exclude or " +
+          "coalesce upstream; a silent skip would shrink n")))
+      .otherwise(col(valueCol))
+    val hist = df.groupBy(col(groupCol).as("__gq_g"), v.as("__gq_v"))
+      .agg(count(lit(1)).as("__gq_c"))
+    val wCum = Window.partitionBy("__gq_g").orderBy("__gq_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("__gq_g")
+      .agg(sum("__gq_c").as("__gq_n"), count(lit(1)).as("__gq_nd"))
+      .select(col("__gq_g"), col("__gq_n"),
+        when(col("__gq_nd") > maxDistinct, raise_error(concat(
+          lit(s"groupQuantiles: $valueCol has "), col("__gq_nd").cast("string"),
+          lit(s" distinct values in one group (> $maxDistinct); quantize " +
+            "the value first"))))
+          .otherwise(col("__gq_nd")).as("__gq_nd"))
+    val aggs = qs.map { case (name, q) =>
+      min(when(col("__gq_cum") >=
+        ceil(lit(BigDecimal.valueOf(q)) * col("__gq_n")), col("__gq_v")))
+        .as(name)
+    }
+    hist.withColumn("__gq_cum", sum("__gq_c").over(wCum))
+      .join(broadcast(tot.where(col("__gq_nd") > 0)), Seq("__gq_g"))
+      .groupBy(col("__gq_g"))
+      .agg(first(col("__gq_n")).as("n_rows"), aggs: _*)
+      .select(col("__gq_g").as(groupCol) +: col("n_rows") +:
+        qs.map { case (name, _) => col(name) }: _*)
+  }
+
   /** Curriculum phase assignment over a QUANTIZED score: rows are split
     * into `phases` equal-count quantile buckets of `scoreCol`, phase 1 =
     * lowest scores — the easy→hard ordering curriculum schedules train

@@ -861,6 +861,28 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == out.view.mapValues(_._2).toMap)
   }
 
+  test("groupQuantiles: discrete lower-quantile rule, per-group, null raises") {
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("a", 6), ("a", 7), ("a", 8), ("a", 9), ("a", 10),
+      ("b", 100), ("b", 100), ("b", 200),
+    ).toDF("g", "v")
+    val out = ops.Quantile.groupQuantiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // a: n=10 → p50 = v at cum>=5 → 5; p90 = cum>=9 → 9; p100 = 10
+    assert(out("a") == ((10L, 5, 9, 10)))
+    // b: n=3 → p50 = cum>=2 → 100 (duplicates share the histogram row);
+    // p90 = cum>=3 → 200; p100 = 200
+    assert(out("b") == ((3L, 100, 200, 200)))
+    intercept[Exception] {
+      ops.Quantile.groupQuantiles(
+        df.withColumn("v", when(col("v") === 1, lit(null)).otherwise(col("v"))),
+        "g", "v", Seq("p50" -> 0.5)).collect()
+    }
+  }
+
   test("winnowedPassagePairs: catches misaligned shared passages the stride windows miss") {
     // 55-char shared passage at offsets 7 and 13 — different mod-20
     // alignment, so NO aligned stride window can match; winnowing's

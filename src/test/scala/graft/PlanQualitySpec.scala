@@ -672,7 +672,7 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     for (name <- Seq("d_pipeline_pack", "d_mixture_sample", "d_pipeline_clean",
-      "d_mixture_tokens", "d_curriculum")) {
+      "d_mixture_tokens", "d_curriculum", "d_length_quantiles")) {
       val plan = nonAdaptivePlan(SparkEntry.queries(name)(spark, dir))
       val singles = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
