@@ -1892,6 +1892,18 @@ object SparkEntry {
       ops.Dedup.winnowedPassagePairs(t(s, dir, "documents"), "doc_id", "text",
         k = 30, w = 10, maxDf = 50, minShared = 2).orderBy("idA", "idB")
     },
+    // ---- winnow probe of a persisted corpus fingerprint index: the
+    //      *_vs_index member of the winnow family (batch x corpus shared
+    //      fingerprint counts, hub fingerprints df-pruned on the union)
+    "d_dedup_winnow_vs_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = ops.Dedup.winnowIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text", k = 30, w = 10)
+      ops.Dedup.winnowIndexMatches(
+          docs.where(col("doc_id") >= 250), index, "doc_id", "text",
+          k = 30, w = 10, maxDf = 50, minShared = 2)
+        .orderBy("doc_id", "corpus_id")
+    },
     // ---- winnow pairs -> star-CC -> one LEFT ANTI: character-level
     //      near-dup removal under the alignment-robust criterion
     "d_dedup_winnow_removal" -> { (s, dir) =>
@@ -3695,6 +3707,26 @@ object SparkEntry {
     "d_dedup_winnow" ->
       s"""WITH $winnowPairCtes
          |SELECT ia AS "idA", ib AS "idB", CAST(ns AS BIGINT) AS n_shared
+         |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
+    // Winnow index probe replayed: per-side fingerprint sets, df-prune
+    // on the UNION's document frequency, batch x corpus pair counts
+    "d_dedup_winnow_vs_index" ->
+      s"""WITH gA AS (SELECT doc_id,
+         |    list_transform(range(1, length(text) - 30 + 2),
+         |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
+         |  FROM documents WHERE doc_id >= 250 AND length(text) >= 30),
+         |sA AS (SELECT doc_id, unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gA),
+         |gB AS (SELECT doc_id,
+         |    list_transform(range(1, length(text) - 30 + 2),
+         |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
+         |  FROM documents WHERE doc_id < 250 AND length(text) >= 30),
+         |sB AS (SELECT doc_id, unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gB),
+         |dfh AS (SELECT h FROM (SELECT h FROM sA UNION ALL SELECT h FROM sB)
+         |        GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |p AS (SELECT sA.doc_id AS bid, sB.doc_id AS cid, COUNT(*) AS ns
+         |      FROM sA JOIN dfh USING (h) JOIN sB ON sA.h = sB.h
+         |      GROUP BY 1, 2)
+         |SELECT bid AS doc_id, cid AS corpus_id, CAST(ns AS BIGINT) AS n_shared
          |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
     // Winnow pairs closed into components recursively, survivors kept —
     // the same reach/comp closure the minhash removal oracle proves

@@ -1073,6 +1073,52 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Persisted winnow fingerprint index: `(h, doc_id)` rows of the
+    * accumulated corpus's per-doc DISTINCT fingerprints — signature-sized
+    * (the ~2/(w+1)-density selection, one long + one id per fingerprint),
+    * the [[winnowedPassagePairs]] `exploded` table made durable. Unlike
+    * the passage redactor's membership-only index, pair PROBES need the
+    * owning doc ids back.
+    */
+  def winnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 30, w: Int = 10): DataFrame =
+    ensureParallelism(corpus)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.winnow_hashes(col(textCol), k, w)).as("f"))
+      .select(col("f").getField("h").as("h"), col("id"))
+      .distinct()
+
+  /** Batch probe of [[winnowIndex]]: shared-fingerprint counts between
+    * new-batch documents and indexed corpus documents — the
+    * `*_vs_index` member of the winnow family (same contract as the
+    * simhash/minhash probes: fingerprint the batch, join the index on
+    * the hash key, count distinct shared fingerprints per (batch,
+    * corpus) pair). Hub fingerprints are df-pruned on the UNION's
+    * document frequency (batch + index sides), mirroring the
+    * within-batch pair operator's [2, maxDf] rule.
+    */
+  def winnowIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int = 30, w: Int = 10, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val bf = ensureParallelism(batch)
+      .select(col(idCol).as("__wi_bid"),
+        explode(TextFunctions.winnow_hashes(col(textCol), k, w)).as("f"))
+      .select(col("f").getField("h").as("h"), col("__wi_bid"))
+      .distinct()
+    val df = bf.select(col("h"))
+      .union(index.select(col("h")))
+      .groupBy("h").agg(count(lit(1)).as("__wi_df"))
+      .where(col("__wi_df").between(2, maxDf)).select("h")
+    bf.join(df, Seq("h"))
+      .join(index.select(col("h"), col("id").as("__wi_cid")), Seq("h"))
+      .groupBy(col("__wi_bid"), col("__wi_cid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("__wi_bid").as(idCol), col("__wi_cid").as("corpus_id"),
+        col("n_shared"))
+  }
+
   /** Connected components over a near-dup PAIR list — the step that turns
     * pairwise collisions into dedup GROUPS: near-duplication is transitive
     * in practice (A~B, B~C ⇒ same content family), so a pipeline keeps ONE

@@ -434,6 +434,26 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("doc_id", "char_start")
       .select("doc_id", "char_start")
 
+  /** Streaming winnow probe against a static corpus fingerprint index
+    * ([[graft.ops.Dedup.winnowIndex]]): arriving documents' winnow
+    * fingerprints hit the broadcast index (stream-static, stateless on
+    * the stream side), emitting `(doc_id, corpus_id, h)` collision rows
+    * a downstream aggregator turns into shared-fingerprint counts.
+    * No df-prune on the stream (document frequency is a global
+    * statistic); prune downstream or refresh a pruned index — the
+    * parity pin compares against the unpruned batch probe.
+    */
+  def winnowProbe(stream: DataFrame, index: DataFrame, k: Int = 30,
+      w: Int = 10, dedupDelay: String = "10 minutes"): DataFrame =
+    stream
+      .select(col("doc_id"), col("ingestTs"),
+        explode(TextFunctions.winnow_hashes(col("text"), k, w)).as("f"))
+      .select(col("doc_id"), col("ingestTs"), col("f").getField("h").as("h"))
+      .join(broadcast(index.select(col("h"), col("id").as("corpus_id"))), Seq("h"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id", "h")
+      .select("doc_id", "corpus_id", "h")
+
   final case class BudgetDoc(doc_id: Long, source: String, nTokens: Int)
   final case class BudgetAdmit(doc_id: Long, source: String, nTokens: Int, cumTokens: Long)
 

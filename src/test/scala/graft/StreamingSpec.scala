@@ -644,6 +644,25 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming winnow probe vs static fingerprint index matches the unpruned batch probe") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ops.Dedup.winnowIndex(
+      docs.where(col("doc_id") < 250), "doc_id", "text")
+    val stream = DocumentStream.read(spark, docStreamDir)
+      .where(col("doc_id") >= 250)
+    EventStream.runToMemory(
+      DocumentStream.winnowProbe(stream, index), "doc_winnow_probe")
+    val streamed = spark.table("doc_winnow_probe")
+      .groupBy("doc_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Dedup.winnowIndexMatches(
+        docs.where(col("doc_id") >= 250), index, "doc_id", "text",
+        maxDf = Int.MaxValue, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+  }
+
   test("streaming span redaction: frozen-set serve path matches batch, stateless") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.where(col("doc_id") < 25)
