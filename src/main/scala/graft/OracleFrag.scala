@@ -284,6 +284,20 @@ private[graft] object OracleFrag {
   def planeDot(v: String, p: Int): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($v)[__i] * ${planeSignSql(p, "__i")})), (__x, __y) -> __x + __y)"""
 
+  /** ±1 JL-projection matrix entry (mirror of Similarity.projSign: two
+    * modular squares break the affine structure that correlates
+    * planeSign's rows; all intermediates < 2⁶²). */
+  private def projSignSql(p: Int, iVar: String): String = {
+    val base = s"((${1000003L * p + 12345L} + 7919*$iVar) % $P31)"
+    s"""CASE WHEN ((((($base * $base) % $P31 + $base) * 48271) % $P31)
+       |      * (((($base * $base) % $P31 + $base) * 48271) % $P31) % $P31 >> 13) & 1 = 1
+       |  THEN 1.0 ELSE -1.0 END""".stripMargin
+  }
+
+  /** Dot of a double-list expression with JL plane p over dims 1..64. */
+  def projDot(v: String, p: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($v)[__i] * ${projSignSql(p, "__i")})), (__x, __y) -> __x + __y)"""
+
   /** Packed sign-bit bucket of `planes` hyperplanes starting at firstPlane
     * (first plane = MSB; mirror of Similarity.hyperplaneBucket). */
   def bucket(v: String, planes: Int, firstPlane: Int): String =

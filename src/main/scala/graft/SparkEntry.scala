@@ -1507,6 +1507,14 @@ object SparkEntry {
       ops.Similarity.normalizeEmbeddings(t(s, dir, "embeddings"),
         "vec_id", "embedding").orderBy("vec_id")
     },
+    // ---- JL sign projection 64 -> 16 dims against the deterministic
+    //      ±1 plane matrix (planes 100+ keep it disjoint from the LSH
+    //      banding planes) — dimension reduction ahead of ANN
+    "d_embed_project" -> { (s, dir) =>
+      ops.Similarity.signProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", outDims = 16, firstPlane = 100)
+        .orderBy("vec_id")
+    },
     // ---- embedding-space dataset card: per trained-cell count +
     //      cosine-to-centroid distribution (decimal-exact mean)
     "d_semantic_cells" -> { (s, dir) =>
@@ -4421,6 +4429,14 @@ object SparkEntry {
          |  CASE WHEN nrm != 0 THEN list_transform(range(1, 65), __i -> round(cv[__i] / nrm, 6))
          |       ELSE list_transform(range(1, 65), __i -> round(cv[__i], 6)) END AS nvec
          |FROM n2 ORDER BY vec_id""".stripMargin,
+    // JL sign projection replayed: the same squared-Lehmer projection
+    // matrix (projSign mirror), sequential per-plane dot in index order
+    "d_embed_project" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id, ${(100 until 116).map(p =>
+              s"round(${OracleFrag.projDot("v", p)}, 6)")
+              .mkString("[", ",\n         |  ", "]")} AS proj
+         |FROM e ORDER BY vec_id""".stripMargin,
     // Cell profile replayed: fixture-centroid argmax with csim retained,
     // then per-cell count + decimal-exact mean + rounded extremes
     "d_semantic_cells" -> {

@@ -770,6 +770,57 @@ object Similarity {
     * center+normalize pass is then a row-local projection. Components
     * round to 6 decimals at output (the cosine-family convention).
     */
+  /** ±1 entry of the JL projection matrix at plane `p`, dimension `i`
+    * (1-based). NOT [[planeSign]]: that generator is affine in (p, i),
+    * so adjacent plane rows differ by a constant pre-bit-extraction
+    * shift and correlate heavily (measured mean |corr| 0.51 over
+    * 64 dims — a 0.48 mean cosine distortion at 16 output dims, vs the
+    * ~1/√16 theory). Two modular SQUARES break the affine structure:
+    * measured mean |corr| 0.11 ≈ the 1/√64 independent-row level. All
+    * intermediates < 2⁶² (s < 2³¹ squares safely), so DuckDB replays it
+    * in overflow-checked BIGINT. planeSign itself stays as-is — the LSH
+    * banding only needs per-plane balance, not cross-plane independence,
+    * and its oracle mirrors are locked to it.
+    */
+  def projSign(p: Int, i: Int): Double = {
+    val P31 = 2147483647L
+    val s = (1000003L * p + 7919L * i + 12345L) % P31
+    val x1 = (s * s) % P31
+    val x2 = ((x1 + s) * 48271L) % P31
+    val x3 = (x2 * x2) % P31
+    if (((x3 >> 13) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  private def projSignRow(p: Int): Column =
+    array((1 to MaxDims).map(i => lit(projSign(p, i))): _*)
+
+  /** Johnson–Lindenstrauss SIGN projection: reduce each embedding to
+    * `outDims` coordinates `y_p = ⟨v, s_p⟩` against the deterministic
+    * ±1 matrix ([[projSign]] — data-independent, no stored model, the
+    * oracle recomputes it in SQL). Achlioptas 2001 shows ±1 entries carry the full JL
+    * distance-preservation guarantee; the common `1/√outDims` scale is
+    * OMITTED — cosine and relative-distance comparisons are invariant
+    * to it, and leaving it off keeps the output the plain signed sums.
+    * Components round to 6 decimals at output (the family convention).
+    *
+    * Scale shape: one row-local projection — the sign matrix constant-
+    * folds into the plan, `Exprs.let` binds the double-cast vector once,
+    * zero exchanges. `firstPlane` offsets select an independent matrix
+    * (e.g. keep the banding planes and the projection planes disjoint).
+    */
+  def signProject(corpus: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, firstPlane: Int = 0): DataFrame = {
+    import graft.functions.Exprs
+    require(outDims >= 1 && outDims <= MaxDims,
+      s"outDims out of [1, $MaxDims]: $outDims")
+    corpus.select(col(idCol),
+      Exprs.let(transform(col(vecCol), x => x.cast("double")), { v =>
+        array((0 until outDims).map { p =>
+          round(dot_product(v, projSignRow(firstPlane + p)), 6)
+        }: _*)
+      }).as("proj"))
+  }
+
   def normalizeEmbeddings(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     import graft.functions.Exprs

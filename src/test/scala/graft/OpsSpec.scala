@@ -832,6 +832,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((16, 12, 4, Some("qqqq"))))
   }
 
+  test("signProject: zero exchanges, cosine approximately preserved at 16 dims") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(40)
+    val proj = Similarity.signProject(emb, "vec_id", "embedding",
+      outDims = 16, firstPlane = 100)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    def vecs(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(x => x.toString.toDouble).toArray).toMap
+    val full = vecs(emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double"))), "v")
+    val low = vecs(proj, "proj")
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = full.keys.toSeq.sorted
+    val errs = for (i <- ids.indices; j <- (i + 1) until ids.length) yield
+      math.abs(cos(full(ids(i)), full(ids(j))) - cos(low(ids(i)), low(ids(j))))
+    // JL at 16 dims: distortion std ~ 1/sqrt(16); the MEAN abs cosine
+    // error across pairs must sit well inside it
+    assert(errs.nonEmpty && errs.sum / errs.size < 0.25,
+      s"mean cosine distortion ${errs.sum / errs.size}")
+  }
+
   test("kmvDistinct: sketch-full estimate formula, under-k groups exact, error reported") {
     val p57 = ops.Sketch.P57
     // group "big": 200 distinct hashes spread over the line; "small": 5
