@@ -88,6 +88,7 @@ object Bench {
     "d_length_quantiles",          // per-source exact p50/p90/p99 token-length profile
     "d_dedup_winnow_vs_index",     // winnow probe of the persisted fingerprint index
     "d_embed_project",             // JL sign projection 64->16 (deterministic planes)
+    "s_ann_projected",             // ANN: project-then-rescore (16-dim candidate ranking)
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget

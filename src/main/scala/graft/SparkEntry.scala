@@ -1893,6 +1893,17 @@ object SparkEntry {
       val sketches = ops.Sketch.kmvSketch(sh, "source", "shard", col("h"), k = 64)
       ops.Sketch.kmvMergeEstimate(sketches, "source", k = 64).orderBy("source")
     },
+    // ---- ANN via JL project-then-rescore: 16-dim projected cosine ranks
+    //      (4x cheaper dot), refine-30 exact full-space rescore
+    "s_ann_projected" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.projectedTopK(
+        e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, outDims = 16, refine = 30, firstPlane = 100)
+        .orderBy("qid", "rank")
+    },
     // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
     //      catch shared passages at ANY offset — the recall the aligned
     //      stride windows trade away
@@ -4429,6 +4440,35 @@ object SparkEntry {
          |  CASE WHEN nrm != 0 THEN list_transform(range(1, 65), __i -> round(cv[__i] / nrm, 6))
          |       ELSE list_transform(range(1, 65), __i -> round(cv[__i], 6)) END AS nvec
          |FROM n2 ORDER BY vec_id""".stripMargin,
+    // Projected ANN replayed: the same rounded 16-dim projections, the
+    // same -2 zero-norm sentinel, DECIMAL(38,12) candidate ranking,
+    // refine-30, exact full-space rescore
+    "s_ann_projected" -> {
+      val projList = (100 until 116).map(p =>
+        s"round(${OracleFrag.projDot("v", p)}, 6)")
+        .mkString("[", ",\n         |  ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT vec_id, $projList AS pv FROM e),
+         |pn AS (SELECT vec_id, pv, sqrt(${OracleFrag.dotN("pv", "pv", 16)}) AS pnrm FROM p),
+         |ax AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         CASE WHEN q.pnrm * c.pnrm != 0 THEN
+         |           CAST(round(${OracleFrag.dotN("q.pv", "c.pv", 16)} / (q.pnrm * c.pnrm), 9) AS DECIMAL(38,12))
+         |         ELSE CAST(-2 AS DECIMAL(38,12)) END AS adot
+         |       FROM pn q CROSS JOIN pn c
+         |       WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
     // JL sign projection replayed: the same squared-Lehmer projection
     // matrix (projSign mirror), sequential per-plane dot in index order
     "d_embed_project" ->

@@ -821,6 +821,45 @@ object Similarity {
       }).as("proj"))
   }
 
+  /** ANN via JL project-then-rescore: candidates rank by PROJECTED-space
+    * cosine — a `outDims/64`-cost ranking dot against [[signProject]]'s
+    * deterministic matrix — the refine best per query rescore exactly in
+    * full space (the [[sq8TopK]] coarse-then-refine composition one
+    * compression family over: quantize bytes vs project dimensions).
+    * Projected vectors are the ROUNDED signProject output, so a serve
+    * path can equally rank against a persisted projected table and land
+    * on identical candidates. A zero-norm projection scores −2 (below
+    * every cosine) instead of NULL-ranking nondeterministically.
+    */
+  def projectedTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      outDims: Int = 16,
+      refine: Int = 30,
+      firstPlane: Int = 100,
+  ): DataFrame = {
+    val cp = signProject(corpus.select(col("cid"), col("vec")), "cid", "vec",
+        outDims, firstPlane)
+      .select(col("cid"), col("proj").as("cp"))
+      .withColumn("cp_n", norm(col("cp")))
+    val qp = signProject(queries.select(col("qid"), col("vec")), "qid", "vec",
+        outDims, firstPlane)
+      .select(col("qid"), col("proj").as("qp"))
+      .withColumn("qp_n", norm(col("qp")))
+    val cand = qp.crossJoin(cp)
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        when(col("qp_n") * col("cp_n") =!= 0.0,
+          round(dot_product(col("qp"), col("cp")) /
+            (col("qp_n") * col("cp_n")), 9))
+          .otherwise(lit(-2.0)).cast(DecExact).as("adot"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+      .where(col("arn") <= refine).select("qid", "cid")
+    rescoreTopK(cand, queries, corpus, k)
+  }
+
   def normalizeEmbeddings(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     import graft.functions.Exprs
