@@ -72,8 +72,8 @@ object Sketch {
         "Sketch.kmvSketch: null hash — filter upstream")))
       .otherwise(hashCol.cast("long"))
     df.select(col(groupCol).as("__kv_g"), col(shardCol).as("__kv_s"),
-        h.as("__kv_h")).distinct()
-      .withColumn("__kv_m", mixedExpr)
+        h.as("__kv_h"))
+      .select(col("__kv_g"), col("__kv_s"), mixedExpr.as("__kv_m")).distinct()
       .groupBy("__kv_g", "__kv_s")
       // slice(sort(collect_set)) is shard-sized input but k-sized output;
       // shards are the unit a builder controls, so the set stays bounded
@@ -118,7 +118,9 @@ object Sketch {
     * position: two Lehmer rounds `((h+1)·48271 mod P57)·48271 mod P57`
     * — the sampler family's generator lifted to the P57 line, computed
     * in exact DECIMAL(38,0) (the product exceeds int64; DuckDB replays
-    * it in HUGEINT). Distinctness is still judged on the RAW hash.
+    * it in HUGEINT). The mixing is a BIJECTION (invertible maps mod the
+    * prime), so distinct positions == distinct hashes and one distinct
+    * pass serves both the exact count and the sketch.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, hashCol: Column,
       k: Int = MaxK, buckets: Int = 4096): DataFrame = {
@@ -129,14 +131,15 @@ object Sketch {
           "hash line; filter upstream")))
       .otherwise(hashCol.cast("long"))
     val bw = P57 / buckets + 1
-    val dh = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h")).distinct()
-    // rank DISTINCT mixed positions (not hash rows): exactly the position
-    // set the persisted per-shard sketches carry, so one-shot and merged
-    // estimates agree set-identically even under (astronomically rare)
-    // position collisions
-    val dm = dh.withColumn("__kv_m", mixedExpr)
-      .select("__kv_g", "__kv_m").distinct()
-    val exact = dh.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
+    // ONE corpus-wide distinct, on the MIXED position: the mixing is a
+    // BIJECTION on [0, P57) (multiplications by 48271 mod the prime P57
+    // and the +1 rotation are all invertible), so distinct positions ==
+    // distinct hashes — n_exact is exact, the position set is exactly
+    // what the persisted per-shard sketches carry, and no second
+    // distinct pass is needed
+    val dm = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h"))
+      .select(col("__kv_g"), mixedExpr.as("__kv_m")).distinct()
+    val exact = dm.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
     // integer bucket id (DIV, not double /): positions exceed 2^53, so
     // double division would round; DIV keeps the bucket function exact
     val hist = dm.groupBy(col("__kv_g"), expr(s"__kv_m DIV ${bw}L").as("__kv_b"))

@@ -122,6 +122,17 @@ object StressX10 {
     val hub1 = addHeader(docs1).localCheckpoint()
     val hub10 = addHeader(docs10).localCheckpoint()
 
+    // (source, shingle-hash) rows for the KMV sketch scenario — source
+    // derived from the id so replicas spread across the 20 groups
+    def shingleRows(df: DataFrame): DataFrame =
+      df.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingle_hashes(col("text"))).as("h"))
+        .localCheckpoint()
+    val docs1w = shingleRows(docs1)
+    val docs10w = shingleRows(docs10)
+
     // seeded coarse quantizer for the SemDeDup scenarios: the k
     // smallest-id vectors as centroids (deterministic, shared by 1x/10x)
     def seedCents(d: DataFrame, k: Int): DataFrame =
@@ -284,6 +295,20 @@ object StressX10 {
         (idx: DataFrame) => graft.ops.Dedup.redactRepeatedPassagesIncremental(
             ppBatch, idx, "doc_id", "text")
           .where(coalesce(length(col("kept_text")), lit(0)) >= 0)),
+      // winnowing under hub fingerprints: the license header's selected
+      // fingerprints carry df ≈ 0.95 × corpus and MUST die in the
+      // [2, maxDf] prune before pair expansion — expect ~linear, like
+      // the ngram row (same inverted-index shape, winnow selection cost)
+      ("d_dedup_winnow (hub header on 95% of docs)", hub1, hub10,
+        (d: DataFrame) => graft.ops.Dedup.winnowedPassagePairs(
+          d, "doc_id", "text")),
+      // KMV distinct sketch at 10x: the distinct + histogram + tiny rank
+      // stages are all map-side combined or bucket-bounded — expect
+      // ~linear in corpus bytes, and the per-group rank window input
+      // stays ≈ k + one bucket regardless of corpus size
+      ("d_distinct_sketch (per-source shingles)", docs1w, docs10w,
+        (d: DataFrame) => graft.ops.Sketch.kmvDistinct(
+          d, "source", org.apache.spark.sql.functions.col("h"))),
       // est-Jaccard composed increment, mirroring the simhash scenario:
       // cost should track the CC family, not corpus²
       ("d_dedup_minhash_incremental (index=half)", docs1, docs10,
