@@ -17,6 +17,18 @@ def norm(v):
         return v
     return v
 
+def assert_scalar_cols(cols, types):
+    # The driver's comparator sorts result rows with pandas, which cannot
+    # order array/struct/map cells (r11 lesson: five rows with array
+    # columns passed here on str() sort keys but errored driver-side with
+    # "unhashable type: numpy.ndarray"). Any non-scalar output column must
+    # FAIL locally so local green implies driver green.
+    for c, t in zip(cols, types):
+        tu = t.upper()
+        if "[]" in tu or tu.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            raise ValueError(f"non-scalar output column {c}: {t} "
+                             "(driver comparator cannot sort array cells)")
+
 def rows_of(rel):
     # Type-strict like the driver's hash gate: HUGEINT vs BIGINT (or any
     # numeric widening DuckDB applies on fetch) must FAIL here, not coerce —
@@ -24,6 +36,7 @@ def rows_of(rel):
     # d_pipeline_prep passed locally, failed the driver hash).
     cols = rel.columns
     types = [str(t) for t in rel.types]
+    assert_scalar_cols(cols, types)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     typed_cols = [(cols[i], types[i]) for i in order]
     out = []

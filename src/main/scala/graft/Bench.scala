@@ -89,6 +89,7 @@ object Bench {
     "d_dedup_winnow_vs_index",     // winnow probe of the persisted fingerprint index
     "d_embed_project",             // JL sign projection 64->16 (deterministic planes)
     "s_ann_projected",             // ANN: project-then-rescore (16-dim candidate ranking)
+    "s_ann_projected_indexed",     // same serve from the persisted projected table
     "d_dedup_cosine_vs_index", // embedding probe of the corpus hyperplane-band index
     "d_dedup_cosine_incremental", // semantic-dedup increment: cosine index cut + touched components
     "d_pipeline_prep",    // composed prep: quality→lang→dedup→token budget
@@ -143,11 +144,13 @@ object Bench {
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "s_ann_pq_trained",   // PQ serve path under the committed trained codebook
     "s_ann_ivfpq_trained", // fully-trained IVF-PQ: fixture quantizer + codebook
+    "s_ann_ivfpq_residual", // IVFADC: residual codes + broadcast centroid term
     "m_media_frames",     // mapPartitions frame sampling
     "m_media_features",   // REAL PNG decode (ImageIO) + raster checksum
     "m_media_resize",     // real decode + nearest-neighbor resample
     "m_media_audio",      // REAL WAV decode (javax.sound) + energy/checksum
     "m_media_audio_frames", // windowed checksums over decoded samples
+    "m_media_dedup",      // dHash-64 image near-dup via 64-bit blocked pairing
   )
 
   def main(args: Array[String]): Unit = {

@@ -214,6 +214,21 @@ object SparkEntry {
       path
     })
 
+  /** Per-JVM persisted JL projected index (rounded projections + raw
+    * vectors) — written once per sfDir; projections are bit-identical to
+    * the in-flight build, so the s_ann_projected oracle applies unchanged.
+    */
+  private val projectedIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def projectedIndex(s: SparkSession, dir: String): String =
+    projectedIndexDir.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_projected").resolve("index").toString
+      ops.Similarity.writeProjectedIndex(
+        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        path, outDims = 16, firstPlane = 100)
+      path
+    })
+
   /** The committed k-means centroid fixture, parsed once per JVM. Lines
     * are `centId v1 .. v64` with `Double.toString` values — the shortest
     * decimal that round-trips to the same IEEE double, so Spark and the
@@ -266,6 +281,27 @@ object SparkEntry {
     fixtureCodebookRows.toDF("s", "codeId", "cb_sub")
   }
 
+  /** The committed RESIDUAL PQ codebook fixture
+    * (tools.TrainPqResidualFixture): per-subspace Lloyd trained on
+    * vec − assigned-fixture-centroid residuals. Same line format and
+    * bit-exactness contract as [[fixtureCodebookRows]].
+    */
+  private[graft] lazy val fixtureResidualCodebookRows: Seq[(Int, Int, Seq[Double])] = {
+    val in = getClass.getResourceAsStream("/graft/pq_residual_codebook.txt")
+    require(in != null, "pq_residual_codebook.txt fixture missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val parts = line.split(' ')
+      (parts(0).toInt, parts(1).toInt, parts.drop(2).map(_.toDouble).toSeq)
+    }.toList
+    finally src.close()
+  }
+
+  private[graft] def fixtureResidualCodebook(sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    fixtureResidualCodebookRows.toDF("s", "codeId", "cb_sub")
+  }
+
   /** The committed unigram-LM model fixture (tools.TrainUnigramFixture),
     * parsed once per JVM: header `! maxPieceLen unkLogProb`, then
     * `piece count logProb` lines. Log probs sit on the trainer's 2⁻⁴⁰
@@ -301,6 +337,23 @@ object SparkEntry {
     val pdir = imageAssetsDirs.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_media").resolve("assets").toString
       ops.Multimodal.imageAssets(t(s, d, "documents")).write.parquet(path)
+      path
+    })
+    s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
+  }
+
+  /** Per-JVM materialized NEAR-DUP PNG asset table (groups of 4 planted
+    * near-identical variants — [[graft.ops.Multimodal.nearDupPixel]]) —
+    * the image-dedup rows must measure the real decode + fingerprint
+    * path, not fixture generation.
+    */
+  private val imageDedupAssetsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def imageDedupAssetTable(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
+    val pdir = imageDedupAssetsDirs.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_media_dup").resolve("assets").toString
+      ops.Multimodal.imageDedupAssets(t(s, d, "documents")).write.parquet(path)
       path
     })
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
@@ -995,6 +1048,19 @@ object SparkEntry {
         refine = 30, centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
     },
+    // ---- ANN, RESIDUAL IVF-PQ (IVFADC): codes quantize vec − assigned
+    //      fixture centroid with the committed RESIDUAL codebook; ADC =
+    //      broadcast dot(q, centroid) + per-subspace lookups. The
+    //      higher-recall standard form at the same bits
+    "s_ann_ivfpq_residual" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfPqResidualTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
+        refine = 30, centroids = Some(fixtureCentroids(s)),
+        codebook = Some(fixtureResidualCodebook(s))).orderBy("qid", "rank")
+    },
     // ---- multimodal: REAL PNG decode (javax.imageio) via mapPartitions —
     //      fixture PNGs are deterministic pixel functions of (x, y, id),
     //      so the oracle recomputes the decoded raster's checksum
@@ -1048,6 +1114,18 @@ object SparkEntry {
       ops.Multimodal.resize(imageAssetTable(s, dir), width = 24, height = 24)
         .toDF().select("assetId", "width", "height", "nBytes", "checksum")
         .orderBy("assetId")
+    },
+    // ---- multimodal NEAR-DUP dedup: dHash-64 perceptual fingerprints
+    //      over REAL decoded PNGs (planted groups of 4 near-identical
+    //      variants), paired through the width-generic pigeonhole
+    //      blocking — never all-pairs. The oracle brute-forces the SAME
+    //      dHash definition analytically from the fixture's closed-form
+    //      pixels, so both the decode and the blocking must be lossless
+    //      at maxHamming=4 to match
+    "m_media_dedup" -> { (s, dir) =>
+      val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+        .orderBy("idA", "idB")
     },
 
     // ---- skew-safe aggregation: the two-phase salted plan must produce
@@ -1138,8 +1216,16 @@ object SparkEntry {
     // ---- TERMINAL tokenization: per-doc token-ID sequences under the
     //      committed unigram model, ids concatenated in word order
     "d_tokenize_ids" -> { (s, dir) =>
+      // Oracle-facing projection: the driver's comparator sorts rows with
+      // pandas, which cannot order array cells — gate on the CSV scalar
+      // (ints render identically in Spark and DuckDB); the operator
+      // itself stays array-returning for pipeline composition.
       ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
-        fixtureUnigram).orderBy("doc_id")
+        fixtureUnigram)
+        .select(col("doc_id"),
+          concat_ws(",", col("token_ids")).as("token_ids_csv"),
+          col("n_tok"))
+        .orderBy("doc_id")
     },
     // ---- tokenize → pack, materialized: the actual 128-token training
     //      examples (prefix-sum chunking; every chunk full except the
@@ -1149,7 +1235,11 @@ object SparkEntry {
     "d_pack_tokens" -> { (s, dir) =>
       val tok = ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram)
-      ops.Budget.packTokenIds(tok, "doc_id", seqLen = 128).orderBy("chunk")
+      ops.Budget.packTokenIds(tok, "doc_id", seqLen = 128)
+        .select(col("chunk"),
+          concat_ws(",", col("token_ids")).as("token_ids_csv"),
+          col("n_tok"))
+        .orderBy("chunk")
     },
     // ---- packing with EOS document separators — the real pre-training
     //      stream shape: each nonempty doc's ids followed by the reserved
@@ -1158,7 +1248,11 @@ object SparkEntry {
       val tok = ops.Unigram.tokenIds(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram)
       ops.Budget.packTokenIdsEos(tok, "doc_id", seqLen = 128,
-        eosId = fixtureUnigram.pieceStrings.length).orderBy("chunk")
+        eosId = fixtureUnigram.pieceStrings.length)
+        .select(col("chunk"),
+          concat_ws(",", col("token_ids")).as("token_ids_csv"),
+          col("n_tok"))
+        .orderBy("chunk")
     },
     // ---- tokens under the TRAINED tokenizer vs the closed-form estimate
     //      — the "is nTokensBpe honest?" comparison, per document
@@ -1504,8 +1598,16 @@ object SparkEntry {
     // ---- embedding feature prep: mean-center on the corpus centroid,
     //      L2-normalize (decimal-exact centroid, row-local projection)
     "d_embed_normalize" -> { (s, dir) =>
+      // Oracle-facing projection: one scalar row per (vector, dim) —
+      // format-safe for doubles (the driver comparator can sort and hash
+      // scalars; a CSV of floats would hinge on renderer formatting) and
+      // strictly stronger than a digest: every component is checked.
       ops.Similarity.normalizeEmbeddings(t(s, dir, "embeddings"),
-        "vec_id", "embedding").orderBy("vec_id")
+        "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("nvec")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("x"))
+        .orderBy("vec_id", "dim")
     },
     // ---- JL sign projection 64 -> 16 dims against the deterministic
     //      ±1 plane matrix (planes 100+ keep it disjoint from the LSH
@@ -1513,7 +1615,10 @@ object SparkEntry {
     "d_embed_project" -> { (s, dir) =>
       ops.Similarity.signProject(t(s, dir, "embeddings"),
         "vec_id", "embedding", outDims = 16, firstPlane = 100)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("x"))
+        .orderBy("vec_id", "dim")
     },
     // ---- embedding-space dataset card: per trained-cell count +
     //      cosine-to-centroid distribution (decimal-exact mean)
@@ -1904,6 +2009,18 @@ object SparkEntry {
         k = 5, outDims = 16, refine = 30, firstPlane = 100)
         .orderBy("qid", "rank")
     },
+    // ---- ANN: PERSISTED JL projected index — rounded 16-dim projections
+    //      (what serving scans: outDims/64 of the raw ranking I/O) +
+    //      vectors written once; projections are bit-identical to the
+    //      in-flight build, so results equal s_ann_projected → same oracle
+    "s_ann_projected_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.projectedTopKIndexed(
+        e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        projectedIndex(s, dir), k = 5, outDims = 16, refine = 30,
+        firstPlane = 100).orderBy("qid", "rank")
+    },
     // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
     //      catch shared passages at ANY offset — the recall the aligned
     //      stride windows trade away
@@ -2277,6 +2394,14 @@ object SparkEntry {
        |    CAST(round(${OracleFrag.subDotFix("q.v", "cb.bv", "cb.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
        |  FROM e q CROSS JOIN cb WHERE q.vec_id < 20)""".stripMargin
 
+  /** Residual codebook as literal VALUES — the residual oracles' `rcb`. */
+  private lazy val trainedPqResidualCbSelect: String = {
+    val values = fixtureResidualCodebookRows.map { case (s, c, v) =>
+      s"($s, $c, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"SELECT s, codeid, bv FROM (VALUES $values) AS __rcb(s, codeid, bv)"
+  }
+
   /** Shared unigram-Viterbi CTE body (caller prepends `WITH RECURSIVE`):
     * enumerate every segmentation of each distinct word backwards over
     * the fixture piece table (unk only for uncovered single chars), score
@@ -2469,6 +2594,36 @@ object SparkEntry {
     * bucket-midpoint decode, 9-decimal DECIMAL ranking (the PQ adot
     * convention), refine-30, exact rescore.
     */
+  /** Projected ANN oracle — shared by the in-flight and persisted-index
+    * serve paths (bit-identical projections make the answer sets equal).
+    */
+  private lazy val projectedOracleSql: String = {
+    val projList = (100 until 116).map(p =>
+      s"round(${OracleFrag.projDot("v", p)}, 6)")
+      .mkString("[", ",\n         |  ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |p AS (SELECT vec_id, $projList AS pv FROM e),
+       |pn AS (SELECT vec_id, pv, sqrt(${OracleFrag.dotN("pv", "pv", 16)}) AS pnrm FROM p),
+       |ax AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         CASE WHEN q.pnrm * c.pnrm != 0 THEN
+       |           CAST(round(${OracleFrag.dotN("q.pv", "c.pv", 16)} / (q.pnrm * c.pnrm), 9) AS DECIMAL(38,12))
+       |         ELSE CAST(-2 AS DECIMAL(38,12)) END AS adot
+       |       FROM pn q CROSS JOIN pn c
+       |       WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+       |cand AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+       |  FROM ax) WHERE arn <= 30),
+       |sc AS (SELECT cand.qid, cand.cid,
+       |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+       |                 JOIN n nc ON nc.vec_id = cand.cid)
+       |SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   private lazy val sq8OracleSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
@@ -2892,7 +3047,7 @@ object SparkEntry {
          |docids AS (SELECT wp2.doc_id, flatten(list(wid.ids ORDER BY wp2.wpos)) AS ids
          |           FROM wp2 JOIN wid ON wid.w = wp2.w GROUP BY 1)
          |SELECT d.doc_id,
-         |  COALESCE(docids.ids, CAST([] AS INTEGER[])) AS token_ids,
+         |  COALESCE(array_to_string(docids.ids, ','), '') AS token_ids_csv,
          |  CAST(len(COALESCE(docids.ids, CAST([] AS INTEGER[]))) AS INT) AS n_tok
          |FROM documents d LEFT JOIN docids ON docids.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
@@ -2925,7 +3080,7 @@ object SparkEntry {
          |tokpos AS (SELECT goff + tk - 1 AS gpos, ids[CAST(tk AS INT)] AS tid
          |           FROM (SELECT goff, ids, unnest(range(1, len(ids) + 1)) AS tk FROM offs))
          |SELECT CAST(gpos // 128 AS BIGINT) AS chunk,
-         |  list(CAST(tid AS INT) ORDER BY gpos) AS token_ids,
+         |  COALESCE(array_to_string(list(CAST(tid AS INT) ORDER BY gpos), ','), '') AS token_ids_csv,
          |  CAST(COUNT(*) AS INT) AS n_tok
          |FROM tokpos GROUP BY 1 ORDER BY 1""".stripMargin
     },
@@ -2958,7 +3113,7 @@ object SparkEntry {
          |tokpos AS (SELECT goff + tk - 1 AS gpos, ids[CAST(tk AS INT)] AS tid
          |           FROM (SELECT goff, ids, unnest(range(1, len(ids) + 1)) AS tk FROM offs))
          |SELECT CAST(gpos // 128 AS BIGINT) AS chunk,
-         |  list(CAST(tid AS INT) ORDER BY gpos) AS token_ids,
+         |  COALESCE(array_to_string(list(CAST(tid AS INT) ORDER BY gpos), ','), '') AS token_ids_csv,
          |  CAST(COUNT(*) AS INT) AS n_tok
          |FROM tokpos GROUP BY 1 ORDER BY 1""".stripMargin
     },
@@ -4436,47 +4591,28 @@ object SparkEntry {
          |        list_transform(range(1, 65), __i -> v[__i] - mus[__i]) AS cv
          |      FROM e, mul),
          |n2 AS (SELECT vec_id, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS nrm FROM c)
-         |SELECT vec_id,
-         |  CASE WHEN nrm != 0 THEN list_transform(range(1, 65), __i -> round(cv[__i] / nrm, 6))
-         |       ELSE list_transform(range(1, 65), __i -> round(cv[__i], 6)) END AS nvec
-         |FROM n2 ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, CAST(__i AS INT) AS dim,
+         |  CASE WHEN nrm != 0 THEN round(cv[CAST(__i AS INT)] / nrm, 6)
+         |       ELSE round(cv[CAST(__i AS INT)], 6) END AS x
+         |FROM n2 CROSS JOIN (SELECT unnest(range(1, 65)) AS __i) __d
+         |ORDER BY vec_id, dim""".stripMargin,
     // Projected ANN replayed: the same rounded 16-dim projections, the
     // same -2 zero-norm sentinel, DECIMAL(38,12) candidate ranking,
-    // refine-30, exact full-space rescore
-    "s_ann_projected" -> {
-      val projList = (100 until 116).map(p =>
-        s"round(${OracleFrag.projDot("v", p)}, 6)")
-        .mkString("[", ",\n         |  ", "]")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |p AS (SELECT vec_id, $projList AS pv FROM e),
-         |pn AS (SELECT vec_id, pv, sqrt(${OracleFrag.dotN("pv", "pv", 16)}) AS pnrm FROM p),
-         |ax AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |         CASE WHEN q.pnrm * c.pnrm != 0 THEN
-         |           CAST(round(${OracleFrag.dotN("q.pv", "c.pv", 16)} / (q.pnrm * c.pnrm), 9) AS DECIMAL(38,12))
-         |         ELSE CAST(-2 AS DECIMAL(38,12)) END AS adot
-         |       FROM pn q CROSS JOIN pn c
-         |       WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
-         |cand AS (SELECT qid, cid FROM (
-         |  SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
-         |sc AS (SELECT cand.qid, cand.cid,
-         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
-         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
-         |                 JOIN n nc ON nc.vec_id = cand.cid)
-         |SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+    // refine-30, exact full-space rescore. The indexed twin serves from
+    // bit-identical persisted projections → the SAME oracle gates both
+    "s_ann_projected" -> projectedOracleSql,
+    "s_ann_projected_indexed" -> projectedOracleSql,
     // JL sign projection replayed: the same squared-Lehmer projection
     // matrix (projSign mirror), sequential per-plane dot in index order
     "d_embed_project" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT vec_id, ${(100 until 116).map(p =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, ${(100 until 116).map(p =>
               s"round(${OracleFrag.projDot("v", p)}, 6)")
               .mkString("[", ",\n         |  ", "]")} AS proj
-         |FROM e ORDER BY vec_id""".stripMargin,
+         |FROM e)
+         |SELECT vec_id, CAST(__i AS INT) AS dim, proj[CAST(__i AS INT)] AS x
+         |FROM p CROSS JOIN (SELECT unnest(range(1, 17)) AS __i) __d
+         |ORDER BY vec_id, dim""".stripMargin,
     // Cell profile replayed: fixture-centroid argmax with csim retained,
     // then per-cell count + decimal-exact mean + rounded extremes
     "d_semantic_cells" -> {
@@ -4834,6 +4970,69 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // RESIDUAL IVF-PQ replayed: fixture-centroid routing (rt keeps the
+    // cell id), residuals rv = v − assigned centroid, encode against the
+    // RESIDUAL codebook literals, ADC = Σ_s dot(q_sub, cb) + one
+    // dot(q, centroid) term — all on the DECIMAL(38,12) grid so the
+    // refine cutoff can never drift — then refine-30 + exact rescore.
+    "s_ann_ivfpq_residual" -> {
+      val centValues = fixtureCentroidRows.map { case (id, v) =>
+        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+         |         FROM (VALUES $centValues) AS __cent(centid, cv)),
+         |asg AS (SELECT vec_id AS cid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent) WHERE rn = 1),
+         |qc AS (SELECT vec_id AS qid, centid FROM (
+         |  SELECT n.vec_id, cent.centid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |rt AS (SELECT qc.qid, asg.cid, asg.centid
+         |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+         |rcb AS ($trainedPqResidualCbSelect),
+         |rres AS (SELECT asg.cid, asg.centid,
+         |           list_transform(range(1, 65), __i -> e.v[__i] - cent.cv[__i]) AS rv
+         |         FROM asg JOIN cent ON cent.centid = asg.centid
+         |                  JOIN e ON e.vec_id = asg.cid),
+         |enc AS (SELECT cid, s, codeid FROM (
+         |  SELECT r.cid, cb.s, cb.codeid,
+         |    row_number() OVER (PARTITION BY r.cid, cb.s ORDER BY
+         |      (${OracleFrag.subDot("r.rv", "r.rv", "cb.s", 8)}
+         |       - 2.0 * ${OracleFrag.subDotFix("r.rv", "cb.bv", "cb.s", 8)}
+         |       + ${OracleFrag.dotN("cb.bv", "cb.bv", 8)}) ASC, cb.codeid) AS rn
+         |  FROM rres r CROSS JOIN rcb cb) WHERE rn = 1),
+         |qtab AS (
+         |  SELECT q.vec_id AS qid, cb.s, cb.codeid,
+         |    CAST(round(${OracleFrag.subDotFix("q.v", "cb.bv", "cb.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
+         |  FROM e q CROSS JOIN rcb cb WHERE q.vec_id < 20),
+         |qct AS (
+         |  SELECT q.vec_id AS qid, cent.centid,
+         |    CAST(round(${OracleFrag.dot64("q.v", "cent.cv")}, 9) AS DECIMAL(38,12)) AS qcdot
+         |  FROM e q CROSS JOIN cent WHERE q.vec_id < 20),
+         |ax AS (
+         |  SELECT rt.qid, rt.cid, SUM(qtab.pdot) + MAX(qct.qcdot) AS adot
+         |  FROM rt JOIN enc ON enc.cid = rt.cid
+         |          JOIN qtab ON qtab.qid = rt.qid AND qtab.s = enc.s AND qtab.codeid = enc.codeid
+         |          JOIN qct ON qct.qid = rt.qid AND qct.centid = rt.centid
+         |  GROUP BY rt.qid, rt.cid),
+         |cand AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+         |  FROM ax) WHERE arn <= 30),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+         |                 JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
     // Deterministic chunk math: frames = every 2nd 128-byte chunk of the
     // UTF-8 payload (ASCII text ⇒ byte k = ascii of char k); checksum is
     // the same (a*131 + byte) mod (2^31-1) fold as Multimodal.checksum.
@@ -4973,5 +5172,41 @@ object SparkEntry {
         |    + ((p % w) * 5 + (p // w) * 17 + doc_id * 11) % 256)),
         |    (__a, __c) -> (__a * 31 + __c) % 2147483647) AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // dHash-64 image near-dup replayed ANALYTICALLY: per id, sample the
+    // 9×8 luminance grid from the closed-form near-dup raster (group
+    // base pixels + the variant's left-strip/even-row red shift), derive
+    // the 64 adjacent-comparison bits, then BRUTE-FORCE Hamming over all
+    // id pairs via the per-(id, bit) join — the blocked Spark plan must
+    // be lossless at maxHamming=4 to match the exhaustive answer. The
+    // bits stay unpacked (no 2^63 BIGINT packing hazards): dist is the
+    // count of mismatched comparison outcomes, which IS the Hamming
+    // distance of the packed hashes
+    "m_media_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+        |             FROM documents),
+        |dim AS (SELECT id, g, v, 8 + (7*g + 3) % 24 AS w, 8 + (13*g + 5) % 24 AS h
+        |        FROM ids),
+        |grid AS (SELECT id, g, v, (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, gx, gy
+        |         FROM dim
+        |         CROSS JOIN (SELECT unnest(range(0, 9)) AS gx) __x
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) __y),
+        |lum AS (SELECT id, gx, gy,
+        |          (CASE WHEN sx < 2 AND sy % 2 = 0
+        |                THEN ((7*sx + 13*sy + g) % 256 + 8*v) % 256
+        |                ELSE (7*sx + 13*sy + g) % 256 END)
+        |          + (11*sx + 3*sy + 5*g) % 256
+        |          + (5*sx + 17*sy + 11*g) % 256 AS lum
+        |        FROM grid),
+        |bits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
+        |           CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b
+        |         FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy
+        |                               AND b.gx = a.gx + 1
+        |         WHERE a.gx < 8)
+        |SELECT a.id AS "idA", b.id AS "idB",
+        |  CAST(SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS INT) AS dist
+        |FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) <= 4
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

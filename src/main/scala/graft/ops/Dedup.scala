@@ -243,16 +243,33 @@ object Dedup {
     * near-equal parts.
     */
   private[graft] def blockBounds(blocks: Int, i: Int): (Int, Int) =
-    ((31 * i) / blocks, (31 * (i + 1)) / blocks)
+    blockBoundsBits(31, blocks, i)
+
+  /** Bit range [lo, hi) of block `i` when `bits` bits are split into
+    * `blocks` near-equal parts — the width-generic form (31-bit text
+    * simhash, 64-bit image dHash).
+    */
+  private[graft] def blockBoundsBits(bits: Int, blocks: Int, i: Int): (Int, Int) =
+    ((bits * i) / blocks, (bits * (i + 1)) / blocks)
 
   /** The per-block key columns of a packed simhash column — the ONE
     * definition of the blocking scheme (also used by the streaming index;
     * change here + the oracle SQL in lockstep).
     */
   private[graft] def blockKeyCols(sim: Column, blocks: Int): Column =
+    blockKeyColsBits(sim, blocks, 31)
+
+  /** Width-generic block keys. `shiftrightunsigned` (not arithmetic
+    * shift) so a 64-bit hash with the sign bit set still yields clean
+    * block keys; identical to `shiftright` for the non-negative 31-bit
+    * simhash.
+    */
+  private[graft] def blockKeyColsBits(sim: Column, blocks: Int, bits: Int): Column =
     array((0 until blocks).map { i =>
-      val (lo, hi) = blockBounds(blocks, i)
-      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+      val (lo, hi) = blockBoundsBits(bits, blocks, i)
+      val masked = shiftrightunsigned(sim, lo)
+      if (hi - lo >= 64) masked
+      else masked.bitwiseAND(lit((1L << (hi - lo)) - 1))
     }: _*)
 
   /** SimHash near-dup pairs over the 31-bit simhash. The hash is split into
@@ -279,12 +296,21 @@ object Dedup {
     * the pigeonhole-completeness property is testable on constructed
     * hashes (TextHashSpec).
     */
-  def pairsFromSimhash(sims: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+  def pairsFromSimhash(sims: DataFrame, maxHamming: Int, blocks: Int): DataFrame =
+    pairsFromHash(sims, maxHamming, blocks, bits = 31)
+
+  /** Width-generic blocked pair generation — the same lossless pigeonhole
+    * scheme over any packed hash width (31-bit text simhash, 64-bit image
+    * dHash from [[graft.ops.Multimodal.imageHashes]]). Never all-pairs:
+    * candidates meet only inside a (block, blockKey) bucket.
+    */
+  def pairsFromHash(sims: DataFrame, maxHamming: Int, blocks: Int,
+      bits: Int): DataFrame = {
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
         "pigeonhole guarantees a shared block only for distance < blocks")
     val blocked = sims.select(col("id"), col("sim"),
-      posexplode(blockKeyCols(col("sim"), blocks)))
+      posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
     val l = blocked.select(col("block"), col("blockKey"),
       col("id").as("idA"), col("sim").as("simA"))

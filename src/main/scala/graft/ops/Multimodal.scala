@@ -455,6 +455,114 @@ object Multimodal {
       })
   }
 
+  // ================== image near-dup fingerprinting ==================
+
+  /** Fixture pixel for the NEAR-DUP image fixture: groups of 4 asset ids
+    * share a base raster (`fixturePixel` of id/4); the variant id%4
+    * shifts the red channel by 8·variant in the left strip (x < 2) on
+    * even rows only — a localized edit (re-encode artifact / small
+    * overlay) that perturbs at most the first [[dhash64]] grid columns,
+    * so same-group hashes land within a few Hamming bits of each other
+    * while cross-group hashes stay ~32 bits apart. Pure integer
+    * arithmetic (floorMod) so the DuckDB oracle recomputes the raster.
+    */
+  def nearDupPixel(id: Long, x: Int, y: Int): Long = {
+    val base = fixturePixel(id / 4, x, y)
+    if (x < 2 && y % 2 == 0) {
+      val r = Math.floorMod((base >> 16) + 8L * (id % 4), 256)
+      (r << 16) | (base & 0xffff)
+    } else base
+  }
+
+  /** Encode the near-dup fixture image for `id` as a real PNG. Dimensions
+    * derive from the GROUP (id/4), so group members compare pixel-grids
+    * of identical shape: w = 8 + (7·g + 3) mod 24, h = 8 + (13·g + 5)
+    * mod 24.
+    */
+  def encodeNearDupPng(id: Long): Array[Byte] = {
+    val g = id / 4
+    val w = (8 + Math.floorMod(g * 7 + 3, 24)).toInt
+    val h = (8 + Math.floorMod(g * 13 + 5, 24)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, nearDupPixel(id, x, y).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The near-dup PNG asset table: one real PNG per document id, planted
+    * in groups of 4 near-identical variants (see [[nearDupPixel]]).
+    * Partition-local generation, no shuffle.
+    */
+  def imageDedupAssets(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaAsset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaAsset(id, "image", encodeNearDupPng(id), s"synthetic://neardup/$id")
+      })
+  }
+
+  /** dHash-64 perceptual fingerprint of a decoded raster (Krawetz's
+    * difference hash): nearest-neighbor sample a 9×8 luminance grid —
+    * sx = ⌊gx·w/9⌋, sy = ⌊gy·h/8⌋, lum = r+g+b (division-free: Hamming
+    * only needs the ORDER of adjacent luminances) — then bit gy·8+gx is
+    * set iff lum(gx,gy) < lum(gx+1,gy). Near-identical images (small
+    * edits, re-encodes, brightness shifts) flip few bits; unrelated
+    * images differ in ~32. The explicit integer sampling (same scheme as
+    * [[resize]]) keeps the hash DuckDB-reproducible from the fixture's
+    * closed-form pixels.
+    */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+        lum(gy)(gx) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gy)(gx) < lum(gy)(gx + 1)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Perceptual fingerprints of an image-asset table: decode each PNG for
+    * REAL and project `(id, sim)` rows shaped for
+    * [[graft.ops.Dedup.pairsFromHash]]'s pigeonhole blocking. Batched
+    * partition-local decode like [[decodeFeatures]]; zero exchanges.
+    */
+  def imageHashes(assets: Dataset[MediaAsset], batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        (a.assetId, dhash64(readImage(a.payload)))
+      })
+    }.toDF("id", "sim")
+  }
+
   /** Build a media-asset frame from any table with a text column — the
     * video-ish harness path used by frame sampling and the stub decode
     * (payload = UTF-8 bytes standing in for an encoded container).

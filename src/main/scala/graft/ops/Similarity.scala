@@ -517,6 +517,88 @@ object Similarity {
     adcRefineRescore(Some(routed), qTab, codes, queries, corpus, k, refine)
   }
 
+  /** Per-row residuals against the assigned coarse cell: (cid, centId,
+    * r_v = vec − cell centroid). One broadcast-centroid pass; the only
+    * shuffle is the id-keyed self-join re-attaching vectors to their
+    * assignment.
+    */
+  private def residualFrame(c: DataFrame, cent: DataFrame): DataFrame =
+    nearestCells(c, "cid", cent, keep = 1)
+      .join(broadcast(cent.select(col("centId"), col("cent_v"))), "centId")
+      .join(c.select(col("cid"), col("cid_v")), "cid")
+      .select(col("cid"), col("centId"),
+        zip_with(col("cid_v"), col("cent_v"), (x, m) => x - m).as("r_v"))
+
+  /** Train a per-subspace codebook on RESIDUALS (vec − assigned-cell
+    * centroid) — the standard IVFADC preparation (Jegou et al. 2011,
+    * §III): residuals concentrate near the origin, so `kCode` centroids
+    * cover them far more faithfully than they cover raw vectors, which is
+    * where residual IVF-PQ's recall edge comes from. Same Lloyd kernel as
+    * [[pqTrainedCodebook]]; float-order dependent, so commit the result
+    * as a fixture (tools.TrainPqResidualFixture) and gate the SERVE path.
+    */
+  def pqResidualCodebook(corpus: DataFrame, centroids: DataFrame,
+      m: Int = 8, subDim: Int = 8, kCode: Int = 16, iters: Int = 5): DataFrame =
+    pqTrainedCodebook(
+      residualFrame(prep(corpus, "cid"), centroids)
+        .select(col("cid"), col("r_v").as("vec")),
+      m, subDim, kCode, iters)
+
+  /** RESIDUAL IVF-PQ (IVFADC, Jegou et al. 2011): the coarse quantizer
+    * routes, PQ codes quantize the RESIDUAL vec − centroid, and ADC
+    * exploits dot(q, centroid + Σ_s cb_s) = dot(q, centroid) + Σ_s
+    * dot(q_sub, cb_s) — one broadcast qcent term per (query, cell) plus
+    * the same per-subspace lookup table as the non-residual form. At
+    * equal bits the codebook spans the residual cloud instead of the
+    * whole corpus spread, so ranking is finer and recall ≥ the
+    * non-residual [[ivfPqTopK]] (pinned by OpsSpec on the fixture).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — centroids and codebooks
+    * broadcast, every shuffle carries (id, subspace, code) ints only, the
+    * ADC scan touches probed cells only, refine survivors join vectors
+    * back by id.
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      subDim: Int = 8,
+      kCode: Int = 16,
+      refine: Int = 30,
+      centroids: Option[DataFrame] = None, // (centId, cent_v, cent_n)
+      codebook: Option[DataFrame] = None,  // RESIDUAL (s, codeId, cb_sub)
+  ): DataFrame = {
+    val c = prep(corpus, "cid")
+    val q = prep(queries, "qid")
+    val cent = centroids.getOrElse(seededCentroids(c, nCells))
+    val res = residualFrame(c, cent) // (cid, centId, r_v)
+    val resAsC = res.select(col("cid"), col("r_v").as("cid_v"))
+    val cbSub = codebook.getOrElse(seededCodebook(resAsC, m, subDim, kCode))
+    val codes = pqEncode(resAsC, cbSub, m, subDim)
+    val probed = nearestCells(q, "qid", cent, keep = nProbe)
+    val routed = probed.join(res.select("cid", "centId"), "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid", "centId")
+    val qTab = pqQueryTable(q, cbSub, m, subDim)
+    val qcent = q.select(col("qid"), col("qid_v"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("centId"),
+        round(dot_product(col("qid_v"), col("cent_v")), 9)
+          .cast(DecExact).as("qcdot"))
+    val approx = routed.join(codes, "cid").join(qTab, Seq("qid", "s", "codeId"))
+      .groupBy("qid", "cid", "centId").agg(sum(col("pdot")).as("rdot"))
+      .join(qcent, Seq("qid", "centId"))
+      .select(col("qid"), col("cid"), (col("rdot") + col("qcdot")).as("adot"))
+    val cand = approx
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+      .where(col("arn") <= refine).select("qid", "cid")
+    rescoreTopK(cand, queries, corpus, k)
+  }
+
   /** Scalar-quantization (SQ8) ANN: compress each corpus dimension to ONE
     * byte — code = ⌊(x − lo_d) / step_d⌋ clamped to [0, 255], with
     * per-dimension ranges [lo_d, hi_d) from one corpus aggregate and
@@ -842,12 +924,21 @@ object Similarity {
     val cp = signProject(corpus.select(col("cid"), col("vec")), "cid", "vec",
         outDims, firstPlane)
       .select(col("cid"), col("proj").as("cp"))
-      .withColumn("cp_n", norm(col("cp")))
     val qp = signProject(queries.select(col("qid"), col("vec")), "qid", "vec",
         outDims, firstPlane)
       .select(col("qid"), col("proj").as("qp"))
-      .withColumn("qp_n", norm(col("qp")))
-    val cand = qp.crossJoin(cp)
+    rescoreTopK(projectedCandidates(qp, cp, refine), queries, corpus, k)
+  }
+
+  /** Shared projected-space candidate stage: rank corpus projections per
+    * query by projected cosine (9-decimal DECIMAL — the family's no-drift
+    * convention), keep `refine` per query, ids only downstream. Inputs
+    * carry `(qid, qp)` / `(cid, cp)` rounded projections.
+    */
+  private def projectedCandidates(qp: DataFrame, cp: DataFrame,
+      refine: Int): DataFrame =
+    qp.withColumn("qp_n", norm(col("qp")))
+      .crossJoin(cp.withColumn("cp_n", norm(col("cp"))))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         when(col("qp_n") * col("cp_n") =!= 0.0,
@@ -857,7 +948,40 @@ object Similarity {
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
       .where(col("arn") <= refine).select("qid", "cid")
-    rescoreTopK(cand, queries, corpus, k)
+
+  /** Persist a JL projected index: the ROUNDED `outDims`-dim projections
+    * (what serving ranks against — `outDims/64` of the raw ranking I/O)
+    * plus the raw vectors (the exact-rescore side) — the build-offline /
+    * serve-online split every other ANN tier has ([[writeIvfIndex]],
+    * [[writeSq8Index]], the dedup band indexes). Projections are exactly
+    * [[signProject]]'s output, so a serve over the persisted table lands
+    * on the same candidates as the in-flight [[projectedTopK]].
+    */
+  def writeProjectedIndex(corpus: DataFrame, path: String,
+      outDims: Int = 16, firstPlane: Int = 100): Unit = {
+    signProject(corpus.select(col("cid"), col("vec")), "cid", "vec",
+        outDims, firstPlane)
+      .select(col("cid"), col("proj"))
+      .write.parquet(s"$path/projected")
+    corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
+  }
+
+  /** Query a [[writeProjectedIndex]] layout: rank against the persisted
+    * projections, refine, exact-rescore against the persisted vectors.
+    * Bit-identical projections → results equal [[projectedTopK]] over the
+    * same corpus, and the same DuckDB oracle gates both.
+    */
+  def projectedTopKIndexed(queries: DataFrame, path: String,
+      k: Int = 10, outDims: Int = 16, refine: Int = 30,
+      firstPlane: Int = 100): DataFrame = {
+    val spark = queries.sparkSession
+    val cp = spark.read.parquet(s"$path/projected")
+      .select(col("cid"), col("proj").as("cp"))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val qp = signProject(queries.select(col("qid"), col("vec")), "qid", "vec",
+        outDims, firstPlane)
+      .select(col("qid"), col("proj").as("qp"))
+    rescoreTopK(projectedCandidates(qp, cp, refine), queries, vectors, k)
   }
 
   def normalizeEmbeddings(corpus: DataFrame, idCol: String,

@@ -144,6 +144,14 @@ class OpsSpec extends AnyFunSuite {
       centroids = Some(cent), codebook = Some(cb)))
     assert(ivfpqTrained >= ivfpqSeeded,
       s"trained IVF-PQ $ivfpqTrained < seeded $ivfpqSeeded")
+    // residual quantization (IVFADC): at the SAME bits (m=8, kCode=16)
+    // the codebook spans the residual cloud, not the corpus spread, so
+    // recall must not drop below the non-residual trained form
+    val rcb = SparkEntry.fixtureResidualCodebook(TestSpark.session)
+    val ivfpqResidual = recallOf(Similarity.ivfPqResidualTopK(q, c, k = 5,
+      centroids = Some(cent), codebook = Some(rcb)))
+    assert(ivfpqResidual >= ivfpqTrained,
+      s"residual IVF-PQ $ivfpqResidual < non-residual trained $ivfpqTrained")
   }
 
   test("SQ8 ANN: full-refine equals brute force exactly; refine-30 recall beats PQ's") {
@@ -419,6 +427,47 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.MediaAsset(9L, "image", Array[Byte](1, 2, 3), "t")))(
       Multimodal.assetEnc)
     intercept[Exception](Multimodal.decodeFeatures(bad).collect())
+  }
+
+  test("multimodal: dHash-64 matches a pure reference; planted near-dups recalled blocked") {
+    import spark.implicits._
+    // independent dHash reference straight from the closed-form pixels —
+    // never through ImageIO or the operator's sampling loop
+    def refDhash(id: Long): Long = {
+      val g = id / 4
+      val w = (8 + Math.floorMod(g * 7 + 3, 24)).toInt
+      val h = (8 + Math.floorMod(g * 13 + 5, 24)).toInt
+      def lum(gx: Int, gy: Int): Int = {
+        val p = Multimodal.nearDupPixel(id, gx * w / 9, gy * h / 8)
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toInt
+      }
+      (for (gy <- 0 until 8; gx <- 0 until 8 if lum(gx, gy) < lum(gx + 1, gy))
+        yield 1L << (gy * 8 + gx)).foldLeft(0L)(_ | _)
+    }
+    val ids = (0L until 16L) :+ 1000L :+ 1001L
+    val assets = spark.createDataset(ids.map(id =>
+      Multimodal.MediaAsset(id, "image", Multimodal.encodeNearDupPng(id), "t")))(
+      Multimodal.assetEnc)
+    val hashes = Multimodal.imageHashes(assets, batchSize = 3)
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) == refDhash(id), s"dhash diverges for id $id"))
+    // planted same-group variants sit within a few Hamming bits
+    for (id <- Seq(1L, 2L, 3L, 1001L))
+      assert(java.lang.Long.bitCount(got(id) ^ got(id / 4 * 4)) <= 8,
+        s"group variant $id drifted from its base")
+    // blocked pairing over the hashes equals brute force at the gate's
+    // parameters AND plans without a cartesian product
+    val pairs = Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val gotPairs = pairs.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- ids; b <- ids
+      if a < b && java.lang.Long.bitCount(refDhash(a) ^ refDhash(b)) <= 4
+    } yield (a, b)).toSet
+    assert(want.nonEmpty)
+    assert(gotPairs == want)
   }
 
   test("bpe training: merge sequence matches an independent reference, deterministic") {

@@ -163,4 +163,28 @@ class TextHashSpec extends AnyFunSuite {
       Dedup.pairsFromSimhash(df, maxHamming = 4, blocks = 4)
     }
   }
+
+  test("64-bit blocked pairing (image dHash width) equals brute force, sign bit included") {
+    // full-range longs: the sign bit must survive the block-key split
+    // (shiftrightunsigned — an arithmetic shift would smear it across
+    // every high block and split true pairs into different buckets)
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(30)(rnd.nextLong() | Long.MinValue) // force bit 63
+    val sims = base.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 10L, s),
+        (i * 10L + 1, s ^ (1L << rnd.nextInt(64))),
+        (i * 10L + 2, s ^ (1L << 63) ^ (1L << rnd.nextInt(63)) ^ (1L << rnd.nextInt(63))),
+        (i * 10L + 3, rnd.nextLong()))
+    }
+    val df = sims.toDF("id", "sim")
+    val got = Dedup.pairsFromHash(df, maxHamming = 4, blocks = 5, bits = 64)
+      .select("idA", "idB", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
