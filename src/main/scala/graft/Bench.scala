@@ -53,6 +53,7 @@ object Bench {
     "d_manifest_update",   // released + increment combined = full recompute
     "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
     "d_wordpiece_tokens",  // WordPiece-trained counts through the shared segmenter
+    "d_unigram_train",     // full hard-EM trainer run (the oracle-gated trainer)
     "d_unigram_tokens",    // unigram-LM counts under the committed grid-exact model
     "d_unigram_ppl",       // CCNet-style per-doc NLL/token quality filter
     "d_tokenize_ids",      // terminal tokenization: per-doc token-ID sequences
@@ -151,6 +152,9 @@ object Bench {
     "m_media_audio",      // REAL WAV decode (javax.sound) + energy/checksum
     "m_media_audio_frames", // windowed checksums over decoded samples
     "m_media_dedup",      // dHash-64 image near-dup via 64-bit blocked pairing
+    "m_media_dedup_removal", // image pairs -> star-CC -> LEFT ANTI survivors
+    "m_media_dedup_vs_index", // batch probe of the persisted image-hash index
+    "m_media_audio_dedup", // audio energy-fingerprint near-dup pairing
   )
 
   def main(args: Array[String]): Unit = {

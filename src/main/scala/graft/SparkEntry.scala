@@ -359,6 +359,21 @@ object SparkEntry {
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
   }
 
+  /** Per-JVM materialized NEAR-DUP WAV asset table — the audio sibling
+    * of [[imageDedupAssetTable]].
+    */
+  private val audioDedupAssetsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def audioDedupAssetTable(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
+    val pdir = audioDedupAssetsDirs.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_media_dupwav").resolve("assets").toString
+      ops.Multimodal.audioDedupAssets(t(s, d, "documents")).write.parquet(path)
+      path
+    })
+    s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
+  }
+
   /** Per-JVM materialized WAV asset table — same rationale as
     * [[imageAssetTable]]: the m_media_audio* rows must measure the REAL
     * `AudioSystem` container parse, not fixture generation.
@@ -1127,6 +1142,40 @@ object SparkEntry {
       ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
         .orderBy("idA", "idB")
     },
+    // ---- image near-dup REMOVAL: dHash pairs -> star-CC -> one LEFT
+    //      ANTI — the multimodal criterion gets the same removal closure
+    //      every text criterion has
+    "m_media_dedup_removal" -> { (s, dir) =>
+      val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+      val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5,
+        bits = 64)
+      val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+      val losers = comps.where(col("node") =!= col("comp"))
+        .select(col("node").as("__dup_id"))
+      hashes.join(losers, col("id") === col("__dup_id"), "left_anti")
+        .select(col("id").as("assetId")).orderBy("assetId")
+    },
+    // ---- image near-dup INDEX PROBE: a batch of new assets against the
+    //      persisted corpus fingerprint index (signature-sized — corpus
+    //      payloads never redecoded), the family's incremental shape
+    "m_media_dedup_vs_index" -> { (s, dir) =>
+      val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+      val index = ops.Dedup.hashIndex(hashes.where(col("id") < 250),
+        blocks = 5, bits = 64)
+      ops.Dedup.hashIndexMatches(hashes.where(col("id") >= 250), index,
+          maxHamming = 4, blocks = 5, bits = 64)
+        .select(col("id").as("assetId"), col("corpusId").as("corpus_id"),
+          col("dist"))
+        .orderBy("assetId", "corpus_id")
+    },
+    // ---- AUDIO near-dup: energy-difference fingerprints over REAL
+    //      decoded WAVs (planted variant groups), the same width-generic
+    //      blocked pairing — dedup's second modality
+    "m_media_audio_dedup" -> { (s, dir) =>
+      val hashes = ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+        .orderBy("idA", "idB")
+    },
 
     // ---- skew-safe aggregation: the two-phase salted plan must produce
     //      byte-identical results to a plain GROUP BY (the oracle IS the
@@ -1212,6 +1261,19 @@ object SparkEntry {
     "d_unigram_ppl" -> { (s, dir) =>
       ops.Unigram.docNll(t(s, dir, "documents"), "text", "doc_id",
         fixtureUnigram, nllCutoff = 3.75).orderBy("doc_id")
+    },
+    // ---- the TRAINER itself under the oracle gate: DuckDB replays the
+    //      full hard-EM run (seeding → 3 Viterbi/m-step rounds → prune →
+    //      final count pass) against the same corpus; the 2⁻⁴⁰ grid snap
+    //      and the exact-dyadic DP sums make every intermediate model
+    //      bit-identical cross-engine (fixture params: vocab 300,
+    //      maxPieceLen 4, 3 rounds, 256 seed multis)
+    "d_unigram_train" -> { (s, dir) =>
+      import s.implicits._
+      val m = ops.Unigram.train(t(s, dir, "documents"), "text",
+        vocabSize = 300, maxPieceLen = 4, emRounds = 3, seedMultis = 256)
+      m.pieces.map(p => (p.piece, p.count, p.logProb))
+        .toDF("piece", "cnt", "log_prob").orderBy("piece")
     },
     // ---- TERMINAL tokenization: per-doc token-ID sequences under the
     //      committed unigram model, ids concatenated in word order
@@ -2394,6 +2456,71 @@ object SparkEntry {
        |    CAST(round(${OracleFrag.subDotFix("q.v", "cb.bv", "cb.s", 8)}, 9) AS DECIMAL(38,12)) AS pdot
        |  FROM e q CROSS JOIN cb WHERE q.vec_id < 20)""".stripMargin
 
+  // ================ media fingerprint oracle fragments ================
+
+  /** Hamming distance of two packed 64-bit fingerprints held as 32-bit
+    * halves `(h1, h2)` — BIGINT-safe (no 2^63 packing hazards).
+    */
+  private def mediaHamming(a: String, b: String): String =
+    s"CAST(bit_count(xor($a.h1, $b.h1)) + bit_count(xor($a.h2, $b.h2)) AS INT)"
+
+  /** Shared bit-packing tail: `bits(id, k, b)` → `hx(id, h1, h2)`. */
+  private val mediaPackCtes: String =
+    s"""hx AS (SELECT id,
+       |        CAST(SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS h1,
+       |        CAST(SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS h2
+       |       FROM bits GROUP BY id)""".stripMargin
+
+  /** dHash-64 of the near-dup PNG fixture, analytically: per id, sample
+    * the 9×8 luminance grid from the closed-form raster (group base
+    * pixels + the variant's left-strip/even-row red shift), derive the
+    * 64 adjacent-comparison bits, pack into halves. Ends in
+    * `ids(id, g, v)` + `hx(id, h1, h2)`.
+    */
+  private lazy val mediaDhashCtes: String =
+    s"""ids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |             FROM documents),
+       |dim AS (SELECT id, g, v, 8 + (7*g + 3) % 24 AS w, 8 + (13*g + 5) % 24 AS h
+       |        FROM ids),
+       |grid AS (SELECT id, g, v, (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, gx, gy
+       |         FROM dim
+       |         CROSS JOIN (SELECT unnest(range(0, 9)) AS gx) __x
+       |         CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) __y),
+       |lum AS (SELECT id, gx, gy,
+       |          (CASE WHEN sx < 2 AND sy % 2 = 0
+       |                THEN ((7*sx + 13*sy + g) % 256 + 8*v) % 256
+       |                ELSE (7*sx + 13*sy + g) % 256 END)
+       |          + (11*sx + 3*sy + 5*g) % 256
+       |          + (5*sx + 17*sy + 11*g) % 256 AS lum
+       |        FROM grid),
+       |bits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
+       |           CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b
+       |         FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy
+       |                               AND b.gx = a.gx + 1
+       |         WHERE a.gx < 8),
+       |$mediaPackCtes""".stripMargin
+
+  /** Audio energy fingerprint of the near-dup WAV fixture, analytically:
+    * 65 windows of w = 10 + g mod 8 samples, exact integer
+    * absolute-amplitude sums of the perturbed closed-form waveform
+    * (s = ((2029t + 48271g + 12345) mod 65536 + bump) mod 65536 − 32768,
+    * bump = 8v on t mod 97 < 5), 64 adjacent comparisons, packed halves.
+    */
+  private lazy val mediaAudioFpCtes: String =
+    s"""aids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |         FROM documents),
+       |aw AS (SELECT id, g, v, 10 + g % 8 AS w FROM aids),
+       |ae AS (SELECT id, k,
+       |         CAST(list_sum(list_transform(range(k * w, (k + 1) * w), __t ->
+       |           abs(((2029*__t + 48271*g + 12345) % 65536
+       |                + CASE WHEN __t % 97 < 5 THEN 8*v ELSE 0 END) % 65536
+       |               - 32768))) AS BIGINT) AS e
+       |       FROM aw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
+       |bits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
+       |         FROM ae a JOIN ae b ON a.id = b.id AND b.k = a.k + 1
+       |         WHERE a.k < 64),
+       |$mediaPackCtes""".stripMargin
+
   /** Residual codebook as literal VALUES — the residual oracles' `rcb`. */
   private lazy val trainedPqResidualCbSelect: String = {
     val values = fixtureResidualCodebookRows.map { case (s, c, v) =>
@@ -2401,6 +2528,126 @@ object SparkEntry {
     }.mkString(", ")
     s"SELECT s, codeid, bv FROM (VALUES $values) AS __rcb(s, codeid, bv)"
   }
+
+  // ================= unigram TRAINER oracle fragments =================
+  // The d_unigram_train oracle replays the ENTIRE hard-EM training run in
+  // DuckDB: seeding → 3 EM rounds (Viterbi counts → m-step) → prune →
+  // final count pass → final m-step. Cross-engine exactness rests on two
+  // legs: (1) log-probs snap to the 2⁻⁴⁰ dyadic grid via floor(x·S + 0.5)
+  // — the identical IEEE op sequence in both engines (Unigram.quantized),
+  // with Java Math.log ≡ glibc/DuckDB ln verified bit-for-bit on the
+  // committed fixture values — and (2) all Viterbi sums are exact on the
+  // grid, so the per-word argmax (score DESC, backward-lens DESC) is
+  // engine-independent. The per-word DP is a list_reduce fold (O(len·4)),
+  // NOT path enumeration — the seed model's 256 multis would make
+  // exhaustive enumeration explode. CTEs are MATERIALIZED: DuckDB inlines
+  // CTEs by default, and the four chained passes would re-evaluate the
+  // whole upstream chain exponentially. The accumulator is a PLAIN list
+  // of structs (j = len(acc)) — DuckDB 1.0's list_reduce silently drops
+  // list-valued STRUCT FIELDS in accumulators.
+  private val unigramTrainScale = "CAST(1099511627776 AS DOUBLE)" // 2^40
+
+  /** One Viterbi pass under model CTE `$m(piece, lp)` + unk CTE
+    * `$u(ulp)`: per-word best segmentation via the suffix DP (candidates
+    * look back ≤ maxPieceLen=4), then per-piece counts weighted by word
+    * frequency. Tie-break = backward-lens list DESC, matching the
+    * kernel's longest-final-piece rule.
+    */
+  private def unigramTrainPass(i: Int, m: String, u: String): String =
+    s"""lq$i AS MATERIALIZED (SELECT w, p, l,
+       |    CASE WHEN l = 1 THEN COALESCE(pc.lp, u.ulp) ELSE pc.lp END AS lp
+       |  FROM (SELECT w, CAST(p AS INT) AS p, CAST(l AS INT) AS l,
+       |          substring(w, CAST(p AS INT), CAST(l AS INT)) AS piece
+       |        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM wd) __wp
+       |        CROSS JOIN (SELECT unnest(range(1, 5)) AS l) __l
+       |        WHERE p + l - 1 <= length(w)) q
+       |  CROSS JOIN $u u
+       |  LEFT JOIN $m pc ON pc.piece = q.piece),
+       |lt$i AS MATERIALIZED (SELECT w, list(ll ORDER BY p) AS lps
+       |  FROM (SELECT w, p, list(lp ORDER BY l) AS ll FROM lq$i GROUP BY w, p) __g
+       |  GROUP BY w),
+       |dp$i AS MATERIALIZED (SELECT w,
+       |  list_extract(list_reduce(
+       |    list_prepend([{'s': 0.0, 'l': CAST([] AS BIGINT[])}],
+       |      list_transform(range(1, length(w) + 1),
+       |        __j -> CAST(NULL AS STRUCT(s DOUBLE, l BIGINT[])[]))),
+       |    (__a, __b) -> list_append(__a,
+       |      list_reduce(
+       |        list_filter(
+       |          list_transform(range(1, least(4, len(__a)) + 1),
+       |            __l -> {'s': __a[CAST(len(__a) - __l + 1 AS INT)].s
+       |                       + lps[CAST(length(w) - len(__a) + 1 AS INT)][CAST(__l AS INT)],
+       |                    'l': list_append(__a[CAST(len(__a) - __l + 1 AS INT)].l, __l)}),
+       |          __c -> __c.s IS NOT NULL),
+       |        (__x, __y) -> CASE WHEN __y.s > __x.s OR (__y.s = __x.s AND __y.l > __x.l)
+       |                      THEN __y ELSE __x END))),
+       |  CAST(length(w) + 1 AS INT)) AS bestdp
+       |  FROM lt$i),
+       |best$i AS MATERIALIZED (SELECT w, bestdp.l AS lens FROM dp$i),
+       |pp$i AS MATERIALIZED (SELECT w, substring(w, pre + 1, l) AS piece FROM (
+       |  SELECT w, CAST(COALESCE(list_sum(list_slice(ordlens, 1, CAST(kk - 1 AS INT))), 0) AS INT) AS pre,
+       |         CAST(ordlens[CAST(kk AS INT)] AS INT) AS l
+       |  FROM (SELECT w, ordlens, unnest(range(1, len(ordlens) + 1)) AS kk
+       |        FROM (SELECT w, list_reverse(lens) AS ordlens FROM best$i) __s$i) __k$i)),
+       |cnt$i AS MATERIALIZED (SELECT pp$i.piece, CAST(SUM(wdc.cnt) AS BIGINT) AS c
+       |          FROM pp$i JOIN wdc ON wdc.w = pp$i.w GROUP BY 1)""".stripMargin
+
+  /** m-step CTEs from `tab$k(piece, c)`: denom, grid-snapped model, unk. */
+  private def unigramTrainMstep(k: String): String = {
+    val us = unigramTrainScale
+    s"""d$k AS MATERIALIZED (SELECT CAST(SUM(c) + COUNT(*) FILTER (WHERE length(piece) = 1) AS DOUBLE) AS dn FROM tab$k),
+       |m$k AS MATERIALIZED (SELECT piece,
+       |          floor(ln(CAST(c + CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END AS DOUBLE) / dn)
+       |                * $us + 0.5) / $us AS lp
+       |        FROM tab$k CROSS JOIN d$k),
+       |u$k AS MATERIALIZED (SELECT floor(ln(0.5 / dn) * $us + 0.5) / $us AS ulp FROM d$k)""".stripMargin
+  }
+
+  /** EM-round table update: counts replace, zero-count multis drop. */
+  private def unigramTrainDrop(k: Int, prev: Int): String =
+    s"""tab$k AS MATERIALIZED (SELECT t.piece, COALESCE(cnt$k.c, 0) AS c
+       |         FROM tab$prev t LEFT JOIN cnt$k ON cnt$k.piece = t.piece
+       |         WHERE NOT (COALESCE(cnt$k.c, 0) = 0 AND length(t.piece) > 1))""".stripMargin
+
+  private lazy val unigramTrainOracleSql: String =
+    s"""WITH
+       |docw AS MATERIALIZED (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+       |wo AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM docw),
+       |wdc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wo GROUP BY w),
+       |wd AS MATERIALIZED (SELECT w FROM wdc),
+       |sub AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+       |   SELECT cnt, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |     __s -> list_transform(range(1, least(4, length(w) - __s + 1) + 1),
+       |       __l -> substring(w, CAST(__s AS INT), CAST(__l AS INT)))))) AS piece
+       |   FROM wdc) GROUP BY piece),
+       |tab0 AS MATERIALIZED (SELECT piece, c FROM sub WHERE length(piece) = 1
+       |         UNION ALL
+       |         SELECT piece, c FROM (
+       |           SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+       |           FROM sub WHERE length(piece) > 1) WHERE rn <= 256),
+       |${unigramTrainMstep("0")},
+       |${unigramTrainPass(1, "m0", "u0")},
+       |${unigramTrainDrop(1, 0)},
+       |${unigramTrainMstep("1")},
+       |${unigramTrainPass(2, "m1", "u1")},
+       |${unigramTrainDrop(2, 1)},
+       |${unigramTrainMstep("2")},
+       |${unigramTrainPass(3, "m2", "u2")},
+       |${unigramTrainDrop(3, 2)},
+       |nch AS MATERIALIZED (SELECT COUNT(*) AS n FROM tab3 WHERE length(piece) = 1),
+       |tabA AS MATERIALIZED (SELECT piece, c FROM tab3 WHERE length(piece) = 1
+       |         UNION ALL
+       |         SELECT piece, c FROM (
+       |           SELECT t.piece, t.c, row_number() OVER (ORDER BY t.c DESC, t.piece) AS rn
+       |           FROM tab3 t WHERE length(t.piece) > 1) __m CROSS JOIN nch
+       |         WHERE rn <= greatest(300 - nch.n, 0)),
+       |${unigramTrainMstep("A")},
+       |${unigramTrainPass(4, "mA", "uA")},
+       |tabF AS MATERIALIZED (SELECT t.piece, COALESCE(cnt4.c, 0) AS c
+       |         FROM tabA t LEFT JOIN cnt4 ON cnt4.piece = t.piece),
+       |${unigramTrainMstep("F")}
+       |SELECT t.piece, CAST(t.c AS BIGINT) AS cnt, m.lp AS log_prob
+       |FROM tabF t JOIN mF m ON m.piece = t.piece ORDER BY t.piece""".stripMargin
 
   /** Shared unigram-Viterbi CTE body (caller prepends `WITH RECURSIVE`):
     * enumerate every segmentation of each distinct word backwards over
@@ -3011,6 +3258,10 @@ object SparkEntry {
          |  CAST(COALESCE(tc.n_tok_wp, 0) AS BIGINT) AS n_tok_wp
          |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // The trainer replayed END TO END — see unigramTrainOracleSql's
+    // scaladoc for the exactness argument (grid m-steps, fold-DP Viterbi,
+    // materialized CTE chain).
+    "d_unigram_train" -> unigramTrainOracleSql,
     // Trained-unigram token counts replayed WITHOUT the DP: enumerate
     // every segmentation of each distinct word (recursive CTE from the
     // word's end backwards over the fixture piece table; unk only for
@@ -5172,41 +5423,51 @@ object SparkEntry {
         |    + ((p % w) * 5 + (p // w) * 17 + doc_id * 11) % 256)),
         |    (__a, __c) -> (__a * 31 + __c) % 2147483647) AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
-    // dHash-64 image near-dup replayed ANALYTICALLY: per id, sample the
-    // 9×8 luminance grid from the closed-form near-dup raster (group
-    // base pixels + the variant's left-strip/even-row red shift), derive
-    // the 64 adjacent-comparison bits, then BRUTE-FORCE Hamming over all
-    // id pairs via the per-(id, bit) join — the blocked Spark plan must
-    // be lossless at maxHamming=4 to match the exhaustive answer. The
-    // bits stay unpacked (no 2^63 BIGINT packing hazards): dist is the
-    // count of mismatched comparison outcomes, which IS the Hamming
-    // distance of the packed hashes
+    // dHash-64 image near-dup replayed ANALYTICALLY (fragments above):
+    // closed-form grid bits packed into two 32-bit halves, BRUTE-FORCE
+    // Hamming over all id pairs — the blocked Spark plan must be
+    // lossless at maxHamming=4 to match the exhaustive answer
     "m_media_dedup" ->
-      """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-        |             FROM documents),
-        |dim AS (SELECT id, g, v, 8 + (7*g + 3) % 24 AS w, 8 + (13*g + 5) % 24 AS h
-        |        FROM ids),
-        |grid AS (SELECT id, g, v, (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, gx, gy
-        |         FROM dim
-        |         CROSS JOIN (SELECT unnest(range(0, 9)) AS gx) __x
-        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) __y),
-        |lum AS (SELECT id, gx, gy,
-        |          (CASE WHEN sx < 2 AND sy % 2 = 0
-        |                THEN ((7*sx + 13*sy + g) % 256 + 8*v) % 256
-        |                ELSE (7*sx + 13*sy + g) % 256 END)
-        |          + (11*sx + 3*sy + 5*g) % 256
-        |          + (5*sx + 17*sy + 11*g) % 256 AS lum
-        |        FROM grid),
-        |bits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
-        |           CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b
-        |         FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy
-        |                               AND b.gx = a.gx + 1
-        |         WHERE a.gx < 8)
-        |SELECT a.id AS "idA", b.id AS "idB",
-        |  CAST(SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS INT) AS dist
-        |FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
-        |GROUP BY 1, 2
-        |HAVING SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) <= 4
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $mediaDhashCtes
+         |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
+         |FROM hx a JOIN hx b ON a.id < b.id
+         |WHERE ${mediaHamming("a", "b")} <= 4
+         |ORDER BY 1, 2""".stripMargin,
+    // pairs → reachability fixpoint → min-component losers → survivors:
+    // the removal closure over the SAME brute-forced pair set (the star-
+    // CC mirror every text removal row uses)
+    "m_media_dedup_removal" ->
+      s"""WITH RECURSIVE $mediaDhashCtes,
+         |mp AS (SELECT a.id AS ia, b.id AS ib
+         |       FROM hx a JOIN hx b ON a.id < b.id
+         |       WHERE ${mediaHamming("a", "b")} <= 4),
+         |e AS (SELECT ia AS a, ib AS b FROM mp UNION SELECT ib, ia FROM mp),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM comp WHERE node != component)
+         |SELECT id AS "assetId" FROM ids
+         |WHERE id NOT IN (SELECT node FROM losers)
+         |ORDER BY 1""".stripMargin,
+    // persisted-index probe: batch (id >= 250) vs accumulated corpus
+    // (id < 250), exhaustive Hamming — the blocked index probe must be
+    // lossless at the same threshold
+    "m_media_dedup_vs_index" ->
+      s"""WITH $mediaDhashCtes
+         |SELECT b.id AS "assetId", c.id AS corpus_id, ${mediaHamming("b", "c")} AS dist
+         |FROM hx b JOIN hx c ON b.id >= 250 AND c.id < 250
+         |WHERE ${mediaHamming("b", "c")} <= 4
+         |ORDER BY 1, 2""".stripMargin,
+    // audio energy-fingerprint near-dup: closed-form window energies
+    // (EXACT integer sums of the perturbed fixture waveform), 64
+    // adjacent comparisons, packed halves, brute-force Hamming
+    "m_media_audio_dedup" ->
+      s"""WITH $mediaAudioFpCtes
+         |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
+         |FROM hx a JOIN hx b ON a.id < b.id
+         |WHERE ${mediaHamming("a", "b")} <= 4
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -322,6 +322,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Static block index over precomputed `(id, sim)` hash rows — the
+    * width-generic [[simhashIndex]] (64-bit image dHash, audio energy
+    * fingerprints): `(block, blockKey, corpusId, corpusSim)`.
+    * Signature-sized, `blocks` rows per corpus asset; the media payloads
+    * are never redecoded by an increment.
+    */
+  def hashIndex(sims: DataFrame, blocks: Int, bits: Int): DataFrame =
+    sims.select(col("id").as("corpusId"), col("sim").as("corpusSim"),
+        posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+
+  /** Probe `(id, sim)` rows against a [[hashIndex]]: exact Hamming ≤
+    * maxHamming matches, one row per (id, corpusId). Lossless by the
+    * same pigeonhole argument as [[pairsFromHash]]; no broadcast forced
+    * (the accumulated index side can dwarf the batch — the
+    * [[indexMatchCore]] convention).
+    */
+  def hashIndexMatches(batch: DataFrame, index: DataFrame, maxHamming: Int,
+      blocks: Int, bits: Int): DataFrame = {
+    require(blocks > maxHamming,
+      s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
+        "pigeonhole guarantees a shared block only for distance < blocks")
+    batch.select(col("id"), col("sim"),
+        posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+      .join(index, Seq("block", "blockKey"))
+      .where(col("id") =!= col("corpusId"))
+      .select(col("id"), col("corpusId"),
+        hamming(col("sim"), col("corpusSim")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      .distinct()
+  }
+
   /** Static simhash block index of an accumulated corpus: `(block,
     * blockKey, corpusId, corpusSim)` — the join side for incremental
     * near-dup lookups, batch ([[simhashIndexMatches]]) and streaming

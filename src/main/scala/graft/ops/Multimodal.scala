@@ -563,6 +563,99 @@ object Multimodal {
     }.toDF("id", "sim")
   }
 
+  // ================== audio near-dup fingerprinting ==================
+
+  /** Fixture sample for the NEAR-DUP audio fixture: groups of 4 asset ids
+    * share a base waveform ([[fixtureSample]] of id/4); the variant id%4
+    * bumps amplitude by 8·variant on a sparse periodic mask (t mod 97
+    * < 5 — independent of the fingerprint's window layout), wrapped back
+    * into int16 range — a localized re-encode-style perturbation that
+    * flips few energy comparisons.
+    */
+  def nearDupSample(id: Long, t: Int): Int = {
+    val bump = if (t % 97 < 5) 8L * (id % 4) else 0L
+    (Math.floorMod(fixtureSample(id / 4, t) + bump + 32768L, 65536L) - 32768L).toInt
+  }
+
+  /** Encode the near-dup fixture waveform for `id` as a real WAV. Length
+    * derives from the GROUP: nSamples = 65 · (10 + (id/4) mod 8), so
+    * group members compare equal window grids.
+    */
+  def encodeNearDupWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val nSamples = (65L * (10 + Math.floorMod(id / 4, 8))).toInt
+    val data = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = nearDupSample(id, t)
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The near-dup WAV asset table — the audio sibling of
+    * [[imageDedupAssets]]. Partition-local generation, no shuffle.
+    */
+  def audioDedupAssets(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaAsset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaAsset(id, "audio", encodeNearDupWav(id), s"synthetic://neardupwav/$id")
+      })
+  }
+
+  /** 64-bit energy-difference fingerprint of a decoded waveform — the
+    * audio analogue of [[dhash64]] (Haitsma-Kalker-style band-energy
+    * differences, collapsed to the time axis): split the first 65·w
+    * samples into 65 equal windows (w = n/65), take each window's
+    * absolute-amplitude sum (EXACT integer arithmetic — no float
+    * boundary for the oracle), and set bit k iff e(k) < e(k+1).
+    * Amplitude-shift and re-encode perturbations flip few comparisons;
+    * unrelated waveforms differ in ~32 bits.
+    */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    require(samples.length >= 65,
+      s"audioFingerprint64 needs >= 65 samples: ${samples.length}")
+    val w = samples.length / 65
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var s = 0L
+      var t = k * w
+      while (t < (k + 1) * w) { s += math.abs(samples(t).toLong); t += 1 }
+      e(k) = s
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k) < e(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Audio fingerprints of a WAV-asset table: decode each container for
+    * REAL and project `(id, sim)` rows shaped for
+    * [[graft.ops.Dedup.pairsFromHash]] — the audio sibling of
+    * [[imageHashes]]. Batched partition-local decode; zero exchanges.
+    */
+  def audioHashes(assets: Dataset[MediaAsset], batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        (a.assetId, audioFingerprint64(readWav(a.payload)._2))
+      })
+    }.toDF("id", "sim")
+  }
+
   /** Build a media-asset frame from any table with a text column — the
     * video-ish harness path used by frame sampling and the stub decode
     * (payload = UTF-8 bytes standing in for an encoded container).

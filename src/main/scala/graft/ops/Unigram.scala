@@ -80,8 +80,15 @@ object Unigram {
     */
   private val LogProbScale: Double = (1L << 40).toDouble
 
+  /** floor(x·S + 0.5), not rint: at |x·S| ≈ 2⁴², doubles represent
+    * fractions in 1/1024 steps, so EXACT .5 products occur at ~1/512 per
+    * value — where rint (half-even) and SQL round (half-away) disagree.
+    * floor(+0.5) is the same IEEE op sequence in every engine, which is
+    * what lets the DuckDB oracle replay the whole trainer
+    * (`d_unigram_train`) bit-for-bit.
+    */
   private def quantized(lp: Double): Double =
-    math.rint(lp * LogProbScale) / LogProbScale
+    math.floor(lp * LogProbScale + 0.5) / LogProbScale
 
   /** M-step: probabilities from counts with one Laplace pseudo-count on
     * each single character (coverage floor), log-probs snapped to the

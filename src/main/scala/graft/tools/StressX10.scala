@@ -339,6 +339,48 @@ object StressX10 {
             .select(col("vec_id").as("qid"), col("embedding").as("vec")),
           d.select(col("vec_id").as("cid"), col("embedding").as("vec")),
           k = 5, refine = 30)),
+      // winnow REMOVAL end to end (VERDICT r11 item 7): pairs → star-CC →
+      // one LEFT ANTI. The claim: cost ≈ clusters_star + the winnow pair
+      // stage — CC-dominated, so the 10× ratio should track the
+      // d_dedup_clusters_star row above, not corpus²
+      ("d_dedup_winnow_removal (pairs -> star-CC -> anti-join)", docs1, docs10,
+        (d: DataFrame) => {
+          val pairs = graft.ops.Dedup.winnowedPassagePairs(d, "doc_id", "text",
+            k = 30, w = 10, maxDf = 50, minShared = 2)
+          val comps = graft.ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+          val losers = comps.where(col("node") =!= col("comp"))
+            .select(col("node").as("__dup_id"))
+          d.join(losers, d("doc_id") === col("__dup_id"), "left_anti")
+        }),
+      // the frozen-set redaction serve under a 10× BENCHMARK SET (the
+      // broadcast-array ceiling, VERDICT r11 item 7): corpus FIXED, the
+      // sorted gram array grows 10× (Caesar replicas of the bench docs
+      // have disjoint gram sets). The serve is a zero-exchange codegen
+      // binary search, so the expected cost is ~log(10×) per token plus
+      // the one-off driver collect of the bigger set — near-flat
+      ("redactSpansServe (fixed corpus, bench set 1x->10x)",
+        docs1.where(col("doc_id") < 100).localCheckpoint(),
+        docs10.where(pmod(col("doc_id"), lit(10000000L)) < 100).localCheckpoint(),
+        (b: DataFrame) => {
+          val set = graft.ops.Decontaminate.benchGramSet(b, "text")
+          graft.ops.Decontaminate.redactSpansServe(docs1, set, "text",
+              n = 3, minFragmentWords = 10)
+            .where(coalesce(length(col("kept_text")), lit(0)) >= 0)
+        }),
+      // TOKEN-budgeted mixture under the 95%-dominant stratum (VERDICT
+      // r11 item 7): the bucketed prefix sums must keep the dominant
+      // source's running-token window off a single task — expect ~linear
+      // in corpus, like the stratified two-phase row
+      ("d_mixture_tokens (95%-dominant source)",
+        addStrata(docs1, "doc_id")
+          .withColumn("nTokens", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+          .localCheckpoint(),
+        addStrata(docs10, "doc_id")
+          .withColumn("nTokens", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+          .localCheckpoint(),
+        (d: DataFrame) => graft.ops.Sampling.mixtureSampleTokens(
+          d, "strata", "doc_id", "nTokens",
+          Map("web" -> 3.0, "rare0" -> 1.0), default = 0.5)),
     )
     val scenarios = only.map(f => allScenarios.filter(_._1.contains(f)))
       .getOrElse(allScenarios)

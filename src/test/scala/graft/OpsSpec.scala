@@ -470,6 +470,46 @@ class OpsSpec extends AnyFunSuite {
     assert(gotPairs == want)
   }
 
+  test("multimodal: audio fingerprint matches a pure reference; index probe equals brute force") {
+    import spark.implicits._
+    // independent fingerprint reference straight from the closed-form
+    // samples — never through AudioSystem or the operator's window loop
+    def refFp(id: Long): Long = {
+      val n = (65L * (10 + Math.floorMod(id / 4, 8))).toInt
+      val w = n / 65
+      val e = (0 until 65).map(k =>
+        (k * w until (k + 1) * w).map(t =>
+          math.abs(Multimodal.nearDupSample(id, t).toLong)).sum)
+      (0 until 64).filter(k => e(k) < e(k + 1)).map(1L << _).foldLeft(0L)(_ | _)
+    }
+    val ids = (0L until 16L) :+ 2000L :+ 2001L
+    val assets = spark.createDataset(ids.map(id =>
+      Multimodal.MediaAsset(id, "audio", Multimodal.encodeNearDupWav(id), "t")))(
+      Multimodal.assetEnc)
+    val got = Multimodal.audioHashes(assets, batchSize = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) == refFp(id), s"audio fp diverges for id $id"))
+    // same-group variants sit near their base
+    for (id <- Seq(1L, 2L, 3L, 2001L))
+      assert(java.lang.Long.bitCount(got(id) ^ got(id / 4 * 4)) <= 10,
+        s"group variant $id drifted from its base")
+    // the generic blocked index probe equals exhaustive Hamming — parity
+    // split so same-group variants straddle batch and corpus, threshold 8
+    // (the planted-variant ceiling) so the expected set is nonempty
+    val sims = ids.map(id => (id, refFp(id))).toDF("id", "sim")
+    val index = Dedup.hashIndex(sims.where($"id" % 2 === 0), blocks = 9, bits = 64)
+    val gotProbe = Dedup.hashIndexMatches(sims.where($"id" % 2 === 1), index,
+        maxHamming = 8, blocks = 9, bits = 64)
+      .select("id", "corpusId", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      b <- ids if b % 2 == 1; c <- ids if c % 2 == 0
+      if java.lang.Long.bitCount(refFp(b) ^ refFp(c)) <= 8
+    } yield (b, c, java.lang.Long.bitCount(refFp(b) ^ refFp(c)))).toSet
+    assert(want.nonEmpty)
+    assert(gotProbe == want)
+  }
+
   test("bpe training: merge sequence matches an independent reference, deterministic") {
     import spark.implicits._
     // independent reference: list-based BPE over word counts, never
