@@ -340,19 +340,30 @@ object Dedup {
     * [[indexMatchCore]] convention).
     */
   def hashIndexMatches(batch: DataFrame, index: DataFrame, maxHamming: Int,
-      blocks: Int, bits: Int): DataFrame = {
+      blocks: Int, bits: Int): DataFrame =
+    hashIndexMatchCore(batch, index, maxHamming, blocks, bits)
+      .select("id", "corpusId", "dist")
+      .distinct()
+
+  /** Shared probe core against a [[hashIndex]] — one row per (id,
+    * corpusId, matching block), extra input columns (a stream's
+    * `ingestTs`) ride through; callers collapse multi-block collisions
+    * their own way (batch `.distinct()`, streaming
+    * `dropDuplicatesWithinWatermark`) — the [[indexMatchCore]]
+    * convention at generic width. No broadcast forced here.
+    */
+  private[graft] def hashIndexMatchCore(batch: DataFrame, index: DataFrame,
+      maxHamming: Int, blocks: Int, bits: Int): DataFrame = {
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
         "pigeonhole guarantees a shared block only for distance < blocks")
-    batch.select(col("id"), col("sim"),
+    batch.select(col("*"),
         posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
       .join(index, Seq("block", "blockKey"))
       .where(col("id") =!= col("corpusId"))
-      .select(col("id"), col("corpusId"),
-        hamming(col("sim"), col("corpusSim")).as("dist"))
+      .withColumn("dist", hamming(col("sim"), col("corpusSim")))
       .where(col("dist") <= maxHamming)
-      .distinct()
   }
 
   /** Static simhash block index of an accumulated corpus: `(block,

@@ -548,6 +548,12 @@ object Multimodal {
     hash
   }
 
+  /** One-payload decode + fingerprint entry points — what the streaming
+    * twin maps over arriving binary rows ([[graft.streaming.MediaStream]]).
+    */
+  def imageHash(payload: Array[Byte]): Long = dhash64(readImage(payload))
+  def audioHash(payload: Array[Byte]): Long = audioFingerprint64(readWav(payload)._2)
+
   /** Perceptual fingerprints of an image-asset table: decode each PNG for
     * REAL and project `(id, sim)` rows shaped for
     * [[graft.ops.Dedup.pairsFromHash]]'s pigeonhole blocking. Batched

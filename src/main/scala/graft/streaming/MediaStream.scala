@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Multimodal}
+
+/** Streaming twins for the multimodal fingerprint operators: a stream of
+  * ENCODED media assets (binary payloads) is decoded for real per
+  * micro-batch, fingerprinted with the batch kernels
+  * ([[graft.ops.Multimodal.dhash64]] / `audioFingerprint64`), and probed
+  * against a static corpus fingerprint index — the
+  * `nearDupsAgainstCorpus` convention at 64-bit width. The decode is
+  * stateless and partition-local; the only state is the watermark-bounded
+  * multi-block-collision collapse.
+  */
+object MediaStream {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("assetId", LongType),
+    StructField("mediaType", StringType),
+    StructField("payload", BinaryType),
+    StructField("sourceUri", StringType)))
+
+  /** File-source stream over a directory of media-asset parquet files,
+    * ingest-time-stamped like [[DocumentStream.read]].
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(assetSchema).parquet(dir)
+      .withColumn("ingestTs", current_timestamp())
+
+  /** dHash-64 fingerprints of arriving image assets — REAL `ImageIO`
+    * decode per row, `(id, sim, ingestTs)` out. Stateless.
+    */
+  def imageFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, p, ts) =>
+        (id, Multimodal.imageHash(p), ts)
+      })
+      .toDF("id", "sim", "ingestTs")
+  }
+
+  /** Energy fingerprints of arriving audio assets — REAL `AudioSystem`
+    * container parse per row. Stateless.
+    */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, p, ts) =>
+        (id, Multimodal.audioHash(p), ts)
+      })
+      .toDF("id", "sim", "ingestTs")
+  }
+
+  /** Streaming media near-dup probe: fingerprint rows `(id, sim,
+    * ingestTs)` against a static [[graft.ops.Dedup.hashIndex]]
+    * (broadcast — the stream-static join wants the static side as build
+    * side). Emits (id, corpusId, dist) for dist ≤ maxHamming; the probe
+    * is the ONE shared definition (`Dedup.hashIndexMatchCore`), only the
+    * watermark-bounded collision collapse is streaming-specific.
+    */
+  def mediaNearDupsAgainstCorpus(fingerprints: DataFrame, index: DataFrame,
+      maxHamming: Int = 4, blocks: Int = 5, bits: Int = 64,
+      dedupDelay: String = "10 minutes"): DataFrame =
+    Dedup.hashIndexMatchCore(fingerprints, broadcast(index),
+        maxHamming, blocks, bits)
+      .select(col("id"), col("ingestTs"), col("corpusId"), col("dist"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("id", "corpusId")
+      .drop("ingestTs")
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{DocumentStream, EventStream}
+import graft.streaming.{DocumentStream, EventStream, MediaStream}
 
 /** Streaming extension: the file source drives the testdata events through
   * the watermarked windowed aggregation and the stateful sessionizer, with
@@ -659,6 +659,36 @@ class StreamingSpec extends AnyFunSuite {
         docs.where(col("doc_id") >= 250), index, "doc_id", "text",
         maxDf = Int.MaxValue, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size}, batch ${batch.size}")
+  }
+
+  test("streaming media near-dup probe vs static fingerprint index matches the batch probe") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // asset stream fixture: the planted near-dup PNGs, written once
+    val assetDir = java.nio.file.Files.createTempDirectory("graft-mediastream")
+    graft.ops.Multimodal.imageDedupAssets(docs).write.mode("overwrite")
+      .parquet(assetDir.toString)
+    val corpusHashes = graft.ops.Multimodal.imageHashes(
+      spark.read.parquet(assetDir.toString)
+        .as[graft.ops.Multimodal.MediaAsset](graft.ops.Multimodal.assetEnc)
+        .filter(_.assetId < 250))
+    val index = graft.ops.Dedup.hashIndex(corpusHashes, blocks = 5, bits = 64)
+    val stream = MediaStream.read(spark, assetDir.toString)
+      .where(col("assetId") >= 250)
+    EventStream.runToMemory(
+      MediaStream.mediaNearDupsAgainstCorpus(
+        MediaStream.imageFingerprints(stream), index), "media_neardup")
+    val streamed = spark.table("media_neardup")
+      .select("id", "corpusId", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batchHashes = graft.ops.Multimodal.imageHashes(
+      spark.read.parquet(assetDir.toString)
+        .as[graft.ops.Multimodal.MediaAsset](graft.ops.Multimodal.assetEnc)
+        .filter(_.assetId >= 250))
+    val batch = graft.ops.Dedup.hashIndexMatches(batchHashes, index,
+        maxHamming = 4, blocks = 5, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(streamed.nonEmpty && streamed == batch,
       s"stream ${streamed.size}, batch ${batch.size}")
   }
