@@ -155,6 +155,7 @@ object Bench {
     "m_media_dedup_removal", // image pairs -> star-CC -> LEFT ANTI survivors
     "m_media_dedup_vs_index", // batch probe of the persisted image-hash index
     "m_media_audio_dedup", // audio energy-fingerprint near-dup pairing
+    "m_media_video_dedup", // video chunk-energy near-dup (stub decode tier)
   )
 
   def main(args: Array[String]): Unit = {

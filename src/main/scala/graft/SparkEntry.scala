@@ -1176,6 +1176,16 @@ object SparkEntry {
       ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
         .orderBy("idA", "idB")
     },
+    // ---- VIDEO near-dup (stub decode tier): chunk-energy fingerprints
+    //      over the encoded container bytes — the chunking/fingerprint/
+    //      blocking plumbing is real; a codec drop-in replaces only the
+    //      per-frame statistic. Dedup's third modality
+    "m_media_video_dedup" -> { (s, dir) =>
+      val hashes = ops.Multimodal.videoHashes(
+        ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+        .orderBy("idA", "idB")
+    },
 
     // ---- skew-safe aggregation: the two-phase salted plan must produce
     //      byte-identical results to a plain GROUP BY (the oracle IS the
@@ -5459,6 +5469,26 @@ object SparkEntry {
          |SELECT b.id AS "assetId", c.id AS corpus_id, ${mediaHamming("b", "c")} AS dist
          |FROM hx b JOIN hx c ON b.id >= 250 AND c.id < 250
          |WHERE ${mediaHamming("b", "c")} <= 4
+         |ORDER BY 1, 2""".stripMargin,
+    // video chunk-energy near-dup (stub tier): the payload IS the UTF-8
+    // text (ASCII corpus ⇒ byte t = ascii of char t+1 — the
+    // m_media_frames precedent), so window energies are exact integer
+    // ascii sums; docs under 65 bytes have no frame grid and are skipped
+    "m_media_video_dedup" ->
+      s"""WITH vids AS (SELECT doc_id AS id, text FROM documents
+         |              WHERE length(text) >= 65),
+         |vw AS (SELECT id, text, length(text) // 65 AS w FROM vids),
+         |ve AS (SELECT id, k,
+         |         CAST(list_sum(list_transform(range(k * w, (k + 1) * w), __t ->
+         |           ascii(substring(text, CAST(__t + 1 AS INT), 1)))) AS BIGINT) AS e
+         |       FROM vw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
+         |bits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
+         |         FROM ve a JOIN ve b ON a.id = b.id AND b.k = a.k + 1
+         |         WHERE a.k < 64),
+         |$mediaPackCtes
+         |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
+         |FROM hx a JOIN hx b ON a.id < b.id
+         |WHERE ${mediaHamming("a", "b")} <= 4
          |ORDER BY 1, 2""".stripMargin,
     // audio energy-fingerprint near-dup: closed-form window energies
     // (EXACT integer sums of the perturbed fixture waveform), 64

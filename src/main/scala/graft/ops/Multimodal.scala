@@ -554,6 +554,52 @@ object Multimodal {
   def imageHash(payload: Array[Byte]): Long = dhash64(readImage(payload))
   def audioHash(payload: Array[Byte]): Long = audioFingerprint64(readWav(payload)._2)
 
+  /** 64-bit chunk-energy fingerprint of an encoded VIDEO container — the
+    * stub-decode tier (no ffmpeg-class codec in this container, per the
+    * harness convention of [[decodeMediaStub]]/[[sampleFrames]]): the
+    * payload's first 65·w bytes (w = n/65) are treated as 65 stub
+    * "frames", each summarized by its unsigned-byte sum, and bit k is set
+    * iff e(k) < e(k+1) — the same difference-hash shape as [[dhash64]] /
+    * [[audioFingerprint64]], so the chunking, fingerprint, blocking, and
+    * index plumbing are all REAL and a codec drop-in only replaces the
+    * per-frame energy with a decoded-frame statistic.
+    */
+  def videoFingerprint64(payload: Array[Byte]): Long = {
+    require(payload.length >= 65,
+      s"videoFingerprint64 needs >= 65 payload bytes: ${payload.length}")
+    val w = payload.length / 65
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var s = 0L
+      var t = k * w
+      while (t < (k + 1) * w) { s += payload(t) & 0xff; t += 1 }
+      e(k) = s
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k) < e(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Chunk-energy fingerprints of a video-asset table, shaped for
+    * [[graft.ops.Dedup.pairsFromHash]]. Assets shorter than 65 bytes have
+    * no 65-frame grid and are skipped.
+    */
+  def videoHashes(assets: Dataset[MediaAsset], batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.payload.length >= 65).mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        (a.assetId, videoFingerprint64(a.payload))
+      })
+    }.toDF("id", "sim")
+  }
+
   /** Perceptual fingerprints of an image-asset table: decode each PNG for
     * REAL and project `(id, sim)` rows shaped for
     * [[graft.ops.Dedup.pairsFromHash]]'s pigeonhole blocking. Batched

@@ -58,6 +58,22 @@ object MediaStream {
       .toDF("id", "sim", "ingestTs")
   }
 
+  /** Chunk-energy fingerprints of arriving video assets (stub decode
+    * tier — [[graft.ops.Multimodal.videoFingerprint64]]). Stateless;
+    * sub-65-byte payloads have no frame grid and are dropped.
+    */
+  def videoFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .filter(_._2.length >= 65)
+      .mapPartitions(_.map { case (id, p, ts) =>
+        (id, Multimodal.videoFingerprint64(p), ts)
+      })
+      .toDF("id", "sim", "ingestTs")
+  }
+
   /** Streaming media near-dup probe: fingerprint rows `(id, sim,
     * ingestTs)` against a static [[graft.ops.Dedup.hashIndex]]
     * (broadcast — the stream-static join wants the static side as build

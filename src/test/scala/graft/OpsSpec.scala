@@ -510,6 +510,26 @@ class OpsSpec extends AnyFunSuite {
     assert(gotProbe == want)
   }
 
+  test("multimodal: video chunk fingerprint matches a pure reference; short payloads skipped") {
+    import spark.implicits._
+    def refFp(bytes: Array[Byte]): Long = {
+      val w = bytes.length / 65
+      val e = (0 until 65).map(k =>
+        (k * w until (k + 1) * w).map(t => (bytes(t) & 0xff).toLong).sum)
+      (0 until 64).filter(k => e(k) < e(k + 1)).map(1L << _).foldLeft(0L)(_ | _)
+    }
+    val payloads = Seq(
+      7L -> ("spark " * 30).getBytes("UTF-8"),      // 180 bytes
+      8L -> ("quick brown fox " * 9).getBytes("UTF-8"),
+      9L -> "short".getBytes("UTF-8"))              // < 65 -> skipped
+    val assets = spark.createDataset(payloads.map { case (id, p) =>
+      Multimodal.MediaAsset(id, "video", p, "t") })(Multimodal.assetEnc)
+    val got = Multimodal.videoHashes(assets, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(7L, 8L))
+    assert(got(7L) == refFp(payloads(0)._2) && got(8L) == refFp(payloads(1)._2))
+  }
+
   test("bpe training: merge sequence matches an independent reference, deterministic") {
     import spark.implicits._
     // independent reference: list-based BPE over word counts, never

@@ -104,7 +104,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "d_dedup_passages_vs_index", "d_dedup_winnow",
       "d_dedup_winnow_removal", "d_dedup_winnow_vs_index",
       "m_media_dedup", "m_media_dedup_removal", "m_media_dedup_vs_index",
-      "m_media_audio_dedup")) {
+      "m_media_audio_dedup", "m_media_video_dedup")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"),
