@@ -102,6 +102,7 @@ object Bench {
     "d_dedup_clusters",   // minhash pairs → connected components (label prop)
     "d_dedup_clusters_star", // same via O(log n)-round large/small-star
     "d_dedup_removal",    // end-to-end removal: pairs → components → anti-join cut
+    "d_dedup_removal_best", // same closure, longest-member representative (max_by per comp)
     "d_dedup_passages",   // verbatim repeated-passage pairs (char windows)
     "d_sample_hash",      // deterministic Bernoulli sample (scan-stage filter)
     "d_split_corpus",     // train/val/test split on inlined hash thresholds

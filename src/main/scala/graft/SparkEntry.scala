@@ -2189,6 +2189,15 @@ object SparkEntry {
         numHashes = 32, bands = 8, threshold = 0.3)
         .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
     },
+    // ---- QUALITY-AWARE removal: each duplicate cluster keeps its
+    //      LONGEST member (score = n_chars; ties -> smallest id) — the
+    //      production representative choice, one max_by per component
+    "d_dedup_removal_best" -> { (s, dir) =>
+      ops.Dedup.removeNearDuplicatesKeepBest(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars", numHashes = 32, bands = 8,
+        threshold = 0.3)
+        .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
+    },
     // ---- repetition signals (Gopher-style quality gates): word-level
     //      dup fraction (row-local) + top-bigram fraction (explode → count
     //      → max per doc; linear in doc length, never O(len²) per row)
@@ -4242,6 +4251,24 @@ object SparkEntry {
     "d_dedup_clusters" -> clustersOracleSql,
     "d_dedup_clusters_star" -> clustersOracleSql,
     "d_dedup_removal" -> removalOracleSql,
+    // Quality-aware removal replayed: same reachability closure, the
+    // representative re-derived per component by (n_chars DESC, node) —
+    // an INDEPENDENT row_number formulation of the max_by choice
+    "d_dedup_removal_best" ->
+      s"""$clustersCtes,
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |cq AS (SELECT comp.node, comp.component, d.n_chars
+         |       FROM comp JOIN documents d ON d.doc_id = comp.node),
+         |rep AS (SELECT component, node AS keep FROM (
+         |  SELECT component, node,
+         |    row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, node) AS rn
+         |  FROM cq) WHERE rn = 1),
+         |losers AS (SELECT cq.node FROM cq JOIN rep ON rep.component = cq.component
+         |           WHERE cq.node != rep.keep)
+         |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
     // The removal closure grouped per source: docs in, survivors, dup rate
     "d_dedup_rates" ->
       s"""$clustersCtes,

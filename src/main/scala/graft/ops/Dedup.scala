@@ -1346,4 +1346,35 @@ object Dedup {
       .select(col("node").as("__dup_id"))
     docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
   }
+
+  /** Near-dup removal keeping the BEST cluster member — representative =
+    * max `scoreCol` (ties → smallest id) instead of [[removeNearDuplicates]]'s
+    * id accident. The production choice: a duplicate cluster's survivor
+    * should be its highest-quality document (longest, best classifier
+    * score, freshest crawl), and with a length score this is exactly the
+    * "keep the longest" convention of the Lee et al. 2021 dedup setups.
+    *
+    * Scale shape: same pair + star-CC machinery; the representative
+    * choice is ONE map-side-combined `max_by` per component over the
+    * component-keyed score join — never a window over the corpus, and
+    * the aggregate input is the pair-member set, not all documents.
+    */
+  def removeNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
+      textCol: String, scoreCol: String, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.3, maxIters: Int = 30): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands, threshold)
+    val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
+    val scored = comps.join(
+      docs.select(col(idCol).as("node"), col(scoreCol).as("__q")), "node")
+    // max_by over (score, -id): score DESC, exact ties fall to the
+    // smallest id — -id makes the struct comparison total, so the
+    // representative is deterministic under any aggregation order
+    val reps = scored.groupBy("comp")
+      .agg(max_by(col("node"),
+        struct(col("__q"), (-col("node")).as("__negid"))).as("__keep"))
+    val losers = scored.join(reps, "comp")
+      .where(col("node") =!= col("__keep"))
+      .select(col("node").as("__dup_id"))
+    docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
+  }
 }

@@ -22,6 +22,27 @@ class OpsSpec extends AnyFunSuite {
     (5L, "tiny"),                                          // < 3 words
   ).toDF("doc_id", "text")
 
+  test("removeNearDuplicatesKeepBest keeps the highest-score member, not the smallest id") {
+    // docs 1/2/4 cluster (near/exact dups); give doc 2 the best score, so
+    // the id-based removal and the quality-aware removal must differ
+    val scored = docs.withColumn("q",
+      when(col("doc_id") === 2L, lit(100L)).otherwise(col("doc_id")))
+    val byId = Dedup.removeNearDuplicates(scored, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val byBest = Dedup.removeNearDuplicatesKeepBest(scored, "doc_id", "text", "q",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byId == Seq(1L, 3L, 5L))   // smallest id survives the cluster
+    assert(byBest == Seq(2L, 3L, 5L)) // best-scored member survives instead
+    // equal scores: ties fall back to the smallest id = the id-based cut
+    val flat = docs.withColumn("q", lit(7L))
+    val tied = Dedup.removeNearDuplicatesKeepBest(flat, "doc_id", "text", "q",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tied == Seq(1L, 3L, 5L))
+  }
+
   test("exactDedup keeps smallest id per duplicate group") {
     val out = Dedup.exactDedup(docs, col("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
