@@ -157,6 +157,8 @@ object Bench {
     "m_media_dedup_vs_index", // batch probe of the persisted image-hash index
     "m_media_audio_dedup", // audio energy-fingerprint near-dup pairing
     "m_media_video_dedup", // video chunk-energy near-dup (stub decode tier)
+    "m_media_manifest",    // per-modality decoded dataset card
+    "m_media_dedup_rates", // per-modality dup-rate triage card (3 closures)
   )
 
   def main(args: Array[String]): Unit = {

@@ -1176,6 +1176,51 @@ object SparkEntry {
       ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
         .orderBy("idA", "idB")
     },
+    // ---- per-modality dataset card: decoded dimensions/durations per
+    //      media type — the release-manifest view of the asset corpus;
+    //      every number flows through the REAL decode, the oracle
+    //      recomputes it from the fixture sizing
+    "m_media_manifest" -> { (s, dir) =>
+      val img = ops.Multimodal.decodeFeatures(imageAssetTable(s, dir)).toDF()
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("width").cast("long") * col("height")).as("sum_units"),
+          min(least(col("width"), col("height"))).cast("int").as("min_dim"),
+          max(greatest(col("width"), col("height"))).cast("int").as("max_dim"))
+        .select(lit("image").as("media_type"), col("n_assets"),
+          col("sum_units"), col("min_dim"), col("max_dim"))
+      val aud = ops.Multimodal.decodeAudioFeatures(audioAssetTable(s, dir)).toDF()
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("nSamples").cast("long")).as("sum_units"),
+          min(col("nSamples")).cast("int").as("min_dim"),
+          max(col("nSamples")).cast("int").as("max_dim"))
+        .select(lit("audio").as("media_type"), col("n_assets"),
+          col("sum_units"), col("min_dim"), col("max_dim"))
+      img.unionByName(aud).orderBy("media_type")
+    },
+    // ---- per-modality dedup-rate card: the d_dedup_rates triage view
+    //      across all three fingerprint criteria — which modality needs
+    //      dedup at all, from the removal closures
+    "m_media_dedup_rates" -> { (s, dir) =>
+      def rateRow(label: String, hashes: DataFrame): DataFrame = {
+        val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4,
+          blocks = 5, bits = 64)
+        val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+        val losers = comps.where(col("node") =!= col("comp"))
+          .select(col("node").as("__dup_id"))
+        val kept = hashes.join(losers, col("id") === col("__dup_id"), "left_anti")
+        hashes.agg(count(lit(1)).as("n_assets"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .select(lit(label).as("media_type"), col("n_assets"), col("n_kept"),
+            round((col("n_assets") - col("n_kept")).cast("double") /
+              col("n_assets").cast("double"), 6).as("dup_rate"))
+      }
+      rateRow("image", ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir)))
+        .unionByName(rateRow("audio",
+          ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))))
+        .unionByName(rateRow("video", ops.Multimodal.videoHashes(
+          ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))))
+        .orderBy("media_type")
+    },
     // ---- VIDEO near-dup (stub decode tier): chunk-energy fingerprints
     //      over the encoded container bytes — the chunking/fingerprint/
     //      blocking plumbing is real; a codec drop-in replaces only the
@@ -2483,12 +2528,31 @@ object SparkEntry {
   private def mediaHamming(a: String, b: String): String =
     s"CAST(bit_count(xor($a.h1, $b.h1)) + bit_count(xor($a.h2, $b.h2)) AS INT)"
 
-  /** Shared bit-packing tail: `bits(id, k, b)` → `hx(id, h1, h2)`. */
-  private val mediaPackCtes: String =
-    s"""hx AS (SELECT id,
+  /** Shared bit-packing tail: `${p}bits(id, k, b)` → `${p}hx(id, h1, h2)`
+    * — prefixed so the per-modality fragments compose in ONE query
+    * (the dedup-rates card needs all three reachability closures).
+    */
+  private def mediaPackCtes(p: String): String =
+    s"""${p}hx AS (SELECT id,
        |        CAST(SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS h1,
        |        CAST(SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS h2
-       |       FROM bits GROUP BY id)""".stripMargin
+       |       FROM ${p}bits GROUP BY id)""".stripMargin
+
+  /** Brute-force pair + reachability-closure CTEs over a packed-halves
+    * table `${p}hx`: `${p}p` (pairs ≤ maxHamming), `${p}reach` fixpoint,
+    * `${p}losers` (non-min component members).
+    */
+  private def mediaClosureCtes(p: String, maxHamming: Int): String =
+    s"""${p}cp AS (SELECT a.id AS ia, b.id AS ib
+       |       FROM ${p}hx a JOIN ${p}hx b ON a.id < b.id
+       |       WHERE ${mediaHamming("a", "b")} <= $maxHamming),
+       |${p}ced AS (SELECT ia AS a, ib AS b FROM ${p}cp UNION SELECT ib, ia FROM ${p}cp),
+       |${p}reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM ${p}ced
+       |  UNION
+       |  SELECT ${p}ced.a, ${p}reach.r FROM ${p}ced JOIN ${p}reach ON ${p}reach.node = ${p}ced.b),
+       |${p}comp AS (SELECT node, MIN(r) AS component FROM ${p}reach GROUP BY node),
+       |${p}losers AS (SELECT node FROM ${p}comp WHERE node != component)""".stripMargin
 
   /** dHash-64 of the near-dup PNG fixture, analytically: per id, sample
     * the 9×8 luminance grid from the closed-form raster (group base
@@ -2512,12 +2576,12 @@ object SparkEntry {
        |          + (11*sx + 3*sy + 5*g) % 256
        |          + (5*sx + 17*sy + 11*g) % 256 AS lum
        |        FROM grid),
-       |bits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
+       |ibits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
        |           CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b
        |         FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy
        |                               AND b.gx = a.gx + 1
        |         WHERE a.gx < 8),
-       |$mediaPackCtes""".stripMargin
+       |${mediaPackCtes("i")}""".stripMargin
 
   /** Audio energy fingerprint of the near-dup WAV fixture, analytically:
     * 65 windows of w = 10 + g mod 8 samples, exact integer
@@ -2535,10 +2599,29 @@ object SparkEntry {
        |                + CASE WHEN __t % 97 < 5 THEN 8*v ELSE 0 END) % 65536
        |               - 32768))) AS BIGINT) AS e
        |       FROM aw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
-       |bits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
+       |abits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
        |         FROM ae a JOIN ae b ON a.id = b.id AND b.k = a.k + 1
        |         WHERE a.k < 64),
-       |$mediaPackCtes""".stripMargin
+       |${mediaPackCtes("a")}""".stripMargin
+
+  /** Video chunk-energy fingerprint of the stub tier, analytically: the
+    * payload IS the UTF-8 text (ASCII corpus ⇒ byte t = ascii of char
+    * t+1 — the m_media_frames precedent), 65 windows of w = len/65
+    * bytes, exact integer ascii sums, packed halves. Docs under 65
+    * bytes have no frame grid and are skipped.
+    */
+  private lazy val mediaVideoFpCtes: String =
+    s"""vids AS (SELECT doc_id AS id, text FROM documents
+       |              WHERE length(text) >= 65),
+       |vw AS (SELECT id, text, length(text) // 65 AS w FROM vids),
+       |ve AS (SELECT id, k,
+       |         CAST(list_sum(list_transform(range(k * w, (k + 1) * w), __t ->
+       |           ascii(substring(text, CAST(__t + 1 AS INT), 1)))) AS BIGINT) AS e
+       |       FROM vw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
+       |vbits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
+       |         FROM ve a JOIN ve b ON a.id = b.id AND b.k = a.k + 1
+       |         WHERE a.k < 64),
+       |${mediaPackCtes("v")}""".stripMargin
 
   /** Residual codebook as literal VALUES — the residual oracles' `rcb`. */
   private lazy val trainedPqResidualCbSelect: String = {
@@ -5467,7 +5550,7 @@ object SparkEntry {
     "m_media_dedup" ->
       s"""WITH $mediaDhashCtes
          |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
-         |FROM hx a JOIN hx b ON a.id < b.id
+         |FROM ihx a JOIN ihx b ON a.id < b.id
          |WHERE ${mediaHamming("a", "b")} <= 4
          |ORDER BY 1, 2""".stripMargin,
     // pairs → reachability fixpoint → min-component losers → survivors:
@@ -5475,18 +5558,9 @@ object SparkEntry {
     // CC mirror every text removal row uses)
     "m_media_dedup_removal" ->
       s"""WITH RECURSIVE $mediaDhashCtes,
-         |mp AS (SELECT a.id AS ia, b.id AS ib
-         |       FROM hx a JOIN hx b ON a.id < b.id
-         |       WHERE ${mediaHamming("a", "b")} <= 4),
-         |e AS (SELECT ia AS a, ib AS b FROM mp UNION SELECT ib, ia FROM mp),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
-         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
-         |losers AS (SELECT node FROM comp WHERE node != component)
+         |${mediaClosureCtes("i", 4)}
          |SELECT id AS "assetId" FROM ids
-         |WHERE id NOT IN (SELECT node FROM losers)
+         |WHERE id NOT IN (SELECT node FROM ilosers)
          |ORDER BY 1""".stripMargin,
     // persisted-index probe: batch (id >= 250) vs accumulated corpus
     // (id < 250), exhaustive Hamming — the blocked index probe must be
@@ -5494,7 +5568,7 @@ object SparkEntry {
     "m_media_dedup_vs_index" ->
       s"""WITH $mediaDhashCtes
          |SELECT b.id AS "assetId", c.id AS corpus_id, ${mediaHamming("b", "c")} AS dist
-         |FROM hx b JOIN hx c ON b.id >= 250 AND c.id < 250
+         |FROM ihx b JOIN ihx c ON b.id >= 250 AND c.id < 250
          |WHERE ${mediaHamming("b", "c")} <= 4
          |ORDER BY 1, 2""".stripMargin,
     // video chunk-energy near-dup (stub tier): the payload IS the UTF-8
@@ -5502,19 +5576,9 @@ object SparkEntry {
     // m_media_frames precedent), so window energies are exact integer
     // ascii sums; docs under 65 bytes have no frame grid and are skipped
     "m_media_video_dedup" ->
-      s"""WITH vids AS (SELECT doc_id AS id, text FROM documents
-         |              WHERE length(text) >= 65),
-         |vw AS (SELECT id, text, length(text) // 65 AS w FROM vids),
-         |ve AS (SELECT id, k,
-         |         CAST(list_sum(list_transform(range(k * w, (k + 1) * w), __t ->
-         |           ascii(substring(text, CAST(__t + 1 AS INT), 1)))) AS BIGINT) AS e
-         |       FROM vw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
-         |bits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
-         |         FROM ve a JOIN ve b ON a.id = b.id AND b.k = a.k + 1
-         |         WHERE a.k < 64),
-         |$mediaPackCtes
+      s"""WITH $mediaVideoFpCtes
          |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
-         |FROM hx a JOIN hx b ON a.id < b.id
+         |FROM vhx a JOIN vhx b ON a.id < b.id
          |WHERE ${mediaHamming("a", "b")} <= 4
          |ORDER BY 1, 2""".stripMargin,
     // audio energy-fingerprint near-dup: closed-form window energies
@@ -5523,8 +5587,52 @@ object SparkEntry {
     "m_media_audio_dedup" ->
       s"""WITH $mediaAudioFpCtes
          |SELECT a.id AS "idA", b.id AS "idB", ${mediaHamming("a", "b")} AS dist
-         |FROM hx a JOIN hx b ON a.id < b.id
+         |FROM ahx a JOIN ahx b ON a.id < b.id
          |WHERE ${mediaHamming("a", "b")} <= 4
          |ORDER BY 1, 2""".stripMargin,
+    // per-modality dataset card: decoded dimensions/durations aggregated
+    // per media type — every number analytic from the fixture sizing, so
+    // a wrong decode shows up in the card
+    "m_media_manifest" ->
+      """SELECT 'audio' AS media_type, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(512 + n_chars % 512) AS BIGINT) AS sum_units,
+        |  CAST(MIN(512 + n_chars % 512) AS INT) AS min_dim,
+        |  CAST(MAX(512 + n_chars % 512) AS INT) AS max_dim
+        |FROM documents
+        |UNION ALL
+        |SELECT 'image', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM((8 + n_chars % 24) * (8 + doc_id % 24)) AS BIGINT),
+        |  CAST(MIN(LEAST(8 + n_chars % 24, 8 + doc_id % 24)) AS INT),
+        |  CAST(MAX(GREATEST(8 + n_chars % 24, 8 + doc_id % 24)) AS INT)
+        |FROM documents
+        |ORDER BY 1""".stripMargin,
+    // per-modality dedup-rate card: all three fingerprint closures in one
+    // query (prefixed fragments), kept = assets − non-min component
+    // members — the d_dedup_rates triage view across modalities
+    "m_media_dedup_rates" ->
+      s"""WITH RECURSIVE $mediaDhashCtes,
+         |$mediaAudioFpCtes,
+         |$mediaVideoFpCtes,
+         |${mediaClosureCtes("i", 4)},
+         |${mediaClosureCtes("a", 4)},
+         |${mediaClosureCtes("v", 4)}
+         |SELECT 'audio' AS media_type,
+         |  CAST((SELECT COUNT(*) FROM ahx) AS BIGINT) AS n_assets,
+         |  CAST((SELECT COUNT(*) FROM ahx) - (SELECT COUNT(*) FROM alosers) AS BIGINT) AS n_kept,
+         |  round(CAST((SELECT COUNT(*) FROM alosers) AS DOUBLE)
+         |        / CAST((SELECT COUNT(*) FROM ahx) AS DOUBLE), 6) AS dup_rate
+         |UNION ALL
+         |SELECT 'image',
+         |  CAST((SELECT COUNT(*) FROM ihx) AS BIGINT),
+         |  CAST((SELECT COUNT(*) FROM ihx) - (SELECT COUNT(*) FROM ilosers) AS BIGINT),
+         |  round(CAST((SELECT COUNT(*) FROM ilosers) AS DOUBLE)
+         |        / CAST((SELECT COUNT(*) FROM ihx) AS DOUBLE), 6)
+         |UNION ALL
+         |SELECT 'video',
+         |  CAST((SELECT COUNT(*) FROM vhx) AS BIGINT),
+         |  CAST((SELECT COUNT(*) FROM vhx) - (SELECT COUNT(*) FROM vlosers) AS BIGINT),
+         |  round(CAST((SELECT COUNT(*) FROM vlosers) AS DOUBLE)
+         |        / CAST((SELECT COUNT(*) FROM vhx) AS DOUBLE), 6)
+         |ORDER BY 1""".stripMargin,
   )
 }
