@@ -54,6 +54,8 @@ object Bench {
     "d_wordpiece_train",   // likelihood-scored tokenizer training, 8 rounds
     "d_wordpiece_tokens",  // WordPiece-trained counts through the shared segmenter
     "d_unigram_train",     // full hard-EM trainer run (the oracle-gated trainer)
+    "d_tokenizer_fertility", // per-source tokens/word + chars/token card
+    "d_embed_drift",       // per-dim snapshot centroid shift card
     "d_unigram_tokens",    // unigram-LM counts under the committed grid-exact model
     "d_unigram_ppl",       // CCNet-style per-doc NLL/token quality filter
     "d_tokenize_ids",      // terminal tokenization: per-doc token-ID sequences

@@ -1201,25 +1201,33 @@ object SparkEntry {
     //      across all three fingerprint criteria — which modality needs
     //      dedup at all, from the removal closures
     "m_media_dedup_rates" -> { (s, dir) =>
-      def rateRow(label: String, hashes: DataFrame): DataFrame = {
-        val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4,
-          blocks = 5, bits = 64)
-        val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
-        val losers = comps.where(col("node") =!= col("comp"))
-          .select(col("node").as("__dup_id"))
-        val kept = hashes.join(losers, col("id") === col("__dup_id"), "left_anti")
-        hashes.agg(count(lit(1)).as("n_assets"))
-          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-          .select(lit(label).as("media_type"), col("n_assets"), col("n_kept"),
-            round((col("n_assets") - col("n_kept")).cast("double") /
-              col("n_assets").cast("double"), 6).as("dup_rate"))
-      }
-      rateRow("image", ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir)))
-        .unionByName(rateRow("audio",
-          ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))))
-        .unionByName(rateRow("video", ops.Multimodal.videoHashes(
+      // ONE star-CC over all three modalities: pair ids shift into
+      // disjoint 2^40-wide bands (components can't cross modalities by
+      // construction, so the union closure equals three separate
+      // closures), collapsing three driver-paced iterative CC loops into
+      // one — measured 12.0 s -> the union form on the same fixtures
+      val modalities: Seq[(String, Long, DataFrame)] = Seq(
+        ("image", 0L, ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))),
+        ("audio", 1L << 40, ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))),
+        ("video", 2L << 40, ops.Multimodal.videoHashes(
           ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))))
-        .orderBy("media_type")
+      val pairs = modalities.map { case (_, off, hashes) =>
+        ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+          .select((col("idA") + off).as("idA"), (col("idB") + off).as("idB"))
+      }.reduce(_ unionByName _)
+      val losers = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
+        .where(col("node") =!= col("comp"))
+        .select(shiftrightunsigned(col("node"), 40).as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_lost"))
+      modalities.zipWithIndex.map { case ((label, _, hashes), band) =>
+        hashes.agg(count(lit(1)).as("n_assets"))
+          .crossJoin(losers.where(col("band") === band)
+            .agg(coalesce(sum(col("n_lost")), lit(0L)).as("n_lost")))
+          .select(lit(label).as("media_type"), col("n_assets"),
+            (col("n_assets") - col("n_lost")).as("n_kept"),
+            round(col("n_lost").cast("double") /
+              col("n_assets").cast("double"), 6).as("dup_rate"))
+      }.reduce(_ unionByName _).orderBy("media_type")
     },
     // ---- VIDEO near-dup (stub decode tier): chunk-energy fingerprints
     //      over the encoded container bytes — the chunking/fingerprint/
@@ -1329,6 +1337,47 @@ object SparkEntry {
         vocabSize = 300, maxPieceLen = 4, emRounds = 3, seedMultis = 256)
       m.pieces.map(p => (p.piece, p.count, p.logProb))
         .toDF("piece", "cnt", "log_prob").orderBy("piece")
+    },
+    // ---- tokenizer-quality card: per-source FERTILITY (tokens/word
+    //      under the committed unigram model) + chars/token — the "is
+    //      this tokenizer efficient on this source" report every
+    //      multilingual tokenizer writeup tables
+    "d_tokenizer_fertility" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tok = ops.Unigram.tokenCounts(docs, "text", "doc_id", fixtureUnigram)
+      docs.select(col("doc_id"), col("source"), col("n_chars"),
+          ops.TextAnalysis.wsTokenCount(col("text")).cast("long").as("nw"))
+        .join(tok, "doc_id")
+        .groupBy("source")
+        .agg(sum(col("n_tok_unigram")).as("n_tok"),
+          sum(col("nw")).as("n_words"),
+          round(sum(col("n_tok_unigram")).cast("double") /
+            sum(col("nw")).cast("double"), 6).as("fertility"),
+          round(sum(col("n_chars")).cast("double") /
+            sum(col("n_tok_unigram")).cast("double"), 6).as("chars_per_tok"))
+        .orderBy("source")
+    },
+    // ---- embedding DRIFT card: per-dimension decimal-exact centroid of
+    //      two corpus snapshots (even/odd vec_id split) and the absolute
+    //      shift — the dataset-monitoring view that catches embedding
+    //      regeneration or upstream model swaps between releases
+    "d_embed_drift" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(transform(col("embedding"),
+          x => x.cast("double"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("x"))
+      val D18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      e.groupBy("dim")
+        .agg(
+          (sum(when(col("vec_id") % 2 === 0, col("x")).cast(D18)).cast("double") /
+            count(when(col("vec_id") % 2 === 0, 1)).cast("double")).as("mu_old"),
+          (sum(when(col("vec_id") % 2 === 1, col("x")).cast(D18)).cast("double") /
+            count(when(col("vec_id") % 2 === 1, 1)).cast("double")).as("mu_new"))
+        .select(col("dim"), round(col("mu_old"), 6).as("mu_old"),
+          round(col("mu_new"), 6).as("mu_new"),
+          round(abs(col("mu_new") - col("mu_old")), 6).as("drift"))
+        .orderBy("dim")
     },
     // ---- TERMINAL tokenization: per-doc token-ID sequences under the
     //      committed unigram model, ids concatenated in word order
@@ -3364,6 +3413,23 @@ object SparkEntry {
     // scaladoc for the exactness argument (grid m-steps, fold-DP Viterbi,
     // materialized CTE chain).
     "d_unigram_train" -> unigramTrainOracleSql,
+    // Fertility card replayed over the SAME path enumeration as the
+    // token-count row, aggregated per source with the raw word counts
+    "d_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $unigramBestCtes,
+         |tc AS (SELECT wo.doc_id, CAST(SUM(best.ntok) AS BIGINT) AS n
+         |       FROM wo JOIN best ON wo.w = best.w GROUP BY 1),
+         |dw AS (SELECT doc_id, len(ws) AS nw FROM docw)
+         |SELECT d.source,
+         |  CAST(SUM(COALESCE(tc.n, 0)) AS BIGINT) AS n_tok,
+         |  CAST(SUM(dw.nw) AS BIGINT) AS n_words,
+         |  round(CAST(SUM(COALESCE(tc.n, 0)) AS DOUBLE)
+         |        / CAST(SUM(dw.nw) AS DOUBLE), 6) AS fertility,
+         |  round(CAST(SUM(d.n_chars) AS DOUBLE)
+         |        / CAST(SUM(COALESCE(tc.n, 0)) AS DOUBLE), 6) AS chars_per_tok
+         |FROM documents d JOIN dw ON dw.doc_id = d.doc_id
+         |LEFT JOIN tc ON tc.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Trained-unigram token counts replayed WITHOUT the DP: enumerate
     // every segmentation of each distinct word (recursive CTE from the
     // word's end backwards over the fixture piece table; unk only for
@@ -4967,6 +5033,22 @@ object SparkEntry {
          |       ELSE round(cv[CAST(__i AS INT)], 6) END AS x
          |FROM n2 CROSS JOIN (SELECT unnest(range(1, 65)) AS __i) __d
          |ORDER BY vec_id, dim""".stripMargin,
+    // Drift card replayed: two decimal-exact per-dim centroids (even/odd
+    // snapshot split), shift from the UNROUNDED means — same op order
+    "d_embed_drift" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT CAST(k AS INT) AS dim,
+         |        CAST(SUM(CASE WHEN vec_id % 2 = 0
+         |          THEN CAST(v[CAST(k AS INT)] AS DECIMAL(38,18)) END) AS DOUBLE)
+         |          / CAST(COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS DOUBLE) AS mu_old,
+         |        CAST(SUM(CASE WHEN vec_id % 2 = 1
+         |          THEN CAST(v[CAST(k AS INT)] AS DECIMAL(38,18)) END) AS DOUBLE)
+         |          / CAST(COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS DOUBLE) AS mu_new
+         |      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
+         |      GROUP BY 1)
+         |SELECT dim, round(mu_old, 6) AS mu_old, round(mu_new, 6) AS mu_new,
+         |  round(abs(mu_new - mu_old), 6) AS drift
+         |FROM m ORDER BY dim""".stripMargin,
     // Projected ANN replayed: the same rounded 16-dim projections, the
     // same -2 zero-norm sentinel, DECIMAL(38,12) candidate ranking,
     // refine-30, exact full-space rescore. The indexed twin serves from
