@@ -367,6 +367,16 @@ object StressX10 {
               n = 3, minFragmentWords = 10)
             .where(coalesce(length(col("kept_text")), lit(0)) >= 0)
         }),
+      // image dHash dedup at 10×: the near-dup PNG fixture generates
+      // payloads from the ID (groups of 4 per id/4), so the shifted-id
+      // replica set is a GENUINE 10× image corpus with the same group
+      // structure. Decode is partition-local, pairing is blocked —
+      // expect ~linear decode plus the pair growth the data carries
+      ("m_media_dedup (decode + blocked pairing)", docs1, docs10,
+        (d: DataFrame) => graft.ops.Dedup.pairsFromHash(
+          graft.ops.Multimodal.imageHashes(
+            graft.ops.Multimodal.imageDedupAssets(d)),
+          maxHamming = 4, blocks = 5, bits = 64)),
       // TOKEN-budgeted mixture under the 95%-dominant stratum (VERDICT
       // r11 item 7): the bucketed prefix sums must keep the dominant
       // source's running-token window off a single task — expect ~linear
