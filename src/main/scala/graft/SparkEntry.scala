@@ -1138,7 +1138,10 @@ object SparkEntry {
     //      pixels, so both the decode and the blocking must be lossless
     //      at maxHamming=4 to match
     "m_media_dedup" -> { (s, dir) =>
+      // localCheckpoint: the blocked self-join scans (id, sim) twice —
+      // materializing the signature-sized frame decodes each PNG ONCE
       val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+        .localCheckpoint()
       ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
         .orderBy("idA", "idB")
     },
@@ -1147,6 +1150,7 @@ object SparkEntry {
     //      every text criterion has
     "m_media_dedup_removal" -> { (s, dir) =>
       val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+        .localCheckpoint() // 3 scans (pair sides + survivor join), 1 decode
       val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5,
         bits = 64)
       val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
@@ -1159,7 +1163,10 @@ object SparkEntry {
     //      persisted corpus fingerprint index (signature-sized — corpus
     //      payloads never redecoded), the family's incremental shape
     "m_media_dedup_vs_index" -> { (s, dir) =>
+      // filters on the fingerprint OUTPUT can't push through the decode
+      // mapPartitions — checkpoint so both sides share one decode pass
       val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+        .localCheckpoint()
       val index = ops.Dedup.hashIndex(hashes.where(col("id") < 250),
         blocks = 5, bits = 64)
       ops.Dedup.hashIndexMatches(hashes.where(col("id") >= 250), index,
@@ -1173,6 +1180,7 @@ object SparkEntry {
     //      blocked pairing — dedup's second modality
     "m_media_audio_dedup" -> { (s, dir) =>
       val hashes = ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))
+        .localCheckpoint() // one WAV container parse, two pair-side scans
       ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
         .orderBy("idA", "idB")
     },
@@ -1207,13 +1215,24 @@ object SparkEntry {
       // closures), collapsing three driver-paced iterative CC loops into
       // one — measured 12.0 s -> the union form on the same fixtures
       val modalities: Seq[(String, Long, DataFrame)] = Seq(
-        ("image", 0L, ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))),
-        ("audio", 1L << 40, ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))),
+        ("image", 0L, ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
+          .localCheckpoint()), // decode ONCE per modality: the pair
+        ("audio", 1L << 40,    // self-join + the n_assets agg rescan the
+          ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir)) // frame
+            .localCheckpoint()),
         ("video", 2L << 40, ops.Multimodal.videoHashes(
-          ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))))
+          ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
+          .localCheckpoint()))
+      // the band arithmetic is only sound for ids inside one 2^40 band —
+      // enforce it (guard-before-use), don't assume it
+      def banded(c: org.apache.spark.sql.Column, off: Long): org.apache.spark.sql.Column =
+        when(c < 0 || c >= (1L << 40), raise_error(concat(
+          lit("m_media_dedup_rates: asset id outside the 2^40 modality band: "),
+          c.cast("string")))).otherwise(c + off)
       val pairs = modalities.map { case (_, off, hashes) =>
         ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
-          .select((col("idA") + off).as("idA"), (col("idB") + off).as("idB"))
+          .select(banded(col("idA"), off).as("idA"),
+            banded(col("idB"), off).as("idB"))
       }.reduce(_ unionByName _)
       val losers = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
         .where(col("node") =!= col("comp"))

@@ -353,7 +353,8 @@ object Dedup {
     * convention at generic width. No broadcast forced here.
     */
   private[graft] def hashIndexMatchCore(batch: DataFrame, index: DataFrame,
-      maxHamming: Int, blocks: Int, bits: Int): DataFrame = {
+      maxHamming: Int, blocks: Int, bits: Int,
+      idName: String = "id"): DataFrame = {
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
         "pigeonhole guarantees a shared block only for distance < blocks")
@@ -361,9 +362,10 @@ object Dedup {
         posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
       .join(index, Seq("block", "blockKey"))
-      .where(col("id") =!= col("corpusId"))
+      .where(col(idName) =!= col("corpusId"))
       .withColumn("dist", hamming(col("sim"), col("corpusSim")))
       .where(col("dist") <= maxHamming)
+      .drop("block", "blockKey", "corpusSim")
   }
 
   /** Static simhash block index of an accumulated corpus: `(block,
@@ -377,10 +379,8 @@ object Dedup {
     */
   def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       blocks: Int = 4): DataFrame =
-    guardedSims(corpus, idCol, textCol)
-      .select(col("doc_id").as("corpusId"), col("sim").as("corpusSim"),
-        posexplode(blockKeyCols(col("sim"), blocks)))
-      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
+    hashIndex(guardedSims(corpus, idCol, textCol)
+      .select(col("doc_id").as("id"), col("sim")), blocks, bits = 31)
 
   /** Shared candidate-match core against a [[simhashIndex]]: the input
     * must carry `doc_id` and `sim`; any extra columns (e.g. a stream's
@@ -402,19 +402,11 @@ object Dedup {
     * ids are the EXACT increment's job ([[dedupIncremental]]), run first.
     */
   private[graft] def indexMatchCore(withSim: DataFrame, index: DataFrame,
-      maxHamming: Int, blocks: Int): DataFrame = {
-    require(blocks > maxHamming,
-      s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
-        "pigeonhole guarantees a shared block only for distance < blocks")
-    withSim
-      .select(col("*"), posexplode(blockKeyCols(col("sim"), blocks)))
-      .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
-      .join(index, Seq("block", "blockKey"))
-      .where(col("doc_id") =!= col("corpusId"))
-      .withColumn("dist", hamming(col("sim"), col("corpusSim")))
-      .where(col("dist") <= maxHamming)
-      .drop("block", "blockKey", "corpusSim")
-  }
+      maxHamming: Int, blocks: Int): DataFrame =
+    // ONE probe definition across widths and id conventions: the 31-bit
+    // text probe is the generic core at bits = 31, keyed by doc_id
+    hashIndexMatchCore(withSim, index, maxHamming, blocks, bits = 31,
+      idName = "doc_id")
 
   /** Null-guarded (id, sim) projection shared by the batch near-dup
     * probes: NULL ids raise (the guard-before-use convention — a NULL id

@@ -30,49 +30,45 @@ object MediaStream {
     spark.readStream.schema(assetSchema).parquet(dir)
       .withColumn("ingestTs", current_timestamp())
 
-  /** dHash-64 fingerprints of arriving image assets — REAL `ImageIO`
-    * decode per row, `(id, sim, ingestTs)` out. Stateless.
+  /** ONE fingerprint-mapper definition for all three modalities. Unlike
+    * the batch tables (where a bad payload raising IS the contract —
+    * OpsSpec pins it), a stream must not wedge: a poison asset that
+    * throws inside mapPartitions kills the query, and the file source
+    * re-reads the same file on restart — a PERMANENT crash loop. So the
+    * streaming mappers wrap the decode in Try and DROP undecodable /
+    * too-short payloads (the dropped row is the one that could never
+    * fingerprint anyway).
     */
-  def imageFingerprints(assets: DataFrame): DataFrame = {
+  private def fingerprints(assets: DataFrame,
+      hash: Array[Byte] => Long): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
       .as[(Long, Array[Byte], java.sql.Timestamp)]
-      .mapPartitions(_.map { case (id, p, ts) =>
-        (id, Multimodal.imageHash(p), ts)
+      .mapPartitions(_.flatMap { case (id, p, ts) =>
+        scala.util.Try(hash(p)).toOption.map(h => (id, h, ts))
       })
       .toDF("id", "sim", "ingestTs")
   }
 
+  /** dHash-64 fingerprints of arriving image assets — REAL `ImageIO`
+    * decode per row, `(id, sim, ingestTs)` out. Stateless.
+    */
+  def imageFingerprints(assets: DataFrame): DataFrame =
+    fingerprints(assets, Multimodal.imageHash)
+
   /** Energy fingerprints of arriving audio assets — REAL `AudioSystem`
     * container parse per row. Stateless.
     */
-  def audioFingerprints(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    import spark.implicits._
-    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
-      .as[(Long, Array[Byte], java.sql.Timestamp)]
-      .mapPartitions(_.map { case (id, p, ts) =>
-        (id, Multimodal.audioHash(p), ts)
-      })
-      .toDF("id", "sim", "ingestTs")
-  }
+  def audioFingerprints(assets: DataFrame): DataFrame =
+    fingerprints(assets, Multimodal.audioHash)
 
   /** Chunk-energy fingerprints of arriving video assets (stub decode
     * tier — [[graft.ops.Multimodal.videoFingerprint64]]). Stateless;
     * sub-65-byte payloads have no frame grid and are dropped.
     */
-  def videoFingerprints(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    import spark.implicits._
-    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
-      .as[(Long, Array[Byte], java.sql.Timestamp)]
-      .filter(_._2.length >= 65)
-      .mapPartitions(_.map { case (id, p, ts) =>
-        (id, Multimodal.videoFingerprint64(p), ts)
-      })
-      .toDF("id", "sim", "ingestTs")
-  }
+  def videoFingerprints(assets: DataFrame): DataFrame =
+    fingerprints(assets, Multimodal.videoFingerprint64)
 
   /** Streaming media near-dup probe: fingerprint rows `(id, sim,
     * ingestTs)` against a static [[graft.ops.Dedup.hashIndex]]
