@@ -184,7 +184,12 @@ object Bench {
     // OpsSpec recall/parity gates; its one-off cost was measured in r7 at
     // 3.53 s/query vs 1.09 s served from the persisted index).
     val queries = SparkEntry.queries
+    // local-iteration filter (comma-separated substrings); the driver
+    // sets no env, so its invocation always runs the full headline set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = headline.filter(queries.contains)
+      .filter(n => only.forall(_.exists(n.contains)))
 
     // One timed execution; Left(message) on failure. noop sink runs the
     // FULL plan (round 1's .count() let Catalyst prune aggregate

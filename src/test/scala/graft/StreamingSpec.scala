@@ -693,6 +693,27 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size}, batch ${batch.size}")
   }
 
+  test("streaming media fingerprints drop poison assets instead of wedging the query") {
+    // a stream must not crash-loop on an undecodable payload: the file
+    // source re-reads the same file on restart, so a throw inside the
+    // decode is a PERMANENT wedge (batch tables raise by contract;
+    // streams drop)
+    val assetDir = java.nio.file.Files.createTempDirectory("graft-poison")
+    val good = graft.ops.Multimodal.encodeNearDupPng(4L)
+    spark.createDataset(Seq(
+        graft.ops.Multimodal.MediaAsset(4L, "image", good, "t"),
+        graft.ops.Multimodal.MediaAsset(5L, "image", Array[Byte](1, 2, 3), "t")))(
+        graft.ops.Multimodal.assetEnc)
+      .write.mode("overwrite").parquet(assetDir.toString)
+    val stream = MediaStream.read(spark, assetDir.toString)
+    EventStream.runToMemory(
+      MediaStream.imageFingerprints(stream), "media_poison")
+    val out = spark.table("media_poison").select("id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(4L)) // poison row dropped, good row hashed
+    assert(out(4L) == graft.ops.Multimodal.imageHash(good))
+  }
+
   test("streaming span redaction: frozen-set serve path matches batch, stateless") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.where(col("doc_id") < 25)
