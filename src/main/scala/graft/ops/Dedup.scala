@@ -1259,6 +1259,15 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive: $maxIters")
+    // the algorithm is LONG-keyed by design (min-id roots, greatest/least
+    // canonicalization, an id-sum potential): a non-numeric id would die
+    // mid-job in an ANSI cast — fail at plan time with the real reason
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponentsStar needs numeric node ids; '$c' is ${dt.simpleString} — " +
+          "hash or dictionary-encode string ids to longs first (e.g. xxhash64)")
+    }
     // checkpoint the RAW pairs, not just the canonical edges: allNodes is
     // derived from them too, and without this the caller's pair pipeline
     // (typically a full LSH candidate+verify pass) re-executed for the
@@ -1354,16 +1363,22 @@ object Dedup {
   def removeNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
       textCol: String, scoreCol: String, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.3, maxIters: Int = 30): DataFrame = {
+    val scoreField = docs.schema(scoreCol)
+    require(scoreField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"scoreCol '$scoreCol' must be numeric (got ${scoreField.dataType.simpleString}) — " +
+        "the representative choice orders by score DESC")
     val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands, threshold)
     val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
     val scored = comps.join(
       docs.select(col(idCol).as("node"), col(scoreCol).as("__q")), "node")
-    // max_by over (score, -id): score DESC, exact ties fall to the
-    // smallest id — -id makes the struct comparison total, so the
-    // representative is deterministic under any aggregation order
+    // min_by over (-score, id): score DESC, exact ties fall to the
+    // smallest id. Negating the SCORE (numeric, guarded above) instead of
+    // the id keeps the tie-break type-agnostic: string/date ids order
+    // naturally inside the struct, where a negated non-numeric id would
+    // silently cast to NULL and make the representative nondeterministic
     val reps = scored.groupBy("comp")
-      .agg(max_by(col("node"),
-        struct(col("__q"), (-col("node")).as("__negid"))).as("__keep"))
+      .agg(min_by(col("node"),
+        struct((-col("__q")).as("__negq"), col("node"))).as("__keep"))
     val losers = scored.join(reps, "comp")
       .where(col("node") =!= col("__keep"))
       .select(col("node").as("__dup_id"))

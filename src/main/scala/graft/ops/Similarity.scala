@@ -959,27 +959,48 @@ object Similarity {
     */
   def writeProjectedIndex(corpus: DataFrame, path: String,
       outDims: Int = 16, firstPlane: Int = 100): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     signProject(corpus.select(col("cid"), col("vec")), "cid", "vec",
         outDims, firstPlane)
       .select(col("cid"), col("proj"))
       .write.parquet(s"$path/projected")
     corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
+    // the projection parameters ARE part of the index: a serve that
+    // re-projects queries with different (outDims, firstPlane) ranks in a
+    // DIFFERENT space and silently returns a wrong candidate set — so
+    // persist them and validate at read time
+    Seq((outDims, firstPlane)).toDF("outDims", "firstPlane")
+      .coalesce(1).write.parquet(s"$path/meta")
   }
 
   /** Query a [[writeProjectedIndex]] layout: rank against the persisted
     * projections, refine, exact-rescore against the persisted vectors.
     * Bit-identical projections → results equal [[projectedTopK]] over the
     * same corpus, and the same DuckDB oracle gates both.
+    *
+    * `outDims`/`firstPlane` default to the values PERSISTED at build time
+    * (pass -1 = "from meta"); an explicit value that disagrees with the
+    * index's meta raises instead of silently ranking in the wrong
+    * projected space.
     */
   def projectedTopKIndexed(queries: DataFrame, path: String,
-      k: Int = 10, outDims: Int = 16, refine: Int = 30,
-      firstPlane: Int = 100): DataFrame = {
+      k: Int = 10, outDims: Int = -1, refine: Int = 30,
+      firstPlane: Int = -1): DataFrame = {
     val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("outDims").cast("int"), col("firstPlane").cast("int"))
+      .head()
+    val (metaDims, metaPlane) = (meta.getInt(0), meta.getInt(1))
+    require(outDims == -1 || outDims == metaDims,
+      s"projected index at $path was built with outDims=$metaDims, caller passed $outDims")
+    require(firstPlane == -1 || firstPlane == metaPlane,
+      s"projected index at $path was built with firstPlane=$metaPlane, caller passed $firstPlane")
     val cp = spark.read.parquet(s"$path/projected")
       .select(col("cid"), col("proj").as("cp"))
     val vectors = spark.read.parquet(s"$path/vectors")
     val qp = signProject(queries.select(col("qid"), col("vec")), "qid", "vec",
-        outDims, firstPlane)
+        metaDims, metaPlane)
       .select(col("qid"), col("proj").as("qp"))
     rescoreTopK(projectedCandidates(qp, cp, refine), queries, vectors, k)
   }

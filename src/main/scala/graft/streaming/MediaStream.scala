@@ -71,16 +71,26 @@ object MediaStream {
     fingerprints(assets, Multimodal.videoFingerprint64)
 
   /** Streaming media near-dup probe: fingerprint rows `(id, sim,
-    * ingestTs)` against a static [[graft.ops.Dedup.hashIndex]]
-    * (broadcast — the stream-static join wants the static side as build
-    * side). Emits (id, corpusId, dist) for dist ≤ maxHamming; the probe
-    * is the ONE shared definition (`Dedup.hashIndexMatchCore`), only the
+    * ingestTs)` against a static [[graft.ops.Dedup.hashIndex]]. Emits
+    * (id, corpusId, dist) for dist ≤ maxHamming; the probe is the ONE
+    * shared definition (`Dedup.hashIndexMatchCore`), only the
     * watermark-bounded collision collapse is streaming-specific.
+    *
+    * `broadcastIndex` is OPT-IN (default false): the accumulated corpus
+    * index grows without bound in steady state and can dwarf any
+    * micro-batch, so forcing it to the build side would eventually OOM
+    * the driver — the batch twin `hashIndexMatches` makes the same
+    * choice. Leave it false to let the planner/AQE pick sides per
+    * micro-batch; set true ONLY when the index is known small (say
+    * ≤ a few hundred MB of (id, fingerprint) rows — a bounded
+    * allow-list, not a crawl corpus).
     */
   def mediaNearDupsAgainstCorpus(fingerprints: DataFrame, index: DataFrame,
       maxHamming: Int = 4, blocks: Int = 5, bits: Int = 64,
-      dedupDelay: String = "10 minutes"): DataFrame =
-    Dedup.hashIndexMatchCore(fingerprints, broadcast(index),
+      dedupDelay: String = "10 minutes",
+      broadcastIndex: Boolean = false): DataFrame =
+    Dedup.hashIndexMatchCore(fingerprints,
+        if (broadcastIndex) broadcast(index) else index,
         maxHamming, blocks, bits)
       .select(col("id"), col("ingestTs"), col("corpusId"), col("dist"))
       .withWatermark("ingestTs", dedupDelay)

@@ -993,6 +993,58 @@ class OpsSpec extends AnyFunSuite {
     assert(r16w > r16, s"refine-60 recall $r16w not above refine-30 $r16")
   }
 
+  test("projectedTopKIndexed: params default from persisted meta; mismatch raises") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val path = graft.TempDirs.create("graft-test-projidx").resolve("index").toString
+    Similarity.writeProjectedIndex(c, path, outDims = 24, firstPlane = 300)
+    def pairs(df: DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // defaults (-1) resolve from the meta written at build time — no
+    // caller-side duplication of (outDims, firstPlane) needed
+    val served = pairs(Similarity.projectedTopKIndexed(q, path, k = 5, refine = 20))
+    val inflight = pairs(Similarity.projectedTopK(q, c, k = 5, outDims = 24,
+      refine = 20, firstPlane = 300))
+    assert(served == inflight, "meta-defaulted serve must equal the in-flight build")
+    // explicit params matching meta are accepted
+    assert(pairs(Similarity.projectedTopKIndexed(q, path, k = 5, outDims = 24,
+      refine = 20, firstPlane = 300)) == inflight)
+    // a mismatch means ranking in a DIFFERENT projected space — raise, not
+    // silently-wrong candidates
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.projectedTopKIndexed(q, path, k = 5, outDims = 16, refine = 20)
+    }
+    assert(e1.getMessage.contains("outDims=24"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.projectedTopKIndexed(q, path, k = 5, firstPlane = 100, refine = 20)
+    }
+    assert(e2.getMessage.contains("firstPlane=300"))
+  }
+
+  test("removeNearDuplicatesKeepBest: non-numeric score or id raises at plan time") {
+    val sdocs = Seq(
+      ("doc-b", "the quick brown fox jumps over the lazy dog", 7L),
+      ("doc-a", "the quick brown fox jumps over the lazy dog", 7L),
+      ("doc-c", "completely different content about spark engines", 7L),
+    ).toDF("doc_id", "text", "q")
+    // a non-numeric score column fails LOUDLY at plan time — the
+    // representative choice negates the score, which needs a numeric type
+    val bad = docs.withColumn("qs", concat(lit("s"), col("doc_id")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicatesKeepBest(bad, "doc_id", "text", "qs")
+    }
+    assert(e.getMessage.contains("must be numeric"))
+    // string ids fail at plan time with a hash-your-ids message instead of
+    // an ANSI cast error halfway into the CC job
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicatesKeepBest(sdocs, "doc_id", "text", "q")
+    }
+    assert(e2.getMessage.contains("numeric node ids"))
+  }
+
   test("signProject: zero exchanges, cosine approximately preserved at 16 dims") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
