@@ -205,6 +205,25 @@ private[graft] object OracleFrag {
       |      list_transform(ws, __x -> CAST(len(__x) + 7 * ascii(substring(__x, 1, 1)) AS BIGINT))),
       |    (__p, __q) -> (__p * 31 + __q) % 2147483647)""".stripMargin
 
+  /** Two Lehmer rounds on the P57 line (mirror of Sketch.mixedPosition) —
+    * HUGEINT because the intermediate product exceeds int64.
+    */
+  def mix1(h: String): String =
+    s"CAST(((CAST($h AS HUGEINT) + 1) * 48271 % $P57) * 48271 % $P57 AS BIGINT)"
+
+  /** Third Lehmer round (mirror of Sketch.mixedPosition2) — the
+    * double-hashing step generator for the Bloom/CMS position walks.
+    */
+  def mix2(h: String): String =
+    s"CAST((((CAST($h AS HUGEINT) + 1) * 48271 % $P57) * 48271 % $P57) * 48271 % $P57 AS BIGINT)"
+
+  /** Double-hashed probe position `(h1 + i·h2) mod m` over precomputed
+    * `m1`/`m2` columns (mirror of Sketch.bloomPositions / cmsPosition):
+    * `h1 = m1 mod m`, `h2 = 1 + (m2 mod (m−1))`, step forced nonzero.
+    */
+  def sketchPos(m1: String, m2: String, i: String, m: Int): String =
+    s"(($m1 % $m) + $i * (1 + ($m2 % ${m - 1}))) % $m"
+
   /** Rolling poly-57 hash of a string expression (mirror of TextHashOps.foldBytes). */
   def poly57(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len($s) + 1), __j -> CAST(ascii(($s)[__j]) AS BIGINT))), (__a, __c) -> (__a * 31 + __c) % $P57)"""

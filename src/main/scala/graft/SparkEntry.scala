@@ -2183,6 +2183,98 @@ object SparkEntry {
       val sketches = ops.Sketch.kmvSketch(sh, "source", "shard", col("h"), k = 64)
       ops.Sketch.kmvMergeEstimate(sketches, "source", k = 64).orderBy("source")
     },
+    // ---- Bloom membership gate: the cheapest "seen before?" serve tier —
+    //      a FIXED-SIZE bit table (mBits/32 rows, whatever the corpus)
+    //      probed by the batch; no false negatives ever, false positives
+    //      priced by (1−e^{−kn/m})^k. Corpus = even doc fingerprints,
+    //      batch = odd docs; is_member (the exact answer) rides along so
+    //      the no-false-negative guarantee is VISIBLE in the row data
+    "d_member_sketch" -> { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val corpus = fps.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = fps.where(pmod(col("doc_id"), lit(2)) === 1)
+      val sk = ops.Sketch.bloomSketch(corpus, col("fp"), mBits = 65536, kHashes = 4)
+      val probed = ops.Sketch.bloomProbe(batch, "doc_id", col("fp"), sk,
+        mBits = 65536, kHashes = 4)
+      batch.join(probed, "doc_id")
+        .join(corpus.select(col("fp")).distinct().withColumn("__in", lit(true)),
+          Seq("fp"), "left")
+        .select(col("doc_id"), col("maybe_member"),
+          coalesce(col("__in"), lit(false)).as("is_member"))
+        .orderBy("doc_id")
+    },
+    // ---- Bloom mergeability — per-shard filters OR-merge into the
+    //      one-shot bit table BIT-IDENTICALLY (the union of set bits);
+    //      the oracle ignores the sharding and replays one-shot semantics
+    "d_member_sketch_merged" -> { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val corpus = fps.where(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val batch = fps.where(pmod(col("doc_id"), lit(2)) === 1)
+      val sk = ops.Sketch.bloomMerge(ops.Sketch.bloomShardSketch(
+        corpus, "shard", col("fp"), mBits = 65536, kHashes = 4))
+      ops.Sketch.bloomProbe(batch, "doc_id", col("fp"), sk,
+          mBits = 65536, kHashes = 4)
+        .orderBy("doc_id")
+    },
+    // ---- count-min frequency sketch: the whole corpus word bag counted
+    //      ONCE into 4×2048 cells; any key's frequency answered later
+    //      without re-reading the corpus. Probe = the exact top-30 words;
+    //      est >= exact always (collisions only ADD — `over` shows them)
+    "d_freq_sketch" -> { (s, dir) =>
+      val occ = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.word_hashes(col("text")))
+          .as("w_hash"))
+      val cms = ops.Sketch.cmsSketch(occ, col("w_hash"), depth = 4, width = 2048)
+      val top = occ.groupBy("w_hash").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w_hash")).limit(30)
+      ops.Sketch.cmsLookup(top, "w_hash", col("w_hash"), cms,
+          depth = 4, width = 2048)
+        .join(top, "w_hash")
+        .select(col("w_hash"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("over"))
+        .orderBy(col("n_exact").desc, col("w_hash"))
+    },
+    // ---- CMS mergeability — counters are sums, so per-shard sketches
+    //      sum-merge into the one-shot sketch CELL-identically; same
+    //      probe, same answers, oracle ignores the sharding
+    "d_freq_sketch_merged" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val occ = docs.select(pmod(col("doc_id"), lit(8)).as("shard"),
+        explode(graft.functions.TextFunctions.word_hashes(col("text")))
+          .as("w_hash"))
+      val cms = ops.Sketch.cmsMerge(ops.Sketch.cmsShardSketch(
+        occ, "shard", col("w_hash"), depth = 4, width = 2048))
+      val top = occ.groupBy("w_hash").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w_hash")).limit(30)
+      ops.Sketch.cmsLookup(top, "w_hash", col("w_hash"), cms,
+          depth = 4, width = 2048)
+        .orderBy("w_hash")
+    },
+    // ---- histogram quantile sketch: per-source length quantiles off a
+    //      64-bucket mergeable histogram — error bounded by ONE bucket
+    //      width (16 chars) at build time, not by data luck; the exact
+    //      sibling (d_length_quantiles) re-sorts the corpus per query
+    "d_quantile_sketch" -> { (s, dir) =>
+      val hist = ops.Sketch.histSketch(t(s, dir, "documents"),
+        "source", "n_chars", lo = 0L, hi = 1024L, nBuckets = 64)
+      ops.Sketch.histQuantiles(hist, "source", Seq(50, 90, 99),
+          lo = 0L, hi = 1024L, nBuckets = 64)
+        .orderBy("source", "pct")
+    },
+    // ---- histogram mergeability — per-shard histograms sum-merge
+    //      losslessly; identical quantile reads, oracle ignores sharding
+    "d_quantile_sketch_merged" -> { (s, dir) =>
+      val hist = ops.Sketch.histMerge(ops.Sketch.histShardSketch(
+        t(s, dir, "documents").withColumn("shard", pmod(col("doc_id"), lit(8))),
+        "source", "shard", "n_chars", lo = 0L, hi = 1024L, nBuckets = 64),
+        "source")
+      ops.Sketch.histQuantiles(hist, "source", Seq(50, 90, 99),
+          lo = 0L, hi = 1024L, nBuckets = 64)
+        .orderBy("source", "pct")
+    },
     // ---- ANN via JL project-then-rescore: 16-dim projected cosine ranks
     //      (4x cheaper dot), refine-30 exact full-space rescore
     "s_ann_projected" -> { (s, dir) =>
@@ -4313,6 +4405,112 @@ object SparkEntry {
          |  CAST(COALESCE((63 * ${ops.Sketch.P57}) // hk.hk, cnt.nm) AS BIGINT) AS n_est
          |FROM cnt LEFT JOIN hk ON cnt.source = hk.source
          |ORDER BY cnt.source""".stripMargin,
+    // Bloom replayed SEMANTICALLY: the bit table is exactly the distinct
+    // position set of the inserted keys, so the oracle skips the 32-bit
+    // word packing and asks "are all 4 probe positions set?" directly —
+    // same double-hash walk (mix1/mix2 Lehmer rounds), same answer
+    "d_member_sketch" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT doc_id, ${OracleFrag.fingerprintExpr} AS fp FROM w),
+         |ck AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+         |cm AS (SELECT fp, ${OracleFrag.mix1("fp")} AS m1, ${OracleFrag.mix2("fp")} AS m2 FROM ck),
+         |cpos AS (SELECT DISTINCT ${OracleFrag.sketchPos("m1", "m2", "i", 65536)} AS pos
+         |         FROM cm CROSS JOIN range(0, 4) t(i)),
+         |bm AS (SELECT doc_id, fp, ${OracleFrag.mix1("fp")} AS m1, ${OracleFrag.mix2("fp")} AS m2
+         |       FROM f WHERE doc_id % 2 = 1),
+         |pm AS (SELECT doc_id, fp,
+         |         bool_and(${OracleFrag.sketchPos("m1", "m2", "i", 65536)}
+         |           IN (SELECT pos FROM cpos)) AS maybe_member
+         |       FROM bm CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2)
+         |SELECT doc_id, maybe_member, fp IN (SELECT fp FROM ck) AS is_member
+         |FROM pm ORDER BY doc_id""".stripMargin,
+    // Mergeability proof: the oracle IGNORES the sharding — per-shard
+    // filters OR-merged must probe exactly like the one-shot filter
+    "d_member_sketch_merged" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |f AS (SELECT doc_id, ${OracleFrag.fingerprintExpr} AS fp FROM w),
+         |ck AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+         |cm AS (SELECT fp, ${OracleFrag.mix1("fp")} AS m1, ${OracleFrag.mix2("fp")} AS m2 FROM ck),
+         |cpos AS (SELECT DISTINCT ${OracleFrag.sketchPos("m1", "m2", "i", 65536)} AS pos
+         |         FROM cm CROSS JOIN range(0, 4) t(i)),
+         |bm AS (SELECT doc_id, fp, ${OracleFrag.mix1("fp")} AS m1, ${OracleFrag.mix2("fp")} AS m2
+         |       FROM f WHERE doc_id % 2 = 1)
+         |SELECT doc_id,
+         |  bool_and(${OracleFrag.sketchPos("m1", "m2", "i", 65536)}
+         |    IN (SELECT pos FROM cpos)) AS maybe_member
+         |FROM bm CROSS JOIN range(0, 4) t(i) GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
+    // CMS replayed cell-for-cell: the same double-hash walk drops every
+    // word OCCURRENCE into 4 of 4x2048 counters; the probe takes the MIN
+    // of its 4 cells — `over` must be >= 0 on every row (the deterministic
+    // CMS guarantee, visible in the data)
+    "d_freq_sketch" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |occ AS (SELECT unnest(list_transform(ws, __w -> ${OracleFrag.poly57("__w")})) AS h FROM w),
+         |mx AS (SELECT h, ${OracleFrag.mix1("h")} AS m1, ${OracleFrag.mix2("h")} AS m2 FROM occ),
+         |cells AS (SELECT i AS r, ${OracleFrag.sketchPos("m1", "m2", "i", 2048)} AS c,
+         |            COUNT(*) AS cnt
+         |          FROM mx CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+         |top AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_exact FROM occ GROUP BY h
+         |        ORDER BY n_exact DESC, h LIMIT 30),
+         |tp AS (SELECT h, n_exact, ${OracleFrag.mix1("h")} AS m1, ${OracleFrag.mix2("h")} AS m2 FROM top),
+         |est AS (SELECT tp.h, tp.n_exact, MIN(COALESCE(cells.cnt, 0)) AS n_est
+         |        FROM tp CROSS JOIN range(0, 4) t(i)
+         |        LEFT JOIN cells ON cells.r = i
+         |          AND cells.c = ${OracleFrag.sketchPos("m1", "m2", "i", 2048)}
+         |        GROUP BY 1, 2)
+         |SELECT h AS w_hash, n_exact, CAST(n_est AS BIGINT) AS n_est,
+         |  CAST(n_est - n_exact AS BIGINT) AS "over"
+         |FROM est ORDER BY n_exact DESC, w_hash""".stripMargin,
+    // Mergeability proof: oracle ignores the sharding — summed per-shard
+    // counters must answer point queries exactly like the one-shot sketch
+    "d_freq_sketch_merged" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |occ AS (SELECT unnest(list_transform(ws, __w -> ${OracleFrag.poly57("__w")})) AS h FROM w),
+         |mx AS (SELECT h, ${OracleFrag.mix1("h")} AS m1, ${OracleFrag.mix2("h")} AS m2 FROM occ),
+         |cells AS (SELECT i AS r, ${OracleFrag.sketchPos("m1", "m2", "i", 2048)} AS c,
+         |            COUNT(*) AS cnt
+         |          FROM mx CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+         |top AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_exact FROM occ GROUP BY h
+         |        ORDER BY n_exact DESC, h LIMIT 30),
+         |tp AS (SELECT h, ${OracleFrag.mix1("h")} AS m1, ${OracleFrag.mix2("h")} AS m2 FROM top)
+         |SELECT tp.h AS w_hash, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS n_est
+         |FROM tp CROSS JOIN range(0, 4) t(i)
+         |LEFT JOIN cells ON cells.r = i
+         |  AND cells.c = ${OracleFrag.sketchPos("m1", "m2", "i", 2048)}
+         |GROUP BY 1 ORDER BY w_hash""".stripMargin,
+    // Histogram quantile sketch replayed: same integer bucket map (DIV,
+    // clamped edges), same ceil-rank rule, estimate = upper bucket edge
+    "d_quantile_sketch" ->
+      s"""WITH hb AS (SELECT source,
+         |    LEAST(63, GREATEST(0, (n_chars * 64) // 1024)) AS b FROM documents),
+         |hc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+         |cum AS (SELECT source, b, cnt,
+         |          SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+         |          SUM(cnt) OVER (PARTITION BY source) AS n FROM hc),
+         |sel AS (SELECT source, pct, n, b, cum,
+         |          row_number() OVER (PARTITION BY source, pct ORDER BY b) AS rn
+         |        FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct)
+         |        WHERE cum >= (n * pct + 99) // 100)
+         |SELECT source, CAST(pct AS INT) AS pct, CAST(n AS BIGINT) AS n,
+         |  CAST(cum AS BIGINT) AS n_le_est, CAST((b + 1) * 16 AS BIGINT) AS est
+         |FROM sel WHERE rn = 1 ORDER BY source, pct""".stripMargin,
+    // Mergeability proof: oracle ignores the sharding — summed per-shard
+    // histograms must read identical quantiles
+    "d_quantile_sketch_merged" ->
+      s"""WITH hb AS (SELECT source,
+         |    LEAST(63, GREATEST(0, (n_chars * 64) // 1024)) AS b FROM documents),
+         |hc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+         |cum AS (SELECT source, b, cnt,
+         |          SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+         |          SUM(cnt) OVER (PARTITION BY source) AS n FROM hc),
+         |sel AS (SELECT source, pct, n, b, cum,
+         |          row_number() OVER (PARTITION BY source, pct ORDER BY b) AS rn
+         |        FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct)
+         |        WHERE cum >= (n * pct + 99) // 100)
+         |SELECT source, CAST(pct AS INT) AS pct, CAST(n AS BIGINT) AS n,
+         |  CAST(cum AS BIGINT) AS n_le_est, CAST((b + 1) * 16 AS BIGINT) AS est
+         |FROM sel WHERE rn = 1 ORDER BY source, pct""".stripMargin,
     // Winnow pairs replayed: same k-gram poly-57 list, the same
     // rightmost-min window selection (winnowSelected mirrors the kernel's
     // tie rule), per-doc distinct, df-prune [2, 50], pair counts

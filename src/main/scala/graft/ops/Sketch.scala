@@ -168,4 +168,309 @@ object Sketch {
       .select(col("__kv_g").as(groupCol), col("n_exact"), col("n_est"),
         col("rel_err"))
   }
+
+  // --------------------------------------------------------------------
+  // Bloom membership filter — the cheapest "have I seen this?" serve tier
+  // --------------------------------------------------------------------
+
+  /** Third Lehmer round on the P57 line — the double-hashing step
+    * generator. [[mixedPosition]] gives round 2; one more multiplication
+    * keeps the walk on the line. Exact DECIMAL(38,0) (product exceeds
+    * int64); DuckDB replays it in HUGEINT.
+    */
+  def mixedPosition2(h: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    (mixedPosition(h).cast(d38) * lit(48271) % lit(P57)).cast("long")
+  }
+
+  private def checkBloomParams(mBits: Int, kHashes: Int): Unit = {
+    require(mBits >= 64 && mBits % 32 == 0,
+      s"mBits must be >= 64 and a multiple of 32: $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes out of [1, 16]: $kHashes")
+  }
+
+  /** The `kHashes` bit positions of a key hash, by classic double hashing
+    * (Kirsch & Mitzenmacher 2006): `pos_i = (h1 + i·h2) mod m` with
+    * `h1 = mix(h) mod m` and `h2 = 1 + (mix2(h) mod (m−1))` (step forced
+    * nonzero so the k probes never collapse onto one bit). Both mixes are
+    * Lehmer rounds mod P57 — one shared definition across build, merge,
+    * probe, and the DuckDB oracle.
+    */
+  private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column = {
+    val h1 = pmod(mixedPosition(h), lit(mBits.toLong))
+    val h2 = pmod(mixedPosition2(h), lit((mBits - 1).toLong)) + lit(1L)
+    transform(sequence(lit(0), lit(kHashes - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(mBits.toLong)))
+  }
+
+  /** Build a Bloom filter over `hashCol` values as a DISTRIBUTED bit
+    * table `(word, bits)` — 32 live bits per row (masks stay positive
+    * int64 on both engines), `mBits/32` rows TOTAL regardless of corpus
+    * size. That fixed size is the whole point at 100 TB: a 2³⁰-bit
+    * filter over 10¹¹ fingerprints is 32 M rows / 128 MiB — broadcast
+    * range for the probe side, where the fingerprint table itself would
+    * be a corpus-sized shuffle.
+    *
+    * Scale shape: one distinct on the hash, a k-way row-local explode,
+    * one map-side-combined `bit_or` keyed by word. NULL hashes raise (a
+    * null has no membership); absent words mean all-zero bits.
+    */
+  def bloomSketch(df: DataFrame, hashCol: Column, mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame = {
+    checkBloomParams(mBits, kHashes)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.bloomSketch: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    df.select(h.as("__bf_h")).distinct()
+      .select(explode(bloomPositions(col("__bf_h"), mBits, kHashes)).as("__bf_p"))
+      .groupBy((col("__bf_p") / 32).cast("long").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(pmod(__bf_p, 32) AS INT))"))
+        .as("bits"))
+  }
+
+  /** Per-shard Bloom bit tables `(shard, word, bits)` — the PERSISTABLE
+    * form. Bloom's mergeability is exact: OR of per-shard bit tables ==
+    * the one-shot filter over the union (bit-identically — the shared
+    * oracle row proves it), so shards build independently (once per
+    * day/crawl) and [[bloomMerge]] folds them at serve time.
+    */
+  def bloomShardSketch(df: DataFrame, shardCol: String, hashCol: Column,
+      mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    checkBloomParams(mBits, kHashes)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.bloomShardSketch: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    df.select(col(shardCol).as("__bf_s"), h.as("__bf_h")).distinct()
+      .select(col("__bf_s"),
+        explode(bloomPositions(col("__bf_h"), mBits, kHashes)).as("__bf_p"))
+      .groupBy(col("__bf_s").as(shardCol),
+        (col("__bf_p") / 32).cast("long").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(pmod(__bf_p, 32) AS INT))"))
+        .as("bits"))
+  }
+
+  /** OR-merge per-shard Bloom tables into one `(word, bits)` filter. */
+  def bloomMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Probe a Bloom filter: `(id, maybe_member)` per batch key — true iff
+    * ALL k bits are set. No false negatives ever (inserted keys always
+    * probe true — spec-pinned); false positives at the standard
+    * `(1−e^{−kn/m})^k` rate, which the caller prices in (a Bloom gate
+    * admits a few duplicates, never drops an original — the safe
+    * direction for a dedup admission filter).
+    *
+    * Scale shape: k row-local positions per key, one join keyed by
+    * `word` against the FIXED-SIZE bit table (broadcast when it fits —
+    * it is `mBits/32` rows no matter the corpus), then a k-row-per-key
+    * map-side-combined `min`. An absent word row is all-zero bits
+    * (coalesce, not a dropped key).
+    */
+  def bloomProbe(batch: DataFrame, idCol: String, hashCol: Column,
+      sketch: DataFrame, mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    checkBloomParams(mBits, kHashes)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.bloomProbe: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    batch.select(col(idCol).as("__bf_id"), h.as("__bf_h"))
+      .select(col("__bf_id"),
+        explode(bloomPositions(col("__bf_h"), mBits, kHashes)).as("__bf_p"))
+      .withColumn("word", (col("__bf_p") / 32).cast("long"))
+      .join(sketch, Seq("word"), "left")
+      .select(col("__bf_id"),
+        when(expr("shiftright(coalesce(bits, 0L), CAST(pmod(__bf_p, 32) AS INT)) & 1L") === 1L,
+          lit(1)).otherwise(lit(0)).as("__bf_hit"))
+      .groupBy(col("__bf_id").as(idCol))
+      .agg((min(col("__bf_hit")) === 1).as("maybe_member"))
+  }
+
+  // --------------------------------------------------------------------
+  // Count-min sketch — fixed-size frequency estimates, overestimate-only
+  // --------------------------------------------------------------------
+
+  private def checkCmsParams(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, s"depth out of [1, 16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+  }
+
+  /** Column position of a key hash in CMS row `r` — the same double-hash
+    * walk as [[bloomPositions]], reduced mod `width`. One definition for
+    * build, lookup, and oracle.
+    */
+  private def cmsPosition(h: Column, r: Column, width: Int): Column = {
+    val h1 = pmod(mixedPosition(h), lit(width.toLong))
+    val h2 = pmod(mixedPosition2(h), lit((width - 1).toLong)) + lit(1L)
+    pmod(h1 + r.cast("long") * h2, lit(width.toLong))
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of `hashCol`
+    * OCCURRENCES (bag semantics — no distinct: frequency is the point):
+    * `depth × width` counters as `(r, c, cnt)` rows. Fixed size however
+    * large the corpus — the 100 TB shape is "count every token/n-gram
+    * once into d·w cells, answer any frequency later without re-reading
+    * the corpus". Estimates only ever OVERCOUNT (collisions add), never
+    * undercount — the deterministic half of the CMS guarantee, pinned by
+    * spec and visible in the oracle row's `over` column.
+    *
+    * Scale shape: a depth-way row-local explode into one map-side-
+    * combined count keyed by (r, c) — ≤ depth·width result rows.
+    */
+  def cmsSketch(df: DataFrame, hashCol: Column, depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    checkCmsParams(depth, width)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.cmsSketch: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    df.select(h.as("__cm_h"))
+      .select(col("__cm_h"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmsPosition(col("__cm_h"), col("r"), width).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-shard CMS `(shard, r, c, cnt)`. Counters are plain sums, so
+    * [[cmsMerge]] (counter-wise add) is LOSSLESS: merged shards ==
+    * one-shot sketch, cell-identically.
+    */
+  def cmsShardSketch(df: DataFrame, shardCol: String, hashCol: Column,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    checkCmsParams(depth, width)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.cmsShardSketch: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    df.select(col(shardCol).as("__cm_s"), h.as("__cm_h"))
+      .select(col("__cm_s"), col("__cm_h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("__cm_s").as(shardCol), col("r"),
+        cmsPosition(col("__cm_h"), col("r"), width).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum-merge per-shard CMS tables into one `(r, c, cnt)` sketch. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a CMS: `(id, n_est)` per probe key — the MINIMUM of the
+    * key's `depth` counters (a missing cell is 0: the key was never
+    * counted). `n_est >= true count` always.
+    *
+    * Scale shape: depth rows per probe key joined against the
+    * fixed-size (≤ depth·width rows — broadcastable always) counter
+    * table, one map-side-combined `min` per key.
+    */
+  def cmsLookup(keys: DataFrame, idCol: String, hashCol: Column,
+      cms: DataFrame, depth: Int = 4, width: Int = 2048): DataFrame = {
+    checkCmsParams(depth, width)
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.cmsLookup: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    keys.select(col(idCol).as("__cm_id"), h.as("__cm_h"))
+      .select(col("__cm_id"), col("__cm_h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmsPosition(col("__cm_h"), col("r"), width))
+      .join(broadcast(cms), Seq("r", "c"), "left")
+      .groupBy(col("__cm_id").as(idCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  // --------------------------------------------------------------------
+  // Histogram quantile sketch — mergeable fixed-bucket quantiles
+  // --------------------------------------------------------------------
+
+  private def checkHistParams(lo: Long, hi: Long, nBuckets: Int): Unit = {
+    require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets out of [2, 2^20]: $nBuckets")
+  }
+
+  /** Bucket id of a value on the fixed `[lo, hi)` grid — integer
+    * arithmetic only (`DIV`, no double rounding), clamped to the edge
+    * buckets so out-of-range values are COUNTED (in the first/last
+    * bucket), not dropped: a quantile sketch that silently drops
+    * outliers lies about the tails.
+    */
+  private def histBucket(v: Column, lo: Long, hi: Long, nBuckets: Int): Column = {
+    val b = expr(s"((__hs_v - ${lo}L) * ${nBuckets}L) DIV ${hi - lo}L")
+    least(lit(nBuckets - 1L), greatest(lit(0L), b))
+  }
+
+  /** Per-group fixed-bucket histogram `(group, bucket, cnt)` over a
+    * numeric column — the mergeable quantile sketch (sum-merge, like
+    * CMS). ≤ groups × nBuckets rows whatever the corpus size; the
+    * quantile answer is off by at most ONE BUCKET WIDTH — a bound set
+    * at build time by (hi−lo)/nBuckets, not by data luck. The exact
+    * sibling ([[Quantile]] / `d_length_quantiles`) re-sorts values per
+    * query; this is the amortized production shape: histogram once per
+    * shard, merge + read quantiles for free thereafter.
+    *
+    * Scale shape: one row-local bucket map, one map-side-combined count.
+    * NULL values raise (they have no position on the value line).
+    */
+  def histSketch(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Long, hi: Long, nBuckets: Int = 64): DataFrame = {
+    checkHistParams(lo, hi, nBuckets)
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        "Sketch.histSketch: null value — filter upstream")))
+      .otherwise(col(valueCol).cast("long"))
+    df.select(col(groupCol).as("__hs_g"), v.as("__hs_v"))
+      .groupBy(col("__hs_g").as(groupCol),
+        histBucket(col("__hs_v"), lo, hi, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-(group × shard) histogram `(group, shard, bucket, cnt)` — the
+    * persistable form; [[histMerge]] sum-merges losslessly.
+    */
+  def histShardSketch(df: DataFrame, groupCol: String, shardCol: String,
+      valueCol: String, lo: Long, hi: Long, nBuckets: Int = 64): DataFrame = {
+    checkHistParams(lo, hi, nBuckets)
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        "Sketch.histShardSketch: null value — filter upstream")))
+      .otherwise(col(valueCol).cast("long"))
+    df.select(col(groupCol).as("__hs_g"), col(shardCol).as("__hs_s"),
+        v.as("__hs_v"))
+      .groupBy(col("__hs_g").as(groupCol), col("__hs_s").as(shardCol),
+        histBucket(col("__hs_v"), lo, hi, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum-merge per-shard histograms into `(group, bucket, cnt)`. */
+  def histMerge(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(groupCol, "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Read percentile estimates off a histogram sketch: for each group ×
+    * percentile (integer percent — no float q, so both engines rank
+    * identically), the UPPER EDGE of the first bucket whose cumulative
+    * count reaches `ceil(pct·n/100)` — a value guaranteed >= the true
+    * pct-quantile and < it + one bucket width (when the data lies in
+    * `[lo, hi)`; clamped edge buckets widen only the outermost answers).
+    * Output `(group, pct, n, n_le_est, est)` with `n_le_est` the
+    * cumulative count at the chosen bucket (the realized rank — honest
+    * reporting, like KMV's rel_err).
+    *
+    * Scale shape: windows run over ≤ nBuckets rows per group (the
+    * sketch, never the corpus) crossed with the percentile literals.
+    */
+  def histQuantiles(hist: DataFrame, groupCol: String, pcts: Seq[Int],
+      lo: Long, hi: Long, nBuckets: Int = 64): DataFrame = {
+    checkHistParams(lo, hi, nBuckets)
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles out of [1, 100]: $pcts")
+    val wCum = Window.partitionBy(groupCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__hq_cum", sum(col("cnt")).over(wCum))
+      .withColumn("__hq_n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val probes = cum.crossJoin(broadcast(pcts.toDF("pct")))
+    probes
+      .where(col("__hq_cum") >= expr("(__hq_n * pct + 99L) DIV 100L"))
+      .groupBy(col(groupCol), col("pct"), col("__hq_n").as("n"))
+      .agg(min(struct(col("bucket"), col("__hq_cum"))).as("__hq_b"))
+      .select(col(groupCol), col("pct"), col("n"),
+        col("__hq_b.__hq_cum").as("n_le_est"),
+        (lit(lo) + expr(
+          s"((__hq_b.bucket + 1L) * ${hi - lo}L) DIV ${nBuckets}L")).as("est"))
+  }
 }

@@ -1100,6 +1100,114 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == out.view.mapValues(_._2).toMap)
   }
 
+  test("bloomSketch/bloomProbe: no false negatives ever, shard OR-merge bit-identical, FPR sane") {
+    val corpus = (1 to 300).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
+      .toDF("id", "h")
+    val sk = ops.Sketch.bloomSketch(corpus, col("h"), mBits = 4096, kHashes = 4)
+    // EVERY inserted key probes true — the deterministic half of Bloom,
+    // even on this deliberately loaded filter (300 keys × 4 bits / 4096)
+    val self = ops.Sketch.bloomProbe(corpus, "id", col("h"), sk,
+        mBits = 4096, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(self.size == 300 && self.values.forall(identity),
+      "false negative: an inserted key probed false")
+    // disjoint keys mostly probe false (FPR ≈ (1−e^{−kn/m})^k ≈ 4% here);
+    // allow generous slack, but a broken hash walk would send this to ~1
+    val fresh = (1001 to 1300).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
+      .toDF("id", "h")
+    val fp = ops.Sketch.bloomProbe(fresh, "id", col("h"), sk,
+        mBits = 4096, kHashes = 4)
+      .collect().count(_.getBoolean(1))
+    assert(fp < 60, s"false-positive count $fp / 300 — hash walk degenerate?")
+    // shard OR-merge == one-shot filter, word-for-word and bit-for-bit
+    val sharded = corpus.withColumn("s", pmod(col("id"), lit(4)))
+    val merged = ops.Sketch.bloomMerge(
+      ops.Sketch.bloomShardSketch(sharded, "s", col("h"), mBits = 4096, kHashes = 4))
+    def words(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(words(merged) == words(sk))
+    // probing an EMPTY filter: absent words are all-zero bits → false
+    val empty = ops.Sketch.bloomSketch(corpus.where(lit(false)), col("h"),
+      mBits = 4096, kHashes = 4)
+    val none = ops.Sketch.bloomProbe(corpus.limit(5), "id", col("h"), empty,
+        mBits = 4096, kHashes = 4)
+      .collect().map(_.getBoolean(1))
+    assert(none.length == 5 && none.forall(!_))
+  }
+
+  test("cmsSketch/cmsLookup: overestimate-only, sum-merge cell-identical, unseen key = 0") {
+    // bag of 1000 occurrences over 120 distinct keys, Zipf-ish repeats
+    val occ = (1 to 1000).map { i =>
+      val key = (i % 120) + 1; (Sampling.unitHashLong(key * 29L), key.toLong)
+    }
+    val df = occ.toDF("h", "key")
+    val exact = occ.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cms = ops.Sketch.cmsSketch(df, col("h"), depth = 4, width = 256)
+    val probes = exact.keys.map(h => (h, h)).toSeq.toDF("id", "h")
+    val est = ops.Sketch.cmsLookup(probes, "id", col("h"), cms,
+        depth = 4, width = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the deterministic CMS guarantee: NEVER undercount
+    exact.foreach { case (h, n) =>
+      assert(est(h) >= n, s"undercount: key $h exact $n est ${est(h)}")
+    }
+    // width 256 over 120 keys: the min-over-4-rows estimate should be
+    // exact for most keys (collisions only ever ADD)
+    assert(exact.count { case (h, n) => est(h) == n } > 60)
+    // shard sum-merge == one-shot, cell-for-cell
+    val sharded = df.withColumn("s", pmod(col("key"), lit(3)))
+    val merged = ops.Sketch.cmsMerge(
+      ops.Sketch.cmsShardSketch(sharded, "s", col("h"), depth = 4, width = 256))
+    def cells(d: DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(merged) == cells(cms))
+    // a never-counted key reads 0 through the missing-cell coalesce...
+    // unless every one of its 4 cells collides; pick one that doesn't
+    val unseenEst = ops.Sketch.cmsLookup(
+        Seq((9999L, Sampling.unitHashLong(999983L))).toDF("id", "h"),
+        "id", col("h"), ops.Sketch.cmsSketch(df.limit(1), col("h"),
+          depth = 4, width = 256), depth = 4, width = 256)
+      .collect().head.getLong(1)
+    assert(unseenEst == 0L)
+  }
+
+  test("histSketch/histQuantiles: estimate within one bucket width, merge lossless, outliers clamped") {
+    // two groups: 'u' uniform 0..999, 'spike' all mass at one value
+    val vals = (0 until 1000).map(v => ("u", v.toLong)) ++
+      (1 to 50).map(_ => ("spike", 700L)) ++
+      Seq(("u", -50L), ("u", 5000L)) // outliers: clamped, still counted
+    val df = vals.toDF("g", "v")
+    val hist = ops.Sketch.histSketch(df, "g", "v", lo = 0L, hi = 1024L,
+      nBuckets = 64)
+    val out = ops.Sketch.histQuantiles(hist, "g", Seq(50, 90, 99),
+        lo = 0L, hi = 1024L, nBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // n counts outliers too
+    assert(out(("u", 50))._1 == 1002L)
+    val bucketW = 1024 / 64
+    for (pct <- Seq(50, 90, 99)) {
+      val (n, _, est) = out(("u", pct))
+      val truth = (n * pct + 99) / 100 // rank among sorted values
+      // true pct-quantile of 0..999 ≈ rank−1; estimate = upper bucket edge:
+      // >= truth, < truth + one bucket width (+1 for the clamped low outlier)
+      val trueV = math.min(999, truth - 2) // -1 rank→value, -1 low outlier
+      assert(est >= trueV && est <= trueV + 2 * bucketW,
+        s"u p$pct: est $est vs true ~$trueV (bucket width $bucketW)")
+    }
+    // the spike group: every quantile lands on 700's bucket upper edge
+    val spikeEdge = (700 / bucketW + 1) * bucketW
+    assert(Seq(50, 90, 99).forall(p => out(("spike", p))._3 == spikeEdge))
+    // shard sum-merge == one-shot, bucket-for-bucket
+    val sharded = df.withColumn("s", pmod(abs(col("v")), lit(5)))
+    val merged = ops.Sketch.histMerge(
+      ops.Sketch.histShardSketch(sharded, "g", "s", "v",
+        lo = 0L, hi = 1024L, nBuckets = 64), "g")
+    def cells(d: DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(merged) == cells(hist))
+  }
+
   test("groupQuantiles: discrete lower-quantile rule, per-group, null raises") {
     val df = Seq(
       ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
