@@ -254,6 +254,50 @@ object Sketch {
   def bloomMerge(sketches: DataFrame): DataFrame =
     sketches.groupBy("word").agg(bit_or(col("bits")).as("bits"))
 
+  /** Collect a `(word, bits)` Bloom table into a dense driver-side word
+    * array — the input of [[bloomMaybeMember]]'s zero-join serve form.
+    * DRIVER-SIZED by definition (`mBits/32` longs: 256 KiB at 2²⁶ bits);
+    * guard your `mBits` accordingly — the join-based [[bloomProbe]] is
+    * the path for filters too big to ship as a literal.
+    */
+  def bloomBitsArray(sketch: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits >= 64 && mBits % 32 == 0,
+      s"mBits must be >= 64 and a multiple of 32: $mBits")
+    val words = new Array[Long](mBits / 32)
+    sketch.select(col("word").cast("long"), col("bits").cast("long"))
+      .collect().foreach { r =>
+        val w = r.getLong(0)
+        require(w >= 0 && w < words.length, s"word index $w out of range for mBits=$mBits")
+        words(w.toInt) = r.getLong(1)
+      }
+    words
+  }
+
+  /** ROW-LOCAL Bloom membership test against a literal word array — the
+    * cheapest possible serve: zero joins, zero shuffles, zero state, so
+    * it drops straight into a streaming `where` (the admission-gate twin)
+    * or a scan-stage filter. Same double-hash walk as build/probe; the
+    * word array is embedded as a literal (broadcast with the plan), which
+    * caps practical `mBits` at a few times 2²⁶ — beyond that, use
+    * [[bloomProbe]]'s join form.
+    */
+  def bloomMaybeMember(hashCol: Column, words: Array[Long], mBits: Int,
+      kHashes: Int = 4): Column = {
+    checkBloomParams(mBits, kHashes)
+    require(words.length == mBits / 32,
+      s"word array length ${words.length} != mBits/32 = ${mBits / 32}")
+    val h = when(hashCol.isNull, raise_error(lit(
+        "Sketch.bloomMaybeMember: null hash — filter upstream")))
+      .otherwise(hashCol.cast("long"))
+    forall(bloomPositions(h, mBits, kHashes), p => {
+      val word = element_at(typedLit(words.toSeq), floor(p / 32).cast("int") + 1)
+      // mask via exact double pow (2^b, b <= 31, exact in IEEE double) —
+      // Column shifts take only literal shift amounts
+      val mask = pow(lit(2.0), pmod(p, lit(32L)).cast("int")).cast("long")
+      word.bitwiseAND(mask) =!= lit(0L)
+    })
+  }
+
   /** Probe a Bloom filter: `(id, maybe_member)` per batch key — true iff
     * ALL k bits are set. No false negatives ever (inserted keys always
     * probe true — spec-pinned); false positives at the standard

@@ -413,6 +413,71 @@ object DocumentStream {
       }
   }
 
+  /** Streaming Bloom admission gate: drop arriving documents whose
+    * content fingerprint is MAYBE in the corpus filter
+    * ([[graft.ops.Sketch.bloomBitsArray]] of a persisted/merged
+    * `(word, bits)` table). The membership test is the ROW-LOCAL
+    * [[graft.ops.Sketch.bloomMaybeMember]] — zero joins, zero state, so
+    * the gate is stateless-streaming-safe in append mode and costs a
+    * scan-stage filter per micro-batch. Direction of error is the safe
+    * one for admission: false positives DROP a few novel docs (rate
+    * `(1−e^{−kn/m})^k`, sized at filter build), false negatives never
+    * happen — an already-seen fingerprint is always rejected. New-vs-new
+    * dups within the stream surface on the next filter refresh, the
+    * same lambda split as the simhash index.
+    */
+  def bloomGate(docs: DataFrame, words: Array[Long], mBits: Int = 65536,
+      kHashes: Int = 4, textCol: String = "text"): DataFrame =
+    docs.where(!graft.ops.Sketch.bloomMaybeMember(
+      TextAnalysis.fingerprint(col(textCol)), words, mBits, kHashes))
+
+  final case class HistVal(source: String, v: Long)
+  final case class HistState(seq: Long, counts: Array[Long])
+  final case class HistQuant(source: String, seq: Long, n: Long,
+    p50: Long, p90: Long, p99: Long)
+
+  /** Streaming histogram quantile sketch — like [[runningKmv]], the
+    * state IS the sketch: `nBuckets` counters per source, bumped per
+    * micro-batch, quantiles read off the counters at emit time with the
+    * batch rule (first bucket whose cumulative count reaches
+    * `ceil(pct·n/100)`, estimate = upper bucket edge —
+    * [[graft.ops.Sketch.histQuantiles]] verbatim). Histogram counts are
+    * order- and batching-insensitive sums, so after any stream prefix
+    * the latest emit equals the batch sketch over the rows seen so far
+    * (parity-pinned). State is `nBuckets` longs per source — bounded by
+    * construction, no watermark needed.
+    */
+  def runningHistQuantiles(docs: DataFrame, lo: Long, hi: Long,
+      nBuckets: Int = 64, sourceCol: String = "source",
+      valueCol: String = "n_chars"): Dataset[HistQuant] = {
+    require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(sourceCol).as("source"), col(valueCol).cast("long").as("v"))
+      .as[HistVal]
+      .groupByKey(_.source)
+      .mapGroupsWithState[HistState, HistQuant](GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[HistState]) =>
+          val prev = state.getOption.getOrElse(
+            HistState(0L, new Array[Long](nBuckets)))
+          val counts = prev.counts.clone()
+          rows.foreach { r =>
+            val b = ((r.v - lo) * nBuckets / (hi - lo)) max 0L min (nBuckets - 1L)
+            counts(b.toInt) += 1
+          }
+          state.update(HistState(prev.seq + 1, counts))
+          val n = counts.sum
+          def q(pct: Int): Long = {
+            val target = (n * pct + 99) / 100
+            var cum = 0L; var b = 0
+            while (b < nBuckets && cum + counts(b) < target) { cum += counts(b); b += 1 }
+            lo + (b + 1).toLong * (hi - lo) / nBuckets
+          }
+          HistQuant(source, prev.seq + 1, n, q(50), q(90), q(99))
+      }
+  }
+
   /** Streaming passage probe against a static corpus passage-hash index
     * ([[graft.ops.Dedup.passageHashIndex]]): each arriving document's
     * aligned window hashes are checked by a stream-static broadcast join

@@ -553,6 +553,94 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${latest.size} sources, batch ${batch.size}")
   }
 
+  test("bloom admission gate: stream admits exactly the batch probe's non-members") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fps = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val corpus = fps.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batchSide = fps.where(pmod(col("doc_id"), lit(2)) === 1)
+    val sk = graft.ops.Sketch.bloomSketch(corpus, col("fp"),
+      mBits = 65536, kHashes = 4)
+    val words = graft.ops.Sketch.bloomBitsArray(sk, mBits = 65536)
+    // batch truth: the join-based probe's non-members
+    val admitBatch = graft.ops.Sketch.bloomProbe(batchSide, "doc_id",
+        col("fp"), sk, mBits = 65536, kHashes = 4)
+      .where(!col("maybe_member")).select("doc_id")
+      .as[Long].collect().toSet
+    val rows = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // plant a cross-parity exact dup: an odd-id copy of an even doc's text
+    // MUST be rejected (the no-false-negative direction of the gate)
+    val evenText = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select("text").head().getString(0)
+    val planted = (999999L, evenText)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = DocumentStream.bloomGate(
+        input.toDF().toDF("doc_id", "text"), words,
+        mBits = 65536, kHashes = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_bloom_gate").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq :+ planted); q.processAllAvailable()
+    } finally q.stop()
+    val admitStream = spark.table("doc_bloom_gate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitStream - planted._1 == admitBatch,
+      s"stream admitted ${admitStream.size}, batch ${admitBatch.size}")
+    // no false negatives: the planted dup and every odd doc whose
+    // fingerprint appears in the even corpus MUST have been rejected
+    val dupIds = batchSide.join(corpus.select(col("fp")).distinct(), "fp")
+      .select("doc_id").as[Long].collect().toSet + planted._1
+    assert((dupIds & admitStream).isEmpty,
+      s"false negative: admitted known dups ${dupIds & admitStream}")
+  }
+
+  test("running histogram quantiles: final emits equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val reversed = docs.reverse
+    val (b1, b2) = reversed.splitAt(reversed.length / 2)
+    val input = MemoryStream[(String, Long)]
+    val q = DocumentStream.runningHistQuantiles(
+        input.toDF().toDF("source", "n_chars"),
+        lo = 0L, hi = 1024L, nBuckets = 64).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_hist").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("doc_hist")
+      .groupBy("source")
+      .agg(max(struct(col("seq"), col("n"), col("p50"), col("p90"), col("p99"))).as("m"))
+      .select(col("source"), col("m.n"), col("m.p50"), col("m.p90"), col("m.p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = graft.ops.Sketch.histQuantiles(
+        graft.ops.Sketch.histSketch(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "source", "n_chars", lo = 0L, hi = 1024L, nBuckets = 64),
+        "source", Seq(50, 90, 99), lo = 0L, hi = 1024L, nBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(latest.nonEmpty)
+    latest.foreach { case (src, (n, p50, p90, p99)) =>
+      assert(batch((src, 50)) == ((n, p50)), s"$src p50")
+      assert(batch((src, 90)) == ((n, p90)), s"$src p90")
+      assert(batch((src, 99)) == ((n, p99)), s"$src p99")
+    }
+  }
+
   test("online ANN serving over the persisted IVF index matches the batch path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
