@@ -87,6 +87,15 @@ object Bench {
     "d_dedup_winnow",              // winnowing fingerprints: alignment-robust passage pairs
     "d_distinct_sketch",           // deterministic KMV distinct-count sketch vs exact
     "d_distinct_sketch_merged",    // per-shard sketches merged losslessly (mergeability)
+    "d_cdc_chunks",                // content-defined chunking: per-doc chunk cover
+    "d_cdc_dedup",                 // per-source storage-dedup card (chunk store vs raw)
+    "d_cdc_vs_index",              // incremental ingest probe vs persisted chunk index
+    "d_member_sketch",             // Bloom gate: build + probe + exact membership ride-along
+    "d_member_sketch_merged",      // per-shard Bloom filters OR-merged (bit-identical)
+    "d_freq_sketch",               // count-min word frequencies vs exact top-30
+    "d_freq_sketch_merged",        // per-shard CMS sum-merged (cell-identical)
+    "d_quantile_sketch",           // 64-bucket histogram quantiles per source
+    "d_quantile_sketch_merged",    // per-shard histograms sum-merged (lossless)
     "d_dedup_winnow_removal",      // winnow pairs -> star-CC -> LEFT ANTI removal
     "d_length_quantiles",          // per-source exact p50/p90/p99 token-length profile
     "d_dedup_winnow_vs_index",     // winnow probe of the persisted fingerprint index

@@ -224,6 +224,39 @@ private[graft] object OracleFrag {
   def sketchPos(m1: String, m2: String, i: String, m: Int): String =
     s"(($m1 % $m) + $i * (1 + ($m2 % ${m - 1}))) % $m"
 
+  /** Content-defined chunk CTE chain (mirror of TextHashOps.cdcChunks):
+    * gram hashes → cut ends (gram hash ≡ 0 mod 2^maskBits, end = start +
+    * k − 1 in 1-based SQL) → final-end completion → per-chunk
+    * `(doc_id, start, len, h)` rows in `<p>_cdc`. `from` supplies
+    * `doc_id, text` (plus passthrough via `extraCols`, e.g. ", source").
+    */
+  def cdcCtes(k: Int, maskBits: Int, from: String = "documents",
+      p: String = "c", extraCols: String = ""): String = {
+    val m = 1L << maskBits
+    s"""${p}g AS (SELECT doc_id$extraCols, text,
+       |    list_transform(range(1, length(text) - $k + 2),
+       |      __i -> ${poly57(s"substr(text, CAST(__i AS INT), $k)")}) AS g
+       |  FROM $from),
+       |${p}e AS (SELECT doc_id$extraCols, text,
+       |    list_transform(list_filter(range(1, len(g) + 1), __i -> g[__i] % $m = 0),
+       |      __i -> __i + ${k - 1}) AS e0
+       |  FROM ${p}g),
+       |${p}f AS (SELECT doc_id$extraCols, text,
+       |    CASE WHEN len(e0) = 0 OR e0[-1] != length(text)
+       |         THEN list_append(e0, CAST(length(text) AS BIGINT)) ELSE e0 END AS ee
+       |  FROM ${p}e),
+       |${p}j AS (SELECT doc_id$extraCols, text, ee,
+       |    unnest(range(1, len(ee) + 1)) AS j
+       |  FROM ${p}f),
+       |${p}d AS (SELECT doc_id$extraCols, text,
+       |    CASE WHEN j = 1 THEN 0 ELSE ee[CAST(j - 1 AS INT)] END AS start,
+       |    ee[CAST(j AS INT)] - CASE WHEN j = 1 THEN 0 ELSE ee[CAST(j - 1 AS INT)] END AS len
+       |  FROM ${p}j),
+       |${p}_cdc AS (SELECT doc_id$extraCols, start, len,
+       |    ${poly57("substr(text, CAST(start + 1 AS INT), CAST(len AS INT))")} AS h
+       |  FROM ${p}d)""".stripMargin
+  }
+
   /** Rolling poly-57 hash of a string expression (mirror of TextHashOps.foldBytes). */
   def poly57(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len($s) + 1), __j -> CAST(ascii(($s)[__j]) AS BIGINT))), (__a, __c) -> (__a * 31 + __c) % $P57)"""

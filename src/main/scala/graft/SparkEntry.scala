@@ -2275,6 +2275,41 @@ object SparkEntry {
           lo = 0L, hi = 1024L, nBuckets = 64)
         .orderBy("source", "pct")
     },
+    // ---- content-defined chunking (rsync/LBFS rule): boundaries after
+    //      any 16-gram whose poly-57 hash ends in 6 zero bits — a
+    //      boundary depends only on its local k chars, so edits re-align
+    //      downstream chunks (the storage-granularity dedup criterion)
+    "d_cdc_chunks" -> { (s, dir) =>
+      ops.Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          k = 16, maskBits = 6)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("len").cast("long")).as("n_bytes"),
+          max(col("len")).cast("long").as("max_chunk"))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_bytes"),
+          col("max_chunk"))
+        .orderBy("doc_id")
+    },
+    // ---- per-source STORAGE-dedup card: bytes a chunk store would hold
+    //      vs the raw corpus — exact dups collapse entirely, near-dups
+    //      still share every untouched chunk (boundaries are content-
+    //      local); two map-side aggregates, never a pair join
+    "d_cdc_dedup" -> { (s, dir) =>
+      ops.Dedup.cdcDedupRates(t(s, dir, "documents"), "source", "doc_id",
+          "text", k = 16, maskBits = 6)
+        .orderBy("source")
+    },
+    // ---- incremental CDC probe: what would this batch ACTUALLY cost to
+    //      ingest into the chunk store? batch chunks vs the persisted
+    //      (h, len) chunk-identity index of the corpus half
+    "d_cdc_vs_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = ops.Dedup.cdcChunkIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text", k = 16, maskBits = 6)
+      ops.Dedup.cdcIndexMatches(docs.where(col("doc_id") >= 250), idx,
+          "doc_id", "text", k = 16, maskBits = 6)
+        .orderBy("doc_id")
+    },
     // ---- ANN via JL project-then-rescore: 16-dim projected cosine ranks
     //      (4x cheaper dot), refine-30 exact full-space rescore
     "s_ann_projected" -> { (s, dir) =>
@@ -4405,6 +4440,42 @@ object SparkEntry {
          |  CAST(COALESCE((63 * ${ops.Sketch.P57}) // hk.hk, cnt.nm) AS BIGINT) AS n_est
          |FROM cnt LEFT JOIN hk ON cnt.source = hk.source
          |ORDER BY cnt.source""".stripMargin,
+    // CDC replayed: same gram-hash cut rule (poly-57 low bits zero, end =
+    // start + k − 1 in 1-based SQL), same final-end completion, chunk
+    // hash re-folded over the substring
+    "d_cdc_chunks" ->
+      s"""WITH ${OracleFrag.cdcCtes(16, 6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(len) AS BIGINT) AS n_bytes,
+         |  CAST(MAX(len) AS BIGINT) AS max_chunk
+         |FROM c_cdc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_cdc_dedup" ->
+      s"""WITH ${OracleFrag.cdcCtes(16, 6, extraCols = ", source")},
+         |al AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         CAST(SUM(len) AS BIGINT) AS bytes
+         |       FROM c_cdc GROUP BY source),
+         |di AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |         CAST(SUM(len) AS BIGINT) AS bytes_distinct
+         |       FROM (SELECT DISTINCT source, h, len FROM c_cdc) GROUP BY source)
+         |SELECT al.source, n_docs, n_chunks, n_distinct, bytes, bytes_distinct,
+         |  round(CAST(1 AS DOUBLE) - CAST(bytes_distinct AS DOUBLE) / CAST(bytes AS DOUBLE), 6)
+         |    AS dup_byte_rate
+         |FROM al JOIN di ON al.source = di.source ORDER BY al.source""".stripMargin,
+    "d_cdc_vs_index" ->
+      s"""WITH ${OracleFrag.cdcCtes(16, 6,
+             from = "(SELECT doc_id, text FROM documents WHERE doc_id < 250)", p = "x")},
+         |${OracleFrag.cdcCtes(16, 6,
+             from = "(SELECT doc_id, text FROM documents WHERE doc_id >= 250)", p = "b")},
+         |idx AS (SELECT DISTINCT h, len FROM x_cdc),
+         |pr AS (SELECT b.doc_id, b.len,
+         |         CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM b_cdc b LEFT JOIN idx ON b.h = idx.h AND b.len = idx.len)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(hit) AS BIGINT) AS n_dup,
+         |  CAST(SUM(len) AS BIGINT) AS bytes,
+         |  CAST(SUM(len * hit) AS BIGINT) AS bytes_dup
+         |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Bloom replayed SEMANTICALLY: the bit table is exactly the distinct
     // position set of the inserted keys, so the oracle skips the 32-bit
     // word packing and asks "are all 4 probe positions set?" directly —

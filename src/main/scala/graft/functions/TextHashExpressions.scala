@@ -79,6 +79,26 @@ case class WinnowHashesExpr(child: Expression, k: Int, w: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Content-defined chunks (start/len/hash structs) — codegen'd wrapper
+  * over [[TextHashOps.cdcChunks]]. */
+case class CdcChunksExpr(child: Expression, k: Int, maskBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.cdcChunks(input.asInstanceOf[UTF8String], k, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.cdcChunks($c, $k, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
 case class WordHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_hashes"
@@ -244,6 +264,12 @@ object TextFunctions {
     * fingerprinting (any ≥ w+k−1 char match shares one). */
   def winnow_hashes(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowHashesExpr(GraftBridge.expression(text), k, w))
+
+  /** Content-defined chunks `(start, len, h)` covering the text —
+    * boundary after any char k-gram whose poly-57 hash has `maskBits`
+    * low zero bits (codegen'd). */
+  def cdc_chunks(text: Column, k: Int = 16, maskBits: Int = 6): Column =
+    GraftBridge.column(CdcChunksExpr(GraftBridge.expression(text), k, maskBits))
 
   /** Indexes of `hashes` that are members of the SORTED frozen `set`
     * (binary search, codegen'd) — the row-local serve-time twin of a

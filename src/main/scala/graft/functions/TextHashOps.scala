@@ -285,6 +285,50 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunking (the rsync / LBFS / Muthitacharoen et al.
+    * 2001 boundary trick): cut AFTER any char `k`-gram whose poly-57
+    * hash has its low `maskBits` bits zero. A boundary depends ONLY on
+    * the k chars before it, so inserting or deleting bytes shifts at
+    * most the chunks it touches — every downstream boundary re-aligns
+    * (the robustness fixed-size blocks lack, and the dedup criterion
+    * winnowing approximates with fingerprints, expressed here at chunk
+    * granularity for STORAGE dedup). Expected chunk length ≈ 2^maskBits
+    * chars (geometric; no min/max clamps — clamps would couple a
+    * boundary to its predecessor and break the locality guarantee, so
+    * the pure rule is kept and documented).
+    *
+    * Returns `array<struct<start:int, len:int, h:long>>` covering the
+    * text exactly (h = poly-57 of the chunk's bytes); texts shorter than
+    * `k` are one unbroken chunk; empty text → empty array. O(n·k) per
+    * row, row-local.
+    */
+  def cdcChunks(text: UTF8String, k: Int, maskBits: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val n = len - k + 1
+    val mask = (1L << maskBits) - 1
+    val ends = new Array[Int](math.max(n, 0) + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if ((foldBytes(0L, bytes, i, i + k) & mask) == 0L) { ends(m) = i + k; m += 1 }
+      i += 1
+    }
+    if (m == 0 || ends(m - 1) != len) { ends(m) = len; m += 1 }
+    val out = new Array[Any](m)
+    var start = 0
+    var o = 0
+    while (o < m) {
+      val e = ends(o)
+      out(o) = new GenericInternalRow(
+        Array[Any](start, e - start, foldBytes(0L, bytes, start, e)))
+      start = e
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Indexes into `hs` whose hash is a member of the SORTED `set` —
     * binary search per element, O(len·log |set|). The frozen-set twin of
     * the broadcast gram join: [[graft.ops.Decontaminate.redactSpansServe]]

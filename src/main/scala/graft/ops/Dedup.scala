@@ -1384,4 +1384,93 @@ object Dedup {
       .select(col("node").as("__dup_id"))
     docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
   }
+
+  // --------------------------------------------------------------------
+  // Content-defined chunk dedup — storage-granularity, alignment-robust
+  // --------------------------------------------------------------------
+
+  /** Exploded content-defined chunks `(id, start, len, h)` of each
+    * document ([[graft.functions.TextHashOps.cdcChunks]] — boundary
+    * after any char k-gram whose poly-57 hash has `maskBits` low zero
+    * bits, the rsync/LBFS rule). Chunk identity downstream is the PAIR
+    * `(h, len)`: equal-length poly-57 collisions are accepted and
+    * documented, cross-length collisions are free to exclude.
+    *
+    * Scale shape: chunking is a row-local codegen kernel; the explode
+    * multiplies rows by ~len/2^maskBits but each chunk row is 20 bytes —
+    * chunk rows are the SMALL derivative of the corpus, like shingles.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(k >= 4 && k <= 256, s"k out of [4, 256]: $k")
+    require(maskBits >= 1 && maskBits <= 24, s"maskBits out of [1, 24]: $maskBits")
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.cdc_chunks(col(textCol), k, maskBits))
+          .as("c"))
+      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
+        col("c.h").as("h"))
+  }
+
+  /** Per-source STORAGE-dedup card over content-defined chunks: how many
+    * bytes would a chunk store hold vs the raw corpus? `(source, n_docs,
+    * n_chunks, n_distinct, bytes, bytes_distinct, dup_byte_rate)` —
+    * distinct within source (the per-source store view). Exact dups
+    * collapse entirely; near-dups (edits, shifted boilerplate) still
+    * share every untouched chunk BECAUSE boundaries are content-local —
+    * the robustness that makes CDC the storage twin of winnowing's
+    * fingerprint criterion.
+    *
+    * Scale shape: two map-side-combined aggregates over chunk rows (one
+    * through a grouped distinct on (source, h, len)); never a pair join.
+    */
+  def cdcDedupRates(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, k: Int = 16, maskBits: Int = 6): DataFrame = {
+    val ch = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.cdc_chunks(col(textCol), k, maskBits))
+          .as("c"))
+      .select(col("source"), col("id"), col("c.len").as("len"), col("c.h").as("h"))
+    val all = ch.groupBy("source")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("len").cast("long")).as("bytes"))
+    val dist = ch.select(col("source"), col("h"), col("len")).distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("len").cast("long")).as("bytes_distinct"))
+    all.join(dist, "source")
+      .select(col("source"), col("n_docs"), col("n_chunks"), col("n_distinct"),
+        col("bytes"), col("bytes_distinct"),
+        round(lit(1.0) - col("bytes_distinct").cast("double")
+          / col("bytes").cast("double"), 6).as("dup_byte_rate"))
+  }
+
+  /** Distinct chunk-identity index `(h, len)` of a corpus — the
+    * persistable CDC store manifest (chunk-count-sized, tiny next to the
+    * corpus); [[cdcIndexMatches]] probes it.
+    */
+  def cdcChunkIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, maskBits: Int = 6): DataFrame =
+    cdcChunks(corpus, idCol, textCol, k, maskBits)
+      .select(col("h"), col("len")).distinct()
+
+  /** Probe arriving documents against a [[cdcChunkIndex]]: per doc, how
+    * many of its chunks (and bytes) the store ALREADY HOLDS — the
+    * incremental form (what would this batch really cost to ingest?).
+    * Output `(id, n_chunks, n_dup, bytes, bytes_dup)`.
+    *
+    * Scale shape: one hash-keyed join of batch chunk rows against the
+    * chunk-identity index (the small side by construction — AQE picks
+    * the build side, never forced), then one per-doc aggregate.
+    */
+  def cdcIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, maskBits: Int = 6): DataFrame =
+    cdcChunks(batch, idCol, textCol, k, maskBits)
+      .join(index.select(col("h"), col("len")).withColumn("__hit", lit(1L)),
+        Seq("h", "len"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup"),
+        sum(col("len").cast("long")).as("bytes"),
+        sum(when(col("__hit").isNotNull, col("len").cast("long"))
+          .otherwise(lit(0L))).as("bytes_dup"))
 }

@@ -413,6 +413,21 @@ object DocumentStream {
       }
   }
 
+  /** Streaming CDC ingest probe: per arriving document, how many of its
+    * content-defined chunks (and bytes) the chunk store already holds —
+    * [[graft.ops.Dedup.cdcIndexMatches]] against a static
+    * [[graft.ops.Dedup.cdcChunkIndex]], verbatim: chunking is row-local,
+    * the probe is a stream-static join on chunk identity, and the
+    * per-doc aggregate is micro-batch-local (each doc's chunks arrive in
+    * its own row), so the query needs no watermark state beyond the
+    * aggregate's batch scope. Emits the batch op's exact schema — one
+    * definition, parity by construction.
+    */
+  def cdcIngestProbe(docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, maskBits: Int = 6): DataFrame =
+    Dedup.cdcIndexMatches(docs, index, idCol, textCol, k, maskBits)
+
   /** Streaming Bloom admission gate: drop arriving documents whose
     * content fingerprint is MAYBE in the corpus filter
     * ([[graft.ops.Sketch.bloomBitsArray]] of a persisted/merged

@@ -176,6 +176,43 @@ object StressX10 {
     val ppIdx10 = graft.ops.Dedup.passageHashIndex(docs10, "doc_id", "text")
       .localCheckpoint()
 
+    // sketch steady-state fixtures: fixed probe batch, sketches built over
+    // the 1x vs 10x corpora OUTSIDE the timed op (built once per
+    // shard/day in production). The sketches are FIXED-SIZE — the Bloom
+    // bit table is mBits/32 rows and the CMS is depth·width cells no
+    // matter the corpus — so the serve-side claim is stronger than the
+    // index families': probe cost must be corpus-INDEPENDENT (ratio ~1.0
+    // with identical plans, not merely sublinear)
+    val fpBatch = docs1.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .localCheckpoint()
+    val bloom1 = graft.ops.Sketch.bloomSketch(
+        docs1.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")),
+        col("fp"), mBits = 1 << 20, kHashes = 4)
+      .localCheckpoint()
+    val bloom10 = graft.ops.Sketch.bloomSketch(
+        docs10.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")),
+        col("fp"), mBits = 1 << 20, kHashes = 4)
+      .localCheckpoint()
+    // shingle (3-gram) keys, not words: the word-salad corpus has a tiny
+    // closed vocabulary, but shingles number in the hundreds of thousands
+    // — the realistic heavy-hitter-n-gram key population
+    val wKeys = docs1.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select(explode(graft.functions.TextFunctions.shingle_hashes(col("text")))
+        .as("h")).distinct()
+      .localCheckpoint()
+    val cms1 = graft.ops.Sketch.cmsSketch(
+        docs1.select(explode(
+          graft.functions.TextFunctions.shingle_hashes(col("text"))).as("h")),
+        col("h"), depth = 4, width = 1 << 15)
+      .localCheckpoint()
+    val cms10 = graft.ops.Sketch.cmsSketch(
+        docs10.select(explode(
+          graft.functions.TextFunctions.shingle_hashes(col("text"))).as("h")),
+        col("h"), depth = 4, width = 1 << 15)
+      .localCheckpoint()
+
     // optional arg 2: substring filter — run only matching scenarios and
     // skip the 160M-row locally{} points (fast iteration on one scenario)
     val only = args.drop(1).headOption
@@ -219,6 +256,33 @@ object StressX10 {
       // anti-join. The claim: the within-batch stages are index-size-
       // independent, so 10× index costs only the bigger band-join side —
       // the ratio should sit well under the index growth factor.
+      // Bloom serve: the bit table is mBits/32 rows at ANY corpus size,
+      // so a 10x corpus changes ONLY the bit density, not one byte of
+      // I/O — the probe must be flat at 1.0x by construction
+      ("bloomProbe steady-state (fixed batch, corpus 1x->10x, FIXED-SIZE filter)",
+        bloom1, bloom10,
+        (sk: DataFrame) => graft.ops.Sketch.bloomProbe(fpBatch, "doc_id",
+          col("fp"), sk, mBits = 1 << 20, kHashes = 4)),
+      // CMS serve: same fixed-size claim for the counter table — lookups
+      // join depth rows per key against <= depth*width cells
+      ("cmsLookup steady-state (fixed probe keys, corpus 1x->10x, FIXED-SIZE counters)",
+        cms1, cms10,
+        (ck: DataFrame) => graft.ops.Sketch.cmsLookup(wKeys, "h", col("h"),
+          ck, depth = 4, width = 1 << 15)),
+      // histogram sketch BUILD: one row-local bucket map + one map-side-
+      // combined count — the linear-in-corpus floor (like the KMV build),
+      // with output bounded at groups*64 rows
+      // docs1 carries only (doc_id, text): derive the 20 groups from the
+      // id (replicas spread across them) and sketch the text length
+      ("histSketch build+quantiles (corpus 1x->10x — linear floor)",
+        docs1, docs10,
+        (d: DataFrame) => graft.ops.Sketch.histQuantiles(
+          graft.ops.Sketch.histSketch(
+            d.withColumn("source",
+              concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+              .withColumn("n_chars", length(col("text")).cast("long")),
+            "source", "n_chars", lo = 0L, hi = 1024L, nBuckets = 64),
+          "source", Seq(50, 90, 99), lo = 0L, hi = 1024L, nBuckets = 64)),
       ("dedupIncrementalNear steady-state (fixed batch, index 1x->10x)",
         ssIdx1, ssIdx10,
         (idx: DataFrame) => graft.ops.Dedup.dedupIncrementalNear(

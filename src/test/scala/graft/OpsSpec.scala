@@ -1100,6 +1100,60 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == out.view.mapValues(_._2).toMap)
   }
 
+  test("cdcChunks: exact cover, content-local boundaries survive a prefix edit") {
+    val base = "the quick brown fox jumps over the lazy dog and then " * 8
+    val df = Seq((1L, base), (2L, "PREFIX-EDIT " + base), (3L, "tiny")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, "doc_id", "text", k = 16, maskBits = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // chunks tile each text exactly: contiguous starts, lens sum to length
+    for ((id, txt) <- Seq(1L -> base, 2L -> ("PREFIX-EDIT " + base), 3L -> "tiny")) {
+      val cs = ch.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._2 == 0 && cs.map(_._3).sum == txt.length)
+      cs.sliding(2).foreach {
+        case Array((_, s1, l1, _), (_, s2, _, _)) => assert(s1 + l1 == s2)
+        case _ =>
+      }
+      // chunk hash is the poly-57 fold of the chunk substring
+      cs.foreach { case (_, s, l, h) =>
+        val expect = txt.substring(s, s + l).getBytes("UTF-8")
+          .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % graft.functions.TextHashOps.P57)
+        assert(h == expect)
+      }
+    }
+    // the CDC property: the prefix edit only disturbs chunks up to the
+    // first boundary after it — every later chunk identity is SHARED
+    val c1 = ch.filter(_._1 == 1L).map(c => (c._4, c._3)).toSet
+    val c2 = ch.filter(_._1 == 2L).map(c => (c._4, c._3)).toSet
+    val shared = c1 & c2
+    assert(shared.size >= c1.size - 2,
+      s"prefix edit destroyed ${c1.size - shared.size} of ${c1.size} chunks — boundaries not content-local")
+    // sub-k text: one unbroken chunk
+    assert(ch.count(_._1 == 3L) == 1)
+  }
+
+  test("cdcDedupRates and cdcIndexMatches: exact dups collapse, planted doc fully deduped") {
+    val rates = Dedup.cdcDedupRates(docs.withColumn("source", lit("s")),
+        "source", "doc_id", "text", k = 16, maskBits = 4)
+      .collect().head
+    // docs 1 and 4 are byte-identical → the store holds strictly fewer
+    // bytes than the corpus
+    assert(rates.getAs[Long]("bytes_distinct") < rates.getAs[Long]("bytes"))
+    assert(rates.getAs[Double]("dup_byte_rate") > 0.0)
+    // index probe: a batch doc byte-identical to a corpus doc is 100% dup
+    val idx = Dedup.cdcChunkIndex(docs, "doc_id", "text", k = 16, maskBits = 4)
+    val batch = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "entirely novel content nowhere in the corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcIndexMatches(batch, idx, "doc_id", "text",
+        k = 16, maskBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (n100, d100, b100, bd100) = out(100L)
+    assert(n100 == d100 && b100 == bd100, s"identical doc not fully dup: ${out(100L)}")
+    val (_, _, b101, bd101) = out(101L)
+    assert(bd101 < b101, s"novel doc should not be fully dup: ${out(101L)}")
+  }
+
   test("bloomSketch/bloomProbe: no false negatives ever, shard OR-merge bit-identical, FPR sane") {
     val corpus = (1 to 300).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
       .toDF("id", "h")

@@ -601,6 +601,34 @@ class StreamingSpec extends AnyFunSuite {
       s"false negative: admitted known dups ${dupIds & admitStream}")
   }
 
+  test("cdc ingest probe: streamed batch matches the batch op row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") < 30)
+    val idx = graft.ops.Dedup.cdcChunkIndex(corpus, "doc_id", "text",
+      k = 16, maskBits = 5).localCheckpoint()
+    val batchDocs = docs.where(col("doc_id") >= 30)
+    val expect = graft.ops.Dedup.cdcIndexMatches(batchDocs, idx,
+        "doc_id", "text", k = 16, maskBits = 5)
+      .collect().map(_.toSeq).toSet
+    val rows = batchDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = DocumentStream.cdcIngestProbe(
+        input.toDF().toDF("doc_id", "text"), idx, k = 16, maskBits = 5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_cdc_probe").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("doc_cdc_probe").collect().map(_.toSeq).toSet
+    assert(got == expect, s"stream ${got.size} rows != batch ${expect.size}")
+  }
+
   test("running histogram quantiles: final emits equal the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
