@@ -2471,6 +2471,13 @@ object SparkEntry {
     "d_text_surprisal" -> { (s, dir) =>
       ops.TextAnalysis.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
     },
+    // ---- bigram-interpolated surprisal (Jelinek-Mercer λ=3/4): the
+    //      context-aware tier — word salad built FROM common words scores
+    //      normal under unigrams but improbable under bigrams; token
+    //      stream joined ONCE, salted on the Zipf-pinned bigram key
+    "d_text_surprisal2" -> { (s, dir) =>
+      ops.TextAnalysis.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    },
     // ---- per-source corpus profile: the report every pipeline run emits
     //      (doc counts, token volume, quality distribution, language mix);
     //      one map-side-combined aggregate, decimal-exact means
@@ -4764,6 +4771,28 @@ object SparkEntry {
          |    / COUNT(*)), 6) AS surprisal
          |FROM tok JOIN cnt USING (w), t
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    // Bigram surprisal replayed: same interpolation in the same IEEE
+    // double shape (λ=3/4 exactly representable; Java Math.log ≡ DuckDB
+    // ln bit-for-bit), DECIMAL(38,18) ln accumulation like the unigram row
+    "d_text_surprisal2" ->
+      s"""WITH w AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |t AS (SELECT COUNT(*) AS n FROM tok),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY 1),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |        __i -> [ws[__i], ws[__i + 1]])) AS pr
+         |      FROM w WHERE len(ws) >= 2),
+         |bp AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM b),
+         |bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bp GROUP BY 1, 2),
+         |pc AS (SELECT w1, COUNT(*) AS cp FROM bp GROUP BY 1)
+         |SELECT bp.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+         |  round(-(CAST(SUM(CAST(ln(
+         |      0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+         |      + 0.25 * (CAST(cu AS DOUBLE) / CAST(t.n AS DOUBLE))
+         |    ) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)), 6) AS surprisal2
+         |FROM bp JOIN bgc USING (w1, w2) JOIN pc USING (w1)
+         |  JOIN uni ON uni.w = bp.w2, t
+         |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
     // Manifest replayed: same Lehmer shard hash, same rolling fingerprint,
     // XOR and exact-HUGEINT-sum-then-mod folds recomputed per cell
     "d_corpus_manifest" -> CorpusManifestSql,

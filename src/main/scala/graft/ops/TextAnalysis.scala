@@ -158,6 +158,64 @@ object TextAnalysis {
           .cast("double") / count(lit(1))), 6).as("surprisal"))
   }
 
+  /** Bigram-interpolated self-surprisal — the tier above
+    * [[unigramSurprisal]] on the CCNet-style quality ladder: score each
+    * document by the mean −ln of the interpolated bigram probability
+    * `p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N` (Jelinek-Mercer with
+    * fixed λ = 3/4 — exactly-representable, so the double arithmetic is
+    * bit-reproducible and the DuckDB oracle lands on the identical
+    * `Math.log ≡ ln` argument). Context makes this the sharper gibberish
+    * detector: word-salad built FROM common words scores normal under
+    * unigrams but improbable under bigrams. The unigram back-off term
+    * means no zero probabilities (every scored bigram's w₂ is in the
+    * vocabulary by construction). Documents need ≥ 2 words to be scored.
+    * Output `(id, n_bigrams, surprisal2)`.
+    *
+    * Scale shape: bigram counts, prefix counts, and unigram counts are
+    * three map-side-combined aggregates; the probability pieces attach
+    * to the BIGRAM-COUNT table (vocab²-bounded) via two narrow joins, so
+    * the token stream itself is joined ONCE — salted on the bigram key
+    * ([[Skew.saltedJoin]]), because hub bigrams ("of the") are exactly
+    * as Zipf-pinned as hub words.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", saltBuckets: Int = 32): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val toks = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+    val uni = toks.select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__cu"))
+    val total = uni.agg(sum("__cu").as("__n"))
+    val bg = toks.where(size(col("__ws")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val bgc = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val pc = bg.groupBy(col("__w1").as("__pw")).agg(count(lit(1)).as("__cp"))
+    // probability pieces assembled on the bigram-count table: unique keys,
+    // so these joins carry no hub multiplicity — the token stream never
+    // sees them
+    val model = bgc
+      .join(pc, bgc("__w1") === pc("__pw")).drop("__pw")
+      .join(uni.withColumnRenamed("w", "__uw"), col("__w2") === col("__uw"))
+      .drop("__uw")
+      .select(concat_ws(" ", col("__w1"), col("__w2")).as("__mk"),
+        col("__cb"), col("__cp"), col("__cu"))
+    val stream = bg.select(col("__id"),
+      concat_ws(" ", col("__w1"), col("__w2")).as("__g"))
+    Skew.saltedJoin(stream, col("__g"), col("__id"), model, col("__mk"),
+        saltBuckets)
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(-(sum(log(
+          lit(0.75) * (col("__cb").cast("double") / col("__cp").cast("double"))
+            + lit(0.25) * (col("__cu").cast("double") / col("__n").cast("double")))
+          .cast(d18)).cast("double") / count(lit(1))), 6).as("surprisal2"))
+  }
+
   /** Gopher-style rule gate (Rae et al. 2021 §A1.1 — the published
     * heuristic filter battery every pretraining pipeline runs before the
     * learned gates): per document, one boolean per rule plus the

@@ -2303,6 +2303,35 @@ class OpsSpec extends AnyFunSuite {
     assert(salted.size == 200 && salted == rows(1))
   }
 
+  test("bigramSurprisal: catches common-word salad that unigrams score as normal") {
+    // docs 1-8: the same 12 words in NATURAL order (high bigram mass);
+    // doc 9: the identical BAG shuffled — unigram-identical by
+    // construction, but its bigrams are corpus-rare
+    val natural = "the cat sat on the mat and the dog ran to them"
+    val shuffled = "mat the to and cat them the ran sat dog on the"
+    val frame = ((1L to 8L).map(i => (i, natural)) :+ (9L, shuffled))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramSurprisal(frame)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextAnalysis.bigramSurprisal(frame)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigrams are BLIND to the shuffle (same bag -> same score)...
+    assert(uni(9L) == uni(1L), s"unigram should not distinguish: $uni")
+    // ...bigrams are not
+    assert(bi(9L) > bi(1L) + 0.5, s"bigram should flag the shuffle: $bi")
+    // salted join is row-identical to unsalted
+    val unsalted = TextAnalysis.bigramSurprisal(frame, saltBuckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val salted = TextAnalysis.bigramSurprisal(frame, saltBuckets = 32)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(salted.size == 9 && salted == unsalted)
+    // sub-2-word docs are unscored, not crashed
+    val tiny = TextAnalysis.bigramSurprisal(
+      Seq((1L, "hello"), (2L, "two words")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == Set(2L))
+  }
+
   test("repetitionSignals kernel equals the explode-form reference on real data") {
     val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: DataFrame) = df.collect()
