@@ -2299,6 +2299,21 @@ object SparkEntry {
           "text", k = 16, maskBits = 6)
         .orderBy("source")
     },
+    // ---- CDC as a NEAR-DUP CRITERION: documents sharing >= 2 rare chunk
+    //      identities pair up — chunk-granularity resemblance, df-pruned
+    //      [2, 50] before the pair expansion (the winnow recipe)
+    "d_cdc_pairs" -> { (s, dir) =>
+      ops.Dedup.cdcPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 16, maskBits = 6, maxDf = 50, minShared = 2)
+        .orderBy("idA", "idB")
+    },
+    // ---- the criterion's removal closure: pairs -> star-CC -> LEFT ANTI,
+    //      smallest id survives each component (family-standard)
+    "d_cdc_removal" -> { (s, dir) =>
+      ops.Dedup.cdcRemoveNearDuplicates(t(s, dir, "documents"), "doc_id",
+          "text", k = 16, maskBits = 6, maxDf = 50, minShared = 2)
+        .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
+    },
     // ---- incremental CDC probe: what would this batch ACTUALLY cost to
     //      ingest into the chunk store? batch chunks vs the persisted
     //      (h, len) chunk-identity index of the corpus half
@@ -3002,6 +3017,19 @@ object SparkEntry {
        |hh AS (SELECT sel.doc_id, sel.h FROM sel JOIN rare USING (h)),
        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
        |      FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)""".stripMargin
+
+  // CDC near-dup pair CTEs shared by d_cdc_pairs / d_cdc_removal: distinct
+  // per-doc chunk identities (h, len), df-prune [2, 50], pair counts
+  private lazy val cdcPairCtes: String =
+    s"""${OracleFrag.cdcCtes(16, 6)},
+       |dc AS (SELECT DISTINCT doc_id, h, len FROM c_cdc),
+       |dfh AS (SELECT h, len FROM dc GROUP BY h, len
+       |        HAVING COUNT(*) BETWEEN 2 AND 50),
+       |dp AS (SELECT dc.doc_id, dc.h, dc.len FROM dc JOIN dfh USING (h, len)),
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
+       |      FROM dp a JOIN dp b
+       |        ON a.h = b.h AND a.len = b.len AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)""".stripMargin
 
   private lazy val clustersCtes: String =
@@ -4469,6 +4497,27 @@ object SparkEntry {
          |  round(CAST(1 AS DOUBLE) - CAST(bytes_distinct AS DOUBLE) / CAST(bytes AS DOUBLE), 6)
          |    AS dup_byte_rate
          |FROM al JOIN di ON al.source = di.source ORDER BY al.source""".stripMargin,
+    // CDC pairs replayed: distinct per-doc chunk identities, the same
+    // [2, 50] df prune, pair counts
+    "d_cdc_pairs" ->
+      s"""WITH $cdcPairCtes
+         |SELECT ia AS "idA", ib AS "idB", CAST(ns AS BIGINT) AS n_shared
+         |FROM p WHERE ns >= 2 ORDER BY 1, 2""".stripMargin,
+    // CDC removal: the winnow-removal closure over CDC pairs — recursive
+    // reachability, min-id components, survivors kept
+    "d_cdc_removal" ->
+      s"""WITH RECURSIVE $cdcPairCtes,
+         |pr AS (SELECT ia, ib FROM p WHERE ns >= 2),
+         |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+         |ORDER BY d.doc_id""".stripMargin,
     "d_cdc_vs_index" ->
       s"""WITH ${OracleFrag.cdcCtes(16, 6,
              from = "(SELECT doc_id, text FROM documents WHERE doc_id < 250)", p = "x")},

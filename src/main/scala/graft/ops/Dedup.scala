@@ -1444,6 +1444,50 @@ object Dedup {
           / col("bytes").cast("double"), 6).as("dup_byte_rate"))
   }
 
+  /** CDC near-dup pairs: documents sharing ≥ `minShared` distinct chunk
+    * identities — the chunk-granularity member of the near-dup criterion
+    * family (pairs/removal/index, like minhash/simhash/winnow/passages).
+    * Chunk identities are df-pruned to `[2, maxDf]` before the pair
+    * expansion, exactly the winnow recipe: a boilerplate chunk shared by
+    * thousands of documents would otherwise explode quadratically, and a
+    * df-1 chunk can't pair anything.
+    *
+    * Scale shape: chunking row-local; one distinct; one df aggregate;
+    * the self-join runs only over pruned (rare) chunk rows.
+    */
+  def cdcPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, maskBits: Int = 6, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val exploded = cdcChunks(docs, idCol, textCol, k, maskBits)
+      .select(col("id"), col("h"), col("len")).distinct()
+    val rare = exploded.groupBy("h", "len").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf)).select("h", "len")
+    val pruned = exploded.join(rare, Seq("h", "len"))
+    pruned.select(col("h"), col("len"), col("id").as("idA"))
+      .join(pruned.select(col("h"), col("len"), col("id").as("idB")),
+        Seq("h", "len"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** CDC-criterion near-dup removal: [[cdcPairs]] → star-CC → one LEFT
+    * ANTI keeping each component's smallest id — the same closure every
+    * other criterion's removal uses.
+    */
+  def cdcRemoveNearDuplicates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, maskBits: Int = 6, maxDf: Int = 50,
+      minShared: Int = 2, maxIters: Int = 30): DataFrame = {
+    val pairs = cdcPairs(docs, idCol, textCol, k, maskBits, maxDf, minShared)
+    val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
+    val losers = comps.where(col("node") =!= col("comp"))
+      .select(col("node").as("__dup_id"))
+    docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
+  }
+
   /** Distinct chunk-identity index `(h, len)` of a corpus — the
     * persistable CDC store manifest (chunk-count-sized, tiny next to the
     * corpus); [[cdcIndexMatches]] probes it.

@@ -1131,6 +1131,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ch.count(_._1 == 3L) == 1)
   }
 
+  test("cdcPairs/cdcRemoveNearDuplicates: shifted shared content pairs up, disjoint stays out") {
+    val core = "the quick brown fox jumps over the lazy dog and then some more words " * 4
+    val df = Seq(
+      (1L, core),
+      (2L, "EDITED-HEAD " + core),      // shifted copy: shares every re-aligned chunk
+      (3L, "totally unrelated text about spark physical plans and shuffles here"),
+      (4L, core),                       // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcPairs(df, "doc_id", "text", k = 16, maskBits = 5,
+        maxDf = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shifted copy should pair: $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, s"disjoint doc paired: $pairs")
+    val kept = Dedup.cdcRemoveNearDuplicates(df, "doc_id", "text",
+        k = 16, maskBits = 5, maxDf = 10, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // component {1,2,4} keeps its smallest id
+  }
+
   test("cdcDedupRates and cdcIndexMatches: exact dups collapse, planted doc fully deduped") {
     val rates = Dedup.cdcDedupRates(docs.withColumn("source", lit("s")),
         "source", "doc_id", "text", k = 16, maskBits = 4)
