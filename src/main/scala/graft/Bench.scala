@@ -88,6 +88,7 @@ object Bench {
     "d_distinct_sketch",           // deterministic KMV distinct-count sketch vs exact
     "d_distinct_sketch_merged",    // per-shard sketches merged losslessly (mergeability)
     "d_text_surprisal2",           // bigram-interpolated LM surprisal (salted bigram join)
+    "d_source_kl",                 // per-source KL-vs-corpus + entropy drift card
     "d_cdc_chunks",                // content-defined chunking: per-doc chunk cover
     "d_cdc_dedup",                 // per-source storage-dedup card (chunk store vs raw)
     "d_cdc_vs_index",              // incremental ingest probe vs persisted chunk index

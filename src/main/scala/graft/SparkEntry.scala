@@ -2493,6 +2493,13 @@ object SparkEntry {
     "d_text_surprisal2" -> { (s, dir) =>
       ops.TextAnalysis.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
     },
+    // ---- per-source drift card: unigram KL vs the whole corpus +
+    //      entropy — the register-change monitor a mixture owner reads;
+    //      aggregates run over the COUNT table, the token stream is
+    //      never joined
+    "d_source_kl" -> { (s, dir) =>
+      ops.TextAnalysis.sourceDivergence(t(s, dir, "documents")).orderBy("source")
+    },
     // ---- per-source corpus profile: the report every pipeline run emits
     //      (doc counts, token volume, quality distribution, language mix);
     //      one map-side-combined aggregate, decimal-exact means
@@ -4842,6 +4849,30 @@ object SparkEntry {
          |FROM bp JOIN bgc USING (w1, w2) JOIN pc USING (w1)
          |  JOIN uni ON uni.w = bp.w2, t
          |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
+    // Source-drift card replayed: same (source, word) / word count
+    // tables, same double shapes for p_s and p_c, DECIMAL(38,18) ln-term
+    // accumulation (the surprisal convention)
+    "d_source_kl" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |tok AS (SELECT source, unnest(ws) AS w FROM w),
+         |sw AS (SELECT source, w, COUNT(*) AS csw FROM tok GROUP BY 1, 2),
+         |cw AS (SELECT w, SUM(csw) AS cwc FROM sw GROUP BY 1),
+         |t AS (SELECT SUM(cwc) AS n FROM cw),
+         |ns AS (SELECT source, SUM(csw) AS nsrc FROM sw GROUP BY 1)
+         |SELECT sw.source,
+         |  CAST(MAX(nsrc) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |  round(CAST(SUM(CAST(
+         |      (CAST(csw AS DOUBLE) / CAST(nsrc AS DOUBLE))
+         |        * ln((CAST(csw AS DOUBLE) / CAST(nsrc AS DOUBLE))
+         |              / (CAST(cwc AS DOUBLE) / CAST(t.n AS DOUBLE)))
+         |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl,
+         |  round(-CAST(SUM(CAST(
+         |      (CAST(csw AS DOUBLE) / CAST(nsrc AS DOUBLE))
+         |        * ln(CAST(csw AS DOUBLE) / CAST(nsrc AS DOUBLE))
+         |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy
+         |FROM sw JOIN cw USING (w) JOIN ns USING (source), t
+         |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
     // Manifest replayed: same Lehmer shard hash, same rolling fingerprint,
     // XOR and exact-HUGEINT-sum-then-mod folds recomputed per cell
     "d_corpus_manifest" -> CorpusManifestSql,

@@ -216,6 +216,44 @@ object TextAnalysis {
           .cast(d18)).cast("double") / count(lit(1))), 6).as("surprisal2"))
   }
 
+  /** Per-source distribution-drift card: unigram KL divergence of each
+    * source's word distribution against the whole corpus, plus the
+    * source's own entropy — the cheap monitor for "did this crawl/source
+    * change register?" that a mixture owner reads before reweighting.
+    * `KL(P_s‖P_c) = Σ_w P_s(w)·ln(P_s(w)/P_c(w))` over the source's
+    * words (every source word is in the corpus by construction — no
+    * zeros, no smoothing needed); `H(P_s) = −Σ_w P_s(w)·ln P_s(w)`.
+    * Both accumulate per-word ln terms in DECIMAL(38,18) (the
+    * unigram-surprisal convention), so the DuckDB oracle hashes
+    * identically. Output `(source, n_tokens, n_vocab, kl, entropy)`.
+    *
+    * Scale shape: one (source, word) count aggregate (map-side
+    * combined), one word-count aggregate, one vocab-keyed join between
+    * them — the TOKEN STREAM is never joined (unlike surprisal, the
+    * per-word terms aggregate over the count table, ≤ sources×vocab
+    * rows). No hub-key salting needed for the same reason.
+    */
+  def sourceDivergence(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val sw = df.select(col(sourceCol).as("__src"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy("__src", "w").agg(count(lit(1)).as("__csw"))
+    val cw = sw.groupBy("w").agg(sum("__csw").as("__cw"))
+    val total = cw.agg(sum("__cw").as("__n"))
+    val ns = sw.groupBy("__src").agg(sum("__csw").as("__ns"))
+    val ps = col("__csw").cast("double") / col("__ns").cast("double")
+    val pc = col("__cw").cast("double") / col("__n").cast("double")
+    sw.join(cw, "w")
+      .join(ns, "__src")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__src").as(sourceCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(sum((ps * log(ps / pc)).cast(d18)).cast("double"), 6).as("kl"),
+        round(-sum((ps * log(ps)).cast(d18)).cast("double"), 6).as("entropy"))
+  }
+
   /** Gopher-style rule gate (Rae et al. 2021 §A1.1 — the published
     * heuristic filter battery every pretraining pipeline runs before the
     * learned gates): per document, one boolean per rule plus the

@@ -2352,6 +2352,29 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny == Set(2L))
   }
 
+  test("sourceDivergence: KL >= 0, corpus-like source near zero, drifted source above") {
+    // sources a and b share the corpus register; source c is a different
+    // vocabulary entirely — its distribution diverges from the corpus mix
+    val df = Seq(
+      ("a", "the cat sat on the mat and the dog ran"),
+      ("a", "the dog sat on the mat and the cat ran"),
+      ("b", "the cat ran to the mat and the dog sat"),
+      ("c", "quantum flux capacitors destabilize ionic lattice manifolds rapidly"),
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceDivergence(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 3)
+    // Gibbs: KL is never negative
+    assert(out.values.forall(_._3 >= 0.0), out)
+    // the drifted source diverges far more than the register-sharing ones
+    assert(out("c")._3 > out("a")._3 + 0.5 && out("c")._3 > out("b")._3 + 0.5, out)
+    // entropy of the all-distinct-words source = ln(n_vocab)
+    val (nTokC, nVocC, _, entC) = out("c")
+    assert(nTokC == 8L && nVocC == 8L)
+    assert(math.abs(entC - math.log(8.0)) < 1e-6)
+  }
+
   test("repetitionSignals kernel equals the explode-form reference on real data") {
     val frame = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: DataFrame) = df.collect()
