@@ -2224,12 +2224,18 @@ object SparkEntry {
     //      without re-reading the corpus. Probe = the exact top-30 words;
     //      est >= exact always (collisions only ADD — `over` shows them)
     "d_freq_sketch" -> { (s, dir) =>
+      // the occurrence bag feeds the sketch AND the exact top-30, and the
+      // top feeds the lookup AND the ride-along join: checkpoint the two
+      // tiny derivatives so the corpus explode runs ONCE per consumer
+      // tier instead of once per reference
       val occ = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.word_hashes(col("text")))
           .as("w_hash"))
+        .localCheckpoint()
       val cms = ops.Sketch.cmsSketch(occ, col("w_hash"), depth = 4, width = 2048)
       val top = occ.groupBy("w_hash").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("w_hash")).limit(30)
+        .localCheckpoint()
       ops.Sketch.cmsLookup(top, "w_hash", col("w_hash"), cms,
           depth = 4, width = 2048)
         .join(top, "w_hash")
@@ -2245,6 +2251,7 @@ object SparkEntry {
       val occ = docs.select(pmod(col("doc_id"), lit(8)).as("shard"),
         explode(graft.functions.TextFunctions.word_hashes(col("text")))
           .as("w_hash"))
+        .localCheckpoint()
       val cms = ops.Sketch.cmsMerge(ops.Sketch.cmsShardSketch(
         occ, "shard", col("w_hash"), depth = 4, width = 2048))
       val top = occ.groupBy("w_hash").agg(count(lit(1)).as("n_exact"))
@@ -2312,6 +2319,18 @@ object SparkEntry {
     "d_cdc_removal" -> { (s, dir) =>
       ops.Dedup.cdcRemoveNearDuplicates(t(s, dir, "documents"), "doc_id",
           "text", k = 16, maskBits = 6, maxDf = 50, minShared = 2)
+        .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
+    },
+    // ---- the chunk criterion's daily increment: index-matched docs out,
+    //      corpus-touching within-batch components out whole,
+    //      non-representatives of untouched components out — the
+    //      family-shared incrementalCut semantics under chunk-share pairs
+    "d_cdc_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = ops.Dedup.cdcChunkIndex(docs.where(col("doc_id") < 250),
+        "doc_id", "text", k = 16, maskBits = 6)
+      ops.Dedup.dedupIncrementalCdc(docs.where(col("doc_id") >= 250), idx,
+          "doc_id", "text", k = 16, maskBits = 6, maxDf = 50, minShared = 2)
         .select(col("doc_id"), col("source"), col("n_chars")).orderBy("doc_id")
     },
     // ---- incremental CDC probe: what would this batch ACTUALLY cost to
@@ -4524,6 +4543,43 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+         |ORDER BY d.doc_id""".stripMargin,
+    // CDC increment replayed EXACTLY (not via rerun-equivalence — the
+    // within-batch df prune is batch-local by family convention): index
+    // membership probe, batch-local pairs, recursive components, the
+    // three loser branches, survivors
+    "d_cdc_incremental" ->
+      s"""WITH RECURSIVE ${OracleFrag.cdcCtes(16, 6,
+             from = "(SELECT doc_id, text FROM documents WHERE doc_id < 250)", p = "x")},
+         |${OracleFrag.cdcCtes(16, 6,
+             from = "(SELECT doc_id, text FROM documents WHERE doc_id >= 250)", p = "b")},
+         |idx AS (SELECT DISTINCT h, len FROM x_cdc),
+         |bc AS (SELECT DISTINCT doc_id, h, len FROM b_cdc),
+         |matched AS (SELECT doc_id FROM bc JOIN idx USING (h, len)
+         |            GROUP BY doc_id HAVING COUNT(*) >= 2),
+         |dfh AS (SELECT h, len FROM bc GROUP BY h, len
+         |        HAVING COUNT(*) BETWEEN 2 AND 50),
+         |dp AS (SELECT bc.doc_id, bc.h, bc.len FROM bc JOIN dfh USING (h, len)),
+         |p AS (SELECT a.doc_id AS ia, b2.doc_id AS ib, COUNT(*) AS ns
+         |      FROM dp a JOIN dp b2
+         |        ON a.h = b2.h AND a.len = b2.len AND a.doc_id < b2.doc_id
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT ia, ib FROM p WHERE ns >= 2),
+         |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |touched AS (SELECT DISTINCT component FROM comp
+         |            JOIN matched ON comp.node = matched.doc_id),
+         |losers AS (SELECT doc_id AS node FROM matched
+         |           UNION SELECT node FROM comp
+         |             WHERE component IN (SELECT component FROM touched)
+         |           UNION SELECT node FROM comp WHERE node != component)
+         |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY d.doc_id""".stripMargin,
     "d_cdc_vs_index" ->
       s"""WITH ${OracleFrag.cdcCtes(16, 6,

@@ -1488,6 +1488,48 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("__dup_id"), "left_anti")
   }
 
+  /** Incremental CDC near-dedup — the chunk criterion joins the composed
+    * daily-increment family ([[dedupIncremental]] exact,
+    * [[dedupIncrementalNear]] Hamming, [[dedupIncrementalMinhash]]
+    * est-Jaccard, [[dedupIncrementalCosine]] cosine,
+    * [[redactRepeatedPassagesIncremental]] passages): drop from the
+    * batch (1) docs sharing ≥ `minShared` chunk identities with the
+    * accumulated [[cdcChunkIndex]], (2) whole within-batch components
+    * touching the corpus, (3) non-representatives of untouched
+    * components — [[incrementalCut]]'s semantics under the chunk-share
+    * pair criterion. The corpus contributes only its chunk-identity
+    * index (membership, like the passage/winnow probes — the
+    * within-batch df prune stays batch-local, documented family-wide);
+    * the batch's chunk identities are computed ONCE and checkpointed for
+    * both the probe and the pairing.
+    */
+  def dedupIncrementalCdc(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, maskBits: Int = 6, maxDf: Int = 50,
+      minShared: Int = 2, maxIters: Int = 30): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val chunks = cdcChunks(ensureParallelism(batch), idCol, textCol, k, maskBits)
+      .select(col("id"), col("h"), col("len")).distinct()
+      .localCheckpoint(true)
+    val matched = chunks
+      .join(index.select(col("h"), col("len")), Seq("h", "len"))
+      .groupBy("id").agg(count(lit(1)).as("__ns"))
+      .where(col("__ns") >= minShared)
+      .select(col("id").as("doc_id"))
+    val rare = chunks.groupBy("h", "len").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf)).select("h", "len")
+    val pruned = chunks.join(rare, Seq("h", "len"))
+    val pairs = pruned.select(col("h"), col("len"), col("id").as("idA"))
+      .join(pruned.select(col("h"), col("len"), col("id").as("idB")),
+        Seq("h", "len"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
+      .localCheckpoint(true)
+    incrementalCut(batch, idCol, matched, comps)
+  }
+
   /** Distinct chunk-identity index `(h, len)` of a corpus — the
     * persistable CDC store manifest (chunk-count-sized, tiny next to the
     * corpus); [[cdcIndexMatches]] probes it.

@@ -197,12 +197,16 @@ object Sketch {
     * Lehmer rounds mod P57 — one shared definition across build, merge,
     * probe, and the DuckDB oracle.
     */
-  private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column = {
-    val h1 = pmod(mixedPosition(h), lit(mBits.toLong))
-    val h2 = pmod(mixedPosition2(h), lit((mBits - 1).toLong)) + lit(1L)
-    transform(sequence(lit(0), lit(kHashes - 1)),
-      i => pmod(h1 + i.cast("long") * h2, lit(mBits.toLong)))
-  }
+  private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column =
+    // let-bind the Lehmer rounds: HOF lambdas re-evaluate captured
+    // expressions per element, so an unbound h1/h2 would recompute the
+    // DECIMAL(38,0) mix chain k times per row (measured ~4x the whole
+    // sketch cost on the CMS twin before the same fix)
+    graft.functions.Exprs.let2(
+      pmod(mixedPosition(h), lit(mBits.toLong)),
+      pmod(mixedPosition2(h), lit((mBits - 1).toLong)) + lit(1L),
+      (h1, h2) => transform(sequence(lit(0), lit(kHashes - 1)),
+        i => pmod(h1 + i.cast("long") * h2, lit(mBits.toLong))))
 
   /** Build a Bloom filter over `hashCol` values as a DISTRIBUTED bit
     * table `(word, bits)` — 32 live bits per row (masks stay positive
@@ -342,11 +346,18 @@ object Sketch {
     * walk as [[bloomPositions]], reduced mod `width`. One definition for
     * build, lookup, and oracle.
     */
-  private def cmsPosition(h: Column, r: Column, width: Int): Column = {
-    val h1 = pmod(mixedPosition(h), lit(width.toLong))
-    val h2 = pmod(mixedPosition2(h), lit((width - 1).toLong)) + lit(1L)
+  private def cmsPosition(m1: Column, m2: Column, r: Column, width: Int): Column = {
+    val h1 = pmod(m1, lit(width.toLong))
+    val h2 = pmod(m2, lit((width - 1).toLong)) + lit(1L)
     pmod(h1 + r.cast("long") * h2, lit(width.toLong))
   }
+
+  /** Project the two mixed positions ONCE per input row, before the
+    * depth-way explode — the Generate boundary keeps the DECIMAL mix
+    * chain from being re-evaluated per (row × depth).
+    */
+  private def withMix(df: DataFrame, h: Column): DataFrame =
+    df.select(mixedPosition(h).as("__m1"), mixedPosition2(h).as("__m2"))
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) of `hashCol`
     * OCCURRENCES (bag semantics — no distinct: frequency is the point):
@@ -366,9 +377,10 @@ object Sketch {
     val h = when(hashCol.isNull, raise_error(lit(
         "Sketch.cmsSketch: null hash — filter upstream")))
       .otherwise(hashCol.cast("long"))
-    df.select(h.as("__cm_h"))
-      .select(col("__cm_h"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .groupBy(col("r"), cmsPosition(col("__cm_h"), col("r"), width).as("c"))
+    withMix(df, h)
+      .select(col("__m1"), col("__m2"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmsPosition(col("__m1"), col("__m2"), col("r"), width).as("c"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -382,11 +394,12 @@ object Sketch {
     val h = when(hashCol.isNull, raise_error(lit(
         "Sketch.cmsShardSketch: null hash — filter upstream")))
       .otherwise(hashCol.cast("long"))
-    df.select(col(shardCol).as("__cm_s"), h.as("__cm_h"))
-      .select(col("__cm_s"), col("__cm_h"),
+    df.select(col(shardCol).as("__cm_s"), mixedPosition(h).as("__m1"),
+        mixedPosition2(h).as("__m2"))
+      .select(col("__cm_s"), col("__m1"), col("__m2"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .groupBy(col("__cm_s").as(shardCol), col("r"),
-        cmsPosition(col("__cm_h"), col("r"), width).as("c"))
+        cmsPosition(col("__m1"), col("__m2"), col("r"), width).as("c"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -408,10 +421,11 @@ object Sketch {
     val h = when(hashCol.isNull, raise_error(lit(
         "Sketch.cmsLookup: null hash — filter upstream")))
       .otherwise(hashCol.cast("long"))
-    keys.select(col(idCol).as("__cm_id"), h.as("__cm_h"))
-      .select(col("__cm_id"), col("__cm_h"),
+    keys.select(col(idCol).as("__cm_id"), mixedPosition(h).as("__m1"),
+        mixedPosition2(h).as("__m2"))
+      .select(col("__cm_id"), col("__m1"), col("__m2"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("c", cmsPosition(col("__cm_h"), col("r"), width))
+      .withColumn("c", cmsPosition(col("__m1"), col("__m2"), col("r"), width))
       .join(broadcast(cms), Seq("r", "c"), "left")
       .groupBy(col("__cm_id").as(idCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))

@@ -1151,6 +1151,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L)) // component {1,2,4} keeps its smallest id
   }
 
+  test("dedupIncrementalCdc: index match, touched component, and representative branches all pinned") {
+    // each block is a disjoint ~300-char vocabulary (seeded words), so
+    // chunk sharing happens ONLY through deliberate block reuse below
+    def blk(seed: String) = (1 to 40).map(j => s"$seed$j").mkString(" ") + " "
+    val A = blk("alpha"); val B = blk("beta"); val C = blk("gamma")
+    val D = blk("delta"); val E = blk("epsilon"); val F = blk("zeta"); val G = blk("eta")
+    val corpus = Seq((1L, A)).toDF("doc_id", "text")
+    val idx = Dedup.cdcChunkIndex(corpus, "doc_id", "text", k = 16, maskBits = 5)
+    val batch = Seq(
+      (10L, A + B), // shares A's chunks with the corpus -> index-matched, dropped
+      (11L, C + B), // novel vs corpus, but pairs with 10 via B -> touched component, dropped
+      (12L, D + E), // novel component {12, 13} -> smallest id survives
+      (13L, F + E),
+      (14L, G),     // novel singleton -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrementalCdc(batch, idx, "doc_id", "text",
+        k = 16, maskBits = 5, maxDf = 10, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L), s"kept $kept")
+  }
+
   test("cdcDedupRates and cdcIndexMatches: exact dups collapse, planted doc fully deduped") {
     val rates = Dedup.cdcDedupRates(docs.withColumn("source", lit("s")),
         "source", "doc_id", "text", k = 16, maskBits = 4)
@@ -1207,6 +1228,25 @@ class OpsSpec extends AnyFunSuite {
         mBits = 4096, kHashes = 4)
       .collect().map(_.getBoolean(1))
     assert(none.length == 5 && none.forall(!_))
+  }
+
+  test("bloomMaybeMember: zero exchanges, equals the join probe") {
+    val corpus = (1 to 200).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
+      .toDF("id", "h")
+    val sk = ops.Sketch.bloomSketch(corpus, col("h"), mBits = 4096, kHashes = 4)
+    val words = ops.Sketch.bloomBitsArray(sk, mBits = 4096)
+    val probeKeys = (150 to 350).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
+      .toDF("id", "h")
+    val gated = probeKeys.withColumn("mm",
+      ops.Sketch.bloomMaybeMember(col("h"), words, mBits = 4096, kHashes = 4))
+    // the literal-array serve form is a pure scan-stage expression
+    assert(!gated.queryExecution.executedPlan.toString.contains("Exchange"),
+      "row-local bloom gate must not shuffle")
+    val local = gated.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val joined = ops.Sketch.bloomProbe(probeKeys, "id", col("h"), sk,
+        mBits = 4096, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(local == joined, "literal-array serve must equal the join probe")
   }
 
   test("cmsSketch/cmsLookup: overestimate-only, sum-merge cell-identical, unseen key = 0") {
