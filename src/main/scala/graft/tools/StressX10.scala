@@ -213,6 +213,13 @@ object StressX10 {
         col("h"), depth = 4, width = 1 << 15)
       .localCheckpoint()
 
+    val cdcIdx1 = graft.ops.Dedup.cdcChunkIndex(docs1, "doc_id", "text",
+        k = 16, maskBits = 6)
+      .localCheckpoint()
+    val cdcIdx10 = graft.ops.Dedup.cdcChunkIndex(docs10, "doc_id", "text",
+        k = 16, maskBits = 6)
+      .localCheckpoint()
+
     // optional arg 2: substring filter — run only matching scenarios and
     // skip the 160M-row locally{} points (fast iteration on one scenario)
     val only = args.drop(1).headOption
@@ -256,6 +263,15 @@ object StressX10 {
       // anti-join. The claim: the within-batch stages are index-size-
       // independent, so 10× index costs only the bigger band-join side —
       // the ratio should sit well under the index growth factor.
+      // CDC ingest probe steady-state: the chunk-identity index GROWS
+      // with the corpus (unlike the Bloom/CMS tables), but the probe is
+      // one hash-keyed join of fixed batch chunks against it — cost
+      // should track the join build side sublinearly, like the passage
+      // probe
+      ("cdcIndexMatches steady-state (fixed batch, chunk index 1x->10x)",
+        cdcIdx1, cdcIdx10,
+        (ix: DataFrame) => graft.ops.Dedup.cdcIndexMatches(probeBatch, ix,
+          "doc_id", "text", k = 16, maskBits = 6)),
       // Bloom serve: the bit table is mBits/32 rows at ANY corpus size,
       // so a 10x corpus changes ONLY the bit density, not one byte of
       // I/O — the probe must be flat at 1.0x by construction
