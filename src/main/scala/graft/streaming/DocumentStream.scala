@@ -446,6 +446,75 @@ object DocumentStream {
     docs.where(!graft.ops.Sketch.bloomMaybeMember(
       TextAnalysis.fingerprint(col(textCol)), words, mBits, kHashes))
 
+  final case class CmsOcc(source: String, m1: Long, m2: Long)
+  final case class CmsState(seq: Long, counters: Array[Long])
+  final case class CmsEst(source: String, seq: Long, w_hash: Long, n_est: Long)
+
+  /** Streaming count-min sketch — the CMS member of the running-sketch
+    * family ([[runningKmv]], [[runningHistQuantiles]]): per-source
+    * `depth × width` counters as state, bumped per micro-batch with the
+    * batch double-hash walk (the two Lehmer mixes are computed ONCE per
+    * occurrence in the plan, exactly like the batch builder), and after
+    * each batch the running frequency ESTIMATES of a fixed watch-list of
+    * keys are emitted (the production shape: "how often have we seen
+    * these N boilerplate markers so far?"). Counter updates are
+    * order/batching-insensitive sums, so after any stream prefix the
+    * latest emit equals batch [[graft.ops.Sketch.cmsSketch]] +
+    * [[graft.ops.Sketch.cmsLookup]] over the rows seen so far
+    * (parity-pinned). State is `depth·width` longs per source — bounded
+    * at build time, no watermark needed.
+    */
+  def runningCms(docs: DataFrame, watch: Seq[Long], depth: Int = 4,
+      width: Int = 2048, sourceCol: String = "source",
+      textCol: String = "text"): Dataset[CmsEst] = {
+    require(depth >= 1 && depth <= 16, s"depth out of [1, 16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    require(watch.nonEmpty, "watch list must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the watch keys' cell coordinates, precomputed driver-side with the
+    // SAME arithmetic (BigInt stands in for the exact-decimal column math)
+    def mix1(h: Long): Long =
+      (((BigInt(h) + 1) * 48271 % graft.ops.Sketch.P57) * 48271 %
+        graft.ops.Sketch.P57).toLong
+    def mix2(h: Long): Long =
+      (BigInt(mix1(h)) * 48271 % graft.ops.Sketch.P57).toLong
+    def cells(h: Long): Array[Int] = {
+      val h1 = mix1(h) % width
+      val h2 = 1 + mix2(h) % (width - 1)
+      Array.tabulate(depth)(r => (r * width + ((h1 + r * h2) % width)).toInt)
+    }
+    val watchCells: Array[(Long, Array[Int])] =
+      watch.toArray.map(h => h -> cells(h))
+    val occ = docs.select(col(sourceCol).as("source"),
+        explode(TextFunctions.word_hashes(col(textCol))).as("__h"))
+      .select(col("source"),
+        graft.ops.Sketch.mixedPosition(col("__h")).as("m1"),
+        graft.ops.Sketch.mixedPosition2(col("__h")).as("m2"))
+      .as[CmsOcc]
+    occ.groupByKey(_.source)
+      .flatMapGroupsWithState[CmsState, CmsEst](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[CmsState]) =>
+          val prev = state.getOption.getOrElse(
+            CmsState(0L, new Array[Long](depth * width)))
+          val counters = prev.counters.clone()
+          rows.foreach { o =>
+            val h1 = o.m1 % width
+            val h2 = 1 + o.m2 % (width - 1)
+            var r = 0
+            while (r < depth) {
+              counters(r * width + ((h1 + r * h2) % width).toInt) += 1
+              r += 1
+            }
+          }
+          state.update(CmsState(prev.seq + 1, counters))
+          watchCells.iterator.map { case (h, cs) =>
+            CmsEst(source, prev.seq + 1, h, cs.map(counters(_)).min)
+          }
+      }
+  }
+
   final case class HistVal(source: String, v: Long)
   final case class HistState(seq: Long, counts: Array[Long])
   final case class HistQuant(source: String, seq: Long, n: Long,

@@ -629,6 +629,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect, s"stream ${got.size} rows != batch ${expect.size}")
   }
 
+  test("running CMS: watch-list estimates equal the batch sketch per source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    // watch list: the 5 most frequent corpus words (hashes)
+    val watch = docsDf
+      .select(explode(graft.functions.TextFunctions.word_hashes(col("text"))).as("h"))
+      .groupBy("h").count().orderBy(col("count").desc, col("h")).limit(5)
+      .select("h").as[Long].collect().toSeq
+    val rows = docsDf.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val (b1, b2) = rows.reverse.splitAt(rows.length / 2)
+    val input = MemoryStream[(String, String)]
+    val q = DocumentStream.runningCms(
+        input.toDF().toDF("source", "text"), watch, depth = 4, width = 256)
+      .toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_cms").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("doc_cms")
+      .groupBy("source", "w_hash")
+      .agg(max(struct(col("seq"), col("n_est"))).as("m"))
+      .select(col("source"), col("w_hash"), col("m.n_est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch truth: per-source CMS + lookup of the same watch list
+    val batch = docsDf.select("source").distinct().as[String].collect().flatMap { src =>
+      val occ = docsDf.where(col("source") === src)
+        .select(explode(graft.functions.TextFunctions.word_hashes(col("text"))).as("h"))
+      val cms = graft.ops.Sketch.cmsSketch(occ, col("h"), depth = 4, width = 256)
+      graft.ops.Sketch.cmsLookup(watch.map(h => (h, h)).toDF("id", "h"), "id",
+          col("h"), cms, depth = 4, width = 256)
+        .collect().map(r => (src, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(latest.nonEmpty && latest == batch,
+      s"stream ${latest.size} cells, batch ${batch.size}")
+  }
+
   test("running histogram quantiles: final emits equal the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
