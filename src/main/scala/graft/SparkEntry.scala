@@ -2314,6 +2314,34 @@ object SparkEntry {
           k = 16, maskBits = 6, maxDf = 50, minShared = 2)
         .orderBy("idA", "idB")
     },
+    // ---- CROSS-CRITERION AGREEMENT MATRIX: the governance card for "which
+    //      dedup criteria do we actually need to run?" — pair sets from four
+    //      criteria (est-Jaccard MinHash, Hamming SimHash, winnow
+    //      fingerprints, CDC chunk share) intersected pairwise; diagonal
+    //      rows are each criterion's own pair count. The four pair
+    //      pipelines run ONCE (checkpointed, pair-count-sized) and the
+    //      matrix join is over id pairs only.
+    "d_dedup_criteria_matrix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def lbl(name: String, df: DataFrame) =
+        df.select(lit(name).as("critA"), col("idA").cast("long").as("idA"),
+          col("idB").cast("long").as("idB"))
+      val all = lbl("cdc", ops.Dedup.cdcPairs(docs, "doc_id", "text",
+          k = 16, maskBits = 6, maxDf = 50, minShared = 2))
+        .unionByName(lbl("minhash", ops.Dedup.minhashLshPairs(docs, "doc_id",
+          "text", numHashes = 32, bands = 8, threshold = 0.3)))
+        .unionByName(lbl("simhash", ops.Dedup.simhashPairs(docs, "doc_id",
+          "text", maxHamming = 3, blocks = 4)))
+        .unionByName(lbl("winnow", ops.Dedup.winnowedPassagePairs(docs,
+          "doc_id", "text", k = 30, w = 10, maxDf = 50, minShared = 2)))
+        .localCheckpoint()
+      all
+        .join(all.select(col("critA").as("critB"), col("idA"), col("idB")),
+          Seq("idA", "idB"))
+        .where(col("critA") <= col("critB"))
+        .groupBy("critA", "critB").agg(count(lit(1)).as("n_common"))
+        .orderBy("critA", "critB")
+    },
     // ---- the criterion's removal closure: pairs -> star-CC -> LEFT ANTI,
     //      smallest id survives each component (family-standard)
     "d_cdc_removal" -> { (s, dir) =>
@@ -4523,6 +4551,57 @@ object SparkEntry {
          |  round(CAST(1 AS DOUBLE) - CAST(bytes_distinct AS DOUBLE) / CAST(bytes AS DOUBLE), 6)
          |    AS dup_byte_rate
          |FROM al JOIN di ON al.source = di.source ORDER BY al.source""".stripMargin,
+    // The agreement matrix replays all FOUR pair criteria in one query —
+    // each chain is the corresponding single-criterion oracle with
+    // renamed CTEs — then intersects the labeled pair sets pairwise
+    "d_dedup_criteria_matrix" ->
+      s"""WITH ${OracleFrag.cdcCtes(16, 6, p = "m")},
+         |mdc AS (SELECT DISTINCT doc_id, h, len FROM m_cdc),
+         |mdfh AS (SELECT h, len FROM mdc GROUP BY h, len
+         |         HAVING COUNT(*) BETWEEN 2 AND 50),
+         |mdp AS (SELECT mdc.doc_id, mdc.h, mdc.len FROM mdc JOIN mdfh USING (h, len)),
+         |cdcp AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |         FROM mdp a JOIN mdp b
+         |           ON a.h = b.h AND a.len = b.len AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |mw AS (SELECT doc_id, ${OracleFrag.ws("text")} AS ws FROM documents),
+         |mh AS (SELECT doc_id, ${OracleFrag.shingleHashes("ws")} AS shs FROM mw),
+         |ms AS (SELECT doc_id, ${OracleFrag.minhashSig("shs", 32)} AS sig FROM mh WHERE len(shs) > 0),
+         |mbd AS (SELECT ms.doc_id, ms.sig, bb.b AS band,
+         |          array_slice(ms.sig, bb.b*4 + 1, bb.b*4 + 4) AS bkey
+         |        FROM ms CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+         |mp AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+         |       FROM mbd a JOIN mbd c
+         |         ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |mhp AS (SELECT ia, ib FROM (
+         |         SELECT mp.ia, mp.ib,
+         |           CAST(list_sum(list_transform(range(1, 33),
+         |             __i -> CASE WHEN sa.sig[__i] = sb.sig[__i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS ej
+         |         FROM mp JOIN ms sa ON sa.doc_id = mp.ia JOIN ms sb ON sb.doc_id = mp.ib)
+         |        WHERE ej >= 0.3),
+         |shs2 AS (SELECT doc_id, ${OracleFrag.simhash31("ws")} AS sim FROM mw WHERE len(ws) > 0),
+         |shp AS (SELECT a.doc_id AS ia, c.doc_id AS ib
+         |        FROM shs2 a JOIN shs2 c ON a.doc_id < c.doc_id
+         |        WHERE bit_count(xor(a.sim, c.sim)) <= 3),
+         |gr AS (SELECT doc_id,
+         |    list_transform(range(1, length(text) - 30 + 2),
+         |      i -> ${OracleFrag.poly57("substr(text, CAST(i AS INT), 30)")}) AS g
+         |  FROM documents WHERE length(text) >= 30),
+         |sel AS (SELECT doc_id,
+         |          unnest(${OracleFrag.winnowSelected("g", 10)}) AS h FROM gr),
+         |rare AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |hh AS (SELECT sel.doc_id, sel.h FROM sel JOIN rare USING (h)),
+         |wnp AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |        FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |u AS (SELECT 'cdc' AS crit, ia, ib FROM cdcp
+         |      UNION ALL SELECT 'minhash', ia, ib FROM mhp
+         |      UNION ALL SELECT 'simhash', ia, ib FROM shp
+         |      UNION ALL SELECT 'winnow', ia, ib FROM wnp)
+         |SELECT a.crit AS "critA", b.crit AS "critB",
+         |  CAST(COUNT(*) AS BIGINT) AS n_common
+         |FROM u a JOIN u b ON a.ia = b.ia AND a.ib = b.ib AND a.crit <= b.crit
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // CDC pairs replayed: distinct per-doc chunk identities, the same
     // [2, 50] df prune, pair counts
     "d_cdc_pairs" ->
