@@ -768,6 +768,32 @@ object SparkEntry {
           col("seqNum"), col("gapSec"), col("runValue"))
         .orderBy("userId", "seqNum")
     },
+    // ---- gap-based SESSIONIZATION (the classic event-log op): a >30 min
+    //      silence starts a new session; running session counter via a
+    //      cumulative sum over the break flags, then one per-session
+    //      aggregate. Scale shape: user-key-partitioned windows (each
+    //      user's history is one partition — the natural event-log
+    //      layout), one groupBy on (user, session)
+    "q17_sessionize" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsSec"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("value"),
+          unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+        .withColumn("gapSec", col("tsSec") - lag(col("tsSec"), 1).over(w))
+        .withColumn("newSess",
+          when(col("gapSec").isNull || col("gapSec") > 1800, 1L).otherwise(0L))
+        .withColumn("sessionNum", sum(col("newSess"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("user_id").as("userId"), col("sessionNum"))
+        .agg(count(lit(1)).as("nEvents"),
+          min(col("tsSec")).as("startSec"),
+          max(col("tsSec")).as("endSec"),
+          (max(col("tsSec")) - min(col("tsSec"))).as("durationSec"),
+          sum(col("value").cast(D6)).cast("double").as("sumValue"))
+        .orderBy("userId", "sessionNum")
+    },
     // ---- mixed-format plan: parquet fact × DSv2 in-memory dim in one join
     "q10_cross_source" -> { (s, dir) =>
       val d = t(s, dir, "documents")
@@ -3574,6 +3600,26 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY 1, 3""".stripMargin,
+    // Sessionization replayed: same second-floored gaps, same >1800 s
+    // session-break rule, running session counter, per-session card
+    "q17_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsSec, value
+        |           FROM events),
+        |g AS (SELECT user_id, event_id, tsSec, value,
+        |        CASE WHEN tsSec - lag(tsSec) OVER w IS NULL
+        |               OR tsSec - lag(tsSec) OVER w > 1800 THEN 1 ELSE 0 END AS newSess
+        |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tsSec, event_id)),
+        |sn AS (SELECT user_id, tsSec, value,
+        |         SUM(newSess) OVER (PARTITION BY user_id ORDER BY tsSec, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS sessionNum
+        |       FROM g)
+        |SELECT user_id AS "userId", CAST(sessionNum AS BIGINT) AS "sessionNum",
+        |  CAST(COUNT(*) AS BIGINT) AS "nEvents",
+        |  MIN(tsSec) AS "startSec", MAX(tsSec) AS "endSec",
+        |  MAX(tsSec) - MIN(tsSec) AS "durationSec",
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS "sumValue"
+        |FROM sn GROUP BY user_id, sessionNum
+        |ORDER BY 1, 2""".stripMargin,
     "d_text_analysis" ->
       s"""WITH ${OracleFrag.docAnalysisCtes()}
          |SELECT doc_id,
