@@ -97,6 +97,8 @@ object Bench {
     "d_cdc_incremental",           // chunk criterion's daily increment (incrementalCut)
     "d_dedup_criteria_matrix",     // cross-criterion pair-agreement governance card
     "q17_sessionize",              // gap-based sessionization over the event log
+    "q18_funnel",                  // first-touch ordered conversion funnel
+    "q19_retention",               // weekly retention cohorts
     "d_member_sketch",             // Bloom gate: build + probe + exact membership ride-along
     "d_member_sketch_merged",      // per-shard Bloom filters OR-merged (bit-identical)
     "d_freq_sketch",               // count-min word frequencies vs exact top-30

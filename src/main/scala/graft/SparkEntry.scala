@@ -768,6 +768,58 @@ object SparkEntry {
           col("seqNum"), col("gapSec"), col("runValue"))
         .orderBy("userId", "seqNum")
     },
+    // ---- ordered CONVERSION FUNNEL (first-touch): a user reaches step i
+    //      only via an event AT OR AFTER their first step-(i−1) touch —
+    //      view → click → purchase. Three user-keyed min-aggregates
+    //      chained by joins (never a per-user window over the full log);
+    //      the card is four one-row frames unioned + one broadcast total
+    "q18_funnel" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+      val a = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsSec").as("t1"))
+      val b = e.join(a, "user_id")
+        .where(col("event_type") === "click" && col("tsSec") >= col("t1"))
+        .groupBy("user_id").agg(min("tsSec").as("t2"))
+      val c = e.join(b, "user_id")
+        .where(col("event_type") === "purchase" && col("tsSec") >= col("t2"))
+        .groupBy("user_id").agg(min("tsSec").as("t3"))
+      val total = e.agg(countDistinct("user_id").as("n_total"))
+      val steps = e.agg(countDistinct("user_id").as("n_users"))
+        .select(lit("0_any").as("step"), col("n_users"))
+        .unionByName(a.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_view").as("step"), col("n_users")))
+        .unionByName(b.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("step"), col("n_users")))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("step"), col("n_users")))
+      steps.crossJoin(broadcast(total))
+        .select(col("step"), col("n_users"),
+          round(col("n_users").cast("double") / col("n_total").cast("double"), 6)
+            .as("reach_rate"))
+        .orderBy("step")
+    },
+    // ---- weekly RETENTION COHORTS: cohort = the week of a user's first
+    //      event; one per-user min-aggregate, one distinct on (user,
+    //      cohort, offset), counts bounded by cohorts × offsets
+    "q19_retention" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+          unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+        .select(col("user_id"), expr("tsSec DIV 86400L").as("d"))
+      val f = e.groupBy("user_id").agg(min("d").as("d0"))
+      val w = e.join(f, "user_id")
+        .select(col("user_id"), expr("d0 DIV 7L").as("cohort_week"),
+          expr("(d - d0) DIV 7L").as("week_offset"))
+        .distinct()
+      val cs = w.where(col("week_offset") === 0)
+        .groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+      w.groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
+        .join(cs, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_n").cast("double"), 6)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
     // ---- gap-based SESSIONIZATION (the classic event-log op): a >30 min
     //      silence starts a new session; running session counter via a
     //      cumulative sum over the break flags, then one per-session
@@ -3600,6 +3652,41 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY 1, 3""".stripMargin,
+    // First-touch funnel replayed: same chained min-after-previous-touch
+    // rule on second-floored times
+    "q18_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 1000000 AS tsSec
+        |           FROM events),
+        |a AS (SELECT user_id, MIN(tsSec) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, MIN(tsSec) AS t2 FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'click' AND tsSec >= t1 GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(tsSec) AS t3 FROM e JOIN b USING (user_id)
+        |      WHERE event_type = 'purchase' AND tsSec >= t2 GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT user_id) AS nt FROM e),
+        |u AS (SELECT '0_any' AS step, nt AS n FROM t
+        |      UNION ALL SELECT '1_view', COUNT(*) FROM a
+        |      UNION ALL SELECT '2_click', COUNT(*) FROM b
+        |      UNION ALL SELECT '3_purchase', COUNT(*) FROM c)
+        |SELECT step, CAST(n AS BIGINT) AS n_users,
+        |  round(CAST(n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS reach_rate
+        |FROM u, t ORDER BY step""".stripMargin,
+    // Weekly retention replayed: same day floor, same cohort-week and
+    // offset integer division, distinct (user, cohort, offset)
+    "q19_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS d
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1),
+        |w AS (SELECT DISTINCT e.user_id, d0 // 7 AS cohort_week,
+        |        (d - d0) // 7 AS week_offset
+        |      FROM e JOIN f USING (user_id)),
+        |cs AS (SELECT cohort_week, COUNT(*) AS cohort_n FROM w
+        |       WHERE week_offset = 0 GROUP BY 1)
+        |SELECT w.cohort_week, w.week_offset, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE), 6) AS retention
+        |FROM w JOIN cs USING (cohort_week)
+        |GROUP BY w.cohort_week, w.week_offset, cs.cohort_n
+        |ORDER BY 1, 2""".stripMargin,
     // Sessionization replayed: same second-floored gaps, same >1800 s
     // session-break rule, running session counter, per-session card
     "q17_sessionize" ->
