@@ -227,7 +227,10 @@ private[graft] object OracleFrag {
   /** Content-defined chunk CTE chain (mirror of TextHashOps.cdcChunks):
     * gram hashes → cut ends (gram hash ≡ 0 mod 2^maskBits, end = start +
     * k − 1 in 1-based SQL) → final-end completion → per-chunk
-    * `(doc_id, start, len, h)` rows in `<p>_cdc`. `from` supplies
+    * `(doc_id, start, len, h)` rows in `<p>_cdc` (zero-length rows
+    * filtered: the kernel emits NO chunk for an empty text, while the
+    * SQL end-completion would otherwise produce one (0,0,0) row).
+    * `from` supplies
     * `doc_id, text` (plus passthrough via `extraCols`, e.g. ", source").
     */
   def cdcCtes(k: Int, maskBits: Int, from: String = "documents",
@@ -254,7 +257,7 @@ private[graft] object OracleFrag {
        |  FROM ${p}j),
        |${p}_cdc AS (SELECT doc_id$extraCols, start, len,
        |    ${poly57("substr(text, CAST(start + 1 AS INT), CAST(len AS INT))")} AS h
-       |  FROM ${p}d)""".stripMargin
+       |  FROM ${p}d WHERE len > 0)""".stripMargin
   }
 
   /** Rolling poly-57 hash of a string expression (mirror of TextHashOps.foldBytes). */

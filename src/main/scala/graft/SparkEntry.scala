@@ -784,9 +784,9 @@ object SparkEntry {
       val c = e.join(b, "user_id")
         .where(col("event_type") === "purchase" && col("tsSec") >= col("t2"))
         .groupBy("user_id").agg(min("tsSec").as("t3"))
-      val total = e.agg(countDistinct("user_id").as("n_total"))
-      val steps = e.agg(countDistinct("user_id").as("n_users"))
-        .select(lit("0_any").as("step"), col("n_users"))
+      val total = e.agg(countDistinct("user_id").as("n_total")).localCheckpoint()
+      val steps = total
+        .select(lit("0_any").as("step"), col("n_total").as("n_users"))
         .unionByName(a.agg(count(lit(1)).as("n_users"))
           .select(lit("1_view").as("step"), col("n_users")))
         .unionByName(b.agg(count(lit(1)).as("n_users"))
@@ -2268,8 +2268,12 @@ object SparkEntry {
     //      batch = odd docs; is_member (the exact answer) rides along so
     //      the no-false-negative guarantee is VISIBLE in the row data
     "d_member_sketch" -> { (s, dir) =>
+      // four consumers of the fingerprint lineage (filter build, probe,
+      // ride-along join, exact-membership join) — checkpoint the
+      // fingerprint-sized frame so the corpus HOF aggregate runs ONCE
       val fps = t(s, dir, "documents")
         .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
       val corpus = fps.where(pmod(col("doc_id"), lit(2)) === 0)
       val batch = fps.where(pmod(col("doc_id"), lit(2)) === 1)
       val sk = ops.Sketch.bloomSketch(corpus, col("fp"), mBits = 65536, kHashes = 4)

@@ -1369,8 +1369,15 @@ object Dedup {
         "the representative choice orders by score DESC")
     val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands, threshold)
     val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
+    // a NULL score must fail loudly: under min_by's struct ordering the
+    // negated null would sort FIRST and the unscored doc would silently
+    // win as the kept representative (review r13 finding)
     val scored = comps.join(
-      docs.select(col(idCol).as("node"), col(scoreCol).as("__q")), "node")
+      docs.select(col(idCol).as("node"),
+        when(col(scoreCol).isNull, raise_error(lit(
+          s"removeNearDuplicatesKeepBest: null $scoreCol — score every doc " +
+            "or filter upstream")))
+          .otherwise(col(scoreCol)).as("__q")), "node")
     // min_by over (-score, id): score DESC, exact ties fall to the
     // smallest id. Negating the SCORE (numeric, guarded above) instead of
     // the id keeps the tie-break type-agnostic: string/date ids order
@@ -1511,7 +1518,7 @@ object Dedup {
       .select(col("id"), col("h"), col("len")).distinct()
       .localCheckpoint(true)
     val matched = chunks
-      .join(index.select(col("h"), col("len")), Seq("h", "len"))
+      .join(index.select(col("h"), col("len")).distinct(), Seq("h", "len"))
       .groupBy("id").agg(count(lit(1)).as("__ns"))
       .where(col("__ns") >= minShared)
       .select(col("id").as("doc_id"))
@@ -1551,7 +1558,11 @@ object Dedup {
   def cdcIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, k: Int = 16, maskBits: Int = 6): DataFrame =
     cdcChunks(batch, idCol, textCol, k, maskBits)
-      .join(index.select(col("h"), col("len")).withColumn("__hit", lit(1L)),
+      // distinct defensively: a non-distinct index (concatenated daily
+      // indexes, raw chunk rows) would fan out EVERY join row and inflate
+      // n_chunks/bytes too, not just the dup counts
+      .join(index.select(col("h"), col("len")).distinct()
+          .withColumn("__hit", lit(1L)),
         Seq("h", "len"), "left")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_chunks"),

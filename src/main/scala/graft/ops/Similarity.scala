@@ -988,10 +988,20 @@ object Similarity {
       k: Int = 10, outDims: Int = -1, refine: Int = 30,
       firstPlane: Int = -1): DataFrame = {
     val spark = queries.sparkSession
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("outDims").cast("int"), col("firstPlane").cast("int"))
-      .head()
-    val (metaDims, metaPlane) = (meta.getInt(0), meta.getInt(1))
+    // pre-meta indexes (written before the meta file existed) stay
+    // servable WHEN the caller supplies both parameters explicitly —
+    // removing that would orphan every persisted index on disk; with
+    // defaulted params and no meta there is nothing to trust, so raise
+    val meta = scala.util.Try(
+      spark.read.parquet(s"$path/meta")
+        .select(col("outDims").cast("int"), col("firstPlane").cast("int"))
+        .head()).toOption
+    require(meta.isDefined || (outDims >= 0 && firstPlane >= 0),
+      s"projected index at $path has no meta file and the caller did not " +
+        "pass explicit (outDims, firstPlane) — cannot infer the projection space")
+    val (metaDims, metaPlane) = meta
+      .map(m => (m.getInt(0), m.getInt(1)))
+      .getOrElse((outDims, firstPlane))
     require(outDims == -1 || outDims == metaDims,
       s"projected index at $path was built with outDims=$metaDims, caller passed $outDims")
     require(firstPlane == -1 || firstPlane == metaPlane,

@@ -439,6 +439,8 @@ object Sketch {
     require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets out of [2, 2^20]: $nBuckets")
+    require(hi - lo <= Long.MaxValue / nBuckets,
+      s"(hi - lo) * nBuckets overflows int64: [$lo, $hi) x $nBuckets")
   }
 
   /** Bucket id of a value on the fixed `[lo, hi)` grid — integer
@@ -448,7 +450,11 @@ object Sketch {
     * outliers lies about the tails.
     */
   private def histBucket(v: Column, lo: Long, hi: Long, nBuckets: Int): Column = {
-    val b = expr(s"((__hs_v - ${lo}L) * ${nBuckets}L) DIV ${hi - lo}L")
+    // clamp BEFORE the multiply: an unclamped far-out value would overflow
+    // (v - lo) * nBuckets and die in an ANSI ArithmeticException instead of
+    // landing in the edge bucket as documented; post-clamp the product is
+    // bounded by (hi - lo) * nBuckets, guarded at parameter check
+    val b = expr(s"((LEAST(${hi}L, GREATEST(${lo}L, __hs_v)) - ${lo}L) * ${nBuckets}L) DIV ${hi - lo}L")
     least(lit(nBuckets - 1L), greatest(lit(0L), b))
   }
 

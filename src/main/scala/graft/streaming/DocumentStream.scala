@@ -536,6 +536,8 @@ object DocumentStream {
       valueCol: String = "n_chars"): Dataset[HistQuant] = {
     require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    require(hi - lo <= Long.MaxValue / nBuckets,
+      s"(hi - lo) * nBuckets overflows int64: [$lo, $hi) x $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(sourceCol).as("source"), col(valueCol).cast("long").as("v"))
@@ -547,7 +549,11 @@ object DocumentStream {
             HistState(0L, new Array[Long](nBuckets)))
           val counts = prev.counts.clone()
           rows.foreach { r =>
-            val b = ((r.v - lo) * nBuckets / (hi - lo)) max 0L min (nBuckets - 1L)
+            // clamp BEFORE the multiply (batch histBucket convention): an
+            // unclamped huge outlier would wrap the product and land in
+            // bucket 0 instead of the top bucket
+            val vc = r.v max lo min hi
+            val b = ((vc - lo) * nBuckets / (hi - lo)) max 0L min (nBuckets - 1L)
             counts(b.toInt) += 1
           }
           state.update(HistState(prev.seq + 1, counts))
