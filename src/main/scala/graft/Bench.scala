@@ -99,6 +99,7 @@ object Bench {
     "q17_sessionize",              // gap-based sessionization over the event log
     "q18_funnel",                  // first-touch ordered conversion funnel
     "q19_retention",               // weekly retention cohorts
+    "q20_transitions",             // event-type first-order Markov transition card
     "d_member_sketch",             // Bloom gate: build + probe + exact membership ride-along
     "d_member_sketch_merged",      // per-shard Bloom filters OR-merged (bit-identical)
     "d_freq_sketch",               // count-min word frequencies vs exact top-30

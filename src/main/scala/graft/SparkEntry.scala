@@ -820,6 +820,27 @@ object SparkEntry {
             .as("retention"))
         .orderBy("cohort_week", "week_offset")
     },
+    // ---- event-type TRANSITION MATRIX (first-order Markov card): per
+    //      user-ordered consecutive event pairs, count and row-normalized
+    //      probability — the behavioral-flow card next to the funnel's
+    //      fixed path. One lag window per user partition, one pair count,
+    //      one per-prev total join (25 rows at 5 event types)
+    "q20_transitions" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsSec"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("prev_type").agg(sum("n").as("n_prev"))
+      pairs.join(totals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_prev").cast("double"), 6).as("p"))
+        .orderBy("prev_type", "next_type")
+    },
     // ---- gap-based SESSIONIZATION (the classic event-log op): a >30 min
     //      silence starts a new session; running session counter via a
     //      cumulative sum over the break flags, then one per-session
@@ -3690,6 +3711,22 @@ object SparkEntry {
         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE), 6) AS retention
         |FROM w JOIN cs USING (cohort_week)
         |GROUP BY w.cohort_week, w.week_offset, cs.cohort_n
+        |ORDER BY 1, 2""".stripMargin,
+    // Transition matrix replayed: same (tsSec, event_id) per-user order,
+    // same lag pairing, row-normalized counts
+    "q20_transitions" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) // 1000000 AS tsSec FROM events),
+        |g AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tsSec, event_id) AS prev_type
+        |      FROM b),
+        |p AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |      FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS n_prev FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+        |  round(CAST(p.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE), 6) AS p
+        |FROM p JOIN t USING (prev_type)
         |ORDER BY 1, 2""".stripMargin,
     // Sessionization replayed: same second-floored gaps, same >1800 s
     // session-break rule, running session counter, per-session card
