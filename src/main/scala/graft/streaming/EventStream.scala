@@ -106,6 +106,85 @@ object EventStream {
       }
   }
 
+  final case class TransEvt(user_id: Long, event_id: Long, tsSec: Long,
+    event_type: String)
+  final case class TransState(tsSec: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming event-type transitions — the per-pair feed of the batch
+    * `q20_transitions` Markov card: state = each user's LAST event (one
+    * tiny record per user), each arriving batch sorts ITS group rows by
+    * `(tsSec, event_id)` and emits the consecutive pairs, chaining
+    * through the stored last event. Under time-ordered arrival (the
+    * event-log norm — a log is replayed/ingested in order) the emitted
+    * pair multiset equals the batch lag-window pairing exactly
+    * (parity-pinned); late events would pair against the newest state,
+    * the documented processing-order semantics of a one-record state.
+    * A downstream count/normalize over the pair stream reproduces the
+    * card.
+    */
+  def runningTransitions(events: DataFrame): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"),
+        col("event_type"))
+      .as[TransEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsSec, e.event_id))
+          val types = state.getOption.map(_.event_type).toSeq ++
+            sorted.map(_.event_type)
+          val last = sorted.last
+          state.update(TransState(last.tsSec, last.event_id, last.event_type))
+          types.sliding(2).collect {
+            case Seq(a, b) => TransPair(uid, a, b)
+          }
+      }
+  }
+
+  final case class FunnelEvt(user_id: Long, tsSec: Long, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  /** Streaming first-touch funnel — per user, the running
+    * (first view, first click-after-view, first purchase-after-click)
+    * second-floored times (−1 = step not reached), one small state record
+    * per user, one output row per user per batch (update mode; consumers
+    * keep the latest). Under time-ordered arrival the final emits equal
+    * the batch `q18_funnel` chain exactly (parity-pinned): each step's
+    * time only ever moves from −1 to its first qualifying event, and in
+    * arrival order that IS the batch min-after-previous-touch. The
+    * step-count card is one aggregate over the latest emits.
+    */
+  def runningFunnel(events: DataFrame): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"),
+        col("event_type"))
+      .as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_.tsSec).foreach { e =>
+            st = e.event_type match {
+              case "view" if st.t1 < 0 => st.copy(t1 = e.tsSec)
+              case "click" if st.t2 < 0 && st.t1 >= 0 && e.tsSec >= st.t1 =>
+                st.copy(t2 = e.tsSec)
+              case "purchase" if st.t3 < 0 && st.t2 >= 0 && e.tsSec >= st.t2 =>
+                st.copy(t3 = e.tsSec)
+              case _ => st
+            }
+          }
+          state.update(st)
+          FunnelOut(uid, st.t1, st.t2, st.t3)
+      }
+  }
+
   /** Convenience: run a streaming frame into a named memory sink until all
     * available input is processed (test/bench harness path).
     */

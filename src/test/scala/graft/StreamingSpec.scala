@@ -601,6 +601,78 @@ class StreamingSpec extends AnyFunSuite {
       s"false negative: admitted known dups ${dupIds & admitStream}")
   }
 
+  test("running transitions and funnel: time-ordered stream equals the batch cards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"), col("event_type"))
+      .orderBy("tsSec", "event_id") // the event-log norm: time-ordered ingest
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    // ---- transitions
+    val tIn = MemoryStream[(Long, Long, Long, String)]
+    val tq = EventStream.runningTransitions(
+        tIn.toDF().toDF("user_id", "event_id", "tsSec", "event_type")
+          .withColumn("ts", timestamp_seconds(col("tsSec"))))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_trans").start()
+    try {
+      tIn.addData(b1.toSeq); tq.processAllAvailable()
+      tIn.addData(b2.toSeq); tq.processAllAvailable()
+    } finally tq.stop()
+    val streamPairs = spark.table("ev_trans")
+      .groupBy("prev_type", "next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsSec"), col("event_id"))
+    val batchPairs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamPairs.nonEmpty && streamPairs == batchPairs,
+      s"stream ${streamPairs.size} cells, batch ${batchPairs.size}")
+    // ---- funnel
+    val fIn = MemoryStream[(Long, Long, String)]
+    val fq = EventStream.runningFunnel(
+        fIn.toDF().toDF("user_id", "tsSec", "event_type")
+          .withColumn("ts", timestamp_seconds(col("tsSec"))))
+      .toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ev_funnel").start()
+    try {
+      fIn.addData(b1.map(e => (e._1, e._3, e._4)).toSeq); fq.processAllAvailable()
+      fIn.addData(b2.map(e => (e._1, e._3, e._4)).toSeq); fq.processAllAvailable()
+    } finally fq.stop()
+    val latest = spark.table("ev_funnel")
+      .groupBy("user_id").agg(max(struct(col("t1"), col("t2"), col("t3"))).as("m"))
+      .select(col("user_id"), col("m.t1"), col("m.t2"), col("m.t3"))
+      .collect().map(r => (r.getLong(1) >= 0, r.getLong(2) >= 0, r.getLong(3) >= 0))
+    val nView = latest.count(_._1); val nClick = latest.count(_._2)
+    val nPurch = latest.count(_._3)
+    // batch truth: the q18 chained min-aggregates
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+    val a = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsSec").as("t1"))
+    val b = e.join(a, "user_id")
+      .where(col("event_type") === "click" && col("tsSec") >= col("t1"))
+      .groupBy("user_id").agg(min("tsSec").as("t2"))
+    val c = e.join(b, "user_id")
+      .where(col("event_type") === "purchase" && col("tsSec") >= col("t2"))
+      .groupBy("user_id").agg(min("tsSec").as("t3"))
+    assert((nView.toLong, nClick.toLong, nPurch.toLong) ==
+      ((a.count(), b.count(), c.count())),
+      s"funnel stream ($nView, $nClick, $nPurch) vs batch (${a.count()}, ${b.count()}, ${c.count()})")
+  }
+
   test("cdc ingest probe: streamed batch matches the batch op row-for-row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
