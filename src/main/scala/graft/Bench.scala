@@ -87,6 +87,7 @@ object Bench {
     "d_dedup_winnow",              // winnowing fingerprints: alignment-robust passage pairs
     "d_distinct_sketch",           // deterministic KMV distinct-count sketch vs exact
     "d_distinct_sketch_merged",    // per-shard sketches merged losslessly (mergeability)
+    "d_distinct_sketch_ops",       // KMV set algebra: pairwise union/inter/Jaccard
     "d_text_surprisal2",           // bigram-interpolated LM surprisal (salted bigram join)
     "d_source_kl",                 // per-source KL-vs-corpus + entropy drift card
     "d_cdc_chunks",                // content-defined chunking: per-doc chunk cover

@@ -2282,6 +2282,21 @@ object SparkEntry {
       val sketches = ops.Sketch.kmvSketch(sh, "source", "shard", col("h"), k = 64)
       ops.Sketch.kmvMergeEstimate(sketches, "source", k = 64).orderBy("source")
     },
+    // ---- KMV SET ALGEBRA: pairwise union/intersection/Jaccard estimates
+    //      between sources computed ENTIRELY from persisted k-minima —
+    //      "how much do srcA and srcB overlap?" answered from two 64-long
+    //      arrays, corpus never rescanned
+    "d_distinct_sketch_ops" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .where(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingle_hashes(col("text")))
+            .as("h"))
+        .withColumn("one", lit(0))
+      val sk = ops.Sketch.kmvSketch(sh, "source", "one", col("h"), k = 64)
+        .drop("one")
+      ops.Sketch.kmvSetOps(sk, "source", k = 64).orderBy("gA", "gB")
+    },
     // ---- Bloom membership gate: the cheapest "seen before?" serve tier —
     //      a FIXED-SIZE bit table (mBits/32 rows, whatever the corpus)
     //      probed by the batch; no false negatives ever, false positives
@@ -4848,6 +4863,32 @@ object SparkEntry {
          |  CAST(SUM(len) AS BIGINT) AS bytes,
          |  CAST(SUM(len * hit) AS BIGINT) AS bytes_dup
          |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // KMV set algebra replayed: per-source k-minima from the same mixed
+    // positions, combined sketch = 64 smallest of the union, the same
+    // union rule and integer intersection estimate
+    "d_distinct_sketch_ops" ->
+      s"""WITH w AS (SELECT source, ${OracleFrag.ws("text")} AS ws FROM documents
+         |           WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |sh AS (SELECT DISTINCT source, unnest(${OracleFrag.shingleHashes("ws")}) AS h FROM w),
+         |mx AS (SELECT source, ${OracleFrag.mix1("h")} AS m FROM sh),
+         |dm AS (SELECT DISTINCT source, m FROM mx),
+         |ks AS (SELECT source, array_slice(list_sort(list(m)), 1, 64) AS p
+         |       FROM dm GROUP BY source),
+         |pr AS (SELECT a.source AS ga, b.source AS gb, a.p AS pa, b.p AS pb
+         |       FROM ks a JOIN ks b ON a.source < b.source),
+         |cm AS (SELECT ga, gb, pa, pb,
+         |         array_slice(list_sort(list_distinct(list_concat(pa, pb))), 1, 64) AS pk
+         |       FROM pr),
+         |fin AS (SELECT ga, gb, len(pk) AS nk,
+         |          CASE WHEN len(pk) < 64 THEN CAST(len(pk) AS BIGINT)
+         |               ELSE CAST((63 * ${ops.Sketch.P57}) // pk[64] AS BIGINT) END AS u_est,
+         |          len(list_filter(pk, __x ->
+         |            list_contains(pa, __x) AND list_contains(pb, __x))) AS ni
+         |        FROM cm)
+         |SELECT ga AS "gA", gb AS "gB", u_est AS n_union_est,
+         |  CAST((ni * u_est) // nk AS BIGINT) AS n_inter_est,
+         |  round(CAST(ni AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS jaccard_est
+         |FROM fin ORDER BY 1, 2""".stripMargin,
     // Bloom replayed SEMANTICALLY: the bit table is exactly the distinct
     // position set of the inserted keys, so the oracle skips the 32-bit
     // word packing and asks "are all 4 probe positions set?" directly —

@@ -169,6 +169,47 @@ object Sketch {
         col("rel_err"))
   }
 
+  /** KMV SET ALGEBRA (Beyer et al. 2007): pairwise union / intersection /
+    * Jaccard estimates between groups, computed ENTIRELY from the
+    * persisted k-minima — no corpus rescan, which is the whole point:
+    * "how much do src A and src B overlap?" answered from two k-long
+    * arrays. For each group pair, the combined sketch `K = k smallest of
+    * K(A) ∪ K(B)` estimates the union by the standard k-th-minimum rule
+    * (exact when |K| < k — both sketches were partial, so K IS the
+    * union set); `ĵ = |K ∩ K(A) ∩ K(B)| / |K|` estimates Jaccard
+    * (members of the combined sketch are a uniform sample of the union;
+    * each is in the intersection iff both sketches saw it), and the
+    * intersection estimate is the integer `|K∩…| · û DIV |K|`. All
+    * integer/array arithmetic — the DuckDB oracle replays it from the
+    * same sketch rule. Output `(gA, gB, n_union_est, n_inter_est,
+    * jaccard_est)` for every gA < gB pair.
+    *
+    * Scale shape: one k-array row per group; the pair expansion is
+    * #groups² rows of 3·k longs — sketch algebra, corpus never touched.
+    */
+  def kmvSetOps(sketches: DataFrame, groupCol: String,
+      k: Int = MaxK): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"k out of [2, $MaxK]: $k")
+    val a = sketches.select(col(groupCol).as("gA"), col("positions").as("pA"))
+    val b = sketches.select(col(groupCol).as("gB"), col("positions").as("pB"))
+    a.join(b, col("gA") < col("gB"))
+      .select(col("gA"), col("gB"),
+        slice(array_sort(array_union(col("pA"), col("pB"))), 1, k).as("pk"),
+        col("pA"), col("pB"))
+      .select(col("gA"), col("gB"),
+        size(col("pk")).as("__nk"),
+        when(size(col("pk")) < k, size(col("pk")).cast("long"))
+          .otherwise(expr(
+            s"CAST((${(k - 1).toLong} * ${P57}L) DIV element_at(pk, $k) AS BIGINT)"))
+          .as("n_union_est"),
+        size(array_intersect(array_intersect(col("pk"), col("pA")), col("pB")))
+          .as("__ni"))
+      .select(col("gA"), col("gB"), col("n_union_est"),
+        expr("CAST((__ni * n_union_est) DIV __nk AS BIGINT)").as("n_inter_est"),
+        round(col("__ni").cast("double") / col("__nk").cast("double"), 6)
+          .as("jaccard_est"))
+  }
+
   // --------------------------------------------------------------------
   // Bloom membership filter — the cheapest "have I seen this?" serve tier
   // --------------------------------------------------------------------

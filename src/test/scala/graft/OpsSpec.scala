@@ -1230,6 +1230,35 @@ class OpsSpec extends AnyFunSuite {
     assert(none.length == 5 && none.forall(!_))
   }
 
+  test("kmvSetOps: union/intersection estimates track exact overlap within KMV error") {
+    val p57 = ops.Sketch.P57
+    // two groups with a KNOWN overlap: A = hashes 1..600, B = 401..1000
+    // (overlap 200, union 1000), spread over the line by the unit hash
+    def hs(g: String, r: Range) = r.map(i => (g, Sampling.unitHashLong(i * 7L) * (p57 / 2147483647L)))
+    val df = (hs("A", 1 to 600) ++ hs("B", 401 to 1000)).toDF("g", "h")
+      .withColumn("one", lit(0))
+    val sk = ops.Sketch.kmvSketch(df, "g", "one", col("h"), k = 64).drop("one")
+    val out = ops.Sketch.kmvSetOps(sk, "g", k = 64).collect().head
+    val (uEst, iEst, jEst) = (out.getLong(2), out.getLong(3), out.getDouble(4))
+    // KMV error ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma on union, wider on the
+    // intersection (it compounds the Jaccard sample error)
+    assert(math.abs(uEst - 1000) < 400, s"union est $uEst vs 1000")
+    assert(iEst > 50 && iEst < 450, s"intersection est $iEst vs 200")
+    assert(jEst > 0.05 && jEst < 0.45, s"jaccard est $jEst vs 0.2")
+    // disjoint groups: intersection exactly 0
+    val dj = (hs("A", 1 to 300) ++ hs("B", 1001 to 1300)).toDF("g", "h")
+      .withColumn("one", lit(0))
+    val dsk = ops.Sketch.kmvSketch(dj, "g", "one", col("h"), k = 64).drop("one")
+    val dout = ops.Sketch.kmvSetOps(dsk, "g", k = 64).collect().head
+    assert(dout.getLong(3) == 0L && dout.getDouble(4) == 0.0)
+    // identical groups: jaccard exactly 1, intersection == union
+    val id = (hs("A", 1 to 500) ++ hs("B", 1 to 500)).toDF("g", "h")
+      .withColumn("one", lit(0))
+    val isk = ops.Sketch.kmvSketch(id, "g", "one", col("h"), k = 64).drop("one")
+    val iout = ops.Sketch.kmvSetOps(isk, "g", k = 64).collect().head
+    assert(iout.getDouble(4) == 1.0 && iout.getLong(3) == iout.getLong(2))
+  }
+
   test("bloomMaybeMember: zero exchanges, equals the join probe") {
     val corpus = (1 to 200).map(i => (i.toLong, Sampling.unitHashLong(i * 13L)))
       .toDF("id", "h")
