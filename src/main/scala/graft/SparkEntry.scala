@@ -776,11 +776,14 @@ object SparkEntry {
     "q18_funnel" -> { (s, dir) =>
       val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
         unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
+      // each chained step frame feeds the NEXT step and the step card:
+      // checkpoint the user-keyed one-column frames so the event log is
+      // scanned once per step, not once per reference (review r13 #2)
       val a = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("tsSec").as("t1"))
+        .groupBy("user_id").agg(min("tsSec").as("t1")).localCheckpoint()
       val b = e.join(a, "user_id")
         .where(col("event_type") === "click" && col("tsSec") >= col("t1"))
-        .groupBy("user_id").agg(min("tsSec").as("t2"))
+        .groupBy("user_id").agg(min("tsSec").as("t2")).localCheckpoint()
       val c = e.join(b, "user_id")
         .where(col("event_type") === "purchase" && col("tsSec") >= col("t2"))
         .groupBy("user_id").agg(min("tsSec").as("t3"))
@@ -2487,7 +2490,7 @@ object SparkEntry {
       val idx = ops.Dedup.cdcChunkIndex(docs.where(col("doc_id") < 250),
         "doc_id", "text", k = 16, maskBits = 6)
       ops.Dedup.cdcIndexMatches(docs.where(col("doc_id") >= 250), idx,
-          "doc_id", "text", k = 16, maskBits = 6)
+          "doc_id", "text", k = 16, maskBits = 6, indexIsDistinct = true)
         .orderBy("doc_id")
     },
     // ---- ANN via JL project-then-rescore: 16-dim projected cosine ranks

@@ -1371,13 +1371,17 @@ object Dedup {
     val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
     // a NULL score must fail loudly: under min_by's struct ordering the
     // negated null would sort FIRST and the unscored doc would silently
-    // win as the kept representative (review r13 finding)
+    // win as the kept representative. Guarded AFTER the comps join, so
+    // only PAIR-MEMBER documents need scores — a corpus that scores only
+    // its duplicate candidates stays valid (review r13, both passes)
     val scored = comps.join(
-      docs.select(col(idCol).as("node"),
-        when(col(scoreCol).isNull, raise_error(lit(
-          s"removeNearDuplicatesKeepBest: null $scoreCol — score every doc " +
-            "or filter upstream")))
-          .otherwise(col(scoreCol)).as("__q")), "node")
+        docs.select(col(idCol).as("node"), col(scoreCol).as("__q0")), "node")
+      .withColumn("__q",
+        when(col("__q0").isNull, raise_error(lit(
+          s"removeNearDuplicatesKeepBest: null $scoreCol on a duplicate-" +
+            "component member — score every candidate or filter upstream")))
+          .otherwise(col("__q0")))
+      .drop("__q0")
     // min_by over (-score, id): score DESC, exact ties fall to the
     // smallest id. Negating the SCORE (numeric, guarded above) instead of
     // the id keeps the tie-break type-agnostic: string/date ids order
@@ -1556,12 +1560,17 @@ object Dedup {
     * the build side, never forced), then one per-doc aggregate.
     */
   def cdcIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, k: Int = 16, maskBits: Int = 6): DataFrame =
+      textCol: String, k: Int = 16, maskBits: Int = 6,
+      indexIsDistinct: Boolean = false): DataFrame =
     cdcChunks(batch, idCol, textCol, k, maskBits)
-      // distinct defensively: a non-distinct index (concatenated daily
-      // indexes, raw chunk rows) would fan out EVERY join row and inflate
-      // n_chunks/bytes too, not just the dup counts
-      .join(index.select(col("h"), col("len")).distinct()
+      // distinct defensively BY DEFAULT: a non-distinct index
+      // (concatenated daily indexes, raw chunk rows) would fan out EVERY
+      // join row and inflate n_chunks/bytes too, not just the dup counts.
+      // A steady-state server probing a true [[cdcChunkIndex]] every
+      // batch passes indexIsDistinct = true to skip the corpus-index
+      // shuffle the distinct would add to the hot path (review r13 #2)
+      .join((if (indexIsDistinct) index.select(col("h"), col("len"))
+             else index.select(col("h"), col("len")).distinct())
           .withColumn("__hit", lit(1L)),
         Seq("h", "len"), "left")
       .groupBy(col("id").as(idCol))

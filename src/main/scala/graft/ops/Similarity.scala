@@ -989,13 +989,17 @@ object Similarity {
       firstPlane: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     // pre-meta indexes (written before the meta file existed) stay
-    // servable WHEN the caller supplies both parameters explicitly —
-    // removing that would orphan every persisted index on disk; with
-    // defaulted params and no meta there is nothing to trust, so raise
-    val meta = scala.util.Try(
-      spark.read.parquet(s"$path/meta")
+    // servable WHEN the caller supplies both parameters explicitly.
+    // ONLY a genuinely-absent meta directory takes that path — a corrupt
+    // or unreadable meta must STILL raise, or the wrong-projection-space
+    // guard the meta exists for would silently disable itself
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta =
+      if (!fs.exists(metaPath)) None
+      else Some(spark.read.parquet(s"$path/meta")
         .select(col("outDims").cast("int"), col("firstPlane").cast("int"))
-        .head()).toOption
+        .head())
     require(meta.isDefined || (outDims >= 0 && firstPlane >= 0),
       s"projected index at $path has no meta file and the caller did not " +
         "pass explicit (outDims, firstPlane) — cannot infer the projection space")

@@ -56,6 +56,17 @@ object Sketch {
 
   private def mixedExpr: Column = mixedPosition(col("__kv_h"))
 
+  /** Scalar twin of [[mixedPosition]] — the SAME two Lehmer rounds for
+    * driver-side consumers (streaming watch-key cell precompute), so a
+    * change to the column-side mix cannot silently desynchronize them.
+    */
+  def mixedPositionLong(h: Long): Long =
+    (((BigInt(h) + 1) * 48271 % P57) * 48271 % P57).toLong
+
+  /** Scalar twin of [[mixedPosition2]] (the third Lehmer round). */
+  def mixedPosition2Long(h: Long): Long =
+    (BigInt(mixedPositionLong(h)) * 48271 % P57).toLong
+
   /** Per-(group × shard) KMV sketch rows: the ≤ k smallest mixed
     * positions of each shard's distinct hash set, one `(group, shard,
     * positions)` row — the PERSISTABLE form. KMV's 100 TB property is
@@ -480,7 +491,7 @@ object Sketch {
     require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets out of [2, 2^20]: $nBuckets")
-    require(hi - lo <= Long.MaxValue / nBuckets,
+    require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue / nBuckets),
       s"(hi - lo) * nBuckets overflows int64: [$lo, $hi) x $nBuckets")
   }
 

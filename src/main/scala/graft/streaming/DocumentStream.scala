@@ -426,7 +426,11 @@ object DocumentStream {
   def cdcIngestProbe(docs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 16, maskBits: Int = 6): DataFrame =
-    Dedup.cdcIndexMatches(docs, index, idCol, textCol, k, maskBits)
+    // the contract here IS a cdcChunkIndex (distinct by construction):
+    // skip the defensive index distinct, which would re-shuffle the
+    // corpus-sized index every micro-batch
+    Dedup.cdcIndexMatches(docs, index, idCol, textCol, k, maskBits,
+      indexIsDistinct = true)
 
   /** Streaming Bloom admission gate: drop arriving documents whose
     * content fingerprint is MAYBE in the corpus filter
@@ -473,15 +477,11 @@ object DocumentStream {
     val spark = docs.sparkSession
     import spark.implicits._
     // the watch keys' cell coordinates, precomputed driver-side with the
-    // SAME arithmetic (BigInt stands in for the exact-decimal column math)
-    def mix1(h: Long): Long =
-      (((BigInt(h) + 1) * 48271 % graft.ops.Sketch.P57) * 48271 %
-        graft.ops.Sketch.P57).toLong
-    def mix2(h: Long): Long =
-      (BigInt(mix1(h)) * 48271 % graft.ops.Sketch.P57).toLong
+    // ONE shared scalar mix (Sketch.mixedPositionLong/mixedPosition2Long
+    // — the column math's twin, so the definitions cannot drift apart)
     def cells(h: Long): Array[Int] = {
-      val h1 = mix1(h) % width
-      val h2 = 1 + mix2(h) % (width - 1)
+      val h1 = graft.ops.Sketch.mixedPositionLong(h) % width
+      val h2 = 1 + graft.ops.Sketch.mixedPosition2Long(h) % (width - 1)
       Array.tabulate(depth)(r => (r * width + ((h1 + r * h2) % width)).toInt)
     }
     val watchCells: Array[(Long, Array[Int])] =
@@ -536,7 +536,7 @@ object DocumentStream {
       valueCol: String = "n_chars"): Dataset[HistQuant] = {
     require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
-    require(hi - lo <= Long.MaxValue / nBuckets,
+    require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue / nBuckets),
       s"(hi - lo) * nBuckets overflows int64: [$lo, $hi) x $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._

@@ -153,7 +153,8 @@ object EventStream {
     * (first view, first click-after-view, first purchase-after-click)
     * second-floored times (−1 = step not reached), one small state record
     * per user, one output row per user per batch (update mode; consumers
-    * keep the latest). Under time-ordered arrival the final emits equal
+    * keep the latest). Under time-ordered arrival (same-second events
+    * not split across micro-batches) the final emits equal
     * the batch `q18_funnel` chain exactly (parity-pinned): each step's
     * time only ever moves from −1 to its first qualifying event, and in
     * arrival order that IS the batch min-after-previous-touch. The
@@ -170,7 +171,13 @@ object EventStream {
       .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          rows.toSeq.sortBy(_.tsSec).foreach { e =>
+          // within a batch, order same-second events by STEP RANK: the
+          // batch chain accepts a click at tsSec == t1 (>=), so the view
+          // must be applied first or an equal-second click would be lost
+          def rank(t: String) = t match {
+            case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+          }
+          rows.toSeq.sortBy(e => (e.tsSec, rank(e.event_type))).foreach { e =>
             st = e.event_type match {
               case "view" if st.t1 < 0 => st.copy(t1 = e.tsSec)
               case "click" if st.t2 < 0 && st.t1 >= 0 && e.tsSec >= st.t1 =>

@@ -271,7 +271,7 @@ object StressX10 {
       ("cdcIndexMatches steady-state (fixed batch, chunk index 1x->10x)",
         cdcIdx1, cdcIdx10,
         (ix: DataFrame) => graft.ops.Dedup.cdcIndexMatches(probeBatch, ix,
-          "doc_id", "text", k = 16, maskBits = 6)),
+          "doc_id", "text", k = 16, maskBits = 6, indexIsDistinct = true)),
       // Bloom serve: the bit table is mBits/32 rows at ANY corpus size,
       // so a 10x corpus changes ONLY the bit density, not one byte of
       // I/O — the probe must be flat at 1.0x by construction
