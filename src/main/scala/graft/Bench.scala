@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
   *
-  * A warm-up job runs first so JVM/executor startup (~20 s in this VM — see
-  * .claude/skills/verify/SKILL.md) isn't charged to the first query.
+  * A warm-up job runs first so JVM/executor startup (~20 s in this VM —
+  * slow futex handoffs, a measured host quirk; see BENCH_NOTES.md) isn't
+  * charged to the first query.
   */
 object Bench {
 
@@ -250,7 +251,17 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,"agg":"min","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,"agg":"min","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The collector keeps only a bounded TAIL of stdout, which truncates
+    // the ~4 KB per-query map mid-JSON — so ALSO persist the complete line
+    // as a file next to the build (cwd = repo root under sbt), where the
+    // round artifacts pick it up with all rows intact.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1340,15 +1340,19 @@ object SparkEntry {
         .where(col("node") =!= col("comp"))
         .select(shiftrightunsigned(col("node"), 40).as("band"))
         .groupBy("band").agg(count(lit(1)).as("n_lost"))
-      modalities.zipWithIndex.map { case ((label, _, hashes), band) =>
-        hashes.agg(count(lit(1)).as("n_assets"))
-          .crossJoin(losers.where(col("band") === band)
-            .agg(coalesce(sum(col("n_lost")), lit(0L)).as("n_lost")))
-          .select(lit(label).as("media_type"), col("n_assets"),
-            (col("n_assets") - col("n_lost")).as("n_kept"),
-            round(col("n_lost").cast("double") /
-              col("n_assets").cast("double"), 6).as("dup_rate"))
-      }.reduce(_ unionByName _).orderBy("media_type")
+      // ONE union aggregate over the three checkpointed hash frames (the
+      // same fold as the pair union above) — the r14 audit flagged three
+      // separate n_assets jobs rescanning the checkpoints one by one
+      val counts = modalities.zipWithIndex.map { case ((label, _, hashes), band) =>
+        hashes.select(lit(label).as("media_type"), lit(band.toLong).as("band"))
+      }.reduce(_ unionByName _)
+        .groupBy("media_type", "band").agg(count(lit(1)).as("n_assets"))
+      counts.join(losers, Seq("band"), "left")
+        .select(col("media_type"), col("n_assets"),
+          (col("n_assets") - coalesce(col("n_lost"), lit(0L))).as("n_kept"),
+          round(coalesce(col("n_lost"), lit(0L)).cast("double") /
+            col("n_assets").cast("double"), 6).as("dup_rate"))
+        .orderBy("media_type")
     },
     // ---- VIDEO near-dup (stub decode tier): chunk-energy fingerprints
     //      over the encoded container bytes — the chunking/fingerprint/

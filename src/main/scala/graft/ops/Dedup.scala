@@ -643,11 +643,20 @@ object Dedup {
     * between the index probe and the pairing.
     */
   private[graft] def cosinePairsFromVecs(withVec: DataFrame, threshold: Double,
-      planesPerBand: Int, bands: Int): DataFrame = {
+      planesPerBand: Int, bands: Int): DataFrame =
+    cosinePairsFromBanded(cosineBandRows(withVec, planesPerBand, bands),
+      withVec, threshold)
+
+  /** Within-batch pairing over an ALREADY-BANDED `(doc_id, band, bucket)`
+    * frame — the shape [[dedupIncrementalCosine]] shares between the
+    * index probe and the pairing, so the hyperplane sign computation is
+    * paid once per run, not once per consumer.
+    */
+  private[graft] def cosinePairsFromBanded(banded: DataFrame, withVec: DataFrame,
+      threshold: Double): DataFrame = {
     // band shuffle carries IDS ONLY — shipping the vectors per candidate
     // row 8×'d the shuffle volume (measured 159 s at sf0.1); instead dedupe
     // pairs first, then re-join the (small, AQE-broadcastable) vector side
-    val banded = cosineBandRows(withVec, planesPerBand, bands)
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("idA"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("idB")),
         Seq("band", "bucket"))
@@ -717,8 +726,20 @@ object Dedup {
   private def cosineMatchesFromVecs(withVec: DataFrame, index: DataFrame,
       vecStore: DataFrame, threshold: Double, planesPerBand: Int,
       bands: Int): DataFrame =
-    cosineCandidateCore(withVec.select("doc_id", "v", "nrm"), index,
-        planesPerBand, bands)
+    cosineMatchesFromBanded(
+      cosineBandRows(withVec.select("doc_id", "v", "nrm"), planesPerBand, bands),
+      withVec, index, vecStore, threshold)
+
+  /** Index probe over an ALREADY-BANDED `(doc_id, band, bucket)` frame —
+    * [[cosineCandidateCore]]'s join/verify with the banding factored out
+    * so [[dedupIncrementalCosine]] can share one banded frame with the
+    * within-batch pairing.
+    */
+  private def cosineMatchesFromBanded(banded: DataFrame, withVec: DataFrame,
+      index: DataFrame, vecStore: DataFrame, threshold: Double): DataFrame =
+    banded.select("doc_id", "band", "bucket")
+      .join(index, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("corpusId"))
       .select("doc_id", "corpusId").distinct()
       .join(withVec.select(col("doc_id"), col("v"), col("nrm")), "doc_id")
       .join(vecStore, "corpusId")
@@ -774,13 +795,19 @@ object Dedup {
     // within-batch pairing — without it the batch is re-projected per use
     val withVec = guardedVecs(ensureParallelism(batch), idCol, vecCol)
       .localCheckpoint(true)
-    val matched = cosineMatchesFromVecs(withVec, index, vecStore, threshold,
-        planesPerBand, bands)
+    // band ONCE and checkpoint: both consumers read the same
+    // (doc_id, band, bucket) rows, so the 8-band hyperplane sign
+    // computation (bands × planes dot products per row) is paid once per
+    // run — the r14 plan audit measured it paid twice, once per consumer
+    val banded = cosineBandRows(withVec.select("doc_id", "v", "nrm"),
+      planesPerBand, bands).localCheckpoint(true)
+    val matched = cosineMatchesFromBanded(banded, withVec, index, vecStore,
+        threshold)
       .select(col("doc_id")).distinct()
     // comps feeds touched + two loser branches: checkpoint (node-sized)
     // so the CC assembly doesn't replay per consumer
     val comps = connectedComponentsStar(
-      cosinePairsFromVecs(withVec, threshold, planesPerBand, bands),
+      cosinePairsFromBanded(banded, withVec, threshold),
       "idA", "idB", maxIters).localCheckpoint(true)
     incrementalCut(batch, idCol, matched, comps)
   }
@@ -1373,13 +1400,31 @@ object Dedup {
     // negated null would sort FIRST and the unscored doc would silently
     // win as the kept representative. Guarded AFTER the comps join, so
     // only PAIR-MEMBER documents need scores — a corpus that scores only
-    // its duplicate candidates stays valid (review r13, both passes)
+    // its duplicate candidates stays valid (review r13, both passes).
+    // Two more scores with no usable negation are rejected the same way:
+    // NaN (−NaN is still NaN, which sorts GREATEST in the struct — the
+    // NaN-scored doc would silently always lose) and the integral
+    // MinValue (whose negation overflows and fails the job under ANSI
+    // mid-aggregate, far from the cause)
+    import org.apache.spark.sql.types._
+    val unNegatable: Column = scoreField.dataType match {
+      case FloatType | DoubleType => isnan(col("__q0"))
+      case ByteType => col("__q0") === lit(Byte.MinValue)
+      case ShortType => col("__q0") === lit(Short.MinValue)
+      case IntegerType => col("__q0") === lit(Int.MinValue)
+      case LongType => col("__q0") === lit(Long.MinValue)
+      case _ => lit(false) // decimal: negation is closed, nothing to guard
+    }
     val scored = comps.join(
         docs.select(col(idCol).as("node"), col(scoreCol).as("__q0")), "node")
       .withColumn("__q",
         when(col("__q0").isNull, raise_error(lit(
           s"removeNearDuplicatesKeepBest: null $scoreCol on a duplicate-" +
             "component member — score every candidate or filter upstream")))
+          .when(unNegatable, raise_error(lit(
+            s"removeNearDuplicatesKeepBest: $scoreCol is NaN or the type's " +
+              "MinValue on a duplicate-component member — such a score has " +
+              "no order-preserving negation; clean or clamp upstream")))
           .otherwise(col("__q0")))
       .drop("__q0")
     // min_by over (-score, id): score DESC, exact ties fall to the

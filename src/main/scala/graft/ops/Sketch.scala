@@ -197,12 +197,26 @@ object Sketch {
     *
     * Scale shape: one k-array row per group; the pair expansion is
     * #groups² rows of 3·k longs — sketch algebra, corpus never touched.
+    *
+    * Accepts MULTIPLE sketch rows per group (the per-shard
+    * [[kmvSketch]] form): shard k-minima are merged per group first —
+    * union, keep the k smallest distinct ([[kmvMergeEstimate]]'s rule,
+    * lossless by the superset property) — so feeding per-shard rows
+    * yields the same pairs/estimates as feeding pre-merged ones, not
+    * duplicate pairs with shard-partial estimates.
     */
   def kmvSetOps(sketches: DataFrame, groupCol: String,
       k: Int = MaxK): DataFrame = {
     require(k >= 2 && k <= MaxK, s"k out of [2, $MaxK]: $k")
-    val a = sketches.select(col(groupCol).as("gA"), col("positions").as("pA"))
-    val b = sketches.select(col(groupCol).as("gB"), col("positions").as("pB"))
+    val merged = sketches
+      .select(col(groupCol).as("__so_g"), explode(col("positions")).as("__so_m"))
+      .groupBy("__so_g")
+      // collect_set dedups cross-shard repeats; sort+slice keeps the k
+      // smallest — for already-merged input (one row, sorted, ≤ k) this
+      // is the identity, so single-sketch callers see no change
+      .agg(slice(array_sort(collect_set(col("__so_m"))), 1, k).as("positions"))
+    val a = merged.select(col("__so_g").as("gA"), col("positions").as("pA"))
+    val b = merged.select(col("__so_g").as("gB"), col("positions").as("pB"))
     a.join(b, col("gA") < col("gB"))
       .select(col("gA"), col("gB"),
         slice(array_sort(array_union(col("pA"), col("pB"))), 1, k).as("pk"),
@@ -495,18 +509,32 @@ object Sketch {
       s"(hi - lo) * nBuckets overflows int64: [$lo, $hi) x $nBuckets")
   }
 
+  /** Exact integer division of two long Columns — Catalyst's
+    * `IntegralDivide` (SQL `DIV`), built from the Columns themselves so
+    * callers aren't forced onto a magic alias. Double `/` would round
+    * above 2^53; this stays exact across the whole int64 line.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Bucket id of a value on the fixed `[lo, hi)` grid — integer
     * arithmetic only (`DIV`, no double rounding), clamped to the edge
     * buckets so out-of-range values are COUNTED (in the first/last
     * bucket), not dropped: a quantile sketch that silently drops
-    * outliers lies about the tails.
+    * outliers lies about the tails. Built from the `v` Column itself
+    * (not a fixed alias), so any caller-side column works.
     */
-  private def histBucket(v: Column, lo: Long, hi: Long, nBuckets: Int): Column = {
+  private[graft] def histBucket(v: Column, lo: Long, hi: Long, nBuckets: Int): Column = {
     // clamp BEFORE the multiply: an unclamped far-out value would overflow
     // (v - lo) * nBuckets and die in an ANSI ArithmeticException instead of
     // landing in the edge bucket as documented; post-clamp the product is
     // bounded by (hi - lo) * nBuckets, guarded at parameter check
-    val b = expr(s"((LEAST(${hi}L, GREATEST(${lo}L, __hs_v)) - ${lo}L) * ${nBuckets}L) DIV ${hi - lo}L")
+    val b = intDiv(
+      (least(lit(hi), greatest(lit(lo), v.cast("long"))) - lit(lo)) * lit(nBuckets.toLong),
+      lit(hi - lo))
     least(lit(nBuckets - 1L), greatest(lit(0L), b))
   }
 

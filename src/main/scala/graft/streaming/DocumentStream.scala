@@ -478,11 +478,15 @@ object DocumentStream {
     import spark.implicits._
     // the watch keys' cell coordinates, precomputed driver-side with the
     // ONE shared scalar mix (Sketch.mixedPositionLong/mixedPosition2Long
-    // — the column math's twin, so the definitions cannot drift apart)
+    // — the column math's twin, so the definitions cannot drift apart).
+    // floorMod, not %: the batch side reduces with pmod, and a NEGATIVE
+    // watch hash (raw xxhash64) makes the mixed position negative —
+    // sign-following % would index out of bounds / diverge from batch
     def cells(h: Long): Array[Int] = {
-      val h1 = graft.ops.Sketch.mixedPositionLong(h) % width
-      val h2 = 1 + graft.ops.Sketch.mixedPosition2Long(h) % (width - 1)
-      Array.tabulate(depth)(r => (r * width + ((h1 + r * h2) % width)).toInt)
+      val h1 = Math.floorMod(graft.ops.Sketch.mixedPositionLong(h), width.toLong)
+      val h2 = 1 + Math.floorMod(graft.ops.Sketch.mixedPosition2Long(h), (width - 1).toLong)
+      Array.tabulate(depth)(r =>
+        (r * width + Math.floorMod(h1 + r * h2, width.toLong)).toInt)
     }
     val watchCells: Array[(Long, Array[Int])] =
       watch.toArray.map(h => h -> cells(h))
@@ -500,11 +504,13 @@ object DocumentStream {
             CmsState(0L, new Array[Long](depth * width)))
           val counters = prev.counters.clone()
           rows.foreach { o =>
-            val h1 = o.m1 % width
-            val h2 = 1 + o.m2 % (width - 1)
+            // floorMod mirrors the batch builder's pmod — word_hashes are
+            // nonnegative today, but the cell walk must not depend on it
+            val h1 = Math.floorMod(o.m1, width.toLong)
+            val h2 = 1 + Math.floorMod(o.m2, (width - 1).toLong)
             var r = 0
             while (r < depth) {
-              counters(r * width + ((h1 + r * h2) % width).toInt) += 1
+              counters(r * width + Math.floorMod(h1 + r * h2, width.toLong).toInt) += 1
               r += 1
             }
           }

@@ -3213,4 +3213,77 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq(10L, 12L, 20L, 30L, 31L))
     assert(out.toMap == Map(10L -> 0, 12L -> 0, 20L -> 1, 30L -> 0, 31L -> 1))
   }
+
+  test("histBucket binds its v Column — any caller alias, exact grid, edges clamped") {
+    // r13 advice: the old form hardcoded a `__hs_v` alias inside an expr()
+    // string; a caller with any other column name got an unresolved-column
+    // error (or silently bucketed a stray __hs_v). Pin the fixed contract:
+    // the bucket id is built from the PASSED Column, whatever its name.
+    val df = Seq(-50L, 0L, 15L, 16L, 1023L, 1024L, 5000L).toDF("my_value")
+    val got = df.select(col("my_value"),
+        ops.Sketch.histBucket(col("my_value"), lo = 0L, hi = 1024L, nBuckets = 64)
+          .as("b"))
+      .as[(Long, Long)].collect().toMap
+    // bucket width 16: exact integer grid, out-of-range clamped to edges
+    assert(got == Map(-50L -> 0L, 0L -> 0L, 15L -> 0L, 16L -> 1L,
+      1023L -> 63L, 1024L -> 63L, 5000L -> 63L))
+    // and the histSketch path (which aliases to __hs_v) is unchanged:
+    // same buckets whichever name the value column arrives under
+    val viaSketch = ops.Sketch.histSketch(
+        df.toDF("renamed").withColumn("g", lit("x")), "g", "renamed",
+        lo = 0L, hi = 1024L, nBuckets = 64)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+    assert(viaSketch == Map(0L -> 3L, 1L -> 1L, 63L -> 3L))
+  }
+
+  test("kmvSetOps: per-shard sketch rows pre-merge — one pair, equal to merged-input estimates") {
+    val p57 = ops.Sketch.P57
+    def hs(g: String, r: Range) = r.map(i =>
+      (g, Sampling.unitHashLong(i * 7L) * (p57 / 2147483647L)))
+    val df = (hs("A", 1 to 600) ++ hs("B", 401 to 1000)).toDF("g", "h")
+      .withColumn("shard", pmod(crc32(col("h").cast("string")), lit(4)))
+    // per-shard persisted form: multiple sketch rows per group
+    val sharded = ops.Sketch.kmvSketch(df, "g", "shard", col("h"), k = 64)
+    assert(sharded.count() > 2, "fixture must exercise >1 sketch row per group")
+    val fromShards = ops.Sketch.kmvSetOps(sharded.drop("shard"), "g", k = 64)
+      .collect()
+    // r13 advice pin: per-shard input must NOT produce duplicate pairs
+    // with shard-partial estimates — one (A,B) row, identical to feeding
+    // the pre-merged single-row-per-group form
+    assert(fromShards.length == 1, s"expected one pair row, got ${fromShards.length}")
+    val one = df.withColumn("one", lit(0))
+    val merged = ops.Sketch.kmvSketch(one, "g", "one", col("h"), k = 64).drop("one")
+    val fromMerged = ops.Sketch.kmvSetOps(merged, "g", k = 64).collect()
+    assert(fromShards.head.toSeq == fromMerged.head.toSeq,
+      s"shard-fed ${fromShards.head} != merged-fed ${fromMerged.head}")
+  }
+
+  test("removeNearDuplicatesKeepBest: NaN or MinValue score on a cluster member raises") {
+    // docs 1/2/4 form one duplicate cluster. A NaN score has no
+    // order-preserving negation (−NaN is NaN, sorts greatest → the NaN doc
+    // would silently always LOSE); Long.MinValue's negation overflows under
+    // ANSI. Both must fail loudly at the guard, like the null score.
+    val nanScored = docs.withColumn("q",
+      when(col("doc_id") === 4L, lit(Double.NaN)).otherwise(col("doc_id").cast("double")))
+    val e1 = intercept[Exception] {
+      Dedup.removeNearDuplicatesKeepBest(nanScored, "doc_id", "text", "q",
+        numHashes = 32, bands = 8, threshold = 0.3).collect()
+    }
+    assert(e1.getMessage.contains("no order-preserving negation"), e1.getMessage)
+    val minScored = docs.withColumn("q",
+      when(col("doc_id") === 2L, lit(Long.MinValue)).otherwise(col("doc_id")))
+    val e2 = intercept[Exception] {
+      Dedup.removeNearDuplicatesKeepBest(minScored, "doc_id", "text", "q",
+        numHashes = 32, bands = 8, threshold = 0.3).collect()
+    }
+    assert(e2.getMessage.contains("no order-preserving negation"), e2.getMessage)
+    // a NaN/MinValue score OUTSIDE any duplicate component stays valid —
+    // the guard, like the null guard, applies to pair members only
+    val outside = docs.withColumn("q",
+      when(col("doc_id") === 3L, lit(Double.NaN)).otherwise(col("doc_id").cast("double")))
+    val kept = Dedup.removeNearDuplicatesKeepBest(outside, "doc_id", "text", "q",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L)) // doc 4 has the top in-cluster score
+  }
 }

@@ -150,6 +150,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedupIncrementalCosine bands once: consumers read the checkpointed band frame") {
+    import org.apache.spark.sql.functions._
+    // the exact wiring dedupIncrementalCosine uses: band the prepped
+    // vectors ONCE, checkpoint, feed both the pairing and the index probe.
+    // Banding is a posexplode (Generate) over the hyperplane sign buckets —
+    // a consumer of the checkpointed frame must plan NO Generate: the
+    // 8-band sign computation was paid once at checkpoint time (the r14
+    // audit measured the old shape paying it once per consumer)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
+    val banded = graft.ops.Dedup.cosineBandRows(
+      emb.select("doc_id", "v", "nrm"), 4, 8).localCheckpoint(true)
+    val pairs = graft.ops.Dedup.cosinePairsFromBanded(banded, emb, 0.3)
+    val p = pairs.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Generate"), s"pairing re-derives the banding:\n${p.take(3000)}")
+    assert(p.contains("LogicalRDD"), s"pairing does not read the checkpoint:\n${p.take(3000)}")
+    // and the banded path computes the same pairs as the public one-shot API
+    val viaBanded = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ops.Dedup.cosineNearDupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBanded.nonEmpty && viaBanded == oneShot,
+      s"banded ${viaBanded.size} pairs != one-shot ${oneShot.size}")
+  }
+
   test("IVF-PQ's ADC aggregate scans the probed subset, not the full corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     def adcAgg(name: String): Aggregate = {

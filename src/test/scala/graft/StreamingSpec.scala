@@ -742,6 +742,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${latest.size} cells, batch ${batch.size}")
   }
 
+  test("running CMS: negative watch hash (raw xxhash64) — in-bounds cells, batch parity") {
+    // r13 advice pin: the driver-side cell precompute used sign-following
+    // `%` while the batch builder reduces with pmod — a NEGATIVE watch
+    // hash produced out-of-bounds (or divergent) cell indexes. floorMod
+    // fixed it; pin that the stream completes and equals batch cmsLookup
+    // for negative keys.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val watch = Seq(-1L, Long.MinValue + 7, -987654321987654321L, 42L)
+    val rows = Seq(("web", "alpha beta gamma alpha"), ("web", "beta beta delta"),
+      ("book", "alpha epsilon"))
+    val input = MemoryStream[(String, String)]
+    val q = DocumentStream.runningCms(
+        input.toDF().toDF("source", "text"), watch, depth = 4, width = 64)
+      .toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_cms_neg").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("doc_cms_neg")
+      .select("source", "w_hash", "n_est")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docsDf = rows.toDF("source", "text")
+    val batch = Seq("web", "book").flatMap { src =>
+      val occ = docsDf.where(col("source") === src)
+        .select(explode(graft.functions.TextFunctions.word_hashes(col("text"))).as("h"))
+      val cms = graft.ops.Sketch.cmsSketch(occ, col("h"), depth = 4, width = 64)
+      graft.ops.Sketch.cmsLookup(watch.map(h => (h, h)).toDF("id", "h"), "id",
+          col("h"), cms, depth = 4, width = 64)
+        .collect().map(r => (src, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(got.size == watch.size * 2 && got == batch,
+      s"stream $got != batch $batch")
+  }
+
   test("running histogram quantiles: final emits equal the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
