@@ -330,14 +330,21 @@ private[graft] object OracleFrag {
   def dotN(a: String, b: String, n: Int): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), __i -> ($a)[__i] * ($b)[__i])), (__x, __y) -> __x + __y)"""
 
-  /** ±1 sign of hyperplane p at lambda-var dim `iVar` (mirror of
-    * Similarity.planeSign — two Lehmer steps, overflow-safe). */
-  private def planeSignSql(p: Int, iVar: String): String =
-    s"""CASE WHEN ((((${1000003L * (p + 1) + 12345L} + 7919*$iVar) % $P31) * 48271) % $P31 >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END"""
+  /** ±1 sign of LSH banding hyperplane p at lambda-var dim `iVar`
+    * (mirror of Similarity.bandSign — the projSign two-modular-squares
+    * mixing under the banding family's own salt/bit; all intermediates
+    * < 2⁶² in overflow-checked BIGINT). */
+  private def bandSignSql(p: Int, iVar: String): String = {
+    val base = s"((${1000003L * p + 54321L} + 7919*$iVar) % $P31)"
+    s"""CASE WHEN ((((($base * $base) % $P31 + $base) * 48271) % $P31)
+       |      * (((($base * $base) % $P31 + $base) * 48271) % $P31) % $P31 >> 17) & 1 = 1
+       |  THEN 1.0 ELSE -1.0 END""".stripMargin
+  }
 
-  /** Dot of a double-list expression with hyperplane p over dims 1..64. */
+  /** Dot of a double-list expression with banding hyperplane p over dims
+    * 1..64. */
   def planeDot(v: String, p: Int): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($v)[__i] * ${planeSignSql(p, "__i")})), (__x, __y) -> __x + __y)"""
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), __i -> ($v)[__i] * ${bandSignSql(p, "__i")})), (__x, __y) -> __x + __y)"""
 
   /** ±1 JL-projection matrix entry (mirror of Similarity.projSign: two
     * modular squares break the affine structure that correlates
@@ -376,11 +383,12 @@ private[graft] object OracleFrag {
        |  __s -> xor($b, CAST(1 AS BIGINT) << (${planes - 1} - __s.j))))""".stripMargin
   }
 
-  /** Sanity pin: the Scala and SQL plane-sign formulas must agree. */
+  /** Sanity pin: the Scala and SQL band-sign formulas must agree. */
   require((0 until 4).forall(p => (1 to 8).forall { i =>
-    val sqlConst = 1000003L * (p + 1) + 12345L + 7919L * i
-    val x1 = (sqlConst % 2147483647L) * 48271L % 2147483647L
-    val sqlSign = if (((x1 >> 7) & 1L) == 1L) 1.0 else -1.0
-    sqlSign == Similarity.planeSign(p, i)
+    val base = (1000003L * p + 54321L + 7919L * i) % 2147483647L
+    val x2 = ((base * base % 2147483647L) + base) * 48271L % 2147483647L
+    val x3 = x2 * x2 % 2147483647L
+    val sqlSign = if (((x3 >> 17) & 1L) == 1L) 1.0 else -1.0
+    sqlSign == Similarity.bandSign(p, i)
   }))
 }

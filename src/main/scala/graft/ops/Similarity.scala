@@ -33,16 +33,34 @@ object Similarity {
 
   private val MaxDims = 512
 
-  /** ±1 sign of hyperplane `p` (0-based) at dimension `i` (1-based).
-    * Two Lehmer-style mixing steps in overflow-safe BIGINT arithmetic
-    * (all products < 2^62) so the DuckDB oracle can recompute the exact
-    * same matrix in SQL — data-independent, reproducible, no stored model.
+  /** ±1 sign of LSH banding hyperplane `p` (0-based) at dimension `i`
+    * (1-based) — the [[projSign]] mixing (two modular squares, all
+    * intermediates < 2⁶²) under its OWN salt and bit, so banding planes
+    * and JL-projection planes are independent families and the DuckDB
+    * oracle can recompute the exact matrix in overflow-checked BIGINT
+    * (OracleFrag.bandSignSql) — data-independent, reproducible, no
+    * stored model.
+    *
+    * This replaces the original affine generator (one Lehmer step on
+    * `a·p + b·i + c`): adjacent plane rows there differ by a constant
+    * pre-bit-extraction shift and correlate heavily — planes 11-15
+    * measured PAIRWISE |corr| = 1.0, mean 0.60 over the first 16 — so a
+    * band of `planes` sign bits collapsed to ~2-4 effective buckets
+    * (half the corpus in one bucket per degenerate band), and at a 100×
+    * corpus the candidate set measured 57% of ALL pairs: the LSH
+    * bounded nothing and every cosine probe degenerated toward
+    * all-pairs verification. The earlier "banding only needs per-plane
+    * balance" rationale was wrong: bucket entropy IS cross-plane
+    * independence. bandSign rows measure mean |corr| 0.098 ≈ the 1/√64
+    * independent level across the 120 planes the widest banding uses.
     */
-  def planeSign(p: Int, i: Int): Double = {
+  def bandSign(p: Int, i: Int): Double = {
     val P31 = 2147483647L
-    val x0 = (1000003L * (p + 1) + 7919L * i + 12345L) % P31
-    val x1 = (x0 * 48271L) % P31
-    if (((x1 >> 7) & 1L) == 1L) 1.0 else -1.0
+    val s = (1000003L * p + 7919L * i + 54321L) % P31
+    val x1 = (s * s) % P31
+    val x2 = ((x1 + s) * 48271L) % P31
+    val x3 = (x2 * x2) % P31
+    if (((x3 >> 17) & 1L) == 1L) 1.0 else -1.0
   }
 
   /** Deterministic ±1 hyperplane row as a constant-folded literal. Plane
@@ -50,7 +68,7 @@ object Similarity {
     * min-length loop.
     */
   private def signRow(p: Int): Column =
-    array((1 to MaxDims).map(i => lit(planeSign(p, i))): _*)
+    array((1 to MaxDims).map(i => lit(bandSign(p, i))): _*)
 
   /** Bucket id = packed sign bits of `planes` projections starting at
     * plane `firstPlane` (first plane = most significant bit). Distinct
@@ -853,16 +871,15 @@ object Similarity {
     * round to 6 decimals at output (the cosine-family convention).
     */
   /** ±1 entry of the JL projection matrix at plane `p`, dimension `i`
-    * (1-based). NOT [[planeSign]]: that generator is affine in (p, i),
-    * so adjacent plane rows differ by a constant pre-bit-extraction
-    * shift and correlate heavily (measured mean |corr| 0.51 over
-    * 64 dims — a 0.48 mean cosine distortion at 16 output dims, vs the
-    * ~1/√16 theory). Two modular SQUARES break the affine structure:
-    * measured mean |corr| 0.11 ≈ the 1/√64 independent-row level. All
-    * intermediates < 2⁶² (s < 2³¹ squares safely), so DuckDB replays it
-    * in overflow-checked BIGINT. planeSign itself stays as-is — the LSH
-    * banding only needs per-plane balance, not cross-plane independence,
-    * and its oracle mirrors are locked to it.
+    * (1-based). Two modular SQUARES break the affine structure that
+    * correlated the original one-step Lehmer generator's rows (measured
+    * mean |corr| 0.51 over 64 dims — a 0.48 mean cosine distortion at
+    * 16 output dims, vs the ~1/√16 theory; by r15 the same flaw was
+    * measured collapsing the LSH bucket space, so [[bandSign]] now uses
+    * this mixing too, under its own salt/bit so the two plane families
+    * stay independent). Measured mean |corr| 0.11 ≈ the 1/√64
+    * independent-row level. All intermediates < 2⁶² (s < 2³¹ squares
+    * safely), so DuckDB replays it in overflow-checked BIGINT.
     */
   def projSign(p: Int, i: Int): Double = {
     val P31 = 2147483647L

@@ -56,12 +56,13 @@ object StressX10 {
         when(rep === r, translate(lower(text), Alpha, Alpha.drop(r) + Alpha.take(r)))
           .otherwise(acc)
       }
-    // per-replica ±1 mask from the repo's Lehmer plane-sign generator
-    // (replica 0 = identity so the 1x corpus embeds unchanged)
+    // per-replica ±1 mask from projSign (replica 0 = identity so the 1x
+    // corpus embeds unchanged); the original affine generator's masks
+    // were heavily correlated across replicas (see StressX100)
     val signMask: (Column, Column) => Column = (v, rep) =>
       (1 to 9).foldLeft(v) { (acc, r) =>
         val mask = array((1 to 64).map(i =>
-          lit(graft.ops.Similarity.planeSign(1000 + r, i).toFloat)): _*)
+          lit(graft.ops.Similarity.projSign(1000 + r, i).toFloat)): _*)
         when(rep === r, zip_with(v, mask, (x, s) => x * s)).otherwise(acc)
       }
 

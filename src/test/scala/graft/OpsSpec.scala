@@ -122,9 +122,12 @@ class OpsSpec extends AnyFunSuite {
     }
     val r2 = recall(4, 2); val r4 = recall(4, 4); val r8 = recall(4, 8)
     // OR-amplification: recall must rise monotonically with bands
-    // (measured 0.43 → 0.73 → 0.76 on this fixture; deterministic hashes)
+    // (measured 0.28 → 0.44 → 0.68 on this fixture; deterministic
+    // hashes. The pre-r15 pins were 0.43 → 0.73 → 0.76 — accidental
+    // near-brute-force from the affine generator's correlated planes,
+    // whose degenerate buckets held half the corpus; see bandSign)
     assert(r2 < r4 && r4 <= r8, s"recalls $r2/$r4/$r8 not monotone in bands")
-    assert(r4 >= 0.7, s"default 4×4 config recall@5 = $r4 < 0.7")
+    assert(r4 >= 0.4, s"default 4×4 config recall@5 = $r4 < 0.4")
     // more planes per band = smaller buckets = lower recall at equal bands
     assert(recall(8, 4) < r4)
     // multi-probe: flipping the weakest sign bits recovers recall without

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property suite for [[graft.ops.Dedup.connectedComponentsStar]] — the
+  * closure every removal/incremental dedup path rides on. The example
+  * specs pin chains, triangles, and the id-sum potential; this sweep
+  * checks the algorithm against a plain union-find reference on random
+  * multigraphs (duplicate edges, both orientations, self-loops, isolated
+  * self-loop-only nodes): for EVERY node of the pair list, the emitted
+  * component label must be the MINIMUM id reachable from it, and the
+  * output must carry exactly one row per distinct node. Spark-backed, so
+  * iterations are few; the graphs are small but adversarially shaped
+  * (long chains force multiple large/small-star rounds).
+  */
+object StarCCProps extends Properties("connectedComponentsStar") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12).withWorkers(1)
+
+  private lazy val spark = TestSpark.session
+
+  // sparse ids (gaps >> n) so min-id labels are not just 0..n, plus a
+  // chain backbone over a random subset to force deep closures
+  private val genGraph: Gen[List[(Long, Long)]] = for {
+    nNodes <- Gen.chooseNum(2, 24)
+    ids <- Gen.listOfN(nNodes, Gen.chooseNum(0L, 1000000L)).map(_.distinct)
+    nEdges <- Gen.chooseNum(0, 40)
+    edges <- Gen.listOfN(nEdges, for {
+      u <- Gen.oneOf(ids); v <- Gen.oneOf(ids)
+    } yield (u, v))
+    chainLen <- Gen.chooseNum(0, ids.size)
+  } yield edges ++ ids.take(chainLen).sliding(2).collect {
+    case List(a, b) => (a, b)
+  }.toList
+
+  private def unionFind(pairs: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // canonicalize to the min member id (find already roots at the min
+    // because unions always parent the larger root under the smaller)
+    pairs.flatMap(p => List(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  property("labels every pair-list node with its component's min id") =
+    forAll(genGraph) { pairs =>
+      pairs.isEmpty || {
+        import spark.implicits._
+        val got = graft.ops.Dedup.connectedComponentsStar(
+            pairs.toDF("idA", "idB"), "idA", "idB")
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(pairs)
+      }
+    }
+}
