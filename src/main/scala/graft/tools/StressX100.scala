@@ -107,9 +107,9 @@ object StressX100 {
       graft.ops.Dedup.cosineIndex(d, "vec_id", "embedding",
         planesPerBand = planes, bands = 8).localCheckpoint()
     // constant-occupancy band width: 2^planes buckets per band sized so a
-    // bucket holds ~8 vectors at the index's own scale
+    // bucket holds ~8 vectors at the index's own scale (the shipped rule)
     def planesFor(n: Long): Int =
-      math.max(8, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+      graft.ops.Similarity.planesForCorpus(n, targetPerBucket = 8, minPlanes = 8)
 
     def time(df: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -91,6 +91,34 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((2L, 1), (3L, 2))) // 3 ties 4 at 0.0 → lower cid wins
   }
 
+  test("planesForCorpus: constant-occupancy width — exact boundaries, monotone, clamped") {
+    import Similarity.planesForCorpus
+    // occupancy bound when unclamped: smallest p with 2^p * target >= n
+    for (n <- Seq(1L, 7L, 64L, 65L, 2000L, 20000L, 200000L, 1L << 40);
+         t <- Seq(1, 8, 100)) {
+      val p = planesForCorpus(n, t, minPlanes = 1, maxPlanes = 62)
+      assert((1L << p) * t >= n, s"n=$n t=$t p=$p under target")
+      if (p > 1) assert((1L << (p - 1)) * t < n, s"n=$n t=$t p=$p not minimal")
+    }
+    // the StressX100 decades (target 8, min 8): 2k/20k/200k -> 8/12/15
+    assert(Seq(2000L, 20000L, 200000L)
+      .map(planesForCorpus(_, 8, minPlanes = 8)) == Seq(8, 12, 15))
+    // exact power-of-two boundary: n = 2^k * target needs exactly k planes
+    assert(planesForCorpus(8L * 1024, 8, minPlanes = 1) == 10)
+    assert(planesForCorpus(8L * 1024 + 1, 8, minPlanes = 1) == 11)
+    // monotone non-decreasing in corpus size
+    val widths = (0 to 30).map(k => planesForCorpus(1L << k, 8, minPlanes = 4))
+    assert(widths == widths.sorted)
+    // clamps: tiny corpus floors at minPlanes, huge corpus caps at maxPlanes
+    assert(planesForCorpus(0, 8) == 4)
+    assert(planesForCorpus(Long.MaxValue, 1, minPlanes = 4, maxPlanes = 24) == 24)
+    // invalid shapes fail loudly
+    intercept[IllegalArgumentException](planesForCorpus(-1, 8))
+    intercept[IllegalArgumentException](planesForCorpus(10, 0))
+    intercept[IllegalArgumentException](planesForCorpus(10, 8, minPlanes = 5, maxPlanes = 4))
+    intercept[IllegalArgumentException](planesForCorpus(10, 8, minPlanes = 1, maxPlanes = 63))
+  }
+
   test("LSH topK results are a subset of brute-force candidates with equal sims") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
