@@ -1342,16 +1342,27 @@ object SparkEntry {
         .groupBy("band").agg(count(lit(1)).as("n_lost"))
       // ONE union aggregate over the three checkpointed hash frames (the
       // same fold as the pair union above) — the r14 audit flagged three
-      // separate n_assets jobs rescanning the checkpoints one by one
-      val counts = modalities.zipWithIndex.map { case ((label, _, hashes), band) =>
-        hashes.select(lit(label).as("media_type"), lit(band.toLong).as("band"))
+      // separate n_assets jobs rescanning the checkpoints one by one.
+      // Seeded from the static modality list, NOT the groupBy output: an
+      // empty modality produces no group, and the triage card must show
+      // its n_assets=0 row (the per-modality-agg form did), not drop the
+      // media_type from the output
+      val seed = modalities.zipWithIndex.map { case ((label, _, _), band) =>
+        s.range(1).select(lit(label).as("media_type"), lit(band.toLong).as("band"))
       }.reduce(_ unionByName _)
-        .groupBy("media_type", "band").agg(count(lit(1)).as("n_assets"))
+      val counted = modalities.zipWithIndex.map { case ((_, _, hashes), band) =>
+        hashes.select(lit(band.toLong).as("band"))
+      }.reduce(_ unionByName _)
+        .groupBy("band").agg(count(lit(1)).as("n_assets"))
+      val counts = seed.join(counted, Seq("band"), "left")
+        .select(col("media_type"), col("band"),
+          coalesce(col("n_assets"), lit(0L)).as("n_assets"))
       counts.join(losers, Seq("band"), "left")
         .select(col("media_type"), col("n_assets"),
           (col("n_assets") - coalesce(col("n_lost"), lit(0L))).as("n_kept"),
-          round(coalesce(col("n_lost"), lit(0L)).cast("double") /
-            col("n_assets").cast("double"), 6).as("dup_rate"))
+          when(col("n_assets") === 0, lit(0.0)).otherwise(
+            round(coalesce(col("n_lost"), lit(0L)).cast("double") /
+              col("n_assets").cast("double"), 6)).as("dup_rate"))
         .orderBy("media_type")
     },
     // ---- VIDEO near-dup (stub decode tier): chunk-energy fingerprints

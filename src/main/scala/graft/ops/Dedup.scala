@@ -686,9 +686,48 @@ object Dedup {
     * only candidate corpusIds' vectors are ever fetched from it.
     */
   def cosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      planesPerBand: Int = 4, bands: Int = 8): DataFrame =
+      planesPerBand: Int = 4, bands: Int = 8): DataFrame = {
+    // stamp the build parameters into the bucket field's schema metadata:
+    // it survives parquet write/read, costs zero rows, and lets every
+    // prober detect a formula-generation or planes/bands mismatch —
+    // which would otherwise be SILENT recall collapse (buckets match by
+    // 2^-planes chance), the worst failure mode a dedup index can have
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bandFormat", Similarity.BandFormatVersion)
+      .putLong("graft.planesPerBand", planesPerBand.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .build()
     cosineBandRows(guardedVecs(corpus, idCol, vecCol), planesPerBand, bands)
-      .select(col("band"), col("bucket"), col("doc_id").as("corpusId"))
+      .select(col("band"), col("bucket").as("bucket", stamp),
+        col("doc_id").as("corpusId"))
+  }
+
+  /** Guard-before-probe for a [[cosineIndex]]: if the index schema carries
+    * the build stamp, the probe's formula generation and planes/bands MUST
+    * match it — a cross-generation or cross-width probe matches buckets
+    * only by 2^-planes chance and silently re-admits near-duplicates. An
+    * unstamped index (built externally, or by cosineIndex predating the
+    * stamp) passes; its compatibility is the caller's contract, and
+    * pre-v2 indexes must be re-banded (one [[cosineIndex]] pass over the
+    * stored vectors) after any banding-formula change.
+    */
+  private def requireBandCompat(index: DataFrame, planesPerBand: Int,
+      bands: Int): Unit =
+    index.schema.fields.find(_.name == "bucket").foreach { f =>
+      def check(key: String, expect: Long, what: String): Unit =
+        if (f.metadata.contains(key) && f.metadata.getLong(key) != expect)
+          throw new IllegalArgumentException(
+            s"cosine index $what mismatch: index built with " +
+              s"${f.metadata.getLong(key)}, probe uses $expect — probing " +
+              "across band generations/widths matches buckets only by " +
+              "chance (silent recall collapse). Re-band the index " +
+              "(cosineIndex over its vector store) or probe with the " +
+              "build parameters")
+      check("graft.bandFormat", Similarity.BandFormatVersion,
+        "band-formula version")
+      check("graft.planesPerBand", planesPerBand.toLong, "planesPerBand")
+      check("graft.bands", bands.toLong, "bands")
+    }
 
   /** The vector side of a persisted cosine index: `(corpusId, corpusV,
     * corpusN)` — one row per corpus document, norms precomputed at build
@@ -712,11 +751,13 @@ object Dedup {
     * stats (the [[indexMatchCore]] rule).
     */
   private[graft] def cosineCandidateCore(withVec: DataFrame, index: DataFrame,
-      planesPerBand: Int, bands: Int): DataFrame =
+      planesPerBand: Int, bands: Int): DataFrame = {
+    requireBandCompat(index, planesPerBand, bands)
     cosineBandRows(withVec, planesPerBand, bands)
       .join(index, Seq("band", "bucket"))
       .where(col("doc_id") =!= col("corpusId"))
       .drop("band", "bucket")
+  }
 
   /** Batch matches over a prepped (doc_id, v, nrm) frame — candidate pairs
     * deduped id-only, then one vector join per side and the shared exact
@@ -725,10 +766,12 @@ object Dedup {
     */
   private def cosineMatchesFromVecs(withVec: DataFrame, index: DataFrame,
       vecStore: DataFrame, threshold: Double, planesPerBand: Int,
-      bands: Int): DataFrame =
+      bands: Int): DataFrame = {
+    requireBandCompat(index, planesPerBand, bands)
     cosineMatchesFromBanded(
       cosineBandRows(withVec.select("doc_id", "v", "nrm"), planesPerBand, bands),
       withVec, index, vecStore, threshold)
+  }
 
   /** Index probe over an ALREADY-BANDED `(doc_id, band, bucket)` frame —
     * [[cosineCandidateCore]]'s join/verify with the banding factored out
@@ -791,6 +834,7 @@ object Dedup {
       vecStore: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planesPerBand: Int = 4, bands: Int = 8,
       maxIters: Int = 30): DataFrame = {
+    requireBandCompat(index, planesPerBand, bands)
     // checkpoint: the prepped vectors feed both the index probe and the
     // within-batch pairing — without it the batch is re-projected per use
     val withVec = guardedVecs(ensureParallelism(batch), idCol, vecCol)

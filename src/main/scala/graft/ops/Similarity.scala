@@ -54,6 +54,18 @@ object Similarity {
     * independence. bandSign rows measure mean |corr| 0.098 ≈ the 1/√64
     * independent level across the 120 planes the widest banding uses.
     */
+  /** Version of the banding-plane formula family. A persisted band index
+    * is only probeable by the formula generation that built it — probing
+    * across generations produces buckets that match by 2^-planes chance,
+    * i.e. SILENT recall collapse, not an error. [[graft.ops.Dedup.cosineIndex]]
+    * stamps this (plus its planes/bands parameters) into the index
+    * schema's `bucket` field metadata (survives parquet round-trips);
+    * every prober validates and raises on mismatch. v1 = the affine
+    * one-step Lehmer generator (never stamped — indexes from it predate
+    * stamping and must be re-banded); v2 = [[bandSign]] below.
+    */
+  val BandFormatVersion: Long = 2L
+
   def bandSign(p: Int, i: Int): Double = {
     val P31 = 2147483647L
     val s = (1000003L * p + 7919L * i + 54321L) % P31

@@ -24,7 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
   private val Off = 1000000000L
 
   def main(args: Array[String]): Unit = {
@@ -58,23 +57,12 @@ object ScaleUp {
         }: _*)
     }
 
-    // rep 0 keeps the ORIGINAL text byte-for-byte (the 1× slice of the
-    // scaled corpus is the source corpus); rotations lowercase first so
-    // the alphabet map is total
-    val caesar: Column = (1 until factor).foldLeft(col("text")) { (acc, r) =>
-      when(col("__rep") === r,
-        translate(lower(col("text")), Alpha, Alpha.drop(r) + Alpha.take(r)))
-        .otherwise(acc)
-    }
-    // projSign, not planeSign: planeSign masks are affine-correlated
-    // across replicas (two of 100 measured IDENTICAL), which would plant
-    // false cross-replica near-dup structure (see StressX100.replicateEmb)
-    val signMask: Column = (1 until factor).foldLeft(col("embedding")) { (acc, r) =>
-      val mask = array((1 to 64).map(i =>
-        lit(graft.ops.Similarity.projSign(1000 + r, i).toFloat)): _*)
-      when(col("__rep") === r, zip_with(col("embedding"), mask, (x, s) => x * s))
-        .otherwise(acc)
-    }
+    // replication rules shared via Synth; identityZero: rep 0 keeps the
+    // ORIGINAL text byte-for-byte (the 1× slice of the scaled corpus is
+    // the source corpus)
+    val caesar: Column =
+      Synth.caesarByRep(col("text"), col("__rep"), factor, identityZero = true)
+    val signMask: Column = Synth.maskByRep(col("embedding"), col("__rep"), factor)
 
     // fixed-cardinality dimensions: copy unchanged (the TPC-H convention)
     write(read("region"), "region")

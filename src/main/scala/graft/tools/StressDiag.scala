@@ -27,12 +27,9 @@ object StressDiag {
 
     val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").localCheckpoint()
+    // same corpus as StressX100's, by construction: masks shared via Synth
     def replicateEmb(df: DataFrame, n: Int): DataFrame = {
-      val masks = (0 until n).map { r =>
-        (r, if (r == 0) Array.fill(64)(1.0f)
-            else Array.tabulate(64)(i =>
-              graft.ops.Similarity.projSign(1000 + r, i + 1).toFloat))
-      }.toDF("__rep", "__mask")
+      val masks = Synth.maskTable(spark, n)
       df.select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0), lit(n - 1))).as("__rep"))
         .join(broadcast(masks), Seq("__rep"))

@@ -30,7 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object StressX10 {
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -51,20 +50,11 @@ object StressX10 {
           mutate(col(payloadCol), col("rep")).as(payloadCol))
         .localCheckpoint() // materialize: time the operator, not generation
 
+    // replication rules live in Synth (one definition across the tools)
     val caesar: (Column, Column) => Column = (text, rep) =>
-      (1 to 9).foldLeft(lower(text)) { (acc, r) =>
-        when(rep === r, translate(lower(text), Alpha, Alpha.drop(r) + Alpha.take(r)))
-          .otherwise(acc)
-      }
-    // per-replica ±1 mask from projSign (replica 0 = identity so the 1x
-    // corpus embeds unchanged); the original affine generator's masks
-    // were heavily correlated across replicas (see StressX100)
+      Synth.caesarByRep(text, rep, 10)
     val signMask: (Column, Column) => Column = (v, rep) =>
-      (1 to 9).foldLeft(v) { (acc, r) =>
-        val mask = array((1 to 64).map(i =>
-          lit(graft.ops.Similarity.projSign(1000 + r, i).toFloat)): _*)
-        when(rep === r, zip_with(v, mask, (x, s) => x * s)).otherwise(acc)
-      }
+      Synth.maskByRep(v, rep, 10)
 
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").localCheckpoint()

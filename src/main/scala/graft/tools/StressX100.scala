@@ -39,7 +39,6 @@ import org.apache.spark.sql.functions._
   */
 object StressX100 {
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -53,14 +52,9 @@ object StressX100 {
     import spark.implicits._
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
 
-    // ---- corpus replication --------------------------------------------
+    // ---- corpus replication (rules shared via Synth) --------------------
     def replicateDocs(df: DataFrame, n: Int): DataFrame = {
-      val rot = pmod(col("__rep"), lit(10))
-      val rotated = (1 to 9).foldLeft(lower(col("text"))) { (acc, r) =>
-        when(rot === r,
-          translate(lower(col("text")), Alpha, Alpha.drop(r) + Alpha.take(r)))
-          .otherwise(acc)
-      }
+      val rotated = Synth.caesarByRep(col("text"), pmod(col("__rep"), lit(10)), 10)
       // salt word varies in FIRST CHARACTER and LENGTH per salt class —
       // the exact-fingerprint word kernel is (len + 7·ascii(first)), so a
       // same-shape salt word ("qsalt1w"/"qsalt2w") would collide and
@@ -76,18 +70,12 @@ object StressX100 {
           salted.as("text"))
         .localCheckpoint() // materialize: time the probe, not generation
     }
-    // masks use projSign, NOT planeSign: planeSign is affine in (p, i)
-    // before its bit extraction, so per-replica masks differ by a constant
-    // shift and stay heavily correlated — measured mean |corr| 0.625 with
-    // two replicas IDENTICAL (0 and 37), which plants quadratic cross-
-    // replica near-dup structure the corpus is not supposed to have.
-    // projSign squares the state (nonlinear): mean |corr| 0.099.
+    // masks from Synth.replicaMask (projSign family, NOT any affine
+    // generator: affine masks measured mean |corr| 0.625 with two of 100
+    // replicas IDENTICAL, planting quadratic cross-replica near-dup
+    // structure the corpus is not supposed to have; projSign: 0.099)
     def replicateEmb(df: DataFrame, n: Int): DataFrame = {
-      val masks = (0 until n).map { r =>
-        (r, if (r == 0) Array.fill(64)(1.0f)
-            else Array.tabulate(64)(i =>
-              graft.ops.Similarity.projSign(1000 + r, i + 1).toFloat))
-      }.toDF("__rep", "__mask")
+      val masks = Synth.maskTable(spark, n)
       df.select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0), lit(n - 1))).as("__rep"))
         .join(broadcast(masks), Seq("__rep"))

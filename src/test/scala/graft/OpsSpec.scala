@@ -1646,6 +1646,58 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("cosineIndex stamp survives parquet; cross-generation/width probes raise") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where(col("vec_id") < 250)
+    val batch = all.where(col("vec_id") >= 250)
+    val store = Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("bandstamp").toString
+    Dedup.cosineIndex(corpus, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val loaded = TestSpark.session.read.parquet(dir)
+    // the build stamp rode through the parquet round-trip
+    val md = loaded.schema("bucket").metadata
+    assert(md.getLong("graft.bandFormat") == Similarity.BandFormatVersion)
+    assert(md.getLong("graft.planesPerBand") == 4L && md.getLong("graft.bands") == 8L)
+    // matching probe: identical to probing the in-flight index
+    val viaDisk = Dedup.cosineIndexMatches(batch, loaded, store, "vec_id",
+      "embedding", threshold = 0.4).collect().toSet
+    val inFlight = Dedup.cosineIndexMatches(batch,
+      Dedup.cosineIndex(corpus, "vec_id", "embedding"), store, "vec_id",
+      "embedding", threshold = 0.4).collect().toSet
+    assert(viaDisk == inFlight && viaDisk.nonEmpty)
+    // width mismatch: probing a 4-plane index with 5 planes would match
+    // buckets only by chance — must raise, not silently lose recall
+    val eWidth = intercept[IllegalArgumentException] {
+      Dedup.cosineIndexMatches(batch, loaded, store, "vec_id", "embedding",
+        threshold = 0.4, planesPerBand = 5)
+    }
+    assert(eWidth.getMessage.contains("planesPerBand"))
+    // formula-generation mismatch: an index stamped by another bandSign
+    // generation must raise (the r15 formula change's failure mode)
+    val v1 = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(md).putLong("graft.bandFormat", 1L).build()
+    val oldGen = loaded.select(col("band"), col("bucket").as("bucket", v1),
+      col("corpusId"))
+    val eGen = intercept[IllegalArgumentException] {
+      Dedup.cosineIndexMatches(batch, oldGen, store, "vec_id", "embedding",
+        threshold = 0.4)
+    }
+    assert(eGen.getMessage.contains("band-formula version"))
+    // incremental + streaming-core paths validate too
+    intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementalCosine(batch, oldGen, store, "vec_id",
+        "embedding", threshold = 0.4)
+    }
+    // an UNSTAMPED index (external/pre-stamp) still probes — compat is
+    // then the caller's contract
+    val unstamped = loaded.select(col("band"),
+      col("bucket").cast("long").as("bucket"), col("corpusId"))
+    assert(Dedup.cosineIndexMatches(batch, unstamped, store, "vec_id",
+      "embedding", threshold = 0.4).collect().toSet == inFlight)
+  }
+
   test("dedupIncrementalCosine reproduces the full-rerun survivor set (corpus ids first)") {
     val all = TestSpark.session.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
