@@ -1347,9 +1347,12 @@ object SparkEntry {
       // empty modality produces no group, and the triage card must show
       // its n_assets=0 row (the per-modality-agg form did), not drop the
       // media_type from the output
-      val seed = modalities.zipWithIndex.map { case ((label, _, _), band) =>
-        s.range(1).select(lit(label).as("media_type"), lit(band.toLong).as("band"))
-      }.reduce(_ unionByName _)
+      val seed = {
+        import s.implicits._
+        modalities.zipWithIndex
+          .map { case ((label, _, _), band) => (label, band.toLong) }
+          .toDF("media_type", "band") // one LocalTableScan, not 3 range stages
+      }
       val counted = modalities.zipWithIndex.map { case ((_, _, hashes), band) =>
         hashes.select(lit(band.toLong).as("band"))
       }.reduce(_ unionByName _)
