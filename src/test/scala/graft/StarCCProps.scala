@@ -61,4 +61,21 @@ object StarCCProps extends Properties("connectedComponentsStar") {
         got == unionFind(pairs)
       }
     }
+
+  // the label-propagation form (d_dedup_clusters' closure) must agree
+  // with the same union-find reference on the same adversarial graphs —
+  // the two CC variants are interchangeable by contract, so a divergence
+  // in either is a removal-correctness bug. maxIters raised past the
+  // generator's worst diameter (a 24-node chain needs ~23 rounds; the
+  // default 20 is sized for dedup clusters, not adversarial chains).
+  property("label propagation agrees with union-find (and the star form)") =
+    forAll(genGraph) { pairs =>
+      pairs.isEmpty || {
+        import spark.implicits._
+        val got = graft.ops.Dedup.connectedComponents(
+            pairs.toDF("idA", "idB"), "idA", "idB", maxIters = 64)
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(pairs)
+      }
+    }
 }
