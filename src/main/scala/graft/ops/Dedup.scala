@@ -1501,14 +1501,14 @@ object Dedup {
     * chunk rows are the SMALL derivative of the corpus, like shingles.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, maskBits: Int = 6): DataFrame = {
+      k: Int = 16, maskBits: Int = 6, carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 4 && k <= 256, s"k out of [4, 256]: $k")
     require(maskBits >= 1 && maskBits <= 24, s"maskBits out of [1, 24]: $maskBits")
-    docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id") +: carryCols.map(col) :+
         explode(graft.functions.TextFunctions.cdc_chunks(col(textCol), k, maskBits))
-          .as("c"))
-      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
-        col("c.h").as("h"))
+          .as("c"): _*)
+      .select(col("id") +: carryCols.map(col) :+ col("c.start").as("start") :+
+        col("c.len").as("len") :+ col("c.h").as("h"): _*)
   }
 
   /** Per-source STORAGE-dedup card over content-defined chunks: how many
@@ -1650,8 +1650,8 @@ object Dedup {
     */
   def cdcIndexMatches(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, k: Int = 16, maskBits: Int = 6,
-      indexIsDistinct: Boolean = false): DataFrame =
-    cdcChunks(batch, idCol, textCol, k, maskBits)
+      indexIsDistinct: Boolean = false, carryCols: Seq[String] = Nil): DataFrame =
+    cdcChunks(batch, idCol, textCol, k, maskBits, carryCols)
       // distinct defensively BY DEFAULT: a non-distinct index
       // (concatenated daily indexes, raw chunk rows) would fan out EVERY
       // join row and inflate n_chunks/bytes too, not just the dup counts.
@@ -1662,7 +1662,11 @@ object Dedup {
              else index.select(col("h"), col("len")).distinct())
           .withColumn("__hit", lit(1L)),
         Seq("h", "len"), "left")
-      .groupBy(col("id").as(idCol))
+      // carryCols join the group key (they ride through the chunk explode
+      // untouched): the streaming probe groups by (id, event time) so the
+      // watermark can evict aggregation state — see
+      // DocumentStream.cdcIngestProbe
+      .groupBy(col("id").as(idCol) +: carryCols.map(col): _*)
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_dup"),
         sum(col("len").cast("long")).as("bytes"),

@@ -187,10 +187,20 @@ object DocumentStream {
     * TextFunctions.shingle_hashes-based keys for normalized-content
     * dedup). State = one row per distinct key seen within `delay` —
     * bounded by arrival rate × delay.
+    *
+    * NULL text RAISES (the batch [[graft.ops.Dedup.indexCut]] convention):
+    * `xxhash64(NULL)` is the SEED constant (42), not NULL, so distinct
+    * null-text documents would all share one contentKey and silently
+    * dedup against each other — filter or repair upstream.
     */
   def dedupExactWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("contentKey", xxhash64(col("text")))
+      .withColumn("contentKey",
+        when(col("text").isNull, raise_error(lit(
+          "dedupExactWithinWatermark: null text — xxhash64(NULL) is the " +
+            "seed constant, so distinct null-text documents would " +
+            "silently dedup against each other; filter or repair upstream")))
+          .otherwise(xxhash64(col("text"))))
       .withWatermark("ingestTs", delay)
       .dropDuplicatesWithinWatermark("contentKey")
 
@@ -225,11 +235,24 @@ object DocumentStream {
     * `dropDuplicatesWithinWatermark` — state bounded by the watermark,
     * never the corpus size.
     */
+  /** Null-id guard shared by the streaming corpus probes — the batch
+    * probes route through guardedSims/guardedVecs, which raise on a null
+    * id precisely because NULL never survives the `doc_id =!= corpusId`
+    * identity filter: a null-id near-duplicate's matches vanish and a
+    * downstream remove-matched step silently re-admits it.
+    */
+  private def guardedId(c: Column, op: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"$op: null doc_id — a null-id near-duplicate would be silently " +
+        "re-admitted (NULL never matches the identity filter); filter " +
+        "or repair ids upstream"))).otherwise(c)
+
   def nearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       maxHamming: Int = 3, blocks: Int = 4,
       dedupDelay: String = "10 minutes"): DataFrame = {
     val withSim = stream
-      .select(col("doc_id"), col("ingestTs"),
+      .select(guardedId(col("doc_id"), "nearDupsAgainstCorpus").as("doc_id"),
+        col("ingestTs"),
         TextFunctions.simhash31(col("text")).as("sim"))
       .where(col("sim") >= 0)
     // the probe itself is the ONE shared definition (Dedup.indexMatchCore);
@@ -255,7 +278,8 @@ object DocumentStream {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.3,
       dedupDelay: String = "10 minutes"): DataFrame = {
     val withSig = stream
-      .select(col("doc_id"), col("ingestTs"),
+      .select(guardedId(col("doc_id"), "minhashNearDupsAgainstCorpus").as("doc_id"),
+        col("ingestTs"),
         TextFunctions.minhash_sig(
           TextFunctions.shingle_hashes(col("text")), numHashes).as("sig"))
       .where(size(col("sig")) > 0)
@@ -280,28 +304,37 @@ object DocumentStream {
     * Streaming-specific (everything else is the batch definition): the
     * stream's own vector rides through the band explode as `__v`/`__nrm` —
     * a stream cannot re-join to itself, so the batch probe's
-    * dedup-pairs-then-re-join-vectors optimization doesn't apply; both
-    * static sides are broadcast (stream-static joins want the static side
-    * as build side); multi-band collisions collapse within the watermark.
+    * dedup-pairs-then-RE-JOIN-vectors shape doesn't apply; instead the
+    * multi-band collapse runs BEFORE the vector-store join and the exact
+    * verify (the candidate rows already carry the stream vector), so a
+    * pair colliding in all `bands` bands pays ONE dot product, not
+    * `bands` — the streaming analogue of the batch probe's
+    * dedup-pairs-first rule. Both static sides are broadcast
+    * (stream-static joins want the static side as build side). Verified
+    * sub-threshold pairs are filtered after the collapse, exactly as
+    * before — the collapse key (doc_id, corpusId) is independent of the
+    * verify result, so output is unchanged.
     */
   def cosineNearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       vecStore: DataFrame, vecCol: String = "vec",
       threshold: Double = 0.95, planesPerBand: Int = 4, bands: Int = 8,
       dedupDelay: String = "10 minutes"): DataFrame = {
     val withVec = stream
-      .select(col("doc_id"), col("ingestTs"),
+      .select(guardedId(col("doc_id"), "cosineNearDupsAgainstCorpus").as("doc_id"),
+        col("ingestTs"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
       .withColumn("__v", col("v")).withColumn("__nrm", col("nrm"))
     Dedup.cosineCandidateCore(withVec, broadcast(index), planesPerBand, bands)
-      .join(broadcast(vecStore), "corpusId")
       .select(col("doc_id"), col("ingestTs"), col("corpusId"),
+        col("__v"), col("__nrm"))
+      .withWatermark("ingestTs", dedupDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
+      .join(broadcast(vecStore), "corpusId")
+      .select(col("doc_id"), col("corpusId"),
         Dedup.cosineVerify(col("__v"), col("__nrm"),
           col("corpusV"), col("corpusN")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .withWatermark("ingestTs", dedupDelay)
-      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
-      .drop("ingestTs")
   }
 
   /** Stream-stream self-dedup: near-dup pairs BETWEEN documents arriving in
@@ -387,6 +420,11 @@ object DocumentStream {
     */
   def runningKmv(docs: DataFrame, k: Int = graft.ops.Sketch.MaxK,
       sourceCol: String = "source", textCol: String = "text"): Dataset[KmvEst] = {
+    // the batch kmvDistinct's bound, for the same reason: (k-1)·P57 must
+    // fit int64 (k > MaxK silently wraps the estimate negative once the
+    // sketch fills; k <= 1 crashes on buf.last or always estimates 0)
+    require(k >= 2 && k <= graft.ops.Sketch.MaxK,
+      s"k out of [2, ${graft.ops.Sketch.MaxK}]: $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val p57 = graft.ops.Sketch.P57
@@ -416,21 +454,35 @@ object DocumentStream {
   /** Streaming CDC ingest probe: per arriving document, how many of its
     * content-defined chunks (and bytes) the chunk store already holds —
     * [[graft.ops.Dedup.cdcIndexMatches]] against a static
-    * [[graft.ops.Dedup.cdcChunkIndex]], verbatim: chunking is row-local,
-    * the probe is a stream-static join on chunk identity, and the
-    * per-doc aggregate is micro-batch-local (each doc's chunks arrive in
-    * its own row), so the query needs no watermark state beyond the
-    * aggregate's batch scope. Emits the batch op's exact schema — one
-    * definition, parity by construction.
+    * [[graft.ops.Dedup.cdcChunkIndex]]: chunking is row-local and the
+    * probe is a stream-static join on chunk identity, but the per-doc
+    * re-aggregation after the chunk explode IS a stateful streaming
+    * aggregation — keyed by `idCol` alone its state holds one row per
+    * distinct document id EVER seen (unbounded on an always-on ingest)
+    * and a re-crawled id arriving in a later micro-batch MERGES into the
+    * old row, double-counting n_chunks/bytes.
+    *
+    * So: when the stream carries an `ingestTs` column, the probe
+    * watermarks it and joins it into the group key — state is evicted
+    * once the watermark passes (bounded by arrival rate × `delay`), and
+    * each ARRIVAL aggregates its own row (a re-crawl probes
+    * independently, which is the increment semantics). The output then
+    * carries `ingestTs` alongside the batch op's schema. Without an
+    * `ingestTs` column the bare form runs — fine for bounded backfills
+    * and parity tests, not for unbounded ingest.
     */
   def cdcIngestProbe(docs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 16, maskBits: Int = 6): DataFrame =
+      k: Int = 16, maskBits: Int = 6, delay: String = "10 minutes"): DataFrame = {
+    val bounded = docs.isStreaming && docs.columns.contains("ingestTs")
+    val in = if (bounded) docs.withWatermark("ingestTs", delay) else docs
     // the contract here IS a cdcChunkIndex (distinct by construction):
     // skip the defensive index distinct, which would re-shuffle the
     // corpus-sized index every micro-batch
-    Dedup.cdcIndexMatches(docs, index, idCol, textCol, k, maskBits,
-      indexIsDistinct = true)
+    Dedup.cdcIndexMatches(in, index, idCol, textCol, k, maskBits,
+      indexIsDistinct = true,
+      carryCols = if (bounded) Seq("ingestTs") else Nil)
+  }
 
   /** Streaming Bloom admission gate: drop arriving documents whose
     * content fingerprint is MAYBE in the corpus filter
@@ -444,11 +496,20 @@ object DocumentStream {
     * happen — an already-seen fingerprint is always rejected. New-vs-new
     * dups within the stream surface on the next filter refresh, the
     * same lambda split as the simhash index.
+    *
+    * NULL-text documents are ADMITTED (fingerprint(NULL) is NULL — there
+    * is nothing to test membership of): the module's convention is to
+    * tolerate null text (runningManifest counts it, the near-dup probes
+    * filter it), and [[graft.ops.Sketch.bloomMaybeMember]]'s null-hash
+    * raise would otherwise wedge an always-on admission gate into the
+    * permanent crash loop a file-source restart cannot clear.
     */
   def bloomGate(docs: DataFrame, words: Array[Long], mBits: Int = 65536,
       kHashes: Int = 4, textCol: String = "text"): DataFrame =
-    docs.where(!graft.ops.Sketch.bloomMaybeMember(
-      TextAnalysis.fingerprint(col(textCol)), words, mBits, kHashes))
+    docs.where(graft.functions.Exprs.let(
+      TextAnalysis.fingerprint(col(textCol)),
+      fp => when(fp.isNull, lit(true))
+        .otherwise(!graft.ops.Sketch.bloomMaybeMember(fp, words, mBits, kHashes))))
 
   final case class CmsOcc(source: String, m1: Long, m2: Long)
   final case class CmsState(seq: Long, counters: Array[Long])

@@ -43,7 +43,13 @@ object MediaStream {
       hash: Array[Byte] => Long): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
+    // a null assetId would crash the non-nullable Long encoder BEFORE the
+    // Try below runs — the exact permanent crash loop this wrapper exists
+    // to prevent (the file source re-reads the poison file on restart).
+    // Same drop rule as an undecodable payload: a row with no identity
+    // can never serve a fingerprint
+    assets.where(col("assetId").isNotNull)
+      .select(col("assetId").cast("long"), col("payload"), col("ingestTs"))
       .as[(Long, Array[Byte], java.sql.Timestamp)]
       .mapPartitions(_.flatMap { case (id, p, ts) =>
         scala.util.Try(hash(p)).toOption.map(h => (id, h, ts))

@@ -1161,4 +1161,132 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchPairs,
       s"stream found ${streamed.size} pairs, batch ${batchPairs.size}")
   }
+
+  test("streaming exact dedup raises on null text (xxhash64(NULL) = seed constant)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two DISTINCT null-text docs share contentKey 42 — without the guard
+    // the second silently dedups away; with it the query fails loudly
+    val input = MemoryStream[(Long, String)]
+    val q = DocumentStream.dedupExactWithinWatermark(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("ingestTs", current_timestamp()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_dedup_null").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(Seq((1L, null: String), (2L, null: String)))
+            q.processAllAvailable() } finally q.stop()
+    }
+    assert(e.getMessage.contains("null text"))
+  }
+
+  test("streaming corpus probes raise on null doc_id (silent re-admission guard)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val index = DocumentStream.simhashIndex(corpus, "doc_id", "text")
+    val someText = corpus.select("text").head().getString(0)
+    val input = MemoryStream[(Option[Long], String)]
+    val q = DocumentStream.nearDupsAgainstCorpus(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("ingestTs", current_timestamp()), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_neardup_null").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(Seq((None, someText)))
+            q.processAllAvailable() } finally q.stop()
+    }
+    assert(e.getMessage.contains("null doc_id"))
+  }
+
+  test("bloom gate admits null-text docs instead of wedging the stream") {
+    // stateless filter — semantics identical in batch, so pin it there;
+    // the membership raise on a null fingerprint would be a PERMANENT
+    // crash loop in an always-on admission gate
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sk = graft.ops.Sketch.bloomSketch(
+      docs.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")),
+      col("fp"), mBits = 65536, kHashes = 4)
+    val words = graft.ops.Sketch.bloomBitsArray(sk, mBits = 65536)
+    val corpusText = docs.select("text").head().getString(0)
+    val mixed = Seq((1L, null: String), (2L, corpusText))
+      .toDF("doc_id", "text")
+    val admitted = DocumentStream.bloomGate(mixed, words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L)) // null text admitted, known dup rejected
+  }
+
+  test("runningKmv validates k like the batch estimator") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    intercept[IllegalArgumentException](
+      DocumentStream.runningKmv(docs, k = graft.ops.Sketch.MaxK + 1))
+    intercept[IllegalArgumentException](DocumentStream.runningKmv(docs, k = 1))
+  }
+
+  test("cdc ingest probe with event time: bounded state, per-arrival aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") < 30)
+    val idx = graft.ops.Dedup.cdcChunkIndex(corpus, "doc_id", "text",
+      k = 16, maskBits = 5).localCheckpoint()
+    val (docId, text) = {
+      val r = docs.where(col("doc_id") === 40).select("doc_id", "text").head()
+      (r.getLong(0), r.getString(1))
+    }
+    val perDoc = graft.ops.Dedup.cdcIndexMatches(
+        docs.where(col("doc_id") === 40), idx, "doc_id", "text",
+        k = 16, maskBits = 5).head()
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocumentStream.cdcIngestProbe(
+        input.toDF().toDF("doc_id", "text", "ingestTs"), idx,
+        k = 16, maskBits = 5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("doc_cdc_rearrival").start()
+    try {
+      // the SAME doc_id re-arrives in a later micro-batch: each arrival
+      // must aggregate independently (n_chunks = the batch op's per-doc
+      // value, NOT doubled by a cross-batch state merge)
+      input.addData(Seq((docId, text, ts1))); q.processAllAvailable()
+      input.addData(Seq((docId, text, ts2))); q.processAllAvailable()
+      // and the aggregation is watermark-evictable: a state operator
+      // exists AND the group key carries the event-time column
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+    val got = spark.table("doc_cdc_rearrival")
+      .select("doc_id", "ingestTs", "n_chunks", "n_dup", "bytes", "bytes_dup")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val expect = Set(
+      (docId, ts1, perDoc.getLong(1), perDoc.getLong(2), perDoc.getLong(3), perDoc.getLong(4)),
+      (docId, ts2, perDoc.getLong(1), perDoc.getLong(2), perDoc.getLong(3), perDoc.getLong(4)))
+    assert(got == expect, s"got $got, expect $expect")
+  }
+
+  test("streaming media fingerprints drop null-id assets instead of crashing the encoder") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val assetDir = java.nio.file.Files.createTempDirectory("graft-nullid")
+    val good = graft.ops.Multimodal.encodeNearDupPng(6L)
+    // a null assetId crashes the non-nullable Long tuple encoder BEFORE
+    // the Try-wrapped decode — the poison-row contract must cover it
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(6L, "image", good, "t"),
+          Row(null, "image", good, "t")),
+        MediaStream.assetSchema)
+      .write.mode("overwrite").parquet(assetDir.toString)
+    val stream = MediaStream.read(spark, assetDir.toString)
+    EventStream.runToMemory(
+      MediaStream.imageFingerprints(stream), "media_nullid")
+    val out = spark.table("media_nullid").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(6L)) // null-id row dropped, good row fingerprinted
+  }
 }
