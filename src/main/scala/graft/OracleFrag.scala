@@ -383,6 +383,89 @@ private[graft] object OracleFrag {
        |  __s -> xor($b, CAST(1 AS BIGINT) << (${planes - 1} - __s.j))))""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Count-adaptive banding (mirror of Similarity.planesForCorpus sizing).
+  // The shipped cosine-LSH queries size planesPerBand from the CORPUS
+  // COUNT (constant-occupancy rule), so their oracles can no longer bake a
+  // fixed plane count into the SQL string — the same oracle text must pick
+  // 6 planes at a 500-vector corpus and 8 at 2000. These builders compute
+  // `planes` from count(*) IN SQL and evaluate the band-sign formula with
+  // the plane index as a runtime variable; both forms were verified
+  // byte-identical to the static [[bucket]]/[[probeBuckets]] expansions.
+
+  /** [[bandSignSql]] with the plane index as a runtime variable instead of
+    * a Scala-folded literal — same arithmetic, same overflow bounds (p is
+    * ≤ bands·maxPlanes ≤ a few hundred, so 1000003·p stays far below the
+    * P31 squares that dominate the 2⁶² budget). */
+  private def bandSignVarSql(pVar: String, iVar: String): String = {
+    val base = s"((1000003*$pVar + 7919*$iVar + 54321) % $P31)"
+    s"""CASE WHEN ((((($base * $base) % $P31 + $base) * 48271) % $P31)
+       |      * (((($base * $base) % $P31 + $base) * 48271) % $P31) % $P31 >> 17) & 1 = 1
+       |  THEN 1.0 ELSE -1.0 END""".stripMargin
+  }
+
+  /** Scalar SQL mirroring [[Similarity.planesForCorpus]] exactly: the
+    * smallest p in [0, maxPlanes) with 2^p ≥ ceil(count/target), else
+    * maxPlanes, clamped below by minPlanes — the same integer loop, so
+    * there is no log2 double-rounding drift at the 2^k boundaries.
+    * `countSql` is a scalar subquery text (e.g. "SELECT count(*) FROM n").
+    */
+  def planesForCorpusSql(countSql: String, target: Int = 8,
+      minPlanes: Int = 4, maxPlanes: Int = 30): String =
+    s"""GREATEST($minPlanes, COALESCE((SELECT MIN(p) FROM range(0, $maxPlanes) __r(p)
+       |  WHERE (CAST(1 AS BIGINT) << CAST(p AS INT)) >= ((($countSql) - 1) // $target + 1)), $maxPlanes))""".stripMargin
+
+  /** CTE pair `__pl` (the adaptive plane count) + `__sgn` (the banding
+    * sign matrix as (p, 64-double row) for planes 0 until bands·maxSgnPlanes
+    * — built once, joined by every band CTE). `maxSgnPlanes` only bounds
+    * the precomputed matrix; 16 covers any corpus this oracle gates
+    * (2^16 buckets/band · target 8 ≈ half a million vectors). */
+  def adaptivePlanesCtes(countSql: String, bands: Int, target: Int = 8,
+      minPlanes: Int = 4, maxSgnPlanes: Int = 16): String =
+    s"""__pl AS (SELECT CAST(${planesForCorpusSql(countSql, target, minPlanes, maxSgnPlanes)} AS INT) AS planes),
+       |__sgn AS (
+       |  SELECT p, list_transform(range(1, 65), __i -> ${bandSignVarSql("p", "__i")}) AS sr
+       |  FROM range(0, ${bands * maxSgnPlanes}) __r(p))""".stripMargin
+
+  /** Adaptive banded rows `(vec_id, band, bucket)` over CTE `from` (which
+    * must expose vec_id and v) — the variable-planes form of the static
+    * per-band [[bucket]] UNION: one dot per (row, plane) against the
+    * `__sgn` matrix, sign bits packed MSB-first per band by SUM (mirror of
+    * Similarity.hyperplaneBucket's fold). Requires [[adaptivePlanesCtes]]
+    * in scope. `where` optionally filters the input rows (query side). */
+  def adaptiveBandCte(out: String, bands: Int, from: String = "n",
+      where: String = ""): String =
+    s"""$out AS (
+       |  SELECT $from.vec_id, CAST(s.p // pl.planes AS INT) AS band,
+       |    CAST(SUM(CASE WHEN ${dot64(s"$from.v", "s.sr")} > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(pl.planes - 1 - (s.p % pl.planes) AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM $from CROSS JOIN __pl pl JOIN __sgn s ON s.p < $bands * pl.planes
+       |  $where
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Adaptive multi-probe query rows `(vec_id, band, bucket)`: the exact
+    * bucket plus `probes` weakest-|dot| bit flips per band (mirror of
+    * [[probeBuckets]] with planes a runtime variable — per-(vec, band)
+    * dots aggregated into the packed bucket AND the (|dot|, j)-ranked
+    * flip list). Requires [[adaptivePlanesCtes]] in scope. */
+  def adaptiveProbeCtes(out: String, bands: Int, probes: Int,
+      from: String = "n", where: String = ""): String =
+    s"""__qd AS (
+       |  SELECT $from.vec_id, CAST(s.p // pl.planes AS INT) AS band,
+       |    CAST(s.p % pl.planes AS INT) AS j, ${dot64(s"$from.v", "s.sr")} AS d, pl.planes AS planes
+       |  FROM $from CROSS JOIN __pl pl JOIN __sgn s ON s.p < $bands * pl.planes
+       |  $where),
+       |__qb AS (
+       |  SELECT vec_id, band, planes,
+       |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(planes - 1 - j AS INT)) ELSE 0 END) AS BIGINT) AS bucket,
+       |    list_sort(list({'a': abs(d), 'j': j})) AS ranked
+       |  FROM __qd GROUP BY vec_id, band, planes),
+       |$out AS (
+       |  SELECT vec_id, band, unnest(list_prepend(bucket,
+       |    list_transform(list_slice(ranked, 1, $probes),
+       |      __s -> xor(bucket, CAST(1 AS BIGINT) << CAST(planes - 1 - __s.j AS INT))))) AS bucket
+       |  FROM __qb)""".stripMargin
+
   /** Sanity pin: the Scala and SQL band-sign formulas must agree. */
   require((0 until 4).forall(p => (1 to 8).forall { i =>
     val base = (1000003L * p + 54321L + 7919L * i) % 2147483647L
@@ -391,4 +474,18 @@ private[graft] object OracleFrag {
     val sqlSign = if (((x3 >> 17) & 1L) == 1L) 1.0 else -1.0
     sqlSign == Similarity.bandSign(p, i)
   }))
+
+  /** Sanity pin: the SQL planes rule (min p with 2^p ≥ ceil(n/target),
+    * else max, clamped by min) reimplemented here must agree with
+    * Similarity.planesForCorpus — the same cross-engine guard the band-
+    * sign formula carries, covering the corpus sizes the gates run at
+    * plus the 2^k boundaries where log2 rounding would drift. */
+  require(Seq(1L, 7L, 8L, 9L, 63L, 64L, 65L, 250L, 500L, 2000L, 4096L,
+      100000L).forall { n =>
+    val needed = if (n == 0) 0L else (n - 1) / 8 + 1
+    val sqlPlanes = math.max(4,
+      (0 until 16).find(p => (1L << p) >= needed).getOrElse(16))
+    sqlPlanes == Similarity.planesForCorpus(n, targetPerBucket = 8,
+      minPlanes = 4, maxPlanes = 16)
+  })
 }

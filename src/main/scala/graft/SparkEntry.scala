@@ -1014,11 +1014,18 @@ object SparkEntry {
       ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, blocks = 4).orderBy("idA", "idB")
     },
-    // ---- embedding cosine near-dup via banded hyperplane LSH (8 bands × 4
-    //      planes, OR-amplified); oracle mirrors planes + buckets + cosine
+    // ---- embedding cosine near-dup via banded hyperplane LSH (8 bands,
+    //      OR-amplified), planes/band sized by the constant-occupancy rule
+    //      (planesForCorpus: ~8 vectors/bucket whatever the corpus — the
+    //      StressX100-measured scale rule; fixed 4 planes measured a 0.93
+    //      sf1.0 exponent because occupancy, and candidate pairs
+    //      quadratically, grew with the corpus). The oracle recomputes the
+    //      SAME rule from count(*), so banding stays mirrored at every SF.
     "d_dedup_cosine_lsh" -> { (s, dir) =>
-      ops.Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, planesPerBand = 4, bands = 8).orderBy("idA", "idB")
+      val emb = t(s, dir, "embeddings")
+      val planes = ops.Similarity.planesForCorpus(emb.count())
+      ops.Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planesPerBand = planes, bands = 8).orderBy("idA", "idB")
     },
     // ---- ANN: brute-force cosine top-k baseline (exact)
     "s_ann_topk" -> { (s, dir) =>
@@ -1028,14 +1035,20 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5).orderBy("qid", "rank")
     },
-    // ---- ANN: banded-LSH scale path (4 bands × 4 planes OR-amplified);
-    //      oracle mirrors the bucketing, so ranks are hash-gated
+    // ---- ANN: banded-LSH scale path (4 bands OR-amplified), planes/band
+    //      sized by the constant-occupancy rule at target 32/bucket — the
+    //      ANN candidate budget is then ~bands×32 exact rescores per query
+    //      REGARDLESS of corpus size (the dedup queries target 8 because
+    //      their within-bucket cost is quadratic; a top-k probe's is
+    //      linear, and a deeper candidate pool buys recall). The oracle
+    //      recomputes the rule from count(*).
     "s_ann_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val planes = ops.Similarity.planesForCorpus(e.count(), targetPerBucket = 32)
       ops.Similarity.lshTopKBanded(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, planesPerBand = 4, bands = 4).orderBy("qid", "rank")
+        k = 5, planesPerBand = planes, bands = 4).orderBy("qid", "rank")
     },
     // ---- ANN: banded LSH with query-side multi-probe (2 weakest-bit
     //      flips per band → 3 buckets probed per band); the corpus index
@@ -1043,10 +1056,11 @@ object SparkEntry {
     //      fan-out only. Oracle mirrors the |dot|-ranked bit flips.
     "s_ann_lsh_probed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val planes = ops.Similarity.planesForCorpus(e.count(), targetPerBucket = 32)
       ops.Similarity.lshTopKBanded(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, planesPerBand = 4, bands = 4, probes = 2).orderBy("qid", "rank")
+        k = 5, planesPerBand = planes, bands = 4, probes = 2).orderBy("qid", "rank")
     },
     // ---- ANN: IVF scale path (seeded coarse quantizer, 4-of-16 cell
     //      probe); oracle mirrors assignment + probing + ranking
@@ -1794,12 +1808,17 @@ object SparkEntry {
     "d_dedup_cosine_vs_index" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") < 250)
+      // constant-occupancy sizing from the INDEX corpus (the side whose
+      // bucket occupancy the probe pays per candidate); the vec_id < 250
+      // cut pins the corpus at 250 vectors at every SF, so the rule
+      // statically resolves to 5 planes and the oracle bakes 5 in
+      val planes = ops.Similarity.planesForCorpus(corpus.count())
       val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
-        planesPerBand = 4, bands = 8)
+        planesPerBand = planes, bands = 8)
       val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
       ops.Dedup.cosineIndexMatches(emb.where(col("vec_id") >= 250), index,
           store, "vec_id", "embedding", threshold = 0.4,
-          planesPerBand = 4, bands = 8)
+          planesPerBand = planes, bands = 8)
         .orderBy("doc_id", "corpusId")
     },
     // ---- incremental SEMANTIC dedup (the SemDeDup-style criterion): drop
@@ -1811,12 +1830,15 @@ object SparkEntry {
     "d_dedup_cosine_incremental" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") < 250)
+      // same constant-occupancy sizing as d_dedup_cosine_vs_index: the
+      // 250-vector corpus statically resolves to 5 planes per band
+      val planes = ops.Similarity.planesForCorpus(corpus.count())
       val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
-        planesPerBand = 4, bands = 8)
+        planesPerBand = planes, bands = 8)
       val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
       ops.Dedup.dedupIncrementalCosine(emb.where(col("vec_id") >= 250), index,
           store, "vec_id", "embedding", threshold = 0.4,
-          planesPerBand = 4, bands = 8)
+          planesPerBand = planes, bands = 8)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },
@@ -2459,9 +2481,15 @@ object SparkEntry {
     //      fingerprints, CDC chunk share) intersected pairwise; diagonal
     //      rows are each criterion's own pair count. The four pair
     //      pipelines run ONCE (checkpointed, pair-count-sized) and the
-    //      matrix join is over id pairs only.
+    //      matrix join is over id pairs only. The (doc_id, text) scan is
+    //      checkpointed ONCE and shared by all four criteria — their
+    //      tokenizations genuinely differ (CDC bytes, word shingles,
+    //      words, char 30-grams), but the r15 plan audit found each
+    //      re-reading the parquet independently; one in-memory frame
+    //      cuts three scan+decompress passes.
     "d_dedup_criteria_matrix" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint()
       def lbl(name: String, df: DataFrame) =
         df.select(lit(name).as("critA"), col("idA").cast("long").as("idA"),
           col("idB").cast("long").as("idB"))
@@ -5557,29 +5585,32 @@ object SparkEntry {
          |FROM s a JOIN s c ON a.doc_id < c.doc_id
          |WHERE bit_count(xor(a.sim, c.sim)) <= 3
          |ORDER BY 1, 2""".stripMargin,
-    // Mirrors Dedup.cosineNearDupPairs: 8 bands × 4 deterministic
-    // hyperplanes (same Lehmer sign formula), exact sequential-fold cosine.
-    "d_dedup_cosine_lsh" -> {
-      val bandSelects = (0 until 8).map(b =>
-        s"SELECT vec_id, v, nrm, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
-        .mkString("\n  UNION ALL ")
+    // Mirrors Dedup.cosineNearDupPairs under constant-occupancy sizing:
+    // 8 bands of planesForCorpus(count(*)) deterministic hyperplanes —
+    // the SQL recomputes the plane count from the corpus count and
+    // evaluates the same sign formula with the plane index a runtime
+    // variable (OracleFrag.adaptive*), then exact sequential-fold cosine.
+    "d_dedup_cosine_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |bd AS (\n  $bandSelects),
+         |${OracleFrag.adaptivePlanesCtes("SELECT count(*) FROM embeddings", bands = 8)},
+         |${OracleFrag.adaptiveBandCte("bd", bands = 8)},
          |p AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
          |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
          |sc AS (SELECT p.ia, p.ib,
          |        round(${OracleFrag.dot64("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) AS cosine
          |       FROM p JOIN n na ON na.vec_id = p.ia JOIN n nb ON nb.vec_id = p.ib)
          |SELECT ia AS "idA", ib AS "idB", cosine
-         |FROM sc WHERE cosine >= 0.3 ORDER BY 1, 2""".stripMargin
-    },
+         |FROM sc WHERE cosine >= 0.3 ORDER BY 1, 2""".stripMargin,
     // The cosine index probe replayed: same 8×4 banding, restricted to
     // (batch ≥ 250) × (index < 250), exact-cosine verify — the split
     // sibling of the d_dedup_cosine_lsh oracle
     "d_dedup_cosine_vs_index" -> {
+      // planesForCorpus over the vec_id < 250 index corpus statically
+      // resolves to 5 planes (250 vectors is pinned at every SF), so the
+      // mirror bakes 5 in rather than recomputing from count(*)
       val bandSelects = (0 until 8).map(b =>
-        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 5, b * 5)} AS bucket FROM n")
         .mkString("\n  UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
@@ -5598,8 +5629,10 @@ object SparkEntry {
     // drop matched docs, corpus-touching components, and non-reps — the
     // cosine sibling of the d_dedup_simhash_incremental oracle
     "d_dedup_cosine_incremental" -> {
+      // same static resolution as d_dedup_cosine_vs_index: the 250-vector
+      // corpus makes planesForCorpus a constant 5
       val bandSelects = (0 until 8).map(b =>
-        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
+        s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 5, b * 5)} AS bucket FROM n")
         .mkString("\n  UNION ALL ")
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
@@ -5701,7 +5734,7 @@ object SparkEntry {
          |SELECT vec_id, cell FROM asg WHERE vec_id NOT IN (SELECT lid FROM losers)
          |ORDER BY vec_id""".stripMargin
     },
-    // Hard negatives replayed: the s_ann_lsh banding (4×4) restricted to
+    // Hard negatives replayed: hardNegatives' own 4×4 banding restricted to
     // query ids, label-mismatch filter BEFORE the rank, same tie-break
     "d_ann_negatives" -> {
       val bandSelects = (0 until 4).map(b =>
@@ -5936,15 +5969,15 @@ object SparkEntry {
          |SELECT sa AS "srcA", sb AS "srcB",
          |  round(CAST(neq AS DOUBLE) / 32.0, 6) AS est_jaccard
          |FROM pr ORDER BY 1, 2""".stripMargin,
-    // Mirrors Similarity.lshTopKBanded: 4 bands × 4 planes, union of band
-    // matches, exact cosine, rank over (sim DESC, cid).
-    "s_ann_lsh" -> {
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT vec_id, v, nrm, $b AS band, ${OracleFrag.bucket("v", 4, b * 4)} AS bucket FROM n")
-        .mkString("\n  UNION ALL ")
+    // Mirrors Similarity.lshTopKBanded under constant-occupancy sizing:
+    // 4 bands of planesForCorpus(count(*), target 32) planes — the SQL
+    // recomputes the rule from the corpus count (OracleFrag.adaptive*) —
+    // union of band matches, exact cosine, rank over (sim DESC, cid).
+    "s_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |bd AS (\n  $bandSelects),
+         |${OracleFrag.adaptivePlanesCtes("SELECT count(*) FROM embeddings", bands = 4, target = 32)},
+         |${OracleFrag.adaptiveBandCte("bd", bands = 4)},
          |p AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
          |      FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id != c.vec_id
          |      WHERE a.vec_id < 20),
@@ -5953,23 +5986,18 @@ object SparkEntry {
          |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
-    // Mirrors Similarity.lshTopKBanded with probes=2: the query side
-    // probes the exact bucket plus the 2 weakest-bit flips per band
-    // (OracleFrag.probeBuckets = the same |dot|-ranked flip arithmetic);
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Mirrors Similarity.lshTopKBanded with probes=2 under the same
+    // adaptive sizing: the query side probes the exact bucket plus the 2
+    // weakest-|dot| bit flips per band (OracleFrag.adaptiveProbeCtes =
+    // the probeBuckets flip arithmetic with planes a runtime variable);
     // the corpus index is the plain per-band bucket.
-    "s_ann_lsh_probed" -> {
-      val corpusSelects = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, CAST(${OracleFrag.bucket("v", 4, b * 4)} AS BIGINT) AS bucket FROM n")
-        .mkString("\n  UNION ALL ")
-      val querySelects = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, unnest(${OracleFrag.probeBuckets("v", 4, b * 4, 2)}) AS bucket FROM n WHERE vec_id < 20")
-        .mkString("\n  UNION ALL ")
+    "s_ann_lsh_probed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |bdc AS (\n  $corpusSelects),
-         |bdq AS (\n  $querySelects),
+         |${OracleFrag.adaptivePlanesCtes("SELECT count(*) FROM embeddings", bands = 4, target = 32)},
+         |${OracleFrag.adaptiveBandCte("bdc", bands = 4)},
+         |${OracleFrag.adaptiveProbeCtes("bdq", bands = 4, probes = 2, where = "WHERE n.vec_id < 20")},
          |p AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
          |      FROM bdq q JOIN bdc c ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id),
          |sc AS (SELECT p.qid, p.cid,
@@ -5977,8 +6005,7 @@ object SparkEntry {
          |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Mirrors Similarity.ivfTopK: seeded centroids (vec_id < 16), cosine
     // argmin assignment, 4-cell probe, exact top-k inside probed cells.
     "s_ann_ivf" -> ivfOracleSql,

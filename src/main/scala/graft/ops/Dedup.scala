@@ -723,11 +723,54 @@ object Dedup {
               "chance (silent recall collapse). Re-band the index " +
               "(cosineIndex over its vector store) or probe with the " +
               "build parameters")
+      // STRICT on missing provenance: an unstamped index is exactly the
+      // population the stamp exists to catch — every index the pre-stamp
+      // (affine-generator v1) cosineIndex ever persisted is unstamped, and
+      // probing one under the current formula matches buckets only by
+      // 2^-planes chance (silent recall collapse, not an error). A pass-
+      // through here would defend only against FUTURE drift while waving
+      // the known-bad past generation straight through.
+      if (!f.metadata.contains("graft.bandFormat"))
+        throw new IllegalArgumentException(
+          "cosine index carries no band-format stamp: its banding " +
+            "generation is unknown (every pre-v2 persisted index is " +
+            "unstamped, and the v1 formula's buckets match v2's only by " +
+            "chance — silent recall collapse). Re-band it (cosineIndex " +
+            "over its vector store), or — if its provenance is KNOWN to " +
+            "be the current formula and these parameters — assert that " +
+            "explicitly with stampCosineIndex")
       check("graft.bandFormat", Similarity.BandFormatVersion,
         "band-formula version")
       check("graft.planesPerBand", planesPerBand.toLong, "planesPerBand")
       check("graft.bands", bands.toLong, "bands")
     }
+
+  /** Explicit provenance assertion for an UNSTAMPED index (externally
+    * built, or persisted by cosineIndex before stamping existed): attaches
+    * the CURRENT-formula stamp with the given parameters so the probers
+    * accept it. This is a caller's signed statement that the index was
+    * banded by the current [[Similarity.bandSign]] generation with exactly
+    * these planes/bands — when that is not positively known, re-band
+    * instead (one [[cosineIndex]] pass over the vector store). Refuses an
+    * index that already carries a stamp: overwriting real provenance is a
+    * mismatch to fix, not to relabel.
+    */
+  def stampCosineIndex(index: DataFrame, planesPerBand: Int = 4,
+      bands: Int = 8): DataFrame = {
+    val f = index.schema.fields.find(_.name == "bucket").getOrElse(
+      throw new IllegalArgumentException(
+        "stampCosineIndex: no bucket column — not a cosine band index"))
+    require(!f.metadata.contains("graft.bandFormat"),
+      "stampCosineIndex: index is already stamped — a conflicting stamp " +
+        "is a real generation/width mismatch, not missing provenance")
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putLong("graft.bandFormat", Similarity.BandFormatVersion)
+      .putLong("graft.planesPerBand", planesPerBand.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .build()
+    index.withColumn("bucket", col("bucket").as("bucket", stamp))
+  }
 
   /** The vector side of a persisted cosine index: `(corpusId, corpusV,
     * corpusN)` — one row per corpus document, norms precomputed at build

@@ -112,6 +112,15 @@ class OpsSpec extends AnyFunSuite {
     // clamps: tiny corpus floors at minPlanes, huge corpus caps at maxPlanes
     assert(planesForCorpus(0, 8) == 4)
     assert(planesForCorpus(Long.MaxValue, 1, minPlanes = 4, maxPlanes = 24) == 24)
+    // the SHIPPED oracle-gated sizes: the adaptive DuckDB mirror
+    // (OracleFrag.planesForCorpusSql) recomputes these from count(*), so
+    // any rule change that moves them must move the oracle in lockstep —
+    // this pin is the Scala half of that contract
+    assert(planesForCorpus(500) == 6)   // d_dedup_cosine_lsh @ sf0.01
+    assert(planesForCorpus(2000) == 8)  // d_dedup_cosine_lsh @ sf0.1
+    assert(planesForCorpus(250) == 5)   // cosine vs-index/incremental corpus (pinned 250 at every SF)
+    assert(planesForCorpus(500, targetPerBucket = 32) == 4)  // s_ann_lsh* @ sf0.01
+    assert(planesForCorpus(2000, targetPerBucket = 32) == 6) // s_ann_lsh* @ sf0.1
     // invalid shapes fail loudly
     intercept[IllegalArgumentException](planesForCorpus(-1, 8))
     intercept[IllegalArgumentException](planesForCorpus(10, 0))
@@ -1690,12 +1699,24 @@ class OpsSpec extends AnyFunSuite {
       Dedup.dedupIncrementalCosine(batch, oldGen, store, "vec_id",
         "embedding", threshold = 0.4)
     }
-    // an UNSTAMPED index (external/pre-stamp) still probes — compat is
-    // then the caller's contract
+    // an UNSTAMPED index (external/pre-stamp) is REFUSED — every pre-v2
+    // persisted index is unstamped, and probing one under the current
+    // formula is silent recall collapse (the r15 ADVICE item: the guard
+    // must defend against the known-bad past, not just future drift)
     val unstamped = loaded.select(col("band"),
       col("bucket").cast("long").as("bucket"), col("corpusId"))
-    assert(Dedup.cosineIndexMatches(batch, unstamped, store, "vec_id",
+    val eUnstamped = intercept[IllegalArgumentException] {
+      Dedup.cosineIndexMatches(batch, unstamped, store, "vec_id",
+        "embedding", threshold = 0.4)
+    }
+    assert(eUnstamped.getMessage.contains("no band-format stamp"))
+    // ... and stampCosineIndex is the explicit provenance assertion that
+    // re-admits it (caller KNOWS it was built by the current formula)
+    assert(Dedup.cosineIndexMatches(batch,
+      Dedup.stampCosineIndex(unstamped), store, "vec_id",
       "embedding", threshold = 0.4).collect().toSet == inFlight)
+    // re-stamping an already-stamped index is a mismatch, not provenance
+    intercept[IllegalArgumentException](Dedup.stampCosineIndex(loaded))
   }
 
   test("dedupIncrementalCosine reproduces the full-rerun survivor set (corpus ids first)") {
