@@ -191,15 +191,30 @@ object DocumentStream {
     * NULL text RAISES (the batch [[graft.ops.Dedup.indexCut]] convention):
     * `xxhash64(NULL)` is the SEED constant (42), not NULL, so distinct
     * null-text documents would all share one contentKey and silently
-    * dedup against each other — filter or repair upstream.
+    * dedup against each other — filter or repair upstream. For always-on
+    * deployments that prefer availability over the crash-loop,
+    * `passNullText = true` is the explicit opt-in (the [[guardedId]]
+    * doc's two-conventions rationale): null-text rows BYPASS the dedup
+    * entirely (emitted with a null contentKey, never merged with anything
+    * and holding no state) — the conservative direction for a dedup
+    * (extra rows survive; nothing is silently merged).
     */
-  def dedupExactWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
-    docs
+  def dedupExactWithinWatermark(docs: DataFrame, delay: String = "10 minutes",
+      passNullText: Boolean = false): DataFrame =
+    if (passNullText) {
+      val wm = docs.withWatermark("ingestTs", delay)
+      wm.where(col("text").isNotNull)
+        .withColumn("contentKey", xxhash64(col("text")))
+        .dropDuplicatesWithinWatermark("contentKey")
+        .unionByName(wm.where(col("text").isNull)
+          .withColumn("contentKey", lit(null).cast("long")))
+    } else docs
       .withColumn("contentKey",
         when(col("text").isNull, raise_error(lit(
           "dedupExactWithinWatermark: null text — xxhash64(NULL) is the " +
             "seed constant, so distinct null-text documents would " +
-            "silently dedup against each other; filter or repair upstream")))
+            "silently dedup against each other; filter or repair " +
+            "upstream, or opt into passNullText = true")))
           .otherwise(xxhash64(col("text"))))
       .withWatermark("ingestTs", delay)
       .dropDuplicatesWithinWatermark("contentKey")
@@ -240,17 +255,37 @@ object DocumentStream {
     * id precisely because NULL never survives the `doc_id =!= corpusId`
     * identity filter: a null-id near-duplicate's matches vanish and a
     * downstream remove-matched step silently re-admits it.
+    *
+    * The module carries TWO null conventions on purpose, chosen by what a
+    * dropped row costs: [[bloomGate]] admits null text and MediaStream
+    * drops null ids because those outputs are conservative filters — a
+    * tolerated null can only let one extra row through, and raising would
+    * wedge an always-on query in a crash loop a restart cannot clear. The
+    * near-dup PROBES' output feeds removal decisions, where a silently
+    * skipped row IS the integrity failure, so they default to the batch
+    * family's raise. For always-on deployments that prefer availability
+    * (repair ids upstream, restart nothing), each probe takes
+    * `dropNullIds = true` — an EXPLICIT opt-in that filters null-id rows
+    * before the guard; the drop is visible in the sink's row counts
+    * (input vs output) rather than a poison-pill crash loop.
     */
   private def guardedId(c: Column, op: String): Column =
     when(c.isNull, raise_error(lit(
       s"$op: null doc_id — a null-id near-duplicate would be silently " +
         "re-admitted (NULL never matches the identity filter); filter " +
-        "or repair ids upstream"))).otherwise(c)
+        "or repair ids upstream, or opt into dropNullIds = true"))).otherwise(c)
+
+  /** The dropNullIds opt-in (see [[guardedId]]): pre-filter null-id rows
+    * so the guard never fires — the drop-with-visible-row-counts
+    * convention for always-on probes. */
+  private def nullIdPolicy(df: DataFrame, dropNullIds: Boolean): DataFrame =
+    if (dropNullIds) df.where(col("doc_id").isNotNull) else df
 
   def nearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       maxHamming: Int = 3, blocks: Int = 4,
-      dedupDelay: String = "10 minutes"): DataFrame = {
-    val withSim = stream
+      dedupDelay: String = "10 minutes",
+      dropNullIds: Boolean = false): DataFrame = {
+    val withSim = nullIdPolicy(stream, dropNullIds)
       .select(guardedId(col("doc_id"), "nearDupsAgainstCorpus").as("doc_id"),
         col("ingestTs"),
         TextFunctions.simhash31(col("text")).as("sim"))
@@ -276,8 +311,9 @@ object DocumentStream {
     */
   def minhashNearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.3,
-      dedupDelay: String = "10 minutes"): DataFrame = {
-    val withSig = stream
+      dedupDelay: String = "10 minutes",
+      dropNullIds: Boolean = false): DataFrame = {
+    val withSig = nullIdPolicy(stream, dropNullIds)
       .select(guardedId(col("doc_id"), "minhashNearDupsAgainstCorpus").as("doc_id"),
         col("ingestTs"),
         TextFunctions.minhash_sig(
@@ -310,26 +346,40 @@ object DocumentStream {
     * pair colliding in all `bands` bands pays ONE dot product, not
     * `bands` — the streaming analogue of the batch probe's
     * dedup-pairs-first rule. Both static sides are broadcast
-    * (stream-static joins want the static side as build side). Verified
-    * sub-threshold pairs are filtered after the collapse, exactly as
-    * before — the collapse key (doc_id, corpusId) is independent of the
-    * verify result, so output is unchanged.
+    * (stream-static joins want the static side as build side).
+    *
+    * Because the collapse runs pre-verify, the collapse key includes a
+    * CONTENT hash of the vector, not just (doc_id, corpusId): the
+    * simhash/minhash twins filter failed probes before their collapse,
+    * but here a first arrival that FAILS the verify would otherwise
+    * occupy the (doc_id, corpusId) slot and silently drop a mutated
+    * re-arrival of the same id whose new vector PASSES — exactly the
+    * re-crawled-id-with-changed-content case [[cdcIngestProbe]] exists
+    * for. With the hash in the key, identical re-deliveries (the case
+    * the collapse targets) still collapse to one dot product, while a
+    * changed vector verifies on its own row — output matches the batch
+    * probe over the same arrivals up to watermark-late drops.
     */
   def cosineNearDupsAgainstCorpus(stream: DataFrame, index: DataFrame,
       vecStore: DataFrame, vecCol: String = "vec",
       threshold: Double = 0.95, planesPerBand: Int = 4, bands: Int = 8,
-      dedupDelay: String = "10 minutes"): DataFrame = {
-    val withVec = stream
+      dedupDelay: String = "10 minutes",
+      dropNullIds: Boolean = false): DataFrame = {
+    val withVec = nullIdPolicy(stream, dropNullIds)
       .select(guardedId(col("doc_id"), "cosineNearDupsAgainstCorpus").as("doc_id"),
         col("ingestTs"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
       .withColumn("__v", col("v")).withColumn("__nrm", col("nrm"))
+      // content fingerprint for the collapse key (see docstring): computed
+      // on the double-cast vector so float/double inputs of equal value
+      // fingerprint identically
+      .withColumn("__vh", xxhash64(col("v")))
     Dedup.cosineCandidateCore(withVec, broadcast(index), planesPerBand, bands)
       .select(col("doc_id"), col("ingestTs"), col("corpusId"),
-        col("__v"), col("__nrm"))
+        col("__v"), col("__nrm"), col("__vh"))
       .withWatermark("ingestTs", dedupDelay)
-      .dropDuplicatesWithinWatermark("doc_id", "corpusId")
+      .dropDuplicatesWithinWatermark("doc_id", "corpusId", "__vh")
       .join(broadcast(vecStore), "corpusId")
       .select(col("doc_id"), col("corpusId"),
         Dedup.cosineVerify(col("__v"), col("__nrm"),
@@ -467,14 +517,28 @@ object DocumentStream {
     * once the watermark passes (bounded by arrival rate × `delay`), and
     * each ARRIVAL aggregates its own row (a re-crawl probes
     * independently, which is the increment semantics). The output then
-    * carries `ingestTs` alongside the batch op's schema. Without an
-    * `ingestTs` column the bare form runs — fine for bounded backfills
-    * and parity tests, not for unbounded ingest.
+    * carries `ingestTs` alongside the batch op's schema. The bare
+    * (unbounded-state) form is an EXPLICIT opt-in: a STREAMING input
+    * without an `ingestTs` column raises at plan time unless
+    * `allowUnboundedState = true` — the silent fallback it replaces meant
+    * a column-name typo (`ingest_ts`) degraded an always-on query into
+    * one-state-row-per-id-ever-seen with re-crawls merging and
+    * double-counting, exactly the failure the docstring warned about but
+    * nothing enforced. Batch inputs never need the opt-in (their
+    * "state" ends with the job).
     */
   def cdcIngestProbe(docs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 16, maskBits: Int = 6, delay: String = "10 minutes"): DataFrame = {
+      k: Int = 16, maskBits: Int = 6, delay: String = "10 minutes",
+      allowUnboundedState: Boolean = false): DataFrame = {
     val bounded = docs.isStreaming && docs.columns.contains("ingestTs")
+    require(!docs.isStreaming || bounded || allowUnboundedState,
+      "cdcIngestProbe: streaming input has no ingestTs column — the per-doc " +
+        "re-aggregation would keep one state row per distinct id EVER seen " +
+        "(unbounded on always-on ingest) and re-crawled ids would merge and " +
+        "double-count. Add an ingestTs event-time column (watermarked, " +
+        s"state evicted after $delay), or pass allowUnboundedState = true " +
+        "for a deliberately bounded backfill")
     val in = if (bounded) docs.withWatermark("ingestTs", delay) else docs
     // the contract here IS a cdcChunkIndex (distinct by construction):
     // skip the defensive index distinct, which would re-shuffle the

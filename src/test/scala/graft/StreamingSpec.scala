@@ -689,8 +689,13 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     val (b1, b2) = rows.splitAt(rows.length / 2)
     val input = MemoryStream[(Long, String)]
+    // a streaming input WITHOUT ingestTs must name the unbounded-state
+    // risk explicitly — the silent fallback was the r15 ADVICE item
+    intercept[IllegalArgumentException](DocumentStream.cdcIngestProbe(
+      input.toDF().toDF("doc_id", "text"), idx, k = 16, maskBits = 5))
     val q = DocumentStream.cdcIngestProbe(
-        input.toDF().toDF("doc_id", "text"), idx, k = 16, maskBits = 5)
+        input.toDF().toDF("doc_id", "text"), idx, k = 16, maskBits = 5,
+        allowUnboundedState = true)
       .writeStream.outputMode("update")
       .format("memory").queryName("doc_cdc_probe").start()
     try {
@@ -1217,6 +1222,95 @@ class StreamingSpec extends AnyFunSuite {
     val admitted = DocumentStream.bloomGate(mixed, words)
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(1L)) // null text admitted, known dup rejected
+  }
+
+  test("streaming cosine probe: mutated re-arrival within the watermark verifies on its own row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 1 band × 1 plane: bucket = sign of the dot with plane 0, so the
+    // collision is constructed, not probabilistic. c IS plane 0's sign
+    // pattern; v1 keeps the dot positive (same bucket) but scores cosine
+    // ≈ 0.115 < 0.4 (fails the verify); v2 = c scores 1.0 (passes).
+    val s = (1 to 4).map(i => graft.ops.Similarity.bandSign(0, i))
+    val c = s
+    val v1 = Seq(s(0) * 4, -s(1), -s(2), -s(3))
+    val corpus = Seq((100L, c)).toDF("vec_id", "vec")
+    val index = graft.ops.Dedup.cosineIndex(corpus, "vec_id", "vec",
+      planesPerBand = 1, bands = 1)
+    val store = graft.ops.Dedup.cosineVecStore(corpus, "vec_id", "vec")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:02:00")
+    val t3 = java.sql.Timestamp.valueOf("2026-01-01 10:04:00")
+    val input = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val q = DocumentStream.cosineNearDupsAgainstCorpus(
+        input.toDF().toDF("doc_id", "vec", "ingestTs"), index, store,
+        threshold = 0.4, planesPerBand = 1, bands = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cos_rearrival").start()
+    try {
+      // first arrival of doc 7 band-collides with the corpus but FAILS the
+      // verify — before the content hash joined the collapse key, this
+      // arrival occupied the (7, 100) slot and silently swallowed the next
+      input.addData(Seq((7L, v1, t1))); q.processAllAvailable()
+      // mutated re-arrival (re-crawl with changed content) must verify on
+      // its own row and emit the match
+      input.addData(Seq((7L, c, t2))); q.processAllAvailable()
+      // identical re-delivery (the case the collapse targets) still
+      // collapses: no second row for the same content
+      input.addData(Seq((7L, c, t3))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cos_rearrival")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((7L, 100L, 1.0)), s"got $got")
+  }
+
+  test("streaming exact dedup: passNullText bypasses null-text rows instead of raising") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Option[String])]
+    val q = DocumentStream.dedupExactWithinWatermark(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("ingestTs", current_timestamp()),
+        passNullText = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_dedup_passnull").start()
+    try {
+      // two DISTINCT null-text docs (must BOTH survive — xxhash64(NULL)
+      // would have merged them) + a real duplicate pair (must collapse)
+      input.addData(Seq((1L, None), (2L, None),
+        (3L, Some("same text")), (4L, Some("same text"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("doc_dedup_passnull")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.intersect(Set(1L, 2L)) == Set(1L, 2L), s"null rows lost: $got")
+    assert(got.intersect(Set(3L, 4L)).size == 1, s"dup pair not collapsed: $got")
+  }
+
+  test("streaming corpus probe: dropNullIds filters null-id rows instead of wedging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val index = DocumentStream.simhashIndex(corpus, "doc_id", "text")
+    val corpusText = corpus.select("text").head().getString(0)
+    val input = MemoryStream[(Option[Long], String)]
+    val q = DocumentStream.nearDupsAgainstCorpus(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("ingestTs", current_timestamp()), index,
+        dropNullIds = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_neardup_dropnull").start()
+    try {
+      // the null-id poison row is dropped; the real duplicate still probes
+      input.addData(Seq((None, corpusText), (Some(9999L), corpusText)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("doc_neardup_dropnull")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(9999L), s"got $got")
   }
 
   test("runningKmv validates k like the batch estimator") {
