@@ -67,6 +67,21 @@ private[tools] object Synth {
     (0 until n).map(r => (r, replicaMask(r))).toDF("__rep", "__mask")
   }
 
+  /** The broadcast-mask-table embedding replication (the StressX100 shape,
+    * shared with [[RecallX100]]): n replicas, per-replica ±1 dimension
+    * masks, ids shifted by replica × 10M. Checkpointed — the tools time
+    * probes, not generation.
+    */
+  def replicateEmb(spark: SparkSession, df: DataFrame, n: Int): DataFrame = {
+    val masks = maskTable(spark, n)
+    df.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(n - 1))).as("__rep"))
+      .join(broadcast(masks), Seq("__rep"))
+      .select((col("vec_id") + col("__rep").cast("long") * 10000000L).as("vec_id"),
+        zip_with(col("embedding"), col("__mask"), (x, s) => x * s).as("embedding"))
+      .localCheckpoint()
+  }
+
   /** Fold-CASE mask column for small replica counts (StressX10/ScaleUp). */
   def maskByRep(v: Column, repCol: Column, n: Int): Column =
     (1 until n).foldLeft(v) { (acc, r) =>
