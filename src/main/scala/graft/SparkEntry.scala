@@ -1256,19 +1256,28 @@ object SparkEntry {
     "m_media_dedup" -> { (s, dir) =>
       // localCheckpoint: the blocked self-join scans (id, sim) twice —
       // materializing the signature-sized frame decodes each PNG ONCE
+      // constant-occupancy blocking (see m_media_dedup_rates): k = 1
+      // (5 blocks, today's shape) at every oracle-gated scale, wider
+      // combinations as the corpus grows; the brute-force oracle gates
+      // any lossless blocking
+      val kDup = ops.Dedup.hammingComboWidth(
+        t(s, dir, "documents").count(), maxHamming = 4, bits = 64)
       val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
         .localCheckpoint()
-      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 4 + kDup,
+          bits = 64, comboWidth = kDup)
         .orderBy("idA", "idB")
     },
     // ---- image near-dup REMOVAL: dHash pairs -> star-CC -> one LEFT
     //      ANTI — the multimodal criterion gets the same removal closure
     //      every text criterion has
     "m_media_dedup_removal" -> { (s, dir) =>
+      val kDup = ops.Dedup.hammingComboWidth(
+        t(s, dir, "documents").count(), maxHamming = 4, bits = 64)
       val hashes = ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
         .localCheckpoint() // 3 scans (pair sides + survivor join), 1 decode
-      val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5,
-        bits = 64)
+      val pairs = ops.Dedup.pairsFromHash(hashes, maxHamming = 4,
+        blocks = 4 + kDup, bits = 64, comboWidth = kDup)
       val comps = ops.Dedup.connectedComponentsStar(pairs, "idA", "idB")
       val losers = comps.where(col("node") =!= col("comp"))
         .select(col("node").as("__dup_id"))
@@ -1295,9 +1304,12 @@ object SparkEntry {
     //      decoded WAVs (planted variant groups), the same width-generic
     //      blocked pairing — dedup's second modality
     "m_media_audio_dedup" -> { (s, dir) =>
+      val kDup = ops.Dedup.hammingComboWidth(
+        t(s, dir, "documents").count(), maxHamming = 4, bits = 64)
       val hashes = ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))
         .localCheckpoint() // one WAV container parse, two pair-side scans
-      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 4 + kDup,
+          bits = 64, comboWidth = kDup)
         .orderBy("idA", "idB")
     },
     // ---- per-modality dataset card: decoded dimensions/durations per
@@ -1345,8 +1357,18 @@ object SparkEntry {
         when(c < 0 || c >= (1L << 40), raise_error(concat(
           lit("m_media_dedup_rates: asset id outside the 2^40 modality band: "),
           c.cast("string")))).otherwise(c + off)
+      // constant-occupancy blocking (hammingComboWidth, the Manku
+      // combination scheme): every modality has one asset per document,
+      // so the corpus count sizes the combination width — k=1 (5 blocks,
+      // today's shape) through sf0.1, k=2 (6 blocks, 15 tables, ~2^21
+      // buckets) at the sf1.0 sweep where fixed 2^13 buckets measured a
+      // 13× cost at 10× rows. The oracle brute-forces ALL pairs, so any
+      // lossless blocking matches it by construction.
+      val nAssets = t(s, dir, "documents").count()
+      val k = ops.Dedup.hammingComboWidth(nAssets, maxHamming = 4, bits = 64)
       val pairs = modalities.map { case (_, off, hashes) =>
-        ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+        ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 4 + k,
+            bits = 64, comboWidth = k)
           .select(banded(col("idA"), off).as("idA"),
             banded(col("idB"), off).as("idB"))
       }.reduce(_ unionByName _)
@@ -1387,9 +1409,12 @@ object SparkEntry {
     //      blocking plumbing is real; a codec drop-in replaces only the
     //      per-frame statistic. Dedup's third modality
     "m_media_video_dedup" -> { (s, dir) =>
+      val kDup = ops.Dedup.hammingComboWidth(
+        t(s, dir, "documents").count(), maxHamming = 4, bits = 64)
       val hashes = ops.Multimodal.videoHashes(
         ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
-      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 5, bits = 64)
+      ops.Dedup.pairsFromHash(hashes, maxHamming = 4, blocks = 4 + kDup,
+          bits = 64, comboWidth = kDup)
         .orderBy("idA", "idB")
     },
 

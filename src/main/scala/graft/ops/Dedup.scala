@@ -272,6 +272,57 @@ object Dedup {
       else masked.bitwiseAND(lit((1L << (hi - lo)) - 1))
     }: _*)
 
+  /** Combination block keys (Manku et al.'s permuted-table scheme, the
+    * Hamming family's constant-occupancy rule): one packed key per
+    * `comboWidth`-subset of the `blocks` bit ranges — C(blocks, k)
+    * tables whose key width is the SUM of the chosen blocks' widths, so
+    * the bucket space grows exponentially with k while losslessness
+    * holds whenever `blocks - maxHamming >= comboWidth` (≤ maxHamming
+    * damaged blocks leave ≥ blocks − maxHamming intact ones, hence some
+    * all-intact k-subset). k = 1 is exactly [[blockKeyColsBits]] (the
+    * classic pigeonhole blocking); the fold packs each block's exact
+    * width, and any subset's widths sum to ≤ `bits` ≤ 64, so the packed
+    * key always fits one long.
+    */
+  private[graft] def comboKeyCols(sim: Column, blocks: Int, bits: Int,
+      comboWidth: Int): Column = {
+    val combos = (0 until blocks).combinations(comboWidth).toSeq
+    array(combos.map { c =>
+      c.foldLeft(lit(0L)) { (acc, i) =>
+        val (lo, hi) = blockBoundsBits(bits, blocks, i)
+        val masked = shiftrightunsigned(sim, lo)
+        val key = if (hi - lo >= 64) masked
+          else masked.bitwiseAND(lit((1L << (hi - lo)) - 1))
+        shiftleft(acc, hi - lo).bitwiseOR(key)
+      }
+    }: _*)
+  }
+
+  /** Constant-occupancy sizing for the Hamming family: the smallest
+    * combination width k (and its blocks = maxHamming + k) whose bucket
+    * space `2^(k · floor(bits / (maxHamming + k)))` keeps expected
+    * occupancy ≤ `targetPerBucket` at `corpusSize` fingerprints — the
+    * [[graft.ops.Similarity.planesForCorpus]] analogue for blocked
+    * Hamming, where bucket width can only grow by COMBINING blocks
+    * (pigeonhole needs maxHamming + k of them to stay lossless). Table
+    * count C(maxHamming + k, k) grows with k (d=4: 5/15/35 tables at
+    * k=1/2/3), which is the price of candidates staying ~linear in the
+    * corpus; `maxWidth` caps it.
+    */
+  def hammingComboWidth(corpusSize: Long, maxHamming: Int, bits: Int,
+      targetPerBucket: Int = 8, maxWidth: Int = 3): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(maxHamming >= 0 && bits >= 1 && bits <= 64,
+      s"need maxHamming >= 0 and bits in [1, 64]: $maxHamming, $bits")
+    require(targetPerBucket >= 1 && maxWidth >= 1,
+      s"need targetPerBucket >= 1 and maxWidth >= 1: $targetPerBucket, $maxWidth")
+    val needed = if (corpusSize == 0) 0L else (corpusSize - 1) / targetPerBucket + 1
+    (1 to maxWidth).find { k =>
+      val width = k * (bits / (maxHamming + k))
+      width >= 63 || (1L << width) >= needed
+    }.getOrElse(maxWidth)
+  }
+
   /** SimHash near-dup pairs over the 31-bit simhash. The hash is split into
     * `blocks` near-equal bit ranges; by pigeonhole, any pair within Hamming
     * distance < blocks shares at least one identical block, so bucketing by
@@ -305,12 +356,15 @@ object Dedup {
     * candidates meet only inside a (block, blockKey) bucket.
     */
   def pairsFromHash(sims: DataFrame, maxHamming: Int, blocks: Int,
-      bits: Int): DataFrame = {
-    require(blocks > maxHamming,
-      s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
-        "pigeonhole guarantees a shared block only for distance < blocks")
+      bits: Int, comboWidth: Int = 1): DataFrame = {
+    require(comboWidth >= 1, s"comboWidth must be >= 1: $comboWidth")
+    require(blocks - maxHamming >= comboWidth,
+      s"pigeonhole: blocks ($blocks) - maxHamming ($maxHamming) must be " +
+        s">= comboWidth ($comboWidth) — a pair at the distance bound " +
+        "keeps only blocks - maxHamming intact blocks, and losslessness " +
+        "needs an all-intact combination among them")
     val blocked = sims.select(col("id"), col("sim"),
-      posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
+      posexplode(comboKeyCols(col("sim"), blocks, bits, comboWidth)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
     val l = blocked.select(col("block"), col("blockKey"),
       col("id").as("idA"), col("sim").as("simA"))
@@ -328,9 +382,10 @@ object Dedup {
     * Signature-sized, `blocks` rows per corpus asset; the media payloads
     * are never redecoded by an increment.
     */
-  def hashIndex(sims: DataFrame, blocks: Int, bits: Int): DataFrame =
+  def hashIndex(sims: DataFrame, blocks: Int, bits: Int,
+      comboWidth: Int = 1): DataFrame =
     sims.select(col("id").as("corpusId"), col("sim").as("corpusSim"),
-        posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
+        posexplode(comboKeyCols(col("sim"), blocks, bits, comboWidth)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
 
   /** Probe `(id, sim)` rows against a [[hashIndex]]: exact Hamming ≤
@@ -340,8 +395,9 @@ object Dedup {
     * [[indexMatchCore]] convention).
     */
   def hashIndexMatches(batch: DataFrame, index: DataFrame, maxHamming: Int,
-      blocks: Int, bits: Int): DataFrame =
-    hashIndexMatchCore(batch, index, maxHamming, blocks, bits)
+      blocks: Int, bits: Int, comboWidth: Int = 1): DataFrame =
+    hashIndexMatchCore(batch, index, maxHamming, blocks, bits,
+      comboWidth = comboWidth)
       .select("id", "corpusId", "dist")
       .distinct()
 
@@ -354,12 +410,15 @@ object Dedup {
     */
   private[graft] def hashIndexMatchCore(batch: DataFrame, index: DataFrame,
       maxHamming: Int, blocks: Int, bits: Int,
-      idName: String = "id"): DataFrame = {
-    require(blocks > maxHamming,
-      s"blocks ($blocks) must exceed maxHamming ($maxHamming): " +
-        "pigeonhole guarantees a shared block only for distance < blocks")
+      idName: String = "id", comboWidth: Int = 1): DataFrame = {
+    require(comboWidth >= 1, s"comboWidth must be >= 1: $comboWidth")
+    require(blocks - maxHamming >= comboWidth,
+      s"pigeonhole: blocks ($blocks) - maxHamming ($maxHamming) must be " +
+        s">= comboWidth ($comboWidth) — the probe must use the index's " +
+        "combination scheme, and losslessness needs an all-intact " +
+        "combination at the distance bound")
     batch.select(col("*"),
-        posexplode(blockKeyColsBits(col("sim"), blocks, bits)))
+        posexplode(comboKeyCols(col("sim"), blocks, bits, comboWidth)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "blockKey"))
       .join(index, Seq("block", "blockKey"))
       .where(col(idName) =!= col("corpusId"))
@@ -1394,9 +1453,20 @@ object Dedup {
     var edges = raw.where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true) // canonical u > v
-    def potential(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // the id-sum potential must accumulate in DECIMAL(38,0), and each
+    // term must be WIDENED BEFORE the add: node ids are arbitrary longs
+    // (banded media ids ~2^41; xxhash64-keyed ids span the full 64-bit
+    // range), so u + v can overflow PER ROW and the long sum overflows
+    // after ~millions of edges — both raised ANSI ARITHMETIC_OVERFLOW at
+    // the sf1.0 sweep (m_media_dedup_rates, video band ids × 10× docs).
+    // The potential is a convergence pre-filter (exceptAll confirms
+    // exactly), but a crash mid-loop is a crash.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def potential(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(col("u").cast(dec) + col("v").cast(dec)),
+          lit(0L).cast(dec))).head()
+      (r.getLong(0), r.getDecimal(1))
     }
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -1424,8 +1494,10 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = potential(next)
       // potential is non-increasing; equality is a candidate fixpoint,
-      // confirmed exactly (exceptAll is one extra job, paid only then)
-      converged = nfp == fp && next.exceptAll(edges).isEmpty
+      // confirmed exactly (exceptAll is one extra job, paid only then).
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = nfp._1 == fp._1 && nfp._2.compareTo(fp._2) == 0 &&
+        next.exceptAll(edges).isEmpty
       fp = nfp
       edges = next
     }

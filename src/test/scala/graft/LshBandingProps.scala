@@ -110,6 +110,63 @@ object LshBandingProps extends Properties("lshBanding") {
     bucket +: ranked.take(probes).map(j => bucket ^ (1L << (planes - 1 - j)))
   }
 
+  // ---- Hamming combination blocking ----------------------------------------
+
+  // planted near-dup families: a base 64-bit hash plus variants with at
+  // most `maxHamming` random bits flipped (in-bound pairs the blocking
+  // must NEVER lose), plus unrelated random hashes (pairs it should
+  // rarely even see). Distance concentrates AT the bound — the
+  // pigeonhole's worst case, where exactly blocks - maxHamming blocks
+  // stay intact.
+  private val genHashCorpus: Gen[List[(Long, Long)]] = for {
+    nFam <- Gen.chooseNum(1, 4)
+    fams <- Gen.sequence[List[List[Long]], List[Long]](
+      (0 until nFam).toList.map { _ =>
+        for {
+          base <- Gen.long
+          nVar <- Gen.chooseNum(1, 3)
+          flips <- Gen.listOfN(nVar, Gen.listOfN(4, Gen.chooseNum(0, 63)))
+        } yield base :: flips.map(_.distinct.foldLeft(base)((h, b) => h ^ (1L << b)))
+      })
+    loose <- Gen.listOfN(4, Gen.long)
+  } yield (fams.flatten ++ loose).distinct.zipWithIndex
+    .map { case (h, i) => (i.toLong, h) }
+
+  property("combination blocking (k=2, 6 blocks) is lossless: equals k=1 and brute force at d<=4") =
+    forAll(genHashCorpus) { rows =>
+      rows.size < 2 || {
+        import spark.implicits._
+        val df = rows.toDF("id", "sim")
+        def pairsOf(res: org.apache.spark.sql.DataFrame) =
+          res.select("idA", "idB", "dist")
+            .as[(Long, Long, Int)].collect().toSet
+        val brute = (for {
+          (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+          d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+        } yield (ia, ib, d)).toSet
+        val k1 = pairsOf(graft.ops.Dedup.pairsFromHash(df, maxHamming = 4,
+          blocks = 5, bits = 64))
+        val k2 = pairsOf(graft.ops.Dedup.pairsFromHash(df, maxHamming = 4,
+          blocks = 6, bits = 64, comboWidth = 2))
+        k1 == brute && k2 == brute
+      }
+    }
+
+  property("hammingComboWidth: shipped sizes, losslessness precondition, monotone") =
+    org.scalacheck.Prop {
+      import graft.ops.Dedup.hammingComboWidth
+      // the shipped m_media_dedup_rates sizes: k=1 through sf0.1 (the
+      // oracle-gated scales), k=2 at the sf1.0 sweep, k=3 at ~1e9 assets
+      hammingComboWidth(5000, 4, 64) == 1 &&
+      hammingComboWidth(50000, 4, 64) == 2 &&
+      hammingComboWidth(1000000000L, 4, 64) == 3 &&
+      // monotone non-decreasing in corpus size
+      { val ws = (0 to 40).map(e => hammingComboWidth(1L << e, 4, 64, maxWidth = 6))
+        ws == ws.sorted } &&
+      // blocks = maxHamming + k always satisfies pairsFromHash's guard
+      (1 to 6).forall(k => (4 + k) - 4 >= k)
+    }
+
   property("hyperplaneProbes == scalar weakest-|dot|-first reference; flips unique, single-bit") =
     forAll(genVec, Gen.chooseNum(1, 8), Gen.chooseNum(0, 8),
         Gen.chooseNum(0, 20)) { (v, planes, probesRaw, firstPlane) =>

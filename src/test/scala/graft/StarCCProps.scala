@@ -62,6 +62,36 @@ object StarCCProps extends Properties("connectedComponentsStar") {
       }
     }
 
+  // EXTREME id magnitudes: node ids are arbitrary longs in production
+  // (banded media ids ~2^41, xxhash64-keyed ids spanning the full signed
+  // range), and the convergence potential's id-sum overflowed PER ROW
+  // (u + v past Long.Max) and in the long accumulator before it moved to
+  // widen-then-sum DECIMAL(38,0) — the sf1.0 sweep crashed
+  // m_media_dedup_rates on exactly this. Same union-find contract, ids
+  // pushed to both extremes of the long line.
+  private val genExtremeGraph: Gen[List[(Long, Long)]] = for {
+    nNodes <- Gen.chooseNum(2, 12)
+    ids <- Gen.listOfN(nNodes, Gen.oneOf(
+      Gen.chooseNum(Long.MaxValue - 1000000L, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MinValue + 1000000L),
+      Gen.chooseNum(0L, 1000000L))).map(_.distinct)
+    nEdges <- Gen.chooseNum(1, 20)
+    edges <- Gen.listOfN(nEdges, for {
+      u <- Gen.oneOf(ids); v <- Gen.oneOf(ids)
+    } yield (u, v))
+  } yield edges
+
+  property("survives and labels correctly at extreme long ids (no ANSI overflow)") =
+    forAll(genExtremeGraph) { pairs =>
+      pairs.isEmpty || {
+        import spark.implicits._
+        val got = graft.ops.Dedup.connectedComponentsStar(
+            pairs.toDF("idA", "idB"), "idA", "idB")
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(pairs)
+      }
+    }
+
   // the label-propagation form (d_dedup_clusters' closure) must agree
   // with the same union-find reference on the same adversarial graphs —
   // the two CC variants are interchangeable by contract, so a divergence
