@@ -99,6 +99,45 @@ case class CdcChunksExpr(child: Expression, k: Int, maskBits: Int)
     copy(child = newChild)
 }
 
+/** `rounds` Lehmer rounds of `h + 1` on the P57 line (Schrage, exact in
+  * int64) — the sketch family's position mixer without the per-row
+  * DECIMAL(38,0) allocation of the defining chain. Value-identical to
+  * that chain on the full long line (LehmerMixSpec).
+  */
+case class LehmerMixExpr(child: Expression, rounds: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lehmer_mix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.lehmerMix(input.asInstanceOf[Long], rounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.lehmerMix($c, $rounds)")
+
+  override protected def withNewChildInternal(newChild: Expression): LehmerMixExpr =
+    copy(child = newChild)
+}
+
+/** Normalized words (lowercased, [a-z0-9] runs) in document order with
+  * multiplicity — the one-pass codegen twin of TextAnalysis.words'
+  * defining regex chain (equal for ASCII text, the documented kernel
+  * contract; WordsKernelSpec).
+  */
+case class WordsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "words_arr"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.wordsArr(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.wordsArr($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordsExpr =
+    copy(child = newChild)
+}
+
 case class WordHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_hashes"
@@ -277,10 +316,20 @@ object TextFunctions {
   def matched_starts(hashes: Column, set: Array[Long]): Column =
     GraftBridge.column(MatchedStartsExpr(GraftBridge.expression(hashes), set))
 
+  /** `rounds` Lehmer rounds of `h + 1` mod P57, long-exact (Schrage) —
+    * the caller must hand a LONG column (the sketch entry points cast). */
+  def lehmer_mix(h: Column, rounds: Int): Column =
+    GraftBridge.column(LehmerMixExpr(GraftBridge.expression(h), rounds))
+
   /** Per-word 57-bit hashes in document order, with multiplicity (bag
     * semantics — unlike shingle_hashes(n=1), which dedups). */
   def word_hashes(text: Column): Column =
     GraftBridge.column(WordHashesExpr(GraftBridge.expression(text)))
+
+  /** Normalized words in document order with multiplicity — the one-pass
+    * kernel behind TextAnalysis.words. */
+  def words_arr(text: Column): Column =
+    GraftBridge.column(WordsExpr(GraftBridge.expression(text)))
 
   /** k-function MinHash signature (array<long>) over shingle hashes. */
   def minhash_sig(hashes: Column, k: Int): Column =

@@ -39,6 +39,49 @@ object TextHashOps {
   /** 2^31 - 1: the minhash/simhash variant field. */
   final val P31: Long = 2147483647L
 
+  /** MINSTD Lehmer multiplier — the sketch family's position mixer. */
+  final val LehmerA: Long = 48271L
+  // Schrage decomposition P57 = LehmerQ·LehmerA + LehmerR. LehmerR < LehmerA
+  // < sqrt(P57) < LehmerQ, the Schrage condition, so one Lehmer round is
+  // exact in int64: A·(x%Q) < A·Q <= P57 and R·(x/Q) < A² < 2^32.
+  private final val LehmerQ: Long = P57 / LehmerA
+  private final val LehmerR: Long = P57 % LehmerA
+  // (2^63) mod P57 — the one input (h = Long.MaxValue) whose +1 rotation
+  // overflows int64; the DECIMAL(38,0) definition widens instead, so the
+  // long path pins this single value as a constant.
+  private final val MaxLongPlusOneModP57: Long =
+    ((BigInt(1) << 63) % P57).toLong
+
+  /** `rounds` Lehmer rounds `·48271 mod P57` of `h + 1`, exact in int64
+    * via Schrage's decomposition — value-identical on the FULL long line
+    * (negatives, overflow edge included) to the sketch family's defining
+    * DECIMAL(38,0) chain `(…((h+1)·48271 % P57)…·48271 % P57)`, whose
+    * `%` is truncated (sign of dividend). rounds = 2 is
+    * [[graft.ops.Sketch.mixedPosition]], rounds = 3 its third round.
+    * LehmerMixSpec pins equality against a BigInt reference over the
+    * whole line; called from whole-stage codegen (no Decimal allocation
+    * per row — measured sf0.1 sketch-family bench 10.6 -> 9.7 s, the
+    * shingle-heavy KMV/CMS builds 0.70-0.87x; the distinct shuffle
+    * bounds the win, and the per-row term it removes grows with shingle
+    * volume at larger corpora).
+    */
+  def lehmerMix(h: Long, rounds: Int): Long = {
+    var x =
+      if (h == Long.MaxValue) MaxLongPlusOneModP57
+      else (h + 1) % P57 // truncated %, |x| < P57, sign of h+1
+    var i = 0
+    while (i < rounds) {
+      // truncated-remainder round: sign rides outside the positive Schrage
+      val neg = x < 0
+      val ax = if (neg) -x else x
+      val t = LehmerA * (ax % LehmerQ) - LehmerR * (ax / LehmerQ)
+      val m = if (t < 0) t + P57 else t
+      x = if (neg) -m else m
+      i += 1
+    }
+    x
+  }
+
   @inline private def isKeep(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
@@ -189,6 +232,29 @@ object TextHashOps {
     var i = 0
     while (i < n) {
       out(i) = foldBytes(0L, bytes, bounds(2 * i), bounds(2 * i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Normalized words of the text, in document order with multiplicity —
+    * the one-pass kernel behind [[graft.ops.TextAnalysis.words]], whose
+    * defining regex chain `filter(split(regexp_replace(lower(text),
+    * "[^a-z0-9 ]", " "), " "), length > 0)` costs three full passes and
+    * a regex per document. Same documented ASCII-only byte contract as
+    * every kernel in this file (multi-byte sequences are separators;
+    * the regex path agrees for ASCII text, the testdata contract —
+    * WordsKernelSpec pins the equality over the ASCII line including
+    * controls and punctuation).
+    */
+  def wordsArr(text: UTF8String): ArrayData = {
+    val (bytes, bounds) = tokenize(text)
+    val n = bounds.length / 2
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = bounds(2 * i)
+      out(i) = UTF8String.fromBytes(bytes, start, bounds(2 * i + 1) - start)
       i += 1
     }
     new GenericArrayData(out)

@@ -107,11 +107,46 @@ object Dedup {
       .join(keyIndex.select(col("key").as("__inc_k")), Seq("__inc_k"),
         "left_anti")
 
+  /** Jaccard-family banding rule — the MinHash analogue of
+    * [[graft.ops.Similarity.planesForCorpus]] (cosine) and
+    * [[hammingComboWidth]] (SimHash): the divisor `bands` of `numHashes`
+    * whose S-curve midpoint `(1/b)^(r/numHashes·b)` — the similarity at
+    * which a pair's candidacy probability `1 − (1 − s^r)^b` crosses ~1/2,
+    * with `r = numHashes/bands` rows per band — sits CLOSEST to the
+    * operating `threshold` (ties → fewer bands: each band is one shuffled
+    * row per doc, so the cheaper parameterization wins when recall is
+    * equal). Unlike the cosine/Hamming rules this is a RECALL dial, not
+    * an occupancy dial: a minhash band key is a slice of 57-bit values
+    * (unbounded key space), so bucket occupancy does not decay with
+    * corpus growth and the corpus-size term drops out — what banding
+    * controls here is the probability that a pair AT the operating
+    * threshold becomes a candidate at all. Size NEW minhash dedup jobs
+    * with this; the shipped `d_dedup_minhash*` rows keep their
+    * oracle-mirrored (32, 8) because for them banding is part of the
+    * gated operator DEFINITION (candidacy = shares a band), not an
+    * approximation being tuned (MinhashSizingProps pins the argmin,
+    * divisibility, and monotonicity properties).
+    */
+  def minhashBandsForThreshold(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold out of (0, 1]: $threshold")
+    // S-curve midpoint of (b, r = n/b) is (1/b)^(1/r); scan the divisors
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { b =>
+      val mid = math.pow(1.0 / b, b.toDouble / numHashes)
+      // (|distance to threshold|, b): ties resolve toward fewer bands
+      (math.abs(mid - threshold), b)
+    }
+  }
+
   /** MinHash+LSH near-dup pairs. Signature = `numHashes` salted-min hashes
     * over the 3-word shingle set (native codegen, one pass per row). LSH
     * banding: docs sharing any band (a `numHashes/bands`-slice of the
     * signature, compared as an array key — no extra hash) become candidate
     * pairs; estimated Jaccard = fraction of matching signature positions.
+    * Sizing a new job's `bands` for an operating threshold:
+    * [[minhashBandsForThreshold]].
     *
     * Scale shape: one shuffle keyed by (band, slice); signatures ride along
     * so no re-join with the corpus, and a pair colliding in several bands

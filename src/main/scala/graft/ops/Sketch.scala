@@ -42,17 +42,19 @@ object Sketch {
   val MaxK: Int = 64
 
   /** The Lehmer-mixed position of a raw hash — two rounds of
-    * `·48271 mod P57` in exact DECIMAL(38,0) (the product exceeds
-    * int64). ONE definition shared by the one-shot estimator, the
-    * per-shard sketch builder, the merger, and the streaming running
-    * sketch, so persisted sketches and live estimates can't drift.
+    * `·48271 mod P57` of `h + 1`. The DEFINING form is the exact
+    * DECIMAL(38,0) chain (the product exceeds int64; DuckDB replays it
+    * in HUGEINT), but the shipped column computes the same values in
+    * pure int64 via Schrage's decomposition inside whole-stage codegen
+    * ([[graft.functions.TextHashOps.lehmerMix]]; LehmerMixSpec pins
+    * value equality on the full long line, so the oracle mirror and the
+    * persisted sketches are untouched). ONE definition shared by the
+    * one-shot estimator, the per-shard sketch builder, the merger, and
+    * the streaming running sketch, so persisted sketches and live
+    * estimates can't drift.
     */
-  def mixedPosition(h: Column): Column = {
-    import org.apache.spark.sql.types.DecimalType
-    val d38 = DecimalType(38, 0)
-    (((h.cast(d38) + lit(1)) * lit(48271) % lit(P57)).cast(d38)
-      * lit(48271) % lit(P57)).cast("long")
-  }
+  def mixedPosition(h: Column): Column =
+    graft.functions.TextFunctions.lehmer_mix(h.cast("long"), 2)
 
   private def mixedExpr: Column = mixedPosition(col("__kv_h"))
 
@@ -61,11 +63,11 @@ object Sketch {
     * change to the column-side mix cannot silently desynchronize them.
     */
   def mixedPositionLong(h: Long): Long =
-    (((BigInt(h) + 1) * 48271 % P57) * 48271 % P57).toLong
+    graft.functions.TextHashOps.lehmerMix(h, 2)
 
   /** Scalar twin of [[mixedPosition2]] (the third Lehmer round). */
   def mixedPosition2Long(h: Long): Long =
-    (BigInt(mixedPositionLong(h)) * 48271 % P57).toLong
+    graft.functions.TextHashOps.lehmerMix(h, 3)
 
   /** Per-(group × shard) KMV sketch rows: the ≤ k smallest mixed
     * positions of each shard's distinct hash set, one `(group, shard,
@@ -241,14 +243,12 @@ object Sketch {
 
   /** Third Lehmer round on the P57 line — the double-hashing step
     * generator. [[mixedPosition]] gives round 2; one more multiplication
-    * keeps the walk on the line. Exact DECIMAL(38,0) (product exceeds
-    * int64); DuckDB replays it in HUGEINT.
+    * keeps the walk on the line. Same long-exact Schrage implementation
+    * of the defining DECIMAL(38,0) chain (DuckDB replays that in
+    * HUGEINT; LehmerMixSpec pins equality).
     */
-  def mixedPosition2(h: Column): Column = {
-    import org.apache.spark.sql.types.DecimalType
-    val d38 = DecimalType(38, 0)
-    (mixedPosition(h).cast(d38) * lit(48271) % lit(P57)).cast("long")
-  }
+  def mixedPosition2(h: Column): Column =
+    graft.functions.TextFunctions.lehmer_mix(h.cast("long"), 3)
 
   private def checkBloomParams(mBits: Int, kHashes: Int): Unit = {
     require(mBits >= 64 && mBits % 32 == 0,

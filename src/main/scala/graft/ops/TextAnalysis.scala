@@ -17,8 +17,14 @@ object TextAnalysis {
 
   /** Normalized word array: lowercase, strip non-alphanumerics, split. */
   def words(text: Column): Column =
-    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
-      w => length(w) > 0)
+    // DEFINING form (the oracle's mirror, OracleFrag.scala):
+    //   filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+    //     w => length(w) > 0)
+    // — shipped as the one-pass codegen kernel, equal for ASCII text (the
+    // documented kernel contract; WordsKernelSpec pins the equality over
+    // the ASCII line, and the regex chain cost three passes + a regex per
+    // document across this module's 19 call sites)
+    graft.functions.TextFunctions.words_arr(text)
 
   /** Stopword lists per language for the n-gram/stopword-hit classifier. */
   val stopwords: Map[String, Seq[String]] = Map(
