@@ -332,11 +332,29 @@ object SparkEntry {
     */
   private val imageAssetsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Widen an asset frame to the cluster's parallelism BEFORE the
+    * materializing write — never narrow a wide one (the ensureParallelism
+    * contract). Media decode is ~100x costlier per byte than a columnar
+    * scan, so partition count, not byte size, is the right guard: the r16
+    * sf1.0 sweep measured the 50k-asset WAV table arriving as ONE ~100 MB
+    * parquet split (documents scan → one file), which serialized the
+    * whole AudioSystem decode onto one core — m_media_audio read exponent
+    * 1.16 with 31 idle threads. Writing the fixture pre-widened gives
+    * every decode reader its file-split parallelism with zero per-query
+    * shuffles; at production scale asset stores are already many files
+    * and the guard is a no-op.
+    */
+  private def widenAssets(ds: org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset])
+      : org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   private[graft] def imageAssetTable(s: SparkSession,
       dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
     val pdir = imageAssetsDirs.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_media").resolve("assets").toString
-      ops.Multimodal.imageAssets(t(s, d, "documents")).write.parquet(path)
+      widenAssets(ops.Multimodal.imageAssets(t(s, d, "documents"))).write.parquet(path)
       path
     })
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
@@ -353,7 +371,7 @@ object SparkEntry {
       dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
     val pdir = imageDedupAssetsDirs.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_media_dup").resolve("assets").toString
-      ops.Multimodal.imageDedupAssets(t(s, d, "documents")).write.parquet(path)
+      widenAssets(ops.Multimodal.imageDedupAssets(t(s, d, "documents"))).write.parquet(path)
       path
     })
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
@@ -368,7 +386,7 @@ object SparkEntry {
       dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
     val pdir = audioDedupAssetsDirs.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_media_dupwav").resolve("assets").toString
-      ops.Multimodal.audioDedupAssets(t(s, d, "documents")).write.parquet(path)
+      widenAssets(ops.Multimodal.audioDedupAssets(t(s, d, "documents"))).write.parquet(path)
       path
     })
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
@@ -384,7 +402,7 @@ object SparkEntry {
       dir: String): org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
     val pdir = audioAssetsDirs.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_media_wav").resolve("assets").toString
-      ops.Multimodal.audioAssets(t(s, d, "documents")).write.parquet(path)
+      widenAssets(ops.Multimodal.audioAssets(t(s, d, "documents"))).write.parquet(path)
       path
     })
     s.read.parquet(pdir).as[ops.Multimodal.MediaAsset](ops.Multimodal.assetEnc)
@@ -3018,12 +3036,18 @@ object SparkEntry {
        |${p}losers AS (SELECT node FROM ${p}comp WHERE node != component)""".stripMargin
 
   /** dHash-64 of the near-dup PNG fixture, analytically: per id, sample
-    * the 9×8 luminance grid from the closed-form raster (group base
-    * pixels + the variant's left-strip/even-row red shift), derive the
-    * 64 adjacent-comparison bits, pack into halves. Ends in
-    * `ids(id, g, v)` + `hx(id, h1, h2)`.
+    * the 9×8 luminance grid from the closed-form raster — the bandSign
+    * two-modular-squares mix of seed `(1000003g + 7919sx² + 104729sy² +
+    * 54321) mod P31`, low 24 bits as RGB, plus the variant's
+    * left-strip/even-row red shift — derive the 64 adjacent-comparison
+    * bits, pack into halves. Ends in `ids(id, g, v)` + `hx(id, h1, h2)`.
+    * The s0/x2 fragments are machine-inlined (DuckDB lambdas and CTE
+    * columns have no let-binding at this granularity).
     */
-  private lazy val mediaDhashCtes: String =
+  private lazy val mediaDhashCtes: String = {
+    val s0 = "((1000003*g + 7919*sx*sx + 104729*sy*sy + 54321) % 2147483647)"
+    val x2 = s"((($s0*$s0 % 2147483647) + $s0) * 48271 % 2147483647)"
+    val x3 = s"($x2*$x2 % 2147483647)"
     s"""ids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
        |             FROM documents),
        |dim AS (SELECT id, g, v, 8 + (7*g + 3) % 24 AS w, 8 + (13*g + 5) % 24 AS h
@@ -3032,40 +3056,51 @@ object SparkEntry {
        |         FROM dim
        |         CROSS JOIN (SELECT unnest(range(0, 9)) AS gx) __x
        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) __y),
+       |pix AS (SELECT id, v, gx, gy, sx, sy, $x3 % 16777216 AS rgb
+       |        FROM grid),
        |lum AS (SELECT id, gx, gy,
        |          (CASE WHEN sx < 2 AND sy % 2 = 0
-       |                THEN ((7*sx + 13*sy + g) % 256 + 8*v) % 256
-       |                ELSE (7*sx + 13*sy + g) % 256 END)
-       |          + (11*sx + 3*sy + 5*g) % 256
-       |          + (5*sx + 17*sy + 11*g) % 256 AS lum
-       |        FROM grid),
+       |                THEN (rgb // 65536 + 8*v) % 256
+       |                ELSE rgb // 65536 END)
+       |          + (rgb // 256) % 256
+       |          + rgb % 256 AS lum
+       |        FROM pix),
        |ibits AS (SELECT a.id, a.gy * 8 + a.gx AS k,
        |           CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b
        |         FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy
        |                               AND b.gx = a.gx + 1
        |         WHERE a.gx < 8),
        |${mediaPackCtes("i")}""".stripMargin
+  }
 
   /** Audio energy fingerprint of the near-dup WAV fixture, analytically:
     * 65 windows of w = 10 + g mod 8 samples, exact integer
-    * absolute-amplitude sums of the perturbed closed-form waveform
-    * (s = ((2029t + 48271g + 12345) mod 65536 + bump) mod 65536 − 32768,
-    * bump = 8v on t mod 97 < 5), 64 adjacent comparisons, packed halves.
+    * absolute-amplitude sums of the perturbed closed-form waveform —
+    * the bandSign two-modular-squares mix of seed
+    * `(1000003g + 7919t² + 54321) mod P31` (every intermediate < 2⁶²,
+    * plain BIGINT), then `(x3 + bump) mod 65536 − 32768` with
+    * bump = 512v on t mod 97 < 5 — 64 adjacent comparisons, packed
+    * halves. The s0/x2 fragments are machine-inlined below (DuckDB
+    * lambdas have no let-binding).
     */
-  private lazy val mediaAudioFpCtes: String =
+  private lazy val mediaAudioFpCtes: String = {
+    val s0 = "((1000003*g + 7919*__t*__t + 54321) % 2147483647)"
+    val x2 = s"((($s0*$s0 % 2147483647) + $s0) * 48271 % 2147483647)"
+    val x3 = s"($x2*$x2 % 2147483647)"
     s"""aids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
        |         FROM documents),
        |aw AS (SELECT id, g, v, 10 + g % 8 AS w FROM aids),
        |ae AS (SELECT id, k,
        |         CAST(list_sum(list_transform(range(k * w, (k + 1) * w), __t ->
-       |           abs(((2029*__t + 48271*g + 12345) % 65536
-       |                + CASE WHEN __t % 97 < 5 THEN 8*v ELSE 0 END) % 65536
+       |           abs(($x3
+       |                + CASE WHEN __t % 97 < 5 THEN 512*v ELSE 0 END) % 65536
        |               - 32768))) AS BIGINT) AS e
        |       FROM aw CROSS JOIN (SELECT unnest(range(0, 65)) AS k) __k),
        |abits AS (SELECT a.id, a.k, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
        |         FROM ae a JOIN ae b ON a.id = b.id AND b.k = a.k + 1
        |         WHERE a.k < 64),
        |${mediaPackCtes("a")}""".stripMargin
+  }
 
   /** Video chunk-energy fingerprint of the stub tier, analytically: the
     * payload IS the UTF-8 text (ASCII corpus ⇒ byte t = ascii of char

@@ -136,6 +136,14 @@ object Multimodal {
       if (counts(i) == 0) 0f else (sums(i) / counts(i) / 0xffffff).toFloat)
   }
 
+  // ImageIO's default ImageInputStream is FILE-cache-backed: every decode
+  // creates (and deletes) a temp file in the shared cache directory, so a
+  // 32-thread decode scan serializes on filesystem metadata — the same
+  // at-scale convoy shape as the AudioSystem SPI registry below. The
+  // payloads here are in-memory byte arrays; the memory-cached stream is
+  // strictly better. One-time, process-wide, thread-safe to set.
+  ImageIO.setUseCache(false)
+
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
@@ -175,11 +183,56 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL WAV decode via the JDK (`javax.sound.sampled`, `java.desktop`
-    * module — headless, zero external dependencies): parse the container,
-    * require 16-bit mono little-endian PCM, return (sampleRate, samples).
+  /** REAL WAV decode: parse the container, require 16-bit mono
+    * little-endian PCM, return (sampleRate, samples). The canonical
+    * 44-byte RIFF layout (the JDK writer's, byte-pinned by the
+    * m_media_frames_wav oracle) is parsed DIRECTLY; anything else routes
+    * through `javax.sound.sampled`. The split exists because
+    * `AudioSystem.getAudioInputStream` serializes every caller on the
+    * global SPI provider registry — the r16 sf1.0 sweep measured a
+    * 32-thread decode of 50k assets at 21 s vs 4.5 s on TWO threads
+    * (lock convoy; this VM's ~63 µs context switches amplify it), which
+    * is how a per-asset JDK facility becomes the scan bottleneck at
+    * scale. A production decoder fast-paths its dominant container the
+    * same way.
     */
-  private def readWav(payload: Array[Byte]): (Int, Array[Short]) = {
+  private def readWav(payload: Array[Byte]): (Int, Array[Short]) =
+    readWavCanonical(payload).getOrElse(readWavJdk(payload))
+
+  /** The canonical JDK RIFF/WAVE header, validated field by field:
+    * "RIFF" + size(36+data) + "WAVE" + "fmt " + 16 + PCM(1) + mono(1) +
+    * rate + byteRate + blockAlign(2) + 16 bits + "data" + dataLen.
+    * Returns None on ANY deviation — the javax.sound path owns those.
+    */
+  private[graft] def readWavCanonical(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    @inline def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    @inline def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    @inline def tag(o: Int, s: String): Boolean =
+      p(o) == s.charAt(0).toByte && p(o + 1) == s.charAt(1).toByte &&
+        p(o + 2) == s.charAt(2).toByte && p(o + 3) == s.charAt(3).toByte
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ") || le32(16) != 16 || le16(20) != 1 ||
+        le16(22) != 1 || le16(32) != 2 || le16(34) != 16 ||
+        !tag(36, "data")) return None
+    val rate = le32(24)
+    val dataLen = le32(40)
+    if (dataLen != p.length - 44 || le32(4) != 36 + dataLen ||
+        le32(28) != rate * 2 || (dataLen & 1) != 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((p(44 + 2 * i) & 0xff) | (p(45 + 2 * i) << 8)).toShort
+      i += 1
+    }
+    Some((rate, samples))
+  }
+
+  /** The `javax.sound.sampled` path (`java.desktop` module — headless,
+    * zero external dependencies) for non-canonical containers.
+    */
+  private[graft] def readWavJdk(payload: Array[Byte]): (Int, Array[Short]) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     try {
       val fmt = ais.getFormat
@@ -458,16 +511,29 @@ object Multimodal {
   // ================== image near-dup fingerprinting ==================
 
   /** Fixture pixel for the NEAR-DUP image fixture: groups of 4 asset ids
-    * share a base raster (`fixturePixel` of id/4); the variant id%4
+    * share a base raster — the [[graft.ops.Similarity.bandSign]]
+    * two-modular-squares mix of the seed `1000003·(id/4) + 7919·x² +
+    * 104729·y² + 54321` on the P31 line, low 24 bits as packed RGB
+    * (every intermediate < 2⁶², so the oracle replays it in plain
+    * BIGINT). The r16 sf1.0 sweep caught the previous form (channels
+    * AFFINE in (x, y, g), like the audio sawtooth): its dHash grid
+    * comparisons lived in a FIXED 1,217-shape space at every corpus
+    * size, so cross-group pairs within Hamming 4 grew quadratically —
+    * 4.17M pairs over 50k assets vs 39k over 5k. The squares decorrelate
+    * groups (x²/y² also kill raster-shift alignment), so the pair set is
+    * the planted families, linear in the corpus. The variant id%4 still
     * shifts the red channel by 8·variant in the left strip (x < 2) on
     * even rows only — a localized edit (re-encode artifact / small
-    * overlay) that perturbs at most the first [[dhash64]] grid columns,
-    * so same-group hashes land within a few Hamming bits of each other
-    * while cross-group hashes stay ~32 bits apart. Pure integer
-    * arithmetic (floorMod) so the DuckDB oracle recomputes the raster.
+    * overlay) confined to the first [[dhash64]] grid columns; cross-group
+    * hashes measure ~32 bits apart. Pure integer arithmetic (floorMod)
+    * so the DuckDB oracle recomputes the raster.
     */
   def nearDupPixel(id: Long, x: Int, y: Int): Long = {
-    val base = fixturePixel(id / 4, x, y)
+    val s0 = (1000003L * (id / 4) + 7919L * x * x + 104729L * y * y +
+      54321L) % P31
+    val x1 = (s0 * s0) % P31
+    val x2 = ((x1 + s0) * 48271L) % P31
+    val base = ((x2 * x2) % P31) % 16777216L
     if (x < 2 && y % 2 == 0) {
       val r = Math.floorMod((base >> 16) + 8L * (id % 4), 256)
       (r << 16) | (base & 0xffff)
@@ -618,15 +684,35 @@ object Multimodal {
   // ================== audio near-dup fingerprinting ==================
 
   /** Fixture sample for the NEAR-DUP audio fixture: groups of 4 asset ids
-    * share a base waveform ([[fixtureSample]] of id/4); the variant id%4
-    * bumps amplitude by 8·variant on a sparse periodic mask (t mod 97
-    * < 5 — independent of the fingerprint's window layout), wrapped back
-    * into int16 range — a localized re-encode-style perturbation that
-    * flips few energy comparisons.
+    * share a base waveform — the [[graft.ops.Similarity.bandSign]]
+    * two-modular-squares mix of the seed `1000003·(id/4) + 7919·t² +
+    * 54321` on the P31 line (every intermediate < 2⁶², so the oracle
+    * replays it in plain BIGINT), folded into int16 range. The r16 sf1.0
+    * sweep caught the previous LINEAR form (a mod-65536 sawtooth): its
+    * energy envelopes lived in a ~900-shape space, so CROSS-group
+    * fingerprints collided within Hamming 4 QUADRATICALLY — 12.7M pairs
+    * over 50k assets (exponent 1.31) — and an affine Lehmer remix did
+    * not fix it (affine maps keep every group a constant mod-65536
+    * translate of one progression; the bandSign v2 lesson again, this
+    * time on the sample line). The squares break affinity: groups share
+    * a seed phase only at ~2⁻³¹, and `t²` enters so no cross-group
+    * time-shift alignment survives either. The variant id%4 bumps
+    * amplitude by 512·variant on a sparse periodic mask (t mod 97 < 5 —
+    * independent of the fingerprint's window layout) BEFORE the int16
+    * fold, so a few samples per asset wrap the fold and flip a handful
+    * of energy comparisons — a localized re-encode-style perturbation
+    * (measured over the first 40 groups: within-group distance mean
+    * 0.29, max 3 — 100% of planted pairs inside the operator's
+    * maxHamming 4 — cross-group min 19, mean 32.0).
     */
   def nearDupSample(id: Long, t: Int): Int = {
-    val bump = if (t % 97 < 5) 8L * (id % 4) else 0L
-    (Math.floorMod(fixtureSample(id / 4, t) + bump + 32768L, 65536L) - 32768L).toInt
+    val P31 = 2147483647L
+    val s0 = (1000003L * (id / 4) + 7919L * t.toLong * t + 54321L) % P31
+    val x1 = (s0 * s0) % P31
+    val x2 = ((x1 + s0) * 48271L) % P31
+    val x3 = (x2 * x2) % P31
+    val bump = if (t % 97 < 5) 512L * (id % 4) else 0L
+    (Math.floorMod(x3 + bump, 65536L) - 32768L).toInt
   }
 
   /** Encode the near-dup fixture waveform for `id` as a real WAV. Length

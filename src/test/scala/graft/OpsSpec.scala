@@ -531,6 +531,39 @@ class OpsSpec extends AnyFunSuite {
     assert(gotPairs == want)
   }
 
+  test("multimodal: canonical WAV fast path decodes identically to javax.sound") {
+    // both fixture families, several lengths, including the near-dup WAVs —
+    // every asset the suite generates is canonical, so the fast path must
+    // take them all AND agree sample-for-sample with the SPI path
+    val payloads = Seq(
+      Multimodal.encodeWav(7L, 513), Multimodal.encodeWav(123L, 1024),
+      Multimodal.encodeNearDupWav(0L), Multimodal.encodeNearDupWav(2001L))
+    payloads.foreach { p =>
+      val fast = Multimodal.readWavCanonical(p)
+      assert(fast.isDefined, "canonical container rejected by the fast path")
+      val jdk = Multimodal.readWavJdk(p)
+      assert(fast.get._1 == jdk._1 && fast.get._2.sameElements(jdk._2),
+        "fast-path decode diverges from javax.sound")
+    }
+    // a non-canonical container (extra LIST chunk after fmt) must fall
+    // through to the SPI path, not silently mis-parse
+    val canon = Multimodal.encodeWav(7L, 513)
+    val withChunk = {
+      val extra = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+      val out = new Array[Byte](canon.length + extra.length)
+      System.arraycopy(canon, 0, out, 0, 36)
+      System.arraycopy(extra, 0, out, 36, extra.length)
+      System.arraycopy(canon, 36, out, 36 + extra.length, canon.length - 36)
+      // patch the RIFF size field for the inserted chunk
+      val riffSize = (canon.length - 8) + extra.length
+      out(4) = (riffSize & 0xff).toByte; out(5) = ((riffSize >> 8) & 0xff).toByte
+      out(6) = ((riffSize >> 16) & 0xff).toByte; out(7) = ((riffSize >> 24) & 0xff).toByte
+      out
+    }
+    assert(Multimodal.readWavCanonical(withChunk).isEmpty,
+      "fast path must reject a non-canonical chunk layout")
+  }
+
   test("multimodal: audio fingerprint matches a pure reference; index probe equals brute force") {
     import spark.implicits._
     // independent fingerprint reference straight from the closed-form
