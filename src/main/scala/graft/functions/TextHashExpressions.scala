@@ -138,6 +138,31 @@ case class WordsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass PII count-and-redact scan — struct(clean, n_email, n_ipv4,
+  * n_phone, n_ssn, n_idnum), byte-equal to the sequential 5-category
+  * regex chain (PiiScanOps scaladoc has the equivalence argument;
+  * PiiKernelSpec fuzzes it).
+  */
+case class PiiScanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_ipv4", IntegerType, nullable = false),
+    StructField("n_phone", IntegerType, nullable = false),
+    StructField("n_ssn", IntegerType, nullable = false),
+    StructField("n_idnum", IntegerType, nullable = false)))
+  override def prettyName: String = "pii_scan"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScanOps.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiScanOps.scan($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScanExpr =
+    copy(child = newChild)
+}
+
 case class WordHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_hashes"
@@ -330,6 +355,10 @@ object TextFunctions {
     * kernel behind TextAnalysis.words. */
   def words_arr(text: Column): Column =
     GraftBridge.column(WordsExpr(GraftBridge.expression(text)))
+
+  /** One-pass PII scan struct — the kernel behind graft.ops.Pii. */
+  def pii_scan(text: Column): Column =
+    GraftBridge.column(PiiScanExpr(GraftBridge.expression(text)))
 
   /** k-function MinHash signature (array<long>) over shingle hashes. */
   def minhash_sig(hashes: Column, k: Int): Column =

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * double-counted as an ID, because the email was already a placeholder
   * by the time the ID pattern runs).
   *
-  * Scale shape: the whole chain — five `regexp_count` + five
-  * `regexp_replace`, all codegen'd native Spark expressions — composes
-  * into ONE projection in the scan stage. No shuffle, no UDF, scales
-  * linearly with input splits; at 100 TB this runs at read throughput
-  * next to the quality/language gates it composes with
+  * Scale shape: ONE projection in the scan stage — a single-pass codegen
+  * kernel ([[graft.functions.PiiScanOps]]) that redacts and counts all
+  * five categories in one traversal (the defining staged regex chain
+  * cost 10 traversals per document; see [[scrubExprs]]). No shuffle, no
+  * UDF, scales linearly with input splits; at 100 TB this runs at read
+  * throughput next to the quality/language gates it composes with
   * (`d_pipeline_prep`).
   *
   * The regex subset is chosen to behave identically under Java's engine
@@ -51,8 +52,30 @@ object Pii {
   /** The scrubbed-text expression and the per-category count expressions
     * for `text` — exposed so callers composing larger single-projection
     * pipelines (or the oracle mirror) can reuse the exact chain.
+    *
+    * DEFINING form: the staged regex chain over [[categories]] (what the
+    * DuckDB oracle replays). SHIPPED form: one field-projected
+    * [[graft.functions.PiiScanOps]] scan — the chain cost 10 full regex
+    * traversals per document and was one of the four scan-floor rows of
+    * the r16 sf1.0 sweep; the kernel is a single pass, byte-equal by
+    * the structural argument in its scaladoc and fuzzed against
+    * [[chainExprs]] in PiiKernelSpec. Whole-stage codegen's
+    * subexpression elimination evaluates the scan once per row across
+    * the six field projections (the text_stats precedent).
     */
   def scrubExprs(text: Column): (Column, Seq[(String, Column)]) = {
+    val s = graft.functions.TextFunctions.pii_scan(text)
+    (s.getField("clean"),
+      Seq("email", "ipv4", "phone", "ssn", "idnum").map { cat =>
+        (s"n_pii_$cat", s.getField(s"n_$cat"))
+      })
+  }
+
+  /** The literal staged regex chain — the DEFINITION the kernel must
+    * match byte-for-byte (and the DuckDB oracle's form). Kept as the
+    * fuzz/parity reference; not on the hot path.
+    */
+  def chainExprs(text: Column): (Column, Seq[(String, Column)]) = {
     var cur = text
     val counts = categories.map { case (cat, pat, repl) =>
       val n = (s"n_pii_$cat", regexp_count(cur, lit(pat)).cast("int"))
