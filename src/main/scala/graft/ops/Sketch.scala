@@ -266,8 +266,9 @@ object Sketch {
   private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column =
     // let-bind the Lehmer rounds: HOF lambdas re-evaluate captured
     // expressions per element, so an unbound h1/h2 would recompute the
-    // DECIMAL(38,0) mix chain k times per row (measured ~4x the whole
-    // sketch cost on the CMS twin before the same fix)
+    // mix k times per row (measured ~4x the whole sketch cost on the CMS
+    // twin when the mix was still the DECIMAL(38,0) chain; the int64
+    // Schrage kernel is cheaper but the k-fold recompute is still waste)
     graft.functions.Exprs.let2(
       pmod(mixedPosition(h), lit(mBits.toLong)),
       pmod(mixedPosition2(h), lit((mBits - 1).toLong)) + lit(1L),
