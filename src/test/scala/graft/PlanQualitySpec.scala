@@ -451,8 +451,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = nonAdaptivePlan(graft.ops.Pii.scrub(docs, "text"))
     // the 5-category count+replace chain is a single projection over the
-    // scan — zero exchanges, inside whole-stage codegen (regexp_count /
-    // regexp_replace are native codegen'd expressions, not UDFs)
+    // scan — zero exchanges, inside whole-stage codegen (the pii_scan
+    // kernel is a codegen'd Catalyst expression, not a UDF)
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       plan.toString.take(2000))
     assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
