@@ -466,6 +466,40 @@ private[graft] object OracleFrag {
        |      __s -> xor(bucket, CAST(1 AS BIGINT) << CAST(planes - 1 - __s.j AS INT))))) AS bucket
        |  FROM __qb)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Count-adaptive IVF sizing (mirror of Similarity.nlistForCorpus +
+  // Similarity.nprobeForCells). The shipped seeded-IVF queries size nlist
+  // from the CORPUS COUNT (constant-cell-size rule) and nprobe from nlist
+  // (constant-probed-fraction policy), so their oracles compute the same
+  // two integers from count(*) IN SQL — one oracle text is correct at
+  // every SF, exactly the adaptivePlanesCtes contract for LSH banding.
+
+  /** CTE pair `__nl` (nlist = clamp(ceil(count/targetCell), min, max))
+    * + `__np` (nprobe = clamp(ceil(nlist/probeDen), minProbe, nlist)) —
+    * integer arithmetic only, so there is no rounding drift against the
+    * Scala rules at any boundary. `countSql` is a scalar subquery text.
+    */
+  def ivfSizingCtes(countSql: String, targetCell: Int = 125,
+      minNlist: Int = 8, maxNlist: Int = 1 << 20,
+      probeDen: Int = 4, minProbe: Int = 2): String =
+    s"""__nl AS (SELECT CAST(GREATEST($minNlist, LEAST($maxNlist,
+       |    (($countSql) - 1) // $targetCell + 1)) AS INT) AS nlist),
+       |__np AS (SELECT CAST(LEAST(nlist, GREATEST($minProbe,
+       |    (nlist + ${probeDen - 1}) // $probeDen)) AS INT) AS nprobe FROM __nl)""".stripMargin
+
+  /** Sanity pin: the SQL nlist/nprobe rules reimplemented here must agree
+    * with Similarity.nlistForCorpus / nprobeForCells — the cross-engine
+    * guard every count-adaptive rule carries, covering the gate corpus
+    * sizes (500, 2000, 20000) plus the clamp and ceil boundaries.
+    */
+  require(Seq(1L, 124L, 125L, 126L, 500L, 999L, 1000L, 1001L, 2000L,
+      20000L, 1000000L).forall { n =>
+    val sqlNlist = math.max(8L, math.min(1L << 20, (n - 1) / 125 + 1)).toInt
+    val sqlNprobe = math.min(sqlNlist, math.max(2, (sqlNlist + 3) / 4))
+    sqlNlist == Similarity.nlistForCorpus(n) &&
+      sqlNprobe == Similarity.nprobeForCells(sqlNlist)
+  })
+
   /** Sanity pin: the Scala and SQL band-sign formulas must agree. */
   require((0 until 4).forall(p => (1 to 8).forall { i =>
     val base = (1000003L * p + 54321L + 7919L * i) % 2147483647L

@@ -169,9 +169,13 @@ object SparkEntry {
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfIndexDir.computeIfAbsent(dir, { d =>
       val path = TempDirs.create("graft_ivf").resolve("index").toString
-      ops.Similarity.writeIvfIndex(
-        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        path, nCells = 16)
+      val corpus = t(s, d, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("vec"))
+      // constant-cell-size sizing at BUILD time (the one place a corpus
+      // count belongs); serving reads the cell count back from the
+      // index's own centroid table, never from the store
+      ops.Similarity.writeIvfIndex(corpus, path,
+        nCells = ops.Similarity.nlistForCorpus(corpus.count()))
       path
     })
 
@@ -347,7 +351,12 @@ object SparkEntry {
   private def widenAssets(ds: org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset])
       : org.apache.spark.sql.Dataset[ops.Multimodal.MediaAsset] = {
     val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    // read the partition count off the executed plan's RDD (one plan,
+    // reused by the write) — `ds.rdd` would build a SECOND physical plan
+    // with a deserializer just to ask getNumPartitions
+    if (ds.queryExecution.toRdd.getNumPartitions < target)
+      ds.repartition(target)
+    else ds
   }
 
   private[graft] def imageAssetTable(s: SparkSession,
@@ -1080,24 +1089,33 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, planesPerBand = planes, bands = 4, probes = 2).orderBy("qid", "rank")
     },
-    // ---- ANN: IVF scale path (seeded coarse quantizer, 4-of-16 cell
-    //      probe); oracle mirrors assignment + probing + ranking
+    // ---- ANN: IVF scale path, corpus-adaptively sized — nlist from the
+    //      constant-cell-size rule (nlistForCorpus: ~125 vectors/cell),
+    //      nprobe from the constant-probed-fraction policy
+    //      (nprobeForCells: 1/4 of the cells — the RecallX100-measured
+    //      recall-HOLDING policy). The oracle recomputes both integers
+    //      from count(*), so one SQL text is correct at every SF.
     "s_ann_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val nCells = ops.Similarity.nlistForCorpus(e.count())
       ops.Similarity.ivfTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4).orderBy("qid", "rank")
+        k = 5, nCells = nCells,
+        nProbe = ops.Similarity.nprobeForCells(nCells)).orderBy("qid", "rank")
     },
     // ---- ANN: the same IVF probe against a PERSISTED index — corpus
     //      written partitioned by centId (build-offline/serve-online);
-    //      probing 4/16 cells reads 4/16 partition directories. Identical
-    //      results to s_ann_ivf → same oracle.
+    //      probing nprobe/nlist cells reads nprobe/nlist partition
+    //      directories. nlist was sized at BUILD time; the serve path
+    //      derives nprobe from the index's own centroid table (nProbe =
+    //      -1), so no sizing job touches the store. Identical results to
+    //      s_ann_ivf → same oracle.
     "s_ann_ivf_indexed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.ivfTopKIndexed(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
-        ivfIndex(s, dir), k = 5, nProbe = 4).orderBy("qid", "rank")
+        ivfIndex(s, dir), k = 5, nProbe = -1).orderBy("qid", "rank")
     },
     // ---- ANN: the SERVE path of a TRAINED quantizer — centroids are the
     //      committed k-means snapshot (tools.TrainIvfFixture); assignment,
@@ -1105,10 +1123,13 @@ object SparkEntry {
     //      recomputes routing from the same literal values
     "s_ann_ivf_trained" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      // nlist here is a property of the committed MODEL (the fixture's
+      // centroid count), not of the corpus; only the probe policy applies
       ops.Similarity.ivfTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4,
+        k = 5, nCells = fixtureCentroidRows.size,
+        nProbe = ops.Similarity.nprobeForCells(fixtureCentroidRows.size),
         centroids = Some(fixtureCentroids(s))).orderBy("qid", "rank")
     },
     // ---- ANN: trained quantizer + PERSISTED index — training and cell
@@ -1119,7 +1140,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       ops.Similarity.ivfTopKIndexed(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
-        trainedIvfIndex(s, dir), k = 5, nProbe = 4).orderBy("qid", "rank")
+        trainedIvfIndex(s, dir), k = 5, nProbe = -1).orderBy("qid", "rank")
     },
     // ---- ANN, product-quantization/ADC variant (32x vector compression;
     //      codes-only candidate scan; decimal-exact ADC so the refine
@@ -1152,26 +1173,33 @@ object SparkEntry {
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         sq8Index(s, dir), k = 5, refine = 30).orderBy("qid", "rank")
     },
-    // ---- ANN, IVF-SQ8 composition: coarse cells route (4-of-16 probe),
-    //      byte codes compress, the midpoint-decode dot ranks ONLY inside
+    // ---- ANN, IVF-SQ8 composition: coarse cells route (corpus-sized
+    //      nlist, constant-fraction probe — the s_ann_ivf rule), byte
+    //      codes compress, the midpoint-decode dot ranks ONLY inside
     //      probed cells — the scan-pruning form of s_ann_sq8
     "s_ann_ivfsq8" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val nCells = ops.Similarity.nlistForCorpus(e.count())
       ops.Similarity.ivfSq8TopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4, refine = 30).orderBy("qid", "rank")
+        k = 5, nCells = nCells,
+        nProbe = ops.Similarity.nprobeForCells(nCells),
+        refine = 30).orderBy("qid", "rank")
     },
-    // ---- ANN, IVF-PQ composition: coarse cells route (4-of-16 probe), PQ
-    //      codes compress, ADC ranks ONLY inside probed cells, exact
-    //      rescore finishes — the scan-pruning form of s_ann_pq
+    // ---- ANN, IVF-PQ composition: coarse cells route (corpus-sized
+    //      nlist, constant-fraction probe — the s_ann_ivf rule), PQ codes
+    //      compress, ADC ranks ONLY inside probed cells, exact rescore
+    //      finishes — the scan-pruning form of s_ann_pq
     "s_ann_ivfpq" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val nCells = ops.Similarity.nlistForCorpus(e.count())
       ops.Similarity.ivfPqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
-        refine = 30).orderBy("qid", "rank")
+        k = 5, nCells = nCells,
+        nProbe = ops.Similarity.nprobeForCells(nCells),
+        m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
     },
     // ---- ANN: PQ serve path under the TRAINED codebook — the committed
     //      per-subspace k-means snapshot (tools.TrainPqFixture); encode,
@@ -1193,7 +1221,9 @@ object SparkEntry {
       ops.Similarity.ivfPqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
+        k = 5, nCells = fixtureCentroidRows.size,
+        nProbe = ops.Similarity.nprobeForCells(fixtureCentroidRows.size),
+        m = 8, subDim = 8, kCode = 16,
         refine = 30, centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
     },
@@ -1206,7 +1236,9 @@ object SparkEntry {
       ops.Similarity.ivfPqResidualTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = 16, nProbe = 4, m = 8, subDim = 8, kCode = 16,
+        k = 5, nCells = fixtureCentroidRows.size,
+        nProbe = ops.Similarity.nprobeForCells(fixtureCentroidRows.size),
+        m = 8, subDim = 8, kCode = 16,
         refine = 30, centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureResidualCodebook(s))).orderBy("qid", "rank")
     },
@@ -2924,17 +2956,20 @@ object SparkEntry {
   )
 
   /** Shared IVF oracle: cosine argmin assignment to `centSelect`'s
-    * centroids, 4-cell probe, exact top-k inside probed cells — gates the
-    * in-memory and persisted-index variants of BOTH quantizers
+    * centroids, `nprobeSql`-cell probe, exact top-k inside probed cells —
+    * gates the in-memory and persisted-index variants of BOTH quantizers
     * (deterministic assignment ⇒ identical results): seeded (centroids =
-    * smallest-id corpus vectors) and trained (centroids = the committed
-    * k-means fixture, embedded as literal VALUES from the same text Spark
-    * parses).
+    * the nlist smallest-id corpus vectors, nlist/nprobe recomputed from
+    * count(*) via OracleFrag.ivfSizingCtes — one SQL text correct at
+    * every SF) and trained (centroids = the committed k-means fixture,
+    * embedded as literal VALUES from the same text Spark parses; nlist is
+    * the fixture's own size, nprobe the same policy applied to it).
     */
-  private def ivfOracleSqlWith(centSelect: String): String =
+  private def ivfOracleSqlWith(centSelect: String, sizingCtes: String,
+      nprobeSql: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-       |cent AS ($centSelect),
+       |${if (sizingCtes.isEmpty) "" else sizingCtes + ",\n"}cent AS ($centSelect),
        |asg AS (SELECT vec_id AS cid, centid FROM (
        |  SELECT n.vec_id, cent.centid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -2944,7 +2979,7 @@ object SparkEntry {
        |  SELECT n.vec_id, cent.centid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= $nprobeSql),
        |p AS (SELECT DISTINCT qc.qid, asg.cid
        |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
        |sc AS (SELECT p.qid, p.cid,
@@ -2955,7 +2990,10 @@ object SparkEntry {
        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
 
   private lazy val ivfOracleSql: String = ivfOracleSqlWith(
-    "SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16")
+    "SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n " +
+      "WHERE vec_id < (SELECT nlist FROM __nl)",
+    OracleFrag.ivfSizingCtes("SELECT count(*) FROM e"),
+    "(SELECT nprobe FROM __np)")
 
   /** Trained-quantizer oracle: the fixture centroids as literal VALUES —
     * the same `Double.toString` text [[fixtureCentroids]] parses, so both
@@ -2968,7 +3006,10 @@ object SparkEntry {
     }.mkString(", ")
     ivfOracleSqlWith(
       s"SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn " +
-        s"FROM (VALUES $values) AS __cent(centid, cv)")
+        s"FROM (VALUES $values) AS __cent(centid, cv)",
+      sizingCtes = "",
+      nprobeSql =
+        ops.Similarity.nprobeForCells(fixtureCentroidRows.size).toString)
   }
 
   /** Trained-PQ codebook as literal VALUES — the same `Double.toString`
@@ -6066,8 +6107,9 @@ object SparkEntry {
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
-    // Mirrors Similarity.ivfTopK: seeded centroids (vec_id < 16), cosine
-    // argmin assignment, 4-cell probe, exact top-k inside probed cells.
+    // Mirrors Similarity.ivfTopK: seeded centroids (the nlist smallest
+    // ids, nlist count-adaptive), cosine argmin assignment, constant-
+    // fraction probe, exact top-k inside probed cells.
     "s_ann_ivf" -> ivfOracleSql,
     // identical semantics served from the persisted partitioned index —
     // the SAME oracle gates both forms
@@ -6117,13 +6159,16 @@ object SparkEntry {
     // The persisted layout serves byte-identical ranges + codes, so the
     // indexed path carries the same oracle (the s_ann_ivf_indexed rule)
     "s_ann_sq8_indexed" -> sq8OracleSql,
-    // Mirrors Similarity.ivfSq8TopK: the s_ann_ivf routing CTEs feed the
-    // s_ann_sq8 quantization CTEs — ax ranks ONLY routed (qid, cid) pairs,
-    // then the same refine-30 + exact rescore
+    // Mirrors Similarity.ivfSq8TopK: the s_ann_ivf routing CTEs (count-
+    // adaptive nlist/nprobe) feed the s_ann_sq8 quantization CTEs — ax
+    // ranks ONLY routed (qid, cid) pairs, then the same refine-30 +
+    // exact rescore
     "s_ann_ivfsq8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |${OracleFrag.ivfSizingCtes("SELECT count(*) FROM e")},
+         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n
+         |         WHERE vec_id < (SELECT nlist FROM __nl)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -6133,7 +6178,7 @@ object SparkEntry {
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= (SELECT nprobe FROM __np)),
          |rt AS (SELECT qc.qid, asg.cid
          |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
          |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
@@ -6165,13 +6210,18 @@ object SparkEntry {
          |SELECT qid, cid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
-    // Mirrors Similarity.ivfPqTopK: the s_ann_ivf routing CTEs (seeded
-    // cells, argmin assignment, 4-cell probe) feed the s_ann_pq ADC CTEs —
-    // ax aggregates ONLY routed (qid, cid) pairs, then refine-30 + rescore.
+    // Mirrors Similarity.ivfPqTopK: the s_ann_ivf routing CTEs (count-
+    // adaptive seeded cells, argmin assignment, constant-fraction probe)
+    // feed the s_ann_pq ADC CTEs — ax aggregates ONLY routed (qid, cid)
+    // pairs, then refine-30 + rescore. The PQ codebook stays kCode=16
+    // (a CODEBOOK size, not a cell count — 16 centroids per subspace is
+    // the 4-bit-code design point, independent of corpus size).
     "s_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |${OracleFrag.ivfSizingCtes("SELECT count(*) FROM e")},
+         |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n
+         |         WHERE vec_id < (SELECT nlist FROM __nl)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -6181,7 +6231,7 @@ object SparkEntry {
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= (SELECT nprobe FROM __np)),
          |rt AS (SELECT qc.qid, asg.cid
          |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
          |sub AS (SELECT unnest(range(0, 8)) AS s),
@@ -6256,7 +6306,7 @@ object SparkEntry {
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= ${ops.Similarity.nprobeForCells(fixtureCentroidRows.size)}),
          |rt AS (SELECT qc.qid, asg.cid
          |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
          |cb AS ($trainedPqCbSelect),
@@ -6300,7 +6350,7 @@ object SparkEntry {
          |  SELECT n.vec_id, cent.centid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 4),
+         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= ${ops.Similarity.nprobeForCells(fixtureCentroidRows.size)}),
          |rt AS (SELECT qc.qid, asg.cid, asg.centid
          |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
          |rcb AS ($trainedPqResidualCbSelect),

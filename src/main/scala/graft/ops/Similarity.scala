@@ -131,6 +131,64 @@ object Similarity {
     math.max(minPlanes, planes)
   }
 
+  /** Constant-cell-size IVF list count — the IVF analogue of
+    * [[planesForCorpus]]: the nlist that keeps the EXPECTED vectors per
+    * coarse cell near `targetCellSize` at a corpus of `corpusSize`
+    * vectors — `ceil(corpusSize / targetCellSize)`, clamped to
+    * `[minNlist, maxNlist]`.
+    *
+    * Why constant cell size and not the classic √n: RecallX100 measured
+    * both probe policies over 1×/10×/100× corpora under constant cell
+    * size, and the recall lever turned out to be the PROBED FRACTION,
+    * not the cell count form — constant-fraction probing held and then
+    * exceeded its 1× recall (0.47 → 0.73 → 0.98) while constant-count
+    * probing decayed (0.47 → 0.24). Constant cell size makes that
+    * policy's cost model linear and legible: a probe touches
+    * `nprobe × targetCellSize` candidates exactly, cells stay
+    * hash-partitionable at any corpus, and re-sizing an index is one
+    * re-assignment pass (like re-banding under [[planesForCorpus]]).
+    * √n cells would instead grow BOTH the cell size and the cell count
+    * with the corpus, so neither the per-cell scan nor the centroid
+    * broadcast stays constant.
+    *
+    * The default target 125 reproduces the long-gated 16-cell layout at
+    * the sf0.1 corpus (2000 vectors) — the shipped parameters before
+    * this rule existed — and scales it linearly beyond (20k → 160
+    * cells, 2M → 16k cells). `maxNlist` bounds the broadcast centroid
+    * table (2²⁰ centroids × 64 dims ≈ 0.5 GiB, the practical broadcast
+    * ceiling); past it, partition the corpus and shard the index.
+    */
+  def nlistForCorpus(corpusSize: Long, targetCellSize: Int = 125,
+      minNlist: Int = 8, maxNlist: Int = 1 << 20): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1: $targetCellSize")
+    require(minNlist >= 1 && minNlist <= maxNlist,
+      s"need 1 <= minNlist <= maxNlist: [$minNlist, $maxNlist]")
+    val cells =
+      if (corpusSize == 0) 0L else (corpusSize - 1) / targetCellSize + 1
+    math.max(minNlist.toLong, math.min(maxNlist.toLong, cells)).toInt
+  }
+
+  /** Constant-probed-fraction nprobe policy: probe `ceil(nCells /
+    * probeDen)` cells — a fixed 1/probeDen of the index — clamped to
+    * `[minProbe, nCells]`.
+    *
+    * This is the measured recall-HOLDING policy (RecallX100, 1×/10×/100×
+    * corpora): probing a constant fraction of ever-finer cells held
+    * recall@10 at 0.47 → 0.73 → 0.98 while a constant nprobe decayed to
+    * 0.24 at 10×. The price is explicit and linear — candidates per
+    * query ≈ corpus/probeDen under [[nlistForCorpus]]'s constant cell
+    * size — which is the honest cost of held recall ("recall you hold,
+    * you pay for"); a deployment that prefers constant cost per query
+    * should pin nprobe and accept the documented decay curve instead.
+    */
+  def nprobeForCells(nCells: Int, probeDen: Int = 4, minProbe: Int = 2): Int = {
+    require(nCells >= 1, s"nCells must be >= 1: $nCells")
+    require(probeDen >= 1, s"probeDen must be >= 1: $probeDen")
+    require(minProbe >= 1, s"minProbe must be >= 1: $minProbe")
+    math.min(nCells, math.max(minProbe, (nCells + probeDen - 1) / probeDen))
+  }
+
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
     * the WEAKEST sign bits flipped (smallest |projection| = the planes the
     * vector sits closest to, i.e. the likeliest misclassifications —
@@ -383,12 +441,19 @@ object Similarity {
   /** Query a [[writeIvfIndex]] layout: probe the nProbe nearest cells per
     * query; both the candidate scan and the exact-rescore vector join read
     * ONLY the probed cell directories (partition pruning on centId).
+    *
+    * `nProbe = -1` (the default) applies [[nprobeForCells]] to the
+    * INDEX's own cell count — the centroid table the layout already
+    * carries, nlist rows, so serving never runs a sizing job over the
+    * corpus-sized store: the nlist chosen at build time IS the index
+    * metadata the probe policy needs.
     */
   def ivfTopKIndexed(queries: DataFrame, path: String,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$path/centroids")
-    val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = nProbe)
+    val np = if (nProbe == -1) nprobeForCells(cent.count().toInt) else nProbe
+    val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = np)
     val cells = spark.read.parquet(s"$path/cells")
     // restrict once to the union of probed cells (per-query restriction
     // happens in the candidate join); reused for the rescore vector join

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.Similarity
+
+/** Property suite for the corpus-adaptive IVF sizing rules —
+  * [[graft.ops.Similarity.nlistForCorpus]] (constant expected cell size)
+  * and [[graft.ops.Similarity.nprobeForCells]] (constant probed
+  * fraction). Scalar-only, like MinhashSizingProps/LshBandingProps: the
+  * rules are driver-side integer arithmetic, and the claims worth
+  * pinning are the exact ceil/clamp DEFINITION (so the DuckDB mirror in
+  * OracleFrag.ivfSizingCtes can never drift), the constant-cell-size
+  * invariant that makes nlist a scale rule, the constant-fraction
+  * invariant that makes nprobe the recall-holding policy RecallX100
+  * measured, and the shipped values at the gate corpus sizes.
+  */
+object IvfSizingProps extends Properties("ivfSizing") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200).withWorkers(1)
+
+  private val genN: Gen[Long] = Gen.chooseNum(1L, 3_000_000_000L)
+  private val genCells: Gen[Int] = Gen.chooseNum(1, 1 << 20)
+
+  property("nlist is the clamped ceil of corpus/targetCell") =
+    forAll(genN) { n =>
+      val nl = Similarity.nlistForCorpus(n)
+      val cells = (n - 1) / 125 + 1
+      nl == math.max(8L, math.min(1L << 20, cells)).toInt
+    }
+
+  property("constant cell size: inside the clamps, occupancy stays in (target/2, target]") =
+    forAll(Gen.chooseNum(8L * 125, (1L << 20) * 125L)) { n =>
+      val nl = Similarity.nlistForCorpus(n)
+      val occupancy = n.toDouble / nl
+      // ceil keeps expected occupancy at most the target and (except at
+      // the clamp edges excluded by the generator) above half of it
+      occupancy <= 125.0 && occupancy > 62.0
+    }
+
+  property("nlist is monotone in the corpus size") =
+    forAll(genN, genN) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      Similarity.nlistForCorpus(lo) <= Similarity.nlistForCorpus(hi)
+    }
+
+  property("nprobe is the clamped ceil of nCells/4") =
+    forAll(genCells) { c =>
+      val np = Similarity.nprobeForCells(c)
+      np == math.min(c, math.max(2, (c + 3) / 4))
+    }
+
+  property("constant probed fraction: past the minProbe clamp, 1/4 <= nprobe/nCells < 1/4 + 1/nCells") =
+    forAll(Gen.chooseNum(8, 1 << 20)) { c =>
+      val frac = Similarity.nprobeForCells(c).toDouble / c
+      frac >= 0.25 && frac < 0.25 + 1.0 / c
+    }
+
+  property("nprobe never exceeds the cell count") =
+    forAll(Gen.chooseNum(1, 7)) { c =>
+      val np = Similarity.nprobeForCells(c)
+      np >= 1 && np <= c
+    }
+
+  property("pins: the gate corpora and the decade the bench sweeps") = {
+    // 500 (sf0.01 gate) -> 8 cells / 2 probes; 2000 (sf0.1 gate) -> the
+    // long-gated 16/4 layout; 20000 (sf1.0 bench) -> 160/40; and the
+    // fixture quantizer's 16 cells -> 4 probes (the trained rows)
+    Similarity.nlistForCorpus(500) == 8 &&
+      Similarity.nprobeForCells(8) == 2 &&
+      Similarity.nlistForCorpus(2000) == 16 &&
+      Similarity.nprobeForCells(16) == 4 &&
+      Similarity.nlistForCorpus(20000) == 160 &&
+      Similarity.nprobeForCells(160) == 40
+  }
+}
