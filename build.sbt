@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Sources carry literal Unicode chars (WordsKernelSpec's divergence-class
+// fuzz seeds); pin the compiler encoding rather than inheriting the locale.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "conceptmultidbqueryenginespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

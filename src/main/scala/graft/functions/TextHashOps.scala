@@ -89,20 +89,50 @@ object TextHashOps {
     if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
 
   /** Word boundaries of the normalized text as packed (start, end) pairs
-    * over a normalized copy of the bytes. Returns the normalized bytes and
-    * the boundary array (even=start, odd=end-exclusive).
+    * over a normalized copy of the bytes. Returns the normalized bytes,
+    * the boundary array (even=start, odd=end-exclusive), and the
+    * normalized length (the copy may be shorter than the input).
+    *
+    * Normalization = the defining regex chain `lower()` +
+    * `[^a-z0-9 ]` → separator, byte-level: ASCII A-Z fold to a-z, every
+    * other byte of a multi-byte sequence is a separator — PLUS the only
+    * two code points whose Unicode lowercase CONTAINS an ASCII word
+    * byte, pre-folded so the kernel equals the chain on ALL input, not
+    * just the ASCII line (WordsKernelSpec fuzzes both planes):
+    *  - U+212A KELVIN SIGN (e2 84 aa) lowercases to plain 'k' — it
+    *    EXTENDS the surrounding word in the chain, so the 3-byte
+    *    sequence folds to the single byte 'k';
+    *  - U+0130 LATIN CAPITAL I WITH DOT ABOVE (c4 b0) full-lowercases
+    *    to 'i' + U+0307 COMBINING DOT ABOVE; the combining dot is
+    *    non-ASCII and becomes a separator in the chain, so the 2-byte
+    *    sequence folds to 'i' followed by one separator byte.
+    * No other code point lowercases into [a-z0-9] (Unicode
+    * SpecialCasing's only unconditional multi-char lowercase is U+0130;
+    * the single-char map into ASCII is U+212A alone), so this closes
+    * the divergence set exactly.
     */
   private def tokenize(text: UTF8String): (Array[Byte], Array[Int]) = {
     val raw = text.getBytes
     val bytes = new Array[Byte](raw.length)
     var i = 0
-    while (i < raw.length) { bytes(i) = normByte(raw(i)); i += 1 }
+    var w = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      if (b >= 0) { bytes(w) = normByte(b); i += 1; w += 1 }
+      else if (b == 0xe2.toByte && i + 2 < raw.length &&
+          raw(i + 1) == 0x84.toByte && raw(i + 2) == 0xaa.toByte) {
+        bytes(w) = 'k'; i += 3; w += 1 // U+212A
+      } else if (b == 0xc4.toByte && i + 1 < raw.length &&
+          raw(i + 1) == 0xb0.toByte) {
+        bytes(w) = 'i'; bytes(w + 1) = ' '; i += 2; w += 2 // U+0130
+      } else { bytes(w) = b; i += 1; w += 1 } // separator byte
+    }
     val bounds = new java.util.ArrayList[Integer]()
     i = 0
-    while (i < bytes.length) {
+    while (i < w) {
       if (isKeep(bytes(i))) {
         val start = i
-        while (i < bytes.length && isKeep(bytes(i))) i += 1
+        while (i < w && isKeep(bytes(i))) i += 1
         bounds.add(start); bounds.add(i)
       } else i += 1
     }
@@ -241,11 +271,13 @@ object TextHashOps {
     * the one-pass kernel behind [[graft.ops.TextAnalysis.words]], whose
     * defining regex chain `filter(split(regexp_replace(lower(text),
     * "[^a-z0-9 ]", " "), " "), length > 0)` costs three full passes and
-    * a regex per document. Same documented ASCII-only byte contract as
-    * every kernel in this file (multi-byte sequences are separators;
-    * the regex path agrees for ASCII text, the testdata contract —
-    * WordsKernelSpec pins the equality over the ASCII line including
-    * controls and punctuation).
+    * a regex per document. Equal to the chain on ALL input: byte-level
+    * normalization treats multi-byte sequences as separators exactly as
+    * the chain's lower-then-strip does, and [[tokenize]] pre-folds the
+    * only two code points whose Unicode lowercase contains an ASCII
+    * word byte (U+212A → 'k', U+0130 → 'i' + separator).
+    * WordsKernelSpec fuzz-pins the equality over the ASCII line AND a
+    * Unicode plane seeded with exactly those divergence-class chars.
     */
   def wordsArr(text: UTF8String): ArrayData = {
     val (bytes, bounds) = tokenize(text)

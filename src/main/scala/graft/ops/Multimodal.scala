@@ -136,16 +136,18 @@ object Multimodal {
       if (counts(i) == 0) 0f else (sums(i) / counts(i) / 0xffffff).toFloat)
   }
 
-  // ImageIO's default ImageInputStream is FILE-cache-backed: every decode
+  // ImageIO's DEFAULT ImageInputStream is FILE-cache-backed: every decode
   // creates (and deletes) a temp file in the shared cache directory, so a
   // 32-thread decode scan serializes on filesystem metadata — the same
   // at-scale convoy shape as the AudioSystem SPI registry below. The
-  // payloads here are in-memory byte arrays; the memory-cached stream is
-  // strictly better. One-time, process-wide, thread-safe to set.
-  ImageIO.setUseCache(false)
-
+  // payloads here are in-memory byte arrays; wrap each decode in an
+  // explicit MemoryCacheImageInputStream instead. Scoped per call — NOT
+  // the process-global ImageIO.setUseCache(false) toggle, which would
+  // silently change stream semantics for every other ImageIO consumer in
+  // a JVM embedding this library.
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload)))
     require(img != null, "payload is not a decodable image")
     img
   }

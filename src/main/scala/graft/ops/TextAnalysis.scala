@@ -20,10 +20,12 @@ object TextAnalysis {
     // DEFINING form (the oracle's mirror, OracleFrag.scala):
     //   filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
     //     w => length(w) > 0)
-    // — shipped as the one-pass codegen kernel, equal for ASCII text (the
-    // documented kernel contract; WordsKernelSpec pins the equality over
-    // the ASCII line, and the regex chain cost three passes + a regex per
-    // document across this module's 19 call sites)
+    // — shipped as the one-pass codegen kernel, equal on ALL input (the
+    // kernel pre-folds U+212A/U+0130, the only code points whose Unicode
+    // lowercase reaches ASCII; WordsKernelSpec fuzz-pins the equality on
+    // both the ASCII line and a Unicode plane, and the regex chain cost
+    // three passes + a regex per document across this module's 19 call
+    // sites)
     graft.functions.TextFunctions.words_arr(text)
 
   /** Stopword lists per language for the n-gram/stopword-hit classifier. */

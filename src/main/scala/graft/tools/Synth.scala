@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *    shift on both sides of any FK, so join fan-out per key is scale-
   *    invariant.
   */
-private[tools] object Synth {
+private[graft] object Synth {
 
   val Alpha = "abcdefghijklmnopqrstuvwxyz"
 

@@ -2652,15 +2652,25 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("gopherRules: char/digit counts share the kernel tokenizer (Unicode-consistent)") {
-    // U+212A KELVIN SIGN: Java lower() maps it INTO 'k', so a lower()+regex
-    // char count would see one extra char per word (660 > 10n = 600 → rule
-    // flips); the kernel treats the multi-byte char as a separator, exactly
-    // like its word counting does — one tokenization, consistent ratios
-    val word = "abcdefghijK" // 10 kept chars + Kelvin sign
+    // U+212A KELVIN SIGN: Java lower() maps it INTO 'k', and since the
+    // r17 pre-fold the kernel agrees with the defining lower()+regex
+    // chain — the char JOINS the word (11 kept chars per 10-char stem,
+    // 660 > 10n = 600 → rule flips), identically in the word counting
+    // and the char counting: one tokenization, consistent ratios
+    val word = "abcdefghijK" // 10 stem chars + Kelvin sign → 11 kept chars
     val df = Seq((1L, (1 to 60).map(i => word).mkString(" "))).toDF("doc_id", "text")
     val r = TextAnalysis.gopherRules(df).collect().head
     assert(r.getInt(r.fieldIndex("n_words")) == 60)
-    assert(r.getBoolean(r.fieldIndex("r_word_len")), "10-char words sit ON the <=10n boundary")
+    assert(!r.getBoolean(r.fieldIndex("r_word_len")),
+      "the folded Kelvin 'k' pushes words past the <=10n boundary")
+    // a multi-byte char whose lowercase stays OUTSIDE ASCII remains a
+    // separator (both forms strip it): words keep 10 chars, ON the boundary
+    val word2 = "abcdefghijé"
+    val df2 = Seq((1L, (1 to 60).map(i => word2).mkString(" "))).toDF("doc_id", "text")
+    val r2 = TextAnalysis.gopherRules(df2).collect().head
+    assert(r2.getInt(r2.fieldIndex("n_words")) == 60)
+    assert(r2.getBoolean(r2.fieldIndex("r_word_len")),
+      "10-char words sit ON the <=10n boundary")
     // and the struct fields themselves: chars = Σ token lengths, digit-only tokens
     val s = graft.functions.TextFunctions.repetition_stats(col("text"))
     val st = Seq((1L, "ab 12 cd 34 34")).toDF("doc_id", "text")
