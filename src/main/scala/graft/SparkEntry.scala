@@ -1884,16 +1884,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") < 250)
       // constant-occupancy sizing from the INDEX corpus (the side whose
-      // bucket occupancy the probe pays per candidate); the vec_id < 250
-      // cut pins the corpus at 250 vectors at every SF, so the rule
-      // statically resolves to 5 planes and the oracle bakes 5 in
-      val planes = ops.Similarity.planesForCorpus(corpus.count())
-      val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
-        planesPerBand = planes, bands = 8)
+      // bucket occupancy the probe pays per candidate) happens at BUILD
+      // time inside cosineIndexAdaptive, which stamps planes/bands/count
+      // into the index schema; the PROBE side reads the stamp (a schema
+      // read, zero jobs over the store). The vec_id < 250 cut pins the
+      // corpus at 250 vectors at every SF, so the rule statically
+      // resolves to 5 planes and the oracle bakes 5 in
+      val index = ops.Dedup.cosineIndexAdaptive(corpus, "vec_id", "embedding",
+        bands = 8)
+      val (planes, bands) = ops.Dedup.stampedBandParams(index)
       val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
       ops.Dedup.cosineIndexMatches(emb.where(col("vec_id") >= 250), index,
           store, "vec_id", "embedding", threshold = 0.4,
-          planesPerBand = planes, bands = 8)
+          planesPerBand = planes, bands = bands)
         .orderBy("doc_id", "corpusId")
     },
     // ---- incremental SEMANTIC dedup (the SemDeDup-style criterion): drop
@@ -1905,15 +1908,16 @@ object SparkEntry {
     "d_dedup_cosine_incremental" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") < 250)
-      // same constant-occupancy sizing as d_dedup_cosine_vs_index: the
-      // 250-vector corpus statically resolves to 5 planes per band
-      val planes = ops.Similarity.planesForCorpus(corpus.count())
-      val index = ops.Dedup.cosineIndex(corpus, "vec_id", "embedding",
-        planesPerBand = planes, bands = 8)
+      // same build-sizes/serve-reads-the-stamp split as
+      // d_dedup_cosine_vs_index: the 250-vector corpus statically
+      // resolves to 5 planes per band
+      val index = ops.Dedup.cosineIndexAdaptive(corpus, "vec_id", "embedding",
+        bands = 8)
+      val (planes, bands) = ops.Dedup.stampedBandParams(index)
       val store = ops.Dedup.cosineVecStore(corpus, "vec_id", "embedding")
       ops.Dedup.dedupIncrementalCosine(emb.where(col("vec_id") >= 250), index,
           store, "vec_id", "embedding", threshold = 0.4,
-          planesPerBand = planes, bands = 8)
+          planesPerBand = planes, bands = bands)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },

@@ -780,21 +780,76 @@ object Dedup {
     * only candidate corpusIds' vectors are ever fetched from it.
     */
   def cosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      planesPerBand: Int = 4, bands: Int = 8): DataFrame = {
+      planesPerBand: Int = 4, bands: Int = 8,
+      corpusCount: Long = -1L): DataFrame = {
     // stamp the build parameters into the bucket field's schema metadata:
     // it survives parquet write/read, costs zero rows, and lets every
     // prober detect a formula-generation or planes/bands mismatch —
     // which would otherwise be SILENT recall collapse (buckets match by
-    // 2^-planes chance), the worst failure mode a dedup index can have
-    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+    // 2^-planes chance), the worst failure mode a dedup index can have.
+    // `corpusCount` (when the builder knows it) rides along so a server
+    // can re-derive sizing policies from the INDEX, never from a count
+    // job over the corpus-sized store.
+    val base = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.bandFormat", Similarity.BandFormatVersion)
       .putLong("graft.planesPerBand", planesPerBand.toLong)
       .putLong("graft.bands", bands.toLong)
-      .build()
+    val stamp = (if (corpusCount >= 0)
+      base.putLong("graft.corpusCount", corpusCount) else base).build()
     cosineBandRows(guardedVecs(corpus, idCol, vecCol), planesPerBand, bands)
       .select(col("band"), col("bucket").as("bucket", stamp),
         col("doc_id").as("corpusId"))
   }
+
+  /** [[cosineIndex]] under the constant-occupancy sizing rule: count the
+    * corpus ONCE at build time, size planesPerBand with
+    * [[Similarity.planesForCorpus]], and stamp planes/bands AND the
+    * corpus count into the index schema. This is the build-side home of
+    * the sizing job — a server probes with [[stampedBandParams]] (a
+    * schema read, zero jobs) and never runs a count over the store.
+    */
+  def cosineIndexAdaptive(corpus: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 8, targetPerBucket: Int = 8): DataFrame = {
+    val n = corpus.count()
+    cosineIndex(corpus, idCol, vecCol,
+      Similarity.planesForCorpus(n, targetPerBucket), bands, corpusCount = n)
+  }
+
+  /** The band parameters a stamped index was built with —
+    * `(planesPerBand, bands)` read from the schema metadata
+    * ([[cosineIndex]]'s stamp): a SERVE-side sizing source that costs a
+    * schema read, not a count job over the corpus-sized store. Raises on
+    * an unstamped index (unknown provenance — the [[requireBandCompat]]
+    * argument); a caller that positively knows the parameters asserts
+    * them with [[stampCosineIndex]] first.
+    */
+  def stampedBandParams(index: DataFrame): (Int, Int) = {
+    val f = index.schema.fields.find(_.name == "bucket").getOrElse(
+      throw new IllegalArgumentException(
+        "stampedBandParams: no bucket column — not a cosine band index"))
+    require(f.metadata.contains("graft.bandFormat") &&
+        f.metadata.contains("graft.planesPerBand") &&
+        f.metadata.contains("graft.bands"),
+      "stampedBandParams: index carries no band stamp — its banding " +
+        "generation/width is unknown; re-band it (cosineIndex over its " +
+        "vector store) or assert known provenance with stampCosineIndex")
+    require(f.metadata.getLong("graft.bandFormat") ==
+        Similarity.BandFormatVersion,
+      s"stampedBandParams: index was banded by formula generation " +
+        s"${f.metadata.getLong("graft.bandFormat")}, this build probes " +
+        s"with ${Similarity.BandFormatVersion} — re-band the index")
+    (f.metadata.getLong("graft.planesPerBand").toInt,
+      f.metadata.getLong("graft.bands").toInt)
+  }
+
+  /** The corpus size stamped at build time by [[cosineIndexAdaptive]] —
+    * None for indexes built before the count rode the stamp (or by the
+    * fixed-parameter [[cosineIndex]] without one).
+    */
+  def stampedCorpusCount(index: DataFrame): Option[Long] =
+    index.schema.fields.find(_.name == "bucket")
+      .filter(_.metadata.contains("graft.corpusCount"))
+      .map(_.metadata.getLong("graft.corpusCount"))
 
   /** Guard-before-probe for a [[cosineIndex]]: if the index schema carries
     * the build stamp, the probe's formula generation and planes/bands MUST

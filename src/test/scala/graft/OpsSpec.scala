@@ -1752,6 +1752,39 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.stampCosineIndex(loaded))
   }
 
+  test("cosineIndexAdaptive: build sizes + stamps; the serve side reads the stamp, no count job") {
+    val all = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where(col("vec_id") < 250)
+    val batch = all.where(col("vec_id") >= 250)
+    val store = Dedup.cosineVecStore(corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("bandstampA").toString
+    Dedup.cosineIndexAdaptive(corpus, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val loaded = TestSpark.session.read.parquet(dir)
+    // the sizing rule's choice AND the corpus count ride the stamp
+    val (planes, bands) = Dedup.stampedBandParams(loaded)
+    assert(planes == Similarity.planesForCorpus(250) && bands == 8)
+    assert(Dedup.stampedCorpusCount(loaded).contains(250L))
+    // serving from the stamp equals serving with explicit parameters —
+    // and required zero jobs to size (stampedBandParams is a schema read)
+    val fromStamp = Dedup.cosineIndexMatches(batch, loaded, store, "vec_id",
+      "embedding", threshold = 0.4, planesPerBand = planes, bands = bands)
+      .collect().toSet
+    val explicit = Dedup.cosineIndexMatches(batch, loaded, store, "vec_id",
+      "embedding", threshold = 0.4,
+      planesPerBand = Similarity.planesForCorpus(250), bands = 8)
+      .collect().toSet
+    assert(fromStamp == explicit && fromStamp.nonEmpty)
+    // fixed-parameter cosineIndex without a count stays uncounted
+    assert(Dedup.stampedCorpusCount(
+      Dedup.cosineIndex(corpus, "vec_id", "embedding")).isEmpty)
+    // an unstamped index refuses a stamp read (unknown provenance)
+    val unstamped = loaded.select(col("band"),
+      col("bucket").cast("long").as("bucket"), col("corpusId"))
+    intercept[IllegalArgumentException](Dedup.stampedBandParams(unstamped))
+  }
+
   test("dedupIncrementalCosine reproduces the full-rerun survivor set (corpus ids first)") {
     val all = TestSpark.session.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
