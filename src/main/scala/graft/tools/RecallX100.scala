@@ -113,7 +113,33 @@ object RecallX100 {
         Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlist,
           nProbe = 4))
 
-      println(s"[$label] corpus $n, nlist $nlist, lsh planes/band $planes")
+      // THE SHIPPED RULE (r17): nlistForCorpus + nprobeForCells — the
+      // parameters s_ann_ivf/ivfpq/ivfsq8 actually run with
+      val nlR = Similarity.nlistForCorpus(n)
+      val npR = Similarity.nprobeForCells(nlR)
+      measure(s"IVF, SHIPPED rule (seeded)",
+        Similarity.ivfTopK(queries, corpus, k = K, nCells = nlR, nProbe = npR))
+      // TRAINED centroids under the shipped rule: Lloyd on a bounded
+      // deterministic sample (every stride-th id, ~25 vectors/cell — the
+      // standard train-on-a-sample k-means), full corpus assigned at
+      // probe time. The seeded rows measure centroid QUALITY's effect;
+      // these are the production claim (and remove the seeded rows'
+      // replica-0 alignment artifact the r16 notes documented).
+      val stride = math.max(1L, n / (25L * nlR))
+      val trainSet = corpus.where(pmod(col("cid"), lit(stride)) === 0)
+        .select((col("cid") / stride).cast("long").as("cid"), col("vec"))
+        .localCheckpoint()
+      val trained = Similarity.kmeansCentroids(trainSet, nCells = nlR,
+        iters = 3).localCheckpoint(true)
+      measure(s"IVF, SHIPPED rule (trained centroids)",
+        Similarity.ivfTopK(queries, corpus, k = K, nCells = nlR,
+          nProbe = npR, centroids = Some(trained)))
+      measure(s"IVF-PQ, SHIPPED rule (trained centroids), refine 30",
+        Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
+          nProbe = npR, centroids = Some(trained)))
+      trainSet.unpersist()
+
+      println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, lsh planes/band $planes")
       // free the decade's blocks before the next one builds
       truth.unpersist()
       if (factor != 1) { emb.unpersist() }
