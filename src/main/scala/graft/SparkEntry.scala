@@ -5729,8 +5729,8 @@ object SparkEntry {
         s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 5, b * 5)} AS bucket FROM n")
         .mkString("\n  UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |bd AS (\n  $bandSelects),
+         |n AS MATERIALIZED (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS MATERIALIZED (\n  $bandSelects),
          |p AS (SELECT DISTINCT b.vec_id AS did, i.vec_id AS cid
          |      FROM bd b JOIN bd i ON b.band = i.band AND b.bucket = i.bucket
          |      WHERE b.vec_id >= 250 AND i.vec_id < 250),
@@ -5751,21 +5751,21 @@ object SparkEntry {
         s"SELECT vec_id, $b AS band, ${OracleFrag.bucket("v", 5, b * 5)} AS bucket FROM n")
         .mkString("\n  UNION ALL ")
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |bd AS (\n  $bandSelects),
-         |mc AS (SELECT DISTINCT b.vec_id AS did, i.vec_id AS cid
+         |n AS MATERIALIZED (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |bd AS MATERIALIZED (\n  $bandSelects),
+         |mc AS MATERIALIZED (SELECT DISTINCT b.vec_id AS did, i.vec_id AS cid
          |       FROM bd b JOIN bd i ON b.band = i.band AND b.bucket = i.bucket
          |       WHERE b.vec_id >= 250 AND i.vec_id < 250),
-         |m AS (SELECT DISTINCT mc.did FROM mc
+         |m AS MATERIALIZED (SELECT DISTINCT mc.did FROM mc
          |      JOIN n nb ON nb.vec_id = mc.did JOIN n ni ON ni.vec_id = mc.cid
          |      WHERE round(${OracleFrag.dot64("nb.v", "ni.v")} / (nb.nrm * ni.nrm), 6) >= 0.4),
-         |pc AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+         |pc AS MATERIALIZED (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
          |       FROM bd a JOIN bd c ON a.band = c.band AND a.bucket = c.bucket
          |       WHERE a.vec_id >= 250 AND c.vec_id >= 250 AND a.vec_id < c.vec_id),
-         |pr AS (SELECT pc.ia, pc.ib FROM pc
+         |pr AS MATERIALIZED (SELECT pc.ia, pc.ib FROM pc
          |       JOIN n na ON na.vec_id = pc.ia JOIN n nc ON nc.vec_id = pc.ib
          |       WHERE round(${OracleFrag.dot64("na.v", "nc.v")} / (na.nrm * nc.nrm), 6) >= 0.4),
-         |e2 AS (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
+         |e2 AS MATERIALIZED (SELECT ia AS ea, ib AS eb FROM pr UNION SELECT ib, ia FROM pr),
          |reach(node, r) AS (
          |  SELECT DISTINCT ea, ea FROM e2
          |  UNION
