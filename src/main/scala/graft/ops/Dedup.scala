@@ -697,14 +697,15 @@ object Dedup {
     * every prober, so index and probers agree byte-for-byte.
     */
   private[graft] def cosineBandRows(withVec: DataFrame, planesPerBand: Int,
-      bands: Int): DataFrame = {
-    val bucketCols = array((0 until bands).map { b =>
-      Similarity.hyperplaneBucket(col("v"), planesPerBand, firstPlane = b * planesPerBand)
-    }: _*)
-    withVec.select(col("*"), posexplode(bucketCols))
+      bands: Int): DataFrame =
+    // one-pass bucket kernel (sign matrix on addReferenceObj) — bit-
+    // identical to the defining per-band hyperplaneBucket folds
+    // (BandKernelSpec pins it); the banding is the signature-transform
+    // floor of every cosine row, so the constant factor matters
+    withVec.select(col("*"), posexplode(
+        graft.functions.BandFunctions.band_buckets(col("v"), planesPerBand, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .drop("v", "nrm")
-  }
 
   /** The ONE exact-verification formula of the cosine family: sequential-
     * fold dot (bit-identical to the oracle's list_reduce), rounded to 6

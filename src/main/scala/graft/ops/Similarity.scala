@@ -289,13 +289,13 @@ object Similarity {
       probes: Int = 0, // query-side multi-probe bit flips per band
   ): DataFrame = {
     // band shuffle carries ids only; vectors re-join after pair dedup (the
-    // per-side frames are small relative to candidate rows — AQE broadcasts)
-    def banded(df: DataFrame, id: String) = {
-      val buckets = array((0 until bands).map(b =>
-        hyperplaneBucket(col(s"${id}_v"), planesPerBand, b * planesPerBand)): _*)
-      prep(df, id).select(col(id), posexplode(buckets))
+    // per-side frames are small relative to candidate rows — AQE broadcasts).
+    // Banding runs through the one-pass bucket kernel (bit-identical to the
+    // defining hyperplaneBucket folds — BandKernelSpec).
+    def banded(df: DataFrame, id: String) =
+      prep(df, id).select(col(id), posexplode(
+          graft.functions.BandFunctions.band_buckets(col(s"${id}_v"), planesPerBand, bands)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    }
     // the query side probes (1+probes) buckets per band; the corpus index
     // is untouched — multi-probe trades a little query fan-out for recall
     def bandedProbed(df: DataFrame, id: String) = {
@@ -977,12 +977,10 @@ object Similarity {
       planesPerBand: Int = 4,
       bands: Int = 4,
   ): DataFrame = {
-    def banded(df: DataFrame, id: String) = {
-      val buckets = array((0 until bands).map(b =>
-        hyperplaneBucket(col(s"${id}_v"), planesPerBand, b * planesPerBand)): _*)
-      prep(df, id).select(col(id), posexplode(buckets))
+    def banded(df: DataFrame, id: String) =
+      prep(df, id).select(col(id), posexplode(
+          graft.functions.BandFunctions.band_buckets(col(s"${id}_v"), planesPerBand, bands)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    }
     val cand = banded(queries, "qid").join(banded(corpus, "cid"), Seq("band", "bucket"))
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
