@@ -107,6 +107,84 @@ case class BandBucketsExpr(child: Expression, firstPlane: Int,
     copy(child = newChild)
 }
 
+/** Plane-projection dots kernel — the same literal-array fix as
+  * [[BandOps.bandBuckets]] for the callers that need the RAW projections
+  * rather than packed sign bits: [[graft.ops.Similarity.signProject]]
+  * (JL projection of the whole corpus — outDims separate 512-literal
+  * dot expressions per row before this) and
+  * [[graft.ops.Similarity.hyperplaneProbes]] (multi-probe's
+  * weakest-bit ranking needs |dot| per plane). Element p is the
+  * ascending sequential IEEE fold of `v · family-sign-row(firstPlane +
+  * p)` — bit-identical to `DotProduct(v, signRow(p))`, so downstream
+  * rounding/comparison semantics (Spark's own `round`, the `> 0` sign
+  * cut, the |dot| sort) are byte-for-byte unchanged. `family` selects
+  * the banding ([[graft.ops.Similarity.bandSign]]) or JL-projection
+  * ([[graft.ops.Similarity.projSign]]) matrix — independent salts,
+  * never mix them.
+  */
+final class PlaneModel(val firstPlane: Int, val nPlanes: Int,
+    val family: String) extends Serializable {
+  require(nPlanes >= 1, s"nPlanes must be >= 1: $nPlanes")
+  require(family == "band" || family == "proj", s"unknown family: $family")
+
+  @transient @volatile private var signs: Array[Array[Double]] = _
+
+  def signMatrix: Array[Array[Double]] = {
+    if (signs == null) synchronized {
+      if (signs == null) {
+        val f: (Int, Int) => Double =
+          if (family == "band") graft.ops.Similarity.bandSign
+          else graft.ops.Similarity.projSign
+        signs = Array.tabulate(nPlanes)(p =>
+          Array.tabulate(512)(i => f(firstPlane + p, i + 1)))
+      }
+    }
+    signs
+  }
+}
+
+object PlaneOps {
+  def planeDots(v: ArrayData, m: PlaneModel): ArrayData = {
+    val n = math.min(v.numElements(), 512)
+    val sm = m.signMatrix
+    val out = new Array[Double](m.nPlanes)
+    var p = 0
+    while (p < m.nPlanes) {
+      val row = sm(p)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += v.getDouble(i) * row(i)
+        i += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PlaneDotsExpr(child: Expression, firstPlane: Int, nPlanes: Int,
+    family: String) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "plane_dots"
+
+  @transient private lazy val model: PlaneModel =
+    new PlaneModel(firstPlane, nPlanes, family)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PlaneOps.planeDots(input.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeModel", model, classOf[PlaneModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.PlaneOps.planeDots($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneDotsExpr =
+    copy(child = newChild)
+}
+
 object BandFunctions {
   /** Array of `bands` hyperplane-band bucket ids of a double-array
     * vector column (band b uses planes starting at
@@ -116,4 +194,12 @@ object BandFunctions {
       firstPlane: Int = 0): Column =
     GraftBridge.column(BandBucketsExpr(GraftBridge.expression(v),
       firstPlane, planesPerBand, bands))
+
+  /** Raw projections of a double-array vector onto `nPlanes` consecutive
+    * sign planes of the given family ("band" | "proj").
+    */
+  def plane_dots(v: Column, nPlanes: Int, family: String,
+      firstPlane: Int = 0): Column =
+    GraftBridge.column(PlaneDotsExpr(GraftBridge.expression(v),
+      firstPlane, nPlanes, family))
 }

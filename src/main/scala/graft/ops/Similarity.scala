@@ -198,8 +198,9 @@ object Similarity {
     */
   def hyperplaneProbes(v: Column, planes: Int, firstPlane: Int, probes: Int): Column = {
     require(probes >= 0 && probes <= planes, "probes must be in [0, planes]")
-    val dots = array((0 until planes).map(j =>
-      dot_product(v, signRow(firstPlane + j))): _*)
+    // per-plane dots via the one-pass kernel (bit-identical to the
+    // per-plane DotProduct folds — BandKernelSpec's parity argument)
+    val dots = graft.functions.BandFunctions.plane_dots(v, planes, "band", firstPlane)
     graft.functions.Exprs.let(dots, ds => {
       val bucket = (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
         shiftleft(acc, 1).bitwiseOR(
@@ -1031,9 +1032,6 @@ object Similarity {
     if (((x3 >> 13) & 1L) == 1L) 1.0 else -1.0
   }
 
-  private def projSignRow(p: Int): Column =
-    array((1 to MaxDims).map(i => lit(projSign(p, i))): _*)
-
   /** Johnson–Lindenstrauss SIGN projection: reduce each embedding to
     * `outDims` coordinates `y_p = ⟨v, s_p⟩` against the deterministic
     * ±1 matrix ([[projSign]] — data-independent, no stored model, the
@@ -1050,15 +1048,17 @@ object Similarity {
     */
   def signProject(corpus: DataFrame, idCol: String, vecCol: String,
       outDims: Int, firstPlane: Int = 0): DataFrame = {
-    import graft.functions.Exprs
     require(outDims >= 1 && outDims <= MaxDims,
       s"outDims out of [1, $MaxDims]: $outDims")
+    // raw projections via the one-pass kernel (bit-identical to the
+    // per-plane DotProduct folds); the 6-decimal rounding stays Spark's
+    // own `round`, so output doubles are byte-for-byte unchanged
     corpus.select(col(idCol),
-      Exprs.let(transform(col(vecCol), x => x.cast("double")), { v =>
-        array((0 until outDims).map { p =>
-          round(dot_product(v, projSignRow(firstPlane + p)), 6)
-        }: _*)
-      }).as("proj"))
+      transform(
+        graft.functions.BandFunctions.plane_dots(
+          transform(col(vecCol), x => x.cast("double")), outDims, "proj",
+          firstPlane),
+        d => round(d, 6)).as("proj"))
   }
 
   /** ANN via JL project-then-rescore: candidates rank by PROJECTED-space

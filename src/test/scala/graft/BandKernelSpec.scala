@@ -51,6 +51,24 @@ object BandKernelSpec extends Properties("bandKernel") {
       diff.count() == 0L
     }
 
+  property("plane_dots equals the per-plane DotProduct folds (both families)") =
+    forAll(Gen.listOfN(6, genVec), Gen.chooseNum(1, 16),
+        Gen.oneOf("band", "proj"), Gen.oneOf(0, 100)) { (vecs, planes, family, first) =>
+      import spark.implicits._
+      val signOf: (Int, Int) => Double =
+        if (family == "band") Similarity.bandSign else Similarity.projSign
+      val defining = array((0 until planes).map { p =>
+        graft.functions.VectorFunctions.dot_product(col("v"),
+          array((1 to 512).map(i => lit(signOf(first + p, i))): _*))
+      }: _*)
+      val diff = vecs.toDF("v")
+        .select(graft.functions.BandFunctions
+            .plane_dots(col("v"), planes, family, first).as("k"),
+          defining.as("r"))
+        .where(not(col("k") <=> col("r")))
+      diff.count() == 0L
+    }
+
   property("NULL vector -> NULL buckets") = {
     import spark.implicits._
     Seq(Option.empty[Seq[Double]]).toDF("v")
