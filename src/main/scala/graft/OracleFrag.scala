@@ -487,6 +487,27 @@ private[graft] object OracleFrag {
        |__np AS (SELECT CAST(LEAST(nlist, GREATEST($minProbe,
        |    (nlist + ${probeDen - 1}) // $probeDen)) AS INT) AS nprobe FROM __nl)""".stripMargin
 
+  /** CTE `__rf` — the count-adaptive exact-rescore budget, mirror of
+    * [[Similarity.refineForCandidates]]: `clamp(ceil(candidates /
+    * refineDen), minRefine, maxRefine)` in integer arithmetic only.
+    * `candSql` is scalar SQL for the approximately-RANKED pool the cut
+    * applies to — `SELECT count(*) FROM e` for the exhaustive PQ/SQ8/JL
+    * tiers, `(count · nprobe) // nlist` (see [[probedCandSql]]) for the
+    * IVF-routed ones — so one oracle text stays correct at every SF,
+    * exactly the ivfSizingCtes/adaptivePlanesCtes contract.
+    */
+  def refineCte(candSql: String, refineDen: Int = Similarity.RefineDen,
+      minRefine: Int = 30, maxRefine: Int = 1 << 16): String =
+    s"""__rf AS (SELECT CAST(GREATEST($minRefine, LEAST($maxRefine,
+       |    CASE WHEN ($candSql) = 0 THEN 0
+       |         ELSE (($candSql) - 1) // $refineDen + 1 END)) AS INT) AS refine)""".stripMargin
+
+  /** Scalar SQL for the expected IVF probed population — mirror of
+    * [[Similarity.expectedProbed]] (multiply-before-divide floor), over
+    * the `__nl`/`__np` CTEs an [[ivfSizingCtes]] call put in scope. */
+  def probedCandSql(countSql: String): String =
+    s"(($countSql) * (SELECT nprobe FROM __np)) // (SELECT nlist FROM __nl)"
+
   /** Sanity pin: the SQL nlist/nprobe rules reimplemented here must agree
     * with Similarity.nlistForCorpus / nprobeForCells — the cross-engine
     * guard every count-adaptive rule carries, covering the gate corpus
@@ -498,6 +519,20 @@ private[graft] object OracleFrag {
     val sqlNprobe = math.min(sqlNlist, math.max(2, (sqlNlist + 3) / 4))
     sqlNlist == Similarity.nlistForCorpus(n) &&
       sqlNprobe == Similarity.nprobeForCells(sqlNlist)
+  })
+
+  /** Sanity pin: the SQL refine rule reimplemented here must agree with
+    * Similarity.refineForCandidates — covering the zero/floor/ceil/cap
+    * boundaries and the gate pool sizes (corpus 500/2000/20000 for the
+    * exhaustive tiers, probed 125/500/5000 for the IVF-routed ones), at
+    * both bracketing denominators the r17 RecallX100 table measured. */
+  require(Seq(16, 64).forall { den =>
+    Seq(0L, 1L, 29L, 30L, 31L, 124L, 125L, 479L, 480L, 481L, 500L, 2000L,
+        5000L, 20000L, 50000L, 1048575L, 1048576L * 64L + 1L).forall { n =>
+      val frac = if (n == 0) 0L else (n - 1) / den + 1
+      val sqlRefine = math.max(30L, math.min(65536L, frac)).toInt
+      sqlRefine == Similarity.refineForCandidates(n, refineDen = den)
+    }
   })
 
   /** Sanity pin: the Scala and SQL band-sign formulas must agree. */

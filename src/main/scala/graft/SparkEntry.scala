@@ -1155,34 +1155,42 @@ object SparkEntry {
     },
     // ---- ANN, product-quantization/ADC variant (32x vector compression;
     //      codes-only candidate scan; decimal-exact ADC so the refine
-    //      cutoff is oracle-reproducible)
+    //      cutoff is oracle-reproducible). The rescore budget is the
+    //      corpus-sized refineForCandidates rule (the ADC ranking noise
+    //      the cut must absorb scales with the RANKED pool — here the
+    //      whole corpus); the oracle recomputes it from count(*)
     "s_ann_pq" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.pqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
+        k = 5, m = 8, subDim = 8, kCode = 16,
+        refine = ops.Similarity.refineForCandidates(embCount(s, dir)))
+        .orderBy("qid", "rank")
     },
     // ---- ANN, scalar-quantization (SQ8) variant: one byte per dimension
     //      from corpus min/max ranges, bucket-midpoint reconstruction
-    //      ranks (decimal-exact, refine-30), exact rescore finishes — the
-    //      4x-compression tier between raw floats and PQ's 32x
+    //      ranks (decimal-exact, count-adaptive refine), exact rescore
+    //      finishes — the 4x-compression tier between raw floats and PQ's 32x
     "s_ann_sq8" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.sq8TopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, refine = 30).orderBy("qid", "rank")
+        k = 5, refine = ops.Similarity.refineForCandidates(embCount(s, dir)))
+        .orderBy("qid", "rank")
     },
     // ---- ANN: PERSISTED SQ8 index — codes (1 B/dim on disk) + ranges +
     //      vectors written once; serving decodes the code scan and touches
-    //      full-precision vectors only for refine survivors. Identical
-    //      results to s_ann_sq8 → same oracle.
+    //      full-precision vectors only for refine survivors. refine = -1
+    //      sizes the budget from the corpus count STAMPED at build time
+    //      (a schema read, zero jobs over the store — the cosine-index
+    //      stamp convention). Identical results to s_ann_sq8 → same oracle.
     "s_ann_sq8_indexed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.sq8TopKIndexed(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
-        sq8Index(s, dir), k = 5, refine = 30).orderBy("qid", "rank")
+        sq8Index(s, dir), k = 5, refine = -1).orderBy("qid", "rank")
     },
     // ---- ANN, IVF-SQ8 composition: coarse cells route (corpus-sized
     //      nlist, constant-fraction probe — the s_ann_ivf rule), byte
@@ -1190,13 +1198,17 @@ object SparkEntry {
     //      probed cells — the scan-pruning form of s_ann_sq8
     "s_ann_ivfsq8" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val nCells = ops.Similarity.nlistForCorpus(embCount(s, dir))
+      val n = embCount(s, dir)
+      val nCells = ops.Similarity.nlistForCorpus(n)
+      val nProbe = ops.Similarity.nprobeForCells(nCells)
       ops.Similarity.ivfSq8TopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = nCells,
-        nProbe = ops.Similarity.nprobeForCells(nCells),
-        refine = 30).orderBy("qid", "rank")
+        k = 5, nCells = nCells, nProbe = nProbe,
+        // the ranked pool here is the PROBED population, not the corpus
+        refine = ops.Similarity.refineForCandidates(
+          ops.Similarity.expectedProbed(n, nCells, nProbe)))
+        .orderBy("qid", "rank")
     },
     // ---- ANN, IVF-PQ composition: coarse cells route (corpus-sized
     //      nlist, constant-fraction probe — the s_ann_ivf rule), PQ codes
@@ -1204,13 +1216,17 @@ object SparkEntry {
     //      finishes — the scan-pruning form of s_ann_pq
     "s_ann_ivfpq" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val nCells = ops.Similarity.nlistForCorpus(embCount(s, dir))
+      val n = embCount(s, dir)
+      val nCells = ops.Similarity.nlistForCorpus(n)
+      val nProbe = ops.Similarity.nprobeForCells(nCells)
       ops.Similarity.ivfPqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = nCells,
-        nProbe = ops.Similarity.nprobeForCells(nCells),
-        m = 8, subDim = 8, kCode = 16, refine = 30).orderBy("qid", "rank")
+        k = 5, nCells = nCells, nProbe = nProbe,
+        m = 8, subDim = 8, kCode = 16,
+        refine = ops.Similarity.refineForCandidates(
+          ops.Similarity.expectedProbed(n, nCells, nProbe)))
+        .orderBy("qid", "rank")
     },
     // ---- ANN: PQ serve path under the TRAINED codebook — the committed
     //      per-subspace k-means snapshot (tools.TrainPqFixture); encode,
@@ -1221,7 +1237,8 @@ object SparkEntry {
       ops.Similarity.pqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, m = 8, subDim = 8, kCode = 16, refine = 30,
+        k = 5, m = 8, subDim = 8, kCode = 16,
+        refine = ops.Similarity.refineForCandidates(embCount(s, dir)),
         codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
     },
     // ---- ANN: the FULLY-trained IVF-PQ composition — trained coarse
@@ -1229,13 +1246,18 @@ object SparkEntry {
     //      fixtures, so the whole serve path stays hash-oracled
     "s_ann_ivfpq_trained" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      // the fixture quantizer pins nCells; the probed POPULATION still
+      // grows with the corpus, so the refine budget sizes from it
+      val nCells = fixtureCentroidRows.size
+      val nProbe = ops.Similarity.nprobeForCells(nCells)
       ops.Similarity.ivfPqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = fixtureCentroidRows.size,
-        nProbe = ops.Similarity.nprobeForCells(fixtureCentroidRows.size),
+        k = 5, nCells = nCells, nProbe = nProbe,
         m = 8, subDim = 8, kCode = 16,
-        refine = 30, centroids = Some(fixtureCentroids(s)),
+        refine = ops.Similarity.refineForCandidates(
+          ops.Similarity.expectedProbed(embCount(s, dir), nCells, nProbe)),
+        centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
     },
     // ---- ANN, RESIDUAL IVF-PQ (IVFADC): codes quantize vec − assigned
@@ -1244,13 +1266,16 @@ object SparkEntry {
     //      higher-recall standard form at the same bits
     "s_ann_ivfpq_residual" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      val nCells = fixtureCentroidRows.size
+      val nProbe = ops.Similarity.nprobeForCells(nCells)
       ops.Similarity.ivfPqResidualTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, nCells = fixtureCentroidRows.size,
-        nProbe = ops.Similarity.nprobeForCells(fixtureCentroidRows.size),
+        k = 5, nCells = nCells, nProbe = nProbe,
         m = 8, subDim = 8, kCode = 16,
-        refine = 30, centroids = Some(fixtureCentroids(s)),
+        refine = ops.Similarity.refineForCandidates(
+          ops.Similarity.expectedProbed(embCount(s, dir), nCells, nProbe)),
+        centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureResidualCodebook(s))).orderBy("qid", "rank")
     },
     // ---- multimodal: REAL PNG decode (javax.imageio) via mapPartitions —
@@ -2630,26 +2655,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     // ---- ANN via JL project-then-rescore: 16-dim projected cosine ranks
-    //      (4x cheaper dot), refine-30 exact full-space rescore
+    //      (4x cheaper dot), count-adaptive exact full-space rescore (the
+    //      projected rank noise the cut absorbs scales with the corpus)
     "s_ann_projected" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.projectedTopK(
         e.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, outDims = 16, refine = 30, firstPlane = 100)
-        .orderBy("qid", "rank")
+        k = 5, outDims = 16,
+        refine = ops.Similarity.refineForCandidates(embCount(s, dir)),
+        firstPlane = 100).orderBy("qid", "rank")
     },
     // ---- ANN: PERSISTED JL projected index — rounded 16-dim projections
     //      (what serving scans: outDims/64 of the raw ranking I/O) +
     //      vectors written once; projections are bit-identical to the
-    //      in-flight build, so results equal s_ann_projected → same oracle
+    //      in-flight build, so results equal s_ann_projected → same oracle.
+    //      refine = -1 sizes the budget from the corpus count persisted
+    //      in the index meta (zero jobs over the store at serve time)
     "s_ann_projected_indexed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.projectedTopKIndexed(
         e.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("vec")),
-        projectedIndex(s, dir), k = 5, outDims = 16, refine = 30,
+        projectedIndex(s, dir), k = 5, outDims = 16, refine = -1,
         firstPlane = 100).orderBy("qid", "rank")
     },
     // ---- alignment-robust passage pairs: winnowing fingerprints (MOSS)
@@ -3508,7 +3537,7 @@ object SparkEntry {
     * persisted `s_ann_sq8_indexed` (byte-identical ranges + codes):
     * per-dim min/max → step=(hi−lo)/256, floor-encode clamped to 255,
     * bucket-midpoint decode, 9-decimal DECIMAL ranking (the PQ adot
-    * convention), refine-30, exact rescore.
+    * convention), count-adaptive refine (the refineForCandidates mirror), exact rescore.
     */
   /** Projected ANN oracle — shared by the in-flight and persisted-index
     * serve paths (bit-identical projections make the answer sets equal).
@@ -3521,6 +3550,7 @@ object SparkEntry {
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
        |p AS (SELECT vec_id, $projList AS pv FROM e),
        |pn AS (SELECT vec_id, pv, sqrt(${OracleFrag.dotN("pv", "pv", 16)}) AS pnrm FROM p),
+       |${OracleFrag.refineCte("SELECT count(*) FROM e")},
        |ax AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
        |         CASE WHEN q.pnrm * c.pnrm != 0 THEN
        |           CAST(round(${OracleFrag.dotN("q.pv", "c.pv", 16)} / (q.pnrm * c.pnrm), 9) AS DECIMAL(38,12))
@@ -3530,7 +3560,7 @@ object SparkEntry {
        |cand AS (SELECT qid, cid FROM (
        |  SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-       |  FROM ax) WHERE arn <= 30),
+       |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
        |sc AS (SELECT cand.qid, cand.cid,
        |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
        |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -3543,6 +3573,7 @@ object SparkEntry {
   private lazy val sq8OracleSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |${OracleFrag.refineCte("SELECT count(*) FROM e")},
        |mm AS (SELECT k, MIN(v[CAST(k AS INT)]) AS lo,
        |         (MAX(v[CAST(k AS INT)]) - MIN(v[CAST(k AS INT)])) / 256.0 AS st
        |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) __k
@@ -3564,7 +3595,7 @@ object SparkEntry {
        |cand AS (SELECT qid, cid FROM (
        |  SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-       |  FROM ax) WHERE arn <= 30),
+       |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
        |sc AS (SELECT cand.qid, cand.cid,
        |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
        |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -5968,7 +5999,7 @@ object SparkEntry {
          |FROM m ORDER BY dim""".stripMargin,
     // Projected ANN replayed: the same rounded 16-dim projections, the
     // same -2 zero-norm sentinel, DECIMAL(38,12) candidate ranking,
-    // refine-30, exact full-space rescore. The indexed twin serves from
+    // count-adaptive refine, exact full-space rescore. The indexed twin serves from
     // bit-identical persisted projections → the SAME oracle gates both
     "s_ann_projected" -> projectedOracleSql,
     "s_ann_projected_indexed" -> projectedOracleSql,
@@ -6135,10 +6166,11 @@ object SparkEntry {
     "s_ann_ivf_trained_indexed" -> trainedIvfOracleSql,
     // Mirrors Similarity.pqTopK stage-for-stage: seeded codebook, per-
     // subspace L2 encode (d2 = c·c − 2c·b + b·b, same fold order), ADC
-    // table with round(·,9) decimal sums, refine-30 cut, exact rescore.
+    // table with round(·,9) decimal sums, count-adaptive refine cut, exact rescore.
     "s_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |${OracleFrag.refineCte("SELECT count(*) FROM e")},
          |sub AS (SELECT unnest(range(0, 8)) AS s),
          |cb AS (SELECT vec_id AS codeid, v AS bv FROM e WHERE vec_id < 16),
          |enc AS (SELECT cid, s, codeid FROM (
@@ -6159,7 +6191,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -6169,19 +6201,20 @@ object SparkEntry {
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     // SQ8 replayed range-for-range: per-dim min/max → step=(hi-lo)/256,
     // floor-encode clamped to 255, bucket-midpoint decode, 9-decimal
-    // DECIMAL ranking (the PQ adot convention), refine-30, exact rescore
+    // DECIMAL ranking (the PQ adot convention), count-adaptive refine, exact rescore
     "s_ann_sq8" -> sq8OracleSql,
     // The persisted layout serves byte-identical ranges + codes, so the
     // indexed path carries the same oracle (the s_ann_ivf_indexed rule)
     "s_ann_sq8_indexed" -> sq8OracleSql,
     // Mirrors Similarity.ivfSq8TopK: the s_ann_ivf routing CTEs (count-
     // adaptive nlist/nprobe) feed the s_ann_sq8 quantization CTEs — ax
-    // ranks ONLY routed (qid, cid) pairs, then the same refine-30 +
+    // ranks ONLY routed (qid, cid) pairs, then the same count-adaptive refine +
     // exact rescore
     "s_ann_ivfsq8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
          |${OracleFrag.ivfSizingCtes("SELECT count(*) FROM e")},
+         |${OracleFrag.refineCte(OracleFrag.probedCandSql("SELECT count(*) FROM e"))},
          |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n
          |         WHERE vec_id < (SELECT nlist FROM __nl)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
@@ -6217,7 +6250,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -6228,13 +6261,14 @@ object SparkEntry {
     // Mirrors Similarity.ivfPqTopK: the s_ann_ivf routing CTEs (count-
     // adaptive seeded cells, argmin assignment, constant-fraction probe)
     // feed the s_ann_pq ADC CTEs — ax aggregates ONLY routed (qid, cid)
-    // pairs, then refine-30 + rescore. The PQ codebook stays kCode=16
+    // pairs, then the count-adaptive refine + rescore. The PQ codebook stays kCode=16
     // (a CODEBOOK size, not a cell count — 16 centroids per subspace is
     // the 4-bit-code design point, independent of corpus size).
     "s_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
          |${OracleFrag.ivfSizingCtes("SELECT count(*) FROM e")},
+         |${OracleFrag.refineCte(OracleFrag.probedCandSql("SELECT count(*) FROM e"))},
          |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n
          |         WHERE vec_id < (SELECT nlist FROM __nl)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
@@ -6270,7 +6304,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -6284,6 +6318,7 @@ object SparkEntry {
     "s_ann_pq_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |${OracleFrag.refineCte("SELECT count(*) FROM e")},
          |cb AS ($trainedPqCbSelect),
          |$trainedPqEncQtab,
          |ax AS (
@@ -6293,7 +6328,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -6303,13 +6338,18 @@ object SparkEntry {
          |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     // The FULLY-trained IVF-PQ: fixture-centroid routing CTEs (the
     // s_ann_ivf_trained mirror) feed the trained-codebook ADC CTEs — ax
-    // aggregates ONLY routed (qid, cid) pairs, then refine-30 + rescore.
+    // aggregates ONLY routed (qid, cid) pairs, then the count-adaptive refine + rescore.
     "s_ann_ivfpq_trained" -> {
       val centValues = fixtureCentroidRows.map { case (id, v) =>
         s"($id, [${v.mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")
+      // the fixture pins nCells; the probed population (count·nprobe/nlist)
+      // still grows with the corpus, so the refine budget recomputes from it
+      val fxCells = fixtureCentroidRows.size
+      val fxProbe = ops.Similarity.nprobeForCells(fxCells)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |${OracleFrag.refineCte(s"((SELECT count(*) FROM e) * $fxProbe) // $fxCells")},
          |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
          |         FROM (VALUES $centValues) AS __cent(centid, cv)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
@@ -6334,7 +6374,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
@@ -6347,13 +6387,16 @@ object SparkEntry {
     // cell id), residuals rv = v − assigned centroid, encode against the
     // RESIDUAL codebook literals, ADC = Σ_s dot(q_sub, cb) + one
     // dot(q, centroid) term — all on the DECIMAL(38,12) grid so the
-    // refine cutoff can never drift — then refine-30 + exact rescore.
+    // refine cutoff can never drift — then the count-adaptive refine + exact rescore.
     "s_ann_ivfpq_residual" -> {
       val centValues = fixtureCentroidRows.map { case (id, v) =>
         s"($id, [${v.mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")
+      val fxCells = fixtureCentroidRows.size
+      val fxProbe = ops.Similarity.nprobeForCells(fxCells)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+         |${OracleFrag.refineCte(s"((SELECT count(*) FROM e) * $fxProbe) // $fxCells")},
          |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
          |         FROM (VALUES $centValues) AS __cent(centid, cv)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
@@ -6397,7 +6440,7 @@ object SparkEntry {
          |cand AS (SELECT qid, cid FROM (
          |  SELECT qid, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= 30),
+         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
          |sc AS (SELECT cand.qid, cand.cid,
          |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
          |       FROM cand JOIN n nq ON nq.vec_id = cand.qid

@@ -189,6 +189,60 @@ object Similarity {
     math.min(nCells, math.max(minProbe, (nCells + probeDen - 1) / probeDen))
   }
 
+  /** The expected per-query candidate population an IVF probe ranks:
+    * `floor(corpusSize · nProbe / nCells)` under [[nlistForCorpus]]'s
+    * near-uniform cells. This is the population whose ADC/decode ranking
+    * noise a refine budget must absorb — the input to
+    * [[refineForCandidates]] for the cell-routed tiers (the exhaustive
+    * PQ/SQ8 tiers rank the whole corpus, so their candidates ARE the
+    * corpus count). Multiply-before-divide keeps the integer rule exact
+    * and SQL-mirrorable; corpus·nProbe stays far under 2⁶³ for any
+    * single index this engine serves unpartitioned (maxNlist 2²⁰).
+    */
+  def expectedProbed(corpusSize: Long, nCells: Int, nProbe: Int): Long = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(nCells >= 1, s"nCells must be >= 1: $nCells")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells: [$nProbe, $nCells]")
+    corpusSize * nProbe / nCells
+  }
+
+  /** The shipped refine denominator — ONE constant shared by
+    * [[refineForCandidates]]'s default and OracleFrag.refineCte's SQL
+    * default, so the Scala rule and its DuckDB mirror cannot drift.
+    * Chosen from the r17 RecallX100 recall-vs-den table in BENCH_NOTES.
+    */
+  val RefineDen = 16
+
+  /** Constant-fraction exact-rescore budget — the refine analogue of
+    * [[nprobeForCells]]'s constant probed fraction: rescore
+    * `ceil(candidates / refineDen)` of the approximately-ranked pool,
+    * floored at `minRefine` (the long-gated refine-30 operating point)
+    * and capped at `maxRefine` (past ~2¹⁶ exact rescores per query the
+    * refine tail rivals the compressed scan it was meant to avoid — grow
+    * kCode/subspaces instead at that point).
+    *
+    * Why a FRACTION and not the fixed 30: RecallX100 measured IVF-PQ at
+    * a fixed refine-30 trading recall DOWN with corpus growth even under
+    * held routing recall (trained centroids, constant probed fraction:
+    * 0.236 → 0.122 → 0.047 across 1×/10×/100×) — with 16 codes per
+    * 8-dim subspace the ADC ranking noise scales with the ranked pool,
+    * so the true top-k drifts below any constant cutoff. Holding the
+    * cutoff AS A FRACTION of the pool absorbs that drift; the measured
+    * recall-vs-den table in BENCH_NOTES (r17) is the spec for the
+    * default, exactly as the RecallX100 probe table is for
+    * [[nprobeForCells]].
+    */
+  def refineForCandidates(candidates: Long, refineDen: Int = RefineDen,
+      minRefine: Int = 30, maxRefine: Int = 1 << 16): Int = {
+    require(candidates >= 0, s"candidates must be >= 0: $candidates")
+    require(refineDen >= 1, s"refineDen must be >= 1: $refineDen")
+    require(minRefine >= 1 && minRefine <= maxRefine,
+      s"need 1 <= minRefine <= maxRefine: [$minRefine, $maxRefine]")
+    val frac = if (candidates == 0) 0L else (candidates - 1) / refineDen + 1
+    math.max(minRefine.toLong, math.min(maxRefine.toLong, frac)).toInt
+  }
+
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
     * the WEAKEST sign bits flipped (smallest |projection| = the planes the
     * vector sits closest to, i.e. the likeliest misclassifications —
@@ -894,7 +948,15 @@ object Similarity {
     val c = prep(corpus, "cid")
     val d = corpus.select(size(col("vec"))).head.getInt(0)
     val rg = sq8Ranges(c)
-    sq8Codes(c, rg, d).write.parquet(s"$path/codes")
+    // stamp the corpus count into the codes column's schema metadata
+    // (the cosineIndexAdaptive convention): it survives the parquet
+    // round-trip at zero row cost, and lets a server size its refine
+    // budget from the INDEX — never a count job over the store
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.corpusCount", corpus.count()).build()
+    sq8Codes(c, rg, d)
+      .select(col("cid"), col("codes").as("codes", stamp))
+      .write.parquet(s"$path/codes")
     rg.write.parquet(s"$path/ranges")
     corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
   }
@@ -904,17 +966,32 @@ object Similarity {
     * persisted vectors. Ranges and codes are byte-identical to the
     * in-flight build, so results equal [[sq8TopK]] over the same corpus
     * and the same DuckDB oracle gates both.
+    *
+    * `refine = -1` sizes the budget with [[refineForCandidates]] from the
+    * corpus count STAMPED at build time (a schema read, zero jobs over
+    * the store). An unstamped pre-r17 index must be served with an
+    * explicit refine — raising beats silently guessing a budget.
     */
   def sq8TopKIndexed(queries: DataFrame, path: String,
       k: Int = 10, refine: Int = 30): DataFrame = {
     val spark = queries.sparkSession
     val rg = spark.read.parquet(s"$path/ranges")
-    val rec = sq8Decode(spark.read.parquet(s"$path/codes"), rg)
+    val codes = spark.read.parquet(s"$path/codes")
+    val rf =
+      if (refine != -1) refine
+      else {
+        val md = codes.schema("codes").metadata
+        require(md.contains("graft.corpusCount"),
+          s"SQ8 index at $path has no stamped corpus count (pre-stamp " +
+            "build?) — pass an explicit refine or rebuild the index")
+        refineForCandidates(md.getLong("graft.corpusCount"))
+      }
+    val rec = sq8Decode(codes, rg)
     val vectors = spark.read.parquet(s"$path/vectors")
     val approx = prep(queries, "qid").select(col("qid"), col("qid_v"))
       .crossJoin(rec)
       .where(col("qid") =!= col("cid"))
-    sq8RefineRescore(approx, queries, vectors, k, refine)
+    sq8RefineRescore(approx, queries, vectors, k, rf)
   }
 
   /** Shared SQ8 ranking tail: the 9-decimal DECIMAL-ranked midpoint dot
@@ -1127,8 +1204,11 @@ object Similarity {
     // the projection parameters ARE part of the index: a serve that
     // re-projects queries with different (outDims, firstPlane) ranks in a
     // DIFFERENT space and silently returns a wrong candidate set — so
-    // persist them and validate at read time
-    Seq((outDims, firstPlane)).toDF("outDims", "firstPlane")
+    // persist them and validate at read time. The corpus count rides
+    // along (the sq8/cosine stamp convention) so a server can size its
+    // refine budget from the meta, never from a count job over the store
+    Seq((outDims, firstPlane, corpus.count()))
+      .toDF("outDims", "firstPlane", "corpusCount")
       .coalesce(1).write.parquet(s"$path/meta")
   }
 
@@ -1153,10 +1233,11 @@ object Similarity {
     // guard the meta exists for would silently disable itself
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta =
+    val metaDf =
       if (!fs.exists(metaPath)) None
-      else Some(spark.read.parquet(s"$path/meta")
-        .select(col("outDims").cast("int"), col("firstPlane").cast("int"))
+      else Some(spark.read.parquet(s"$path/meta"))
+    val meta = metaDf.map(
+      _.select(col("outDims").cast("int"), col("firstPlane").cast("int"))
         .head())
     require(meta.isDefined || (outDims >= 0 && firstPlane >= 0),
       s"projected index at $path has no meta file and the caller did not " +
@@ -1168,13 +1249,26 @@ object Similarity {
       s"projected index at $path was built with outDims=$metaDims, caller passed $outDims")
     require(firstPlane == -1 || firstPlane == metaPlane,
       s"projected index at $path was built with firstPlane=$metaPlane, caller passed $firstPlane")
+    // refine = -1: size the budget from the corpus count the meta carries
+    // (a one-row read already in hand — zero jobs over the store); a
+    // pre-count meta must be served with an explicit refine
+    val rf =
+      if (refine != -1) refine
+      else {
+        val counted = metaDf.filter(_.schema.fieldNames.contains("corpusCount"))
+        require(counted.isDefined,
+          s"projected index at $path has no persisted corpus count " +
+            "(pre-count meta?) — pass an explicit refine or rebuild the index")
+        refineForCandidates(
+          counted.get.select(col("corpusCount").cast("long")).head().getLong(0))
+      }
     val cp = spark.read.parquet(s"$path/projected")
       .select(col("cid"), col("proj").as("cp"))
     val vectors = spark.read.parquet(s"$path/vectors")
     val qp = signProject(queries.select(col("qid"), col("vec")), "qid", "vec",
         metaDims, metaPlane)
       .select(col("qid"), col("proj").as("qp"))
-    rescoreTopK(projectedCandidates(qp, cp, refine), queries, vectors, k)
+    rescoreTopK(projectedCandidates(qp, cp, rf), queries, vectors, k)
   }
 
   def normalizeEmbeddings(corpus: DataFrame, idCol: String,

@@ -46,6 +46,11 @@ object RecallX100 {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional second arg: case-insensitive substring filter over tier
+    // names — lets a rule-design iteration re-measure one family without
+    // paying the full table (truth is always built; it is the shared
+    // denominator)
+    val tierFilter = args.drop(1).headOption.map(_.toLowerCase)
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,6 +86,7 @@ object RecallX100 {
         .select("qid", "cid").localCheckpoint()
 
       def measure(name: String, tier: => DataFrame): Unit = {
+        if (tierFilter.exists(f => !name.toLowerCase.contains(f))) return
         val t0 = System.nanoTime()
         val got = tier.select("qid", "cid").localCheckpoint()
         got.count()
@@ -137,9 +143,25 @@ object RecallX100 {
       measure(s"IVF-PQ, SHIPPED rule (trained centroids), refine 30",
         Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
           nProbe = npR, centroids = Some(trained)))
+      // ADAPTIVE refine (r17): hold the rescore budget as a FRACTION of
+      // the expected probed population instead of the fixed 30 — the
+      // refine analogue of constant-fraction nprobe. Two candidate
+      // denominators bracket the design space: 1/64 (the asymptote of
+      // the 1× brute-tier operating point 30/2000) and 1/16 (the 1×
+      // IVF-tier operating point 30/500 ≈ 6%). The measured table IS the
+      // spec for refineForCandidates' shipped default.
+      val probedPop = Similarity.expectedProbed(n, nlR, npR)
+      for (den <- Seq(64, 16)) {
+        val rf = Similarity.refineForCandidates(probedPop, refineDen = den)
+        measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine 1/$den of probed",
+          Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
+            nProbe = npR, refine = rf, centroids = Some(trained)))
+      }
       trainSet.unpersist()
 
-      println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, lsh planes/band $planes")
+      println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, " +
+        s"lsh planes/band $planes, probed $probedPop, adaptive refine " +
+        Seq(64, 16).map(d => s"1/$d=${Similarity.refineForCandidates(probedPop, refineDen = d)}").mkString(" "))
       // free the decade's blocks before the next one builds
       truth.unpersist()
       if (factor != 1) { emb.unpersist() }

@@ -6,9 +6,11 @@ import org.scalacheck.Prop.forAll
 import graft.ops.Similarity
 
 /** Property suite for the corpus-adaptive IVF sizing rules —
-  * [[graft.ops.Similarity.nlistForCorpus]] (constant expected cell size)
-  * and [[graft.ops.Similarity.nprobeForCells]] (constant probed
-  * fraction). Scalar-only, like MinhashSizingProps/LshBandingProps: the
+  * [[graft.ops.Similarity.nlistForCorpus]] (constant expected cell size),
+  * [[graft.ops.Similarity.nprobeForCells]] (constant probed fraction),
+  * and [[graft.ops.Similarity.refineForCandidates]] (constant rescored
+  * fraction of the ranked pool, the r17 rule that replaced the fixed
+  * refine-30). Scalar-only, like MinhashSizingProps/LshBandingProps: the
   * rules are driver-side integer arithmetic, and the claims worth
   * pinning are the exact ceil/clamp DEFINITION (so the DuckDB mirror in
   * OracleFrag.ivfSizingCtes can never drift), the constant-cell-size
@@ -64,6 +66,40 @@ object IvfSizingProps extends Properties("ivfSizing") {
       np >= 1 && np <= c
     }
 
+  // ---- refineForCandidates (r17): the constant-fraction exact-rescore
+  // budget that replaced the fixed refine-30 in every PQ/SQ8/JL tier ----
+
+  private val genCand: Gen[Long] = Gen.chooseNum(0L, 3_000_000_000L)
+
+  property("refine is the clamped ceil of candidates/RefineDen") =
+    forAll(genCand) { n =>
+      val frac = if (n == 0) 0L else (n - 1) / Similarity.RefineDen + 1
+      Similarity.refineForCandidates(n) ==
+        math.max(30L, math.min(65536L, frac)).toInt
+    }
+
+  property("constant refine fraction: inside the clamps, the rescored share is 1/den up to the ceil") =
+    forAll(Gen.chooseNum(30L * Similarity.RefineDen,
+        65536L * Similarity.RefineDen)) { n =>
+      val share = Similarity.refineForCandidates(n).toDouble / n
+      val den = Similarity.RefineDen.toDouble
+      // ceil(n/den)/n lands in [1/den, 1/den + 1/n]
+      share >= 1.0 / den - 1e-12 && share <= 1.0 / den + 1.0 / n + 1e-12
+    }
+
+  property("refine is monotone in the candidate population") =
+    forAll(genCand, genCand) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      Similarity.refineForCandidates(lo) <= Similarity.refineForCandidates(hi)
+    }
+
+  property("expectedProbed is the floor of corpus*nprobe/nlist and never exceeds the corpus") =
+    forAll(genN, genCells) { (n, c) =>
+      val np = Similarity.nprobeForCells(c)
+      val p = Similarity.expectedProbed(n, c, np)
+      p == n * np / c && p <= n && p >= 0
+    }
+
   property("pins: the gate corpora and the decade the bench sweeps") = {
     // 500 (sf0.01 gate) -> 8 cells / 2 probes; 2000 (sf0.1 gate) -> the
     // long-gated 16/4 layout; 20000 (sf1.0 bench) -> 160/40; and the
@@ -74,5 +110,25 @@ object IvfSizingProps extends Properties("ivfSizing") {
       Similarity.nprobeForCells(16) == 4 &&
       Similarity.nlistForCorpus(20000) == 160 &&
       Similarity.nprobeForCells(160) == 40
+  }
+
+  property("pins: the shipped refine budgets at the gate corpora") = {
+    // exhaustive tiers rank the CORPUS: 500 (sf0.01) -> 32, 2000 (sf0.1)
+    // -> 125, 20000 (sf1.0 bench) -> 1250; IVF-routed tiers rank the
+    // PROBED population: 125 -> floor 30, 500 -> 32, 5000 -> 313, and
+    // the RecallX100 100x point 50000 -> 3125 (recall 0.238 -> 0.453 ->
+    // 0.593 across the decades vs 0.047 at a fixed 30)
+    Similarity.RefineDen == 16 &&
+      Similarity.refineForCandidates(500) == 32 &&
+      Similarity.refineForCandidates(2000) == 125 &&
+      Similarity.refineForCandidates(20000) == 1250 &&
+      Similarity.refineForCandidates(
+        Similarity.expectedProbed(500, 8, 2)) == 30 &&
+      Similarity.refineForCandidates(
+        Similarity.expectedProbed(2000, 16, 4)) == 32 &&
+      Similarity.refineForCandidates(
+        Similarity.expectedProbed(20000, 160, 40)) == 313 &&
+      Similarity.refineForCandidates(
+        Similarity.expectedProbed(200000, 1600, 400)) == 3125
   }
 }

@@ -1097,6 +1097,47 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("firstPlane=300"))
   }
 
+  test("indexed ANN refine = -1 serves from the persisted corpus count") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val n = c.count()
+    def pairs(df: DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // projected: refine = -1 resolves refineForCandidates(corpusCount)
+    // from the meta written at build time — equal to the explicit call
+    val pPath = graft.TempDirs.create("graft-test-projrf").resolve("index").toString
+    Similarity.writeProjectedIndex(c, pPath, outDims = 16, firstPlane = 100)
+    assert(pairs(Similarity.projectedTopKIndexed(q, pPath, k = 5, refine = -1)) ==
+      pairs(Similarity.projectedTopKIndexed(q, pPath, k = 5,
+        refine = Similarity.refineForCandidates(n))))
+
+    // sq8: same contract via the codes-column schema stamp
+    val sPath = graft.TempDirs.create("graft-test-sq8rf").resolve("index").toString
+    Similarity.writeSq8Index(c, sPath)
+    assert(pairs(Similarity.sq8TopKIndexed(q, sPath, k = 5, refine = -1)) ==
+      pairs(Similarity.sq8TopKIndexed(q, sPath, k = 5,
+        refine = Similarity.refineForCandidates(n))))
+
+    // an index without the count (pre-r17 build) must raise on -1, not
+    // silently guess a budget: strip the stamp by rewriting the codes
+    val bare = TestSpark.session.read.parquet(s"$sPath/codes")
+      .select($"cid", $"codes".as("codes",
+        org.apache.spark.sql.types.Metadata.empty)) // strip the stamp
+    val bPath = graft.TempDirs.create("graft-test-sq8bare").resolve("index").toString
+    bare.write.parquet(s"$bPath/codes")
+    TestSpark.session.read.parquet(s"$sPath/ranges").write.parquet(s"$bPath/ranges")
+    TestSpark.session.read.parquet(s"$sPath/vectors").write.parquet(s"$bPath/vectors")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.sq8TopKIndexed(q, bPath, k = 5, refine = -1)
+    }
+    assert(err.getMessage.contains("no stamped corpus count"))
+  }
+
   test("removeNearDuplicatesKeepBest: non-numeric score or id raises at plan time") {
     val sdocs = Seq(
       ("doc-b", "the quick brown fox jumps over the lazy dog", 7L),
