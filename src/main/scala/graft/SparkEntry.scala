@@ -78,8 +78,18 @@ object SparkEntry {
       |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END AS t
       |  FROM documents)""".stripMargin
 
-  /** Exact sum of a double column: decimal accumulate, double out. */
-  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D4)).cast("double")
+  /** Exact sum of a double column: decimal semantics, double out — on the
+    * unscaled-int64 fast path (functions.DecimalSumOps: Spark's decimal
+    * SUM past 18 digits of precision leaves the compact representation,
+    * an ~8× accumulation tax the r17 probe measured on Q1; the kernel is
+    * value-identical with a per-group overflow fence).
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    graft.functions.DecimalSumOps.dsum_exact(c, 4)
+
+  /** [[dsum]] at scale 6 — the `sum(x·(1−d))`-style product sums. */
+  private def dsum6(c: org.apache.spark.sql.Column) =
+    graft.functions.DecimalSumOps.dsum_exact(c, 6)
 
   private def eng(name: String)(mk: => QueryDefinition): (String, (SparkSession, String) => DataFrame) =
     name -> ((s: SparkSession, dir: String) => TpchCatalog.frame(s, dir)(mk))
@@ -460,8 +470,8 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
-            .cast("double").as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
@@ -476,8 +486,8 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "inner")
         .join(l, o("o_orderkey") === l("l_orderkey"), "inner")
         .groupBy(c("c_custkey"), c("c_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
-          .cast("double").as("revenue"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     },
@@ -524,8 +534,8 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(r("r_name"), n("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
-          .cast("double").as("revenue"),
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -801,7 +811,8 @@ object SparkEntry {
         .withColumn("tsSec", unix_seconds(col("ts").cast("timestamp")))
         .withColumn("seqNum", row_number().over(w))
         .withColumn("gapSec", col("tsSec") - lag(col("tsSec"), 1).over(w))
-        .withColumn("runValue", sum(col("value").cast(D6)).over(w).cast("double"))
+        .withColumn("runValue",
+          graft.functions.DecimalSumOps.dsum_exact_over(col("value"), 6, w))
         .select(col("user_id").as("userId"), col("event_id").as("eventId"),
           col("seqNum"), col("gapSec"), col("runValue"))
         .orderBy("userId", "seqNum")
@@ -905,7 +916,7 @@ object SparkEntry {
           min(col("tsSec")).as("startSec"),
           max(col("tsSec")).as("endSec"),
           (max(col("tsSec")) - min(col("tsSec"))).as("durationSec"),
-          sum(col("value").cast(D6)).cast("double").as("sumValue"))
+          dsum6(col("value")).as("sumValue"))
         .orderBy("userId", "sessionNum")
     },
     // ---- mixed-format plan: parquet fact × DSv2 in-memory dim in one join
@@ -2842,7 +2853,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nTokensWs").cast("long")).as("n_tokens"),
           sum(col("n_chars").cast("long")).as("n_chars"),
-          (sum(col("quality").cast(D4)).cast("double") / count(lit(1))).as("avg_quality"),
+          (dsum(col("quality")) / count(lit(1))).as("avg_quality"),
           min(col("quality")).as("min_quality"), max(col("quality")).as("max_quality"),
           sum(when(col("langGuess") === "en", 1L).otherwise(0L)).as("n_en"))
         .orderBy("source")

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, MakeDecimal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Exact decimal-sum hot path: convert each double to the UNSCALED int64
+  * of its decimal rendering once, aggregate plain longs, rebuild one
+  * decimal per group.
+  *
+  * Why: Spark's `sum` over a `DecimalType` beyond 18 digits of precision
+  * leaves the compact-long representation — every update allocates
+  * through `Decimal`/`CheckOverflow`, and the aggregation buffer row
+  * stores a variable-length value. The r17 probe measured TPC-H Q1's
+  * three DECIMAL(38,x) sums at 7.8 s over 6.0M rows where the identical
+  * plan with double sums runs 0.9 s — an ~8× tax that is pure
+  * accumulation machinery, not scan (lowering the cast to DECIMAL(18,4)
+  * does not help: the SUM buffer is precision+10, still past the compact
+  * threshold). Summing the unscaled int64 keeps the whole aggregate in
+  * whole-stage codegen over fixed-width longs.
+  *
+  * Faithfulness: [[DecimalUnscaled]] reproduces Spark's
+  * `cast(double AS DECIMAL(38,s))` bit-for-bit —
+  * `java.math.BigDecimal.valueOf(x)` (the shortest decimal rendering of
+  * the double, exactly what scala's `BigDecimal(d)` inside Catalyst's
+  * Cast wraps) `.setScale(s, HALF_UP)`, then the unscaled long. The
+  * per-group [[MakeDecimal]] then yields the identical DECIMAL(38,s) the
+  * decimal-sum plan would, so the `cast("double")` output and the DuckDB
+  * oracle (`SUM(CAST(x AS DECIMAL(38,s)))`) are unchanged.
+  * DecimalSumSpec pins sum-level equality on adversarial values (ties at
+  * the half digit, negatives, 15-digit products, nulls).
+  *
+  * Domain, stated instead of silently wrong:
+  *  - per VALUE: |x·10^s| must fit int64 (`longValueExact` raises
+  *    ArithmeticException past ±9.2·10^(18−s) — a cast-to-decimal(38,s)
+  *    would survive there, so the raise names the fix: use the decimal
+  *    path for such magnitudes);
+  *  - per GROUP: past 2⁶³ the int64 accumulator throws under ANSI (the
+  *    Spark 4 default) and wraps SILENTLY in non-ANSI sessions, so
+  *    [[DecimalSumOps.dsum_exact]] rides a `max(abs)·count < 9·10^18`
+  *    fence along (two extra aggregates, constant cost) that raises a
+  *    NAMED error where a non-ANSI wrap would otherwise escape — the
+  *    star-CC overflow lesson (r16): at-scale arithmetic needs an
+  *    explicit domain fence, not a mode assumption.
+  */
+case class DecimalUnscaled(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  require(scale >= 0 && scale <= 18, s"scale out of [0, 18]: $scale")
+
+  // call sites guarantee a double input (explicit cast in dec_unscaled);
+  // no ImplicitCastInputTypes — AbstractDataType is private[sql]
+  override def dataType: DataType = LongType
+  override def prettyName: String = "decimal_unscaled"
+
+  override protected def nullSafeEval(x: Any): Any =
+    java.math.BigDecimal.valueOf(x.asInstanceOf[Double])
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = java.math.BigDecimal.valueOf($x)
+         |  .setScale($scale, java.math.RoundingMode.HALF_UP)
+         |  .unscaledValue().longValueExact();""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): DecimalUnscaled =
+    copy(child = newChild)
+}
+
+object DecimalSumOps {
+
+  /** Unscaled int64 of `cast(c AS DECIMAL(38, scale))` — see
+    * [[DecimalUnscaled]] for the faithfulness and domain contract. */
+  def dec_unscaled(c: Column, scale: Int): Column =
+    GraftBridge.column(
+      DecimalUnscaled(GraftBridge.expression(c.cast("double")), scale))
+
+  /** Drop-in for `sum(c.cast(DECIMAL(38, scale))).cast("double")` on the
+    * int64 fast path: identical values (DecimalSumSpec), ~whole-stage
+    * codegen cost, and a per-group overflow fence that RAISES where the
+    * long accumulator could have wrapped silently. Usable in `agg` lists
+    * (compound aggregate expression) and over windows via [[dec_unscaled]]
+    * + [[make_dec]] directly.
+    */
+  def dsum_exact(c: Column, scale: Int): Column = {
+    val u = dec_unscaled(c, scale)
+    // |sum| <= count·max|u| — computed in double so the guard itself
+    // cannot wrap (abs(Long.MinValue) would); 9.0e18 keeps margin under
+    // 2^63 ≈ 9.22e18
+    val safe = max(abs(u.cast("double"))) * count(u).cast("double") < lit(9.0e18)
+    when(coalesce(safe, lit(true)), make_dec(sum(u), scale).cast("double"))
+      .otherwise(raise_error(lit(
+        "dsum_exact: group magnitude may overflow the int64 accumulator " +
+          "(count * max|unscaled| >= 9e18) - use the decimal-sum path for " +
+          "this data")).cast("double"))
+  }
+
+  /** DECIMAL(38, scale) from an unscaled int64 column (Catalyst
+    * MakeDecimal — the inverse of [[dec_unscaled]] at the aggregate). */
+  def make_dec(unscaled: Column, scale: Int): Column =
+    GraftBridge.column(
+      MakeDecimal(GraftBridge.expression(unscaled), 38, scale,
+        nullOnOverflow = false))
+
+  /** [[dsum_exact]] over a window: the same int64 fast path and the same
+    * per-frame overflow fence, with the guard aggregates riding the SAME
+    * window spec (no extra shuffle — one Window operator carries all
+    * three). */
+  def dsum_exact_over(c: Column, scale: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val u = dec_unscaled(c, scale)
+    val safe =
+      max(abs(u.cast("double"))).over(w) * count(u).over(w).cast("double") < lit(9.0e18)
+    when(coalesce(safe, lit(true)), make_dec(sum(u).over(w), scale).cast("double"))
+      .otherwise(raise_error(lit(
+        "dsum_exact_over: frame magnitude may overflow the int64 " +
+          "accumulator - use the decimal-sum path for this data")).cast("double"))
+  }
+}

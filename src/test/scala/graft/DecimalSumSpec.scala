@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DecimalSumOps._
+
+/** Parity pin for the unscaled-int64 decimal-sum fast path
+  * (functions.DecimalSumOps): `dsum_exact(c, s)` must equal
+  * `sum(c.cast(DECIMAL(38, s))).cast("double")` EXACTLY — same decimal
+  * rendering (BigDecimal.valueOf = shortest rep), same HALF_UP at the
+  * scale digit, same decimal→double final rounding — on adversarial
+  * values: ties exactly at the half digit (where HALF_EVEN or
+  * binary-product rounding would diverge), negatives, 15-digit double
+  * products, nulls, and seeded random magnitudes. Plus the two domain
+  * fences: the per-value int64-range raise and the per-group
+  * wraparound guard.
+  */
+class DecimalSumSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def adversarial: Seq[java.lang.Double] = {
+    val rnd = new scala.util.Random(0xd5c1)
+    val prices = Seq.fill(400)((rnd.nextInt(10000000) + 1) / 100.0) // 2-dp "prices"
+    val products = prices.map(p => p * (1.0 - rnd.nextInt(11) / 100.0)) // full-precision doubles
+    val ties = Seq(1.00005, -1.00005, 0.00005, -0.00005, 2.5, -2.5,
+      0.000050000000000001, 123.456750, -99.99995)
+    val wide = Seq.fill(200)(rnd.nextDouble() * math.pow(10, rnd.nextInt(12) - 3) *
+      (if (rnd.nextBoolean()) 1 else -1))
+    val nulls = Seq.fill(17)(null.asInstanceOf[java.lang.Double])
+    rnd.shuffle(prices.map(Double.box) ++ products.map(Double.box) ++
+      ties.map(Double.box) ++ wide.map(Double.box) ++ nulls)
+  }
+
+  private def frame = adversarial.zipWithIndex
+    .map { case (v, i) => (i % 5, Option(v).map(_.doubleValue)) }
+    .toDF("g", "v")
+
+  test("dsum_exact equals the decimal sum on adversarial values, scales 4 and 6") {
+    for (s <- Seq(4, 6)) {
+      val dec = DecimalType(38, s)
+      val got = frame.groupBy("g")
+        .agg(dsum_exact(col("v"), s).as("x")).orderBy("g").collect()
+        .map(r => (r.getInt(0), r.get(1)))
+      val want = frame.groupBy("g")
+        .agg(sum(col("v").cast(dec)).cast("double").as("x")).orderBy("g").collect()
+        .map(r => (r.getInt(0), r.get(1)))
+      assert(got.toSeq == want.toSeq, s"scale $s")
+    }
+  }
+
+  test("an all-null group sums to null, not a raise") {
+    val df = Seq((0, None: Option[Double]), (0, None)).toDF("g", "v")
+    val out = df.groupBy("g").agg(dsum_exact(col("v"), 4).as("x")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+
+  test("dsum_exact_over equals the decimal window sum (running frame)") {
+    val w = Window.orderBy("i")
+    val df = adversarial.zipWithIndex
+      .map { case (v, i) => (i, Option(v).map(_.doubleValue)) }.toDF("i", "v")
+    val got = df.withColumn("x", dsum_exact_over(col("v"), 6, w))
+      .orderBy("i").collect().map(_.get(2))
+    val want = df.withColumn("x",
+        sum(col("v").cast(DecimalType(38, 6))).over(w).cast("double"))
+      .orderBy("i").collect().map(_.get(2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("a value past the int64 unscaled range raises, not silently wrong") {
+    // 1e15 at scale 4 -> unscaled 1e19 > 2^63: the decimal path would
+    // represent it, so the kernel must REFUSE loudly rather than wrap
+    val df = Seq(1.0e15).toDF("v")
+    val e = intercept[Throwable] {
+      df.agg(dsum_exact(col("v"), 4)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in the cause chain, got $e")
+  }
+
+  test("a group that could wrap the long accumulator raises, never silently wrong") {
+    // three rows of 4e14 at scale 4: each unscaled 4e18 fits int64, the
+    // sum 1.2e19 does not. Under ANSI (the Spark 4 default) the long SUM
+    // itself throws at accumulation; in non-ANSI sessions the sum wraps
+    // silently and the count*max|u| fence raises at projection instead —
+    // either way the wrapped value must never escape
+    val df = Seq(4.0e14, 4.0e14, 4.0e14).toDF("v")
+    val e = intercept[Throwable] {
+      df.agg(dsum_exact(col("v"), 4)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val msgs = chain(e).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("overflow the int64 accumulator") ||
+      chain(e).exists(_.isInstanceOf[ArithmeticException]) ||
+      msgs.toLowerCase.contains("overflow"),
+      s"expected a loud overflow failure, got $e")
+  }
+}
