@@ -70,6 +70,46 @@ case class DecimalUnscaled(child: Expression, scale: Int)
     copy(child = newChild)
 }
 
+/** One half of the SPLIT unscaled rendering — `quotient = true` yields
+  * `unscaled quot 10⁹`, `false` yields `unscaled rem 10⁹` (BigInteger
+  * divideAndRemainder: truncated toward zero, remainder signed with the
+  * dividend, so `u = hi·10⁹ + lo` exactly). The split happens on the
+  * BigInteger BEFORE any int64 narrowing, so the per-value domain is
+  * |x| < 9.2·10^(27−scale) (e.g. |x| < 9.2·10⁹ at scale 18) — wide
+  * enough for log-probability and similarity sums where the single-long
+  * [[DecimalUnscaled]] fence (|x| < 9.2 at scale 18) is too tight.
+  */
+case class DecimalUnscaledSplit(child: Expression, scale: Int, quotient: Boolean)
+    extends UnaryExpression {
+
+  require(scale >= 9 && scale <= 18, s"scale out of [9, 18]: $scale")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String =
+    if (quotient) "decimal_unscaled_hi" else "decimal_unscaled_lo"
+
+  override protected def nullSafeEval(x: Any): Any = {
+    val qr = java.math.BigDecimal.valueOf(x.asInstanceOf[Double])
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue()
+      .divideAndRemainder(java.math.BigInteger.valueOf(1000000000L))
+    if (quotient) qr(0).longValueExact() else qr(1).longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b9 = ctx.addReferenceObj("b9", java.math.BigInteger.valueOf(1000000000L),
+      "java.math.BigInteger")
+    val pick = if (quotient) "[0].longValueExact()" else "[1].longValue()"
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = java.math.BigDecimal.valueOf($x)
+         |  .setScale($scale, java.math.RoundingMode.HALF_UP)
+         |  .unscaledValue().divideAndRemainder($b9)$pick;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecimalUnscaledSplit =
+    copy(child = newChild)
+}
+
 object DecimalSumOps {
 
   /** Unscaled int64 of `cast(c AS DECIMAL(38, scale))` — see
@@ -98,12 +138,49 @@ object DecimalSumOps {
           "this data")).cast("double"))
   }
 
-  /** DECIMAL(38, scale) from an unscaled int64 column (Catalyst
-    * MakeDecimal — the inverse of [[dec_unscaled]] at the aggregate). */
-  def make_dec(unscaled: Column, scale: Int): Column =
+  /** DECIMAL(precision, scale) from an unscaled int64 column (Catalyst
+    * MakeDecimal — the inverse of [[dec_unscaled]] at the aggregate).
+    * `precision` matters when the result feeds decimal ARITHMETIC:
+    * Spark's add/divide widen by both operands' integral digits and,
+    * past precision 38, resolve the overflow by REDUCING the result
+    * scale (allowPrecisionLoss) — silent rounding. An int64 unscaled
+    * needs at most 19 digits, so tight callers pass 19 and stay exact.
+    */
+  def make_dec(unscaled: Column, scale: Int, precision: Int = 38): Column =
     GraftBridge.column(
-      MakeDecimal(GraftBridge.expression(unscaled), 38, scale,
+      MakeDecimal(GraftBridge.expression(unscaled), precision, scale,
         nullOnOverflow = false))
+
+  /** [[dsum_exact]] for HIGH scales, where one int64 is too narrow (at
+    * scale 18, |value| < 9.2 already fills the unscaled range — a single
+    * long can neither hold a log-probability's unscaled value nor a
+    * 20k-row group's sum): [[DecimalUnscaledSplit]] renders each value
+    * as the exact pair `(hi, lo) = unscaled divRem 10⁹` on the
+    * BigInteger BEFORE narrowing, both halves sum as plain longs, and
+    * ONE `MakeDecimal(Σhi, scale−9) + MakeDecimal(Σlo, scale)` per group
+    * recombines to exactly the DECIMAL(38, scale) total the decimal-sum
+    * plan would produce. Domain: per value |x| < 9.2·10^(27−scale); per
+    * group `count·max|hi| < 9·10^18` and `count < 9·10^9` (the |lo| <
+    * 10⁹ bound) — both fenced, raising instead of wrapping.
+    */
+  def dsum_exact_split(c: Column, scale: Int): Column = {
+    val d = c.cast("double")
+    def half(quotient: Boolean): Column = GraftBridge.column(
+      DecimalUnscaledSplit(GraftBridge.expression(d), scale, quotient))
+    val hi = half(quotient = true)
+    val lo = half(quotient = false)
+    val safe = (max(abs(hi.cast("double"))) * count(lo).cast("double") < lit(9.0e18)) &&
+      (count(lo) < lit(9000000000L))
+    // precision 19 (an int64's digit bound) keeps the decimal ADD at
+    // precision max(10, scale-18)+scale+1 ≤ 29 — exact; at the default
+    // 38 the add would overflow and Spark would RESOLVE it by reducing
+    // the result scale (silent rounding, caught by DecimalSumSpec)
+    val dec = make_dec(sum(hi), scale - 9, 19) + make_dec(sum(lo), scale, 19)
+    when(coalesce(safe, lit(true)), dec.cast("double"))
+      .otherwise(raise_error(lit(
+        "dsum_exact_split: group magnitude may overflow the split int64 " +
+          "accumulators - use the decimal-sum path for this data")).cast("double"))
+  }
 
   /** [[dsum_exact]] over a window: the same int64 fast path and the same
     * per-frame overflow fence, with the guard aggregates riding the SAME

@@ -20,8 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
-
   /** Okapi BM25 top-k for one literal query over the corpus.
     *
     * score(d) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
@@ -66,7 +64,7 @@ object Ranking {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
-      .agg(round(sum((idf * tfn).cast(d18)).cast("double"), 6).as("score"))
+      .agg(round(graft.functions.DecimalSumOps.dsum_exact_split(idf * tfn, 18), 6).as("score"))
     // rank on the ROUNDED score (ties → doc_id): identical across engines
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
     top.withColumn("rank",
@@ -172,7 +170,7 @@ object Ranking {
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), "t")
       .groupBy("qid", "doc_id")
-      .agg(round(sum((idf * tfn).cast(d18)).cast("double"), 6).as("score"))
+      .agg(round(graft.functions.DecimalSumOps.dsum_exact_split(idf * tfn, 18), 6).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= topK)

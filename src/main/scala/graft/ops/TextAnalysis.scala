@@ -153,17 +153,18 @@ object TextAnalysis {
       .select(col(idCol).as("__id"), explode(words(col(textCol))).as("w"))
     val counts = tokens.groupBy("w").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").as("__n"))
-    // per-word ln values accumulate in DECIMAL(38,18): a plain double
+    // per-word ln values accumulate with DECIMAL(38,18) semantics on the
+    // split-int64 fast path (functions.DecimalSumOps): a plain double
     // sum/avg is partition-order dependent and would fail the hash oracle
-    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
     Skew.saltedJoin(tokens, col("w"), col("__id"),
         counts.withColumnRenamed("w", "__w"), col("__w"), saltBuckets)
       .drop("__w")
       .crossJoin(broadcast(total))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("int").as("n_words"),
-        round(-(sum(log(col("__c").cast("double") / col("__n").cast("double")).cast(d18))
-          .cast("double") / count(lit(1))), 6).as("surprisal"))
+        round(-(graft.functions.DecimalSumOps.dsum_exact_split(
+          log(col("__c").cast("double") / col("__n").cast("double")), 18)
+          / count(lit(1))), 6).as("surprisal"))
   }
 
   /** Bigram-interpolated self-surprisal — the tier above
@@ -188,7 +189,6 @@ object TextAnalysis {
     */
   def bigramSurprisal(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", saltBuckets: Int = 32): DataFrame = {
-    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
     val toks = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
     val uni = toks.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__cu"))
@@ -218,10 +218,10 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(-(sum(log(
+        round(-(graft.functions.DecimalSumOps.dsum_exact_split(log(
           lit(0.75) * (col("__cb").cast("double") / col("__cp").cast("double"))
-            + lit(0.25) * (col("__cu").cast("double") / col("__n").cast("double")))
-          .cast(d18)).cast("double") / count(lit(1))), 6).as("surprisal2"))
+            + lit(0.25) * (col("__cu").cast("double") / col("__n").cast("double"))), 18)
+          / count(lit(1))), 6).as("surprisal2"))
   }
 
   /** Per-source distribution-drift card: unigram KL divergence of each
@@ -243,7 +243,6 @@ object TextAnalysis {
     */
   def sourceDivergence(df: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
     val sw = df.select(col(sourceCol).as("__src"),
         explode(words(col(textCol))).as("w"))
       .groupBy("__src", "w").agg(count(lit(1)).as("__csw"))
@@ -258,8 +257,8 @@ object TextAnalysis {
       .groupBy(col("__src").as(sourceCol))
       .agg(max(col("__ns")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        round(sum((ps * log(ps / pc)).cast(d18)).cast("double"), 6).as("kl"),
-        round(-sum((ps * log(ps)).cast(d18)).cast("double"), 6).as("entropy"))
+        round(graft.functions.DecimalSumOps.dsum_exact_split(ps * log(ps / pc), 18), 6).as("kl"),
+        round(-graft.functions.DecimalSumOps.dsum_exact_split(ps * log(ps), 18), 6).as("entropy"))
   }
 
   /** Gopher-style rule gate (Rae et al. 2021 §A1.1 — the published

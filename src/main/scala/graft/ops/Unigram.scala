@@ -244,7 +244,6 @@ object Unigram {
     */
   def docNll(docs: DataFrame, textCol: String, idCol: String, m: Trained,
       nllCutoff: Double): DataFrame = {
-    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
     val perWord = docs
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
       .withColumn("n", unigram_token_len(col("w"), m.pieceStrings,
@@ -253,12 +252,12 @@ object Unigram {
         m.logProbs, m.maxPieceLen, m.unkLogProb))
     val agg = perWord.groupBy(col(idCol))
       .agg(sum(col("n").cast("long")).as("__n"),
-        sum(col("lp").cast(d18)).as("__lp"))
+        graft.functions.DecimalSumOps.dsum_exact_split(col("lp"), 18).as("__lp"))
     docs.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_tok"),
         when(col("__n") > 0,
-          round(-(col("__lp").cast("double") / col("__n").cast("double")), 6))
+          round(-(col("__lp") / col("__n").cast("double")), 6))
           .as("nll_per_tok"))
       .withColumn("kept",
         coalesce(col("nll_per_tok") <= nllCutoff, lit(false)))

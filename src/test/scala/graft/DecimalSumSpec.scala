@@ -53,6 +53,38 @@ class DecimalSumSpec extends AnyFunSuite {
     }
   }
 
+  test("dsum_exact_split equals the scale-18 decimal sum on log-magnitude values and big groups") {
+    // the high-scale regime the single-long kernel cannot touch: |x| up
+    // to ~25 (log-probabilities: unscaled 2.5e19 > 2^63 per VALUE) and a
+    // 20k-row group (sum far past 2^63 even for |x| < 1)
+    // values stay inside the documented GROUP domain (count·max|hi| <
+    // 9e18): ~7.4k rows/group bounds |x| below ~1.2e6 here — log
+    // magnitudes and 1e5-scale magnitudes both comfortably inside
+    val rnd = new scala.util.Random(0x5917)
+    val vals: Seq[java.lang.Double] =
+      Seq.fill(20000)(Double.box(-rnd.nextDouble() * 25.0)) ++
+        Seq.fill(2000)(Double.box(rnd.nextDouble() * 1.0e5 * (if (rnd.nextBoolean()) 1 else -1))) ++
+        Seq(1.00000000000000005, -1.00000000000000005).map(Double.box) ++
+        Seq.fill(9)(null.asInstanceOf[java.lang.Double])
+    val df = rnd.shuffle(vals).zipWithIndex
+      .map { case (v, i) => (i % 3, Option(v).map(_.doubleValue)) }.toDF("g", "v")
+    val got = df.groupBy("g").agg(dsum_exact_split(col("v"), 18).as("x"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.get(1)))
+    val want = df.groupBy("g")
+      .agg(sum(col("v").cast(DecimalType(38, 18))).cast("double").as("x"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.get(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("dsum_exact_split: a value past the split range raises") {
+    // |x| >= 9.2e9 at scale 18 -> the hi half exceeds int64
+    val df = Seq(1.0e10).toDF("v")
+    val e = intercept[Throwable] { df.agg(dsum_exact_split(col("v"), 18)).collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), s"got $e")
+  }
+
   test("an all-null group sums to null, not a raise") {
     val df = Seq((0, None: Option[Double]), (0, None)).toDF("g", "v")
     val out = df.groupBy("g").agg(dsum_exact(col("v"), 4).as("x")).collect()
