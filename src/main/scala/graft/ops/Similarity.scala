@@ -598,7 +598,21 @@ object Similarity {
     cb
   }
 
-  private val DecExact = org.apache.spark.sql.types.DecimalType(38, 12)
+  /** The ANN family's no-drift ranking value on the int64 fast path: the
+    * UNSCALED DECIMAL(38,12) rendering of a 9-dp-rounded double
+    * (functions.DecimalSumOps.dec_unscaled). Ranking on this long IS
+    * ranking on the old `cast(DECIMAL(38,12))` column — one scale, so
+    * unscaled order = decimal order, strictly — but the refine window
+    * sorts/compares codegen longs instead of Decimal objects, and ADC
+    * sums accumulate as plain longs (sum of unscaleds at one scale = the
+    * unscaled of the decimal sum). The value never escapes: every tier
+    * exact-rescores the survivors, so outputs and the DuckDB oracles are
+    * untouched. Domain: |x| < 9.2·10⁶ per ranked value (longValueExact
+    * raises past it) and ANSI long-sum overflow raises on pathological
+    * magnitudes — loud, never silently wrong.
+    */
+  private def adotLong(c: Column): Column =
+    graft.functions.DecimalSumOps.dec_unscaled(c, 12)
 
   private def subSlices(v: Column, m: Int, subDim: Int): Column =
     array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
@@ -641,7 +655,7 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "s", "col" -> "q_sub"))
       .join(broadcast(cbSub), "s")
       .select(col("qid"), col("s"), col("codeId"),
-        round(dot_product(col("q_sub"), col("cb_sub")), 9).cast(DecExact).as("pdot"))
+        adotLong(round(dot_product(col("q_sub"), col("cb_sub")), 9)).as("pdot"))
 
   /** ADC-rank candidate pairs and exact-rescore the per-query top `refine`.
     * `pairs` bounds which (qid, cid) combinations are scored: pqTopK passes
@@ -802,8 +816,7 @@ object Similarity {
     val qcent = q.select(col("qid"), col("qid_v"))
       .crossJoin(broadcast(cent))
       .select(col("qid"), col("centId"),
-        round(dot_product(col("qid_v"), col("cent_v")), 9)
-          .cast(DecExact).as("qcdot"))
+        adotLong(round(dot_product(col("qid_v"), col("cent_v")), 9)).as("qcdot"))
     val approx = routed.join(codes, "cid").join(qTab, Seq("qid", "s", "codeId"))
       .groupBy("qid", "cid", "centId").agg(sum(col("pdot")).as("rdot"))
       .join(qcent, Seq("qid", "centId"))
@@ -1003,7 +1016,7 @@ object Similarity {
       corpus: DataFrame, k: Int, refine: Int): DataFrame = {
     val cand = approx
       .select(col("qid"), col("cid"),
-        round(dot_product(col("qid_v"), col("rv")), 9).cast(DecExact).as("adot"))
+        adotLong(round(dot_product(col("qid_v"), col("rv")), 9)).as("adot"))
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
       .where(col("arn") <= refine).select("qid", "cid")
@@ -1176,10 +1189,10 @@ object Similarity {
       .crossJoin(cp.withColumn("cp_n", norm(col("cp"))))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        when(col("qp_n") * col("cp_n") =!= 0.0,
+        adotLong(when(col("qp_n") * col("cp_n") =!= 0.0,
           round(dot_product(col("qp"), col("cp")) /
             (col("qp_n") * col("cp_n")), 9))
-          .otherwise(lit(-2.0)).cast(DecExact).as("adot"))
+          .otherwise(lit(-2.0))).as("adot"))
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
       .where(col("arn") <= refine).select("qid", "cid")
