@@ -182,6 +182,14 @@ object SparkEntry {
     */
   private val embCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Cached documents row count per sfDir — the corpus-size input to the
+    * Hamming combo-blocking rule (one metadata-cheap parquet count per
+    * session, the embCount convention). */
+  private val docCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(dir, d => t(s, d, "documents").count())
+
   private def embCount(s: SparkSession, dir: String): Long =
     embCountCache.computeIfAbsent(dir, d => t(s, d, "embeddings").count())
 
@@ -1060,8 +1068,17 @@ object SparkEntry {
     //      blocking lossless (pigeonhole), and the oracle brute-forces ALL
     //      pairs — the gate checks blocking completeness, not just candidates
     "d_dedup_simhash" -> { (s, dir) =>
+      // constant-occupancy combo blocking (hammingComboWidth — the Manku
+      // rule the media dHash rows already ride): k grows with the corpus
+      // so bucket occupancy, and candidate pairs per bucket, stay flat.
+      // LOSSLESS at every k (pigeonhole: blocks−maxHamming ≥ k), so the
+      // pair set — and the all-pairs oracle — is blocking-independent:
+      // 500 docs → k=1 (the long-gated 4-block layout), 5000 → k=2 (10
+      // tables), 50k → k=3 (20 tables of 15-bit keys)
+      val k = ops.Dedup.hammingComboWidth(docCount(s, dir),
+        maxHamming = 3, bits = 31)
       ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, blocks = 4).orderBy("idA", "idB")
+        maxHamming = 3, blocks = 3 + k, comboWidth = k).orderBy("idA", "idB")
     },
     // ---- embedding cosine near-dup via banded hyperplane LSH (8 bands,
     //      OR-amplified), planes/band sized by the constant-occupancy rule
@@ -2623,8 +2640,14 @@ object SparkEntry {
           k = 16, maskBits = 6, maxDf = 50, minShared = 2))
         .unionByName(lbl("minhash", ops.Dedup.minhashLshPairs(docs, "doc_id",
           "text", numHashes = 32, bands = 8, threshold = 0.3)))
-        .unionByName(lbl("simhash", ops.Dedup.simhashPairs(docs, "doc_id",
-          "text", maxHamming = 3, blocks = 4)))
+        .unionByName(lbl("simhash", {
+          // the same corpus-sized combo blocking as d_dedup_simhash
+          // (lossless, so the criterion's pair set is unchanged)
+          val k = ops.Dedup.hammingComboWidth(docCount(s, dir),
+            maxHamming = 3, bits = 31)
+          ops.Dedup.simhashPairs(docs, "doc_id", "text",
+            maxHamming = 3, blocks = 3 + k, comboWidth = k)
+        }))
         .unionByName(lbl("winnow", ops.Dedup.winnowedPassagePairs(docs,
           "doc_id", "text", k = 30, w = 10, maxDf = 50, minShared = 2)))
         .localCheckpoint()

@@ -371,19 +371,21 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       blocks: Int = 4,
+      comboWidth: Int = 1, // size with [[hammingComboWidth]] at scale
   ): DataFrame = {
     val sims = ensureParallelism(docs)
       .select(col(idCol).as("id"), TextFunctions.simhash31(col(textCol)).as("sim"))
       .where(col("sim") >= 0) // -1 marks no-word docs
-    pairsFromSimhash(sims, maxHamming, blocks)
+    pairsFromSimhash(sims, maxHamming, blocks, comboWidth)
   }
 
   /** Blocked pair generation over precomputed (id, sim) rows — split out so
     * the pigeonhole-completeness property is testable on constructed
     * hashes (TextHashSpec).
     */
-  def pairsFromSimhash(sims: DataFrame, maxHamming: Int, blocks: Int): DataFrame =
-    pairsFromHash(sims, maxHamming, blocks, bits = 31)
+  def pairsFromSimhash(sims: DataFrame, maxHamming: Int, blocks: Int,
+      comboWidth: Int = 1): DataFrame =
+    pairsFromHash(sims, maxHamming, blocks, bits = 31, comboWidth)
 
   /** Width-generic blocked pair generation — the same lossless pigeonhole
     * scheme over any packed hash width (31-bit text simhash, 64-bit image

@@ -164,6 +164,36 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("31-bit combo blocking (k=2 and k=3, the sf0.1/sf1.0 shipped layouts) equals brute force") {
+    // the corpus-adaptive widths d_dedup_simhash now runs with: pair sets
+    // must be blocking-INDEPENDENT (lossless pigeonhole at every k)
+    val rnd = new scala.util.Random(23)
+    val base = Seq.fill(40)(rnd.nextInt(Int.MaxValue).toLong)
+    val sims = base.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 10L, s),
+        (i * 10L + 1, s ^ (1L << rnd.nextInt(31))),
+        (i * 10L + 2,
+          s ^ (1L << rnd.nextInt(31)) ^ (1L << rnd.nextInt(31)) ^ (1L << rnd.nextInt(31))),
+        (i * 10L + 3, rnd.nextInt(Int.MaxValue).toLong))
+    }
+    val df = sims.toDF("id", "sim")
+    val want = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty)
+    for (k <- Seq(2, 3)) {
+      val got = Dedup.pairsFromSimhash(df, maxHamming = 3, blocks = 3 + k,
+          comboWidth = k)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"comboWidth $k")
+    }
+    // the pigeonhole precondition still raises when violated at k > 1
+    intercept[IllegalArgumentException] {
+      Dedup.pairsFromSimhash(df, maxHamming = 3, blocks = 4, comboWidth = 2)
+    }
+  }
+
   test("64-bit blocked pairing (image dHash width) equals brute force, sign bit included") {
     // full-range longs: the sign bit must survive the block-key split
     // (shiftrightunsigned — an arithmetic shift would smear it across
