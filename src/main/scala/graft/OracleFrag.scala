@@ -508,6 +508,18 @@ private[graft] object OracleFrag {
   def probedCandSql(countSql: String): String =
     s"(($countSql) * (SELECT nprobe FROM __np)) // (SELECT nlist FROM __nl)"
 
+  /** CTE `__kc` — the count-adaptive PQ codebook resolution, mirror of
+    * [[Similarity.kCodeForCorpus]]: `clamp(ceil(count / targetPerCode),
+    * minKCode, maxKCode)` in integer arithmetic only. The seeded-codebook
+    * PQ oracles select their `kc` smallest-id vectors with it, so one
+    * oracle text sizes the codebook correctly at every SF — the
+    * ivfSizingCtes/refineCte contract extended to the last fixed ANN dial.
+    */
+  def kCodeCte(countSql: String, targetPerCode: Int = 125,
+      minKCode: Int = 16, maxKCode: Int = 256): String =
+    s"""__kc AS (SELECT CAST(GREATEST($minKCode, LEAST($maxKCode,
+       |    (($countSql) - 1) // $targetPerCode + 1)) AS INT) AS kc)""".stripMargin
+
   /** Sanity pin: the SQL nlist/nprobe rules reimplemented here must agree
     * with Similarity.nlistForCorpus / nprobeForCells — the cross-engine
     * guard every count-adaptive rule carries, covering the gate corpus
@@ -533,6 +545,16 @@ private[graft] object OracleFrag {
       val sqlRefine = math.max(30L, math.min(65536L, frac)).toInt
       sqlRefine == Similarity.refineForCandidates(n, refineDen = den)
     }
+  })
+
+  /** Sanity pin: the SQL kCode rule reimplemented here must agree with
+    * Similarity.kCodeForCorpus — covering the gate corpus sizes (200,
+    * 500, 2000, 20000 — the floor regime and the first adaptive decade)
+    * plus the ceil boundaries and the 256 byte-code cap. */
+  require(Seq(1L, 124L, 125L, 126L, 200L, 500L, 2000L, 2001L, 20000L,
+      31999L, 32000L, 32001L, 200000L, 10000000L).forall { n =>
+    val sqlKc = math.max(16L, math.min(256L, (n - 1) / 125 + 1)).toInt
+    sqlKc == Similarity.kCodeForCorpus(n)
   })
 
   /** Sanity pin: the Scala and SQL band-sign formulas must agree. */

@@ -232,6 +232,42 @@ object SparkEntry {
       path
     })
 
+  /** Per-JVM persisted SHARDED IVF index (cells laid out shard=…/centId=…,
+    * shard-keyed centroid table, meta stamp) — written once per sfDir;
+    * assignment is deterministic, so the s_ann_ivf_sharded oracle applies
+    * unchanged to the served path.
+    */
+  private val shardedIvfIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shardedIvfIndex(s: SparkSession, dir: String): String =
+    shardedIvfIndexDir.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_ivf_sharded").resolve("index").toString
+      ops.Similarity.writeIvfIndexSharded(
+        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        path, nShards = 2)
+      path
+    })
+
+  /** Per-JVM persisted IVF-PQ index under the TRAINED fixtures (k-means
+    * centroids route, k-means codebook compresses) — codes and vectors
+    * laid out centId=… so serving prunes both reads to probed cells;
+    * quantizers + corpus count ride the stamp. Deterministic given the
+    * committed fixtures, so the s_ann_ivfpq_trained oracle applies
+    * unchanged to the served path.
+    */
+  private val ivfPqTrainedIndexDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqTrainedIndex(s: SparkSession, dir: String): String =
+    ivfPqTrainedIndexDir.computeIfAbsent(dir, { d =>
+      val path = TempDirs.create("graft_ivfpq_trained").resolve("index").toString
+      ops.Similarity.writeIvfPqIndex(
+        t(s, d, "embeddings").select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        path, m = 8, subDim = 8,
+        centroids = Some(fixtureCentroids(s)),
+        codebook = Some(fixtureCodebook(s)))
+      path
+    })
+
   /** Per-JVM persisted SQ8 index (byte codes + range row + raw vectors) —
     * written once per sfDir; ranges and codes are byte-identical to the
     * in-flight build, so the s_ann_sq8 oracle applies unchanged.
@@ -1181,18 +1217,46 @@ object SparkEntry {
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         trainedIvfIndex(s, dir), k = 5, nProbe = -1).orderBy("qid", "rank")
     },
+    // ---- ANN: SHARDED IVF (r18) — the path past the 2²⁰-centroid
+    //      broadcast ceiling (~131M vectors/index under the constant-cell
+    //      rule): hash-partition the corpus (vec_id % 2), per-shard
+    //      constant-cell index sized from the SHARD population, probe
+    //      nprobe cells in EVERY shard, one global exact re-rank. The
+    //      oracle recomputes shard/cell/probe routing from count(*).
+    "s_ann_ivf_sharded" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfShardedTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
+        k = 5, nShards = 2, corpusSize = embCount(s, dir)).orderBy("qid", "rank")
+    },
+    // ---- ANN: the same sharded probe against a PERSISTED sharded index —
+    //      cells laid out shard=…/centId=… (a probe reads probed
+    //      DIRECTORY PAIRS only); nprobe sized from the per-shard cell
+    //      count STAMPED at build (unstamped indexes RAISE). Identical
+    //      results to s_ann_ivf_sharded → same oracle.
+    "s_ann_ivf_sharded_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopKIndexedSharded(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        shardedIvfIndex(s, dir), k = 5, nProbe = -1).orderBy("qid", "rank")
+    },
     // ---- ANN, product-quantization/ADC variant (32x vector compression;
     //      codes-only candidate scan; decimal-exact ADC so the refine
     //      cutoff is oracle-reproducible). The rescore budget is the
     //      corpus-sized refineForCandidates rule (the ADC ranking noise
     //      the cut must absorb scales with the RANKED pool — here the
-    //      whole corpus); the oracle recomputes it from count(*)
+    //      whole corpus), and the codebook RESOLUTION is the corpus-sized
+    //      kCodeForCorpus rule (r18: ADC rank signal must grow with the
+    //      population it separates — refine absorbs noise, kCode bounds
+    //      it). The oracle recomputes both integers from count(*)
     "s_ann_pq" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ops.Similarity.pqTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
-        k = 5, m = 8, subDim = 8, kCode = 16,
+        k = 5, m = 8, subDim = 8,
+        kCode = ops.Similarity.kCodeForCorpus(embCount(s, dir)),
         refine = ops.Similarity.refineForCandidates(embCount(s, dir)))
         .orderBy("qid", "rank")
     },
@@ -1251,7 +1315,11 @@ object SparkEntry {
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("vec")),
         k = 5, nCells = nCells, nProbe = nProbe,
-        m = 8, subDim = 8, kCode = 16,
+        // codebook resolution sized from the CORPUS (the encode pass
+        // quantizes every corpus vector), even though the refine budget
+        // sizes from the probed pool — the two rules bound different
+        // stages of the same ADC noise
+        m = 8, subDim = 8, kCode = ops.Similarity.kCodeForCorpus(n),
         refine = ops.Similarity.refineForCandidates(
           ops.Similarity.expectedProbed(n, nCells, nProbe)))
         .orderBy("qid", "rank")
@@ -1287,6 +1355,19 @@ object SparkEntry {
           ops.Similarity.expectedProbed(embCount(s, dir), nCells, nProbe)),
         centroids = Some(fixtureCentroids(s)),
         codebook = Some(fixtureCodebook(s))).orderBy("qid", "rank")
+    },
+    // ---- ANN: the TRAINED IVF-PQ pipeline served from a PERSISTED index
+    //      (r18) — routing state IS index state: centroids, codebook,
+    //      cell-partitioned codes and vectors, and the corpus count all
+    //      ride the stamp; serving sizes nprobe from the stamped nlist and
+    //      refine from the stamped count, and prunes both the code scan
+    //      and the rescore read to probed centId= directories. Identical
+    //      results to s_ann_ivfpq_trained → same oracle.
+    "s_ann_ivfpq_trained_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.ivfPqTopKIndexed(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("vec")),
+        ivfPqTrainedIndex(s, dir), k = 5).orderBy("qid", "rank")
     },
     // ---- ANN, RESIDUAL IVF-PQ (IVFADC): codes quantize vec − assigned
     //      fixture centroid with the committed RESIDUAL codebook; ADC =
@@ -3066,6 +3147,92 @@ object SparkEntry {
        |SELECT qid, cid, sim,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Sharded-IVF oracle (r18): shard = vec_id % 2, per-shard nlist sized
+    * from the SHARD population ceil(count/2) (the ivfSizingCtes rule over
+    * that count), per-shard seeded centroids = the 2·nlist smallest ids
+    * dealt round-robin (one scan predicate — Similarity
+    * .shardedSeededCentroids), assignment within OWN shard, the probe
+    * keeps nprobe cells per (query, shard), one global exact re-rank.
+    * Gates both the in-flight and the persisted-layout serve (identical
+    * results — the s_ann_ivf_indexed rule).
+    */
+  private lazy val shardedIvfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |${OracleFrag.ivfSizingCtes("((SELECT count(*) FROM e) + 1) // 2")},
+       |cent AS (SELECT vec_id % 2 AS shard, vec_id AS centid, v AS cv, nrm AS cn
+       |         FROM n WHERE vec_id < 2 * (SELECT nlist FROM __nl)),
+       |asg AS (SELECT vec_id AS cid, centid FROM (
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n JOIN cent ON n.vec_id % 2 = cent.shard) WHERE rn = 1),
+       |qc AS (SELECT vec_id AS qid, centid FROM (
+       |  SELECT n.vec_id, cent.shard, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id, cent.shard ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= (SELECT nprobe FROM __np)),
+       |p AS (SELECT DISTINCT qc.qid, asg.cid
+       |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+       |sc AS (SELECT p.qid, p.cid,
+       |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+       |       FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.cid)
+       |SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The FULLY-trained IVF-PQ oracle: fixture-centroid routing CTEs (the
+    * s_ann_ivf_trained mirror) feed the trained-codebook ADC CTEs — ax
+    * aggregates ONLY routed (qid, cid) pairs, then the count-adaptive
+    * refine + rescore. The fixture pins nCells; the probed population
+    * (count·nprobe/nlist) still grows with the corpus, so the refine
+    * budget recomputes from it. ONE text gates both the in-flight
+    * s_ann_ivfpq_trained and the persisted-index serve (identical
+    * results — routing/encode deterministic given the stamped quantizers).
+    */
+  private lazy val trainedIvfPqOracleSql: String = {
+    val centValues = fixtureCentroidRows.map { case (id, v) =>
+      s"($id, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val fxCells = fixtureCentroidRows.size
+    val fxProbe = ops.Similarity.nprobeForCells(fxCells)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
+       |${OracleFrag.refineCte(s"((SELECT count(*) FROM e) * $fxProbe) // $fxCells")},
+       |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
+       |         FROM (VALUES $centValues) AS __cent(centid, cv)),
+       |asg AS (SELECT vec_id AS cid, centid FROM (
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n CROSS JOIN cent) WHERE rn = 1),
+       |qc AS (SELECT vec_id AS qid, centid FROM (
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= $fxProbe),
+       |rt AS (SELECT qc.qid, asg.cid
+       |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
+       |cb AS ($trainedPqCbSelect),
+       |$trainedPqEncQtab,
+       |ax AS (
+       |  SELECT rt.qid, rt.cid, SUM(qtab.pdot) AS adot
+       |  FROM rt JOIN enc ON enc.cid = rt.cid
+       |          JOIN qtab ON qtab.qid = rt.qid AND qtab.s = enc.s AND qtab.codeid = enc.codeid
+       |  GROUP BY rt.qid, rt.cid),
+       |cand AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
+       |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
+       |sc AS (SELECT cand.qid, cand.cid,
+       |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
+       |                 JOIN n nc ON nc.vec_id = cand.cid)
+       |SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 
   private lazy val ivfOracleSql: String = ivfOracleSqlWith(
     "SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n " +
@@ -6198,6 +6365,10 @@ object SparkEntry {
     // on the committed k-means fixture (identical in-memory vs persisted)
     "s_ann_ivf_trained" -> trainedIvfOracleSql,
     "s_ann_ivf_trained_indexed" -> trainedIvfOracleSql,
+    // Sharded IVF (r18): shard routing recomputed from count(*); the
+    // persisted layout serves identical results → same oracle text
+    "s_ann_ivf_sharded" -> shardedIvfOracleSql,
+    "s_ann_ivf_sharded_indexed" -> shardedIvfOracleSql,
     // Mirrors Similarity.pqTopK stage-for-stage: seeded codebook, per-
     // subspace L2 encode (d2 = c·c − 2c·b + b·b, same fold order), ADC
     // table with round(·,9) decimal sums, count-adaptive refine cut, exact rescore.
@@ -6205,8 +6376,10 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
          |${OracleFrag.refineCte("SELECT count(*) FROM e")},
+         |${OracleFrag.kCodeCte("SELECT count(*) FROM e")},
          |sub AS (SELECT unnest(range(0, 8)) AS s),
-         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e WHERE vec_id < 16),
+         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e
+         |       WHERE vec_id < (SELECT kc FROM __kc)),
          |enc AS (SELECT cid, s, codeid FROM (
          |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
          |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
@@ -6295,14 +6468,15 @@ object SparkEntry {
     // Mirrors Similarity.ivfPqTopK: the s_ann_ivf routing CTEs (count-
     // adaptive seeded cells, argmin assignment, constant-fraction probe)
     // feed the s_ann_pq ADC CTEs — ax aggregates ONLY routed (qid, cid)
-    // pairs, then the count-adaptive refine + rescore. The PQ codebook stays kCode=16
-    // (a CODEBOOK size, not a cell count — 16 centroids per subspace is
-    // the 4-bit-code design point, independent of corpus size).
+    // pairs, then the count-adaptive refine + rescore. The PQ codebook is
+    // the count-adaptive kCodeForCorpus rule (r18) — sized from the
+    // CORPUS count like the encode pass, not the probed pool.
     "s_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
          |${OracleFrag.ivfSizingCtes("SELECT count(*) FROM e")},
          |${OracleFrag.refineCte(OracleFrag.probedCandSql("SELECT count(*) FROM e"))},
+         |${OracleFrag.kCodeCte("SELECT count(*) FROM e")},
          |cent AS (SELECT vec_id AS centid, v AS cv, nrm AS cn FROM n
          |         WHERE vec_id < (SELECT nlist FROM __nl)),
          |asg AS (SELECT vec_id AS cid, centid FROM (
@@ -6318,7 +6492,8 @@ object SparkEntry {
          |rt AS (SELECT qc.qid, asg.cid
          |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
          |sub AS (SELECT unnest(range(0, 8)) AS s),
-         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e WHERE vec_id < 16),
+         |cb AS (SELECT vec_id AS codeid, v AS bv FROM e
+         |       WHERE vec_id < (SELECT kc FROM __kc)),
          |enc AS (SELECT cid, s, codeid FROM (
          |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
          |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
@@ -6373,50 +6548,11 @@ object SparkEntry {
     // The FULLY-trained IVF-PQ: fixture-centroid routing CTEs (the
     // s_ann_ivf_trained mirror) feed the trained-codebook ADC CTEs — ax
     // aggregates ONLY routed (qid, cid) pairs, then the count-adaptive refine + rescore.
-    "s_ann_ivfpq_trained" -> {
-      val centValues = fixtureCentroidRows.map { case (id, v) =>
-        s"($id, [${v.mkString(", ")}]::DOUBLE[])"
-      }.mkString(", ")
-      // the fixture pins nCells; the probed population (count·nprobe/nlist)
-      // still grows with the corpus, so the refine budget recomputes from it
-      val fxCells = fixtureCentroidRows.size
-      val fxProbe = ops.Similarity.nprobeForCells(fxCells)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
-         |${OracleFrag.refineCte(s"((SELECT count(*) FROM e) * $fxProbe) // $fxCells")},
-         |cent AS (SELECT centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn
-         |         FROM (VALUES $centValues) AS __cent(centid, cv)),
-         |asg AS (SELECT vec_id AS cid, centid FROM (
-         |  SELECT n.vec_id, cent.centid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent) WHERE rn = 1),
-         |qc AS (SELECT vec_id AS qid, centid FROM (
-         |  SELECT n.vec_id, cent.centid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-         |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= ${ops.Similarity.nprobeForCells(fixtureCentroidRows.size)}),
-         |rt AS (SELECT qc.qid, asg.cid
-         |       FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
-         |cb AS ($trainedPqCbSelect),
-         |$trainedPqEncQtab,
-         |ax AS (
-         |  SELECT rt.qid, rt.cid, SUM(qtab.pdot) AS adot
-         |  FROM rt JOIN enc ON enc.cid = rt.cid
-         |          JOIN qtab ON qtab.qid = rt.qid AND qtab.s = enc.s AND qtab.codeid = enc.codeid
-         |  GROUP BY rt.qid, rt.cid),
-         |cand AS (SELECT qid, cid FROM (
-         |  SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS arn
-         |  FROM ax) WHERE arn <= (SELECT refine FROM __rf)),
-         |sc AS (SELECT cand.qid, cand.cid,
-         |        round(${OracleFrag.dot64("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 6) AS sim
-         |       FROM cand JOIN n nq ON nq.vec_id = cand.qid
-         |                 JOIN n nc ON nc.vec_id = cand.cid)
-         |SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+    "s_ann_ivfpq_trained" -> trainedIvfPqOracleSql,
+    // The persisted layout serves the same quantizers (centroids,
+    // codebook, codes, corpus count all stamped), so the served path
+    // carries the same oracle (the s_ann_ivf_indexed rule).
+    "s_ann_ivfpq_trained_indexed" -> trainedIvfPqOracleSql,
     // RESIDUAL IVF-PQ replayed: fixture-centroid routing (rt keeps the
     // cell id), residuals rv = v − assigned centroid, encode against the
     // RESIDUAL codebook literals, ADC = Σ_s dot(q_sub, cb) + one

@@ -562,9 +562,21 @@ private final class Resolver(
 
   /** Aggregate expression with deterministic numeric accumulation: columns
     * declared `decimal` but physically stored as double are accumulated in
-    * DecimalType so partition order can never change the result, then cast
-    * back to double (exact → deterministic bit pattern). avg follows the
-    * reference rule "avg is always decimal" via exact-sum / count.
+    * DecimalType SEMANTICS so partition order can never change the result,
+    * then cast back to double (exact → deterministic bit pattern). avg
+    * follows the reference rule "avg is always decimal" via exact-sum /
+    * count.
+    *
+    * The exact accumulation runs on the int64 fast path
+    * ([[graft.functions.DecimalSumOps.dsum_exact]], r18): value-identical
+    * to `sum(cast(c AS DECIMAL(38,6))).cast("double")` (DecimalSumSpec
+    * pins byte-equality, including on this engine's e_* fixtures) but the
+    * aggregation buffer stays a codegen long instead of a non-compact
+    * Decimal — the r17 probe measured that representation tax at ~8× on
+    * a 6.0M-row sum (TPC-H q1: 7.8 s decimal vs 0.9 s double-shaped).
+    * Domain is fenced, not assumed: per value |x| < 9.2·10¹² at scale 6
+    * and per group Σ|unscaled| < 9·10¹⁸, both raising NAMED errors where
+    * a long could wrap — magnitudes past them need the decimal path back.
     */
   private def aggExpr(a: QueryAggregation, frame: DataFrame): Column = {
     val D6 = DecimalType(38, 6)
@@ -574,16 +586,18 @@ private final class Resolver(
     val name = internal(aliasOf(tApi), a.column)
     val c = col(name)
     // a column *declared* decimal but physically stored as floating point is
-    // accumulated exactly in DecimalType and cast back, so the result type
-    // matches the storage while the value is partition-order independent
+    // accumulated exactly in decimal-at-scale-6 semantics and cast back, so
+    // the result type matches the storage while the value is
+    // partition-order independent
     val physicalFloat = frame.schema.find(_.name == name)
       .exists(f => f.dataType == DoubleType || f.dataType == FloatType)
     val exact = cm.columnType == "decimal" && physicalFloat
     a.fn match {
       case "count" => count(c)
-      case "sum" if exact => sum(c.cast(D6)).cast("double")
+      case "sum" if exact => graft.functions.DecimalSumOps.dsum_exact(c, 6)
       case "sum"   => sum(c)
-      case "avg" if exact => sum(c.cast(D6)).cast("double") / count(c)
+      case "avg" if exact =>
+        graft.functions.DecimalSumOps.dsum_exact(c, 6) / count(c)
       case "avg" if cm.columnType == "int" =>
         avg(c.cast(D6)) // reference: AVG is always decimal, even over int
       case "avg"   => avg(c)

@@ -39,8 +39,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *    path for such magnitudes);
   *  - per GROUP: past 2⁶³ the int64 accumulator throws under ANSI (the
   *    Spark 4 default) and wraps SILENTLY in non-ANSI sessions, so
-  *    [[DecimalSumOps.dsum_exact]] rides a `max(abs)·count < 9·10^18`
-  *    fence along (two extra aggregates, constant cost) that raises a
+  *    [[DecimalSumOps.dsum_exact]] rides a `Σ|unscaled| < 9·10^18`
+  *    fence along (one extra aggregate, constant cost) that raises a
   *    NAMED error where a non-ANSI wrap would otherwise escape — the
   *    star-CC overflow lesson (r16): at-scale arithmetic needs an
   *    explicit domain fence, not a mode assumption.
@@ -127,10 +127,15 @@ object DecimalSumOps {
     */
   def dsum_exact(c: Column, scale: Int): Column = {
     val u = dec_unscaled(c, scale)
-    // |sum| <= count·max|u| — computed in double so the guard itself
-    // cannot wrap (abs(Long.MinValue) would); 9.0e18 keeps margin under
-    // 2^63 ≈ 9.22e18
-    val safe = max(abs(u.cast("double"))) * count(u).cast("double") < lit(9.0e18)
+    // |sum| <= Σ|u| — the TIGHT bound, computed in double so the guard
+    // itself cannot wrap (abs(Long.MinValue) would). The earlier
+    // count·max|u| form over-estimated by the count/mean ratio and
+    // false-positive raised around TPC-H sf30-100 (count 1.5e8 ×
+    // max 1e11 = 1.5e19 while the true Σ|u| ≈ 5.7e18 fits); Σ|u| fences
+    // exactly what can overflow. Margin: a double sum of non-negatives
+    // carries ≤ n·ε relative error (~1e-6 even at n = 10¹⁰), dwarfed by
+    // the 2.4% headroom between 9.0e18 and 2⁶³ ≈ 9.22e18.
+    val safe = sum(abs(u.cast("double"))) < lit(9.0e18)
     when(coalesce(safe, lit(true)), make_dec(sum(u), scale).cast("double"))
       .otherwise(raise_error(lit(
         "dsum_exact: group magnitude may overflow the int64 accumulator " +
@@ -160,7 +165,7 @@ object DecimalSumOps {
     * ONE `MakeDecimal(Σhi, scale−9) + MakeDecimal(Σlo, scale)` per group
     * recombines to exactly the DECIMAL(38, scale) total the decimal-sum
     * plan would produce. Domain: per value |x| < 9.2·10^(27−scale); per
-    * group `count·max|hi| < 9·10^18` and `count < 9·10^9` (the |lo| <
+    * group `Σ|hi| < 9·10^18` and `count < 9·10^9` (the |lo| <
     * 10⁹ bound) — both fenced, raising instead of wrapping.
     */
   def dsum_exact_split(c: Column, scale: Int): Column = {
@@ -169,7 +174,9 @@ object DecimalSumOps {
       DecimalUnscaledSplit(GraftBridge.expression(d), scale, quotient))
     val hi = half(quotient = true)
     val lo = half(quotient = false)
-    val safe = (max(abs(hi.cast("double"))) * count(lo).cast("double") < lit(9.0e18)) &&
+    // Σ|hi| is the tight hi-accumulator bound (the dsum_exact fence
+    // argument); the count bound keeps |Σlo| < 9e18 since each |lo| < 10⁹
+    val safe = (sum(abs(hi.cast("double"))) < lit(9.0e18)) &&
       (count(lo) < lit(9000000000L))
     // precision 19 (an int64's digit bound) keeps the decimal ADD at
     // precision max(10, scale-18)+scale+1 ≤ 29 — exact; at the default
@@ -189,8 +196,7 @@ object DecimalSumOps {
   def dsum_exact_over(c: Column, scale: Int,
       w: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val u = dec_unscaled(c, scale)
-    val safe =
-      max(abs(u.cast("double"))).over(w) * count(u).over(w).cast("double") < lit(9.0e18)
+    val safe = sum(abs(u.cast("double"))).over(w) < lit(9.0e18)
     when(coalesce(safe, lit(true)), make_dec(sum(u).over(w), scale).cast("double"))
       .otherwise(raise_error(lit(
         "dsum_exact_over: frame magnitude may overflow the int64 " +

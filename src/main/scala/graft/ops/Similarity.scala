@@ -204,6 +204,11 @@ object Similarity {
     require(nCells >= 1, s"nCells must be >= 1: $nCells")
     require(nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells: [$nProbe, $nCells]")
+    // enforce, don't just assert in prose: a pathological corpusSize
+    // would WRAP the product silently and size a wrong refine budget —
+    // contrary to the family's raise-not-wrap convention
+    require(corpusSize <= Long.MaxValue / nProbe,
+      s"corpusSize * nProbe would overflow int64: $corpusSize * $nProbe")
     corpusSize * nProbe / nCells
   }
 
@@ -241,6 +246,45 @@ object Similarity {
       s"need 1 <= minRefine <= maxRefine: [$minRefine, $maxRefine]")
     val frac = if (candidates == 0) 0L else (candidates - 1) / refineDen + 1
     math.max(minRefine.toLong, math.min(maxRefine.toLong, frac)).toInt
+  }
+
+  /** Corpus-adaptive PQ codebook RESOLUTION — the last ANN dial that was
+    * a constant: centroids per subspace codebook, `ceil(corpusSize /
+    * targetPerCode)` clamped to `[minKCode, maxKCode]`.
+    *
+    * Why the codebook must grow with the corpus: with `kCode` centroids
+    * per `subDim`-dim subspace, ADC ranks candidates on m·log2(kCode)
+    * bits of signal, so the ADC ranking noise is a fixed FRACTION of the
+    * ranked pool — the r17 RecallX100 table measured IVF-PQ recall at
+    * kCode=16 stuck at 0.593 at a 100× corpus even under held routing
+    * (trained centroids, constant probed fraction) and an adaptive
+    * refine absorbing 1/16 of the pool, while plain IVF reached 1.000:
+    * past a point, MORE REFINE cannot recover rank signal the 4-bit
+    * codes never encoded. Growing kCode with the corpus holds the
+    * per-candidate code resolution in step with the population the ADC
+    * must separate; the r18 RecallX100 column is the measured spec
+    * (kCode 16 → 160 → 256 across 1×/10×/100×).
+    *
+    * The default target 125 reproduces the long-gated kCode=16 at the
+    * sf0.1 corpus (2000 vectors) — the [[nlistForCorpus]] convention:
+    * the rule's floor IS the shipped historical parameter. `maxKCode`
+    * 256 is the one-BYTE code ceiling (classic 8-bit PQ): past it a code
+    * no longer fits the m-bytes-per-vector storage story, and the right
+    * next dial is more subspaces (m) or the SQ8 tier, not a wider
+    * codebook. Cost shape: the encode pass is corpus·m·kCode subspace
+    * dots — linear in kCode, paid once per build (or per query set in
+    * the in-flight form); the ADC scan itself never touches kCode (one
+    * lookup per (candidate, subspace)).
+    */
+  def kCodeForCorpus(corpusSize: Long, targetPerCode: Int = 125,
+      minKCode: Int = 16, maxKCode: Int = 256): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(targetPerCode >= 1, s"targetPerCode must be >= 1: $targetPerCode")
+    require(minKCode >= 1 && minKCode <= maxKCode,
+      s"need 1 <= minKCode <= maxKCode: [$minKCode, $maxKCode]")
+    val codes =
+      if (corpusSize == 0) 0L else (corpusSize - 1) / targetPerCode + 1
+    math.max(minKCode.toLong, math.min(maxKCode.toLong, codes)).toInt
   }
 
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
@@ -544,6 +588,178 @@ object Similarity {
     rescoreTopK(cand, queries, probedCells.select(col("cid"), col("vec")), k)
   }
 
+  // --------------------------------------------------------------------
+  // Sharded IVF — the 100 TB path PAST the single-index broadcast ceiling.
+  // [[nlistForCorpus]]'s maxNlist (2²⁰ cells ≈ 0.5 GiB of broadcast
+  // centroids) bounds one index at ~131M vectors under the constant-cell
+  // rule; a corpus of billions of embeddings must be hash-partitioned
+  // into shards, each carrying its OWN constant-cell index, with probes
+  // fanning out per shard and one global exact re-rank at the end. Every
+  // stage stays the single-index shape: centroids broadcast PER SHARD
+  // (each under the ceiling), assignment is an argmax aggregate, the
+  // candidate shuffle carries ids only.
+
+  /** Shard of an id under `nShards` hash partitions — `pmod(id, n)`, the
+    * deterministic, oracle-expressible stand-in for a production hash
+    * partitioner (for the synthetic contiguous ids it IS uniform).
+    */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(id, lit(nShards.toLong))
+
+  /** Per-shard seeded coarse quantizer: shard `s` gets the `nCells`
+    * vectors with ids `s, s+nShards, …, s+(nCells−1)·nShards` — i.e. the
+    * `nShards·nCells` smallest ids dealt round-robin, so the rule is one
+    * SCAN predicate (`cid < nShards·nCells`), never a per-shard sort, and
+    * the DuckDB oracle mirrors it with the same two integers. Each shard
+    * ends up with exactly `nCells` centroids (ids are contiguous from 0 —
+    * the seededCentroids assumption). centId = the centroid's cid:
+    * globally unique, so candidate joins can key on centId alone.
+    */
+  private def shardedSeededCentroids(c: DataFrame, nShards: Int,
+      nCells: Int): DataFrame =
+    c.where(col("cid") < nShards.toLong * nCells)
+      .select(shardOf(col("cid"), nShards).as("shard"),
+        col("cid").as("centId"), col("cid_v").as("cent_v"),
+        col("cid_n").as("cent_n"))
+
+  /** Sharded IVF ANN: hash-partition the corpus into `nShards` shards,
+    * build an independent constant-cell IVF index per shard
+    * ([[shardedSeededCentroids]]), probe `nProbe` cells IN EVERY shard
+    * per query, and exact-re-rank the union of per-shard candidates to
+    * one global top-k.
+    *
+    * Recall shape: each shard is a uniform 1/nShards sample of the
+    * corpus, so a query's true top-k splits across shards and each
+    * shard-local probe needs only its own members — per-shard recall at
+    * the same probed fraction ≈ unsharded recall (RecallX100's sharded
+    * row is the measurement). Cost shape: candidates per query ≈
+    * nShards · nProbe · cellSize = the SAME probed fraction as unsharded
+    * (nProbe is sized from the PER-SHARD cell count); what sharding buys
+    * is each shard's centroid table staying under the broadcast ceiling
+    * and index builds/rebuilds parallelizing per shard.
+    *
+    * `nCells`/`nProbe` default to -1 = sized by [[nlistForCorpus]] /
+    * [[nprobeForCells]] from the EXPECTED SHARD population
+    * `ceil(corpusSize/nShards)` (corpusSize -1 = one count job; pass the
+    * known count to avoid it).
+    */
+  def ivfShardedTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame,  // (cid, vec)
+      k: Int = 10,
+      nShards: Int = 2,
+      nCells: Int = -1,
+      nProbe: Int = -1,
+      corpusSize: Long = -1L,
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val c = prep(corpus, "cid")
+    val n = if (corpusSize >= 0) corpusSize else corpus.count()
+    val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
+    val nc = if (nCells != -1) nCells else nlistForCorpus(perShard)
+    val np = if (nProbe != -1) nProbe else nprobeForCells(nc)
+    val cent = shardedSeededCentroids(c, nShards, nc)
+    // corpus side: argmax within OWN shard (equi-join on shard keeps the
+    // scored population at |corpus|·nCells, same as unsharded)
+    val assigned = c.withColumn("shard", shardOf(col("cid"), nShards))
+      .join(broadcast(cent), "shard")
+      .select(col("cid"),
+        col("centId"),
+        (dot_product(col("cid_v"), col("cent_v")) /
+          (col("cid_n") * col("cent_n"))).as("csim"))
+      .groupBy(col("cid"))
+      .agg(max_by(col("centId"),
+        struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
+    // query side: top-nProbe cells PER (query, shard) — the fan-out that
+    // replaces one global probe list with nShards local ones
+    val w = Window.partitionBy(col("qid"), col("shard"))
+      .orderBy(col("csim").desc, col("centId"))
+    val probed = prep(queries, "qid").crossJoin(broadcast(cent))
+      .select(col("qid"), col("shard"), col("centId"),
+        (dot_product(col("qid_v"), col("cent_v")) /
+          (col("qid_n") * col("cent_n"))).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= np)
+      .select(col("qid"), col("centId"))
+    // centIds are globally unique, keep=1 assignment + distinct probed
+    // cells → pairs already unique (the ivfPqTopK argument)
+    val cand = probed.join(assigned, "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    rescoreTopK(cand, queries, corpus, k) // global exact re-rank
+  }
+
+  /** Persist a SHARDED IVF index: cells laid out `shard=…/centId=…` (two
+    * partition levels — a probe prunes to probed (shard, cell) directory
+    * pairs), the shard-keyed centroid table, and a one-row meta stamping
+    * (nShards, perShardCells, corpusCount) — the stamp conventions of
+    * [[writeSq8Index]]/[[writeProjectedIndex]]: a server sizes its probe
+    * policy from the INDEX, never from jobs over the store.
+    */
+  def writeIvfIndexSharded(corpus: DataFrame, path: String,
+      nShards: Int = 2, nCells: Int = -1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = prep(corpus, "cid")
+    val n = corpus.count()
+    val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
+    val nc = if (nCells != -1) nCells else nlistForCorpus(perShard)
+    val cent = shardedSeededCentroids(c, nShards, nc)
+    val assigned = c.withColumn("shard", shardOf(col("cid"), nShards))
+      .join(broadcast(cent), "shard")
+      .select(col("cid"), col("shard"), col("centId"),
+        (dot_product(col("cid_v"), col("cent_v")) /
+          (col("cid_n") * col("cent_n"))).as("csim"))
+      .groupBy(col("cid"), col("shard"))
+      .agg(max_by(col("centId"),
+        struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
+    corpus.join(assigned, "cid")
+      .write.partitionBy("shard", "centId").parquet(s"$path/cells")
+    cent.write.parquet(s"$path/centroids")
+    Seq((nShards, nc, n)).toDF("nShards", "perShardCells", "corpusCount")
+      .coalesce(1).write.parquet(s"$path/meta")
+  }
+
+  /** Query a [[writeIvfIndexSharded]] layout: probe `nProbe` cells per
+    * (query, shard) against the persisted centroid table, read ONLY the
+    * probed (shard, centId) directories, globally exact-re-rank.
+    * `nProbe = -1` applies [[nprobeForCells]] to the PER-SHARD cell count
+    * stamped at build time; an index without the meta stamp RAISES (the
+    * projected-index rule: guessing a probe policy silently serves wrong
+    * recall).
+    */
+  def ivfTopKIndexedSharded(queries: DataFrame, path: String,
+      k: Int = 10, nProbe: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"sharded IVF index at $path has no meta stamp — rebuild with writeIvfIndexSharded")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("perShardCells").cast("int")).head()
+    val np = if (nProbe != -1) nProbe else nprobeForCells(meta.getInt(0))
+    val cent = spark.read.parquet(s"$path/centroids")
+    val w = Window.partitionBy(col("qid"), col("shard"))
+      .orderBy(col("csim").desc, col("centId"))
+    val probed = prep(queries, "qid").crossJoin(broadcast(cent))
+      .select(col("qid"), col("shard"), col("centId"),
+        (dot_product(col("qid_v"), col("cent_v")) /
+          (col("qid_n") * col("cent_n"))).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= np)
+      .select(col("qid"), col("shard"), col("centId"))
+    val cells = spark.read.parquet(s"$path/cells")
+    // restrict once to the union of probed (shard, cell) directories;
+    // reused for the rescore vector join (the ivfTopKIndexed shape)
+    val probedCells = cells.join(
+      broadcast(probed.select("shard", "centId").distinct()),
+      Seq("shard", "centId"))
+    val cand = probedCells.join(probed, Seq("shard", "centId"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    rescoreTopK(cand, queries, probedCells.select(col("cid"), col("vec")), k)
+  }
+
   /** Product-quantization (PQ/ADC) ANN: compress each corpus vector to `m`
     * one-byte codes — per subspace, the id of its nearest codebook
     * centroid — then rank candidates by the asymmetric-distance sum of
@@ -745,6 +961,92 @@ object Similarity {
     val codes = pqEncode(c, cbSub, m, subDim)
     val qTab = pqQueryTable(q, cbSub, m, subDim)
     adcRefineRescore(Some(routed), qTab, codes, queries, corpus, k, refine)
+  }
+
+  /** Persist an IVF-PQ index — the build-offline/serve-online split of
+    * [[ivfPqTopK]], the tier where it matters most at 100 TB: what
+    * serving SCANS for ranking is the code table, `m` small ints per
+    * vector laid out `centId=…` (one directory per coarse cell), so an
+    * nProbe/nCells probe reads nProbe/nCells of a 32×-compressed store;
+    * full-precision vectors (also cell-partitioned) are touched only for
+    * refine survivors. The centroid and codebook tables persist alongside
+    * — ROUTING STATE IS INDEX STATE: a serve that re-derived cells or
+    * codes from seeds against a drifted corpus would rank in a different
+    * quantization than the codes were written in, a silent-recall bug, so
+    * [[ivfPqTopKIndexed]] reads everything (plus the corpus count its
+    * refine budget needs) from the stamp and never runs sizing jobs over
+    * the store.
+    *
+    * Pass trained frames ([[kmeansCentroids]], [[pqTrainedCodebook]]) for
+    * the production build; defaults are the seeded quantizers sized by
+    * [[nlistForCorpus]]/[[kCodeForCorpus]].
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+      m: Int = 8, subDim: Int = 8,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = prep(corpus, "cid")
+    val n = corpus.count()
+    val cent = centroids.getOrElse(seededCentroids(c, nlistForCorpus(n)))
+    val nlist = cent.count().toInt
+    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCodeForCorpus(n)))
+    val assigned = nearestCells(c, "cid", cent, keep = 1)
+    pqEncode(c, cbSub, m, subDim).join(assigned, "cid")
+      .write.partitionBy("centId").parquet(s"$path/codes")
+    corpus.join(assigned, "cid")
+      .write.partitionBy("centId").parquet(s"$path/vectors")
+    cent.write.parquet(s"$path/centroids")
+    cbSub.write.parquet(s"$path/codebook")
+    Seq((n, m, subDim, nlist)).toDF("corpusCount", "m", "subDim", "nlist")
+      .coalesce(1).write.parquet(s"$path/meta")
+  }
+
+  /** Query a [[writeIvfPqIndex]] layout: route against the persisted
+    * centroids, ADC-rank the persisted codes of probed cells only (the
+    * code and vector reads prune to probed `centId=` directories),
+    * exact-rescore refine survivors against the persisted vectors.
+    * Encode/routing are deterministic given the persisted quantizers, so
+    * results equal [[ivfPqTopK]] with the same frames and the same DuckDB
+    * oracle gates both.
+    *
+    * `nProbe = -1` sizes from the stamped nlist ([[nprobeForCells]]);
+    * `refine = -1` sizes from the stamped corpus count via
+    * [[expectedProbed]] + [[refineForCandidates]] — both reads of the
+    * one-row meta, zero jobs over the store. An index without the meta
+    * stamp RAISES.
+    */
+  def ivfPqTopKIndexed(queries: DataFrame, path: String,
+      k: Int = 10, nProbe: Int = -1, refine: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"IVF-PQ index at $path has no meta stamp — rebuild with writeIvfPqIndex")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("corpusCount").cast("long"), col("m").cast("int"),
+        col("subDim").cast("int"), col("nlist").cast("int")).head()
+    val (n, m, subDim, nlist) =
+      (meta.getLong(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val np = if (nProbe != -1) nProbe else nprobeForCells(nlist)
+    val rf = if (refine != -1) refine
+      else refineForCandidates(expectedProbed(n, nlist, np))
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cbSub = spark.read.parquet(s"$path/codebook")
+    val q = prep(queries, "qid")
+    val probed = nearestCells(q, "qid", cent, keep = np)
+    val probedCells = broadcast(probed.select("centId").distinct())
+    // both data-sized reads prune to probed cell directories
+    val codes = spark.read.parquet(s"$path/codes").join(probedCells, "centId")
+    val vectors = spark.read.parquet(s"$path/vectors").join(probedCells, "centId")
+    val routed = probed
+      .join(codes.select("cid", "centId").distinct(), "centId")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    val qTab = pqQueryTable(q, cbSub, m, subDim)
+    adcRefineRescore(Some(routed), qTab, codes.select("cid", "s", "codeId"),
+      queries, vectors.select(col("cid"), col("vec")), k, rf)
   }
 
   /** Per-row residuals against the assigned coarse cell: (cid, centId,
@@ -980,13 +1282,17 @@ object Similarity {
     * in-flight build, so results equal [[sq8TopK]] over the same corpus
     * and the same DuckDB oracle gates both.
     *
-    * `refine = -1` sizes the budget with [[refineForCandidates]] from the
-    * corpus count STAMPED at build time (a schema read, zero jobs over
-    * the store). An unstamped pre-r17 index must be served with an
-    * explicit refine — raising beats silently guessing a budget.
+    * `refine = -1` — the DEFAULT — sizes the budget with
+    * [[refineForCandidates]] from the corpus count STAMPED at build time
+    * (a schema read, zero jobs over the store). An unstamped pre-r17
+    * index must be served with an explicit refine — raising beats
+    * silently guessing a budget. The default was the fixed 30 whose
+    * measured recall decay (0.236 → 0.047 across decades) motivated the
+    * adaptive rule; external callers relying on defaults should get the
+    * measured-good behavior, not the legacy constant.
     */
   def sq8TopKIndexed(queries: DataFrame, path: String,
-      k: Int = 10, refine: Int = 30): DataFrame = {
+      k: Int = 10, refine: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     val rg = spark.read.parquet(s"$path/ranges")
     val codes = spark.read.parquet(s"$path/codes")
@@ -1233,10 +1539,13 @@ object Similarity {
     * `outDims`/`firstPlane` default to the values PERSISTED at build time
     * (pass -1 = "from meta"); an explicit value that disagrees with the
     * index's meta raises instead of silently ranking in the wrong
-    * projected space.
+    * projected space. `refine` likewise defaults to -1 = sized by
+    * [[refineForCandidates]] from the persisted corpus count (a pre-count
+    * meta raises — the sq8TopKIndexed rule), so default callers get the
+    * measured-good adaptive budget, not the legacy fixed 30.
     */
   def projectedTopKIndexed(queries: DataFrame, path: String,
-      k: Int = 10, outDims: Int = -1, refine: Int = 30,
+      k: Int = 10, outDims: Int = -1, refine: Int = -1,
       firstPlane: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     // pre-meta indexes (written before the meta file existed) stay

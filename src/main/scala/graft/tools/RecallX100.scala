@@ -157,10 +157,22 @@ object RecallX100 {
           Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
             nProbe = npR, refine = rf, centroids = Some(trained)))
       }
+      // ADAPTIVE kCode (r18): the r17 table showed adaptive refine alone
+      // plateaus at 0.593 at 100× — rank signal the 16-code ADC never
+      // encoded cannot be refined back. kCodeForCorpus grows the codebook
+      // resolution with the population the ADC separates (16 → 160 → 256
+      // across these decades); this row is the measured spec for the
+      // shipped rule, exactly as the refine rows were for RefineDen.
+      val kcR = Similarity.kCodeForCorpus(n)
+      measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 + adaptive kCode",
+        Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
+          nProbe = npR, kCode = kcR,
+          refine = Similarity.refineForCandidates(probedPop),
+          centroids = Some(trained)))
       trainSet.unpersist()
 
       println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, " +
-        s"lsh planes/band $planes, probed $probedPop, adaptive refine " +
+        s"lsh planes/band $planes, probed $probedPop, kCode $kcR, adaptive refine " +
         Seq(64, 16).map(d => s"1/$d=${Similarity.refineForCandidates(probedPop, refineDen = d)}").mkString(" "))
       // free the decade's blocks before the next one builds
       truth.unpersist()

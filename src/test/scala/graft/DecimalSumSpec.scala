@@ -57,9 +57,9 @@ class DecimalSumSpec extends AnyFunSuite {
     // the high-scale regime the single-long kernel cannot touch: |x| up
     // to ~25 (log-probabilities: unscaled 2.5e19 > 2^63 per VALUE) and a
     // 20k-row group (sum far past 2^63 even for |x| < 1)
-    // values stay inside the documented GROUP domain (count·max|hi| <
-    // 9e18): ~7.4k rows/group bounds |x| below ~1.2e6 here — log
-    // magnitudes and 1e5-scale magnitudes both comfortably inside
+    // values stay inside the documented GROUP domain (Σ|hi| < 9e18):
+    // ~7.4k rows/group bounds |x| below ~1.2e6 here — log magnitudes
+    // and 1e5-scale magnitudes both comfortably inside
     val rnd = new scala.util.Random(0x5917)
     val vals: Seq[java.lang.Double] =
       Seq.fill(20000)(Double.box(-rnd.nextDouble() * 25.0)) ++
@@ -120,7 +120,7 @@ class DecimalSumSpec extends AnyFunSuite {
     // three rows of 4e14 at scale 4: each unscaled 4e18 fits int64, the
     // sum 1.2e19 does not. Under ANSI (the Spark 4 default) the long SUM
     // itself throws at accumulation; in non-ANSI sessions the sum wraps
-    // silently and the count*max|u| fence raises at projection instead —
+    // silently and the Σ|u| fence raises at projection instead —
     // either way the wrapped value must never escape
     val df = Seq(4.0e14, 4.0e14, 4.0e14).toDF("v")
     val e = intercept[Throwable] {
@@ -133,5 +133,17 @@ class DecimalSumSpec extends AnyFunSuite {
       chain(e).exists(_.isInstanceOf[ArithmeticException]) ||
       msgs.toLowerCase.contains("overflow"),
       s"expected a loud overflow failure, got $e")
+  }
+
+  test("the fence is the TIGHT sum-of-|unscaled| bound, not count*max") {
+    // the advisor's false-positive shape: one large value among many
+    // small ones — count·max|u| would estimate 2001 × 8e18 ≈ 1.6e22 and
+    // raise, but the true Σ|u| ≈ 8.02e18 < 9e18 fits the accumulator,
+    // so the tight fence must let the exact sum through
+    val df = (Seq(8.0e14) ++ Seq.fill(2000)(0.0001)).toDF("v")
+    val got = df.agg(dsum_exact(col("v"), 4).cast("double")).collect()(0).getDouble(0)
+    val want = df.agg(sum(col("v").cast(DecimalType(38, 4))).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(got == want)
   }
 }

@@ -93,6 +93,40 @@ object IvfSizingProps extends Properties("ivfSizing") {
       Similarity.refineForCandidates(lo) <= Similarity.refineForCandidates(hi)
     }
 
+  // ---- kCodeForCorpus (r18): the count-adaptive codebook RESOLUTION
+  // that replaced the fixed kCode-16 in the seeded PQ tiers ----
+
+  property("kCode is the clamped ceil of corpus/targetPerCode") =
+    forAll(genN) { n =>
+      val codes = (n - 1) / 125 + 1
+      Similarity.kCodeForCorpus(n) ==
+        math.max(16L, math.min(256L, codes)).toInt
+    }
+
+  property("kCode is monotone in the corpus size") =
+    forAll(genN, genN) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      Similarity.kCodeForCorpus(lo) <= Similarity.kCodeForCorpus(hi)
+    }
+
+  property("kCode never exceeds the one-byte code ceiling") =
+    forAll(genN) { n =>
+      val kc = Similarity.kCodeForCorpus(n)
+      kc >= 16 && kc <= 256
+    }
+
+  property("pins: the shipped kCode at the gate corpora") = {
+    // 200 (sf0.001) and 500/2000 (the gated scales) stay at the
+    // long-gated 16 — the rule's floor IS the shipped historical
+    // parameter (the nlistForCorpus convention); 20000 (sf1.0) -> 160;
+    // 200000 (the RecallX100 100x corpus) caps at 256 = 8-bit codes
+    Similarity.kCodeForCorpus(200) == 16 &&
+      Similarity.kCodeForCorpus(500) == 16 &&
+      Similarity.kCodeForCorpus(2000) == 16 &&
+      Similarity.kCodeForCorpus(20000) == 160 &&
+      Similarity.kCodeForCorpus(200000) == 256
+  }
+
   property("expectedProbed is the floor of corpus*nprobe/nlist and never exceeds the corpus") =
     forAll(genN, genCells) { (n, c) =>
       val np = Similarity.nprobeForCells(c)

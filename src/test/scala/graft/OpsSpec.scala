@@ -360,6 +360,84 @@ class OpsSpec extends AnyFunSuite {
       s"indexed served ${idx.size} rows, in-memory ${mem.size}")
   }
 
+  test("sharded IVF: probing ALL per-shard cells equals brute force; served equals in-flight") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // exactness limit: every shard probes all of its own cells → the
+    // candidate union is the whole corpus → global re-rank IS brute force
+    val all = rows(Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2,
+      nCells = 8, nProbe = 8))
+    val bf = rows(Similarity.bruteForceTopK(q, c, k = 5))
+    assert(all == bf, "all-cells sharded probe must equal brute force")
+    // persisted-layout parity: deterministic assignment → identical rows
+    val inFlight = rows(Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2))
+    val path = graft.TempDirs.create("graft-test-ivfsh").resolve("index").toString
+    Similarity.writeIvfIndexSharded(c, path, nShards = 2)
+    val served = rows(Similarity.ivfTopKIndexedSharded(q, path, k = 5))
+    assert(inFlight.nonEmpty && served == inFlight,
+      s"sharded index served ${served.size} rows, in-flight ${inFlight.size}")
+    // recall sanity at the shipped sizing: the sharded probe covers the
+    // same 1/4 fraction per shard, so recall should track unsharded
+    val unsharded = Similarity.ivfTopK(q, c, k = 5,
+      nCells = Similarity.nlistForCorpus(500),
+      nProbe = Similarity.nprobeForCells(Similarity.nlistForCorpus(500)))
+    def recall(got: Set[(Long, Long, Double, Int)]) = {
+      val bfPairs = bf.map(t => (t._1, t._2))
+      (bfPairs & got.map(t => (t._1, t._2))).size.toDouble / bfPairs.size
+    }
+    assert(recall(inFlight) >= recall(rows(unsharded)) - 0.1,
+      "sharded recall fell materially below unsharded at equal probed fraction")
+  }
+
+  test("sharded IVF serve without a meta stamp raises, never guesses a probe policy") {
+    val emb = TestSpark.session.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val bare = graft.TempDirs.create("graft-test-ivfsh-bare").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexedSharded(q, bare, k = 5)
+    }
+    assert(e.getMessage.contains("meta stamp"))
+  }
+
+  test("persisted IVF-PQ index serves exactly the in-flight trained results; unstamped raises") {
+    val spark = TestSpark.session
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val cent = SparkEntry.fixtureCentroids(spark)
+    val cb = SparkEntry.fixtureCodebook(spark)
+    val n = c.count()
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val nProbe = Similarity.nprobeForCells(16)
+    val inFlight = rows(Similarity.ivfPqTopK(q, c, k = 5,
+      nCells = 16, nProbe = nProbe, m = 8, subDim = 8, kCode = 16,
+      refine = Similarity.refineForCandidates(
+        Similarity.expectedProbed(n, 16, nProbe)),
+      centroids = Some(cent), codebook = Some(cb)))
+    val path = graft.TempDirs.create("graft-test-ivfpq").resolve("index").toString
+    Similarity.writeIvfPqIndex(c, path, m = 8, subDim = 8,
+      centroids = Some(cent), codebook = Some(cb))
+    // nProbe and refine BOTH default from the stamp — the serve path runs
+    // zero sizing jobs and still lands on the in-flight parameters
+    val served = rows(Similarity.ivfPqTopKIndexed(q, path, k = 5))
+    assert(inFlight.nonEmpty && served == inFlight,
+      s"IVF-PQ index served ${served.size} rows, in-flight ${inFlight.size}")
+    val bare = graft.TempDirs.create("graft-test-ivfpq-bare").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(q, bare, k = 5)
+    }
+    assert(e.getMessage.contains("meta stamp"))
+  }
+
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
