@@ -165,6 +165,9 @@ object Bench {
     "s_ann_ivf_indexed",  // same probe against the persisted partitioned index
     "s_ann_ivf_trained",  // trained-quantizer serve path (committed fixture centroids)
     "s_ann_ivf_trained_indexed", // trained + persisted: assignment amortized at build
+    "s_ann_ivf_sharded",  // sharded IVF: per-shard indexes, global re-rank (r18)
+    "s_ann_ivf_sharded_indexed", // sharded serve: probed shard/cell dirs only
+    "s_ann_ivfpq_trained_indexed", // persisted IVF-PQ: stamped quantizers, pruned code scan
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only
     "s_ann_pq_trained",   // PQ serve path under the committed trained codebook
@@ -235,9 +238,27 @@ object Bench {
     // Default 3 passes since r9: the shipped artifact follows the same
     // min-of-3 protocol BENCH_NOTES uses, so round-over-round comparisons
     // stop needing clean-rerun footnotes.
+    // Noise canary (r18): ONE constant data-independent job — a fixed-size
+    // range shuffle+agg — timed immediately before the first pass and
+    // after the last. The pair quantifies this window's host-scheduling
+    // inflation per artifact (the per-round regression analyses kept
+    // re-attributing row elevations to host-minima migration by hand;
+    // canary drift >~1.3× marks the window degraded, so row regressions
+    // inside it are window noise until re-measured, not code).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000)
+        .selectExpr("id % 9973 AS k", "id")
+        .groupBy("k").sum("id")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // unrecorded: pay the canary plan's codegen/JIT once
+    val canaryFirst = canaryOnce()
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val samples: Seq[Seq[(String, Either[String, Double])]] =
       (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
+    val canaryLast = canaryOnce()
     val best: Seq[(String, Option[Double])] = names.map { n =>
       val oks = samples.flatMap(_.collect { case (`n`, Right(s)) => s })
       n -> (if (oks.isEmpty) None else Some(oks.min))
@@ -251,7 +272,9 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,"agg":"min","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    val canaryJson =
+      f""","canary":{"first":$canaryFirst%.3f,"last":$canaryLast%.3f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,"agg":"min","queries":$qs$failedJson$canaryJson,"sf":"$sfDir"}"""
     println(line)
     // The collector keeps only a bounded TAIL of stdout, which truncates
     // the ~4 KB per-query map mid-JSON — so ALSO persist the complete line

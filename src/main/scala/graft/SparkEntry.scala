@@ -3278,9 +3278,8 @@ object SparkEntry {
     s"""enc AS (SELECT cid, s, codeid FROM (
        |  SELECT c.vec_id AS cid, cb.s, cb.codeid,
        |    row_number() OVER (PARTITION BY c.vec_id, cb.s ORDER BY
-       |      (${OracleFrag.subDot("c.v", "c.v", "cb.s", 8)}
-       |       - 2.0 * ${OracleFrag.subDotFix("c.v", "cb.bv", "cb.s", 8)}
-       |       + ${OracleFrag.dotN("cb.bv", "cb.bv", 8)}) ASC, cb.codeid) AS rn
+       |      (${OracleFrag.dotN("cb.bv", "cb.bv", 8)}
+       |       - 2.0 * ${OracleFrag.subDotFix("c.v", "cb.bv", "cb.s", 8)}) ASC, cb.codeid) AS rn
        |  FROM e c CROSS JOIN cb) WHERE rn = 1),
        |qtab AS (
        |  SELECT q.vec_id AS qid, cb.s, cb.codeid,
@@ -6383,9 +6382,8 @@ object SparkEntry {
          |enc AS (SELECT cid, s, codeid FROM (
          |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
          |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
-         |      (${OracleFrag.subDot("c.v", "c.v", "sub.s", 8)}
-         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}
-         |       + ${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
+         |      (${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}
+         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
          |  FROM e c CROSS JOIN sub CROSS JOIN cb) WHERE rn = 1),
          |qtab AS (
          |  SELECT q.vec_id AS qid, sub.s, cb.codeid,
@@ -6497,9 +6495,8 @@ object SparkEntry {
          |enc AS (SELECT cid, s, codeid FROM (
          |  SELECT c.vec_id AS cid, sub.s, cb.codeid,
          |    row_number() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
-         |      (${OracleFrag.subDot("c.v", "c.v", "sub.s", 8)}
-         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}
-         |       + ${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
+         |      (${OracleFrag.subDot("cb.bv", "cb.bv", "sub.s", 8)}
+         |       - 2.0 * ${OracleFrag.subDot("c.v", "cb.bv", "sub.s", 8)}) ASC, cb.codeid) AS rn
          |  FROM e c CROSS JOIN sub CROSS JOIN cb) WHERE rn = 1),
          |qtab AS (
          |  SELECT q.vec_id AS qid, sub.s, cb.codeid,
@@ -6589,9 +6586,8 @@ object SparkEntry {
          |enc AS (SELECT cid, s, codeid FROM (
          |  SELECT r.cid, cb.s, cb.codeid,
          |    row_number() OVER (PARTITION BY r.cid, cb.s ORDER BY
-         |      (${OracleFrag.subDot("r.rv", "r.rv", "cb.s", 8)}
-         |       - 2.0 * ${OracleFrag.subDotFix("r.rv", "cb.bv", "cb.s", 8)}
-         |       + ${OracleFrag.dotN("cb.bv", "cb.bv", 8)}) ASC, cb.codeid) AS rn
+         |      (${OracleFrag.dotN("cb.bv", "cb.bv", 8)}
+         |       - 2.0 * ${OracleFrag.subDotFix("r.rv", "cb.bv", "cb.s", 8)}) ASC, cb.codeid) AS rn
          |  FROM rres r CROSS JOIN rcb cb) WHERE rn = 1),
          |qtab AS (
          |  SELECT q.vec_id AS qid, cb.s, cb.codeid,

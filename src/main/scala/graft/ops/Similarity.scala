@@ -847,15 +847,27 @@ object Similarity {
     * Argmin AGGREGATE, not a row_number window (the nearestCells keep=1
     * rule): the corpus side scores m·kCode rows per vector, and partial
     * aggregation collapses them map-side before any exchange.
+    *
+    * The ranking value is the REDUCED distance `|cb|² − 2·c·cb`: at a
+    * fixed (cid, s) the full ‖c − cb‖² differs from it by the constant
+    * |c|², so the argmin is the same quantizer — but the hot join row
+    * computes ONE subspace dot instead of three (|cb|² is precomputed
+    * once on the m·kCode-row broadcast side). This matters since
+    * [[kCodeForCorpus]]: the encode scan is corpus·m·kCode rows, the one
+    * stage that grows with the codebook (r18 RecallX100 measured the
+    * 3-dot form at 77 s for a 20k corpus at kCode 160). The DuckDB
+    * oracles rank on the SAME reduced expression — constant-shifted
+    * doubles can collapse float ties differently than the full form, so
+    * the two engines must share one formula, not two algebraically-equal
+    * ones.
     */
   private def pqEncode(c: DataFrame, cbSub: DataFrame, m: Int, subDim: Int): DataFrame = {
     val cSub = c.select(col("cid"), posexplode(subSlices(col("cid_v"), m, subDim)))
       .withColumnsRenamed(Map("pos" -> "s", "col" -> "c_sub"))
-    cSub.join(broadcast(cbSub), "s")
+    val cb = cbSub.withColumn("cbn", dot_product(col("cb_sub"), col("cb_sub")))
+    cSub.join(broadcast(cb), "s")
       .select(col("cid"), col("s"), col("codeId"),
-        (dot_product(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))
-          + dot_product(col("cb_sub"), col("cb_sub"))).as("d2"))
+        (col("cbn") - lit(2.0) * dot_product(col("c_sub"), col("cb_sub"))).as("d2"))
       .groupBy(col("cid"), col("s"))
       .agg(min_by(col("codeId"), struct(col("d2"), col("codeId"))).as("codeId"))
       .select("cid", "s", "codeId")

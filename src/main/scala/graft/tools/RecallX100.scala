@@ -125,6 +125,15 @@ object RecallX100 {
       val npR = Similarity.nprobeForCells(nlR)
       measure(s"IVF, SHIPPED rule (seeded)",
         Similarity.ivfTopK(queries, corpus, k = K, nCells = nlR, nProbe = npR))
+      // SHARDED IVF (r18): 2 hash shards, per-shard constant-cell index
+      // sized from the SHARD population, same probed fraction — the
+      // claim this row pins is recall parity with the unsharded seeded
+      // row above at every decade (each shard is a uniform 1/nShards
+      // sample, so shard-local probes cover the same fraction of the
+      // query's true neighbors)
+      measure(s"IVF sharded x2, SHIPPED rule (seeded)",
+        Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = 2,
+          corpusSize = n))
       // TRAINED centroids under the shipped rule: Lloyd on a bounded
       // deterministic sample (every stride-th id, ~25 vectors/cell — the
       // standard train-on-a-sample k-means), full corpus assigned at

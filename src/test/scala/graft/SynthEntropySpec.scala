@@ -155,6 +155,117 @@ class SynthEntropySpec extends AnyFunSuite {
       s"canary failed to flag an affine sample line: $e")
   }
 
+  // ---- text-fixture canary (r18): the Caesar-rotation replica family
+  // the scale tools build text decades from (Synth.rotate) shares the
+  // media generators' risk class — a degenerate replica transform leaves
+  // cross-replica fingerprints near-identical, plants false cross-replica
+  // near-dup structure, and the pair space grows quadratically. Same
+  // two-size distinct-count + cross-group-distance assertions, over the
+  // 31-bit text simhash the dedup operators actually block on.
+
+  /** Driver-side mirror of [[Synth.rotate]] (lowercase, then the alphabet
+    * translate) — the canary measures the rule, so it recomputes it from
+    * the same definition shape rather than spinning a Spark job per call.
+    */
+  private def rotateStr(s: String, r: Int): String = {
+    val lo = s.toLowerCase(java.util.Locale.ROOT)
+    if (r % 26 == 0) lo
+    else lo.map { ch =>
+      val i = Synth.Alpha.indexOf(ch)
+      if (i < 0) ch else Synth.Alpha((i + r) % 26)
+    }
+  }
+
+  private def simhashOf(s: String): Long =
+    graft.functions.TextHashOps.simhash31(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  private lazy val baseDocs: Seq[String] = {
+    val spark = TestSpark.session
+    // the fixture PLANTS near-duplicates (that is its job) — the canary
+    // measures the replica TRANSFORM, so start from simhash-distinct
+    // bases or the planted collisions would mask a degenerate transform
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("text").limit(400).collect().map(_.getString(0)).toSeq
+      .filter(s => s != null && s.nonEmpty && simhashOf(s) != -1L)
+    val seen = scala.collection.mutable.HashSet[Long]()
+    all.filter(d => seen.add(simhashOf(d))).take(250)
+  }
+
+  private def shinglesOf(s: String): Set[Long] = {
+    val arr = graft.functions.TextHashOps.shingleHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+    (0 until arr.numElements()).map(arr.getLong).toSet
+  }
+
+  private case class TextEntropy(d1: Int, d2: Int, meanCross: Double,
+      meanOverlap: Double, maxOverlap: Double)
+
+  /** Two-size entropy of a text replica transform: simhash fingerprints
+    * of every (doc, replica) at `r1` and `r2` replica classes, same-doc
+    * CROSS-replica Hamming stats (31-bit space), and same-doc
+    * cross-replica SHINGLE overlap (the invariant the Synth family
+    * actually documents: "disjoint shingle sets — corpus grows without
+    * synthetic duplicate explosion"). A healthy transform keeps the
+    * fingerprint set growing ~linearly, replicas' simhashes clear of the
+    * blocking band, and shingle sets ~disjoint; a degenerate one
+    * (replicas = tiny constant edits) collapses all three.
+    */
+  private def measureText(transform: (String, Int) => String,
+      r1: Int, r2: Int): TextEntropy = {
+    val f2 = baseDocs.map(d => (0 until r2).map(r => simhashOf(transform(d, r))))
+    val d2 = f2.flatten.distinct.size
+    val d1 = f2.map(_.take(r1)).flatten.distinct.size
+    val dists = for {
+      (reps, i) <- f2.zipWithIndex
+      a <- 0 until r2; b <- (a + 1) until r2
+      if (i + a + b) % 3 == 0 // deterministic sample of same-doc pairs
+    } yield java.lang.Long.bitCount(reps(a) ^ reps(b))
+    // shingle overlap over a deterministic doc sample (sets are costlier
+    // than one fingerprint, so sample docs, every replica pair)
+    val overlaps = for {
+      (d, i) <- baseDocs.zipWithIndex if i % 10 == 0
+      sets = (0 until r2).map(r => shinglesOf(transform(d, r)))
+      a <- 0 until r2; b <- (a + 1) until r2
+      if sets(a).nonEmpty && sets(b).nonEmpty
+    } yield (sets(a) & sets(b)).size.toDouble / math.min(sets(a).size, sets(b).size)
+    TextEntropy(d1, d2, dists.sum.toDouble / dists.size,
+      overlaps.sum / overlaps.size, overlaps.max)
+  }
+
+  /** Calibrated to what the replica family must GUARANTEE (measured on
+    * the shipped rotation family: d1 715/750, d2 2254/2500, mean Hamming
+    * 9.36, overlap 0): digit/punctuation words are rotation-invariant by
+    * design, so cross-replica simhashes share SOME votes — the gate is
+    * "clear of the dedup blocking band" (mean ≥ 2× the operators'
+    * maxHamming 4), not "independent at bits/2". Shingle sets are the
+    * hard disjointness claim: containment ≤ 2% mean, ≤ 35% worst doc
+    * (3-gram shingles with ≥ 1 alphabetic word rotate; an all-digit
+    * pocket can survive — a TINY worst-case overlap is the fixture's
+    * true shape, full containment is the defect).
+    */
+  private def textHealthy(e: TextEntropy, r1: Int, r2: Int): Boolean = {
+    val n = baseDocs.size
+    e.d1 >= 0.85 * n * r1 && e.d2 >= 0.85 * n * r2 &&
+      e.meanCross >= 8 && e.meanOverlap <= 0.02 && e.maxOverlap <= 0.35
+  }
+
+  test("Caesar-rotation text replicas: fingerprints grow, shingle sets ~disjoint, clear of the blocking band") {
+    val e = measureText(rotateStr, 3, 10)
+    assert(textHealthy(e, 3, 10), s"text rotation family degenerated: $e")
+  }
+
+  test("the canary REJECTS a suffix-tag text replica generator (the degenerate shape)") {
+    // the defect shape for text: replicas that differ by a constant tiny
+    // edit (here a replica-keyed suffix word) — shingle sets nearly
+    // contain each other and simhashes sit a bit apart, so cross-replica
+    // blocking explodes quadratically exactly like the pre-r16 affine
+    // media generators
+    val e = measureText((d, r) => d + " rep" + r, 3, 10)
+    assert(!textHealthy(e, 3, 10),
+      s"canary failed to flag a suffix-tag replica family: $e")
+  }
+
   test("embedding replica masks: all distinct, cross-mask agreement ~ dims/2") {
     // the Synth.replicaMask family (StressX100/RecallX100 corpora): an
     // affine mask family measured two IDENTICAL masks in 100 (r15) —
