@@ -167,6 +167,8 @@ object Bench {
     "s_ann_ivf_trained_indexed", // trained + persisted: assignment amortized at build
     "s_ann_ivf_sharded",  // sharded IVF: per-shard indexes, global re-rank (r18)
     "s_ann_ivf_sharded_indexed", // sharded serve: probed shard/cell dirs only
+    "s_ann_ivf_sharded_trained", // trained per-shard quantizer (committed fixture, r19)
+    "s_ann_ivf_sharded_trained_indexed", // trained + persisted sharded serve (r19)
     "s_ann_ivfpq_trained_indexed", // persisted IVF-PQ: stamped quantizers, pruned code scan
     "s_ann_pq",           // product-quantization/ADC ANN (compression-only)
     "s_ann_ivfpq",        // IVF-routed PQ: ADC inside probed cells only

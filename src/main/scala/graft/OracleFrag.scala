@@ -557,6 +557,19 @@ private[graft] object OracleFrag {
     sqlKc == Similarity.kCodeForCorpus(n)
   })
 
+  /** Sanity pin (r19): every PQ oracle text hardcodes m = 8 subspaces
+    * (the dot/slice expressions are unrolled per subspace), so
+    * Similarity.mForCorpus must sit on its baseM = 8 floor at every
+    * corpus size the gates run (500, 2000, 20000) and through the whole
+    * kCode growth range — the rule's first doubling is only past
+    * 256·125·8 = 256000 vectors, where the queries' own parity require
+    * raises before a stale oracle could compare. */
+  require(Seq(1L, 500L, 2000L, 20000L, 200000L, 256000L).forall { n =>
+    Similarity.mForCorpus(n) == 8
+  } && Similarity.mForCorpus(256001L) == 16 &&
+    Similarity.mForCorpus(512001L) == 32 &&
+    Similarity.mForCorpus(100000000L) == 64)
+
   /** Sanity pin: the Scala and SQL band-sign formulas must agree. */
   require((0 until 4).forall(p => (1 to 8).forall { i =>
     val base = (1000003L * p + 54321L + 7919L * i) % 2147483647L

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, MakeDecimal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, IntegralDivide, MakeDecimal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -40,10 +40,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *  - per GROUP: past 2⁶³ the int64 accumulator throws under ANSI (the
   *    Spark 4 default) and wraps SILENTLY in non-ANSI sessions, so
   *    [[DecimalSumOps.dsum_exact]] rides a `Σ|unscaled| < 9·10^18`
-  *    fence along (one extra aggregate, constant cost) that raises a
-  *    NAMED error where a non-ANSI wrap would otherwise escape — the
-  *    star-CC overflow lesson (r16): at-scale arithmetic needs an
-  *    explicit domain fence, not a mode assumption.
+  *    fence along (one extra aggregate, constant cost); past it the
+  *    value comes from the exact hi/lo SPLIT accumulation (10⁹× wider
+  *    group domain) instead of a raise (r19 advisor item — the decimal
+  *    plan this kernel replaced computed sf200-class group sums
+  *    correctly, so the fence must degrade to the wider exact path,
+  *    not to an error), and only past the split fences does a NAMED
+  *    raise remain — the star-CC overflow lesson (r16): at-scale
+  *    arithmetic needs an explicit domain fence, not a mode assumption.
   */
 case class DecimalUnscaled(child: Expression, scale: Int)
     extends UnaryExpression {
@@ -136,11 +140,36 @@ object DecimalSumOps {
     // carries ≤ n·ε relative error (~1e-6 even at n = 10¹⁰), dwarfed by
     // the 2.4% headroom between 9.0e18 and 2⁶³ ≈ 9.22e18.
     val safe = sum(abs(u.cast("double"))) < lit(9.0e18)
-    when(coalesce(safe, lit(true)), make_dec(sum(u), scale).cast("double"))
+    // Past the fence: fall back to a SPLIT accumulation instead of
+    // raising (r19, advisor item — the replaced DECIMAL(38,s) plan
+    // computed such magnitudes correctly, so raising was a reference
+    // parity regression around sf200 group sums). hi/lo = u divRem 10⁹
+    // in pure long arithmetic on the SAME unscaled value (IntegralDivide
+    // truncates toward zero and % keeps the dividend's sign — the
+    // DecimalUnscaledSplit contract, so u = hi·10⁹ + lo exactly); both
+    // halves sum as longs and Σu reassembles EXACTLY in decimal as
+    // make_dec(Σhi, s)·10⁹ + make_dec(Σlo, s) — precision 19 operands
+    // keep the multiply at 30 and the add at 31, inside DECIMAL(38).
+    // Split domain: Σ|hi| < 9·10¹⁸ (i.e. Σ|unscaled| < ~9·10²⁷, a 10⁹×
+    // wider group bound) and count < 9·10⁹ (|Σlo| ≤ count·10⁹); only
+    // past BOTH does the named raise remain. The long accumulators ride
+    // try_sum so a discarded branch can never ANSI-throw before the
+    // fence picks the branch (plain sum(u) would, mid-aggregation).
+    val hi = GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(u), GraftBridge.expression(lit(1000000000L))))
+    val lo = u % lit(1000000000L)
+    val safeSplit = (sum(abs(hi.cast("double"))) < lit(9.0e18)) &&
+      (count(u) < lit(9000000000L))
+    val splitDec =
+      make_dec(try_sum(hi), scale, 19) *
+        lit(java.math.BigDecimal.valueOf(1000000000L)) +
+        make_dec(try_sum(lo), scale, 19)
+    when(coalesce(safe, lit(true)), make_dec(try_sum(u), scale).cast("double"))
+      .when(safeSplit, splitDec.cast("double"))
       .otherwise(raise_error(lit(
-        "dsum_exact: group magnitude may overflow the int64 accumulator " +
-          "(count * max|unscaled| >= 9e18) - use the decimal-sum path for " +
-          "this data")).cast("double"))
+        "dsum_exact: group magnitude exceeds even the split int64 " +
+          "accumulators (sum|unscaled| >= 9e27 or count >= 9e9) - use the " +
+          "decimal-sum path for this data")).cast("double"))
   }
 
   /** DECIMAL(precision, scale) from an unscaled int64 column (Catalyst

@@ -287,6 +287,47 @@ object Similarity {
     math.max(minKCode.toLong, math.min(maxKCode.toLong, codes)).toInt
   }
 
+  /** The rule PAST the kCode = 256 byte ceiling (r19 — the r18 verdict's
+    * named frontier: at `n ≥ 32k·baseM/8` per the clamp, the codebook
+    * RESOLUTION dial goes constant again, the same shape kCode=16 had
+    * before r18): grow the SUBSPACE COUNT `m` instead. The invariant the
+    * two rules jointly hold is `m · kCode ≥ ceil(corpusSize /
+    * targetPerCode)` — total codebook centroids track the population the
+    * ADC must separate; kCode grows first (free at serve time: the ADC
+    * scan never touches kCode), and once it caps at one byte, m doubles
+    * (each doubling halves subDim, so 256 codes cover an easier,
+    * lower-dimensional subspace — the standard PQ refinement axis).
+    *
+    * Explicit costs of the m dial, so the trade is chosen, not implied:
+    * compressed storage is m bytes/vector (16 at the first doubling —
+    * still 16× under raw floats), the ADC scan is m lookups/candidate
+    * (linear in m), and the build-time encode is corpus·m·kCode rows —
+    * which is why the serving story for this rule is the PERSISTED
+    * index family ([[writePqIndex]]/[[writeIvfPqIndex]]): encode is
+    * build state, paid once. Endpoint: m caps at `dims` (subDim = 1 —
+    * 256-level per-dimension codes, which IS the SQ8 tier with a trained
+    * codebook per dim); past that point the family has no finer PQ dial
+    * and the right move is the SQ8/raw tiers. The r19 RecallX100 row at
+    * 200× (the first decade where the rule moves: needed = 3200 > 256·8)
+    * is the measured spec, exactly as the r18 table was for
+    * [[kCodeForCorpus]].
+    */
+  def mForCorpus(corpusSize: Long, dims: Int = 64, baseM: Int = 8,
+      targetPerCode: Int = 125, maxKCode: Int = 256): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0: $corpusSize")
+    require(dims >= 1 && baseM >= 1 && baseM <= dims,
+      s"need 1 <= baseM <= dims: [$baseM, $dims]")
+    require(dims % baseM == 0, s"baseM $baseM must divide dims $dims")
+    require(targetPerCode >= 1 && maxKCode >= 1,
+      s"targetPerCode/maxKCode must be >= 1: [$targetPerCode, $maxKCode]")
+    val needed =
+      if (corpusSize == 0) 0L else (corpusSize - 1) / targetPerCode + 1
+    var m = baseM
+    while (m.toLong * maxKCode < needed && m * 2 <= dims && dims % (m * 2) == 0)
+      m *= 2
+    m
+  }
+
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
     * the WEAKEST sign bits flipped (smallest |projection| = the planes the
     * vector sits closest to, i.e. the likeliest misclassifications —
@@ -612,7 +653,10 @@ object Similarity {
     * SCAN predicate (`cid < nShards·nCells`), never a per-shard sort, and
     * the DuckDB oracle mirrors it with the same two integers. Each shard
     * ends up with exactly `nCells` centroids (ids are contiguous from 0 —
-    * the seededCentroids assumption). centId = the centroid's cid:
+    * the seededCentroids assumption, ENFORCED by
+    * [[requireShardedCentroids]] at every call site: a sparse or
+    * non-contiguous corpus would otherwise deal shards uneven or missing
+    * centroids and silently degrade recall). centId = the centroid's cid:
     * globally unique, so candidate joins can key on centId alone.
     */
   private def shardedSeededCentroids(c: DataFrame, nShards: Int,
@@ -621,6 +665,95 @@ object Similarity {
       .select(shardOf(col("cid"), nShards).as("shard"),
         col("cid").as("centId"), col("cid_v").as("cent_v"),
         col("cid_n").as("cent_n"))
+
+  /** Enforce the sharded-quantizer shape instead of assuming it (r18
+    * advisor item): every one of `nShards` shards must carry the SAME
+    * number of centroids — and exactly `expectCells` when the caller
+    * knows it (the seeded path, where a sparse or non-contiguous id
+    * space would silently under-deal some shards). One tiny aggregate
+    * job over the ≤ nShards·nCells-row centroid frame (the seeded frame
+    * is a pushed-down `cid < nShards·nCells` scan; a trained frame is a
+    * fixture-sized local relation). Returns the per-shard cell count —
+    * the number [[nprobeForCells]] sizes the per-shard probe from.
+    */
+  private def requireShardedCentroids(cent: DataFrame, nShards: Int,
+      expectCells: Int = -1): Int = {
+    val counts = cent.groupBy("shard").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    require(counts.size == nShards,
+      s"sharded quantizer must cover all $nShards shards, found " +
+        s"${counts.size} (shards ${counts.keys.toSeq.sorted.mkString(",")}) " +
+        "— sparse or non-contiguous corpus ids under the seeded rule?")
+    require(counts.values.toSet.size == 1,
+      s"sharded quantizer dealt UNEVEN per-shard centroid counts " +
+        s"(${counts.toSeq.sortBy(_._1).mkString(", ")}) — sparse or " +
+        "non-contiguous corpus ids under the seeded rule?")
+    val per = counts.values.head
+    require(expectCells == -1 || per == expectCells,
+      s"sharded quantizer dealt $per centroids per shard, expected " +
+        s"$expectCells — sparse or non-contiguous corpus ids under the " +
+        "seeded rule? (the round-robin deal assumes ids contiguous from 0)")
+    per.toInt
+  }
+
+  /** Per-shard Lloyd-trained centroids — the trained-quantizer analogue
+    * of [[shardedSeededCentroids]] (r18 verdict item: the sharded path,
+    * which exists precisely for the largest corpora, was seeded-only
+    * while the unsharded measurements showed trained cells are both the
+    * recall ceiling and the cheaper probe). ONE joint job trains all
+    * shards — group key (shard, centId), the [[pqTrainedCodebook]]
+    * convention — so training cost stays a broadcast-assign pass plus a
+    * groupBy per iteration regardless of nShards. Init = each shard's
+    * `nCells` smallest-id members (a per-shard row_number window over the
+    * tiny candidate set, so sparse/non-contiguous ids train fine; the
+    * probe-time validation only binds the SEEDED deal). centId = the
+    * init vector's cid — globally unique across shards, the candidate
+    * joins' keying assumption. Float means are order-dependent, so
+    * trained centroids are for the recall gate / committed fixtures
+    * (tools.TrainIvfShardedFixture), not the live hash oracle — the
+    * [[kmeansCentroids]] caveat.
+    */
+  def shardedKmeansCentroids(corpus: DataFrame, nShards: Int = 2,
+      nCells: Int = 16, iters: Int = 5, dims: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val c = prep(corpus, "cid")
+      .withColumn("shard", shardOf(col("cid"), nShards))
+    val d = if (dims > 0) dims
+      else corpus.select(size(col("vec"))).head.getInt(0)
+    val initW = Window.partitionBy(col("shard")).orderBy(col("cid"))
+    var cent = c
+      .withColumn("rn", row_number().over(initW))
+      .where(col("rn") <= nCells)
+      .select(col("shard"), col("cid").as("centId"),
+        col("cid_v").as("cent_v"), col("cid_n").as("cent_n"))
+      .localCheckpoint(true) // small frame; pin init before iterating
+    for (_ <- 1 to iters) {
+      // argmax aggregate within OWN shard (the nearestCells keep=1 rule:
+      // partial aggregation collapses the |corpus|·nCells scored rows
+      // map-side); the winning cell re-joins its vector for the mean
+      val assigned = c.join(broadcast(cent), "shard")
+        .select(col("cid"), col("shard"), col("centId"),
+          (dot_product(col("cid_v"), col("cent_v")) /
+            (col("cid_n") * col("cent_n"))).as("csim"))
+        .groupBy(col("cid"), col("shard"))
+        .agg(max_by(col("centId"),
+          struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
+        .join(c.select(col("cid"), col("cid_v")), "cid")
+      val updated = assigned.groupBy("shard", "centId")
+        .agg(array((0 until d).map(i =>
+          avg(element_at(col("cid_v"), i + 1))): _*).as("new_v"))
+      // Lloyd edge cases as in kmeansCentroids: empty or zero-mean cells
+      // keep their previous centroid
+      cent = cent.select(col("shard"), col("centId"), col("cent_v").as("old_v"))
+        .join(updated, Seq("shard", "centId"), "left")
+        .select(col("shard"), col("centId"),
+          when(col("new_v").isNull || norm(col("new_v")) === 0, col("old_v"))
+            .otherwise(col("new_v")).as("cent_v"))
+        .withColumn("cent_n", norm(col("cent_v")))
+        .localCheckpoint(true) // nShards·nCells rows; truncate lineage
+    }
+    cent
+  }
 
   /** Sharded IVF ANN: hash-partition the corpus into `nShards` shards,
     * build an independent constant-cell IVF index per shard
@@ -641,7 +774,13 @@ object Similarity {
     * `nCells`/`nProbe` default to -1 = sized by [[nlistForCorpus]] /
     * [[nprobeForCells]] from the EXPECTED SHARD population
     * `ceil(corpusSize/nShards)` (corpusSize -1 = one count job; pass the
-    * known count to avoid it).
+    * known count to avoid it). `centroids` swaps in a trained per-shard
+    * quantizer frame (shard, centId, cent_v, cent_n) —
+    * [[shardedKmeansCentroids]] or a committed fixture — without touching
+    * the assignment/probe/re-rank plumbing; the per-shard cell count
+    * (and the probe policy) then derive from the FRAME, and every
+    * quantizer is validated shard-complete/even before use
+    * ([[requireShardedCentroids]]).
     */
   def ivfShardedTopK(
       queries: DataFrame, // (qid, vec)
@@ -651,14 +790,18 @@ object Similarity {
       nCells: Int = -1,
       nProbe: Int = -1,
       corpusSize: Long = -1L,
+      centroids: Option[DataFrame] = None, // (shard, centId, cent_v, cent_n)
   ): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     val c = prep(corpus, "cid")
-    val n = if (corpusSize >= 0) corpusSize else corpus.count()
-    val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
-    val nc = if (nCells != -1) nCells else nlistForCorpus(perShard)
+    val seededCells = if (centroids.isDefined) -1 else {
+      val n = if (corpusSize >= 0) corpusSize else corpus.count()
+      val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
+      if (nCells != -1) nCells else nlistForCorpus(perShard)
+    }
+    val cent = centroids.getOrElse(shardedSeededCentroids(c, nShards, seededCells))
+    val nc = requireShardedCentroids(cent, nShards, expectCells = seededCells)
     val np = if (nProbe != -1) nProbe else nprobeForCells(nc)
-    val cent = shardedSeededCentroids(c, nShards, nc)
     // corpus side: argmax within OWN shard (equi-join on shard keeps the
     // scored population at |corpus|·nCells, same as unsharded)
     val assigned = c.withColumn("shard", shardOf(col("cid"), nShards))
@@ -697,14 +840,18 @@ object Similarity {
     * policy from the INDEX, never from jobs over the store.
     */
   def writeIvfIndexSharded(corpus: DataFrame, path: String,
-      nShards: Int = 2, nCells: Int = -1): Unit = {
+      nShards: Int = 2, nCells: Int = -1,
+      centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = prep(corpus, "cid")
     val n = corpus.count()
-    val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
-    val nc = if (nCells != -1) nCells else nlistForCorpus(perShard)
-    val cent = shardedSeededCentroids(c, nShards, nc)
+    val seededCells = if (centroids.isDefined) -1 else {
+      val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
+      if (nCells != -1) nCells else nlistForCorpus(perShard)
+    }
+    val cent = centroids.getOrElse(shardedSeededCentroids(c, nShards, seededCells))
+    val nc = requireShardedCentroids(cent, nShards, expectCells = seededCells)
     val assigned = c.withColumn("shard", shardOf(col("cid"), nShards))
       .join(broadcast(cent), "shard")
       .select(col("cid"), col("shard"), col("centId"),
@@ -924,6 +1071,64 @@ object Similarity {
     // pair — memory shrinks 32×, scan work does not. The scan-pruning form
     // is [[ivfPqTopK]]; keep this one for corpora small enough to ADC-scan.
     adcRefineRescore(None, qTab, codes, queries, corpus, k, refine)
+  }
+
+  /** Persist a plain-PQ index — the build-offline/serve-online split of
+    * [[pqTopK]] (r19: the kCode-amortization item). Since
+    * [[kCodeForCorpus]] the ENCODE pass (corpus·m·kCode candidate rows,
+    * the one stage that grows with the codebook) dominates the in-flight
+    * form's cost — r18 measured the in-flight rows at 3.5× their own
+    * served twins at one decade up — and encode output is a pure
+    * function of (corpus, codebook), i.e. BUILD state, not query state.
+    * This layout pays it once: codes, full-precision vectors (for the
+    * exact rescore), the codebook, and the (corpusCount, m, subDim)
+    * stamp, so serving never encodes and never runs sizing jobs over the
+    * store. Defaults are the seeded codebook sized by [[kCodeForCorpus]];
+    * pass [[pqTrainedCodebook]]'s frame for the production build.
+    */
+  def writePqIndex(corpus: DataFrame, path: String,
+      m: Int = 8, subDim: Int = 8,
+      codebook: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = prep(corpus, "cid")
+    val n = corpus.count()
+    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCodeForCorpus(n)))
+    pqEncode(c, cbSub, m, subDim).write.parquet(s"$path/codes")
+    corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
+    cbSub.write.parquet(s"$path/codebook")
+    Seq((n, m, subDim)).toDF("corpusCount", "m", "subDim")
+      .coalesce(1).write.parquet(s"$path/meta")
+  }
+
+  /** Query a [[writePqIndex]] layout: ADC-rank the PERSISTED codes against
+    * the per-query lookup table (exhaustive pairs — the [[pqTopK]] shape;
+    * the scan touches m-byte codes, never vectors), exact-rescore refine
+    * survivors against the persisted vectors. Encode is deterministic
+    * given the persisted codebook, so results equal [[pqTopK]] with the
+    * same frames and the same DuckDB oracle gates both. `refine = -1`
+    * sizes the budget with [[refineForCandidates]] from the STAMPED
+    * corpus count (the ranked pool here IS the corpus — the exhaustive
+    * tier's rule); an index without the meta stamp RAISES.
+    */
+  def pqTopKIndexed(queries: DataFrame, path: String,
+      k: Int = 10, refine: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"PQ index at $path has no meta stamp — rebuild with writePqIndex")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("corpusCount").cast("long"), col("m").cast("int"),
+        col("subDim").cast("int")).head()
+    val (n, m, subDim) = (meta.getLong(0), meta.getInt(1), meta.getInt(2))
+    val rf = if (refine != -1) refine else refineForCandidates(n)
+    val codes = spark.read.parquet(s"$path/codes")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val cbSub = spark.read.parquet(s"$path/codebook")
+    val qTab = pqQueryTable(prep(queries, "qid"), cbSub, m, subDim)
+    adcRefineRescore(None, qTab, codes,
+      queries, vectors.select(col("cid"), col("vec")), k, rf)
   }
 
   /** IVF-PQ: the coarse quantizer routes, PQ compresses, ADC ranks, exact
@@ -1313,8 +1518,10 @@ object Similarity {
       else {
         val md = codes.schema("codes").metadata
         require(md.contains("graft.corpusCount"),
-          s"SQ8 index at $path has no stamped corpus count (pre-stamp " +
-            "build?) — pass an explicit refine or rebuild the index")
+          s"SQ8 index at $path has no stamped corpus count (pre-r17 " +
+            "unstamped build?) — since r17 the default refine=-1 sizes " +
+            "from the stamp; pass refine explicitly (e.g. the legacy 30) " +
+            "to serve this index as before, or rebuild it to adopt the stamp")
         refineForCandidates(md.getLong("graft.corpusCount"))
       }
     val rec = sq8Decode(codes, rg)
@@ -1592,7 +1799,9 @@ object Similarity {
         val counted = metaDf.filter(_.schema.fieldNames.contains("corpusCount"))
         require(counted.isDefined,
           s"projected index at $path has no persisted corpus count " +
-            "(pre-count meta?) — pass an explicit refine or rebuild the index")
+            "(pre-r17 meta?) — since r17 the default refine=-1 sizes from " +
+            "the stamp; pass refine explicitly (e.g. the legacy 30) to " +
+            "serve this index as before, or rebuild it to adopt the stamp")
         refineForCandidates(
           counted.get.select(col("corpusCount").cast("long")).head().getLong(0))
       }

@@ -71,7 +71,12 @@ object RecallX100 {
     val nQ = queries.count()
 
     final case class Cell(recall: Double, sec: Double)
-    val decades = Seq(("1x", 1), ("10x", 10), ("100x", 100))
+    // decades configurable (r19): GRAFT_RECALL_DECADES="200" measures a
+    // single 200x decade — the first corpus size where mForCorpus moves
+    // off its floor (needed = 3200 > 256·8) — without paying the full
+    // 1x/10x/100x table for a one-rule measurement
+    val decades = sys.env.getOrElse("GRAFT_RECALL_DECADES", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq.map(f => (s"${f}x", f))
     val rows = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.Map[String, Cell]]()
 
@@ -134,6 +139,25 @@ object RecallX100 {
       measure(s"IVF sharded x2, SHIPPED rule (seeded)",
         Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = 2,
           corpusSize = n))
+      // SHARDED + TRAINED (r19 — the r18 verdict's gap: sharded was
+      // seeded-only while trained cells were both the recall ceiling and
+      // the cheaper probe unsharded): per-shard Lloyd on a
+      // shard-preserving sample — pairs (2k, 2k+1) with k % stride == 0,
+      // so BOTH shards sample evenly (a plain id stride would alias to
+      // one parity) — then the full corpus assigns/probes per shard.
+      // The claim this row pins: sharded-trained recall tracks
+      // unsharded-trained within ~0.02 at every decade.
+      val nlSh = Similarity.nlistForCorpus((n + 1) / 2)
+      val strideSh = math.max(1L, n / (2L * 25L * nlSh))
+      val shTrainSet = corpus
+        .where(pmod(floor(col("cid") / 2), lit(strideSh)) === 0)
+        .localCheckpoint()
+      val shTrained = Similarity.shardedKmeansCentroids(shTrainSet,
+        nShards = 2, nCells = nlSh, iters = 3).localCheckpoint(true)
+      measure(s"IVF sharded x2, SHIPPED rule (trained per-shard)",
+        Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = 2,
+          corpusSize = n, centroids = Some(shTrained)))
+      shTrainSet.unpersist()
       // TRAINED centroids under the shipped rule: Lloyd on a bounded
       // deterministic sample (every stride-th id, ~25 vectors/cell — the
       // standard train-on-a-sample k-means), full corpus assigned at
@@ -178,6 +202,22 @@ object RecallX100 {
           nProbe = npR, kCode = kcR,
           refine = Similarity.refineForCandidates(probedPop),
           centroids = Some(trained)))
+      // ADAPTIVE m (r19): past the kCode = 256 byte ceiling the
+      // resolution dial is constant again — mForCorpus doubles the
+      // subspace count instead (m·kCode ≥ ceil(n/125)). At 1x/10x/100x
+      // the rule sits on its m = 8 floor (this row ≡ the kCode row
+      // there); the 200x decade (GRAFT_RECALL_DECADES=200, corpus 400k,
+      // needed 3200 → m 16) is the rule's first measured move — the
+      // comparison against the kCode row above at the same decade IS
+      // the fixed-m-at-256 baseline the r18 verdict asked to beat.
+      val mR = Similarity.mForCorpus(n)
+      if (mR != 8) {
+        measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine + kCode + adaptive m=$mR (mForCorpus)",
+          Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
+            nProbe = npR, m = mR, subDim = 64 / mR, kCode = kcR,
+            refine = Similarity.refineForCandidates(probedPop),
+            centroids = Some(trained)))
+      }
       trainSet.unpersist()
 
       println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, " +
@@ -190,13 +230,16 @@ object RecallX100 {
     }
 
     println(s"recall@$K over $nQ fixed queries vs exact brute force")
-    println("| tier | 1x recall (sec) | 10x recall (sec) | 100x recall (sec) |")
-    println("|---|---|---|---|")
+    println(decades.map { case (l, _) => s"$l recall (sec)" }
+      .mkString("| tier | ", " | ", " |"))
+    println(decades.map(_ => "---").mkString("|---|", "|", "|"))
     rows.foreach { case (name, cells) =>
-      val c = decades.map { case (l, _) => cells(l) }
-      println(f"| $name | ${c(0).recall}%.3f (${c(0).sec}%.1f) " +
-        f"| ${c(1).recall}%.3f (${c(1).sec}%.1f) " +
-        f"| ${c(2).recall}%.3f (${c(2).sec}%.1f) |")
+      val body = decades.map { case (l, _) =>
+        cells.get(l)
+          .map(c => f"${c.recall}%.3f (${c.sec}%.1f)")
+          .getOrElse("—") // a rule-gated row (e.g. adaptive m) may not exist at every decade
+      }.mkString(" | ")
+      println(s"| $name | $body |")
     }
     spark.stop()
   }

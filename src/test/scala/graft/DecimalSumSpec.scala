@@ -116,23 +116,48 @@ class DecimalSumSpec extends AnyFunSuite {
       s"expected an ArithmeticException in the cause chain, got $e")
   }
 
-  test("a group that could wrap the long accumulator raises, never silently wrong") {
+  test("a group past the fast fence computes EXACTLY via the split fallback (r19)") {
     // three rows of 4e14 at scale 4: each unscaled 4e18 fits int64, the
-    // sum 1.2e19 does not. Under ANSI (the Spark 4 default) the long SUM
-    // itself throws at accumulation; in non-ANSI sessions the sum wraps
-    // silently and the Σ|u| fence raises at projection instead —
-    // either way the wrapped value must never escape
-    val df = Seq(4.0e14, 4.0e14, 4.0e14).toDF("v")
-    val e = intercept[Throwable] {
-      df.agg(dsum_exact(col("v"), 4)).collect()
-    }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    val msgs = chain(e).map(t => String.valueOf(t.getMessage)).mkString(" | ")
-    assert(msgs.contains("overflow the int64 accumulator") ||
-      chain(e).exists(_.isInstanceOf[ArithmeticException]) ||
-      msgs.toLowerCase.contains("overflow"),
-      s"expected a loud overflow failure, got $e")
+    // sum 1.2e19 does not — the fast accumulator would wrap/throw, so
+    // until r19 this group raised. The advisor's parity point: the
+    // decimal plan this kernel replaced computed such magnitudes
+    // correctly, so the fence must degrade to the exact hi/lo split
+    // accumulation (try_sum keeps the discarded fast branch from
+    // ANSI-throwing mid-aggregation), not to an error. Expected value
+    // computed independently in BigDecimal.
+    val df = Seq(4.0e14, 4.0e14, 4.0e14, 1.23456789, -0.00005).toDF("v")
+    val got = df.agg(dsum_exact(col("v"), 4).as("x")).collect()(0).getDouble(0)
+    val want = Seq(4.0e14, 4.0e14, 4.0e14, 1.23456789, -0.00005)
+      .map(java.math.BigDecimal.valueOf(_)
+        .setScale(4, java.math.RoundingMode.HALF_UP))
+      .reduce(_ add _).doubleValue()
+    assert(got == want, s"got $got want $want")
+    // and the fallback is branch-for-branch consistent with the fast
+    // path where both are in domain: a small group must be unchanged
+    val smallGot = df.where(col("v") < 1.0e14)
+      .agg(dsum_exact(col("v"), 4).cast("double")).collect()(0).getDouble(0)
+    val smallWant = df.where(col("v") < 1.0e14)
+      .agg(sum(col("v").cast(DecimalType(38, 4))).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(smallGot == smallWant)
+  }
+
+  test("split-fallback parity with the decimal sum across many past-fence groups") {
+    // randomized groups engineered past the Σ|u| < 9e18 fast fence
+    // (values ~1e14 at scale 4 → unscaled ~1e18; 10+ rows/group) but
+    // far inside the split domain — every group must equal the
+    // DECIMAL(38,4) sum bit-for-bit after the double cast
+    val rnd = new scala.util.Random(0x1909)
+    val vals = Seq.fill(200)(
+      (rnd.nextDouble() * 8.0e14) * (if (rnd.nextInt(10) == 0) -1 else 1) +
+        rnd.nextDouble())
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("g", "v")
+    val got = df.groupBy("g").agg(dsum_exact(col("v"), 4).as("x"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.get(1)))
+    val want = df.groupBy("g")
+      .agg(sum(col("v").cast(DecimalType(38, 4))).cast("double").as("x"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.get(1)))
+    assert(got.toSeq == want.toSeq)
   }
 
   test("the fence is the TIGHT sum-of-|unscaled| bound, not count*max") {

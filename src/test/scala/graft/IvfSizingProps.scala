@@ -127,6 +127,46 @@ object IvfSizingProps extends Properties("ivfSizing") {
       Similarity.kCodeForCorpus(200000) == 256
   }
 
+  // ---- mForCorpus (r19): the rule PAST the kCode = 256 byte ceiling —
+  // subspace count doubles once the codebook resolution caps ----
+
+  property("m is a power-of-two multiple of baseM that divides dims") =
+    forAll(genN) { n =>
+      val m = Similarity.mForCorpus(n)
+      m >= 8 && m <= 64 && 64 % m == 0 &&
+        Integer.bitCount(m) == 1
+    }
+
+  property("joint invariant: m*kCode covers ceil(n/125) until the dims cap") =
+    forAll(genN) { n =>
+      val m = Similarity.mForCorpus(n)
+      val needed = (n - 1) / 125 + 1
+      // kCode grows first (to 256), then m doubles; only at the m = dims
+      // endpoint (subDim = 1, the SQ8-shaped limit) may coverage saturate
+      m.toLong * 256 >= needed || m == 64
+    }
+
+  property("m is monotone in the corpus size") =
+    forAll(genN, genN) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      Similarity.mForCorpus(lo) <= Similarity.mForCorpus(hi)
+    }
+
+  property("pins: m stays on the 8 floor at every gated scale; first doubling past 256k") = {
+    // the oracle texts unroll m = 8 subspaces, so the rule must sit on
+    // its floor at 500/2000 (gated), 20000 (sf1.0) and the RecallX100
+    // 100x corpus; 256001 is the first doubling (the r19 200x
+    // measurement decade), and the dims cap is 64 (subDim = 1)
+    Similarity.mForCorpus(500) == 8 &&
+      Similarity.mForCorpus(2000) == 8 &&
+      Similarity.mForCorpus(20000) == 8 &&
+      Similarity.mForCorpus(200000) == 8 &&
+      Similarity.mForCorpus(256000) == 8 &&
+      Similarity.mForCorpus(256001) == 16 &&
+      Similarity.mForCorpus(400000) == 16 &&
+      Similarity.mForCorpus(100000000L) == 64
+  }
+
   property("expectedProbed is the floor of corpus*nprobe/nlist and never exceeds the corpus") =
     forAll(genN, genCells) { (n, c) =>
       val np = Similarity.nprobeForCells(c)

@@ -438,6 +438,75 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("meta stamp"))
   }
 
+  test("persisted plain-PQ index serves exactly the in-flight results; unstamped raises (r19)") {
+    val spark = TestSpark.session
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val n = c.count()
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the s_ann_pq sizing: seeded kCodeForCorpus codebook, corpus-pool refine
+    val inFlight = rows(Similarity.pqTopK(q, c, k = 5, m = 8, subDim = 8,
+      kCode = Similarity.kCodeForCorpus(n),
+      refine = Similarity.refineForCandidates(n)))
+    val path = graft.TempDirs.create("graft-test-pq").resolve("index").toString
+    Similarity.writePqIndex(c, path, m = 8, subDim = 8)
+    // refine defaults from the stamped corpus count — zero sizing jobs
+    val served = rows(Similarity.pqTopKIndexed(q, path, k = 5))
+    assert(inFlight.nonEmpty && served == inFlight,
+      s"PQ index served ${served.size} rows, in-flight ${inFlight.size}")
+    val bare = graft.TempDirs.create("graft-test-pq-bare").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(q, bare, k = 5)
+    }
+    assert(e.getMessage.contains("meta stamp"))
+  }
+
+  test("sharded IVF under TRAINED per-shard centroids: served equals in-flight; recall tracks seeded (r19)") {
+    val spark = TestSpark.session
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val cent = SparkEntry.fixtureShardedCentroids(spark)
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inFlight = rows(Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2,
+      centroids = Some(cent)))
+    val path = graft.TempDirs.create("graft-test-ivfsh-tr").resolve("index").toString
+    Similarity.writeIvfIndexSharded(c, path, nShards = 2, centroids = Some(cent))
+    val served = rows(Similarity.ivfTopKIndexedSharded(q, path, k = 5))
+    assert(inFlight.nonEmpty && served == inFlight,
+      s"trained sharded served ${served.size} rows, in-flight ${inFlight.size}")
+    // recall: trained per-shard cells must not fall below the seeded deal
+    // at the same probed fraction (the unsharded trained-vs-seeded claim)
+    val bf = rows(Similarity.bruteForceTopK(q, c, k = 5))
+      .map(t => (t._1, t._2))
+    def recall(got: Set[(Long, Long, Double, Int)]) =
+      (bf & got.map(t => (t._1, t._2))).size.toDouble / bf.size
+    val seeded = recall(rows(Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2)))
+    val trained = recall(inFlight)
+    assert(trained >= seeded - 0.02,
+      s"trained sharded recall $trained below seeded $seeded")
+  }
+
+  test("sharded quantizer validation: non-contiguous corpus ids RAISE instead of silently mis-dealing (r19)") {
+    val spark = TestSpark.session
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // ids 0,2,4,… — the seeded round-robin deal would put every
+    // centroid candidate in shard 0 and serve degraded recall silently;
+    // the advisor item: validate the contiguity assumption, don't state it
+    val c = emb.select(($"vec_id" * 2).as("cid"), $"embedding".as("vec"))
+    val q = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2).collect()
+    }
+    assert(e.getMessage.contains("non-contiguous"), s"got: ${e.getMessage}")
+  }
+
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
