@@ -260,6 +260,18 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val samples: Seq[Seq[(String, Either[String, Double])]] =
       (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
+    // Settle before the CLOSING canary so it measures the HOST WINDOW,
+    // not the run's own tail (r19 diagnosis: after a full 170-row × 3
+    // pass run the un-settled closing canary inflated 1.3-2.1× in five
+    // consecutive windows whose OPENING canaries were all in band, while
+    // a 1-row run showed zero tail inflation — the drift was accumulated
+    // JVM state (GC debt, cleanup threads), i.e. self-load, which the
+    // canary exists to EXCLUDE from window attribution). GC + a short
+    // pause + one unrecorded re-warm (symmetric with the opening pair)
+    // puts the closing measurement on the same footing as the opening.
+    System.gc()
+    Thread.sleep(8000)
+    canaryOnce() // unrecorded re-warm, symmetric with the opening canary
     val canaryLast = canaryOnce()
     val best: Seq[(String, Option[Double])] = names.map { n =>
       val oks = samples.flatMap(_.collect { case (`n`, Right(s)) => s })

@@ -56,6 +56,12 @@ object RecallX100 {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // the 100x/200x decades run long full-GC pauses under a 48g heap;
+      // on a contended host the LOCAL executor missed 2 min of
+      // heartbeats and HeartbeatReceiver killed it mid-decade (r19) —
+      // heartbeats are a formality in local mode, so widen the tolerance
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
