@@ -32,19 +32,31 @@ PAUSE=${CANARY_RETRY_PAUSE:-90}
 best_score=""
 for i in $(seq 1 "$TRIES"); do
   echo "== bench attempt $i/$TRIES at $SF"
+  # a stale BENCH_FULL.json from a previous attempt/invocation must never
+  # be scored as THIS attempt's output (r19 advisor): delete before sbt so
+  # only an artifact this run produced can pass the -s check below
+  rm -f BENCH_FULL.json
   SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
     > "/tmp/bench_clean_attempt$i.log" 2>&1
   if [ ! -s BENCH_FULL.json ]; then
     echo "   attempt $i produced no BENCH_FULL.json (see /tmp/bench_clean_attempt$i.log)"
     continue
   fi
+  first="" last="" total=""  # a failed read must not inherit the previous attempt's values
   read -r first last total <<< "$(python3 - <<'EOF'
 import json
-j = json.load(open("BENCH_FULL.json"))
-c = j.get("canary", {})
-print(c.get("first", 99), c.get("last", 99), j.get("value", -1))
+try:
+    j = json.load(open("BENCH_FULL.json"))
+    c = j.get("canary", {})
+    print(c.get("first", 99), c.get("last", 99), j.get("value", -1))
+except Exception:
+    pass  # malformed artifact -> empty read, caught below
 EOF
 )"
+  if [ -z "${first:-}" ] || [ -z "${last:-}" ] || [ -z "${total:-}" ]; then
+    echo "   attempt $i produced a malformed BENCH_FULL.json; skipping"
+    continue
+  fi
   score=$(python3 -c "print(max($first, $last))")
   ratio=$(python3 -c "print($last / $first if $first > 0 else 99)")
   echo "   canary first=$first last=$last (ratio $ratio), total=$total s"
@@ -61,7 +73,11 @@ EOF
   fi
   [ "$i" -lt "$TRIES" ] && { echo "   out of band; retrying in ${PAUSE}s"; sleep "$PAUSE"; }
 done
-mv "$OUT.candidate" "$OUT" 2>/dev/null
+if [ ! -f "$OUT.candidate" ]; then
+  echo "== NO attempt produced a parseable BENCH_FULL.json after $TRIES tries; nothing written to $OUT"
+  exit 2
+fi
+mv "$OUT.candidate" "$OUT"
 echo "== NO attempt landed in band after $TRIES tries; kept best (max-canary $best_score) -> $OUT"
 echo "   this baseline is window-qualified, NOT clean — rerun in a quieter window"
 exit 1

@@ -14,21 +14,18 @@
 #      per-row loop bounds the peak and a single row's failure can't take
 #      the batch down), merging the per-row artifacts into one JSON.
 #
-# Row list = the 21 rows gated in r18 plus the per-round rotation (r19,
-# VERDICT r18 item #5: the next rows by sf1.0 cost ranking not yet gated —
-# d_dedup_clusters_star, d_dedup_removal_best, d_text_surprisal,
-# d_bm25_multi — and s_ann_ivf_sharded_trained_indexed, which exercises
-# this round's trained-per-shard quantizer + persisted sharded serve at
-# 10× the gated scale. s_ann_pq/s_ann_ivfpq now run the r19
-# build-then-serve composition under kCode=160). Override with SF1_ROWS
-# for a custom slice.
+# Row list = the 26 rows gated in r19 plus the per-round rotation (r20,
+# VERDICT r19 item #6: the next-costliest ungated rows by the sf1.0
+# cost ranking — d_tfidf_keywords, d_dedup_winnow_vs_index,
+# d_pipeline_pack, d_dedup_ngram — bringing the standing gate to 30
+# rows). Override with SF1_ROWS for a custom slice.
 set -u
 cd "$(dirname "$0")/.."
 TAG=${1:?usage: scripts/sf1_gate.sh <round-tag, e.g. r19>}
 SF1=${SF1_DIR:-/tmp/sf1.0}
 OUT=${SF1_OUT:-/tmp/verify_sf1}
 MEM=${GRAFT_DUCKDB_MEM:-80GB}
-ROWS=${SF1_ROWS:-"d_dedup_cosine_incremental,d_dedup_cosine_lsh,d_dedup_cosine_vs_index,d_dedup_criteria_matrix,d_pii_scrub,d_text_surprisal2,d_tokenize_ids,m_media_dedup_rates,m_media_dedup_removal,q1_pricing_summary,q8_star_join,s_ann_ivfpq,s_ann_ivfsq8,s_ann_pq,s_ann_projected_indexed,s_ann_sq8_indexed,d_dedup_simhash,d_pack_tokens,e_agg_groupby,s_ann_ivf_sharded,s_ann_ivfpq_trained_indexed,d_dedup_clusters_star,d_dedup_removal_best,d_text_surprisal,d_bm25_multi,s_ann_ivf_sharded_trained_indexed"}
+ROWS=${SF1_ROWS:-"d_dedup_cosine_incremental,d_dedup_cosine_lsh,d_dedup_cosine_vs_index,d_dedup_criteria_matrix,d_pii_scrub,d_text_surprisal2,d_tokenize_ids,m_media_dedup_rates,m_media_dedup_removal,q1_pricing_summary,q8_star_join,s_ann_ivfpq,s_ann_ivfsq8,s_ann_pq,s_ann_projected_indexed,s_ann_sq8_indexed,d_dedup_simhash,d_pack_tokens,e_agg_groupby,s_ann_ivf_sharded,s_ann_ivfpq_trained_indexed,d_dedup_clusters_star,d_dedup_removal_best,d_text_surprisal,d_bm25_multi,s_ann_ivf_sharded_trained_indexed,d_tfidf_keywords,d_dedup_winnow_vs_index,d_pipeline_pack,d_dedup_ngram"}
 
 if [ ! -e "$SF1/lineitem.parquet" ]; then
   echo "== building $SF1 (ScaleUp 10x of sf0.1)"

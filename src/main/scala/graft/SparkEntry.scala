@@ -3319,7 +3319,20 @@ object SparkEntry {
     val centValues = fixtureShardedCentroidRows.map { case (shard, id, v) =>
       s"($shard, $id, [${v.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
-    val perShardCells = fixtureShardedCentroidRows.size / 2
+    // Derive the per-shard cell count from the fixture's OWN shard keys
+    // instead of hardcoding /2 (r19 advisor): the serve side routes with
+    // nShards=2 and this SQL joins on `vec_id % 2`, so a regenerated
+    // fixture with any other shard set must fail loudly at load, not
+    // silently mis-size the probe width.
+    val byShard = fixtureShardedCentroidRows.groupBy(_._1).view.mapValues(_.size).toMap
+    require(byShard.keySet == Set(0L, 1L),
+      s"sharded fixture must cover exactly shards {0,1} (the serve-side " +
+        s"nShards=2 and this oracle's `% 2` join), found shards " +
+        s"{${byShard.keys.toSeq.sorted.mkString(",")}}")
+    require(byShard.values.toSet.size == 1,
+      s"sharded fixture dealt uneven per-shard cell counts: " +
+        byShard.toSeq.sortBy(_._1).map { case (s, c) => s"shard $s -> $c" }.mkString(", "))
+    val perShardCells = byShard(0L)
     val fxProbe = ops.Similarity.nprobeForCells(perShardCells)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),

@@ -669,12 +669,13 @@ object Similarity {
   /** Enforce the sharded-quantizer shape instead of assuming it (r18
     * advisor item): every one of `nShards` shards must carry the SAME
     * number of centroids — and exactly `expectCells` when the caller
-    * knows it (the seeded path, where a sparse or non-contiguous id
-    * space would silently under-deal some shards). One tiny aggregate
-    * job over the ≤ nShards·nCells-row centroid frame (the seeded frame
-    * is a pushed-down `cid < nShards·nCells` scan; a trained frame is a
-    * fixture-sized local relation). Returns the per-shard cell count —
-    * the number [[nprobeForCells]] sizes the per-shard probe from.
+    * knows it. Used for CALLER-SUPPLIED/trained frames (fixture-sized
+    * local relations) and at index-build time; the seeded SERVE path
+    * validates with one cheap count() instead (r19 advisor — its frame
+    * is a pushed-down corpus scan, and count == nShards·nCells over
+    * distinct non-negative ids below that bound already implies the
+    * shard-complete even deal). Returns the per-shard cell count — the
+    * number [[nprobeForCells]] sizes the per-shard probe from.
     */
   private def requireShardedCentroids(cent: DataFrame, nShards: Int,
       expectCells: Int = -1): Int = {
@@ -779,8 +780,13 @@ object Similarity {
     * [[shardedKmeansCentroids]] or a committed fixture — without touching
     * the assignment/probe/re-rank plumbing; the per-shard cell count
     * (and the probe policy) then derive from the FRAME, and every
-    * quantizer is validated shard-complete/even before use
-    * ([[requireShardedCentroids]]).
+    * quantizer is validated shard-complete/even before use: supplied
+    * frames through the full [[requireShardedCentroids]] check, the
+    * seeded deal through one count() over its pushed-down scan (r19
+    * advisor — count == nShards·nCells over distinct non-negative ids
+    * below that bound implies exactly ids 0..bound-1). A contiguous
+    * corpus SMALLER than the rule's deal clamps nCells to n/nShards —
+    * the smaller quantizer, not a misleading raise.
     */
   def ivfShardedTopK(
       queries: DataFrame, // (qid, vec)
@@ -796,11 +802,38 @@ object Similarity {
     val c = prep(corpus, "cid")
     val seededCells = if (centroids.isDefined) -1 else {
       val n = if (corpusSize >= 0) corpusSize else corpus.count()
-      val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
-      if (nCells != -1) nCells else nlistForCorpus(perShard)
+      require(n >= nShards,
+        s"corpus ($n rows) cannot seed one centroid per shard (nShards=$nShards)")
+      val perShard = (n - 1) / nShards + 1
+      val want = if (nCells != -1) nCells else nlistForCorpus(perShard)
+      // corpus smaller than the quantizer the rule would deal (r19
+      // advisor): the seeded deal draws ids < nShards·nCells, so a
+      // CONTIGUOUS corpus with n < nShards·nCells would under-deal some
+      // shards and trip the shape validation with a misleading
+      // "non-contiguous ids" error. Clamp to what the id range can
+      // supply — the smaller quantizer the pre-validation path served.
+      math.min(want.toLong, n / nShards).toInt
     }
     val cent = centroids.getOrElse(shardedSeededCentroids(c, nShards, seededCells))
-    val nc = requireShardedCentroids(cent, nShards, expectCells = seededCells)
+    val nc =
+      if (centroids.isDefined) requireShardedCentroids(cent, nShards)
+      else {
+        // Seeded path (r19 advisor): the frame is a pushed-down
+        // `cid < nShards·seededCells` scan over the CORPUS, not a local
+        // relation — the full per-shard groupBy/collect weakened the
+        // documented "pass the known count to avoid a job" contract.
+        // Distinct non-negative ids below the bound count to
+        // nShards·seededCells ONLY when they are exactly 0..bound-1,
+        // i.e. the round-robin deal is shard-complete AND even — one
+        // count() over the tiny filtered scan pins the whole shape.
+        val bound = nShards.toLong * seededCells
+        val got = cent.count()
+        require(got == bound,
+          s"seeded sharded quantizer found $got corpus ids below $bound, " +
+            s"expected $bound — sparse or non-contiguous corpus ids " +
+            "(the round-robin deal assumes ids contiguous from 0)")
+        seededCells
+      }
     val np = if (nProbe != -1) nProbe else nprobeForCells(nc)
     // corpus side: argmax within OWN shard (equi-join on shard keeps the
     // scored population at |corpus|·nCells, same as unsharded)
@@ -847,8 +880,12 @@ object Similarity {
     val c = prep(corpus, "cid")
     val n = corpus.count()
     val seededCells = if (centroids.isDefined) -1 else {
-      val perShard = if (n == 0) 0L else (n - 1) / nShards + 1
-      if (nCells != -1) nCells else nlistForCorpus(perShard)
+      require(n >= nShards,
+        s"corpus ($n rows) cannot seed one centroid per shard (nShards=$nShards)")
+      val perShard = (n - 1) / nShards + 1
+      val want = if (nCells != -1) nCells else nlistForCorpus(perShard)
+      // same small-corpus clamp as ivfShardedTopK (r19 advisor)
+      math.min(want.toLong, n / nShards).toInt
     }
     val cent = centroids.getOrElse(shardedSeededCentroids(c, nShards, seededCells))
     val nc = requireShardedCentroids(cent, nShards, expectCells = seededCells)

@@ -49,8 +49,13 @@ object RecallX100 {
     // optional second arg: case-insensitive substring filter over tier
     // names — lets a rule-design iteration re-measure one family without
     // paying the full table (truth is always built; it is the shared
-    // denominator)
-    val tierFilter = args.drop(1).headOption.map(_.toLowerCase)
+    // denominator). Comma-separated substrings match ANY (r20 — the
+    // sharded-vs-unsharded-trained protocol needs two families in one
+    // run so both sides share the same host window). All args past the
+    // first re-join with spaces — sbt's runMain splits on them, and tier
+    // names contain spaces.
+    val tierFilter: Seq[String] = Seq(args.drop(1).mkString(" "))
+      .flatMap(_.toLowerCase.split(',')).map(_.trim).filter(_.nonEmpty)
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,8 +101,11 @@ object RecallX100 {
       val truth = Similarity.bruteForceTopK(queries, corpus, k = K)
         .select("qid", "cid").localCheckpoint()
 
+      def wanted(name: String): Boolean =
+        tierFilter.isEmpty ||
+          tierFilter.exists(f => name.toLowerCase.contains(f))
       def measure(name: String, tier: => DataFrame): Unit = {
-        if (tierFilter.exists(f => !name.toLowerCase.contains(f))) return
+        if (!wanted(name)) return
         val t0 = System.nanoTime()
         val got = tier.select("qid", "cid").localCheckpoint()
         got.count()
@@ -142,34 +150,59 @@ object RecallX100 {
       // row above at every decade (each shard is a uniform 1/nShards
       // sample, so shard-local probes cover the same fraction of the
       // query's true neighbors)
-      measure(s"IVF sharded x2, SHIPPED rule (seeded)",
-        Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = 2,
-          corpusSize = n))
-      // SHARDED + TRAINED (r19 — the r18 verdict's gap: sharded was
-      // seeded-only while trained cells were both the recall ceiling and
-      // the cheaper probe unsharded): per-shard Lloyd on a
-      // shard-preserving sample — pairs (2k, 2k+1) with k % stride == 0,
-      // so BOTH shards sample evenly (a plain id stride would alias to
-      // one parity) — then the full corpus assigns/probes per shard.
-      // The claim this row pins: sharded-trained recall tracks
-      // unsharded-trained within ~0.02 at every decade.
-      val nlSh = Similarity.nlistForCorpus((n + 1) / 2)
-      val strideSh = math.max(1L, n / (2L * 25L * nlSh))
-      val shTrainSet = corpus
-        .where(pmod(floor(col("cid") / 2), lit(strideSh)) === 0)
-        .localCheckpoint()
-      val shTrained = Similarity.shardedKmeansCentroids(shTrainSet,
-        nShards = 2, nCells = nlSh, iters = 3).localCheckpoint(true)
-      measure(s"IVF sharded x2, SHIPPED rule (trained per-shard)",
-        Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = 2,
-          corpusSize = n, centroids = Some(shTrained)))
-      shTrainSet.unpersist()
+      // SHARDED rows — nShards is a dial (r20, VERDICT r19 item #4: the
+      // per-shard-broadcast-ceiling story is a scaling claim in nShards
+      // exercised only at 2). GRAFT_RECALL_SHARDS="2,4,8" measures the
+      // dial; default 2 = the shipped s_ann_ivf_sharded shape.
+      val shardCounts = sys.env.getOrElse("GRAFT_RECALL_SHARDS", "2")
+        .split(",").map(_.trim.toInt).toSeq
+      for (ns <- shardCounts) {
+        measure(s"IVF sharded x$ns, SHIPPED rule (seeded)",
+          Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
+            corpusSize = n))
+        // SHARDED + TRAINED (r19 — the r18 verdict's gap: sharded was
+        // seeded-only while trained cells were both the recall ceiling
+        // and the cheaper probe unsharded): per-shard Lloyd on a
+        // shard-preserving sample — blocks of nShards consecutive ids
+        // with (cid/nShards) % stride == 0, so EVERY shard samples
+        // evenly (a plain id stride would alias to one residue class) —
+        // then the full corpus assigns/probes per shard. The claim these
+        // rows pin: sharded-trained recall tracks unsharded-trained
+        // within ~0.02 at every decade, at every shard count.
+        val trainedName = s"IVF sharded x$ns, SHIPPED rule (trained per-shard)"
+        if (wanted(trainedName)) { // training is eager — skip when filtered
+          val nlSh = Similarity.nlistForCorpus((n + ns - 1) / ns)
+          val strideSh = math.max(1L, n / (ns.toLong * 25L * nlSh))
+          val shTrainSet = corpus
+            .where(pmod(floor(col("cid") / ns), lit(strideSh)) === 0)
+            .localCheckpoint()
+          val shTrained = Similarity.shardedKmeansCentroids(shTrainSet,
+            nShards = ns, nCells = nlSh, iters = 3).localCheckpoint(true)
+          measure(trainedName,
+            Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
+              corpusSize = n, centroids = Some(shTrained)))
+          shTrainSet.unpersist()
+        }
+      }
       // TRAINED centroids under the shipped rule: Lloyd on a bounded
       // deterministic sample (every stride-th id, ~25 vectors/cell — the
       // standard train-on-a-sample k-means), full corpus assigned at
       // probe time. The seeded rows measure centroid QUALITY's effect;
       // these are the production claim (and remove the seeded rows'
       // replica-0 alignment artifact the r16 notes documented).
+      val probedPop0 = Similarity.expectedProbed(n, nlR, npR)
+      val kcR0 = Similarity.kCodeForCorpus(n)
+      val mR0 = Similarity.mForCorpus(n)
+      // every unsharded-trained row name, so a filtered run (e.g. the
+      // sharded-only nShards dial) can skip the eager k-means entirely
+      val unshardedTrainedNames = Seq(
+        "IVF, SHIPPED rule (trained centroids)",
+        "IVF-PQ, SHIPPED rule (trained centroids), refine 30",
+        "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/64 of probed",
+        "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 of probed",
+        "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 + adaptive kCode") ++
+        (if (mR0 != 8) Seq(s"IVF-PQ, SHIPPED rule (trained), adaptive refine + kCode + adaptive m=$mR0 (mForCorpus)") else Nil)
+      if (unshardedTrainedNames.exists(wanted)) {
       val stride = math.max(1L, n / (25L * nlR))
       val trainSet = corpus.where(pmod(col("cid"), lit(stride)) === 0)
         .select((col("cid") / stride).cast("long").as("cid"), col("vec"))
@@ -189,7 +222,7 @@ object RecallX100 {
       // the 1× brute-tier operating point 30/2000) and 1/16 (the 1×
       // IVF-tier operating point 30/500 ≈ 6%). The measured table IS the
       // spec for refineForCandidates' shipped default.
-      val probedPop = Similarity.expectedProbed(n, nlR, npR)
+      val probedPop = probedPop0
       for (den <- Seq(64, 16)) {
         val rf = Similarity.refineForCandidates(probedPop, refineDen = den)
         measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine 1/$den of probed",
@@ -202,7 +235,7 @@ object RecallX100 {
       // resolution with the population the ADC separates (16 → 160 → 256
       // across these decades); this row is the measured spec for the
       // shipped rule, exactly as the refine rows were for RefineDen.
-      val kcR = Similarity.kCodeForCorpus(n)
+      val kcR = kcR0
       measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 + adaptive kCode",
         Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
           nProbe = npR, kCode = kcR,
@@ -216,7 +249,7 @@ object RecallX100 {
       // needed 3200 → m 16) is the rule's first measured move — the
       // comparison against the kCode row above at the same decade IS
       // the fixed-m-at-256 baseline the r18 verdict asked to beat.
-      val mR = Similarity.mForCorpus(n)
+      val mR = mR0
       if (mR != 8) {
         measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine + kCode + adaptive m=$mR (mForCorpus)",
           Similarity.ivfPqTopK(queries, corpus, k = K, nCells = nlR,
@@ -225,10 +258,11 @@ object RecallX100 {
             centroids = Some(trained)))
       }
       trainSet.unpersist()
+      } // unsharded-trained block
 
       println(s"[$label] corpus $n, nlist $nlist, shipped nlist $nlR nprobe $npR, " +
-        s"lsh planes/band $planes, probed $probedPop, kCode $kcR, adaptive refine " +
-        Seq(64, 16).map(d => s"1/$d=${Similarity.refineForCandidates(probedPop, refineDen = d)}").mkString(" "))
+        s"lsh planes/band $planes, probed $probedPop0, kCode $kcR0, m $mR0, adaptive refine " +
+        Seq(64, 16).map(d => s"1/$d=${Similarity.refineForCandidates(probedPop0, refineDen = d)}").mkString(" "))
       // free the decade's blocks before the next one builds
       truth.unpersist()
       if (factor != 1) { emb.unpersist() }

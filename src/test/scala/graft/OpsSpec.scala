@@ -507,6 +507,30 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-contiguous"), s"got: ${e.getMessage}")
   }
 
+  test("sharded seeded quantizer: contiguous corpus smaller than the rule's deal clamps, not raises (r19 advisor)") {
+    val spark = TestSpark.session
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // 10 contiguous ids < nShards·minNlist = 16: the rule's deal would
+    // under-fill shard cells; the clamp serves the smaller quantizer the
+    // pre-validation path served instead of a misleading
+    // "non-contiguous ids" raise
+    val c = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val q = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val got = Similarity.ivfShardedTopK(q, c, k = 5, nShards = 2).collect()
+    assert(got.nonEmpty, "clamped small-corpus sharded serve returned no rows")
+    // and a corpus that cannot seed even one centroid per shard names
+    // THAT case, not contiguity
+    val tiny = emb.where($"vec_id" < 1)
+      .select($"vec_id".as("cid"), $"embedding".as("vec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfShardedTopK(q, tiny, k = 5, nShards = 2).collect()
+    }
+    assert(e2.getMessage.contains("cannot seed one centroid per shard"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("PQ ANN: sims are true cosines; full refine equals brute force") {
     val emb = TestSpark.session.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
