@@ -3270,14 +3270,18 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** Sharded-IVF oracle (r18): shard = vec_id % 2, per-shard nlist sized
-    * from the SHARD population ceil(count/2) (the ivfSizingCtes rule over
-    * that count), per-shard seeded centroids = the 2·nlist smallest ids
-    * dealt round-robin (one scan predicate — Similarity
-    * .shardedSeededCentroids), assignment within OWN shard, the probe
-    * keeps nprobe cells per (query, shard), one global exact re-rank.
-    * Gates both the in-flight and the persisted-layout serve (identical
-    * results — the s_ann_ivf_indexed rule).
+  /** Sharded-IVF oracle (r18; r20 router): shard = vec_id % 2, per-shard
+    * nlist sized from the SHARD population ceil(count/2) (the
+    * ivfSizingCtes rule over that count), per-shard seeded centroids =
+    * the 2·nlist smallest ids dealt round-robin (one scan predicate —
+    * Similarity.shardedSeededCentroids), assignment within OWN shard,
+    * the probe keeps the 2·nprobe GLOBALLY best cells per query over
+    * the union of both shards' cells (r20 — the global router that
+    * replaced equal per-shard allocation after RecallX100 measured the
+    * per-shard form 0.07 below the unsharded router at 100×), one
+    * global exact re-rank. Gates both the in-flight and the
+    * persisted-layout serve (identical results — the s_ann_ivf_indexed
+    * rule).
     */
   private lazy val shardedIvfOracleSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3291,10 +3295,10 @@ object SparkEntry {
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
        |  FROM n JOIN cent ON n.vec_id % 2 = cent.shard) WHERE rn = 1),
        |qc AS (SELECT vec_id AS qid, centid FROM (
-       |  SELECT n.vec_id, cent.shard, cent.centid,
-       |    row_number() OVER (PARTITION BY n.vec_id, cent.shard ORDER BY
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= (SELECT nprobe FROM __np)),
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 2 * (SELECT nprobe FROM __np)),
        |p AS (SELECT DISTINCT qc.qid, asg.cid
        |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
        |sc AS (SELECT p.qid, p.cid,
@@ -3311,7 +3315,8 @@ object SparkEntry {
     * engines route on bit-identical centroids (the trainedIvfOracleSql
     * convention, shard-keyed). nprobe is the probe policy applied to the
     * fixture's OWN per-shard cell count (a property of the MODEL, like
-    * the unsharded fixture's 16 cells). ONE text gates both the
+    * the unsharded fixture's 16 cells), with the r20 GLOBAL router:
+    * the 2·nprobe best cells over the union of both shards' fixtures. ONE text gates both the
     * in-flight and persisted-layout serves (identical results —
     * deterministic assignment given the fixture).
     */
@@ -3344,10 +3349,10 @@ object SparkEntry {
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
        |  FROM n JOIN cent ON n.vec_id % 2 = cent.shard) WHERE rn = 1),
        |qc AS (SELECT vec_id AS qid, centid FROM (
-       |  SELECT n.vec_id, cent.shard, cent.centid,
-       |    row_number() OVER (PARTITION BY n.vec_id, cent.shard ORDER BY
+       |  SELECT n.vec_id, cent.centid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= $fxProbe),
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= ${2 * fxProbe}),
        |p AS (SELECT DISTINCT qc.qid, asg.cid
        |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
        |sc AS (SELECT p.qid, p.cid,

@@ -758,19 +758,28 @@ object Similarity {
 
   /** Sharded IVF ANN: hash-partition the corpus into `nShards` shards,
     * build an independent constant-cell IVF index per shard
-    * ([[shardedSeededCentroids]]), probe `nProbe` cells IN EVERY shard
-    * per query, and exact-re-rank the union of per-shard candidates to
-    * one global top-k.
+    * ([[shardedSeededCentroids]]), rank ALL shards' cells together and
+    * probe the `nShards·nProbe` globally best per query, and
+    * exact-re-rank the candidates to one global top-k.
     *
-    * Recall shape: each shard is a uniform 1/nShards sample of the
-    * corpus, so a query's true top-k splits across shards and each
-    * shard-local probe needs only its own members — per-shard recall at
-    * the same probed fraction ≈ unsharded recall (RecallX100's sharded
-    * row is the measurement). Cost shape: candidates per query ≈
+    * Recall shape (r20 — MEASURED, not assumed): the r18 design probed
+    * the top `nProbe` cells in EVERY shard, on the argument that each
+    * shard is a uniform 1/nShards sample; RecallX100 refuted it at the
+    * 100× decade (equal allocation 0.908/0.853/0.837 at nShards 2/4/8
+    * seeded vs 0.976 unsharded; trained x2 0.840 vs 1.000) — a query's
+    * neighbor mass is NOT uniform across shards, so the hot shard's
+    * per-shard probe list truncates while cold shards burn probes. The
+    * fix: ONE global probe list of `nShards·nProbe` cells over the
+    * union of per-shard quantizers — the same candidate budget, the
+    * unsharded router's cell choice (re-measured at parity; see
+    * BENCH_NOTES r20). Cost shape: candidates per query ≈
     * nShards · nProbe · cellSize = the SAME probed fraction as unsharded
     * (nProbe is sized from the PER-SHARD cell count); what sharding buys
-    * is each shard's centroid table staying under the broadcast ceiling
-    * and index builds/rebuilds parallelizing per shard.
+    * is each shard's centroid table staying under the broadcast ceiling,
+    * the assignment scan scoring only |corpus|·perShardCells rows
+    * (≈ 1/nShards of the unsharded scan — the measured 354→77→34→22 s
+    * cost slide across nShards 1/2/4/8 at the 100× decade), and index
+    * builds/rebuilds parallelizing per shard.
     *
     * `nCells`/`nProbe` default to -1 = sized by [[nlistForCorpus]] /
     * [[nprobeForCells]] from the EXPECTED SHARD population
@@ -846,16 +855,22 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(max_by(col("centId"),
         struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
-    // query side: top-nProbe cells PER (query, shard) — the fan-out that
-    // replaces one global probe list with nShards local ones
-    val w = Window.partitionBy(col("qid"), col("shard"))
+    // query side: ONE GLOBAL probe list of nShards·nProbe cells over the
+    // union of per-shard quantizers (r20 — the measured fix: equal
+    // per-shard allocation `PARTITION BY (qid, shard) … rn <= nProbe`
+    // sat 0.07–0.16 recall below the unsharded router at the 100×
+    // decade, because a query's neighbor mass is NOT uniform across
+    // shards and the hot shard's probe list truncates while cold shards
+    // burn probes; ranking all shards' cells together restores the
+    // unsharded router's cell choice at the IDENTICAL candidate budget)
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("centId"))
     val probed = prep(queries, "qid").crossJoin(broadcast(cent))
-      .select(col("qid"), col("shard"), col("centId"),
+      .select(col("qid"), col("centId"),
         (dot_product(col("qid_v"), col("cent_v")) /
           (col("qid_n") * col("cent_n"))).as("csim"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= np)
+      .where(col("rn") <= nShards.toLong * np)
       .select(col("qid"), col("centId"))
     // centIds are globally unique, keep=1 assignment + distinct probed
     // cells → pairs already unique (the ivfPqTopK argument)
@@ -904,8 +919,9 @@ object Similarity {
       .coalesce(1).write.parquet(s"$path/meta")
   }
 
-  /** Query a [[writeIvfIndexSharded]] layout: probe `nProbe` cells per
-    * (query, shard) against the persisted centroid table, read ONLY the
+  /** Query a [[writeIvfIndexSharded]] layout: rank ALL shards' persisted
+    * centroids together and probe the `nShards·nProbe` globally best
+    * cells (the r20 router — see [[ivfShardedTopK]]), read ONLY the
     * probed (shard, centId) directories, globally exact-re-rank.
     * `nProbe = -1` applies [[nprobeForCells]] to the PER-SHARD cell count
     * stamped at build time; an index without the meta stamp RAISES (the
@@ -920,17 +936,21 @@ object Similarity {
     require(fs.exists(metaPath),
       s"sharded IVF index at $path has no meta stamp — rebuild with writeIvfIndexSharded")
     val meta = spark.read.parquet(s"$path/meta")
-      .select(col("perShardCells").cast("int")).head()
+      .select(col("perShardCells").cast("int"), col("nShards").cast("int"))
+      .head()
     val np = if (nProbe != -1) nProbe else nprobeForCells(meta.getInt(0))
+    val nShards = meta.getInt(1)
     val cent = spark.read.parquet(s"$path/centroids")
-    val w = Window.partitionBy(col("qid"), col("shard"))
+    // global allocation over the union of per-shard cells — must match
+    // ivfShardedTopK's router exactly (r20; see the rationale there)
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("centId"))
     val probed = prep(queries, "qid").crossJoin(broadcast(cent))
       .select(col("qid"), col("shard"), col("centId"),
         (dot_product(col("qid_v"), col("cent_v")) /
           (col("qid_n") * col("cent_n"))).as("csim"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= np)
+      .where(col("rn") <= nShards.toLong * np)
       .select(col("qid"), col("shard"), col("centId"))
     val cells = spark.read.parquet(s"$path/cells")
     // restrict once to the union of probed (shard, cell) directories;

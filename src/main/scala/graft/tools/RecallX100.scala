@@ -200,7 +200,8 @@ object RecallX100 {
         "IVF-PQ, SHIPPED rule (trained centroids), refine 30",
         "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/64 of probed",
         "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 of probed",
-        "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 + adaptive kCode") ++
+        "IVF-PQ, SHIPPED rule (trained), adaptive refine 1/16 + adaptive kCode",
+        "IVF-SQ8, SHIPPED rule (trained), adaptive refine") ++
         (if (mR0 != 8) Seq(s"IVF-PQ, SHIPPED rule (trained), adaptive refine + kCode + adaptive m=$mR0 (mForCorpus)") else Nil)
       if (unshardedTrainedNames.exists(wanted)) {
       val stride = math.max(1L, n / (25L * nlR))
@@ -249,6 +250,17 @@ object RecallX100 {
       // needed 3200 → m 16) is the rule's first measured move — the
       // comparison against the kCode row above at the same decade IS
       // the fixed-m-at-256 baseline the r18 verdict asked to beat.
+      // IVF-SQ8 at the same trained routing + adaptive refine — the
+      // mForCorpus family's m = dims ENDPOINT measured as a tier (r20,
+      // VERDICT r19 item #8): SQ8 encode is a direct per-dimension
+      // quantization (no per-subspace argmin scan), so its BUILD cost is
+      // flat in corpus size while PQ's encode scan grows with m·kCode —
+      // this row vs the adaptive-m row at the same decade is the
+      // PQ→SQ8 switchover's first measured data point.
+      measure(s"IVF-SQ8, SHIPPED rule (trained), adaptive refine",
+        Similarity.ivfSq8TopK(queries, corpus, k = K, nCells = nlR,
+          nProbe = npR, refine = Similarity.refineForCandidates(probedPop),
+          centroids = Some(trained)))
       val mR = mR0
       if (mR != 8) {
         measure(s"IVF-PQ, SHIPPED rule (trained), adaptive refine + kCode + adaptive m=$mR (mForCorpus)",
