@@ -3275,11 +3275,12 @@ object SparkEntry {
     * ivfSizingCtes rule over that count), per-shard seeded centroids =
     * the 2·nlist smallest ids dealt round-robin (one scan predicate —
     * Similarity.shardedSeededCentroids), assignment within OWN shard,
-    * the probe keeps the 2·nprobe GLOBALLY best cells per query over
-    * the union of both shards' cells (r20 — the global router that
-    * replaced equal per-shard allocation after RecallX100 measured the
-    * per-shard form 0.07 below the unsharded router at 100×), one
-    * global exact re-rank. Gates both the in-flight and the
+    * the probe keeps the 2·min(nlist, 2·nprobe) GLOBALLY best cells per
+    * query over the union of both shards' cells (r20 — the global
+    * router plus the measured shard-count probe term
+    * nprobeShardedForCells: RecallX100 measured equal-budget sharding
+    * 0.07 below the unsharded router at 100× and a ×2 per-shard probe
+    * restoring parity at nShards=2), one global exact re-rank. Gates both the in-flight and the
     * persisted-layout serve (identical results — the s_ann_ivf_indexed
     * rule).
     */
@@ -3298,7 +3299,8 @@ object SparkEntry {
        |  SELECT n.vec_id, cent.centid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
-       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20) WHERE rn <= 2 * (SELECT nprobe FROM __np)),
+       |  FROM n CROSS JOIN cent WHERE n.vec_id < 20)
+       |  WHERE rn <= 2 * LEAST((SELECT nlist FROM __nl), 2 * (SELECT nprobe FROM __np))),
        |p AS (SELECT DISTINCT qc.qid, asg.cid
        |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
        |sc AS (SELECT p.qid, p.cid,
@@ -3313,10 +3315,12 @@ object SparkEntry {
     * per-shard k-means fixture embedded as literal VALUES — the same
     * `Double.toString` text [[fixtureShardedCentroids]] parses, so both
     * engines route on bit-identical centroids (the trainedIvfOracleSql
-    * convention, shard-keyed). nprobe is the probe policy applied to the
-    * fixture's OWN per-shard cell count (a property of the MODEL, like
-    * the unsharded fixture's 16 cells), with the r20 GLOBAL router:
-    * the 2·nprobe best cells over the union of both shards' fixtures. ONE text gates both the
+    * convention, shard-keyed). nprobe is the SHARDED probe policy
+    * (nprobeShardedForCells — base policy × the measured shard-count
+    * term) applied to the fixture's OWN per-shard cell count (a
+    * property of the MODEL, like the unsharded fixture's 16 cells),
+    * with the r20 GLOBAL router: the 2·nprobe best cells over the
+    * union of both shards' fixtures. ONE text gates both the
     * in-flight and persisted-layout serves (identical results —
     * deterministic assignment given the fixture).
     */
@@ -3338,7 +3342,9 @@ object SparkEntry {
       s"sharded fixture dealt uneven per-shard cell counts: " +
         byShard.toSeq.sortBy(_._1).map { case (s, c) => s"shard $s -> $c" }.mkString(", "))
     val perShardCells = byShard(0L)
-    val fxProbe = ops.Similarity.nprobeForCells(perShardCells)
+    // the r20 shard-count probe term, computed by the SAME rule the
+    // serve side applies (nShards=2 → per-shard probe 2·base, capped)
+    val fxProbe = ops.Similarity.nprobeShardedForCells(perShardCells, 2)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${OracleFrag.dot64("v", "v")}) AS nrm FROM e),
        |cent AS (SELECT shard, centid, cv, sqrt(${OracleFrag.dot64("cv", "cv")}) AS cn

@@ -189,6 +189,37 @@ object Similarity {
     math.min(nCells, math.max(minProbe, (nCells + probeDen - 1) / probeDen))
   }
 
+  /** The SHARD-COUNT probe term (r20 — the rule the r19 verdict's item
+    * #4 anticipated, measured before shipping): per-shard nprobe =
+    * `ceil(nprobeForCells(cells) · (3 + log2(nShards)) / 2)`, identity
+    * at nShards = 1.
+    *
+    * Why a term exists at all: sharding restricts ASSIGNMENT — a corpus
+    * vector whose best union cell lives in another shard lands in a
+    * worse own-shard cell, which ranks lower in the query's probe order
+    * — so the equal-budget sharded index sits measurably below the
+    * unsharded router (100× decade, seeded: 0.907/0.856/0.833 at
+    * nShards 2/4/8 vs 0.976 unsharded; identical under per-shard and
+    * global allocation, which ruled allocation out). The calibration
+    * grid (RecallX100 `GRAFT_RECALL_PROBE_SCALE`) measured the
+    * multiplier that buys parity back: ×2 at nShards=2 (0.977), between
+    * ×2 and ×2.5 at 4 (0.962→0.989), ×2.5 at 8 (0.977). The shipped
+    * rule (3 + log2 ns)/2 = ×2/×2.5/×3 sits at-or-above parity at
+    * every measured point (×3 at 8 shards measured 0.993). The cost is
+    * explicit and linear — candidates per query scale by the same
+    * multiplier — the policy family's standing trade ("recall you
+    * hold, you pay for"): sharding buys the broadcast ceiling and the
+    * 1/nShards assignment scan, and pays the probe premium.
+    */
+  def nprobeShardedForCells(nCells: Int, nShards: Int): Int = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val base = nprobeForCells(nCells)
+    // ceil(log2) for non-power-of-2 shard counts — round the premium up
+    val log2 = 32 - Integer.numberOfLeadingZeros(nShards - 1 max 0)
+    val num = if (nShards == 1) 2 else 3 + log2
+    math.min(nCells, (base * num + 1) / 2)
+  }
+
   /** The expected per-query candidate population an IVF probe ranks:
     * `floor(corpusSize · nProbe / nCells)` under [[nlistForCorpus]]'s
     * near-uniform cells. This is the population whose ADC/decode ranking
@@ -326,6 +357,36 @@ object Similarity {
     while (m.toLong * maxKCode < needed && m * 2 <= dims && dims % (m * 2) == 0)
       m *= 2
     m
+  }
+
+  /** Compression-tier selection — the [[mForCorpus]] endpoint specified
+    * as a RULE (r20, the r19 verdict's item #8, measured first):
+    * serve PQ while `mForCorpus(n) ≤ dims/8`, switch to the SQ8 tier
+    * past it.
+    *
+    * The measured basis (RecallX100, trained routing + adaptive refine
+    * at every row — BENCH_NOTES r20): PQ never wins on recall-per-cost
+    * in this family — IVF-SQ8 reads 1.000 recall at BOTH the 100× and
+    * 200× decades (67.5 / 143.5 s in-flight) while IVF-PQ at the m = 8
+    * floor caps at 0.946/0.964 under a byte-capped codebook and needs
+    * the m = 16 doubling to match 1.000 at 200×, at 11.4× the SQ8 cost
+    * (1631.3 s — the corpus·m·kCode encode scan; amortizable at build,
+    * but the ADC serve premium remains). PQ's value is BYTES: m
+    * bytes/vector vs SQ8's dims. While the resolution invariant
+    * m·kCode ≥ ceil(n/125) holds at m ≤ dims/8, that advantage is ≥ 8×
+    * and PQ is the memory lever; the first forced doubling past dims/8
+    * halves the advantage while compounding the cost premium — so the
+    * boundary sits exactly where [[mForCorpus]] first moves past
+    * dims/8. At dims = 64 the switch lands at n > 256,000 vectors
+    * (needed > 256·8), between the measured decades — the table
+    * brackets it from both sides. Pinned by IvfSizingProps: tier is PQ
+    * iff mForCorpus(n) ≤ dims/8, monotone in n, and the returned PQ m
+    * always satisfies the joint invariant.
+    */
+  def compressionTierForCorpus(corpusSize: Long, dims: Int = 64,
+      baseM: Int = 8): String = {
+    val m = mForCorpus(corpusSize, dims, baseM)
+    if (m.toLong * 8 <= dims) "pq" else "sq8"
   }
 
   /** Multi-probe bucket list: the exact bucket plus `probes` variants with
@@ -769,12 +830,16 @@ object Similarity {
     * seeded vs 0.976 unsharded; trained x2 0.840 vs 1.000) — a query's
     * neighbor mass is NOT uniform across shards, so the hot shard's
     * per-shard probe list truncates while cold shards burn probes. The
-    * fix: ONE global probe list of `nShards·nProbe` cells over the
-    * union of per-shard quantizers — the same candidate budget, the
-    * unsharded router's cell choice (re-measured at parity; see
-    * BENCH_NOTES r20). Cost shape: candidates per query ≈
-    * nShards · nProbe · cellSize = the SAME probed fraction as unsharded
-    * (nProbe is sized from the PER-SHARD cell count); what sharding buys
+    * fix is two-part (both measured): ONE global probe list of
+    * `nShards·nProbe` cells over the union of per-shard quantizers
+    * (restores the unsharded router's cell CHOICE — necessary but
+    * measured insufficient alone), plus the [[nprobeShardedForCells]]
+    * shard-count term (the equal-budget residual is the per-shard
+    * ASSIGNMENT restriction; the term's ×2/×2.5/×3 at nShards 2/4/8
+    * measured 0.977/0.989(at ×2.5)/0.993 vs 0.976 unsharded). Cost
+    * shape: candidates per query ≈ nShards · nProbe · cellSize =
+    * (3+log2 nShards)/2 × the unsharded probed fraction — the explicit
+    * price of held recall under sharding; what sharding buys
     * is each shard's centroid table staying under the broadcast ceiling,
     * the assignment scan scoring only |corpus|·perShardCells rows
     * (≈ 1/nShards of the unsharded scan — the measured 354→77→34→22 s
@@ -782,7 +847,7 @@ object Similarity {
     * builds/rebuilds parallelizing per shard.
     *
     * `nCells`/`nProbe` default to -1 = sized by [[nlistForCorpus]] /
-    * [[nprobeForCells]] from the EXPECTED SHARD population
+    * [[nprobeShardedForCells]] from the EXPECTED SHARD population
     * `ceil(corpusSize/nShards)` (corpusSize -1 = one count job; pass the
     * known count to avoid it). `centroids` swaps in a trained per-shard
     * quantizer frame (shard, centId, cent_v, cent_n) —
@@ -843,7 +908,7 @@ object Similarity {
             "(the round-robin deal assumes ids contiguous from 0)")
         seededCells
       }
-    val np = if (nProbe != -1) nProbe else nprobeForCells(nc)
+    val np = if (nProbe != -1) nProbe else nprobeShardedForCells(nc, nShards)
     // corpus side: argmax within OWN shard (equi-join on shard keeps the
     // scored population at |corpus|·nCells, same as unsharded)
     val assigned = c.withColumn("shard", shardOf(col("cid"), nShards))
@@ -923,10 +988,11 @@ object Similarity {
     * centroids together and probe the `nShards·nProbe` globally best
     * cells (the r20 router — see [[ivfShardedTopK]]), read ONLY the
     * probed (shard, centId) directories, globally exact-re-rank.
-    * `nProbe = -1` applies [[nprobeForCells]] to the PER-SHARD cell count
-    * stamped at build time; an index without the meta stamp RAISES (the
-    * projected-index rule: guessing a probe policy silently serves wrong
-    * recall).
+    * `nProbe = -1` applies [[nprobeShardedForCells]] (the base policy ×
+    * the measured shard-count term) to the PER-SHARD cell count and
+    * nShards stamped at build time; an index without the meta stamp
+    * RAISES (the projected-index rule: guessing a probe policy silently
+    * serves wrong recall).
     */
   def ivfTopKIndexedSharded(queries: DataFrame, path: String,
       k: Int = 10, nProbe: Int = -1): DataFrame = {
@@ -938,8 +1004,10 @@ object Similarity {
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("perShardCells").cast("int"), col("nShards").cast("int"))
       .head()
-    val np = if (nProbe != -1) nProbe else nprobeForCells(meta.getInt(0))
     val nShards = meta.getInt(1)
+    val np =
+      if (nProbe != -1) nProbe
+      else nprobeShardedForCells(meta.getInt(0), nShards)
     val cent = spark.read.parquet(s"$path/centroids")
     // global allocation over the union of per-shard cells — must match
     // ivfShardedTopK's router exactly (r20; see the rationale there)

@@ -160,6 +160,24 @@ object RecallX100 {
         measure(s"IVF sharded x$ns, SHIPPED rule (seeded)",
           Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
             corpusSize = n))
+        // probe-scale calibration grid (r20): the equal-budget sharded
+        // rows measured BELOW the unsharded router at 100× under BOTH
+        // allocation schemes — the loss is the per-shard ASSIGNMENT
+        // restriction (a vector whose best union cell lives in another
+        // shard lands in a worse own-shard cell, ranked lower in the
+        // query's probe order). These rows measure what per-shard probe
+        // multiplier buys the recall back — the data for the
+        // shard-count term in the probe policy.
+        for (scaleStr <- sys.env.getOrElse("GRAFT_RECALL_PROBE_SCALE", "")
+            .split(",").map(_.trim).filter(_.nonEmpty)) {
+          val scale = scaleStr.toDouble
+          val cellsSh = Similarity.nlistForCorpus((n + ns - 1) / ns)
+          val npSh = math.ceil(
+            Similarity.nprobeForCells(cellsSh) * scale).toInt
+          measure(s"IVF sharded x$ns, seeded, probe x$scaleStr",
+            Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
+              nProbe = npSh, corpusSize = n))
+        }
         // SHARDED + TRAINED (r19 — the r18 verdict's gap: sharded was
         // seeded-only while trained cells were both the recall ceiling
         // and the cheaper probe unsharded): per-shard Lloyd on a

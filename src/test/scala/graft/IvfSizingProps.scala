@@ -167,6 +167,54 @@ object IvfSizingProps extends Properties("ivfSizing") {
       Similarity.mForCorpus(100000000L) == 64
   }
 
+  property("sharded probe term: identity at 1 shard, ceil(base*(3+log2 ns)/2) capped at cells, monotone in ns") =
+    forAll(genCells, Gen.chooseNum(1, 64)) { (c, ns) =>
+      val base = Similarity.nprobeForCells(c)
+      val got = Similarity.nprobeShardedForCells(c, ns)
+      val log2 = 32 - Integer.numberOfLeadingZeros(math.max(ns - 1, 0))
+      val expect =
+        if (ns == 1) base else math.min(c, (base * (3 + log2) + 1) / 2)
+      got == expect && got <= c &&
+        (ns == 1 || got >= Similarity.nprobeShardedForCells(c, ns / 2 max 1))
+    }
+
+  property("pins: the measured shard-term multipliers (x2/x2.5/x3 at ns 2/4/8) and the gate/fixture widths") = {
+    // calibration grid, 100x decade, BENCH_NOTES r20: x2 at ns=2 read
+    // 0.977 vs 0.976 unsharded; x2.5 at ns=8 read 0.977; the shipped
+    // (3+log2 ns)/2 sits at-or-above parity at every measured point.
+    // Gate widths: sf0.01 per-shard 8 cells -> base 2 -> 4; trained
+    // fixture 16 cells -> base 4 -> 8 (the oracle literals)
+    Similarity.nprobeShardedForCells(1600, 1) == 400 &&
+      Similarity.nprobeShardedForCells(800, 2) == 400 &&
+      Similarity.nprobeShardedForCells(400, 4) == 250 &&
+      Similarity.nprobeShardedForCells(200, 8) == 150 &&
+      Similarity.nprobeShardedForCells(8, 2) == 4 &&
+      Similarity.nprobeShardedForCells(16, 2) == 8
+  }
+
+  property("tier select: pq iff mForCorpus <= dims/8, monotone, measured boundary at 256k (dims 64)") =
+    forAll(genN, genN) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      def tier(n: Long) = Similarity.compressionTierForCorpus(n)
+      // definition: the tier is pq exactly while the rule's m keeps the
+      // memory advantage >= 8x over SQ8's dims bytes/vector
+      tier(lo) == (if (Similarity.mForCorpus(lo) * 8 <= 64) "pq" else "sq8") &&
+        // monotone: once sq8, always sq8 as the corpus grows
+        !(tier(lo) == "sq8" && tier(hi) == "pq")
+    }
+
+  property("pins: tier boundary brackets the measured decades (pq at 100x, sq8 at 200x)") = {
+    // BENCH_NOTES r20: IVF-SQ8 serves 1.000 recall at 143.5 s at the
+    // 200x decade where PQ needs m=16 at 11.4x the cost — the switch
+    // lands at n > 256,000, between the measured 200k and 400k corpora
+    Similarity.compressionTierForCorpus(500) == "pq" &&
+      Similarity.compressionTierForCorpus(20000) == "pq" &&
+      Similarity.compressionTierForCorpus(200000) == "pq" &&
+      Similarity.compressionTierForCorpus(256000) == "pq" &&
+      Similarity.compressionTierForCorpus(256001) == "sq8" &&
+      Similarity.compressionTierForCorpus(400000) == "sq8"
+  }
+
   property("expectedProbed is the floor of corpus*nprobe/nlist and never exceeds the corpus") =
     forAll(genN, genCells) { (n, c) =>
       val np = Similarity.nprobeForCells(c)
