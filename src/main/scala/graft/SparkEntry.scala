@@ -3275,12 +3275,13 @@ object SparkEntry {
     * ivfSizingCtes rule over that count), per-shard seeded centroids =
     * the 2·nlist smallest ids dealt round-robin (one scan predicate —
     * Similarity.shardedSeededCentroids), assignment within OWN shard,
-    * the probe keeps the 2·min(nlist, 2·nprobe) GLOBALLY best cells per
-    * query over the union of both shards' cells (r20 — the global
-    * router plus the measured shard-count probe term
+    * the probe keeps the 2·min(nlist, ceil(5·nprobe/2)) GLOBALLY best
+    * cells per query over the union of both shards' cells (r20 — the
+    * global router plus the measured shard-count probe term
     * nprobeShardedForCells: RecallX100 measured equal-budget sharding
-    * 0.07 below the unsharded router at 100× and a ×2 per-shard probe
-    * restoring parity at nShards=2), one global exact re-rank. Gates both the in-flight and the
+    * 0.07 below the unsharded router at 100× and a ×2.5 per-shard
+    * probe restoring parity against the trained bar at nShards=2), one
+    * global exact re-rank. Gates both the in-flight and the
     * persisted-layout serve (identical results — the s_ann_ivf_indexed
     * rule).
     */
@@ -3300,7 +3301,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${OracleFrag.dot64("n.v", "cent.cv")} / (n.nrm * cent.cn) DESC, cent.centid) AS rn
        |  FROM n CROSS JOIN cent WHERE n.vec_id < 20)
-       |  WHERE rn <= 2 * LEAST((SELECT nlist FROM __nl), 2 * (SELECT nprobe FROM __np))),
+       |  WHERE rn <= 2 * LEAST((SELECT nlist FROM __nl), (5 * (SELECT nprobe FROM __np) + 1) // 2)),
        |p AS (SELECT DISTINCT qc.qid, asg.cid
        |      FROM qc JOIN asg ON qc.centid = asg.centid WHERE qc.qid != asg.cid),
        |sc AS (SELECT p.qid, p.cid,

@@ -191,7 +191,7 @@ object Similarity {
 
   /** The SHARD-COUNT probe term (r20 — the rule the r19 verdict's item
     * #4 anticipated, measured before shipping): per-shard nprobe =
-    * `ceil(nprobeForCells(cells) · (3 + log2(nShards)) / 2)`, identity
+    * `ceil(nprobeForCells(cells) · (4 + log2(nShards)) / 2)`, identity
     * at nShards = 1.
     *
     * Why a term exists at all: sharding restricts ASSIGNMENT — a corpus
@@ -202,21 +202,24 @@ object Similarity {
     * nShards 2/4/8 vs 0.976 unsharded; identical under per-shard and
     * global allocation, which ruled allocation out). The calibration
     * grid (RecallX100 `GRAFT_RECALL_PROBE_SCALE`) measured the
-    * multiplier that buys parity back: ×2 at nShards=2 (0.977), between
-    * ×2 and ×2.5 at 4 (0.962→0.989), ×2.5 at 8 (0.977). The shipped
-    * rule (3 + log2 ns)/2 = ×2/×2.5/×3 sits at-or-above parity at
-    * every measured point (×3 at 8 shards measured 0.993). The cost is
-    * explicit and linear — candidates per query scale by the same
-    * multiplier — the policy family's standing trade ("recall you
-    * hold, you pay for"): sharding buys the broadcast ceiling and the
-    * 1/nShards assignment scan, and pays the probe premium.
+    * multipliers against BOTH bars: the unsharded-SEEDED 0.976 is
+    * bought back at ×2/≈×2.2/×2.5 (nShards 2/4/8), but the
+    * unsharded-TRAINED bar is 1.000 and the trained-sharded rows need
+    * ×2.5 at nShards=2 to come within 0.02 of it (0.961 at ×2 → 0.984
+    * at ×2.5, 0.996 at ×3). The shipped rule (4 + log2 ns)/2 =
+    * ×2.5/×3/×3.5 meets the trained criterion at every measured point
+    * (seeded reads 0.987/0.997/≥0.993 there). The cost is explicit and
+    * linear — candidates per query scale by the same multiplier — the
+    * policy family's standing trade ("recall you hold, you pay for"):
+    * sharding buys the broadcast ceiling and the 1/nShards assignment
+    * scan, and pays the probe premium.
     */
   def nprobeShardedForCells(nCells: Int, nShards: Int): Int = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     val base = nprobeForCells(nCells)
     // ceil(log2) for non-power-of-2 shard counts — round the premium up
     val log2 = 32 - Integer.numberOfLeadingZeros(nShards - 1 max 0)
-    val num = if (nShards == 1) 2 else 3 + log2
+    val num = if (nShards == 1) 2 else 4 + log2
     math.min(nCells, (base * num + 1) / 2)
   }
 
@@ -835,10 +838,11 @@ object Similarity {
     * (restores the unsharded router's cell CHOICE — necessary but
     * measured insufficient alone), plus the [[nprobeShardedForCells]]
     * shard-count term (the equal-budget residual is the per-shard
-    * ASSIGNMENT restriction; the term's ×2/×2.5/×3 at nShards 2/4/8
-    * measured 0.977/0.989(at ×2.5)/0.993 vs 0.976 unsharded). Cost
-    * shape: candidates per query ≈ nShards · nProbe · cellSize =
-    * (3+log2 nShards)/2 × the unsharded probed fraction — the explicit
+    * ASSIGNMENT restriction; the term's ×2.5/×3/×3.5 at nShards 2/4/8
+    * measured seeded 0.987/0.997/≥0.993 vs 0.976 unsharded, trained
+    * 0.984 at x2 vs the 1.000 unsharded-trained bar). Cost shape:
+    * candidates per query ≈ nShards · nProbe · cellSize =
+    * (4+log2 nShards)/2 × the unsharded probed fraction — the explicit
     * price of held recall under sharding; what sharding buys
     * is each shard's centroid table staying under the broadcast ceiling,
     * the assignment scan scoring only |corpus|·perShardCells rows

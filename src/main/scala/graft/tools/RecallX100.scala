@@ -188,7 +188,10 @@ object RecallX100 {
         // rows pin: sharded-trained recall tracks unsharded-trained
         // within ~0.02 at every decade, at every shard count.
         val trainedName = s"IVF sharded x$ns, SHIPPED rule (trained per-shard)"
-        if (wanted(trainedName)) { // training is eager — skip when filtered
+        val probeScales = sys.env.getOrElse("GRAFT_RECALL_PROBE_SCALE", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def trainedGridName(s: String) = s"IVF sharded x$ns, trained, probe x$s"
+        if (wanted(trainedName) || probeScales.exists(s => wanted(trainedGridName(s)))) {
           val nlSh = Similarity.nlistForCorpus((n + ns - 1) / ns)
           val strideSh = math.max(1L, n / (ns.toLong * 25L * nlSh))
           val shTrainSet = corpus
@@ -199,6 +202,16 @@ object RecallX100 {
           measure(trainedName,
             Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
               corpusSize = n, centroids = Some(shTrained)))
+          // trained probe-scale rows: scale the BASE policy, like the
+          // seeded grid — calibrates the term against the HIGHER
+          // unsharded-trained bar, not just the seeded one
+          for (scaleStr <- probeScales) {
+            val npSh = math.ceil(
+              Similarity.nprobeForCells(nlSh) * scaleStr.toDouble).toInt
+            measure(trainedGridName(scaleStr),
+              Similarity.ivfShardedTopK(queries, corpus, k = K, nShards = ns,
+                nProbe = npSh, corpusSize = n, centroids = Some(shTrained)))
+          }
           shTrainSet.unpersist()
         }
       }

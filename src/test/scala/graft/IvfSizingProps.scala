@@ -167,29 +167,31 @@ object IvfSizingProps extends Properties("ivfSizing") {
       Similarity.mForCorpus(100000000L) == 64
   }
 
-  property("sharded probe term: identity at 1 shard, ceil(base*(3+log2 ns)/2) capped at cells, monotone in ns") =
+  property("sharded probe term: identity at 1 shard, ceil(base*(4+log2 ns)/2) capped at cells, monotone in ns") =
     forAll(genCells, Gen.chooseNum(1, 64)) { (c, ns) =>
       val base = Similarity.nprobeForCells(c)
       val got = Similarity.nprobeShardedForCells(c, ns)
       val log2 = 32 - Integer.numberOfLeadingZeros(math.max(ns - 1, 0))
       val expect =
-        if (ns == 1) base else math.min(c, (base * (3 + log2) + 1) / 2)
+        if (ns == 1) base else math.min(c, (base * (4 + log2) + 1) / 2)
       got == expect && got <= c &&
         (ns == 1 || got >= Similarity.nprobeShardedForCells(c, ns / 2 max 1))
     }
 
-  property("pins: the measured shard-term multipliers (x2/x2.5/x3 at ns 2/4/8) and the gate/fixture widths") = {
-    // calibration grid, 100x decade, BENCH_NOTES r20: x2 at ns=2 read
-    // 0.977 vs 0.976 unsharded; x2.5 at ns=8 read 0.977; the shipped
-    // (3+log2 ns)/2 sits at-or-above parity at every measured point.
-    // Gate widths: sf0.01 per-shard 8 cells -> base 2 -> 4; trained
-    // fixture 16 cells -> base 4 -> 8 (the oracle literals)
+  property("pins: the measured shard-term multipliers (x2.5/x3/x3.5 at ns 2/4/8) and the gate/fixture widths") = {
+    // calibration grid, 100x decade, BENCH_NOTES r20: against the
+    // unsharded-TRAINED bar (1.000) the trained x2 row needs x2.5
+    // (0.961 at x2 -> 0.984 at x2.5); seeded reads 0.987/0.997 at
+    // x2.5/x3. The shipped (4+log2 ns)/2 meets the trained criterion
+    // at every measured point. Gate widths: sf0.01 per-shard 8 cells
+    // -> base 2 -> 5; trained fixture 16 cells -> base 4 -> 10 (the
+    // oracle literals)
     Similarity.nprobeShardedForCells(1600, 1) == 400 &&
-      Similarity.nprobeShardedForCells(800, 2) == 400 &&
-      Similarity.nprobeShardedForCells(400, 4) == 250 &&
-      Similarity.nprobeShardedForCells(200, 8) == 150 &&
-      Similarity.nprobeShardedForCells(8, 2) == 4 &&
-      Similarity.nprobeShardedForCells(16, 2) == 8
+      Similarity.nprobeShardedForCells(800, 2) == 500 &&
+      Similarity.nprobeShardedForCells(400, 4) == 300 &&
+      Similarity.nprobeShardedForCells(200, 8) == 175 &&
+      Similarity.nprobeShardedForCells(8, 2) == 5 &&
+      Similarity.nprobeShardedForCells(16, 2) == 10
   }
 
   property("tier select: pq iff mForCorpus <= dims/8, monotone, measured boundary at 256k (dims 64)") =
