@@ -39,15 +39,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *    path for such magnitudes);
   *  - per GROUP: past 2⁶³ the int64 accumulator throws under ANSI (the
   *    Spark 4 default) and wraps SILENTLY in non-ANSI sessions, so
-  *    [[DecimalSumOps.dsum_exact]] rides a `Σ|unscaled| < 9·10^18`
-  *    fence along (one extra aggregate, constant cost); past it the
-  *    value comes from the exact hi/lo SPLIT accumulation (10⁹× wider
-  *    group domain) instead of a raise (r19 advisor item — the decimal
-  *    plan this kernel replaced computed sf200-class group sums
-  *    correctly, so the fence must degrade to the wider exact path,
-  *    not to an error), and only past the split fences does a NAMED
-  *    raise remain — the star-CC overflow lesson (r16): at-scale
-  *    arithmetic needs an explicit domain fence, not a mode assumption.
+  *    [[DecimalSumOps.dsum_exact]] accumulates the exact hi/lo SPLIT of
+  *    the unscaled value (r20 — ONE code path, four aggregates: the r19
+  *    shape ran a narrow single-long fast value alongside the split
+  *    fallback, six aggregates whose premium the in-band sf1.0 A/B
+  *    measured real; Σu = Σhi·10⁹ + Σlo reassembles the identical
+  *    value), giving a `Σ|unscaled| < ~9·10²⁷ ∧ count < 9·10⁹` group
+  *    domain — 10⁹× wider than one long — with a NAMED raise past it:
+  *    the star-CC overflow lesson (r16): at-scale arithmetic needs an
+  *    explicit domain fence, not a mode assumption.
   */
 case class DecimalUnscaled(child: Expression, scale: Int)
     extends UnaryExpression {
@@ -131,30 +131,26 @@ object DecimalSumOps {
     */
   def dsum_exact(c: Column, scale: Int): Column = {
     val u = dec_unscaled(c, scale)
-    // |sum| <= Σ|u| — the TIGHT bound, computed in double so the guard
-    // itself cannot wrap (abs(Long.MinValue) would). The earlier
-    // count·max|u| form over-estimated by the count/mean ratio and
-    // false-positive raised around TPC-H sf30-100 (count 1.5e8 ×
-    // max 1e11 = 1.5e19 while the true Σ|u| ≈ 5.7e18 fits); Σ|u| fences
-    // exactly what can overflow. Margin: a double sum of non-negatives
-    // carries ≤ n·ε relative error (~1e-6 even at n = 10¹⁰), dwarfed by
-    // the 2.4% headroom between 9.0e18 and 2⁶³ ≈ 9.22e18.
-    val safe = sum(abs(u.cast("double"))) < lit(9.0e18)
-    // Past the fence: fall back to a SPLIT accumulation instead of
-    // raising (r19, advisor item — the replaced DECIMAL(38,s) plan
-    // computed such magnitudes correctly, so raising was a reference
-    // parity regression around sf200 group sums). hi/lo = u divRem 10⁹
+    // ONE code path, FOUR aggregates (r20 — the r19 shape ran the
+    // narrow single-long fast value AND the split fallback side by
+    // side: six aggregates, two fences; the in-band sf1.0 A/B measured
+    // the decimal-agg premium real on e_agg_groupby, so the value now
+    // DERIVES from the split sums alone). hi/lo = u divRem 10⁹
     // in pure long arithmetic on the SAME unscaled value (IntegralDivide
     // truncates toward zero and % keeps the dividend's sign — the
     // DecimalUnscaledSplit contract, so u = hi·10⁹ + lo exactly); both
     // halves sum as longs and Σu reassembles EXACTLY in decimal as
     // make_dec(Σhi, s)·10⁹ + make_dec(Σlo, s) — precision 19 operands
-    // keep the multiply at 30 and the add at 31, inside DECIMAL(38).
-    // Split domain: Σ|hi| < 9·10¹⁸ (i.e. Σ|unscaled| < ~9·10²⁷, a 10⁹×
-    // wider group bound) and count < 9·10⁹ (|Σlo| ≤ count·10⁹); only
-    // past BOTH does the named raise remain. The long accumulators ride
-    // try_sum so a discarded branch can never ANSI-throw before the
-    // fence picks the branch (plain sum(u) would, mid-aggregation).
+    // keep the multiply at 30 and the add at 31, inside DECIMAL(38) —
+    // the identical per-group value the single-accumulator form
+    // produced (byte-pinned by DecimalSumSpec).
+    // Domain: Σ|hi| < 9·10¹⁸ (i.e. Σ|unscaled| < ~9·10²⁷, a 10⁹×
+    // wider group bound than one long) and count < 9·10⁹ (|Σlo| ≤
+    // count·10⁹; the Σ|hi| guard is a double sum whose ≤ n·ε relative
+    // error is dwarfed by the 2.4% headroom between 9.0e18 and 2⁶³);
+    // only past BOTH does the named raise remain. The long accumulators
+    // ride try_sum so a discarded branch can never ANSI-throw before
+    // the fence picks the branch (plain sum would, mid-aggregation).
     val hi = GraftBridge.column(IntegralDivide(
       GraftBridge.expression(u), GraftBridge.expression(lit(1000000000L))))
     val lo = u % lit(1000000000L)
@@ -164,8 +160,7 @@ object DecimalSumOps {
       make_dec(try_sum(hi), scale, 19) *
         lit(java.math.BigDecimal.valueOf(1000000000L)) +
         make_dec(try_sum(lo), scale, 19)
-    when(coalesce(safe, lit(true)), make_dec(try_sum(u), scale).cast("double"))
-      .when(safeSplit, splitDec.cast("double"))
+    when(coalesce(safeSplit, lit(true)), splitDec.cast("double"))
       .otherwise(raise_error(lit(
         "dsum_exact: group magnitude exceeds even the split int64 " +
           "accumulators (sum|unscaled| >= 9e27 or count >= 9e9) - use the " +
