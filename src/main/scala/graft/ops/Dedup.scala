@@ -1447,6 +1447,90 @@ object Dedup {
         col("n_shared"))
   }
 
+  /** Edge-count cap under which a component closure runs as ONE driver
+    * union-find over the collected canonical edge list instead of the
+    * distributed fixpoint — the broadcast-hash-join principle applied to
+    * the closure step (guide §3.1: pick the strategy by the size of the
+    * side that must fit in memory). Below the cap the edge list is
+    * broadcast-sized by definition (≤ cap × 16 B of ids), and the
+    * distributed loop's per-round job train (2 stars × shuffles +
+    * checkpoint + potential + fixpoint confirm ≈ 8-12 AQE jobs/round,
+    * measured 50-90 jobs per closure at sf0.1, r20 PlanProfile) collapses
+    * to one bounded collect. Above the cap nothing changes: the star /
+    * label-prop loops run exactly as before, so the 100 TB shape (edge
+    * lists past driver memory) is untouched. Runtime-settable
+    * (`spark.graft.cc.localEdgeCap`; env `GRAFT_CC_LOCAL_EDGES` as the
+    * deploy-level default) so tests pin BOTH paths and a cluster with a
+    * small driver can lower it. Default 2M edges ≈ 32 MB of collected
+    * ids — the same order as a default broadcast build side.
+    */
+  private def ccLocalEdgeCap(df: DataFrame): Int =
+    df.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeCap")
+      .orElse(sys.env.get("GRAFT_CC_LOCAL_EDGES"))
+      .map(_.toInt).getOrElse(2000000)
+
+  /** Bounded collect of an edge frame: `Some(edges)` when the frame has
+    * at most `cap` rows, `None` past it (having read only cap+1 rows).
+    */
+  private def collectEdgesUnder(edges: DataFrame, cap: Int): Option[Array[(Long, Long)]] = {
+    if (cap <= 0) return None
+    val rows = edges.limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Driver union-find with path compression + union-by-min over a
+    * collected edge array: returns one `(node, minReachableId)` per
+    * distinct endpoint — the exact contract of both distributed closures
+    * (StarCCProps pins all three against each other). Self-loops are
+    * harmless (they only register the node).
+    */
+  private[ops] def unionFindMinLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idToIx = new java.util.HashMap[Long, Integer](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def ix(id: Long): Int = {
+      val e = idToIx.get(id)
+      if (e ne null) e.intValue()
+      else { val i = ids.length; ids += id; parent += i; idToIx.put(id, i); i }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(ix(u)), find(ix(v)))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ids(i) < cur) minOf.put(r, ids(i))
+      i += 1
+    }
+    ids.indices.map(i => (ids(i), minOf.get(find(i)).longValue())).toArray
+  }
+
+  /** The driver labels as a small broadcastable frame `(node, comp)`. */
+  private def labelsFrame(spark: org.apache.spark.sql.SparkSession,
+      labels: Array[(Long, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = labels.map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, labels.length / 500000)),
+      schema)
+  }
+
   /** Connected components over a near-dup PAIR list — the step that turns
     * pairwise collisions into dedup GROUPS: near-duplication is transitive
     * in practice (A~B, B~C ⇒ same content family), so a pipeline keeps ONE
@@ -1475,6 +1559,14 @@ object Dedup {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true) // static — reused every round
+    // size-gated fast path (see ccLocalEdgeCap): the bidirectional edge
+    // set doubles |E|, and every node — self-loop-only ones included —
+    // appears as a src, so the driver labels ARE the full result.
+    // `maxIters` bounds the distributed loop only; below the cap the
+    // closure is exact in one pass.
+    val fast = collectEdgesUnder(edges, ccLocalEdgeCap(pairs))
+    if (fast.isDefined)
+      return labelsFrame(pairs.sparkSession, unionFindMinLabels(fast.get))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L
@@ -1546,6 +1638,17 @@ object Dedup {
     var edges = raw.where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true) // canonical u > v
+    // size-gated fast path (see ccLocalEdgeCap): union-find over the
+    // collected canonical edges labels every edge endpoint; allNodes
+    // re-attaches self-pair-only ids (absent from canonical edges) as
+    // their own singletons, exactly like the slow path's final join.
+    // `maxIters` bounds the distributed loop only.
+    val fast = collectEdgesUnder(edges, ccLocalEdgeCap(pairs))
+    if (fast.isDefined) {
+      val labels = labelsFrame(pairs.sparkSession, unionFindMinLabels(fast.get))
+      return allNodes.join(broadcast(labels), Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    }
     // the id-sum potential must accumulate in DECIMAL(38,0), and each
     // term must be WIDENED BEFORE the add: node ids are arbitrary longs
     // (banded media ids ~2^41; xxhash64-keyed ids span the full 64-bit

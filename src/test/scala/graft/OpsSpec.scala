@@ -1056,9 +1056,18 @@ class OpsSpec extends AnyFunSuite {
     assert(comp.count { case (n, c) => n == c } == 4)
     // an empty pair list yields an empty (not failing) result
     assert(Dedup.connectedComponents(pairs.limit(0), "idA", "idB").count() == 0)
-    // non-convergence within maxIters is an error, not a partial answer
-    assertThrows[IllegalStateException](
+    // non-convergence within maxIters is an error, not a partial answer —
+    // on the DISTRIBUTED path (cap 0 forces it; below the size gate the
+    // driver union-find is exact in one pass and maxIters is moot)
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try assertThrows[IllegalStateException](
       Dedup.connectedComponents(pairs, "idA", "idB", maxIters = 1).count())
+    finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    // and the size gate itself: the same maxIters=1 call SUCCEEDS under
+    // the default cap (driver fast path), with identical labels
+    val fastComp = Dedup.connectedComponents(pairs, "idA", "idB", maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastComp == comp)
   }
 
   test("star components: agrees with label prop; logarithmic on a long path") {
@@ -1066,17 +1075,33 @@ class OpsSpec extends AnyFunSuite {
     // rounds (maxIters=15 must throw), large-star/small-star collapses it
     // in O(log n) rounds well inside the same budget
     val path = (0L until 199L).map(i => (i, i + 1)).toDF("idA", "idB")
-    assertThrows[IllegalStateException](
-      Dedup.connectedComponents(path, "idA", "idB", maxIters = 15).count())
-    val star = Dedup.connectedComponentsStar(path, "idA", "idB", maxIters = 15)
+    // the round-count contrast is a DISTRIBUTED-path property; cap 0
+    // forces both algorithms past the driver union-find size gate
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try {
+      assertThrows[IllegalStateException](
+        Dedup.connectedComponents(path, "idA", "idB", maxIters = 15).count())
+      val star = Dedup.connectedComponentsStar(path, "idA", "idB", maxIters = 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star.size == 200 && star.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    // the driver fast path agrees with the distributed star on the chain
+    val fastStar = Dedup.connectedComponentsStar(path, "idA", "idB")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(star.size == 200 && star.values.forall(_ == 0L))
-    // and on a general shape both algorithms agree exactly
+    assert(fastStar.size == 200 && fastStar.values.forall(_ == 0L))
+    // and on a general shape (incl. a self-pair-only node, which only the
+    // star form's allNodes branch re-attaches) both algorithms agree
+    // exactly, on BOTH sides of the size gate
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L), (7L, 7L)).toDF("idA", "idB")
     def m(df: DataFrame) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(m(Dedup.connectedComponentsStar(pairs, "idA", "idB")) ==
-      m(Dedup.connectedComponents(pairs, "idA", "idB")))
+    val fastPair = m(Dedup.connectedComponentsStar(pairs, "idA", "idB"))
+    assert(fastPair == m(Dedup.connectedComponents(pairs, "idA", "idB")))
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try {
+      assert(m(Dedup.connectedComponentsStar(pairs, "idA", "idB")) == fastPair)
+      assert(m(Dedup.connectedComponents(pairs, "idA", "idB")) == fastPair)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
   }
 
   test("containment decontamination: ratio gate catches short eval items") {

@@ -51,14 +51,26 @@ object StarCCProps extends Properties("connectedComponentsStar") {
       .map(n => n -> find(n)).toMap
   }
 
-  property("labels every pair-list node with its component's min id") =
+  // evaluate under a forced size-gate setting, restoring the default so
+  // the two paths (driver union-find below the cap, distributed loop
+  // past it — r20) are each pinned explicitly
+  private def withCap[A](cap: Option[String])(body: => A): A = {
+    cap match {
+      case Some(c) => spark.conf.set("spark.graft.cc.localEdgeCap", c)
+      case None => spark.conf.unset("spark.graft.cc.localEdgeCap")
+    }
+    try body finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+  }
+
+  property("labels every pair-list node with its component's min id (both gate paths)") =
     forAll(genGraph) { pairs =>
       pairs.isEmpty || {
         import spark.implicits._
-        val got = graft.ops.Dedup.connectedComponentsStar(
+        def got = graft.ops.Dedup.connectedComponentsStar(
             pairs.toDF("idA", "idB"), "idA", "idB")
           .as[(Long, Long)].collect().toMap
-        got == unionFind(pairs)
+        val want = unionFind(pairs)
+        withCap(None)(got) == want && withCap(Some("0"))(got) == want
       }
     }
 
@@ -85,10 +97,13 @@ object StarCCProps extends Properties("connectedComponentsStar") {
     forAll(genExtremeGraph) { pairs =>
       pairs.isEmpty || {
         import spark.implicits._
-        val got = graft.ops.Dedup.connectedComponentsStar(
+        def got = graft.ops.Dedup.connectedComponentsStar(
             pairs.toDF("idA", "idB"), "idA", "idB")
           .as[(Long, Long)].collect().toMap
-        got == unionFind(pairs)
+        val want = unionFind(pairs)
+        // the id-sum potential overflow under test lives on the
+        // DISTRIBUTED path; check the driver path rides along unharmed
+        withCap(Some("0"))(got) == want && withCap(None)(got) == want
       }
     }
 
@@ -102,10 +117,11 @@ object StarCCProps extends Properties("connectedComponentsStar") {
     forAll(genGraph) { pairs =>
       pairs.isEmpty || {
         import spark.implicits._
-        val got = graft.ops.Dedup.connectedComponents(
+        def got = graft.ops.Dedup.connectedComponents(
             pairs.toDF("idA", "idB"), "idA", "idB", maxIters = 64)
           .as[(Long, Long)].collect().toMap
-        got == unionFind(pairs)
+        val want = unionFind(pairs)
+        withCap(None)(got) == want && withCap(Some("0"))(got) == want
       }
     }
 }
