@@ -71,9 +71,16 @@ object Budget {
       .agg(sum(col("__w")).as("__bsum"))
     // the one sequential step: a running sum over #buckets rows
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    // materialize the bucket-count-row offsets frame: its derivation
+    // embeds the WHOLE input subtree, so without this every composed
+    // stage re-evaluated its upstream twice (main branch + offsets
+    // branch) — exponential in chain depth (d_pipeline_pack re-planned
+    // the documents scan 12×, r20 plan audit). Checkpointed, each stage
+    // costs upstream twice total and composition is linear.
     val offsets = bucketSums
       .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
       .select("__b", "__off")
+      .localCheckpoint()
     val wIn = Window.partitionBy("__b").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), "__b")

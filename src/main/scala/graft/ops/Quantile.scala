@@ -79,10 +79,15 @@ object Quantile {
     // BigDecimal.valueOf(frac) is the shortest decimal that parses back to
     // the same double — the same text a caller wrote, made exact
     val k = ceil(lit(BigDecimal.valueOf(frac)) * col("__n"))
+    // materialize the 1-row cutoff: its derivation embeds the whole
+    // input subtree, and the gate's filter join would otherwise carry a
+    // second copy of the upstream plan (the Budget.runningTotals
+    // exponential-composition lesson, r20)
     hist.withColumn("__cum", sum("__c").over(wCum))
       .crossJoin(broadcast(tot))
       .where(col("__cum") >= k && col("__nd") > 0)
       .agg(max("__v").as("__cut"))
+      .localCheckpoint()
   }
 
   /** Per-group EXACT quantiles over a QUANTIZED value — the length/score
@@ -110,8 +115,12 @@ object Quantile {
         raise_error(lit(s"groupQuantiles: null $valueCol — exclude or " +
           "coalesce upstream; a silent skip would shrink n")))
       .otherwise(col(valueCol))
+    // histogram-sized (cardinality-bounded) and consumed twice (totals
+    // branch + the cumulative window) — materialize so the corpus scan
+    // underneath runs once (the topFractionCutoff rule)
     val hist = df.groupBy(col(groupCol).as("__gq_g"), v.as("__gq_v"))
       .agg(count(lit(1)).as("__gq_c"))
+      .localCheckpoint()
     val wCum = Window.partitionBy("__gq_g").orderBy("__gq_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.groupBy("__gq_g")
@@ -170,11 +179,14 @@ object Quantile {
           lit(s"curriculumPhases: $scoreCol has "), col("__nd").cast("string"),
           lit(s" distinct values (> $maxDistinct); quantize the score first")))
         ).otherwise(col("__nd")).as("__nd"))
+    // materialized like topFractionCutoff's frame and for the same
+    // reason: the ≤ maxDistinct-row phase map embeds the input subtree
     val mapped = hist.withColumn("__cum", sum("__c").over(wCum))
       .crossJoin(broadcast(tot))
       .where(col("__nd") > 0)
       .select(col("__v"),
         expr(s"CAST((__cum * $phases + __n - 1) DIV __n AS INT)").as("phase"))
+      .localCheckpoint()
     df.join(broadcast(mapped), col(scoreCol) === col("__v")).drop("__v")
   }
 
@@ -211,7 +223,9 @@ object Quantile {
           "semantics require non-null scores; filter nulls explicitly first")))
       .otherwise(col(scoreCol))
     // frac = 1 must keep everything: percentile 0 of the sketch is the min
+    // (1-row frame materialized — the topFractionCutoff rule)
     val cut = df.agg(approx_percentile(v, lit(1.0 - frac), lit(accuracy)).as("__cut"))
+      .localCheckpoint()
     df.join(broadcast(cut), v >= col("__cut")).drop("__cut")
   }
 }

@@ -150,8 +150,16 @@ object Sketch {
     // distinct hashes — n_exact is exact, the position set is exactly
     // what the persisted per-shard sketches carry, and no second
     // distinct pass is needed
+    // checkpoint: three consumers (exact count, bucket histogram, the
+    // survivor cut) each re-planned the scan+explode+distinct — their
+    // differing downstream aggregates defeat exchange-reuse
+    // canonicalization, so the corpus pass ran THREE times (r20 plan
+    // audit: 3 identical `Scan parquet`+Generate subtrees, zero
+    // ReusedExchange). The materialized frame is the distinct-position
+    // set — sketch-input-sized, far below the raw corpus.
     val dm = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h"))
       .select(col("__kv_g"), mixedExpr.as("__kv_m")).distinct()
+      .localCheckpoint()
     val exact = dm.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
     // integer bucket id (DIV, not double /): positions exceed 2^53, so
     // double division would round; DIV keeps the bucket function exact

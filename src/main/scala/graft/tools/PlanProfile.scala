@@ -71,6 +71,7 @@ object PlanProfile {
       // plan text first (cheap, no execution)
       Files.writeString(Paths.get(outDir, s"$name.txt"),
         df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      if (passes == 0) println(s"[profile] $name plan-only")
       var bestSec = Double.MaxValue
       var bestProfile = ""
       for (p <- 1 to passes) {
@@ -88,8 +89,10 @@ object PlanProfile {
         println(f"[profile] $name pass $p: $sec%.3f s, $njobs jobs")
         if (sec < bestSec) { bestSec = sec; bestProfile = prof + s"\n  total ${f"$sec%.3f"} s, $njobs jobs" }
       }
-      Files.writeString(Paths.get(outDir, s"$name.profile.txt"), bestProfile + "\n")
-      println(s"[profile] $name best ${f"$bestSec%.3f"} s -> $outDir/$name.profile.txt")
+      if (passes > 0) {
+        Files.writeString(Paths.get(outDir, s"$name.profile.txt"), bestProfile + "\n")
+        println(s"[profile] $name best ${f"$bestSec%.3f"} s -> $outDir/$name.profile.txt")
+      }
     }
     spark.stop()
   }
