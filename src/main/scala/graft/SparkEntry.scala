@@ -992,10 +992,15 @@ object SparkEntry {
           unix_seconds(col("ts").cast("timestamp")).as("tsSec"))
         .select(col("user_id"), expr("tsSec DIV 86400L").as("d"))
       val f = e.groupBy("user_id").agg(min("d").as("d0"))
+      // materialized: the cohort-size branch and the retention groupBy
+      // each re-planned the events scan + first-touch join (4 scans of
+      // the events table in one plan, r20 audit); w is (user × week)
+      // distinct rows, ≪ events
       val w = e.join(f, "user_id")
         .select(col("user_id"), expr("d0 DIV 7L").as("cohort_week"),
           expr("(d - d0) DIV 7L").as("week_offset"))
         .distinct()
+        .localCheckpoint()
       val cs = w.where(col("week_offset") === 0)
         .groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
       w.groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
@@ -1020,6 +1025,8 @@ object SparkEntry {
         .where(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // 25-row matrix; totals + join re-planned the
+                           // events window chain twice without it (r20)
       val totals = pairs.groupBy("prev_type").agg(sum("n").as("n_prev"))
       pairs.join(totals, "prev_type")
         .select(col("prev_type"), col("next_type"), col("n"),
@@ -1659,15 +1666,29 @@ object SparkEntry {
       // construction, so the union closure equals three separate
       // closures), collapsing three driver-paced iterative CC loops into
       // one — measured 12.0 s -> the union form on the same fixtures
-      val modalities: Seq[(String, Long, DataFrame)] = Seq(
-        ("image", 0L, ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
-          .localCheckpoint()), // decode ONCE per modality: the pair
-        ("audio", 1L << 40,    // self-join + the n_assets agg rescan the
-          ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir)) // frame
+      // decode ONCE per modality (the pair self-join + the n_assets agg
+      // rescan the frame), and build the three checkpoints CONCURRENTLY
+      // (guide §2.6): the three eager decode jobs are independent and
+      // previously ran one after another at construction
+      val modalityDefs: Seq[(String, Long, () => DataFrame)] = Seq(
+        ("image", 0L,
+          () => ops.Multimodal.imageHashes(imageDedupAssetTable(s, dir))
             .localCheckpoint()),
-        ("video", 2L << 40, ops.Multimodal.videoHashes(
+        ("audio", 1L << 40,
+          () => ops.Multimodal.audioHashes(audioDedupAssetTable(s, dir))
+            .localCheckpoint()),
+        ("video", 2L << 40, () => ops.Multimodal.videoHashes(
           ops.Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))
           .localCheckpoint()))
+      val mpool = java.util.concurrent.Executors.newFixedThreadPool(modalityDefs.size)
+      val modalities: Seq[(String, Long, DataFrame)] = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(mpool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(modalityDefs.map { case (n, off, f) =>
+            scala.concurrent.Future((n, off, f()))
+          }), scala.concurrent.duration.Duration(10, "min"))
+      } finally mpool.shutdown()
       // the band arithmetic is only sound for ids inside one 2^40 band —
       // enforce it (guard-before-use), don't assume it
       def banded(c: org.apache.spark.sql.Column, off: Long): org.apache.spark.sql.Column =
@@ -2839,21 +2860,43 @@ object SparkEntry {
       def lbl(name: String, df: DataFrame) =
         df.select(lit(name).as("critA"), col("idA").cast("long").as("idA"),
           col("idB").cast("long").as("idB"))
-      val all = lbl("cdc", ops.Dedup.cdcPairs(docs, "doc_id", "text",
-          k = 16, maskBits = 6, maxDf = 50, minShared = 2))
-        .unionByName(lbl("minhash", ops.Dedup.minhashLshPairs(docs, "doc_id",
-          "text", numHashes = 32, bands = 8, threshold = 0.3)))
-        .unionByName(lbl("simhash", {
+      // the four criteria construct CONCURRENTLY (guide §2.6: overlap
+      // independent jobs): each pair kernel now materializes its
+      // fingerprint stream eagerly (r20), and building them one after
+      // another serialized four independent scan jobs that previously
+      // overlapped as branches of the single union plan — measured
+      // 4.6 → 8.0 s on this row before this fix, back under it after.
+      // Results are order-independent (the union is unordered input to
+      // a groupBy); job descriptions are thread-local so the UI stays
+      // attributable.
+      val defs: Seq[(String, () => DataFrame)] = Seq(
+        ("cdc", () => ops.Dedup.cdcPairs(docs, "doc_id", "text",
+          k = 16, maskBits = 6, maxDf = 50, minShared = 2)),
+        ("minhash", () => ops.Dedup.minhashLshPairs(docs, "doc_id",
+          "text", numHashes = 32, bands = 8, threshold = 0.3)),
+        ("simhash", () => {
           // the same corpus-sized combo blocking as d_dedup_simhash
           // (lossless, so the criterion's pair set is unchanged)
           val k = ops.Dedup.hammingComboWidth(docCount(s, dir),
             maxHamming = 3, bits = 31)
           ops.Dedup.simhashPairs(docs, "doc_id", "text",
             maxHamming = 3, blocks = 3 + k, comboWidth = k)
-        }))
-        .unionByName(lbl("winnow", ops.Dedup.winnowedPassagePairs(docs,
+        }),
+        ("winnow", () => ops.Dedup.winnowedPassagePairs(docs,
           "doc_id", "text", k = 30, w = 10, maxDf = 50, minShared = 2)))
-        .localCheckpoint()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(defs.size)
+      val all = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = defs.map { case (n, f) =>
+          scala.concurrent.Future(lbl(n, f()))
+        }
+        scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration(10, "min"))
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+      } finally pool.shutdown()
       all
         .join(all.select(col("critA").as("critB"), col("idA"), col("idB")),
           Seq("idA", "idB"))

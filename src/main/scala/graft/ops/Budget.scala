@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Global prefix sums over a totally-ordered corpus — admission budgets
   * ("take documents in id order until the token budget is spent") and
@@ -80,7 +81,7 @@ object Budget {
     val offsets = bucketSums
       .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
       .select("__b", "__off")
-      .localCheckpoint()
+      .materialized
     val wIn = Window.partitionBy("__b").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), "__b")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -161,9 +162,12 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.3,
   ): DataFrame =
+    // banded frame checkpointed: the pair join's two sides each embedded
+    // the scan + shingle + minhash-signature kernel (r20 audit) — the
+    // same shared-banded-frame rule dedupIncrementalMinhash already uses
     minhashPairsFromBanded(
-      bandedMinhash(docs, idCol, textCol, numHashes, bands), numHashes,
-      threshold)
+      bandedMinhash(docs, idCol, textCol, numHashes, bands).materialized,
+      numHashes, threshold)
 
   /** Within-set pairing over a pre-banded frame ([[bandedMinhash]] shape) —
     * split out so [[dedupIncrementalMinhash]] can share one checkpointed
@@ -373,9 +377,14 @@ object Dedup {
       blocks: Int = 4,
       comboWidth: Int = 1, // size with [[hammingComboWidth]] at scale
   ): DataFrame = {
+    // materialize the (id, sim) signatures: the blocked self-join's two
+    // sides each embedded the scan + simhash kernel (r20 audit) — the
+    // media twins already checkpoint their decoded hash frames for the
+    // same reason
     val sims = ensureParallelism(docs)
       .select(col(idCol).as("id"), TextFunctions.simhash31(col(textCol)).as("sim"))
       .where(col("sim") >= 0) // -1 marks no-word docs
+      .materialized
     pairsFromSimhash(sims, maxHamming, blocks, comboWidth)
   }
 
@@ -1349,9 +1358,13 @@ object Dedup {
       minShared: Int = 2): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // materialize the fingerprint stream: the df prune and BOTH pair-join
+    // sides each embedded the scan + char-window hash kernel — the corpus
+    // was fingerprinted 3× in one plan (r20 audit); (id, h) int rows only
     val exploded = ensureParallelism(docs)
       .select(col(idCol).as("id"),
         explode(TextFunctions.passage_hashes(col(textCol), window, stride)).as("h"))
+      .materialized
     val rare = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf)).select("h")
     val pruned = exploded.join(rare, Seq("h"))
@@ -1385,11 +1398,13 @@ object Dedup {
       minShared: Int = 2): DataFrame = {
     require(k > 0 && w > 0, s"k/w must be positive: $k/$w")
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // materialized like repeatedPassagePairs' stream, same 3× reason
     val exploded = ensureParallelism(docs)
       .select(col(idCol).as("id"),
         explode(TextFunctions.winnow_hashes(col(textCol), k, w)).as("f"))
       .select(col("id"), col("f").getField("h").as("h"))
       .distinct()
+      .materialized
     val rare = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf)).select("h")
     val pruned = exploded.join(rare, Seq("h"))
@@ -1429,11 +1444,14 @@ object Dedup {
       textCol: String, k: Int = 30, w: Int = 10, maxDf: Int = 50,
       minShared: Int = 2): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // materialized: the union-df prune and the probe join both embedded
+    // the batch fingerprint kernel (the winnowedPassagePairs rule)
     val bf = ensureParallelism(batch)
       .select(col(idCol).as("__wi_bid"),
         explode(TextFunctions.winnow_hashes(col(textCol), k, w)).as("f"))
       .select(col("f").getField("h").as("h"), col("__wi_bid"))
       .distinct()
+      .materialized
     val df = bf.select(col("h"))
       .union(index.select(col("h")))
       .groupBy("h").agg(count(lit(1)).as("__wi_df"))
@@ -1871,8 +1889,11 @@ object Dedup {
       minShared: Int = 2): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    // materialized: the df prune and both pair-join sides each embedded
+    // the rolling-hash chunking kernel (the repeatedPassagePairs rule)
     val exploded = cdcChunks(docs, idCol, textCol, k, maskBits)
       .select(col("id"), col("h"), col("len")).distinct()
+      .materialized
     val rare = exploded.groupBy("h", "len").agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2, maxDf)).select("h", "len")
     val pruned = exploded.join(rare, Seq("h", "len"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Exact corpus-wide quantile gates over QUANTIZED scores — "keep the top
   * 25% of documents by quality score". `approx_percentile` would be the
@@ -87,7 +88,7 @@ object Quantile {
       .crossJoin(broadcast(tot))
       .where(col("__cum") >= k && col("__nd") > 0)
       .agg(max("__v").as("__cut"))
-      .localCheckpoint()
+      .materialized
   }
 
   /** Per-group EXACT quantiles over a QUANTIZED value — the length/score
@@ -120,7 +121,7 @@ object Quantile {
     // underneath runs once (the topFractionCutoff rule)
     val hist = df.groupBy(col(groupCol).as("__gq_g"), v.as("__gq_v"))
       .agg(count(lit(1)).as("__gq_c"))
-      .localCheckpoint()
+      .materialized
     val wCum = Window.partitionBy("__gq_g").orderBy("__gq_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.groupBy("__gq_g")
@@ -186,7 +187,7 @@ object Quantile {
       .where(col("__nd") > 0)
       .select(col("__v"),
         expr(s"CAST((__cum * $phases + __n - 1) DIV __n AS INT)").as("phase"))
-      .localCheckpoint()
+      .materialized
     df.join(broadcast(mapped), col(scoreCol) === col("__v")).drop("__v")
   }
 
@@ -225,7 +226,7 @@ object Quantile {
     // frac = 1 must keep everything: percentile 0 of the sketch is the min
     // (1-row frame materialized — the topFractionCutoff rule)
     val cut = df.agg(approx_percentile(v, lit(1.0 - frac), lit(accuracy)).as("__cut"))
-      .localCheckpoint()
+      .materialized
     df.join(broadcast(cut), v >= col("__cut")).drop("__cut")
   }
 }

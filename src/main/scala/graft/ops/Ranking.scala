@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Corpus ranking / keyword-extraction operators: BM25 full-text scoring
   * and per-document TF-IDF keywords — the retrieval half of a training-
@@ -45,12 +46,19 @@ object Ranking {
     require(query.nonEmpty, "bm25: empty query")
     val ws = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.words(col(textCol)).as("ws"))
+    // materialize the two NARROW projections of the word stream: the
+    // stats/df_/scored branches each embedded the scan + words kernel, so
+    // one corpus tokenization ran 4× in one plan (r20 audit). dl is
+    // (doc_id, int); tf is term-filtered — both ≪ the word arrays, and
+    // every downstream branch now reads them instead of re-tokenizing.
     val dl = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+      .materialized
     // corpus-level constants as a 1-row broadcast frame (no collect)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = ws.select(col("doc_id"), explode(col("ws")).as("t"))
       .where(col("t").isInCollection(query))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .materialized
     val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -151,11 +159,15 @@ object Ranking {
     val terms = qterms.select("t").distinct()
     val ws = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.words(col(textCol)).as("ws"))
+    // narrow-projection materialization — see bm25: one corpus
+    // tokenization instead of four
     val dl = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+      .materialized
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = ws.select(col("doc_id"), explode(col("ws")).as("t"))
       .join(broadcast(terms), "t")
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .materialized
     val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -187,9 +199,12 @@ object Ranking {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       topPerDoc: Int = 3, saltBuckets: Int = 32): DataFrame = {
+    // materialized: the df_ branch re-embedded the scan + tokenization +
+    // the (doc, term) aggregate — the whole tf pass ran twice (r20 audit)
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(TextAnalysis.words(col(textCol))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .materialized
     val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     // the df join is term-keyed — a hub term (stopword-like) concentrates

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Deterministic distinct-count sketching — KMV (k-minimum-values).
   *
@@ -159,7 +160,7 @@ object Sketch {
     // set — sketch-input-sized, far below the raw corpus.
     val dm = df.select(col(groupCol).as("__kv_g"), h.as("__kv_h"))
       .select(col("__kv_g"), mixedExpr.as("__kv_m")).distinct()
-      .localCheckpoint()
+      .materialized
     val exact = dm.groupBy("__kv_g").agg(count(lit(1)).as("n_exact"))
     // integer bucket id (DIV, not double /): positions exceed 2^53, so
     // double division would round; DIV keeps the bucket function exact

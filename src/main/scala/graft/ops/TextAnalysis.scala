@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language-ID (stopword-hit heuristic), quality scoring, token counting,
@@ -151,7 +152,12 @@ object TextAnalysis {
       textCol: String = "text", saltBuckets: Int = 32): DataFrame = {
     val tokens = df
       .select(col(idCol).as("__id"), explode(words(col(textCol))).as("w"))
+    // vocab-bounded count table materialized: the join side and the total
+    // each embedded the scan + tokenization, so the corpus tokenized 3×
+    // in one plan (r20 audit; the bigramSurprisal fix's cheaper sibling —
+    // here only the count table is stored, the token stream stays lazy)
     val counts = tokens.groupBy("w").agg(count(lit(1)).as("__c"))
+      .materialized
     val total = counts.agg(sum("__c").as("__n"))
     // per-word ln values accumulate with DECIMAL(38,18) semantics on the
     // split-int64 fast path (functions.DecimalSumOps): a plain double
@@ -189,7 +195,14 @@ object TextAnalysis {
     */
   def bigramSurprisal(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", saltBuckets: Int = 32): DataFrame = {
+    // materialize the tokenization and the bigram stream: the four count/
+    // stream branches (uni, bgc, pc, stream) each embedded the scan +
+    // words kernel — one plan tokenized the corpus 4× and exploded
+    // bigrams 3× (r20 audit). One tokenize + one explode now feed all
+    // consumers; the stored frames are the token/bigram streams the
+    // branches would each have rebuilt anyway.
     val toks = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+      .materialized
     val uni = toks.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__cu"))
     val total = uni.agg(sum("__cu").as("__n"))
@@ -199,6 +212,7 @@ object TextAnalysis {
         i => struct(element_at(col("__ws"), i).as("w1"),
           element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
       .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .materialized
     val bgc = bg.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__cb"))
     val pc = bg.groupBy(col("__w1").as("__pw")).agg(count(lit(1)).as("__cp"))
@@ -243,9 +257,13 @@ object TextAnalysis {
     */
   def sourceDivergence(df: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // (source × vocab)-bounded count table materialized: cw/ns/total and
+    // the KL join all derive from it, and each branch otherwise embeds
+    // the scan + tokenization (the unigramSurprisal counts rule)
     val sw = df.select(col(sourceCol).as("__src"),
         explode(words(col(textCol))).as("w"))
       .groupBy("__src", "w").agg(count(lit(1)).as("__csw"))
+      .materialized
     val cw = sw.groupBy("w").agg(sum("__csw").as("__cw"))
     val total = cw.agg(sum("__cw").as("__n"))
     val ns = sw.groupBy("__src").agg(sum("__csw").as("__ns"))
@@ -430,10 +448,14 @@ object TextAnalysis {
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
+    // materialize the distinct (source, shingle) frame: the sizes branch
+    // and BOTH self-join sides each embedded the scan + shingling +
+    // distinct — the corpus shingled 3× in one plan (r20 audit)
     val sh = docs
       .select(col(sourceCol).as("src"),
         explode(graft.functions.TextFunctions.shingle_hashes(col(textCol))).as("sh"))
       .distinct()
+      .materialized
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("sh"), col("src").as("srcA"))
       .join(sh.select(col("sh"), col("src").as("srcB")), Seq("sh"))

@@ -19,6 +19,19 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Build/inspect a plan with derived-frame materialization OFF
+    * (spark.graft.materialize=false, the [[graft.ops.Materialize]] gate):
+    * the shape pins below assert the derived frames' LOGICAL structure
+    * (aggregate-fed single-partition windows, guards on the broadcast
+    * side), which the default eager checkpoint hides behind a
+    * `Scan ExistingRDD` — the structure still executes, inside the
+    * checkpoint's own job. A separate pin holds the default ON.
+    */
+  private def withoutMaterialize[A](body: => A): A = {
+    spark.conf.set("spark.graft.materialize", "false")
+    try body finally spark.conf.unset("spark.graft.materialize")
+  }
+
   test("engine filter query pushes predicates into the parquet scan") {
     val p = planOf("e_filter_compare")
     assert(p.contains("PushedFilters:") &&
@@ -118,7 +131,10 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("native hash kernels stay inside whole-stage codegen (no fallback)") {
-    val df = SparkEntry.queries("d_dedup_simhash")(spark, dir)
+    // materialization off: the simhash31 projection otherwise runs in
+    // the signature checkpoint's own job and the inspected plan would
+    // only show its ExistingRDD scan
+    val df = withoutMaterialize(SparkEntry.queries("d_dedup_simhash")(spark, dir))
     df.collect() // materialize so AQE finalizes and codegen stars render
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -562,8 +578,9 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val plan = nonAdaptivePlan(graft.ops.Budget.globalRunningBudget(
-      docs, "doc_id", "n_chars", budget = 60000L, bucketWidth = 64))
+    val plan = withoutMaterialize(nonAdaptivePlan(
+      graft.ops.Budget.globalRunningBudget(
+        docs, "doc_id", "n_chars", budget = 60000L, bucketWidth = 64)))
     val singles = plan.collect {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
     // exactly one — the offsets window over #buckets rows; the naive form
@@ -579,7 +596,8 @@ class PlanQualitySpec extends AnyFunSuite {
   test("composed full pipeline keeps every stage's plan shape in one query") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    val plan = nonAdaptivePlan(SparkEntry.queries("d_pipeline_full")(spark, dir))
+    val plan = withoutMaterialize(
+      nonAdaptivePlan(SparkEntry.queries("d_pipeline_full")(spark, dir)))
     val p = plan.toString
     // decontamination still broadcasts the bench shingles inside the
     // composition, and nothing degenerated to a cartesian
@@ -659,8 +677,8 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), (col("n_chars") % 100).as("score"))
-    val plan = nonAdaptivePlan(
-      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25))
+    val plan = withoutMaterialize(nonAdaptivePlan(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25)))
     val singles = plan.collect {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e }
     // the cutoff window's input must be the histogram aggregate, never rows
@@ -685,8 +703,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // inside the single-partition exchange's subtree
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), (col("n_chars") % 100).as("score"))
-    val plan = nonAdaptivePlan(
-      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25))
+    val plan = withoutMaterialize(nonAdaptivePlan(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25)))
     val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
     assert(bcasts.exists(_.toString.contains("distinct values")),
       plan.toString.take(3000))
@@ -695,6 +713,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(singles.nonEmpty)
     singles.foreach(e => assert(!e.toString.contains("distinct values"),
       e.toString.take(2000)))
+  }
+
+  test("derived-frame materialization is ON by default (r20): cutoff/offsets pre-computed") {
+    import org.apache.spark.sql.functions.col
+    // under the default conf the quantile cutoff and the budget offsets
+    // arrive as pre-materialized checkpoint scans — the main plan carries
+    // ONE copy of the corpus subtree instead of one per branch (the
+    // exponential-composition fix); values are pinned identical to the
+    // gate-off shape by the oracle rows and DecimalSumSpec-style suites
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") % 100).as("score"), col("n_chars"))
+    val gated = nonAdaptivePlan(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25)).toString
+    assert(gated.contains("ExistingRDD"), gated.take(3000))
+    val budgeted = nonAdaptivePlan(graft.ops.Budget.globalRunningBudget(
+      docs, "doc_id", "n_chars", budget = 60000L, bucketWidth = 64)).toString
+    assert(budgeted.contains("ExistingRDD"), budgeted.take(3000))
+    // and the off-gate round-trips: same rows either way
+    val on = graft.ops.Quantile.selectTopFraction(docs, "score", 0.25)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val off = withoutMaterialize(
+      graft.ops.Quantile.selectTopFraction(docs, "score", 0.25)
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(on == off)
   }
 
   test("pipeline_pack + mixture + curriculum: every single-partition stage consumes aggregates") {
