@@ -664,7 +664,17 @@ object Dedup {
         TextFunctions.shingle_hashes(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .select(col("id"), size(col("hs")).as("nsh"), explode(col("hs")).as("sh"))
+    // pin the bucket stage at the CONFIGURED shuffle width: AQE coalesces
+    // post-shuffle partitions by INPUT bytes, but this stage EXPANDS
+    // (bounded in-bucket pair emission, 4.5 MB in → 20.7 MB out at sf0.1)
+    // and is compute-dense per byte — byte-based coalescing funneled it
+    // into 4 tasks (1.1 s of the query, r20 profile). An explicit
+    // numbered repartition is exempt from AQE coalescing, and the width
+    // comes from spark.sql.shuffle.partitions — the same dial a cluster
+    // already sizes to its width — never a constant.
     val shared = ds
+      .repartition(ds.sparkSession.sessionState.conf.numShufflePartitions,
+        col("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("id"), col("nsh")))).as("es"))
       .where(size(col("es")).between(2, maxDf))
