@@ -2548,8 +2548,11 @@ object SparkEntry {
     "d_pipeline_full" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") < 25)
+      // analyze ONCE: the decontamination probe and the main chain each
+      // re-planned the scan + analysis kernels without this (r20 audit)
       val gated = ops.TextAnalysis.analyze(docs.where(col("doc_id") >= 25))
         .where(col("langGuess") === "en" && col("quality") >= 0.5)
+        .localCheckpoint()
       val dirty = ops.Decontaminate.overlap(gated, bench, "doc_id", "text",
         minShared = 2).select("doc_id")
       val clean = gated.join(dirty, Seq("doc_id"), "left_anti")
