@@ -2860,8 +2860,18 @@ object SparkEntry {
     "d_dedup_criteria_matrix" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .localCheckpoint()
-      def lbl(name: String, df: DataFrame) =
-        df.select(lit(name).as("critA"), col("idA").cast("long").as("idA"),
+      // criteria carry a BIT each (alphabetical order = the output's
+      // critA/critB order): the matrix aggregates per-pair criterion
+      // BITMASKS instead of self-joining the labeled pair union — each
+      // criterion emits a pair at most once (every kernel ends in a
+      // distinct/groupBy), so sum(bit) == bit_or and one map-side-combined
+      // aggregate replaces the (idA, idB)-keyed join exchange over the
+      // full pair union (guide §2.3 aggregate-before-shuffle; the r20
+      // collect_set rewrite failed because it built per-pair ARRAYS — a
+      // bit sum is a codegen long)
+      def lbl(bit: Int, df: DataFrame) =
+        df.select(lit(bit.toLong).as("critBit"),
+          col("idA").cast("long").as("idA"),
           col("idB").cast("long").as("idB"))
       // the four criteria construct CONCURRENTLY (guide §2.6: overlap
       // independent jobs): each pair kernel now materializes its
@@ -2891,20 +2901,32 @@ object SparkEntry {
       val all = try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val futures = defs.map { case (n, f) =>
-          scala.concurrent.Future(lbl(n, f()))
+        val futures = defs.zipWithIndex.map { case ((_, f), i) =>
+          scala.concurrent.Future(lbl(1 << i, f()))
         }
         scala.concurrent.Await
           .result(scala.concurrent.Future.sequence(futures),
             scala.concurrent.duration.Duration(10, "min"))
           .reduce(_ unionByName _)
-          .localCheckpoint()
       } finally pool.shutdown()
-      all
-        .join(all.select(col("critA").as("critB"), col("idA"), col("idB")),
-          Seq("idA", "idB"))
-        .where(col("critA") <= col("critB"))
-        .groupBy("critA", "critB").agg(count(lit(1)).as("n_common"))
+      // per-pair mask → per-mask count (≤ 2^4 − 1 rows) → expand to the
+      // (critA, critB) cells via a 10-row combo frame: n_common(a, b) =
+      // Σ over masks containing both bits. No row for an empty cell,
+      // exactly like the former inner self-join (r21 A/B, interleaved
+      // min-of-3 ×4 rounds: mask 3.37 s vs self-join 4.14 s best — and
+      // the union localCheckpoint the self-join needed is gone).
+      val maskCounts = all.groupBy("idA", "idB")
+        .agg(expr("bit_or(critBit)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+      val names = defs.map(_._1)
+      val combos = for {
+        i <- names.indices; j <- i until names.size
+      } yield (names(i), names(j), ((1L << i) | (1L << j)))
+      val comboDf = s.createDataFrame(combos).toDF("critA", "critB", "bits")
+      maskCounts
+        .join(broadcast(comboDf),
+          col("mask").bitwiseAND(col("bits")) === col("bits"))
+        .groupBy("critA", "critB").agg(sum(col("n")).as("n_common"))
         .orderBy("critA", "critB")
     },
     // ---- the criterion's removal closure: pairs -> star-CC -> LEFT ANTI,
