@@ -444,6 +444,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** [[rescoreTopK]] over candidates that ALREADY carry the corpus vector
+    * (`qid, cid, vec`) — the persisted-layout serves: their probed-cell
+    * scan has `vec` in hand, so re-joining the store by cid (a second
+    * directory read plus an exchange) is pure waste (r21, guide §2.4).
+    * Same cosine formula, rounding and ties as [[rescoreTopK]].
+    */
+  private def rescoreTopKWithVec(cand: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val scored = cand
+      .join(prep(queries, "qid"), "qid")
+      .withColumn("cid_v", transform(col("vec"), _.cast("double")))
+      .select(col("qid"), col("cid"),
+        round(dot_product(col("qid_v"), col("cid_v")) /
+          (col("qid_n") * norm(col("cid_v"))), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * Exact; the oracle baseline. Corpus is broadcast (small side); per-side
     * norms are precomputed.
@@ -640,9 +658,12 @@ object Similarity {
     val cent = centroids.getOrElse(seededCentroids(c, nCells))
     val assigned = nearestCells(c, "cid", cent, keep = 1)
     val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = nProbe)
+    // keep=1 assignment puts each cid in exactly one cell and the probe
+    // window emits distinct (qid, centId) rows, so pairs are already
+    // unique — the ivfPqTopK argument; no distinct() exchange (r21)
     val cand = probed.join(assigned, "centId")
       .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
     rescoreTopK(cand, queries, corpus, k)
   }
 
@@ -663,7 +684,15 @@ object Similarity {
     val assigned = nearestCells(c, "cid", cent, keep = 1)
     corpus.join(assigned, "cid")
       .write.partitionBy("centId").parquet(s"$path/cells")
-    cent.write.parquet(s"$path/centroids")
+    // stamp the cell count into the centroid table's schema metadata
+    // (the writeSq8Index convention): nlist IS build-time metadata, and
+    // the stamp lets the serve size its probe policy with a schema read
+    // instead of a count job over the centroid table (r21)
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.nlist", cent.count()).build()
+    cent.select(col("centId").as("centId", stamp), col("cent_v"),
+        col("cent_n"))
+      .write.parquet(s"$path/centroids")
   }
 
   /** Query a [[writeIvfIndex]] layout: probe the nProbe nearest cells per
@@ -680,17 +709,28 @@ object Similarity {
       k: Int = 10, nProbe: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$path/centroids")
-    val np = if (nProbe == -1) nprobeForCells(cent.count().toInt) else nProbe
+    val np =
+      if (nProbe != -1) nProbe
+      else {
+        // nlist from the build-time schema stamp — zero jobs (r21); a
+        // pre-r21 unstamped index falls back to the old count job
+        val md = cent.schema("centId").metadata
+        if (md.contains("graft.nlist"))
+          nprobeForCells(md.getLong("graft.nlist").toInt)
+        else nprobeForCells(cent.count().toInt)
+      }
     val probed = nearestCells(prep(queries, "qid"), "qid", cent, keep = np)
     val cells = spark.read.parquet(s"$path/cells")
     // restrict once to the union of probed cells (per-query restriction
-    // happens in the candidate join); reused for the rescore vector join
-    // so neither pass touches an unprobed directory
+    // happens in the candidate join) — the one store read: candidates
+    // carry `vec` straight from this scan into the rescore (r21; the
+    // former shape re-joined the store by cid for the vectors and
+    // distinct()-ed pairs that keep=1 assignment already made unique)
     val probedCells = cells.join(broadcast(probed.select("centId").distinct()), "centId")
     val cand = probedCells.join(probed, "centId")
       .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    rescoreTopK(cand, queries, probedCells.select(col("cid"), col("vec")), k)
+      .select(col("qid"), col("cid"), col("vec"))
+    rescoreTopKWithVec(cand, queries, k)
   }
 
   // --------------------------------------------------------------------
@@ -983,7 +1023,19 @@ object Similarity {
         struct(col("csim"), (-col("centId")).as("negId"))).as("centId"))
     corpus.join(assigned, "cid")
       .write.partitionBy("shard", "centId").parquet(s"$path/cells")
-    cent.write.parquet(s"$path/centroids")
+    // stamp the probe-policy integers into the centroid table's schema
+    // metadata too (the writeSq8Index convention): the serve sizes its
+    // probe with a schema read instead of a one-row meta job (r21). The
+    // meta dataset still persists — it is the layout's documented
+    // presence marker (serve raises without it) and the fallback for
+    // readers of pre-r21 indexes.
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.nShards", nShards.toLong)
+      .putLong("graft.perShardCells", nc.toLong)
+      .putLong("graft.corpusCount", n).build()
+    cent.select(col("shard"), col("centId").as("centId", stamp),
+        col("cent_v"), col("cent_n"))
+      .write.parquet(s"$path/centroids")
     Seq((nShards, nc, n)).toDF("nShards", "perShardCells", "corpusCount")
       .coalesce(1).write.parquet(s"$path/meta")
   }
@@ -1005,14 +1057,23 @@ object Similarity {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
       s"sharded IVF index at $path has no meta stamp — rebuild with writeIvfIndexSharded")
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("perShardCells").cast("int"), col("nShards").cast("int"))
-      .head()
-    val nShards = meta.getInt(1)
+    val cent = spark.read.parquet(s"$path/centroids")
+    // probe-policy integers from the centroid schema stamp — zero jobs
+    // (r21); a pre-r21 index falls back to the one-row meta read
+    val md = cent.schema("centId").metadata
+    val (perShardCells, nShards) =
+      if (md.contains("graft.perShardCells"))
+        (md.getLong("graft.perShardCells").toInt,
+          md.getLong("graft.nShards").toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta")
+          .select(col("perShardCells").cast("int"), col("nShards").cast("int"))
+          .head()
+        (meta.getInt(0), meta.getInt(1))
+      }
     val np =
       if (nProbe != -1) nProbe
-      else nprobeShardedForCells(meta.getInt(0), nShards)
-    val cent = spark.read.parquet(s"$path/centroids")
+      else nprobeShardedForCells(perShardCells, nShards)
     // global allocation over the union of per-shard cells — must match
     // ivfShardedTopK's router exactly (r20; see the rationale there)
     val w = Window.partitionBy(col("qid"))
@@ -1025,15 +1086,18 @@ object Similarity {
       .where(col("rn") <= nShards.toLong * np)
       .select(col("qid"), col("shard"), col("centId"))
     val cells = spark.read.parquet(s"$path/cells")
-    // restrict once to the union of probed (shard, cell) directories;
-    // reused for the rescore vector join (the ivfTopKIndexed shape)
+    // restrict once to the union of probed (shard, cell) directories —
+    // the one store read: candidates carry `vec` straight from this scan
+    // into the rescore, and keep=1 per-shard assignment + the distinct
+    // probe window make (qid, cid) pairs unique without a distinct()
+    // (the ivfTopKIndexed shape, r21)
     val probedCells = cells.join(
       broadcast(probed.select("shard", "centId").distinct()),
       Seq("shard", "centId"))
     val cand = probedCells.join(probed, Seq("shard", "centId"))
       .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    rescoreTopK(cand, queries, probedCells.select(col("cid"), col("vec")), k)
+      .select(col("qid"), col("cid"), col("vec"))
+    rescoreTopKWithVec(cand, queries, k)
   }
 
   /** Product-quantization (PQ/ADC) ANN: compress each corpus vector to `m`
@@ -1225,7 +1289,16 @@ object Similarity {
     val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCodeForCorpus(n)))
     pqEncode(c, cbSub, m, subDim).write.parquet(s"$path/codes")
     corpus.select(col("cid"), col("vec")).write.parquet(s"$path/vectors")
-    cbSub.write.parquet(s"$path/codebook")
+    // schema-metadata stamp on the codebook (the writeSq8Index
+    // convention): the serve reads its sizing integers with a schema
+    // read instead of a one-row meta job (r21); the meta dataset stays
+    // as the presence marker + pre-r21 fallback
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.corpusCount", n)
+      .putLong("graft.m", m.toLong)
+      .putLong("graft.subDim", subDim.toLong).build()
+    cbSub.select(col("s"), col("codeId").as("codeId", stamp), col("cb_sub"))
+      .write.parquet(s"$path/codebook")
     Seq((n, m, subDim)).toDF("corpusCount", "m", "subDim")
       .coalesce(1).write.parquet(s"$path/meta")
   }
@@ -1247,14 +1320,23 @@ object Similarity {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
       s"PQ index at $path has no meta stamp — rebuild with writePqIndex")
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("corpusCount").cast("long"), col("m").cast("int"),
-        col("subDim").cast("int")).head()
-    val (n, m, subDim) = (meta.getLong(0), meta.getInt(1), meta.getInt(2))
-    val rf = if (refine != -1) refine else refineForCandidates(n)
     val codes = spark.read.parquet(s"$path/codes")
     val vectors = spark.read.parquet(s"$path/vectors")
     val cbSub = spark.read.parquet(s"$path/codebook")
+    // sizing integers from the codebook schema stamp — zero jobs (r21);
+    // a pre-r21 index falls back to the one-row meta read
+    val cmd = cbSub.schema("codeId").metadata
+    val (n, m, subDim) =
+      if (cmd.contains("graft.corpusCount"))
+        (cmd.getLong("graft.corpusCount"), cmd.getLong("graft.m").toInt,
+          cmd.getLong("graft.subDim").toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta")
+          .select(col("corpusCount").cast("long"), col("m").cast("int"),
+            col("subDim").cast("int")).head()
+        (meta.getLong(0), meta.getInt(1), meta.getInt(2))
+      }
+    val rf = if (refine != -1) refine else refineForCandidates(n)
     val qTab = pqQueryTable(prep(queries, "qid"), cbSub, m, subDim)
     adcRefineRescore(None, qTab, codes,
       queries, vectors.select(col("cid"), col("vec")), k, rf)
@@ -1337,13 +1419,24 @@ object Similarity {
     val n = corpus.count()
     val cent = centroids.getOrElse(seededCentroids(c, nlistForCorpus(n)))
     val nlist = cent.count().toInt
-    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCodeForCorpus(n)))
+    val cbSub = codebook.getOrElse(seededCodebook(c, m, subDim, kCode = kCodeForCorpus(n)))
     val assigned = nearestCells(c, "cid", cent, keep = 1)
     pqEncode(c, cbSub, m, subDim).join(assigned, "cid")
       .write.partitionBy("centId").parquet(s"$path/codes")
     corpus.join(assigned, "cid")
       .write.partitionBy("centId").parquet(s"$path/vectors")
-    cent.write.parquet(s"$path/centroids")
+    // schema-metadata stamp on the centroid table (the writeSq8Index
+    // convention) so the serve sizes nprobe + refine with a schema read
+    // instead of a one-row meta job (r21); meta stays as the presence
+    // marker + pre-r21 fallback
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.corpusCount", n)
+      .putLong("graft.m", m.toLong)
+      .putLong("graft.subDim", subDim.toLong)
+      .putLong("graft.nlist", nlist.toLong).build()
+    cent.select(col("centId").as("centId", stamp), col("cent_v"),
+        col("cent_n"))
+      .write.parquet(s"$path/centroids")
     cbSub.write.parquet(s"$path/codebook")
     Seq((n, m, subDim, nlist)).toDF("corpusCount", "m", "subDim", "nlist")
       .coalesce(1).write.parquet(s"$path/meta")
@@ -1370,15 +1463,23 @@ object Similarity {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
       s"IVF-PQ index at $path has no meta stamp — rebuild with writeIvfPqIndex")
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("corpusCount").cast("long"), col("m").cast("int"),
-        col("subDim").cast("int"), col("nlist").cast("int")).head()
+    val cent = spark.read.parquet(s"$path/centroids")
+    // sizing integers from the centroid schema stamp — zero jobs (r21);
+    // a pre-r21 index falls back to the one-row meta read
+    val cmd = cent.schema("centId").metadata
     val (n, m, subDim, nlist) =
-      (meta.getLong(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+      if (cmd.contains("graft.corpusCount"))
+        (cmd.getLong("graft.corpusCount"), cmd.getLong("graft.m").toInt,
+          cmd.getLong("graft.subDim").toInt, cmd.getLong("graft.nlist").toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta")
+          .select(col("corpusCount").cast("long"), col("m").cast("int"),
+            col("subDim").cast("int"), col("nlist").cast("int")).head()
+        (meta.getLong(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+      }
     val np = if (nProbe != -1) nProbe else nprobeForCells(nlist)
     val rf = if (refine != -1) refine
       else refineForCandidates(expectedProbed(n, nlist, np))
-    val cent = spark.read.parquet(s"$path/centroids")
     val cbSub = spark.read.parquet(s"$path/codebook")
     val q = prep(queries, "qid")
     val probed = nearestCells(q, "qid", cent, keep = np)
@@ -1386,8 +1487,11 @@ object Similarity {
     // both data-sized reads prune to probed cell directories
     val codes = spark.read.parquet(s"$path/codes").join(probedCells, "centId")
     val vectors = spark.read.parquet(s"$path/vectors").join(probedCells, "centId")
+    // route against the VECTORS table's (cid, centId) projection — one
+    // row per cid by construction, so no distinct() exchange; the former
+    // shape distinct()-ed the codes table's m rows per cid (r21)
     val routed = probed
-      .join(codes.select("cid", "centId").distinct(), "centId")
+      .join(vectors.select("cid", "centId"), "centId")
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid")
     val qTab = pqQueryTable(q, cbSub, m, subDim)
