@@ -42,6 +42,15 @@ for i in $(seq 1 "$TRIES"); do
     echo "   attempt $i produced no BENCH_FULL.json (see /tmp/bench_clean_attempt$i.log)"
     continue
   fi
+  # one-line-JSON contract (r21 — VERDICT r20 item #5): the round driver
+  # parses the bench JSON from captured stdout, and r19's tail-truncated
+  # line silently cost the whole round-over-round comparison. Fail the
+  # attempt loudly when the run log carries no complete bench JSON line.
+  # (scripts/bench_json_contract_selftest.py pins both verdicts.)
+  if ! python3 scripts/bench_json_contract.py "/tmp/bench_clean_attempt$i.log"; then
+    echo "   attempt $i violated the one-line bench-JSON stdout contract (see /tmp/bench_clean_attempt$i.log)"
+    continue
+  fi
   first="" last="" total=""  # a failed read must not inherit the previous attempt's values
   read -r first last total <<< "$(python3 - <<'EOF'
 import json

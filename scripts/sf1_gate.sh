@@ -49,6 +49,35 @@ for row in "${ROWARR[@]}"; do
     || rc=1
 done
 
+# forced-cap-0 row (r21 — VERDICT r20 item #5): every closure at sf0.1
+# AND sf1.0 stays under the 2M-edge cap, so the distributed star-CC path
+# would otherwise be exercised only by unit tests. One gate row re-runs
+# the clusters_star closure with GRAFT_CC_LOCAL_EDGES=0 (distributed
+# path forced) and oracle-compares it under its own key, so a
+# distributed-path regression cannot hide behind the driver fast path.
+CAP0_ROW=${SF1_CAP0_ROW:-d_dedup_clusters_star}
+echo "== forced-cap-0 distributed-CC gate row: $CAP0_ROW"
+rm -rf "$OUT.cap0"
+GRAFT_CC_LOCAL_EDGES=0 SPARK_GRAFT_ONLY="$CAP0_ROW" \
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
+  sbt -batch "runMain graft.Verify $SF1 $OUT.cap0" \
+  || { echo "cap-0 Verify failed"; rc=1; }
+GRAFT_CHECK_ONLY="$CAP0_ROW" GRAFT_DUCKDB_MEM="$MEM" \
+  python3 scripts/check.py "$SF1" "$OUT.cap0" "/tmp/sf1_rows/__cap0.json" \
+  || rc=1
+python3 - "$CAP0_ROW" <<'EOF'
+import json, sys
+row = sys.argv[1]
+try:
+    j = json.load(open("/tmp/sf1_rows/__cap0.json"))
+    json.dump({f"{row}__cap0": j[row]}, open("/tmp/sf1_rows/__cap0.json", "w"))
+except Exception as e:
+    json.dump({f"{row}__cap0": {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "err": f"cap0 check produced no artifact: {e}"}},
+              open("/tmp/sf1_rows/__cap0.json", "w"))
+EOF
+
 python3 - "$TAG" "${ROWARR[@]}" <<'EOF'
 import json, sys
 tag, rows = sys.argv[1], sys.argv[2:]
@@ -60,6 +89,10 @@ for r in rows:
         merged[r] = {"rows_match": False, "schema_match": False,
                      "hash_match": False, "spark_rows": None,
                      "oracle_rows": None, "err": "check.py produced no artifact"}
+try:
+    merged.update(json.load(open("/tmp/sf1_rows/__cap0.json")))
+except FileNotFoundError:
+    pass
 out = f"CORRECTNESS_SF1_{tag}.json"
 json.dump(merged, open(out, "w"), indent=1, sort_keys=True)
 ok = sum(1 for v in merged.values()

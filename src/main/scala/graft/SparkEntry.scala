@@ -2604,8 +2604,15 @@ object SparkEntry {
     "d_pipeline_pack" -> { (s, dir) =>
       val gated = ops.TextAnalysis.analyze(t(s, dir, "documents"))
         .where(col("langGuess") === "en" && col("quality") >= 0.5)
+      // materialize the deduped 3-column projection (bounded, text-free —
+      // the d_pipeline_full rule, r21): the quantile cutoff, the budget
+      // offsets and the packing offsets each embed their upstream, so
+      // without this the analyze+dedup chain re-executed once per stage
+      // (2 surviving parquet scans in the r20-audited plan; 1 checkpoint
+      // job + 0 final-plan scans now)
       val deduped = ops.Dedup.exactDedup(gated, col("fingerprint"), "doc_id")
         .select(col("doc_id"), col("quality"), col("nTokensWs"))
+        .materialized
       val top = ops.Quantile.selectTopFraction(deduped, "quality", frac = 0.5)
       val admitted = ops.Budget.globalRunningBudget(top, "doc_id", "nTokensWs",
         budget = 20000L, bucketWidth = 64).drop("cum")

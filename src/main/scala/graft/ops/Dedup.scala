@@ -576,14 +576,41 @@ object Dedup {
     // pairing — without it the batch is re-scanned and re-hashed per use
     val sims = guardedSims(ensureParallelism(batch), idCol, textCol)
       .localCheckpoint(true)
-    val matched = indexMatchCore(sims, index, maxHamming, blocks)
-      .select(col("doc_id")).distinct()
-    // comps feeds touched + two loser branches: checkpoint (node-sized)
-    // so the CC assembly doesn't replay per consumer
-    val comps = connectedComponentsStar(
-      pairsFromSimhash(sims.withColumnRenamed("doc_id", "id"), maxHamming, blocks),
-      "idA", "idB", maxIters).localCheckpoint(true)
+    // the probe and the closure are independent consumers of the
+    // checkpointed sims: build them CONCURRENTLY ([[concurrently]]);
+    // matched is checkpointed too — id-sized, consumed twice by
+    // incrementalCut (touched + losers), so the probe runs once
+    val (matched, comps) = concurrently(
+      indexMatchCore(sims, index, maxHamming, blocks)
+        .select(col("doc_id")).distinct().localCheckpoint(true),
+      // comps feeds touched + two loser branches: checkpoint (node-sized)
+      // so the CC assembly doesn't replay per consumer
+      connectedComponentsStar(
+        pairsFromSimhash(sims.withColumnRenamed("doc_id", "id"), maxHamming, blocks),
+        "idA", "idB", maxIters).localCheckpoint(true))
     incrementalCut(batch, idCol, matched, comps)
+  }
+
+  /** Build two INDEPENDENT eager frames from a 2-thread driver pool
+    * (guide §2.6: overlap independent jobs — the criteria-matrix /
+    * modality-decode pattern, r20). The incremental cuts' index probe
+    * and within-batch closure both read the same checkpointed signature
+    * frame and nothing of each other, but eager construction serialized
+    * them: the probe pass idled while the closure's job train ran (r21
+    * PlanProfile). Job descriptions are thread-local, so the UI stays
+    * attributable.
+    */
+  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val f1 = scala.concurrent.Future(fa)
+      val f2 = scala.concurrent.Future(fb)
+      val d = scala.concurrent.duration.Duration(10, "min")
+      (scala.concurrent.Await.result(f1, d),
+        scala.concurrent.Await.result(f2, d))
+    } finally pool.shutdown()
   }
 
   /** The shared loser assembly of the incremental near-dedup family —
@@ -636,12 +663,15 @@ object Dedup {
     // within-batch pairing — without it the batch is re-shingled per use
     val banded = bandedMinhash(batch, idCol, textCol, numHashes, bands)
       .localCheckpoint(true)
-    val matched = minhashMatchCore(banded, index, numHashes)
-      .where(col("estJaccard") >= threshold)
-      .select(col("doc_id")).distinct()
-    val comps = connectedComponentsStar(
-      minhashPairsFromBanded(banded, numHashes, threshold),
-      "idA", "idB", maxIters).localCheckpoint(true)
+    // concurrent probe + closure over the shared banded checkpoint —
+    // see [[concurrently]]; matched is id-sized and consumed twice
+    val (matched, comps) = concurrently(
+      minhashMatchCore(banded, index, numHashes)
+        .where(col("estJaccard") >= threshold)
+        .select(col("doc_id")).distinct().localCheckpoint(true),
+      connectedComponentsStar(
+        minhashPairsFromBanded(banded, numHashes, threshold),
+        "idA", "idB", maxIters).localCheckpoint(true))
     incrementalCut(batch, idCol, matched, comps)
   }
 
@@ -1059,14 +1089,15 @@ object Dedup {
     // run — the r14 plan audit measured it paid twice, once per consumer
     val banded = cosineBandRows(withVec.select("doc_id", "v", "nrm"),
       planesPerBand, bands).localCheckpoint(true)
-    val matched = cosineMatchesFromBanded(banded, withVec, index, vecStore,
-        threshold)
-      .select(col("doc_id")).distinct()
-    // comps feeds touched + two loser branches: checkpoint (node-sized)
-    // so the CC assembly doesn't replay per consumer
-    val comps = connectedComponentsStar(
-      cosinePairsFromBanded(banded, withVec, threshold),
-      "idA", "idB", maxIters).localCheckpoint(true)
+    // concurrent probe + closure over the shared banded checkpoint —
+    // see [[concurrently]]; matched is id-sized and consumed twice by
+    // incrementalCut, comps feeds touched + two loser branches
+    val (matched, comps) = concurrently(
+      cosineMatchesFromBanded(banded, withVec, index, vecStore, threshold)
+        .select(col("doc_id")).distinct().localCheckpoint(true),
+      connectedComponentsStar(
+        cosinePairsFromBanded(banded, withVec, threshold),
+        "idA", "idB", maxIters).localCheckpoint(true))
     incrementalCut(batch, idCol, matched, comps)
   }
 
@@ -1499,13 +1530,19 @@ object Dedup {
       .map(_.toInt).getOrElse(2000000)
 
   /** Bounded collect of an edge frame: `Some(edges)` when the frame has
-    * at most `cap` rows, `None` past it (having read only cap+1 rows).
+    * at most `cap` rows, `None` past it. Gates on a COUNT over the
+    * (already eagerly checkpointed) edge frame first — the former
+    * `limit(cap+1).collect()` probe shipped cap+1 rows (~32 MB of ids at
+    * the default cap) to the driver just to DISCARD them whenever the
+    * closure takes the distributed path (VERDICT r20 item #3); the count
+    * is a map-side aggregate over cached blocks, and the collect now
+    * runs only when the frame is the broadcast-sized data the fast path
+    * needs anyway.
     */
   private def collectEdgesUnder(edges: DataFrame, cap: Int): Option[Array[(Long, Long)]] = {
     if (cap <= 0) return None
-    val rows = edges.limit(cap + 1).collect()
-    if (rows.length > cap) None
-    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    if (edges.count() > cap) return None
+    Some(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
   }
 
   /** Driver union-find with path compression + union-by-min over a
@@ -1952,23 +1989,28 @@ object Dedup {
     val chunks = cdcChunks(ensureParallelism(batch), idCol, textCol, k, maskBits)
       .select(col("id"), col("h"), col("len")).distinct()
       .localCheckpoint(true)
-    val matched = chunks
-      .join(index.select(col("h"), col("len")).distinct(), Seq("h", "len"))
-      .groupBy("id").agg(count(lit(1)).as("__ns"))
-      .where(col("__ns") >= minShared)
-      .select(col("id").as("doc_id"))
-    val rare = chunks.groupBy("h", "len").agg(count(lit(1)).as("__df"))
-      .where(col("__df").between(2, maxDf)).select("h", "len")
-    val pruned = chunks.join(rare, Seq("h", "len"))
-    val pairs = pruned.select(col("h"), col("len"), col("id").as("idA"))
-      .join(pruned.select(col("h"), col("len"), col("id").as("idB")),
-        Seq("h", "len"))
-      .where(col("idA") < col("idB"))
-      .groupBy("idA", "idB")
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-    val comps = connectedComponentsStar(pairs, "idA", "idB", maxIters)
-      .localCheckpoint(true)
+    def pairs = {
+      val rare = chunks.groupBy("h", "len").agg(count(lit(1)).as("__df"))
+        .where(col("__df").between(2, maxDf)).select("h", "len")
+      val pruned = chunks.join(rare, Seq("h", "len"))
+      pruned.select(col("h"), col("len"), col("id").as("idA"))
+        .join(pruned.select(col("h"), col("len"), col("id").as("idB")),
+          Seq("h", "len"))
+        .where(col("idA") < col("idB"))
+        .groupBy("idA", "idB")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+    }
+    // concurrent probe + closure over the shared chunk checkpoint —
+    // see [[concurrently]]; matched is id-sized and consumed twice
+    val (matched, comps) = concurrently(
+      chunks
+        .join(index.select(col("h"), col("len")).distinct(), Seq("h", "len"))
+        .groupBy("id").agg(count(lit(1)).as("__ns"))
+        .where(col("__ns") >= minShared)
+        .select(col("id").as("doc_id")).localCheckpoint(true),
+      connectedComponentsStar(pairs, "idA", "idB", maxIters)
+        .localCheckpoint(true))
     incrementalCut(batch, idCol, matched, comps)
   }
 
